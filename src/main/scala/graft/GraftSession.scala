@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by Verify, Bench, tests and examples.
+  *
+  * Scale notes: shuffle partitions default to the local core count here,
+  * but on a real cluster callers should leave
+  * `spark.sql.shuffle.partitions` to AQE coalescing
+  * (`spark.sql.adaptive.enabled=true` below lets Spark right-size
+  * post-shuffle partitions at 100 TB without manual tuning).
+  */
+object GraftSession {
+
+  /** Local session tuned for the test harness (local[N], AQE on, UTC). */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the driver-provided parquet tables under `dir`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,13 +1,141 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Metric
+import graft.operators.{Fusion, VectorSearch}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2, with a
+  * DuckDB-runnable oracle in [[oracleSql]] (column names aligned; float
+  * aggregates rounded in BOTH so the hash compare is stable).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Queries.topkCosine(spark, dir)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
+}
+
+/** The operator-coverage query suite (grows with SURVEY.md §2). */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  // --- §2.2 aggregation: groupBy + sum/avg/min/max/count (hash agg, partial+final)
+  def aggGroup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- §2.1 filter + count (count compiled to aggregate, PlanProto.cpp:441-476)
+  def countFilter(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // --- §2.3 multi-key sort + limit (PhyQueryOrderByNode)
+  def orderByLimit(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
+  private def embQueries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  // --- §2.1 PhyVectorSearchNode: brute-force exact top-k, COSINE
+  def topkCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.topK(emb, "vec_id", "embedding",
+        embQueries(s, dir), "qid", "qvec",
+        Metric.COSINE, k = 10, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // --- §2.1 PhyVectorSearchNode: brute-force exact top-k, squared L2
+  def topkL2(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.topK(emb, "vec_id", "embedding",
+        embQueries(s, dir), "qid", "qvec",
+        Metric.L2, k = 10, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group" -> (aggGroup _),
+    "q_count_filter" -> (countFilter _),
+    "q_orderby_limit" -> (orderByLimit _),
+    "q_topk_cosine" -> (topkCosine _),
+    "q_topk_l2" -> (topkL2 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(min(l_extendedprice), 2) AS min_price,
+        | round(max(l_extendedprice), 2) AS max_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_filter" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05",
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "q_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_topk_l2" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Metric
+
+/** Hybrid-search rank fusion + rescoring, as pure DataFrame algebra.
+  *
+  * Mirrors the reference rerank chain (reference:
+  * internal/util/function/chain/rerank_builder.go,
+  * operator_merge.go:318-614): N sub-search ranked lists are merged by
+  * PK with RRF / weighted / decay scoring, then re-sorted and truncated.
+  *
+  * Each input DataFrame must carry (qidCol, idCol, "rank", "_score") as
+  * produced by [[VectorSearch.topK]]. Inputs are nq·k rows each —
+  * fusion cost is independent of corpus size, so any plan here is
+  * 100 TB-safe by construction.
+  */
+object Fusion {
+
+  /** Reciprocal Rank Fusion: score(pk) = Σ_i 1/(k + rank_i(pk)).
+    * (reference: operator_merge.go:342 — rank is 1-based, default k=60)
+    */
+  def rrf(
+      results: Seq[DataFrame],
+      qidCol: String,
+      idCol: String,
+      topK: Int,
+      rrfK: Double = 60.0): DataFrame = {
+    val unioned = results
+      .map(df => df.select(col(qidCol), col(idCol),
+        (lit(1.0) / (lit(rrfK) + col("rank"))).as("_partial")))
+      .reduce(_ unionAll _)
+    fuseAndRank(unioned, qidCol, idCol, topK)
+  }
+
+  /** Metric-aware score normalization to [0, 1], higher-is-better
+    * (reference: operator_merge.go:586-614).
+    */
+  def normalizeScore(score: Column, metric: Metric.Value): Column = metric match {
+    case Metric.COSINE => (lit(1.0) + score) * 0.5
+    case Metric.IP     => lit(0.5) + atan(score) / math.Pi
+    case Metric.L2     => lit(1.0) - lit(2.0) * atan(score) / math.Pi
+  }
+
+  /** Direction-only conversion for mixed-metric merges without full
+    * normalization (reference: operator_merge.go:574-583).
+    */
+  def directionConvert(score: Column, metric: Metric.Value): Column =
+    if (Metric.higherIsBetter(metric)) score
+    else lit(1.0) - lit(2.0) * atan(score) / math.Pi
+
+  /** Weighted fusion: score(pk) = Σ_i w_i · norm_i(score_i(pk))
+    * (reference: rerank_builder.go:401-456 + operator_merge.go).
+    */
+  def weighted(
+      results: Seq[DataFrame],
+      metrics: Seq[Metric.Value],
+      weights: Seq[Double],
+      qidCol: String,
+      idCol: String,
+      topK: Int,
+      normalize: Boolean = true): DataFrame = {
+    require(results.size == metrics.size && results.size == weights.size,
+      "results, metrics and weights must align")
+    val unioned = results.lazyZip(metrics).lazyZip(weights).map { (df, m, w) =>
+      val norm = if (normalize) normalizeScore(col("_score"), m)
+                 else directionConvert(col("_score"), m)
+      df.select(col(qidCol), col(idCol), (lit(w) * norm).as("_partial"))
+    }.reduce(_ unionAll _)
+    fuseAndRank(unioned, qidCol, idCol, topK)
+  }
+
+  private def fuseAndRank(
+      partials: DataFrame,
+      qidCol: String,
+      idCol: String,
+      topK: Int): DataFrame = {
+    val fused = partials
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("_partial")).as("_score"))
+    // candidate set is already ≤ Σ nq·k rows: a partial-agg top-k keeps
+    // the final reduce shuffle-light
+    VectorSearch.reduceTopK(fused, idCol, qidCol, Metric.IP /* higher=better */,
+      topK, Seq(idCol))
+  }
+
+  /** Decay rescoring on a numeric/time field (reference:
+    * chain/expr/decay_expr.go:137-275): gauss / exp / linear decay of the
+    * fused score by distance of `fieldValue` from `origin`, with `scale`,
+    * `offset`, `decay` parameters.
+    */
+  def decayFactor(
+      function: String,
+      fieldValue: Column,
+      origin: Double,
+      scale: Double,
+      offset: Double = 0.0,
+      decay: Double = 0.5): Column = {
+    val dist = greatest(lit(0.0), abs(fieldValue - origin) - offset)
+    function.toLowerCase match {
+      case "gauss" =>
+        // exp(dist^2 * ln(decay) / scale^2)
+        exp(dist * dist * math.log(decay) / (scale * scale))
+      case "exp" =>
+        exp(dist * math.log(decay) / scale)
+      case "linear" =>
+        greatest(lit(0.0), lit(1.0) - dist * (1.0 - decay) / scale)
+      case other => throw new IllegalArgumentException(s"unknown decay function: $other")
+    }
+  }
+
+  /** Boost rescoring (reference: PhyRescoresNode,
+    * internal/core/src/exec/operator/RescoresNode.cpp + plan.proto:383-412):
+    * each (filter, weight) score-function boosts matching rows;
+    * `functionMode` combines multiple matching boosts (multiply | sum),
+    * `boostMode` combines the boost with the base score (multiply | sum).
+    */
+  def boost(
+      hits: DataFrame,
+      scoreCol: String,
+      functions: Seq[(Column, Column)], // (filter, weight-or-random expr)
+      boostMode: String = "multiply",
+      functionMode: String = "multiply"): DataFrame = {
+    val neutral = if (functionMode == "multiply") 1.0 else 0.0
+    val factors = functions.map { case (pred, w) => when(pred, w).otherwise(lit(neutral)) }
+    val combined = functionMode match {
+      case "multiply" => factors.reduce(_ * _)
+      case "sum"      => factors.reduce(_ + _)
+      case other      => throw new IllegalArgumentException(s"unknown function_mode: $other")
+    }
+    val boosted = boostMode match {
+      case "multiply" => col(scoreCol) * combined
+      case "sum"      => col(scoreCol) + combined
+      case other      => throw new IllegalArgumentException(s"unknown boost_mode: $other")
+    }
+    hits.withColumn(scoreCol, boosted)
+  }
+}

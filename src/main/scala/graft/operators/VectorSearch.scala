@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{Metric, TopKFunctions, VectorFunctions}
+
+/** ANN / vector search over a corpus DataFrame, Spark-first.
+  *
+  * Semantics mirror the reference Search API (reference:
+  * internal/proxy/task_search.go, internal/core/src/exec/operator/
+  * VectorSearchNode.cpp): nq query vectors, boolean pre-filter, top-k per
+  * query with metric-typed ordering, optional range bounds, optional
+  * group-by, offset, and requery of output fields.
+  *
+  * Scale design: queries (nq rows) are always `broadcast()`; the corpus
+  * is never shuffled for scoring — scoring is a map-only
+  * broadcast-nested-loop join that stays in whole-stage codegen. The
+  * top-k reduction uses [[graft.functions.TopKAgg]] (partial
+  * aggregation → each map task emits ≤ nq·k rows), so the shuffle volume
+  * is O(partitions · nq · k) regardless of corpus size.
+  */
+object VectorSearch {
+
+  /** Score every (query, corpus row) pair. Map-only: broadcasts queries. */
+  def score(
+      corpus: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      filter: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    val filtered = filter.map(corpus.filter).getOrElse(corpus)
+    val raw = VectorFunctions.distance(col(vecCol), col(qvecCol), metric)
+    val scoreCol = roundTo.map(d => round(raw, d)).getOrElse(raw)
+    filtered
+      .crossJoin(broadcast(queries))
+      .withColumn("_score", scoreCol)
+  }
+
+  /** Exact brute-force top-k per query vector.
+    *
+    * Output: (qidCol, rank, _score, <corpus output cols>), rank 1-based,
+    * best-first, ties broken by ascending `idCol` (deterministic).
+    */
+  def topK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      k: Int,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Nil,
+      offset: Int = 0,
+      roundTo: Option[Int] = None): DataFrame = {
+    val out = if (outputCols.nonEmpty) outputCols else Seq(idCol)
+    val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
+    reduceTopK(scored, idCol, qidCol, metric, k, out, offset)
+  }
+
+  /** Top-k reduce of a pre-scored DataFrame (must carry `_score`). */
+  def reduceTopK(
+      scored: DataFrame,
+      idCol: String,
+      qidCol: String,
+      metric: Metric.Value,
+      k: Int,
+      outputCols: Seq[String],
+      offset: Int = 0): DataFrame = {
+    val payload = struct(outputCols.distinct.map(col): _*)
+    val asc = !Metric.higherIsBetter(metric)
+    val hits = scored
+      .groupBy(col(qidCol))
+      .agg(TopKFunctions
+        .top_k(col("_score"), col(idCol).cast("long"), payload, offset + k, asc)
+        .as("_hits"))
+      .select(col(qidCol), posexplode(col("_hits")).as(Seq("_pos", "_hit")))
+      .filter(col("_pos") >= offset)
+      .select(
+        Seq(col(qidCol), (col("_pos") + 1).cast("long").as("rank"),
+          col("_hit.score").as("_score")) ++
+          outputCols.distinct.map(c => col(s"_hit.payload.$c").as(c)): _*)
+    hits
+  }
+
+  /** Range search (reference: radius / range_filter,
+    * internal/proxy/search_util.go:588-597): keeps hits with
+    * `radius < score <= range_filter` for similarity metrics and
+    * `range_filter <= score < radius` for distance metrics; topk still
+    * applies when > 0.
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      radius: Double,
+      rangeFilter: Option[Double] = None,
+      k: Int = 0,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    val out = if (outputCols.nonEmpty) outputCols else Seq(idCol)
+    val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
+    val s = col("_score")
+    val bound =
+      if (Metric.higherIsBetter(metric))
+        rangeFilter.map(rf => s > radius && s <= rf).getOrElse(s > radius)
+      else
+        rangeFilter.map(rf => s < radius && s >= rf).getOrElse(s < radius)
+    val inRange = scored.filter(bound)
+    if (k > 0) reduceTopK(inRange, idCol, qidCol, metric, k, out)
+    else inRange.select((col(qidCol) +: (out :+ "_score").distinct.map(col)): _*)
+  }
+
+  /** Grouping search (reference: PhySearchGroupByNode,
+    * internal/core/src/exec/operator/SearchGroupByNode.cpp): per query,
+    * the best `k` groups by their best hit, each group contributing up to
+    * `groupSize` hits.
+    *
+    * Two partial-aggregating top-k passes — no windows, no wide shuffle:
+    * pass 1 reduces to ≤ groupSize hits per (query, group); pass 2 ranks
+    * groups per query by best-hit score.
+    */
+  def groupBySearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      k: Int,
+      groupCol: String,
+      groupSize: Int = 1,
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    val out = (if (outputCols.nonEmpty) outputCols else Seq(idCol)).distinct
+    val asc = !Metric.higherIsBetter(metric)
+    val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
+    val payload = struct(out.map(col): _*)
+    // pass 1: per (query, group) keep the groupSize best hits
+    val perGroup = scored
+      .groupBy(col(qidCol), col(groupCol))
+      .agg(TopKFunctions
+        .top_k(col("_score"), col(idCol).cast("long"), payload, groupSize, asc)
+        .as("_hits"))
+      .withColumn("_best", col("_hits")(0)("score"))
+      .withColumn("_best_tie", col("_hits")(0)("payload")(idCol).cast("long"))
+    // pass 2: per query keep the k best groups (by best hit)
+    perGroup
+      .groupBy(col(qidCol))
+      .agg(TopKFunctions
+        .top_k(col("_best"), col("_best_tie"), struct(col(groupCol), col("_hits")), k, asc)
+        .as("_groups"))
+      .select(col(qidCol), posexplode(col("_groups")).as(Seq("_gpos", "_g")))
+      .select(
+        col(qidCol),
+        (col("_gpos") + 1).cast("long").as("group_rank"),
+        col(s"_g.payload.$groupCol").as(groupCol),
+        posexplode(col("_g.payload._hits")).as(Seq("_hpos", "_hit")))
+      .select(
+        Seq(col(qidCol), col("group_rank"), col(groupCol),
+          (col("_hpos") + 1).cast("long").as("rank"), col("_hit.score").as("_score")) ++
+          out.map(c => col(s"_hit.payload.$c").as(c)): _*)
+  }
+
+  /** Requery (reference: CreateRequeryPlan,
+    * internal/parser/planparserv2/plan_parser_v2.go:530): after reduce,
+    * fetch output fields for hit PKs. The hits side is tiny (nq·k rows)
+    * → broadcast it against the base table.
+    */
+  def requery(hits: DataFrame, base: DataFrame, idCol: String, outputCols: Seq[String]): DataFrame = {
+    val needed = base.select((idCol +: outputCols).distinct.map(col): _*)
+    broadcast(hits).join(needed, Seq(idCol), "inner")
+  }
+
+  /** Paged search iterator (reference: CachedSearchIterator / last_bound
+    * cursor, pkg/proto/plan.proto:78-82): returns the next `batch` hits
+    * strictly beyond `lastBound` in metric order.
+    */
+  def searchIterator(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      batch: Int,
+      lastBound: Option[Double],
+      filter: Option[Column] = None,
+      outputCols: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    val out = if (outputCols.nonEmpty) outputCols else Seq(idCol)
+    val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
+    val cursored = lastBound match {
+      case Some(b) if Metric.higherIsBetter(metric) => scored.filter(col("_score") < b)
+      case Some(b)                                  => scored.filter(col("_score") > b)
+      case None                                     => scored
+    }
+    reduceTopK(cursored, idCol, qidCol, metric, batch, out)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 groups × 100 values, deterministic
+  private lazy val df = spark.range(300)
+    .select(
+      (col("id") % 3).as("g"),
+      col("id").as("tie"),
+      ((col("id") * 37 % 101).cast("double")).as("score"))
+
+  private def windowTopK(k: Int, asc: Boolean) = {
+    val ord = if (asc) Seq(col("score").asc, col("tie").asc)
+              else Seq(col("score").desc, col("tie").asc)
+    df.withColumn("rn", row_number().over(Window.partitionBy("g").orderBy(ord: _*)))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("score"), col("tie"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+  }
+
+  private def aggTopK(k: Int, asc: Boolean, partitions: Int) = {
+    df.repartition(partitions)
+      .groupBy("g")
+      .agg(TopKFunctions.top_k(col("score"), col("tie"),
+        struct(col("tie")), k, asc).as("hits"))
+      .select(col("g"), explode(col("hits")).as("h"))
+      .select(col("g"), col("h.score"), col("h.payload.tie"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+  }
+
+  test("top_k matches window row_number, descending") {
+    assert(aggTopK(10, asc = false, partitions = 7) == windowTopK(10, asc = false))
+  }
+
+  test("top_k matches window row_number, ascending") {
+    assert(aggTopK(10, asc = true, partitions = 7) == windowTopK(10, asc = true))
+  }
+
+  test("partition-count invariant (exercises merge + serialize paths)") {
+    val single = aggTopK(5, asc = false, partitions = 1)
+    val many = aggTopK(5, asc = false, partitions = 13)
+    assert(single == many)
+  }
+
+  test("k larger than group size returns whole group, ordered best-first") {
+    val rows = df.filter(col("g") === 0)
+      .groupBy("g")
+      .agg(TopKFunctions.top_k(col("score"), col("tie"),
+        struct(col("tie")), 1000, ascending = false).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("pos"), col("h.score"))
+      .collect()
+    assert(rows.length == 100)
+    val scores = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("duplicate scores break ties by ascending tie column") {
+    val dup = Seq((1L, 5.0, 10L), (1L, 5.0, 3L), (1L, 5.0, 7L)).toDF("g", "score", "tie")
+    val got = dup.groupBy("g")
+      .agg(TopKFunctions.top_k(col("score"), col("tie"),
+        struct(col("tie")), 2, ascending = false).as("hits"))
+      .select(explode(col("hits")).as("h")).select(col("h.payload.tie"))
+      .as[Long].collect()
+    assert(got sameElements Array(3L, 7L))
+  }
+}
