@@ -92,12 +92,75 @@ object Queries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --- §2.1 expr kernels via the filter-expression compiler (M0) ---
+
+  /** UnaryRange + Conjunct + compare kernels (PhyUnaryRangeFilterExpr …). */
+  def exprRange(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(graft.expr.ExprCompiler.compile(
+        "l_quantity > 30.0 and l_discount <= 0.05 and l_returnflag == 'R'", li))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** BinaryRange (two-sided), arith-op-eval-range, modulo kernels. */
+  def exprArith(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(graft.expr.ExprCompiler.compile(
+        "10 < l_quantity <= 20 and (l_partkey % 10) == 3", li))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Term-IN + LIKE (prefix/inner) + OR conjunct kernels. */
+  def exprInLike(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.filter(graft.expr.ExprCompiler.compile(
+        "p_type like '%BRASS%' or (p_size in [5, 10, 15] and p_brand like 'Brand#1%')", p))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** JSON-path compare + exists kernels over a JSON column. */
+  def exprJson(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(graft.expr.ExprCompiler.compile(
+        """props["k"] > 50 and event_type == "click" and exists props["k"]""",
+        ev, jsonColumns = Set("props")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Timestamptz interval arithmetic compare kernel. */
+  def exprTsArith(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(graft.expr.ExprCompiler.compile(
+        "l_shipdate + INTERVAL 'P30D' > iso'1998-09-01T00:00:00Z' and l_linenumber == 1", li))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Column-vs-column compare kernel (PhyCompareFilterExpr). */
+  def exprCompareCols(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(graft.expr.ExprCompiler.compile("l_discount > l_tax", li))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
     "q_count_filter" -> (countFilter _),
     "q_orderby_limit" -> (orderByLimit _),
     "q_topk_cosine" -> (topkCosine _),
-    "q_topk_l2" -> (topkL2 _)
+    "q_topk_l2" -> (topkL2 _),
+    "q_expr_range" -> (exprRange _),
+    "q_expr_arith" -> (exprArith _),
+    "q_expr_in_like" -> (exprInLike _),
+    "q_expr_json" -> (exprJson _),
+    "q_expr_ts_arith" -> (exprTsArith _),
+    "q_expr_compare_cols" -> (exprCompareCols _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +199,38 @@ object Queries {
         |r AS (SELECT qid, vec_id, score,
         |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
         |      FROM d)
-        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_expr_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity > 30.0 AND l_discount <= 0.05 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_expr_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 10 AND l_quantity <= 20 AND (l_partkey % 10) = 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_expr_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size
+        |FROM part
+        |WHERE p_type LIKE '%BRASS%'
+        |   OR (p_size IN (5, 10, 15) AND p_brand LIKE 'Brand#1%')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_expr_json" ->
+      """SELECT event_id, user_id, event_type, props
+        |FROM events
+        |WHERE TRY_CAST(props->>'$.k' AS BIGINT) > 50
+        |  AND event_type = 'click' AND (props->>'$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_expr_ts_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate + INTERVAL 30 DAY > TIMESTAMP '1998-09-01 00:00:00'
+        |  AND l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_expr_compare_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax
+        |FROM lineitem WHERE l_discount > l_tax
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,0 +1,195 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expr.ExprCompiler.{CompileError, Ctx}
+import graft.functions.TextFunctions
+
+/** Compilation of named function constructs in filter expressions
+  * (reference: Plan.g4 call-style rules + the built-in function registry
+  * internal/core/src/exec/expression/function/FunctionFactory.cpp:64-65).
+  */
+private[expr] object Calls {
+
+  def compileCall(call: Call, ctx: Ctx): Column = {
+    val Call(name, args, opts) = call
+
+    def fieldArg(i: Int): (String, Column) = args(i) match {
+      case Ident(f)       => (f, ExprCompiler.compile(Ident(f), ctx))
+      case jp: JsonPath   => (jp.field, ExprCompiler.compile(jp, ctx))
+      case other          => throw CompileError(s"$name requires a field, got $other")
+    }
+
+    def stringArg(i: Int): String = args(i) match {
+      case StringLit(s) => s
+      case TemplateVar(n) => ctx.params.get(n) match {
+        case Some(s: String) => s
+        case other           => throw CompileError(s"template must be string, got $other")
+      }
+      case other => throw CompileError(s"$name requires a string, got $other")
+    }
+
+    def intOpt(key: String, default: Long): Long = opts.get(key) match {
+      case Some(IntLit(v)) => v
+      case None            => default
+      case other           => throw CompileError(s"option $key must be int, got $other")
+    }
+
+    name match {
+      // ---- text matching (reference: MatchExpr.cpp, TextMatchIndex) ----
+      case "text_match" =>
+        val (_, c) = fieldArg(0)
+        val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
+        val msm = intOpt("minimum_should_match", 1)
+        matchedCount(c, qTokens) >= msm
+      case "text_match_fuzzy" =>
+        val (_, c) = fieldArg(0)
+        val q = stringArg(1)
+        val d = intOpt("threshold", 2)
+        exists(TextFunctions.tokenize(c), t => levenshtein(t, lit(q.toLowerCase)) <= d.toInt)
+      case "phrase_match" =>
+        val (_, c) = fieldArg(0)
+        val q = stringArg(1)
+        val slop = if (args.length > 2) args(2) match {
+          case IntLit(v) => v
+          case other     => throw CompileError(s"phrase_match slop must be int, got $other")
+        } else 0L
+        phraseMatch(c, q, slop.toInt)
+      case "match_all" =>
+        val (_, c) = fieldArg(0)
+        val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
+        matchedCount(c, qTokens) === qTokens.size
+      case "match_any" =>
+        val (_, c) = fieldArg(0)
+        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) >= 1
+      case "match_least" =>
+        val (_, c) = fieldArg(0)
+        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) >=
+          intOpt("threshold", 1)
+      case "match_most" =>
+        val (_, c) = fieldArg(0)
+        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) <=
+          intOpt("threshold", 1)
+      case "match_exact" =>
+        val (_, c) = fieldArg(0)
+        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) ===
+          intOpt("threshold", 1)
+
+      // ---- json / array containment (reference: JsonContainsExpr.cpp) ----
+      case "json_contains" | "array_contains" =>
+        val arr = containerColumn(args(0), args(1), ctx)
+        array_contains(arr, litCol(args(1), ctx))
+      case "json_contains_all" | "array_contains_all" =>
+        val arr = containerColumn(args(0), args(1), ctx)
+        val values = litArray(args(1), ctx)
+        size(array_except(values, arr)) === 0 && arr.isNotNull
+      case "json_contains_any" | "array_contains_any" =>
+        val arr = containerColumn(args(0), args(1), ctx)
+        arrays_overlap(arr, litArray(args(1), ctx))
+      case "array_length" =>
+        args(0) match {
+          case Ident(f) if ctx.fieldType(f).exists(_.isInstanceOf[ArrayType]) =>
+            array_size(col(f))
+          case jp: JsonPath =>
+            json_array_length(ExprCompiler.compile(jp, ctx))
+          case Ident(f) if ctx.isJson(f) =>
+            json_array_length(col(f))
+          case other => throw CompileError(s"array_length: unsupported target $other")
+        }
+
+      // ---- sampling (reference: RandomSampleNode.cpp) ----
+      case "random_sample" =>
+        val factor = args(0) match {
+          case FloatLit(v) => v
+          case IntLit(v)   => v.toDouble
+          case other       => throw CompileError(s"random_sample factor must be number, got $other")
+        }
+        require(factor > 0 && factor < 1, "random_sample factor must be in (0,1)")
+        rand(ctx.sampleSeed) < factor
+
+      // ---- built-in scalar registry (reference: FunctionFactory.cpp:64-65) ----
+      case "empty" =>
+        val (_, c) = fieldArg(0)
+        length(c) === 0
+      case "starts_with" =>
+        val a = ExprCompiler.compile(args(0), ctx)
+        val b = ExprCompiler.compile(args(1), ctx)
+        a.startsWith(b)
+
+      // ---- geo (reference: GISFunctionFilterExpr.cpp) — custom exprs ----
+      case g if g.startsWith("st_") =>
+        graft.functions.GeoFunctions.compileCall(call, ctx)
+
+      case "element_filter" =>
+        throw CompileError("element_filter: not yet supported") // struct-array v2
+
+      case other =>
+        throw CompileError(s"unknown function: $other")
+    }
+  }
+
+  /** Count of distinct query tokens present in the field's token set. */
+  private def matchedCount(field: Column, qTokens: Seq[String]): Column =
+    if (qTokens.isEmpty) lit(0)
+    else size(array_intersect(
+      TextFunctions.tokenize(field), array(qTokens.map(lit): _*)))
+
+  /** Phrase match with slop (reference: PhraseMatch semantics — query
+    * tokens must appear in order within a window allowing `slop` skips).
+    * slop=0 compiles to adjacency via substring-of-normalized-stream;
+    * slop>0 falls back to ordered containment with bounded gaps via regex.
+    */
+  private def phraseMatch(field: Column, query: String, slop: Int): Column = {
+    val qTokens = TextFunctions.tokenizeString(query)
+    if (qTokens.isEmpty) lit(true)
+    else {
+      val stream = concat(lit(" "), array_join(TextFunctions.tokenize(field), " "), lit(" "))
+      if (slop == 0) {
+        stream.contains(" " + qTokens.mkString(" ") + " ")
+      } else {
+        // up to `slop` intervening tokens between consecutive query tokens
+        val gap = s"( [a-z0-9]+){0,$slop}"
+        val patt = qTokens.map(java.util.regex.Pattern.quote)
+          .mkString("(^|.*) ", gap + " ", "( .*|$)")
+        stream.rlike(patt)
+      }
+    }
+  }
+
+  /** The array being probed: an ARRAY column, or a JSON path decoded via
+    * from_json with element type inferred from the probe value.
+    */
+  private def containerColumn(target: Node, probe: Node, ctx: Ctx): Column = {
+    target match {
+      case Ident(f) if ctx.fieldType(f).exists(_.isInstanceOf[ArrayType]) => col(f)
+      case jp: JsonPath if jp.path.nonEmpty || ctx.isJson(jp.field) =>
+        from_json(ExprCompiler.compile(jp, ctx), ArrayType(probeElementType(probe, ctx)))
+      case Ident(f) if ctx.isJson(f) =>
+        from_json(col(f), ArrayType(probeElementType(probe, ctx)))
+      case other => throw CompileError(s"containment: unsupported target $other")
+    }
+  }
+
+  private def probeElementType(probe: Node, ctx: Ctx): DataType = probe match {
+    case IntLit(_)    => LongType
+    case FloatLit(_)  => DoubleType
+    case BoolLit(_)   => BooleanType
+    case StringLit(_) => StringType
+    case ArrayLit(items) if items.nonEmpty => probeElementType(items.head, ctx)
+    case ArrayLit(_)  => StringType
+    case _            => StringType
+  }
+
+  private def litCol(n: Node, ctx: Ctx): Column = ExprCompiler.compile(n, ctx)
+
+  private def litArray(n: Node, ctx: Ctx): Column = n match {
+    case a: ArrayLit => ExprCompiler.compile(a, ctx)
+    case TemplateVar(name) => ctx.params.get(name) match {
+      case Some(seq: Seq[_]) => lit(seq.toArray[Any](scala.reflect.ClassTag.Any))
+      case other             => throw CompileError(s"template must be list, got $other")
+    }
+    case other => throw CompileError(s"expected array literal, got $other")
+  }
+}

@@ -1,0 +1,311 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Like => CatalystLike, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Compiles a filter-expression string into a Catalyst `Column`.
+  *
+  * This is the Spark-side equivalent of the reference's expression
+  * compiler (reference: internal/parser/planparserv2/plan_parser_v2.go →
+  * planpb.Expr → segcore kernels, SURVEY.md §2.1). We compile straight to
+  * Catalyst expressions so every filter benefits from predicate pushdown,
+  * Parquet row-group pruning, and whole-stage codegen — the Spark analogue
+  * of the reference's index fast paths + zone-map skipping.
+  */
+object ExprCompiler {
+
+  case class Ctx(
+      schema: StructType,
+      /** StringType columns that hold JSON documents. */
+      jsonColumns: Set[String] = Set.empty,
+      /** Dynamic-field catch-all column (reference: `$meta`). */
+      metaColumn: Option[String] = None,
+      /** Template variable values (`{name}` placeholders). */
+      params: Map[String, Any] = Map.empty,
+      /** Seed for random_sample so plans stay deterministic per query. */
+      sampleSeed: Long = 42L) {
+
+    def fieldType(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def isJson(name: String): Boolean =
+      jsonColumns.contains(name) || name == "$meta"
+  }
+
+  case class CompileError(msg: String) extends RuntimeException(msg)
+
+  def compile(exprStr: String, df: DataFrame, jsonColumns: Set[String] = Set.empty,
+      params: Map[String, Any] = Map.empty): Column =
+    compile(Parser.parse(exprStr), Ctx(df.schema, jsonColumns, params = params))
+
+  def compile(exprStr: String, ctx: Ctx): Column =
+    compile(Parser.parse(exprStr), ctx)
+
+  // ---------------------------------------------------------------
+
+  private def tryCast(c: Column, dt: DataType): Column = {
+    val e = ColumnBridge.expression(c)
+    ColumnBridge.column(Cast(e, dt, None, EvalMode.TRY))
+  }
+
+  /** Static type of a literal-ish node, for JSON-path cast targets. */
+  private def literalType(n: Node, ctx: Ctx): Option[DataType] = n match {
+    case IntLit(_)    => Some(LongType)
+    case FloatLit(_)  => Some(DoubleType)
+    case BoolLit(_)   => Some(BooleanType)
+    case StringLit(_) => Some(StringType)
+    case IsoLit(_)    => Some(TimestampType)
+    case Unary(UnaryOp.Neg | UnaryOp.Pos, c) => literalType(c, ctx)
+    case Binary(BinOp.Add | BinOp.Sub | BinOp.Mul | BinOp.Pow, l, r) =>
+      (literalType(l, ctx), literalType(r, ctx)) match {
+        case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
+        case (Some(LongType), Some(LongType))              => Some(LongType)
+        case _                                             => None
+      }
+    case Binary(BinOp.Div, _, _) => Some(DoubleType)
+    case TemplateVar(name) => ctx.params.get(name).map {
+      case _: Long | _: Int => LongType
+      case _: Double | _: Float => DoubleType
+      case _: Boolean => BooleanType
+      case _: String => StringType
+      case _ => StringType
+    }
+    case _ => None
+  }
+
+  private def isJsonPathNode(n: Node, ctx: Ctx): Boolean = n match {
+    case JsonPath(f, _) => ctx.isJson(f) || ctx.fieldType(f).isEmpty
+    case Ident(name)    => ctx.fieldType(name).isEmpty && ctx.metaColumn.isDefined
+    case _              => false
+  }
+
+  /** get_json_object path string for a JsonPath. */
+  private def jsonPathString(parts: Seq[Either[String, Int]]): String =
+    "$" + parts.map {
+      case Left(key)  => if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$key" else s"['$key']"
+      case Right(idx) => s"[$idx]"
+    }.mkString
+
+  def compile(node: Node, ctx: Ctx): Column = node match {
+    case IntLit(v)    => lit(v)
+    case FloatLit(v)  => lit(v)
+    case BoolLit(v)   => lit(v)
+    case StringLit(v) => lit(v)
+    case TemplateVar(name) =>
+      ctx.params.get(name) match {
+        case Some(seq: Seq[_]) => lit(seq.toArray[Any](scala.reflect.ClassTag.Any))
+        case Some(v)           => lit(v)
+        case None              => throw CompileError(s"missing template parameter {$name}")
+      }
+
+    case Ident(name) =>
+      ctx.fieldType(name) match {
+        case Some(_) => col(name)
+        case None =>
+          ctx.metaColumn match {
+            // dynamic field: pull from the $meta JSON catch-all
+            case Some(meta) => get_json_object(col(meta), s"$$.$name")
+            case None       => col(name) // let Catalyst raise unresolved
+          }
+      }
+
+    case jp @ JsonPath(field, parts) =>
+      ctx.fieldType(field) match {
+        case Some(ArrayType(_, _)) =>
+          parts match {
+            case Seq(Right(idx)) => element_at(col(field), idx + 1) // 0-based → 1-based
+            case _ => throw CompileError(s"array field $field supports single int index")
+          }
+        case Some(StructType(_)) =>
+          parts.foldLeft(col(field)) {
+            case (c, Left(key))  => c.getField(key)
+            case (c, Right(idx)) => element_at(c, idx + 1)
+          }
+        case _ =>
+          val base = if (ctx.fieldType(field).isDefined) col(field)
+                     else ctx.metaColumn.map(col).getOrElse(col(field))
+          val prefix = if (ctx.fieldType(field).isDefined) "" else s".$field"
+          get_json_object(base, "$" + prefix + jsonPathString(parts).drop(1))
+      }
+
+    case Unary(op, child) =>
+      val c = compile(child, ctx)
+      op match {
+        case UnaryOp.Neg  => negate(c)
+        case UnaryOp.Pos  => c
+        case UnaryOp.Not  => !boolish(child, c, ctx)
+        case UnaryOp.BNot => bitwise_not(c)
+      }
+
+    case Binary(op, l, r) => compileBinary(op, l, r, ctx)
+
+    case RangeCmp(lo, loInc, target, hiInc, hi) =>
+      val t = compileCmpSide(target, literalType(lo, ctx).orElse(literalType(hi, ctx)), ctx)
+      val loC = compile(lo, ctx)
+      val hiC = compile(hi, ctx)
+      val lower = if (loInc) t >= loC else t > loC
+      val upper = if (hiInc) t <= hiC else t < hiC
+      lower && upper
+
+    case In(target, values, negated) =>
+      val t = compileInTarget(target, values, ctx)
+      val membership = values match {
+        case ArrayLit(items) if items.isEmpty => lit(false)
+        case ArrayLit(items) =>
+          t.isin(items.map(litValue(_, ctx)): _*)
+        case TemplateVar(name) =>
+          ctx.params.get(name) match {
+            case Some(seq: Seq[_]) if seq.isEmpty => lit(false)
+            case Some(seq: Seq[_])                => t.isin(seq: _*)
+            case other => throw CompileError(s"template {$name} must be a list, got $other")
+          }
+        case other => throw CompileError(s"IN requires a literal list, got $other")
+      }
+      if (negated) !membership else membership
+
+    case Like(target, pattern) =>
+      // reference LIKE honors only '%' (pattern_match.go); escape SQL '_'
+      val escaped = pattern.replace("\\", "\\\\").replace("_", "\\_")
+      val t = compileCmpSide(target, Some(StringType), ctx)
+      ColumnBridge.column(CatalystLike(
+        ColumnBridge.expression(t), Literal(escaped), '\\'))
+
+    case RegexMatch(target, pattern, negated) =>
+      val t = compileCmpSide(target, Some(StringType), ctx)
+      val matched = pattern match {
+        case StringLit(s) => t.rlike(s)
+        case _            => regexp_like(t, compile(pattern, ctx))
+      }
+      if (negated) !matched else matched
+
+    case IsNull(target, negated) =>
+      val t = compile(target, ctx)
+      if (negated) t.isNotNull else t.isNull
+
+    case ExistsPath(target) =>
+      target match {
+        case jp: JsonPath => compile(jp, ctx).isNotNull
+        case Ident(name)  => compile(Ident(name), ctx).isNotNull
+        case other        => throw CompileError(s"exists requires a JSON path, got $other")
+      }
+
+    case TsCompare(field, sign, interval, op, iso, reversed) =>
+      val base = col(field)
+      val shifted = interval match {
+        case Some(isoDur) =>
+          val (months, days, micros) = parseIsoDuration(isoDur)
+          val m = months * sign; val d = days * sign; val us = micros * sign
+          base + expr(s"make_interval(0, $m, 0, $d, 0, 0, ${us / 1000000.0})")
+        case None => base
+      }
+      val tsLit = to_timestamp(lit(iso.replace("T", " ").stripSuffix("Z")))
+      val (l, r) = if (reversed) (tsLit, shifted) else (shifted, tsLit)
+      op match {
+        case BinOp.Lt => l < r; case BinOp.Le => l <= r
+        case BinOp.Gt => l > r; case BinOp.Ge => l >= r
+        case BinOp.Eq => l === r; case BinOp.Ne => l =!= r
+        case other    => throw CompileError(s"bad timestamptz op $other")
+      }
+
+    case IsoLit(v) =>
+      to_timestamp(lit(v.replace("T", " ").stripSuffix("Z")))
+
+    case ArrayLit(items) => array(items.map(compile(_, ctx)): _*)
+
+    case c: Call => Calls.compileCall(c, ctx)
+  }
+
+  /** ISO-8601 duration → (months, days, microseconds). */
+  private[graft] def parseIsoDuration(s: String): (Int, Int, Long) = {
+    val upper = s.toUpperCase
+    val tIdx = upper.indexOf('T')
+    val (datePart, timePart) =
+      if (tIdx >= 0) (upper.substring(0, tIdx), "P" + upper.substring(tIdx + 1))
+      else (upper, "")
+    val period = java.time.Period.parse(if (datePart == "P") "P0D" else datePart)
+    val duration =
+      if (timePart.isEmpty || timePart == "P") java.time.Duration.ZERO
+      else java.time.Duration.parse("PT" + timePart.drop(1))
+    (period.getYears * 12 + period.getMonths, period.getDays,
+      duration.getSeconds * 1000000L + duration.getNano / 1000L)
+  }
+
+  private def litValue(n: Node, ctx: Ctx): Any = n match {
+    case IntLit(v)    => v
+    case FloatLit(v)  => v
+    case BoolLit(v)   => v
+    case StringLit(v) => v
+    case Unary(UnaryOp.Neg, IntLit(v))   => -v
+    case Unary(UnaryOp.Neg, FloatLit(v)) => -v
+    case other => throw CompileError(s"expected literal, got $other")
+  }
+
+  /** Compile a comparison operand; JSON paths get TRY-cast to the other
+    * side's literal type (reference semantics: type-mismatched JSON
+    * comparisons are false, not errors).
+    */
+  private def compileCmpSide(n: Node, otherType: Option[DataType], ctx: Ctx): Column = {
+    val c = compile(n, ctx)
+    if (isJsonPathNode(n, ctx)) otherType match {
+      case Some(StringType) | None => c
+      case Some(dt)                => tryCast(c, dt)
+    } else c
+  }
+
+  /** IN target: JSON paths cast to element type of the value list. */
+  private def compileInTarget(target: Node, values: Node, ctx: Ctx): Column = {
+    val elemType = values match {
+      case ArrayLit(items) if items.nonEmpty => literalType(items.head, ctx)
+      case _                                 => None
+    }
+    compileCmpSide(target, elemType, ctx)
+  }
+
+  /** JSON paths used in boolean position get cast to boolean. */
+  private def boolish(n: Node, c: Column, ctx: Ctx): Column =
+    if (isJsonPathNode(n, ctx)) tryCast(c, BooleanType) else c
+
+  private def compileBinary(op: BinOp, l: Node, r: Node, ctx: Ctx): Column = {
+    import BinOp._
+    op match {
+      case And => boolish(l, compile(l, ctx), ctx) && boolish(r, compile(r, ctx), ctx)
+      case Or  => boolish(l, compile(l, ctx), ctx) || boolish(r, compile(r, ctx), ctx)
+      case Lt | Le | Gt | Ge | Eq | Ne =>
+        val lc = compileCmpSide(l, literalType(r, ctx), ctx)
+        val rc = compileCmpSide(r, literalType(l, ctx), ctx)
+        op match {
+          case Lt => lc < rc; case Le => lc <= rc
+          case Gt => lc > rc; case Ge => lc >= rc
+          case Eq => lc === rc; case Ne => lc =!= rc
+          case _  => throw new IllegalStateException
+        }
+      case _ =>
+        val numType = Some(DoubleType).filter(_ =>
+          literalType(l, ctx).contains(DoubleType) || literalType(r, ctx).contains(DoubleType))
+        val lc = compileCmpSide(l, numType.orElse(Some(LongType)), ctx)
+        val rc = compileCmpSide(r, numType.orElse(Some(LongType)), ctx)
+        op match {
+          case Add => lc + rc
+          case Sub => lc - rc
+          case Mul => lc * rc
+          case Div => lc / rc
+          case Mod => lc % rc
+          case Pow => pow(lc, rc)
+          case Shl => r match {
+            case IntLit(v) => shiftleft(lc, v.toInt)
+            case _         => throw CompileError("<< requires integer literal shift")
+          }
+          case Shr => r match {
+            case IntLit(v) => shiftright(lc, v.toInt)
+            case _         => throw CompileError(">> requires integer literal shift")
+          }
+          case BAnd => lc.bitwiseAND(rc)
+          case BOr  => lc.bitwiseOR(rc)
+          case BXor => lc.bitwiseXOR(rc)
+          case _    => throw new IllegalStateException
+        }
+    }
+  }
+}

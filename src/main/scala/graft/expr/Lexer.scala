@@ -1,0 +1,126 @@
+package graft.expr
+
+/** Tokenizer for the filter-expression language (reference grammar:
+  * internal/parser/planparserv2/Plan.g4 lexer rules; new implementation).
+  */
+object Lexer {
+
+  sealed trait Token
+  case class TInt(v: Long) extends Token
+  case class TFloat(v: Double) extends Token
+  case class TString(v: String) extends Token
+  case class TIdent(name: String) extends Token
+  /** Multi- and single-char operators and punctuation, by literal text. */
+  case class TOp(text: String) extends Token
+  /** Case-insensitive word keywords: and or not in like exists is null
+    * true false iso interval
+    */
+  case class TKeyword(word: String) extends Token
+  case object TEof extends Token
+
+  private val keywords = Set(
+    "and", "or", "not", "in", "like", "exists", "is", "null",
+    "true", "false", "iso", "interval")
+
+  case class LexError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")
+
+  def tokenize(input: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    val n = input.length
+
+    def peek(off: Int = 0): Char = if (i + off < n) input.charAt(i + off) else ' '
+
+    // lexes a quoted string starting at input(i); advances i past it
+    def lexString(raw: Boolean): String = {
+      val quote = input.charAt(i)
+      i += 1
+      val sb = new StringBuilder
+      var closed = false
+      while (i < n && !closed) {
+        val ch = input.charAt(i)
+        if (ch == quote) { closed = true; i += 1 }
+        else if (ch == '\\' && !raw) {
+          i += 1
+          if (i >= n) throw LexError("unterminated escape", i)
+          val esc = input.charAt(i)
+          sb += (esc match {
+            case 'n' => '\n'
+            case 't' => '\t'
+            case 'r' => '\r'
+            case 'b' => '\b'
+            case 'f' => '\f'
+            case other => other // \\ \' \" and passthrough
+          })
+          i += 1
+        } else if (ch == '\\' && raw) {
+          sb += ch
+          i += 1
+          if (i < n) { sb += input.charAt(i); i += 1 }
+        } else { sb += ch; i += 1 }
+      }
+      if (!closed) throw LexError("unterminated string", i)
+      sb.toString
+    }
+
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') { i += 1 }
+      else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
+        val start = i
+        var isFloat = false
+        if (c == '0' && (peek(1) == 'x' || peek(1) == 'X')) {
+          i += 2
+          while (i < n && (peek().isDigit || "abcdefABCDEF".indexOf(peek().toInt) >= 0)) i += 1
+          out += TInt(java.lang.Long.parseLong(input.substring(start + 2, i), 16))
+        } else if (c == '0' && (peek(1) == 'b' || peek(1) == 'B')) {
+          i += 2
+          while (i < n && (peek() == '0' || peek() == '1')) i += 1
+          out += TInt(java.lang.Long.parseLong(input.substring(start + 2, i), 2))
+        } else {
+          while (i < n && peek().isDigit) i += 1
+          if (peek() == '.') {
+            isFloat = true; i += 1
+            while (i < n && peek().isDigit) i += 1
+          }
+          if (peek() == 'e' || peek() == 'E') {
+            isFloat = true; i += 1
+            if (peek() == '+' || peek() == '-') i += 1
+            while (i < n && peek().isDigit) i += 1
+          }
+          val text = input.substring(start, i)
+          if (isFloat) out += TFloat(text.toDouble)
+          else if (text.length > 1 && text.startsWith("0"))
+            out += TInt(java.lang.Long.parseLong(text, 8)) // octal per grammar
+          else out += TInt(text.toLong)
+        }
+      } else if (c.isLetter || c == '_' || c == '$') {
+        if ((c == 'r' || c == 'R') && (peek(1) == '\'' || peek(1) == '"')) {
+          i += 1
+          out += TString(lexString(raw = true))
+        } else {
+          val start = i
+          i += 1
+          while (i < n && (peek().isLetterOrDigit || peek() == '_')) i += 1
+          val word = input.substring(start, i)
+          if (keywords.contains(word.toLowerCase)) out += TKeyword(word.toLowerCase)
+          else out += TIdent(word)
+        }
+      } else if (c == '\'' || c == '"') {
+        out += TString(lexString(raw = false))
+      } else {
+        val two = if (i + 1 < n) input.substring(i, i + 2) else ""
+        two match {
+          case "**" | "<<" | ">>" | "<=" | ">=" | "==" | "!=" | "=~" | "!~" | "&&" | "||" =>
+            out += TOp(two); i += 2
+          case _ =>
+            if ("+-*/%<>&|^~!()[]{},=".indexOf(c.toInt) >= 0) {
+              out += TOp(c.toString); i += 1
+            } else throw LexError(s"unexpected character '$c'", i)
+        }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+}

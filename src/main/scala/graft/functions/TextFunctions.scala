@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis functions: analyzer/tokenizer, token matching helpers,
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * The tokenizer mirrors the reference's "standard" analyzer behavior
+  * (reference: internal/core/thirdparty/tantivy tokenizers + Go wrapper
+  * internal/util/analyzer/ — lowercase + split on non-alphanumerics).
+  * Implemented with built-in codegen'd string functions so scans stay in
+  * whole-stage codegen; the SAME rules are exposed Scala-side
+  * ([[tokenizeString]]) so query-time constants tokenize identically.
+  */
+object TextFunctions {
+
+  val TokenSplitRegex = "[^a-z0-9]+"
+
+  /** Standard analyzer: lowercase, split on non-alphanumerics, drop empties. */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), TokenSplitRegex), t => t =!= "")
+
+  /** Scala-side twin of [[tokenize]] for query constants. */
+  def tokenizeString(s: String): Seq[String] =
+    s.toLowerCase.split(TokenSplitRegex).filter(_.nonEmpty).toSeq
+
+  /** Whitespace-token count (cheap, for token budgeting). */
+  def tokenCount(c: Column): Column = size(tokenize(c))
+
+  /** Word n-gram shingles over the token array, joined by single spaces. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(array_join(tokens, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+
+  /** Character n-grams of a string (for fuzzy/similarity work). */
+  def charNgrams(c: Column, n: Int): Column = {
+    val s = lower(c)
+    when(length(s) < n, array(s)).otherwise(
+      transform(sequence(lit(1), length(s) - (n - 1)), i => substring(s, i, lit(n))))
+  }
+
+  /** MinHash signature: array of `numHashes` 64-bit minima over shingle
+    * hashes (reference: internal/util/function/minhash_function.go:29-72 —
+    * text → k-shingles → per-seed min-hash signature). Seeded via
+    * xxhash64(seed, shingle).
+    */
+  def minhash(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** Estimated Jaccard similarity of two equal-length minhash signatures. */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** Exact token-set Jaccard similarity of two token arrays. */
+  def jaccard(tokensA: Column, tokensB: Column): Column = {
+    val inter = size(array_intersect(tokensA, tokensB)).cast("double")
+    val union = size(array_union(tokensA, tokensB)).cast("double")
+    when(union === 0.0, 0.0).otherwise(inter / union)
+  }
+
+  /** Document fingerprint: md5 of the normalized token stream — exact
+    * near-whitespace/punctuation-invariant dedup key.
+    */
+  def fingerprint(c: Column): Column = md5(array_join(tokenize(c), " "))
+
+  // --- language ID (n-gram/stopword heuristic) -----------------------
+
+  /** Tiny per-language stopword marker sets (public common words). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "por", "con", "para", "del"),
+    "it" -> Seq("il", "la", "di", "che", "non", "una", "per", "con", "del", "sono"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "que", "um", "uma", "para", "com"))
+
+  /** Per-language stopword hit count over a token array. */
+  def langScore(tokens: Column, lang: String): Column =
+    size(array_intersect(tokens, array(LangMarkers(lang).map(lit): _*)))
+
+  /** Heuristic language ID: the language with the most distinct stopword
+    * hits; "und" (undetermined) when no marker matches.
+    */
+  def langId(text: Column): Column = {
+    val tokens = tokenize(text)
+    val scored = LangMarkers.keys.toSeq.sorted.map { lang =>
+      struct(langScore(tokens, lang).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  // --- quality scoring -----------------------------------------------
+
+  /** Ratio of non-alphanumeric, non-space chars to total length. */
+  def punctRatio(c: Column): Column = {
+    val total = length(c).cast("double")
+    when(total === 0.0, 0.0).otherwise(
+      length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / total)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokenize(c)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite document quality score in [0,1] — length, punctuation,
+    * stopword presence, token-length sanity (the usual pretraining
+    * heuristics; each sub-signal clamped then averaged).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenize(text)
+    val nTok = size(toks).cast("double")
+    val lengthOk = least(nTok / 20.0, lit(1.0)) // ≥20 tokens → full credit
+    val punctOk = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val enStops = langScore(toks, "en").cast("double")
+    val stopOk = least(enStops / 3.0, lit(1.0))
+    val mtl = meanTokenLength(text)
+    val tokLenOk = when(mtl >= 2.5 && mtl <= 12.0, 1.0).otherwise(0.0)
+    round((lengthOk + punctOk + stopOk + tokLenOk) / 4.0, 4)
+  }
+}

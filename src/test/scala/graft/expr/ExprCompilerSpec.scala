@@ -1,0 +1,176 @@
+package graft.expr
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Expression-matrix tests, modeled on the reference's filter matrix
+  * (tests/python_client/milvus_client/expressions/filtering_case_matrix.py):
+  * each filter string is compiled and checked against a Spark-SQL oracle
+  * predicate over the same fixture rows.
+  */
+case class ExprFixtureRow(id: Long, f: Double, s: String, b: Boolean,
+    arr: Seq[Long], sarr: Seq[String], js: String, ts: java.sql.Timestamp)
+
+class ExprCompilerSpec extends SparkSpec {
+  import spark.implicits._
+  private type R = ExprFixtureRow
+  private val R = ExprFixtureRow
+
+  private lazy val df: DataFrame = {
+    val rows = (0L until 100L).map { i =>
+      R(i, i * 0.5, s"name_$i" + (if (i % 3 == 0) "_x" else ""), i % 2 == 0,
+        Seq(i, i + 1, i + 2), Seq(s"t$i", "common"),
+        s"""{"a": $i, "b": "v$i", "c": [1, 2, ${i % 5}], "flag": ${i % 2 == 0}, "nested": {"x": ${i % 7}}}""",
+        java.sql.Timestamp.valueOf(s"2025-01-${(i % 28) + 1} 00:00:00"))
+    }
+    rows.toDF()
+  }
+
+  private def check(expr: String, oracle: org.apache.spark.sql.Column): Unit = {
+    val got = df.filter(ExprCompiler.compile(expr, df, jsonColumns = Set("js")))
+      .select("id").as[Long].collect().toSet
+    val want = df.filter(oracle).select("id").as[Long].collect().toSet
+    assert(got == want, s"expr [$expr]: got ${got.size} rows, want ${want.size}; " +
+      s"diff=${(got diff want) ++ (want diff got)}")
+  }
+
+  test("ranges and arithmetic") {
+    check("id > 50", $"id" > 50)
+    check("id >= 50 and id < 60", $"id" >= 50 && $"id" < 60)
+    check("10 < id <= 20", $"id" > 10 && $"id" <= 20)
+    check("30 >= id > 20", $"id" <= 30 && $"id" > 20)
+    check("(id % 3) == 0", $"id" % 3 === 0)
+    check("id * 2 + 1 > 100", $"id" * 2 + 1 > 100)
+    check("id ** 2 < 100", pow($"id", 2) < 100)
+    check("-id >= -10", negate($"id") >= -10)
+    check("f / 2 > 10.0", $"f" / 2 > 10.0)
+  }
+
+  test("equality, in, like, regex") {
+    check("s == 'name_7'", $"s" === "name_7")
+    check("s != 'name_7'", $"s" =!= "name_7")
+    check("id in [1, 2, 3]", $"id".isin(1, 2, 3))
+    check("id not in [1, 2, 3]", !$"id".isin(1, 2, 3))
+    check("s like 'name_1%'", $"s".startsWith("name_1"))
+    check("s like '%_x'", $"s".endsWith("_x"))
+    check("s like '%me_1%'", $"s".contains("me_1"))
+    check("s =~ 'name_[0-9]_x'", $"s".rlike("name_[0-9]_x"))
+    check("s !~ 'name_[0-9]_x'", !$"s".rlike("name_[0-9]_x"))
+  }
+
+  test("boolean algebra and precedence") {
+    check("id > 90 or id < 10 and b", $"id" > 90 || ($"id" < 10 && $"b"))
+    check("not (id > 10)", !($"id" > 10))
+    check("!(id > 10) && b", !($"id" > 10) && $"b")
+    check("b == true", $"b" === true)
+    // grammar: & binds LOOSER than == (Plan.g4 alternative order)
+    assert(Parser.parse("id & 1 == 1") ==
+      Binary(BinOp.BAnd, Ident("id"), Binary(BinOp.Eq, IntLit(1), IntLit(1))))
+  }
+
+  test("bitwise and shifts") {
+    check("(id & 3) == 1", ($"id".bitwiseAND(3)) === 1)
+    check("(id | 4) == 5", ($"id".bitwiseOR(4)) === 5)
+    check("(id ^ 1) == 0", ($"id".bitwiseXOR(1)) === 0)
+    check("(id << 1) > 100", shiftleft($"id", 1) > 100)
+    check("(id >> 1) == 5", shiftright($"id", 1) === 5)
+  }
+
+  test("null checks") {
+    check("s is null", $"s".isNull)
+    check("s is not null", $"s".isNotNull)
+  }
+
+  test("array ops") {
+    check("arr[0] == 5", element_at($"arr", 1) === 5)
+    check("array_contains(arr, 7)", array_contains($"arr", 7L))
+    check("array_contains_all(arr, [5, 6])",
+      array_contains($"arr", 5L) && array_contains($"arr", 6L))
+    check("array_contains_any(arr, [5, 200])",
+      array_contains($"arr", 5L) || array_contains($"arr", 200L))
+    check("array_length(arr) == 3", size($"arr") === 3)
+    check("sarr[0] == 't5'", element_at($"sarr", 1) === "t5")
+  }
+
+  test("json path access") {
+    check("""js["a"] > 50""", get_json_object($"js", "$.a").cast("long") > 50)
+    check("""js["b"] == "v7"""", get_json_object($"js", "$.b") === "v7")
+    check("""js["nested"]["x"] == 3""",
+      get_json_object($"js", "$.nested.x").cast("long") === 3)
+    check("""js["c"][2] == 4""", get_json_object($"js", "$.c[2]").cast("long") === 4)
+    check("""js["flag"] == true""",
+      get_json_object($"js", "$.flag").cast("boolean") === true)
+    check("""exists js["a"]""", get_json_object($"js", "$.a").isNotNull)
+    check("""exists js["zzz"]""", get_json_object($"js", "$.zzz").isNotNull)
+    check("""json_contains(js["c"], 2)""", lit(true)) // every row has 2
+    check("""js["a"] in [1, 2, 3]""",
+      get_json_object($"js", "$.a").cast("long").isin(1, 2, 3))
+    check("""js["a"] is null""", get_json_object($"js", "$.a").isNull)
+    check("""array_length(js["c"]) == 3""", lit(true))
+  }
+
+  test("text match functions") {
+    val txt = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "quick brown dogs and quick cats"),
+      (4L, "")).toDF("id", "text")
+    def got(e: String) =
+      txt.filter(ExprCompiler.compile(e, txt)).select("id").as[Long].collect().toSet
+    assert(got("text_match(text, 'quick fox')") == Set(1L, 3L))
+    assert(got("text_match(text, 'quick fox', minimum_should_match = 2)") == Set(1L))
+    assert(got("match_all(text, 'quick brown')") == Set(1L, 3L))
+    assert(got("match_any(text, 'fox jugs')") == Set(1L, 2L))
+    assert(got("match_least(text, 'quick brown fox', threshold = 3)") == Set(1L))
+    assert(got("match_most(text, 'quick brown fox', threshold = 1)") == Set(2L, 4L))
+    assert(got("match_exact(text, 'quick brown fox', threshold = 2)") == Set(3L))
+    assert(got("phrase_match(text, 'quick brown')") == Set(1L, 3L))
+    assert(got("phrase_match(text, 'quick fox')") == Set.empty)
+    assert(got("phrase_match(text, 'quick fox', 1)") == Set(1L))
+    assert(got("text_match_fuzzy(text, 'quik', threshold = 1)") == Set(1L, 3L))
+    assert(got("empty(text)") == Set(4L))
+    assert(got("starts_with(text, 'pack')") == Set(2L))
+  }
+
+  test("timestamptz compare with interval") {
+    check("ts + INTERVAL 'P3D' > iso'2025-01-20T00:00:00Z'",
+      $"ts" + expr("INTERVAL 3 DAYS") > to_timestamp(lit("2025-01-20 00:00:00")))
+    check("ts - INTERVAL 'PT12H' >= iso'2025-01-10T00:00:00Z'",
+      $"ts" - expr("INTERVAL 12 HOURS") >= to_timestamp(lit("2025-01-10 00:00:00")))
+    check("iso'2025-01-15T00:00:00Z' < ts",
+      to_timestamp(lit("2025-01-15 00:00:00")) < $"ts")
+    check("ts == iso'2025-01-05T00:00:00Z'",
+      $"ts" === to_timestamp(lit("2025-01-05 00:00:00")))
+  }
+
+  test("template variables") {
+    val got = df.filter(ExprCompiler.compile(
+      Parser.parse("id > {low} and id in {ids}"),
+      ExprCompiler.Ctx(df.schema, params = Map("low" -> 10L, "ids" -> Seq(5L, 15L, 25L)))))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(15L, 25L))
+  }
+
+  test("dynamic $meta fallback") {
+    val meta = Seq((1L, """{"extra": 5}"""), (2L, """{"extra": 50}""")).toDF("id", "_meta")
+    val ctx = ExprCompiler.Ctx(meta.schema, metaColumn = Some("_meta"))
+    val got = meta.filter(ExprCompiler.compile(Parser.parse("extra > 10"), ctx))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
+  test("iso duration parsing") {
+    assert(ExprCompiler.parseIsoDuration("P3D") == ((0, 3, 0L)))
+    assert(ExprCompiler.parseIsoDuration("P1Y2M") == ((14, 0, 0L)))
+    assert(ExprCompiler.parseIsoDuration("PT1H30M") == ((0, 0, 5400000000L)))
+    assert(ExprCompiler.parseIsoDuration("P1DT1S") == ((0, 1, 1000000L)))
+  }
+
+  test("parse errors are informative") {
+    intercept[Parser.ParseError](Parser.parse("id >"))
+    intercept[Parser.ParseError](Parser.parse("id in (1,2)"))
+    intercept[Lexer.LexError](Parser.parse("id == 'unterminated"))
+  }
+}
