@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Large-scale corpus deduplication operators — the training-data
+  * pipeline counterpart of the reference's MinHash/MHJACCARD support
+  * (reference: internal/util/function/minhash_function.go, metric
+  * MHJACCARD pkg/util/metric/metric_type.go:35, index MINHASH_LSH
+  * internal/core/src/minhash/).
+  *
+  * Scale design notes:
+  *  - exact/fingerprint dedup: one hash-shuffle on a short digest key —
+  *    the canonical 100 TB dedup shape (map-side partial agg first).
+  *  - MinHash LSH: band signatures → `groupBy(band_hash)` bucket join.
+  *    Bucket sizes are bounded by banding; no O(n²) cross join ever
+  *    materializes. Candidate verification re-checks estimated Jaccard.
+  *  - SimHash: 64-bit signatures, near-dup = hamming distance ≤ t via
+  *    pigeonhole banding on 16-bit chunks.
+  *  - embedding dedup: cosine ≥ τ pairs via the same LSH idea on random
+  *    hyperplane signs (SRP) — brute-force variant for exactness.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by raw text equality (hash-groupBy, never a
+    * self-join). Returns (key, cnt, ids) for groups with >1 member.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("dup_key"))
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("cnt") > 1)
+
+  /** Whitespace/punctuation/case-invariant duplicate groups
+    * (normalized-token fingerprint).
+    */
+  def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("dup_key"))
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("cnt") > 1)
+
+  /** Keep one representative (min id) per exact-duplicate class. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+    val keep = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
+  }
+
+  /** MinHash signatures: (id, sig array<long>) from word `shingleSize`-
+    * grams hashed `numHashes` ways.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val sh = TextFunctions.shingles(TextFunctions.tokenize(col(textCol)), shingleSize)
+    df.select(col(idCol), TextFunctions.minhash(sh, numHashes).as("sig"))
+  }
+
+  /** LSH candidate pairs: ids sharing ≥1 of `bands` bands, with their
+    * estimated (minhash) Jaccard — pairs with est ≥ `threshold` kept.
+    * Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+
+    // explode to (band_idx, band_hash, id, sig): one shuffle on band key
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram-token Jaccard similar pairs (quadratic verify step —
+    * use only on LSH candidates or bounded subsets).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol),
+      array_distinct(TextFunctions.tokenize(col(textCol))).as("toks"))
+    val a = toks.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
+    val b = toks.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token stream: per-token xxhash64, bitwise
+    * majority vote. Pure DataFrame math (no UDF): for each of 64 bits,
+    * sum ±1 across tokens and take the sign.
+    */
+  def simhash(tokens: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      // sum over tokens of (bit_i(hash) ? 1 : -1), then sign → bit i
+      val vote = aggregate(tokens, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist, found via pigeonhole
+    * banding (4×16-bit chunks: any pair within distance 3 shares ≥1 exact
+    * chunk) — bucket join, no cross join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol),
+      simhash(TextFunctions.tokenize(col(textCol))).as("sim"))
+    val banded = sigs.select(col(idCol), col("sim"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = banded.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Brute-force
+    * variant (exact); callers at scale should pre-bucket with
+    * [[IvfIndex]] or SRP-LSH and verify within buckets.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** MVCC visibility, tombstone deletes, TTL, and upsert semantics.
+  *
+  * Mirrors the reference's read path (reference:
+  * internal/core/src/exec/operator/MvccNode.cpp:35-46 — visibility bitset
+  * = insert_ts ≤ read_ts, minus (pk,ts) delete tombstones with ts ≤
+  * read_ts, minus TTL-expired rows; segcore/DeletedRecord.h:49-76) and
+  * the upsert path (internal/proxy/task_upsert.go:382-404 — last writer
+  * by timestamp wins).
+  *
+  * Scale notes: visibility is a pushdown-friendly `_ts <= readTs`
+  * predicate (Parquet zone-maps prune whole row groups once data is
+  * laid out by time) plus ONE left-anti join against the tombstone set —
+  * tombstones are usually tiny relative to data, so Spark broadcasts
+  * them (AQE does this automatically; `broadcast()` hint applied when
+  * small). Upsert LWW uses `max_by` hash aggregation (partial+final),
+  * not a window, so there is no single-reducer sort at 100 TB.
+  */
+object Mvcc {
+
+  /** Rows of `data` visible at `readTs`.
+    *
+    * @param tombstones (pkCol, tsCol) delete markers; a row is invisible
+    *                   if a tombstone for its pk exists with
+    *                   data.ts <= tomb.ts <= readTs.
+    * @param ttl        optional time-to-live: rows expire when
+    *                   `tsCol + ttl < readTs` (reference: collection TTL,
+    *                   docs/user_guides/collection_ttl.md).
+    */
+  def visible(
+      data: DataFrame,
+      pkCol: String,
+      tsCol: String,
+      readTs: Column,
+      tombstones: Option[DataFrame] = None,
+      ttl: Option[Column] = None): DataFrame = {
+    val alive = data.filter(col(tsCol) <= readTs)
+    val unexpired = ttl match {
+      case Some(t) => alive.filter(col(tsCol) + t > readTs)
+      case None    => alive
+    }
+    tombstones match {
+      case Some(tombs) =>
+        val activeTombs = tombs
+          .filter(col(tsCol) <= readTs)
+          .groupBy(col(pkCol)).agg(max(col(tsCol)).as("_tomb_ts"))
+        unexpired
+          .join(broadcast(activeTombs), Seq(pkCol), "left")
+          .filter(col("_tomb_ts").isNull || col(tsCol) > col("_tomb_ts"))
+          .drop("_tomb_ts")
+      case None => unexpired
+    }
+  }
+
+  /** Last-writer-wins collapse: one row per pk — the one with the
+    * highest (ts, tiebreak) — via partial-aggregating max_by.
+    */
+  def latestByPk(data: DataFrame, pkCol: String, tsCol: String,
+      tiebreakCol: String): DataFrame = {
+    val payload = struct(data.columns.map(col): _*)
+    data
+      .groupBy(col(pkCol).as("_pk"))
+      .agg(max_by(payload, struct(col(tsCol), col(tiebreakCol))).as("_row"))
+      .select(data.columns.map(c => col(s"_row.$c")): _*)
+  }
+
+  /** Apply a batch of upserts to a base snapshot: rows in `updates`
+    * replace base rows with the same pk; both sides may carry multiple
+    * versions — highest ts wins overall.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, pkCol: String, tsCol: String,
+      tiebreakCol: String): DataFrame =
+    latestByPk(base.unionByName(updates), pkCol, tsCol, tiebreakCol)
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+import graft.functions.Metric
+import graft.operators.{Fusion, VectorSearch}
+
+/** Driver-gated queries for the §2.1/§2.3/§2.4 search surface beyond
+  * plain top-k: IP metric, range search, grouping search, offset
+  * pagination, search iterator, requery, RRF/weighted fusion, boost and
+  * decay rescoring.
+  */
+object SearchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  private def queries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** DuckDB CTE producing (qid, vec_id, label, score) for a metric. */
+  private def scoredSql(metricExpr: String): String =
+    s"""q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+       |      FROM embeddings WHERE vec_id < 5),
+       |d AS (SELECT q.qid, e.vec_id, e.label,
+       |        round($metricExpr, 4) AS score
+       |      FROM q CROSS JOIN embeddings e)""".stripMargin
+
+  private val cosineExpr = "list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[]))"
+  private val ipExpr = "list_inner_product(q.qvec, CAST(e.embedding AS DOUBLE[]))"
+  private val l2Expr = "power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2)"
+
+  def topkIp(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.IP, k = 10, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Pre-filtered search (PhyFilterBitsNode → PhyVectorSearchNode): the
+    * boolean filter applies BEFORE top-k, like the reference's bitset
+    * pre-filter.
+    */
+  def topkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.COSINE, k = 10,
+        filter = Some(graft.expr.ExprCompiler.compile("label in [1, 2, 3] and vec_id % 2 == 0", emb)),
+        outputCols = Seq("vec_id", "label"), roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Offset pagination (search_util.go:28-47). */
+  def topkOffset(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.COSINE, k = 10, offset = 5, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Range search (radius/range_filter, SearchBruteForce.cpp:236). */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.rangeSearch(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.COSINE, radius = 0.25, rangeFilter = Some(0.40), roundTo = Some(4))
+      .select(col("qid"), col("vec_id"), col("_score").as("score"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
+  /** Search iterator v2 (CachedSearchIterator): next page strictly below
+    * the last score bound.
+    */
+  def searchIterator(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.searchIterator(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.COSINE, batch = 10, lastBound = Some(0.30), roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Grouping search (PhySearchGroupByNode): top 3 label-groups per
+    * query, 2 hits per group.
+    */
+  def groupBySearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.groupBySearch(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.COSINE, k = 3, groupCol = "label", groupSize = 2,
+        outputCols = Seq("vec_id"), roundTo = Some(4))
+      .select(col("qid"), col("group_rank"), col("label"),
+        col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("group_rank"), col("rank"))
+  }
+
+  /** Requery (CreateRequeryPlan): fetch output fields for hit PKs via
+    * broadcast join back to the base table.
+    */
+  def requery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+      Metric.COSINE, k = 5, roundTo = Some(4))
+    VectorSearch.requery(hits, emb, "vec_id", Seq("label"))
+      .select(col("qid"), col("rank"), col("_score").as("score"),
+        col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** RRF fusion of a COSINE and an L2 sub-search (rerank_builder.go:367). */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = queries(s, dir)
+    val sub1 = VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.COSINE, k = 20, roundTo = Some(4))
+    val sub2 = VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.L2, k = 20, roundTo = Some(4))
+    Fusion.rrf(Seq(sub1, sub2), "qid", "vec_id", topK = 10)
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Weighted fusion with metric-aware normalization
+    * (operator_merge.go:586-614).
+    */
+  def weightedFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = queries(s, dir)
+    val sub1 = VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.COSINE, k = 20, roundTo = Some(4))
+    val sub2 = VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.L2, k = 20, roundTo = Some(4))
+    Fusion.weighted(Seq(sub1, sub2), Seq(Metric.COSINE, Metric.L2), Seq(0.6, 0.4),
+        "qid", "vec_id", topK = 10)
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Boost rescoring (PhyRescoresNode): matching rows get score × 2. */
+  def boostRescore(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+      Metric.COSINE, k = 20, outputCols = Seq("vec_id", "label"), roundTo = Some(4))
+    val boosted = Fusion.boost(hits, "_score",
+      Seq((col("label") === 3, lit(2.0))), boostMode = "multiply")
+    VectorSearch.reduceTopK(boosted, "vec_id", "qid", Metric.COSINE, 10,
+        Seq("vec_id", "label"))
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"),
+        col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Decay rescoring (gauss decay on the label field as a stand-in
+    * numeric recency; chain/expr/decay_expr.go:137-275).
+    */
+  def decayRescore(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+      Metric.COSINE, k = 20, outputCols = Seq("vec_id", "label"), roundTo = Some(4))
+    val decayed = hits.withColumn("_score",
+      col("_score") * Fusion.decayFactor("gauss", col("label").cast("double"),
+        origin = 5.0, scale = 3.0))
+    VectorSearch.reduceTopK(decayed, "vec_id", "qid", Metric.COSINE, 10,
+        Seq("vec_id", "label"))
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"),
+        col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_ip" -> (topkIp _),
+    "q_topk_filtered" -> (topkFiltered _),
+    "q_topk_offset" -> (topkOffset _),
+    "q_range_search" -> (rangeSearch _),
+    "q_search_iterator" -> (searchIterator _),
+    "q_groupby_search" -> (groupBySearch _),
+    "q_requery" -> (requery _),
+    "q_rrf_fusion" -> (rrfFusion _),
+    "q_weighted_fusion" -> (weightedFusion _),
+    "q_boost_rescore" -> (boostRescore _),
+    "q_decay_rescore" -> (decayRescore _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_topk_ip" ->
+      s"""WITH ${scoredSql(ipExpr)},
+         |r AS (SELECT qid, vec_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d)
+         |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_topk_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, e.vec_id, e.label, round($cosineExpr, 4) AS score
+         |      FROM q CROSS JOIN embeddings e
+         |      WHERE e.label IN (1, 2, 3) AND e.vec_id % 2 = 0),
+         |r AS (SELECT qid, vec_id, label, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d)
+         |SELECT qid, rank, score, vec_id, label FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_topk_offset" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |r AS (SELECT qid, vec_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d)
+         |SELECT qid, rank, score, vec_id FROM r WHERE rank > 5 AND rank <= 15
+         |ORDER BY qid, rank""".stripMargin,
+    "q_range_search" ->
+      s"""WITH ${scoredSql(cosineExpr)}
+         |SELECT qid, vec_id, score FROM d
+         |WHERE score > 0.25 AND score <= 0.40
+         |ORDER BY qid, vec_id""".stripMargin,
+    "q_search_iterator" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |c AS (SELECT * FROM d WHERE score < 0.30),
+         |r AS (SELECT qid, vec_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM c)
+         |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_groupby_search" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |h AS (SELECT qid, label, vec_id, score,
+         |        row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS hr
+         |      FROM d),
+         |hh AS (SELECT * FROM h WHERE hr <= 2),
+         |b AS (SELECT qid, label, score AS best, vec_id AS best_tie FROM h WHERE hr = 1),
+         |g AS (SELECT qid, label, row_number() OVER
+         |        (PARTITION BY qid ORDER BY best DESC, best_tie) AS group_rank
+         |      FROM b)
+         |SELECT g.qid, g.group_rank, g.label, hh.hr AS rank, hh.score, hh.vec_id
+         |FROM g JOIN hh ON g.qid = hh.qid AND g.label = hh.label
+         |WHERE g.group_rank <= 3
+         |ORDER BY g.qid, g.group_rank, rank""".stripMargin,
+    "q_requery" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |r AS (SELECT qid, vec_id, label, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d)
+         |SELECT qid, rank, score, vec_id, label FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |d2 AS (SELECT q.qid, e.vec_id, round($l2Expr, 4) AS score
+         |       FROM q CROSS JOIN embeddings e),
+         |r1 AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |       FROM d),
+         |r2 AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+         |       FROM d2),
+         |u AS (SELECT qid, vec_id, 1.0 / (60 + rank) AS part FROM r1 WHERE rank <= 20
+         |      UNION ALL
+         |      SELECT qid, vec_id, 1.0 / (60 + rank) AS part FROM r2 WHERE rank <= 20),
+         |f AS (SELECT qid, vec_id, sum(part) AS s FROM u GROUP BY qid, vec_id),
+         |rr AS (SELECT qid, vec_id, s,
+         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank
+         |       FROM f)
+         |SELECT qid, rank, round(s, 6) AS score, vec_id FROM rr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_weighted_fusion" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |d2 AS (SELECT q.qid, e.vec_id, round($l2Expr, 4) AS score
+         |       FROM q CROSS JOIN embeddings e),
+         |r1 AS (SELECT qid, vec_id, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |       FROM d),
+         |r2 AS (SELECT qid, vec_id, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+         |       FROM d2),
+         |u AS (SELECT qid, vec_id, 0.6 * ((1.0 + score) * 0.5) AS part
+         |      FROM r1 WHERE rank <= 20
+         |      UNION ALL
+         |      SELECT qid, vec_id, 0.4 * (1.0 - 2.0 * atan(score) / pi()) AS part
+         |      FROM r2 WHERE rank <= 20),
+         |f AS (SELECT qid, vec_id, sum(part) AS s FROM u GROUP BY qid, vec_id),
+         |rr AS (SELECT qid, vec_id, s,
+         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank
+         |       FROM f)
+         |SELECT qid, rank, round(s, 6) AS score, vec_id FROM rr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_boost_rescore" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |r AS (SELECT qid, vec_id, label, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d),
+         |h AS (SELECT qid, vec_id, label,
+         |        score * (CASE WHEN label = 3 THEN 2.0 ELSE 1.0 END) AS s
+         |      FROM r WHERE rank <= 20),
+         |rr AS (SELECT qid, vec_id, label, s,
+         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank
+         |       FROM h)
+         |SELECT qid, rank, round(s, 6) AS score, vec_id, label FROM rr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_decay_rescore" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |r AS (SELECT qid, vec_id, label, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d),
+         |h AS (SELECT qid, vec_id, label,
+         |        score * exp(greatest(0.0, abs(CAST(label AS DOUBLE) - 5.0) - 0.0) *
+         |                    greatest(0.0, abs(CAST(label AS DOUBLE) - 5.0) - 0.0) *
+         |                    ln(0.5) / 9.0) AS s
+         |      FROM r WHERE rank <= 20),
+         |rr AS (SELECT qid, vec_id, label, s,
+         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank
+         |       FROM h)
+         |SELECT qid, rank, round(s, 6) AS score, vec_id, label FROM rr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+  )
+}

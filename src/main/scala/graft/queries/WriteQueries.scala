@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+import graft.operators.Mvcc
+
+/** Driver-gated queries for §2.7 write/visibility semantics:
+  * MVCC read-ts + tombstones + TTL, and upsert last-writer-wins.
+  */
+object WriteQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** MVCC visibility: read at ts with delete tombstones + TTL
+    * (PhyMvccNode). Data = orders (pk=o_orderkey, ts=o_orderdate);
+    * tombstones delete all 1-URGENT orders at their own write ts;
+    * TTL = 400 days.
+    */
+  def mvccVisibility(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val readTs = to_timestamp(lit("1997-06-01 00:00:00"))
+    val tombs = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Mvcc.visible(o, "o_orderkey", "o_orderdate", readTs,
+        tombstones = Some(tombs), ttl = Some(expr("INTERVAL 400 DAYS")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Upsert last-writer-wins (task_upsert.go semantics): latest event per
+    * user via partial-aggregating max_by — no window shuffle-to-one.
+    */
+  def upsertLww(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    Mvcc.latestByPk(ev, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Query aggregation surface (internal/agg/aggregate.go): group_by +
+    * count/sum/avg/min/max + order_by + limit in one plan.
+    */
+  def aggEvents(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(10)
+  }
+
+  /** Query-iterator pagination (pk-cursor, plan.proto:377-381): page
+    * after pk cursor 2000, pk-ordered.
+    */
+  def queryIterator(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") > 2000 && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Deterministic sample: the random_sample operator with a fixed
+    * modulo predicate stand-in so the oracle can reproduce it (the
+    * rand(seed) variant is exercised in ScalaTest).
+    */
+  def sampleMod(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(pmod(col("l_orderkey") * 2654435761L % 1000000007L, lit(100)) < 10)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mvcc_visibility" -> (mvccVisibility _),
+    "q_upsert_lww" -> (upsertLww _),
+    "q_agg_events" -> (aggEvents _),
+    "q_query_iterator" -> (queryIterator _),
+    "q_sample_mod" -> (sampleMod _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mvcc_visibility" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND o_orderdate + INTERVAL 400 DAY > TIMESTAMP '1997-06-01 00:00:00'
+        |  AND o_orderpriority <> '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_upsert_lww" ->
+      """SELECT user_id, event_id, event_type, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_agg_events" ->
+      """SELECT event_type, count(*) AS cnt,
+        | round(sum(value), 2) AS sum_value,
+        | round(avg(value), 4) AS avg_value,
+        | round(min(value), 4) AS min_value,
+        | round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, event_type LIMIT 10""".stripMargin,
+    "q_query_iterator" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey > 2000 AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q_sample_mod" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE ((l_orderkey * 2654435761 % 1000000007) % 100 + 100) % 100 < 10""".stripMargin
+  )
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MvccSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (pk, ts, v): two versions of pk=1, one of pk=2, late row pk=3
+  private lazy val data = Seq(
+    (1L, 10L, "a1"), (1L, 20L, "a2"), (2L, 15L, "b1"), (3L, 100L, "c1")
+  ).toDF("pk", "ts", "v")
+
+  test("visibility: read-ts filters future rows") {
+    val got = Mvcc.visible(data, "pk", "ts", lit(50L))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a1", "a2", "b1"))
+  }
+
+  test("visibility: tombstone hides rows written at or before delete ts") {
+    val tombs = Seq((1L, 25L)).toDF("pk", "ts") // delete pk=1 at ts=25
+    val got = Mvcc.visible(data, "pk", "ts", lit(50L), Some(tombs))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("b1"))
+  }
+
+  test("visibility: tombstone in the future of read-ts is ignored") {
+    val tombs = Seq((1L, 60L)).toDF("pk", "ts")
+    val got = Mvcc.visible(data, "pk", "ts", lit(50L), Some(tombs))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a1", "a2", "b1"))
+  }
+
+  test("visibility: reinsert after delete is visible") {
+    val tombs = Seq((1L, 15L)).toDF("pk", "ts") // deletes a1, not a2
+    val got = Mvcc.visible(data, "pk", "ts", lit(50L), Some(tombs))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a2", "b1"))
+  }
+
+  test("TTL expires old rows") {
+    val got = Mvcc.visible(data, "pk", "ts", lit(50L), ttl = Some(lit(32L)))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a2")) // 20+32>50; 10+32<=50; 15+32<=50
+  }
+
+  test("upsert: last writer wins, ties broken by tiebreak column") {
+    val base = Seq((1L, 10L, 7L, "old"), (2L, 10L, 8L, "keep")).toDF("pk", "ts", "seq", "v")
+    val updates = Seq((1L, 20L, 9L, "new"), (3L, 5L, 10L, "ins")).toDF("pk", "ts", "seq", "v")
+    val got = Mvcc.upsert(base, updates, "pk", "ts", "seq")
+      .select("pk", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+}
