@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{Metric, TextFunctions, TopKFunctions}
+
+/** BM25 full-text search as DataFrame algebra.
+  *
+  * Mirrors the reference's BM25 pipeline (reference: ingest function
+  * text→term-freq sparse vector internal/util/function/bm25_function.go:135;
+  * global IDF + avgdl maintained by the delegator's idf_oracle
+  * internal/querynodev2/delegator/idf_oracle.go:64-96; scored with metric
+  * BM25, k1/b defaults 1.2/0.75; conformance ground truth is standard
+  * Lucene BM25 via bm25s, tests/python_client/common/common_func.py:225).
+  *
+  *   idf(t) = ln(1 + (N − df + 0.5) / (df + 0.5))
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Scale design: the "index build" is two hash aggregations (term
+  * frequencies per doc, doc frequencies per term) — both partial+final,
+  * no self-joins. Global N/avgdl stay a 1-row DataFrame cross-joined in
+  * (never collected). Query-time: the per-term postings are filtered
+  * with `term isin (query tokens)` — predicate-pushdown-friendly, and at
+  * 100 TB the postings table is laid out (bucketed/sorted) by term, so
+  * the scan prunes to the query's terms only. Final top-k uses the
+  * partial-aggregating TopKAgg.
+  */
+object Bm25 {
+
+  case class Model(
+      /** (doc_id, term, tf, dl) — term frequencies + doc length. */
+      postings: DataFrame,
+      /** (term, df) — document frequencies. */
+      termStats: DataFrame,
+      /** 1-row (n_docs, avgdl). */
+      globals: DataFrame,
+      idCol: String,
+      k1: Double,
+      b: Double)
+
+  /** Build the BM25 statistics for a corpus. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): Model = {
+    val toks = docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("_toks"))
+    val postings = toks
+      .select(col(idCol), size(col("_toks")).cast("double").as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val termStats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val globals = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("_toks")).cast("double")).as("avgdl"))
+    Model(postings, termStats, globals, idCol, k1, b)
+  }
+
+  /** Lucene-style IDF. */
+  def idf(nDocs: Column, df: Column): Column =
+    log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5))
+
+  /** Score all docs containing ≥1 query term. Output: (idCol, _score). */
+  def score(model: Model, query: String): DataFrame = {
+    val qTerms = TextFunctions.tokenizeString(query).distinct
+    if (qTerms.isEmpty)
+      return model.postings.select(col(model.idCol), lit(0.0).as("_score")).limit(0)
+    val matched = model.postings
+      .filter(col("term").isin(qTerms: _*))
+      .join(broadcast(model.termStats.filter(col("term").isin(qTerms: _*))), "term")
+      .crossJoin(broadcast(model.globals))
+    val tfComponent = col("tf") * (model.k1 + 1.0) /
+      (col("tf") + lit(model.k1) * (lit(1.0) - model.b + lit(model.b) * col("dl") / col("avgdl")))
+    matched
+      .select(col(model.idCol), (idf(col("n_docs"), col("df")) * tfComponent).as("_part"))
+      .groupBy(col(model.idCol))
+      .agg(sum(col("_part")).as("_score"))
+  }
+
+  /** Full-text top-k search. Output: (idCol, rank, _score), best-first. */
+  def search(model: Model, query: String, k: Int, roundTo: Option[Int] = None): DataFrame = {
+    val scored = score(model, query)
+    val s = roundTo.map(d => round(col("_score"), d)).getOrElse(col("_score"))
+    scored.select(col(model.idCol), s.as("_score"))
+      .agg(TopKFunctions.top_k(col("_score"), col(model.idCol).cast("long"),
+        struct(col(model.idCol)), k, ascending = false).as("_hits"))
+      .select(posexplode(col("_hits")).as(Seq("_pos", "_hit")))
+      .select(
+        col(s"_hit.payload.${model.idCol}").as(model.idCol),
+        (col("_pos") + 1).cast("long").as("rank"),
+        col("_hit.score").as("_score"))
+  }
+}

@@ -170,7 +170,23 @@ object SearchQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF index build + exhaustive-probe search (nprobe = nlist ⇒ exact,
+    * so the brute-force oracle applies; partial-probe recall is asserted
+    * in ScalaTest).
+    */
+  def ivfExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val emb = t(s, dir, "embeddings")
+    val model = IvfIndex.train(emb, "embedding", nlist = 16)
+    val clustered = IvfIndex.layout(emb, "embedding", model)
+    IvfIndex.search(clustered, "vec_id", "embedding", model, queries(s, dir),
+        "qid", "qvec", Metric.COSINE, k = 10, nprobe = 16, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_exhaustive" -> (ivfExhaustive _),
     "q_topk_ip" -> (topkIp _),
     "q_topk_filtered" -> (topkFiltered _),
     "q_topk_offset" -> (topkOffset _),
@@ -185,6 +201,13 @@ object SearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ivf_exhaustive" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |r AS (SELECT qid, vec_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d)
+         |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "q_topk_ip" ->
       s"""WITH ${scoredSql(ipExpr)},
          |r AS (SELECT qid, vec_id, score,
