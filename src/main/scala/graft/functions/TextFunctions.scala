@@ -71,6 +71,16 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(array_join(tokenize(c), " "))
 
+  /** Lexical highlighter (reference: internal/proxy/highlighter.go:41-171
+    * — post-search markup of matched terms): wraps whole-word, case-
+    * insensitive occurrences of the query terms in pre/post tags.
+    */
+  def highlight(c: Column, terms: Seq[String], pre: String = "<em>",
+      post: String = "</em>"): Column = {
+    val patt = terms.map(java.util.regex.Pattern.quote).mkString("(?i)\\b(", "|", ")\\b")
+    regexp_replace(c, patt, pre + "$1" + post)
+  }
+
   // --- language ID (n-gram/stopword heuristic) -----------------------
 
   /** Tiny per-language stopword marker sets (public common words). */

@@ -111,6 +111,36 @@ object Fusion {
     }
   }
 
+  /** Model rerank (reference: rerank_builder.go:614-657 + providers in
+    * internal/util/function/rerank/ — an external cross-encoder scores
+    * (query, doc) pairs after fusion). The model call is pluggable; the
+    * default `scorer` is a deterministic local stand-in (token-overlap
+    * ratio) since external providers need egress. Hits are nq·k rows —
+    * the scorer runs post-reduce, never against the corpus.
+    */
+  def modelRerank(
+      hits: DataFrame,
+      queryText: String,
+      textCol: String,
+      qidCol: String,
+      idCol: String,
+      topK: Int,
+      scorer: (Column, String) => Column = tokenOverlapScorer): DataFrame = {
+    val rescored = hits.withColumn("_score", scorer(col(textCol), queryText))
+    VectorSearch.reduceTopK(rescored, idCol, qidCol, Metric.IP, topK, Seq(idCol, textCol))
+  }
+
+  /** Deterministic stand-in cross-encoder: |tokens(doc) ∩ tokens(query)|
+    * / |tokens(query)|. Swap for a real provider by passing a different
+    * `scorer` to [[modelRerank]].
+    */
+  def tokenOverlapScorer(text: Column, query: String): Column = {
+    val qToks = graft.functions.TextFunctions.tokenizeString(query).distinct
+    if (qToks.isEmpty) lit(0.0)
+    else size(array_intersect(graft.functions.TextFunctions.tokenize(text),
+      array(qToks.map(lit): _*))).cast("double") / qToks.size
+  }
+
   /** Boost rescoring (reference: PhyRescoresNode,
     * internal/core/src/exec/operator/RescoresNode.cpp + plan.proto:383-412):
     * each (filter, weight) score-function boosts matching rows;

@@ -75,4 +75,24 @@ object Mvcc {
   def upsert(base: DataFrame, updates: DataFrame, pkCol: String, tsCol: String,
       tiebreakCol: String): DataFrame =
     latestByPk(base.unionByName(updates), pkCol, tsCol, tiebreakCol)
+
+  /** Partial-update upsert (reference: task_upsert_partial_op.go — an
+    * upsert that sets only some fields reads the current row and carries
+    * the untouched fields forward): NULL in an update's `partialCols`
+    * means "keep the current value". One hash-agg to collapse the base,
+    * one pk join to merge — both partial+final, no windows.
+    */
+  def partialUpsert(base: DataFrame, updates: DataFrame, pkCol: String,
+      tsCol: String, tiebreakCol: String, partialCols: Seq[String]): DataFrame = {
+    val current = latestByPk(base, pkCol, tsCol, tiebreakCol)
+    val cur = current.select(
+      col(pkCol) +: partialCols.map(c => col(c).as(s"_cur_$c")): _*)
+    val merged = updates
+      .join(cur, Seq(pkCol), "left")
+      .select(base.columns.map {
+        case c if partialCols.contains(c) => coalesce(col(c), col(s"_cur_$c")).as(c)
+        case c                            => col(c)
+      }: _*)
+    latestByPk(current.unionByName(merged), pkCol, tsCol, tiebreakCol)
+  }
 }

@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+import graft.expr.ExprCompiler
+import graft.functions.{Metric, SparseFunctions, TextFunctions}
+import graft.operators.{MultiModal, SearchAgg, VectorSearch}
+
+/** Coverage queries for SURVEY.md §2 surfaces added after the first
+  * waves: match/phrase/fuzzy text predicates, highlight, template
+  * variables, geo predicates, array element filters, sparse vectors,
+  * multi-vector MAX_SIM, anti-join retrieval, analyzer term stats,
+  * multimodal payload features, search-aggregation facets, iterative
+  * post-filter search, and bloom-filter PK prefiltering.
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  // ---- §2.5 text match family (reference: MatchExpr.cpp, Plan.g4:24-30) ----
+
+  /** phrase_match slop=0 — adjacency in the token stream. */
+  def phraseMatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.filter(ExprCompiler.compile("phrase_match(text, 'table table')", d))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** phrase_match slop=1 — one intervening token allowed. */
+  def phraseSlop(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.filter(ExprCompiler.compile("phrase_match(text, 'key value', 1)", d))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** match_least — at least N distinct query terms present. */
+  def matchLeast(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.filter(ExprCompiler.compile(
+        "match_least(text, 'vector spark stream', threshold=2)", d))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_match_fuzzy — some token within edit distance 1 of the query. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.filter(ExprCompiler.compile(
+        "text_match_fuzzy(text, 'vektor', threshold=1)", d))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Post-search lexical highlight (reference: proxy/highlighter.go). */
+  def highlightQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.filter(ExprCompiler.compile("text_match(text, 'vector')", d))
+      .select(col("doc_id"),
+        TextFunctions.highlight(col("text"), Seq("vector")).as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- §2.1 template variables (reference: fill_expression_value.go) ----
+
+  def templateVars(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(ExprCompiler.compile(
+        "l_quantity >= {qmin} and l_discount <= {dmax} and l_returnflag == {flag}",
+        li, params = Map("qmin" -> 45, "dmax" -> 0.02, "flag" -> "A")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ---- §2.1 geo predicates (reference: GISFunctionFilterExpr.cpp) ----
+
+  private def eventPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("geom",
+      concat(lit("POINT("), col("value").cast("string"), lit(" "),
+        (col("user_id") % 100).cast("string"), lit(")")))
+
+  def geoDWithin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventPoints(s, dir)
+    ev.filter(ExprCompiler.compile(
+        "st_dwithin(geom, 'POINT(50 50)', 20.0)", ev))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  def geoWithin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventPoints(s, dir)
+    ev.filter(ExprCompiler.compile(
+        "st_within(geom, 'POLYGON((10 10, 90 10, 90 60, 10 60, 10 10))')", ev))
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- §2.1 element filter over ARRAY column (ElementFilterBitsNode) ----
+
+  def arrayExists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "embeddings")
+      .filter(exists(col("embedding"), x => x > lit(0.4)))
+      .select(col("vec_id"), array_size(col("embedding")).as("dim"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- §1.2/§2.6 sparse vectors (SPARSE_INVERTED_INDEX / WAND) ----
+
+  def sparseTopk(s: SparkSession, dir: String): DataFrame = {
+    val weights = Map("vector" -> 2.0, "spark" -> 1.0, "table" -> 0.5)
+    val d = t(s, dir, "documents")
+      .withColumn("_tf", SparseFunctions.termFreqs(TextFunctions.tokenize(col("text"))))
+      .withColumn("score", SparseFunctions.sparseDotLiteral(col("_tf"), weights))
+    d.filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---- §1.2 VECTOR_ARRAY / EmbList + MAX_SIM metric (plan.proto:51-54) ----
+
+  /** One multi-vector query (2 vectors) against multi-vector "documents"
+    * (embeddings grouped by vec_id/8): score = Σ_q max_d dot(q, d).
+    */
+  def maxSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    emb
+      .withColumn("group_id", floor(col("vec_id") / 8).cast("long"))
+      .crossJoin(broadcast(q))
+      .withColumn("_dot",
+        graft.functions.VectorFunctions.distance(col("embedding"), col("qvec"), Metric.IP))
+      .groupBy(col("group_id"), col("qid"))
+      .agg(max(col("_dot")).as("_m"))
+      .groupBy(col("group_id"))
+      .agg(round(sum(col("_m")), 3).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("group_id"))
+      .limit(10)
+  }
+
+  // ---- retrieval anti-join (visibility-style NOT EXISTS) ----
+
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    cust.join(pOrders, cust("c_custkey") === pOrders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- §2.5 analyzer term stats (RunAnalyzer / inverted index build) ----
+
+  def analyzerTerms(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokenize(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20)
+  }
+
+  // ---- multimodal payload features (binary column + mapPartitions) ----
+
+  def modalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = MultiModal.attachPayload(
+      t(s, dir, "documents"), "doc_id", "text")
+    MultiModal.extractFeatures(withPayload, "doc_id", stride = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- §2.2 search aggregation facets (proxy/search_agg/) ----
+
+  private def cosineHits(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.COSINE, k, outputCols = Seq("vec_id", "label"), roundTo = Some(4))
+  }
+
+  def searchFacets(s: SparkSession, dir: String): DataFrame =
+    SearchAgg.facets(cosineHits(s, dir, 50), Seq("label"), "_score", "vec_id",
+        topHits = 3)
+      // the oracle compare handles scalars only — flatten the id list
+      .withColumn("top_hits",
+        concat_ws(",", transform(col("top_hit_ids"), x => x.cast("string"))))
+      .drop("top_hit_ids")
+      .orderBy(col("label"))
+
+  // ---- §2.1 iterative post-filter search (IterativeFilterNode.cpp) ----
+
+  /** ANN first (k'=3k candidates), then filter, then final top-k. */
+  def postfilterSearch(s: SparkSession, dir: String): DataFrame = {
+    val candidates = cosineHits(s, dir, 30)
+    val filtered = candidates.filter(col("label").isin(1, 2, 3))
+    VectorSearch.reduceTopK(filtered, "vec_id", "qid", Metric.COSINE, 10,
+        Seq("vec_id", "label"))
+      .select(col("qid"), col("rank"), col("_score").as("score"),
+        col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---- §4 bloom-filter PK prefilter (pkoracle/bloom_filter_set.go) ----
+
+  /** Bloom prefilter + exact semi-join refine: the false positives the
+    * bloom pass admits are removed by the broadcast semi-join, so the
+    * result is exact while the scan-side filter is a cheap local test.
+    */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_nationkey") === 1)
+    val bf = cust.stat.bloomFilter("c_custkey", 1000L, 0.03)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    t(s, dir, "orders")
+      .filter(mightContain(col("o_custkey")))
+      .join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  // ---- §2.4 model rerank (rerank_builder.go:614-657, local stand-in) ----
+
+  def modelRerank(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val candidates = d
+      .filter(ExprCompiler.compile("text_match(text, 'vector')", d))
+      .select(lit(0L).as("qid"), col("doc_id"), col("text"))
+    graft.operators.Fusion
+      .modelRerank(candidates, "vector spark table", "text", "qid", "doc_id", 15)
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("doc_id"))
+      .orderBy(col("rank"))
+  }
+
+  // ---- §2.6 scalar inverted index build + posting-list lookup ----
+
+  def invertedLookup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = graft.operators.InvertedIndex.buildTokenIndex(
+      d, "doc_id", TextFunctions.tokenize(col("text")))
+    val ids = graft.operators.InvertedIndex.lookupAll(index, Seq("vector", "spark"))
+    broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
+      .select(col("id"), col("lang"))
+      .orderBy(col("id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_model_rerank" -> (modelRerank _),
+    "q_inverted_lookup" -> (invertedLookup _),
+    "q_phrase_match" -> (phraseMatch _),
+    "q_phrase_slop" -> (phraseSlop _),
+    "q_match_least" -> (matchLeast _),
+    "q_fuzzy_match" -> (fuzzyMatch _),
+    "q_highlight" -> (highlightQ _),
+    "q_template_vars" -> (templateVars _),
+    "q_geo_dwithin" -> (geoDWithin _),
+    "q_geo_within" -> (geoWithin _),
+    "q_array_exists" -> (arrayExists _),
+    "q_sparse_topk" -> (sparseTopk _),
+    "q_maxsim" -> (maxSim _),
+    "q_anti_join" -> (antiJoin _),
+    "q_analyzer_terms" -> (analyzerTerms _),
+    "q_modal_features" -> (modalFeatures _),
+    "q_search_facets" -> (searchFacets _),
+    "q_postfilter_search" -> (postfilterSearch _),
+    "q_bloom_prefilter" -> (bloomPrefilter _)
+  )
+
+  private val cosineHitsSql =
+    """q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 3),
+      |d AS (SELECT q.qid, e.vec_id, e.label,
+      |        round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS score
+      |      FROM q CROSS JOIN embeddings e),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      |      FROM d)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_model_rerank" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE list_contains(string_split(text, ' '), 'vector')),
+        |s AS (SELECT doc_id,
+        |        (CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) / 3.0 AS score
+        |      FROM c),
+        |r AS (SELECT CAST(0 AS BIGINT) AS qid, doc_id, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT qid, rank, score, doc_id FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    "q_inverted_lookup" ->
+      """SELECT doc_id AS id, lang FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'vector')
+        |  AND list_contains(string_split(text, ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+    "q_phrase_match" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ' ' || text || ' ' LIKE '% table table %' ORDER BY doc_id""".stripMargin,
+    "q_phrase_slop" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE regexp_matches(' ' || text || ' ', ' key( [a-z0-9]+){0,1} value ')
+        |ORDER BY doc_id""".stripMargin,
+    "q_match_least" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CASE WHEN list_contains(string_split(text, ' '), 'vector') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(string_split(text, ' '), 'stream') THEN 1 ELSE 0 END) >= 2
+        |ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), t -> levenshtein(t, 'vektor') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_highlight" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(vector)\b', '<em>\1</em>', 'g') AS snippet
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    "q_template_vars" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount <= 0.02 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_geo_dwithin" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE sqrt((value - 50) * (value - 50)
+        |         + (CAST(user_id % 100 AS DOUBLE) - 50) * (CAST(user_id % 100 AS DOUBLE) - 50)) <= 20
+        |ORDER BY event_id""".stripMargin,
+    "q_geo_within" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE value > 10 AND value < 90
+        |  AND (user_id % 100) > 10 AND (user_id % 100) < 60
+        |ORDER BY event_id""".stripMargin,
+    "q_array_exists" ->
+      """SELECT vec_id, len(embedding) AS dim FROM embeddings
+        |WHERE len(list_filter(embedding, x -> x > 0.4)) > 0
+        |ORDER BY vec_id""".stripMargin,
+    "q_sparse_topk" ->
+      """SELECT doc_id,
+        |  2.0 * len(list_filter(string_split(text, ' '), t -> t = 'vector'))
+        |  + 1.0 * len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+        |  + 0.5 * len(list_filter(string_split(text, ' '), t -> t = 'table')) AS score
+        |FROM documents
+        |WHERE 2.0 * len(list_filter(string_split(text, ' '), t -> t = 'vector'))
+        |  + 1.0 * len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+        |  + 0.5 * len(list_filter(string_split(text, ' '), t -> t = 'table')) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_maxsim" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 2),
+        |d AS (SELECT e.vec_id // 8 AS group_id, q.qid,
+        |        list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS dot
+        |      FROM embeddings e CROSS JOIN q),
+        |m AS (SELECT group_id, qid, max(dot) AS mx FROM d GROUP BY group_id, qid)
+        |SELECT group_id, round(sum(mx), 3) AS maxsim FROM m GROUP BY group_id
+        |ORDER BY maxsim DESC, group_id LIMIT 10""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_analyzer_terms" ->
+      """SELECT t AS term, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |WHERE t <> '' GROUP BY t ORDER BY cnt DESC, t LIMIT 20""".stripMargin,
+    "q_modal_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((length(text) + 7) // 8 AS BIGINT) AS n_frames,
+        |  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS head,
+        |  CAST(list_sum(list_transform(range(0, CAST((length(text) + 7) // 8 AS BIGINT)),
+        |        i -> unicode(substr(text, CAST(1 + i * 8 AS BIGINT), 1)))) AS BIGINT) AS sum_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_search_facets" ->
+      s"""WITH $cosineHitsSql,
+        |h AS (SELECT * FROM r WHERE rnk <= 50),
+        |th AS (SELECT label,
+        |         array_to_string(list_slice(list(vec_id ORDER BY score DESC, vec_id), 1, 3), ',')
+        |           AS top_hits
+        |       FROM h GROUP BY label),
+        |m AS (SELECT label, count(*) AS doc_count, round(avg(score), 4) AS avg_score,
+        |        round(max(score), 4) AS best_score
+        |      FROM h GROUP BY label)
+        |SELECT m.label, m.doc_count, m.avg_score, m.best_score, th.top_hits
+        |FROM m JOIN th USING (label) ORDER BY m.label""".stripMargin,
+    "q_postfilter_search" ->
+      s"""WITH $cosineHitsSql,
+        |f AS (SELECT * FROM r WHERE rnk <= 30 AND label IN (1, 2, 3)),
+        |r2 AS (SELECT qid, vec_id, label, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |       FROM f)
+        |SELECT qid, rank, score, vec_id, label FROM r2 WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+    "q_bloom_prefilter" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)""".stripMargin
+  )
+}

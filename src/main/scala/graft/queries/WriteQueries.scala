@@ -82,9 +82,45 @@ object WriteQueries {
         round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** Partial-update upsert (task_upsert_partial_op.go): updates after the
+    * cutoff set only `value`; `event_type` carries forward from the
+    * user's latest pre-cutoff row.
+    */
+  def upsertPartial(s: SparkSession, dir: String): DataFrame = {
+    // events.ts reads as long nanos (see GraftSession); cutoff 2024-01-20 UTC
+    val cutoffNs = 1705708800000000000L
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val base = ev.filter(col("ts") <= cutoffNs)
+    val updates = ev.filter(col("ts") > cutoffNs)
+      .withColumn("event_type", lit(null).cast("string")) // only `value` is set
+    graft.operators.Mvcc
+      .partialUpsert(base, updates, "user_id", "ts", "event_id", Seq("event_type", "value"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Clustering compaction round-trip (compaction_policy_clustering.go →
+    * repartitionByRange layout): rewrite lineitem clustered by l_partkey,
+    * then a key-range scan over the clustered copy — results must match
+    * the unclustered oracle while Parquet stats prune the files.
+    */
+  def clusteredScan(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_clustered_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.operators.Clustering.writeClustered(
+      t(s, dir, "lineitem"), "l_partkey", path, numPartitions = 16)
+    graft.operators.Clustering.prunedRead(s, path, "l_partkey", 100L, 300L)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        min(col("l_partkey")).as("min_key"), max(col("l_partkey")).as("max_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mvcc_visibility" -> (mvccVisibility _),
     "q_upsert_lww" -> (upsertLww _),
+    "q_upsert_partial" -> (upsertPartial _),
+    "q_clustered_scan" -> (clusteredScan _),
     "q_agg_events" -> (aggEvents _),
     "q_query_iterator" -> (queryIterator _),
     "q_sample_mod" -> (sampleMod _)
@@ -120,6 +156,25 @@ object WriteQueries {
     "q_sample_mod" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
-        |WHERE ((l_orderkey * 2654435761 % 1000000007) % 100 + 100) % 100 < 10""".stripMargin
+        |WHERE ((l_orderkey * 2654435761 % 1000000007) % 100 + 100) % 100 < 10""".stripMargin,
+    "q_upsert_partial" ->
+      """WITH base AS (SELECT * FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'),
+        |cur AS (SELECT * FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM base)
+        |        WHERE rn = 1),
+        |upd AS (SELECT e.event_id, e.ts, e.user_id, c.event_type, e.value
+        |        FROM events e LEFT JOIN cur c ON e.user_id = c.user_id
+        |        WHERE e.ts > TIMESTAMP '2024-01-20 00:00:00'),
+        |merged AS (SELECT event_id, ts, user_id, event_type, value FROM upd
+        |           UNION ALL
+        |           SELECT event_id, ts, user_id, event_type, value FROM cur)
+        |SELECT user_id, event_id, event_type, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM merged)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_clustered_scan" ->
+      """SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price,
+        | min(l_partkey) AS min_key, max(l_partkey) AS max_key
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300""".stripMargin
   )
 }

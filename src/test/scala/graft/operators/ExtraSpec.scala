@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.ExprCompiler
+import graft.functions.{SparseFunctions, TextFunctions}
+
+class ExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sparse term freqs + dot product") {
+    val df = Seq("a b a c", "b b d").toDF("text")
+      .withColumn("tf", SparseFunctions.termFreqs(TextFunctions.tokenize(col("text"))))
+    val scores = df
+      .select(SparseFunctions.sparseDotLiteral(col("tf"),
+        Map("a" -> 2.0, "b" -> 1.0, "z" -> 5.0)).as("s"))
+      .as[Double].collect()
+    assert(scores.toSeq == Seq(2 * 2.0 + 1.0, 2.0)) // a:2,b:1 | b:2
+    val dot = df.withColumn("q",
+        map_from_arrays(array(lit("b"), lit("z")), array(lit(3.0), lit(1.0))))
+      .select(SparseFunctions.sparseDot(col("tf"), col("q")).as("d"))
+      .as[Double].collect()
+    assert(dot.toSeq == Seq(3.0, 6.0))
+  }
+
+  test("multimodal payload features are exact and deterministic") {
+    val df = Seq((1L, "abcdefghij"), (2L, "x")).toDF("doc_id", "text")
+    val out = MultiModal
+      .extractFeatures(MultiModal.attachPayload(df, "doc_id", "text"), "doc_id", stride = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // "abcdefghij": bytes 97..106; sampled at 0,4,8 -> 97+101+105
+    assert(out(0) == ((1L, 10L, 3L, 97L, 97L + 101L + 105L)))
+    assert(out(1) == ((2L, 1L, 1L, 120L, 120L)))
+  }
+
+  test("highlight wraps whole-word matches only") {
+    val got = Seq("vector vectors Vector!").toDF("t")
+      .select(TextFunctions.highlight(col("t"), Seq("vector")).as("h"))
+      .as[String].head()
+    assert(got == "<em>vector</em> vectors <em>Vector</em>!")
+  }
+
+  test("phrase_match slop semantics") {
+    val df = Seq("a x b", "a b", "b a", "a x y b").toDF("text")
+    def matches(e: String) =
+      df.filter(ExprCompiler.compile(e, df)).as[String].collect().toSet
+    assert(matches("phrase_match(text, 'a b')") == Set("a b"))
+    assert(matches("phrase_match(text, 'a b', 1)") == Set("a b", "a x b"))
+    assert(matches("phrase_match(text, 'a b', 2)") == Set("a b", "a x b", "a x y b"))
+  }
+
+  test("inverted index lookup intersects posting lists") {
+    val df = Seq((1L, "a b c"), (2L, "a c"), (3L, "b"), (4L, "a b"))
+      .toDF("id", "text")
+    val idx = InvertedIndex.buildTokenIndex(df, "id",
+      TextFunctions.tokenize(col("text")))
+    def ids(terms: String*) =
+      InvertedIndex.lookupAll(idx, terms).as[Long].collect().sorted.toSeq
+    assert(ids("a", "b") == Seq(1L, 4L))
+    assert(ids("a") == Seq(1L, 2L, 4L))
+    assert(ids("a", "zzz") == Seq()) // missing term → empty intersection
+  }
+
+  test("model rerank orders by deterministic cross-encoder score") {
+    val hits = Seq((0L, 1L, "x y"), (0L, 2L, "x y z"), (0L, 3L, "q"))
+      .toDF("qid", "doc_id", "text")
+    val got = Fusion.modelRerank(hits, "x y z", "text", "qid", "doc_id", 2)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L), (1L, 2L)))
+  }
+
+  test("search facets bucket hits with bounded top_hits") {
+    val hits = Seq(
+      (0L, 1, 0.9, 10L), (0L, 1, 0.8, 11L), (0L, 2, 0.7, 12L),
+      (1L, 1, 0.95, 13L), (1L, 2, 0.6, 14L), (1L, 2, 0.65, 15L))
+      .toDF("qid", "label", "_score", "vec_id")
+    val got = SearchAgg.facets(hits, Seq("label"), "_score", "vec_id", topHits = 2)
+      .orderBy("label")
+      .select("label", "doc_count", "best_score", "top_hit_ids")
+      .as[(Int, Long, Double, Seq[Long])].collect()
+    assert(got(0) == ((1, 3L, 0.95, Seq(13L, 10L))))
+    assert(got(1) == ((2, 3L, 0.7, Seq(12L, 15L))))
+  }
+}
