@@ -46,11 +46,16 @@ object TextFunctions {
     * hashes (reference: internal/util/function/minhash_function.go:29-72 —
     * text → k-shingles → per-seed min-hash signature). Seeded via
     * xxhash64(seed, shingle).
+    *
+    * Built as ONE `transform` over the seed sequence rather than
+    * `array(...)` of 64 independent subtrees: the latter embeds 64 copies
+    * of the shingle-array expression and Spark re-evaluates each copy per
+    * row (HOFs defeat common-subexpression elimination) — a 64×
+    * evaluation blowup measured at sf0.1.
     */
   def minhash(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
-    }: _*)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
 
   /** Estimated Jaccard similarity of two equal-length minhash signatures. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =

@@ -67,23 +67,27 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
 
-    // explode to (band_idx, band_hash, id, sig): one shuffle on band key
+    // explode to (band_idx, band_hash, id) — ids only, so the bucket
+    // self-join shuffles 3 small columns, never the 64-long signatures
     val banded = sigs.select(
-      col(idCol), col("sig"),
+      col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))
       }: _*)).as(Seq("band_idx", "band_hash")))
 
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    // dedup candidate pairs FIRST (near-dups collide in many bands — up
+    // to `bands`× repeated pairs), then fetch signatures once per pair
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         TextFunctions.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -106,15 +110,25 @@ object Dedup {
   /** 64-bit SimHash of the token stream: per-token xxhash64, bitwise
     * majority vote. Pure DataFrame math (no UDF): for each of 64 bits,
     * sum ±1 across tokens and take the sign.
+    *
+    * Single pass: token hashes are computed once and folded into a
+    * 64-element vote accumulator (64 separate `aggregate` subtrees would
+    * re-tokenize and re-hash per bit — a 64× blowup at sf0.1).
     */
+  /** masks(i) = 1L << i (shift builtins need literal amounts). */
+  private val BitMasks = typedlit(Seq.tabulate(64)(1L << _))
+
   def simhash(tokens: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      // sum over tokens of (bit_i(hash) ? 1 : -1), then sign → bit i
-      val vote = aggregate(tokens, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val hashes = transform(tokens, t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, BitMasks, (v, m) =>
+        v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, BitMasks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L),
+      (acc, w) => acc.bitwiseOR(w))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -128,18 +142,21 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol),
       simhash(TextFunctions.tokenize(col(textCol))).as("sim"))
-    val banded = sigs.select(col(idCol), col("sim"),
+    val banded = sigs.select(col(idCol),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = banded.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+    val a = banded.select(col("chunk_idx"), col("chunk"), col(idCol).as("id_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

@@ -112,8 +112,12 @@ object ExtraQueries {
 
   def sparseTopk(s: SparkSession, dir: String): DataFrame = {
     val weights = Map("vector" -> 2.0, "spark" -> 1.0, "table" -> 0.5)
+    // WAND-style: restrict the tokens to the query's terms BEFORE the tf
+    // map build — absent keys score 0 either way, and the map stays tiny
+    val qTerms = array(weights.keys.toSeq.sorted.map(lit): _*)
     val d = t(s, dir, "documents")
-      .withColumn("_tf", SparseFunctions.termFreqs(TextFunctions.tokenize(col("text"))))
+      .withColumn("_tf", SparseFunctions.termFreqs(
+        filter(TextFunctions.tokenize(col("text")), tk => array_contains(qTerms, tk))))
       .withColumn("score", SparseFunctions.sparseDotLiteral(col("_tf"), weights))
     d.filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
@@ -222,6 +226,37 @@ object ExtraQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  // ---- §1.2 VECTOR_BINARY + HAMMING metric (BIN_FLAT brute force) ----
+
+  /** Binary search: sign-binarize embeddings into packed words, top-10
+    * per query by hamming distance (64× less data scanned than float).
+    */
+  def binaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryVector
+    val emb = t(s, dir, "embeddings")
+      .withColumn("_bin", BinaryVector.binarize(col("embedding")))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("_bin").as("_qbin"))
+    val scored = emb.crossJoin(broadcast(q))
+      .withColumn("_score",
+        BinaryVector.hamming(col("_bin"), col("_qbin")).cast("double"))
+    VectorSearch.reduceTopK(scored, "vec_id", "qid", Metric.L2, 10, Seq("vec_id"))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---- §2.1 json_contains over the dynamic $meta field ----
+
+  def jsonContains(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("meta",
+      to_json(struct(array(col("lang"), col("source")).as("tags"), col("n_chars").as("n"))))
+    d.filter(ExprCompiler.compile(
+        """json_contains_any(meta["tags"], ["en", "de"]) and n_chars > 200""",
+        d, jsonColumns = Set("meta")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- §2.4 model rerank (rerank_builder.go:614-657, local stand-in) ----
 
   def modelRerank(s: SparkSession, dir: String): DataFrame = {
@@ -248,6 +283,8 @@ object ExtraQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binary_hamming" -> (binaryHamming _),
+    "q_json_contains" -> (jsonContains _),
     "q_model_rerank" -> (modelRerank _),
     "q_inverted_lookup" -> (invertedLookup _),
     "q_phrase_match" -> (phraseMatch _),
@@ -279,6 +316,21 @@ object ExtraQueries {
       |      FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_binary_hamming" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CASE WHEN (q.qe[i] > 0) != (e.embedding[i] > 0) THEN 1 ELSE 0 END))
+        |          AS DOUBLE) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_json_contains" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (lang IN ('en', 'de') OR source IN ('en', 'de')) AND n_chars > 200
+        |ORDER BY doc_id""".stripMargin,
     "q_model_rerank" ->
       """WITH c AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |           WHERE list_contains(string_split(text, ' '), 'vector')),

@@ -71,6 +71,25 @@ class ExtraSpec extends SparkSpec {
     assert(got == Seq((2L, 1L), (1L, 2L)))
   }
 
+  test("binary vector pack/hamming/jaccard") {
+    import graft.functions.BinaryVector
+    // 65 dims → 2 words; sign pattern differs in exactly 3 positions
+    val a = Array.fill(65)(1.0f)
+    val b = a.clone(); b(0) = -1f; b(63) = -1f; b(64) = -1f
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(BinaryVector.binarize(col("a")).as("pa"),
+        BinaryVector.binarize(col("b")).as("pb"))
+    val (ham, jac) = df.select(
+        BinaryVector.hamming(col("pa"), col("pb")),
+        BinaryVector.jaccardBinary(col("pa"), col("pb")))
+      .as[(Long, Double)].head()
+    assert(ham == 3L)
+    assert(math.abs(jac - 62.0 / 65.0) < 1e-12)
+    // packing is faithful: 65 ones → words (all-ones-64, 1)
+    val words = df.select($"pa").as[Seq[Long]].head()
+    assert(words == Seq(-1L, 1L))
+  }
+
   test("search facets bucket hits with bounded top_hits") {
     val hits = Seq(
       (0L, 1, 0.9, 10L), (0L, 1, 0.8, 11L), (0L, 2, 0.7, 12L),
