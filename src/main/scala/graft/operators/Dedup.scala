@@ -24,6 +24,17 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Spread a DataFrame across the cluster's cores when its source gave
+    * it too few partitions (a single small parquet row group = one task,
+    * which serializes the expensive per-row signature expressions). A
+    * no-op at real scale where inputs already have many partitions — the
+    * shuffle only triggers when the input is narrower than the cluster.
+    */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicate groups by raw text equality (hash-groupBy, never a
     * self-join). Returns (key, cnt, ids) for groups with >1 member.
     */
@@ -65,7 +76,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    // signatures feed three consumers (banding + both pair-join sides);
+    // computing them is the expensive pass over the raw text, so persist
+    // the (small) signature table instead of re-deriving it per consumer
+    val sigs = minhashSignatures(parallelize(df), idCol, textCol, numHashes, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // explode to (band_idx, band_hash, id) — ids only, so the bucket
     // self-join shuffles 3 small columns, never the 64-long signatures
@@ -140,8 +155,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol),
-      simhash(TextFunctions.tokenize(col(textCol))).as("sim"))
+    // persisted for the same three-consumer reason as minhashLshPairs
+    val sigs = parallelize(df).select(col(idCol),
+        simhash(TextFunctions.tokenize(col(textCol))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol),
       posexplode(array((0 until 4).map { c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
