@@ -20,7 +20,31 @@ import org.apache.spark.sql.{Column, DataFrame}
   * small). Upsert LWW uses `max_by` hash aggregation (partial+final),
   * not a window, so there is no single-reducer sort at 100 TB.
   */
+/** Consistency levels (reference: proxy/util.go:1301-1320 — the level
+  * picks the `guarantee_ts` a read waits for / filters at).
+  */
+object ConsistencyLevel extends Enumeration {
+  val Strong, BoundedStaleness, Session, Eventually = Value
+}
+
 object Mvcc {
+
+  /** Resolve the MVCC read timestamp for a consistency level:
+    * Strong reads at the latest committed write; BoundedStaleness lags
+    * `now` by a fixed window; Session reads at the caller's last write;
+    * Eventually takes whatever is current (here: now).
+    */
+  def resolveReadTs(
+      level: ConsistencyLevel.Value,
+      latestCommittedTs: => Long,
+      now: => Long,
+      stalenessMs: Long = 5000L,
+      sessionTs: Long = 0L): Long = level match {
+    case ConsistencyLevel.Strong           => latestCommittedTs
+    case ConsistencyLevel.BoundedStaleness => now - stalenessMs
+    case ConsistencyLevel.Session          => math.max(sessionTs, now - stalenessMs)
+    case ConsistencyLevel.Eventually       => now
+  }
 
   /** Rows of `data` visible at `readTs`.
     *
