@@ -139,27 +139,42 @@ private[expr] object Calls {
   /** Phrase match with slop (reference: PhraseMatch semantics — query
     * tokens must appear in order within a window allowing `slop` skips).
     * slop=0 compiles to adjacency via substring-of-normalized-stream;
-    * slop>0 falls back to ordered containment with bounded gaps via regex.
+    * slop>0 bounds the TOTAL number of inserted filler tokens across the
+    * whole phrase at `slop` (tantivy's slop is a total move budget, not
+    * per-gap): gap distributions summing to `slop` are enumerated into
+    * one regex alternation — C(slop+n-2, n-2) branches, small for real
+    * phrases. Divergence from tantivy: out-of-order matches
+    * (transpositions, move cost 2 there) are never matched here.
     */
   private def phraseMatch(field: Column, query: String, slop: Int): Column = {
     val qTokens = TextFunctions.tokenizeString(query)
     if (qTokens.isEmpty) lit(true)
     else {
       val stream = concat(lit(" "), array_join(TextFunctions.tokenize(field), " "), lit(" "))
-      if (slop == 0) {
+      if (slop == 0 || qTokens.size == 1) {
         stream.contains(" " + qTokens.mkString(" ") + " ")
       } else {
-        // up to `slop` intervening tokens between consecutive query
-        // tokens. No `.*` anchors: rlike is a substring search already,
-        // and a leading `(^|.*)` causes catastrophic backtracking on
+        // No `.*` anchors: rlike is a substring search already, and a
+        // leading `(^|.*)` causes catastrophic backtracking on
         // non-matching rows (measured 20× slower at sf0.1).
-        val gap = s"( [a-z0-9]+){0,$slop}"
-        val patt = qTokens.map(java.util.regex.Pattern.quote)
-          .mkString(" ", gap + " ", " ")
-        stream.rlike(patt)
+        val quoted = qTokens.map(java.util.regex.Pattern.quote)
+        val alts = compositions(qTokens.size - 1, slop).map { gaps =>
+          " " + quoted.head + gaps.zip(quoted.tail).map { case (g, t) =>
+            (if (g == 0) "" else s"( [a-z0-9]+){0,$g}") + " " + t
+          }.mkString + " "
+        }
+        stream.rlike(alts.map(a => s"(?:$a)").mkString("|"))
       }
     }
   }
+
+  /** All ways to split `total` into `parts` non-negative integers. Each
+    * composition's per-gap bounds are `{0,g_i}`, so together they cover
+    * every gap vector with sum ≤ total.
+    */
+  private def compositions(parts: Int, total: Int): Seq[Seq[Int]] =
+    if (parts <= 1) Seq(Seq(total))
+    else (0 to total).flatMap(h => compositions(parts - 1, total - h).map(h +: _))
 
   /** The array being probed: an ARRAY column, or a JSON path decoded via
     * from_json with element type inferred from the probe value.

@@ -22,17 +22,22 @@ object BinaryVector {
   /** masks(i) = 1L << i (shift builtins need literal amounts). */
   private val BitMasks = typedlit(Seq.tabulate(64)(1L << _))
 
-  /** Pack a 0/1 bit array into 64-bit words (little-endian bit order). */
+  /** Pack a 0/1 bit array into 64-bit words (little-endian bit order).
+    * Empty input packs to an empty word array — without the guard,
+    * `sequence(0, nWords-1)` with nWords=0 evaluates as the DESCENDING
+    * sequence [0,-1] and emits two garbage words.
+    */
   def pack(bits: Column): Column = {
     val nWords = floor((size(bits) + lit(63)) / lit(64)).cast("int")
-    transform(sequence(lit(0), nWords - 1), w =>
-      aggregate(
-        zip_with(
-          slice(bits, w * 64 + 1, lit(64)),
-          BitMasks,
-          (b, m) => when(b === 1L, m).otherwise(0L)),
-        lit(0L),
-        (acc, x) => acc.bitwiseOR(coalesce(x, lit(0L)))))
+    when(size(bits) === 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), nWords - 1), w =>
+        aggregate(
+          zip_with(
+            slice(bits, w * 64 + 1, lit(64)),
+            BitMasks,
+            (b, m) => when(b === 1L, m).otherwise(0L)),
+          lit(0L),
+          (acc, x) => acc.bitwiseOR(coalesce(x, lit(0L))))))
   }
 
   /** Binarize + pack in one step. */

@@ -191,4 +191,17 @@ object TopKFunctions {
         ExpressionUtils.expression(tie),
         ExpressionUtils.expression(payload),
         k, ascending).toAggregateExpression())
+
+  /** Deterministic long tiebreaker for an id column of any type:
+    * integral ids order naturally (ascending id — the reference's tie
+    * rule); other PK types (the reference supports VarChar PKs) hash via
+    * `xxhash64`, which is deterministic across partitionings but not
+    * lexicographic. Never `cast("long")` on strings — that throws under
+    * ANSI mode (Spark 4 default) and yields null otherwise, silently
+    * dropping tied rows from the heap.
+    */
+  def tieFor(idValue: Column, idType: DataType): Column = idType match {
+    case ByteType | ShortType | IntegerType | LongType => idValue.cast(LongType)
+    case _ => org.apache.spark.sql.functions.xxhash64(idValue)
+  }
 }

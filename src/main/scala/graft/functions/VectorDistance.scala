@@ -65,7 +65,13 @@ case class VectorDistance(
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // the reference rejects dim mismatch at request validation
+    // (proxy-side checks); truncating silently would return a wrong
+    // distance, so fail loudly instead.
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     val leftIsFloat = elementType(left) == FloatType
     val rightIsFloat = elementType(right) == FloatType
     @inline def ax(i: Int): Double =
@@ -109,7 +115,11 @@ case class VectorDistance(
           val acc = ctx.freshName("acc")
           val d = ctx.freshName("d")
           s"""
-             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |if ($a.numElements() != $b.numElements()) {
+             |  throw new IllegalArgumentException(
+             |    "$prettyName: vector dimensions differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+             |}
+             |int $n = $a.numElements();
              |double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  double $d = ${getL(a, i)} - ${getR(b, i)};
@@ -120,7 +130,11 @@ case class VectorDistance(
         case Metric.IP =>
           val acc = ctx.freshName("acc")
           s"""
-             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |if ($a.numElements() != $b.numElements()) {
+             |  throw new IllegalArgumentException(
+             |    "$prettyName: vector dimensions differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+             |}
+             |int $n = $a.numElements();
              |double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  $acc += ${getL(a, i)} * ${getR(b, i)};
@@ -133,7 +147,11 @@ case class VectorDistance(
           val nb = ctx.freshName("nb")
           val denom = ctx.freshName("denom")
           s"""
-             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |if ($a.numElements() != $b.numElements()) {
+             |  throw new IllegalArgumentException(
+             |    "$prettyName: vector dimensions differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+             |}
+             |int $n = $a.numElements();
              |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  double $x = ${getL(a, i)};

@@ -81,8 +81,10 @@ object Bm25 {
   def search(model: Model, query: String, k: Int, roundTo: Option[Int] = None): DataFrame = {
     val scored = score(model, query)
     val s = roundTo.map(d => round(col("_score"), d)).getOrElse(col("_score"))
+    val idType = scored.schema(model.idCol).dataType
     scored.select(col(model.idCol), s.as("_score"))
-      .agg(TopKFunctions.top_k(col("_score"), col(model.idCol).cast("long"),
+      .agg(TopKFunctions.top_k(col("_score"),
+        TopKFunctions.tieFor(col(model.idCol), idType),
         struct(col(model.idCol)), k, ascending = false).as("_hits"))
       .select(posexplode(col("_hits")).as(Seq("_pos", "_hit")))
       .select(

@@ -32,7 +32,15 @@ object Dedup {
     */
   private def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // estimate the scan's task count from plan statistics (bytes /
+    // max split size) — materializing `df.rdd` just to read its
+    // partition count would force an RDD lineage per call. Inflated
+    // logical estimates only make the (cheap, small-input) repartition
+    // less likely; large inputs estimate far above `target` and skip it.
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Exact duplicate groups by raw text equality (hash-groupBy, never a

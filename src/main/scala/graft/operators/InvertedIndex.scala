@@ -34,17 +34,22 @@ object InvertedIndex {
   /** Term lookup via the index: ids of rows containing ALL query terms
     * (posting-list intersection — the index-side fast path the reference
     * takes for `text_match` when an inverted index exists).
+    *
+    * Intersection = explode postings → count per id == nTerms. Stays a
+    * partial+final hash aggregation: a frequent term's billion-id posting
+    * list spreads across tasks instead of funneling into one reducer row
+    * (the collect_list+array_intersect formulation would hold every
+    * matched posting list in a single aggregate buffer).
     */
   def lookupAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
+    val nTerms = terms.distinct.size
     index
       .filter(col("term").isin(terms: _*))
-      .agg(
-        count(lit(1)).as("_nterms"),
-        aggregate(collect_list(col("postings")), lit(null).cast("array<long>"),
-          (acc, p) => when(acc.isNull, p).otherwise(array_intersect(acc, p)))
-          .as("ids"))
-      .select(explode(when(col("_nterms") === terms.distinct.size, col("ids"))
-        .otherwise(array().cast("array<long>"))).as("id"))
+      .select(explode(col("postings")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") === nTerms)
+      .select(col("id"))
   }
 }

@@ -72,8 +72,12 @@ object Mvcc {
         val activeTombs = tombs
           .filter(col(tsCol) <= readTs)
           .groupBy(col(pkCol)).agg(max(col(tsCol)).as("_tomb_ts"))
+        // no broadcast hint: tombstones are usually tiny and AQE picks a
+        // broadcast join on its own, but a delete-heavy table (tombstones
+        // ≈ data) must be allowed to fall back to a shuffle join instead
+        // of OOMing the driver on a forced broadcast.
         unexpired
-          .join(broadcast(activeTombs), Seq(pkCol), "left")
+          .join(activeTombs, Seq(pkCol), "left")
           .filter(col("_tomb_ts").isNull || col(tsCol) > col("_tomb_ts"))
           .drop("_tomb_ts")
       case None => unexpired

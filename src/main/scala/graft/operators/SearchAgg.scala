@@ -30,6 +30,7 @@ object SearchAgg {
       roundTo: Int = 4): DataFrame = {
     val asc = !higherIsBetter
     val best: Column => Column = if (higherIsBetter) max else min
+    val idType = hits.schema(idCol).dataType
     hits
       .groupBy(bucketCols.map(col): _*)
       .agg(
@@ -37,8 +38,8 @@ object SearchAgg {
         round(avg(col(scoreCol)), roundTo).as("avg_score"),
         round(best(col(scoreCol)), roundTo).as("best_score"),
         TopKFunctions
-          .top_k(col(scoreCol), col(idCol).cast("long"),
-            struct(col(idCol).cast("long").as(idCol)), topHits, asc)
+          .top_k(col(scoreCol), TopKFunctions.tieFor(col(idCol), idType),
+            struct(col(idCol)), topHits, asc)
           .as("_th"))
       .withColumn("top_hit_ids",
         transform(col("_th"), h => h.getField("payload").getField(idCol)))

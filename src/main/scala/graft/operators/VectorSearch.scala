@@ -75,10 +75,11 @@ object VectorSearch {
       offset: Int = 0): DataFrame = {
     val payload = struct(outputCols.distinct.map(col): _*)
     val asc = !Metric.higherIsBetter(metric)
+    val idType = scored.schema(idCol).dataType
     val hits = scored
       .groupBy(col(qidCol))
       .agg(TopKFunctions
-        .top_k(col("_score"), col(idCol).cast("long"), payload, offset + k, asc)
+        .top_k(col("_score"), TopKFunctions.tieFor(col(idCol), idType), payload, offset + k, asc)
         .as("_hits"))
       .select(col(qidCol), posexplode(col("_hits")).as(Seq("_pos", "_hit")))
       .filter(col("_pos") >= offset)
@@ -148,15 +149,16 @@ object VectorSearch {
     val out = (if (outputCols.nonEmpty) outputCols else Seq(idCol)).distinct
     val asc = !Metric.higherIsBetter(metric)
     val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
+    val idType = scored.schema(idCol).dataType
     val payload = struct(out.map(col): _*)
     // pass 1: per (query, group) keep the groupSize best hits
     val perGroup = scored
       .groupBy(col(qidCol), col(groupCol))
       .agg(TopKFunctions
-        .top_k(col("_score"), col(idCol).cast("long"), payload, groupSize, asc)
+        .top_k(col("_score"), TopKFunctions.tieFor(col(idCol), idType), payload, groupSize, asc)
         .as("_hits"))
       .withColumn("_best", col("_hits")(0)("score"))
-      .withColumn("_best_tie", col("_hits")(0)("payload")(idCol).cast("long"))
+      .withColumn("_best_tie", TopKFunctions.tieFor(col("_hits")(0)("payload")(idCol), idType))
     // pass 2: per query keep the k best groups (by best hit)
     perGroup
       .groupBy(col(qidCol))

@@ -214,13 +214,29 @@ object ExtraQueries {
   /** Bloom prefilter + exact semi-join refine: the false positives the
     * bloom pass admits are removed by the broadcast semi-join, so the
     * result is exact while the scan-side filter is a cheap local test.
+    *
+    * Built with Spark's native `bloom_filter_agg` and probed with the
+    * `BloomFilterMightContain` expression — the same machinery
+    * `InjectRuntimeFilter` uses. The filter binary is tiny by design, so
+    * embedding the 1-row aggregate as a literal keeps the probe side
+    * foldable, codegen'd, and pushdown-friendly (a closure UDF blocks
+    * both codegen and filter pushdown).
     */
   def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
     val cust = t(s, dir, "customer").filter(col("c_nationkey") === 1)
-    val bf = cust.stat.bloomFilter("c_custkey", 1000L, 0.03)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("c_custkey"))),
+      Literal(1000L), Literal(8192L)).toAggregateExpression())
+    val bf = cust.agg(bfAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bf, BinaryType),
+      ColumnBridge.expression(xxhash64(col("o_custkey")))))
     t(s, dir, "orders")
-      .filter(mightContain(col("o_custkey")))
+      .filter(probe)
       .join(broadcast(cust.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))

@@ -34,15 +34,22 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(pkCol, tsCol)
 
-  /** Flush loop: append each micro-batch to the sealed Parquet table
+  /** Flush loop: seal each micro-batch to the Parquet table
     * (datanode write-buffer flush). Returns the StreamingQuery.
+    *
+    * Idempotent (exactly-once contents): each batch overwrites its own
+    * deterministic `batch=<id>` directory, so a batch replayed after a
+    * failure between the parquet write and the checkpoint commit
+    * replaces itself instead of appending a duplicate copy. Readers of
+    * `path` see a `batch` partition column (drop it or select the data
+    * columns).
     */
   def flushToParquet(stream: DataFrame, path: String, checkpoint: String) =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(path)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
 

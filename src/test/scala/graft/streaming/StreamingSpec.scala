@@ -60,9 +60,11 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val sealedDf = spark.read.parquet(s"$dir/data")
     assert(sealedDf.count() == 3)
+    // idempotent seal: batches land in deterministic batch=<id> dirs
+    assert(sealedDf.columns.contains("batch"))
     // sealed + growing union read (growing = not-yet-flushed batch)
     val growing = Seq((4L, "d")).toDF("pk", "v")
-    assert(sealedDf.unionByName(growing).count() == 4)
+    assert(sealedDf.select("pk", "v").unionByName(growing).count() == 4)
   }
 
   test("per-key session state via mapGroupsWithState") {
