@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{SrpFunctions, TextFunctions, VectorFunctions}
 
 /** Large-scale corpus deduplication operators — the training-data
   * pipeline counterpart of the reference's MinHash/MHJACCARD support
@@ -14,13 +15,14 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * Scale design notes:
   *  - exact/fingerprint dedup: one hash-shuffle on a short digest key —
   *    the canonical 100 TB dedup shape (map-side partial agg first).
-  *  - MinHash LSH: band signatures → `groupBy(band_hash)` bucket join.
-  *    Bucket sizes are bounded by banding; no O(n²) cross join ever
-  *    materializes. Candidate verification re-checks estimated Jaccard.
-  *  - SimHash: 64-bit signatures, near-dup = hamming distance ≤ t via
-  *    pigeonhole banding on 16-bit chunks.
-  *  - embedding dedup: cosine ≥ τ pairs via the same LSH idea on random
-  *    hyperplane signs (SRP) — brute-force variant for exactness.
+  *  - near-dup families (MinHash, SimHash, SRP/cosine) all share one
+  *    shape: per-row signature → explode to (band, key) → equi-join
+  *    buckets → verify candidates exactly. No O(n²) pass ever runs on
+  *    the full corpus; the quadratic verify steps take an explicit
+  *    candidate-pair input (or a hard row cap) by API shape.
+  *  - hot buckets (empty docs, boilerplate) are salted into sub-buckets
+  *    above `bucketCap`, bounding any single join task; a true near-dup
+  *    pair inside a salted bucket still collides in its other bands.
   */
 object Dedup {
 
@@ -42,6 +44,10 @@ object Dedup {
     val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
     if (estParts < target) df.repartition(target) else df
   }
+
+  // ------------------------------------------------------------------
+  // exact / fingerprint dedup
+  // ------------------------------------------------------------------
 
   /** Exact duplicate groups by raw text equality (hash-groupBy, never a
     * self-join). Returns (key, cnt, ids) for groups with >1 member.
@@ -66,6 +72,69 @@ object Dedup {
     keyed.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
   }
 
+  // ------------------------------------------------------------------
+  // shared banded-LSH machinery
+  // ------------------------------------------------------------------
+
+  /** Distinct candidate pairs from an exploded (band_idx, band_hash, id)
+    * table — the bucket equi-join at the heart of every LSH variant.
+    *
+    * Hot-bucket mitigation: a degenerate band key (empty docs, template
+    * boilerplate) would otherwise make one bucket quadratic and one
+    * straggler task at scale, so buckets larger than `bucketCap` are
+    * salted into ⌈size/bucketCap⌉ sub-buckets by id hash. This bounds
+    * each join task at ~bucketCap² pair candidates. Pairs split across
+    * sub-buckets are only lost if they ALSO miss in every other band —
+    * for a pair colliding in m bands the residual miss probability is
+    * ∏(1−1/sᵢ) ≈ (1−1/s)^m, negligible for true near-duplicates (which
+    * collide in most bands). Sizing the cap above the largest expected
+    * legitimate duplicate class keeps exact-oracle workloads untouched.
+    */
+  private[operators] def bandedPairs(
+      banded: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
+    require(bucketCap > 1, s"bucketCap must be > 1, got $bucketCap")
+    // banded feeds three consumers (bucket sizes + both join sides);
+    // its lineage includes the per-row signature pass over the raw
+    // corpus, so cache the (small, ids-only) exploded table instead of
+    // recomputing signatures three times
+    val bandedP = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = bandedP.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_sz"))
+    // the sizes join co-partitions with the bucket self-join below, so
+    // AQE reuses the exchange; only 3 small columns + a count shuffle.
+    // Salt is PER BAND (hash of band_idx + id): two ids split apart in
+    // one hot band can still meet in another, so identical-doc recall
+    // under salting is 1 − (1−1/s)^hotBands rather than hard loss.
+    val salted = bandedP.join(sizes, Seq("band_idx", "band_hash"))
+      .withColumn("_salt",
+        when(col("_sz") > bucketCap,
+          pmod(xxhash64(col("band_idx"), col(idCol)),
+            ceil(col("_sz").cast("double") / bucketCap).cast(LongType)))
+          .otherwise(lit(0L)))
+      .select(col("band_idx"), col("band_hash"), col("_salt"), col(idCol))
+    val a = salted.withColumnRenamed(idCol, "id_a")
+    val b = salted.withColumnRenamed(idCol, "id_b")
+    // dedup candidate pairs FIRST (near-dups collide in many bands — up
+    // to `bands`× repeated pairs), then verify once per pair
+    a.join(b, Seq("band_idx", "band_hash", "_salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Hot-bucket diagnostic: (band_idx, band_hash, size) of buckets above
+    * `bucketCap` — what `bandedPairs` salted. Intended for logging what
+    * a production run mitigated (boilerplate detection falls out too).
+    */
+  def hotBuckets(banded: DataFrame, bucketCap: Int): DataFrame =
+    banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > bucketCap)
+
+  // ------------------------------------------------------------------
+  // MinHash-LSH (token-shingle Jaccard)
+  // ------------------------------------------------------------------
+
   /** MinHash signatures: (id, sig array<long>) from word `shingleSize`-
     * grams hashed `numHashes` ways.
     */
@@ -77,11 +146,13 @@ object Dedup {
 
   /** LSH candidate pairs: ids sharing ≥1 of `bands` bands, with their
     * estimated (minhash) Jaccard — pairs with est ≥ `threshold` kept.
-    * Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    * Output: (id_a, id_b, est_jaccard), id_a < id_b. Probabilistic (the
+    * estimate is signature agreement); see [[minhashNearDupPairs]] for
+    * the exactly-verified variant.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bucketCap: Int = 20000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // signatures feed three consumers (banding + both pair-join sides);
@@ -98,15 +169,7 @@ object Dedup {
         xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))
       }: _*)).as(Seq("band_idx", "band_hash")))
 
-    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
-    // dedup candidate pairs FIRST (near-dups collide in many bands — up
-    // to `bands`× repeated pairs), then fetch signatures once per pair
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    pairs
+    bandedPairs(banded, idCol, bucketCap)
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -114,11 +177,66 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Exact n-gram-token Jaccard similar pairs (quadratic verify step —
-    * use only on LSH candidates or bounded subsets).
+  /** Near-duplicate pairs by EXACT shingle-set Jaccard ≥ `threshold`,
+    * found via MinHash-LSH candidate generation + exact verification —
+    * the production dedup shape (bucketed candidates, quadratic work
+    * only inside candidate pairs) whose output is deterministic and
+    * engine-agnostic: banding only has to *find* each qualifying pair
+    * once, and with r = numHashes/bands rows per band the miss
+    * probability at J = `threshold` is (1 − J^r)^bands — defaults give
+    * (1 − 0.8³)^21 ≈ 3·10⁻⁷ per pair (reference analogue:
+    * minhash_function.go signatures + core/src/minhash/ LSH index).
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 63, bands: Int = 21,
+      shingleSize: Int = 3, bucketCap: Int = 20000,
+      roundTo: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val base = parallelize(df)
+    val sigs = minhashSignatures(base, idCol, textCol, numHashes, shingleSize)
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    val shingleSets = base.select(col(idCol), array_distinct(TextFunctions.shingles(
+      TextFunctions.tokenize(col(textCol)), shingleSize)).as("_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(bandedPairs(banded, idCol, bucketCap), shingleSets, idCol, "_set",
+      threshold, roundTo)
+  }
+
+  /** Exact set-Jaccard verification of candidate pairs: joins each
+    * (id_a, id_b) to its sets and keeps pairs with J ≥ `threshold`.
+    * Quadratic work is bounded by the candidate count BY API SHAPE —
+    * there is no full-corpus variant without a row cap.
+    *
+    * Output: (id_a, id_b, jaccard).
+    */
+  def jaccardVerify(candidates: DataFrame, sets: DataFrame, idCol: String,
+      setCol: String, threshold: Double, roundTo: Option[Int] = None): DataFrame = {
+    val j = TextFunctions.jaccard(col("_set_a"), col("_set_b"))
+    val jr = roundTo.map(d => round(j, d)).getOrElse(j)
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col(setCol).as("_set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col(setCol).as("_set_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jr.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs exact token-set Jaccard over a SMALL table — verify-only
+    * (ground truth for recall tests / bounded subsets). Guarded: refuses
+    * inputs above `maxRows` rather than silently going quadratic.
+    */
+  def jaccardPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxRows: Int = 10000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"jaccardPairsExhaustive is O(n²) verify-only: input exceeds maxRows=$maxRows; " +
+        "use minhashNearDupPairs for corpus-scale near-dup search")
     val toks = df.select(col(idCol),
       array_distinct(TextFunctions.tokenize(col(textCol))).as("toks"))
     val a = toks.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
@@ -130,67 +248,149 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------------
+  // SimHash (hamming near-dup)
+  // ------------------------------------------------------------------
+
+  /** masks(i) = 1L << i (shift builtins need literal amounts). */
+  private val BitMasks64 = typedlit(Seq.tabulate(64)(1L << _))
+  private val BitMasks60 = typedlit(Seq.tabulate(60)(1L << _))
+
   /** 64-bit SimHash of the token stream: per-token xxhash64, bitwise
-    * majority vote. Pure DataFrame math (no UDF): for each of 64 bits,
-    * sum ±1 across tokens and take the sign.
+    * majority vote (frequency-weighted). Pure DataFrame math (no UDF):
+    * for each of 64 bits, sum ±1 across tokens and take the sign.
     *
     * Single pass: token hashes are computed once and folded into a
     * 64-element vote accumulator (64 separate `aggregate` subtrees would
     * re-tokenize and re-hash per bit — a 64× blowup at sf0.1).
+    * Engine-local (xxhash64 seeds); see [[simhash60]] for the portable
+    * variant whose output is reproducible outside Spark.
     */
-  /** masks(i) = 1L << i (shift builtins need literal amounts). */
-  private val BitMasks = typedlit(Seq.tabulate(64)(1L << _))
-
   def simhash(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     val votes = aggregate(
       hashes,
       array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, BitMasks, (v, m) =>
+      (acc, h) => zip_with(acc, BitMasks64, (v, m) =>
         v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
     aggregate(
-      zip_with(votes, BitMasks, (v, m) => when(v > 0, m).otherwise(0L)),
+      zip_with(votes, BitMasks64, (v, m) => when(v > 0, m).otherwise(0L)),
       lit(0L),
       (acc, w) => acc.bitwiseOR(w))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
+  /** Portable 60-bit SimHash over DISTINCT tokens: per-token hash = the
+    * first 15 hex chars of md5 (60 bits, via base-16 `conv`), bit j of
+    * the signature = sign of the ±1 vote sum. Engine-agnostic by
+    * construction — md5 and hex→int are computed identically by any SQL
+    * engine, so near-dup results can be oracle-checked end to end
+    * (xxhash64 seeds are Spark-internal). Set semantics (distinct
+    * tokens) rather than frequency-weighted votes, by design.
+    */
+  def simhash60(tokens: Column): Column = {
+    val hashes = transform(array_distinct(tokens),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, BitMasks60, (v, m) =>
+        v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, BitMasks60, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L),
+      (acc, w) => acc.bitwiseOR(w))
+  }
+
+  /** Hamming distance between two packed signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with hamming ≤ maxDist, found via pigeonhole
-    * banding (4×16-bit chunks: any pair within distance 3 shares ≥1 exact
-    * chunk) — bucket join, no cross join.
+  /** SimHash near-dup pairs with hamming ≤ maxDist over the portable
+    * 60-bit signature, found via pigeonhole banding: the signature is
+    * split into maxDist+1 chunks, and any pair within distance maxDist
+    * must agree exactly on ≥1 chunk — so recall is EXACT (deterministic
+    * output), unlike probabilistic minhash banding. Bucket join, no
+    * cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, bucketCap: Int = 20000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 60, s"maxDist must be in [0,60), got $maxDist")
+    val chunks = maxDist + 1
+    // chunk widths as equal as possible; pigeonhole only needs >maxDist
+    // disjoint chunks covering all 60 bits, not equal widths
+    val widths = Array.tabulate(chunks)(c => 60 / chunks + (if (c < 60 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     // persisted for the same three-consumer reason as minhashLshPairs
     val sigs = parallelize(df).select(col(idCol),
-        simhash(TextFunctions.tokenize(col(textCol))).as("sim"))
+        simhash60(TextFunctions.tokenize(col(textCol))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = banded.select(col("chunk_idx"), col("chunk"), col(idCol).as("id_a"))
-    val b = banded.select(col("chunk_idx"), col("chunk"), col(idCol).as("id_b"))
-    val pairs = a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    pairs
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("sim"), offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    bandedPairs(banded, idCol, bucketCap)
       .join(sigs.select(col(idCol).as("id_a"), col("sim").as("sim_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+        hamming64(col("sim_a"), col("sim_b")).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold. Brute-force
-    * variant (exact); callers at scale should pre-bucket with
-    * [[IvfIndex]] or SRP-LSH and verify within buckets.
+  // ------------------------------------------------------------------
+  // embedding (cosine) near-dup
+  // ------------------------------------------------------------------
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, via SRP-LSH
+    * (signed-random-projection sign bits, banded like minhash) +
+    * exact cosine verification within buckets — the scale path: the
+    * corpus is scanned once for signatures (codegen'd [[SrpBands]]),
+    * bucket joins ship ids only, and the only pairwise cosine work is
+    * on candidates. Miss probability per qualifying pair is
+    * (1 − p^r)^bands with p = 1 − θ/π; defaults (384 planes, r=12,
+    * b=32) give ~4·10⁻⁹ at cosine 0.98.
+    *
+    * Output: (id_a, id_b, cosine), id_a < id_b.
     */
-  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+  def srpNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 384, rowsPerBand: Int = 12,
+      seed: Long = 42L, bucketCap: Int = 20000,
+      roundTo: Option[Int] = None): DataFrame = {
+    require(numPlanes % rowsPerBand == 0, "rowsPerBand must divide numPlanes")
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).head.getInt(0)
+    val planes = SrpFunctions.gaussianPlanes(numPlanes, dim, seed)
+    val base = parallelize(df)
+    val vecs = base.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs.select(col(idCol),
+      posexplode(SrpFunctions.srpBands(col(vecCol), planes, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    cosineVerify(bandedPairs(banded, idCol, bucketCap), vecs, idCol, vecCol,
+      threshold, roundTo)
+  }
+
+  /** Exact cosine verification of candidate pairs (bounded by the
+    * candidate count by API shape). Output: (id_a, id_b, cosine).
+    */
+  def cosineVerify(candidates: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, roundTo: Option[Int] = None): DataFrame = {
+    val c = VectorFunctions.cosine(col("_vec_a"), col("_vec_b"))
+    val cr = roundTo.map(d => round(c, d)).getOrElse(c)
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_vec_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cr.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** All-pairs exact cosine over a SMALL table — verify-only ground
+    * truth. Guarded: refuses inputs above `maxRows` rather than silently
+    * going quadratic; use [[srpNearDupPairs]] at corpus scale.
+    */
+  def embeddingCosinePairsExhaustive(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxRows: Int = 10000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"embeddingCosinePairsExhaustive is O(n²) verify-only: input exceeds maxRows=$maxRows; " +
+        "use srpNearDupPairs for corpus-scale near-dup search")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)

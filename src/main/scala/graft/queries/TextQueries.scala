@@ -61,24 +61,39 @@ object TextQueries {
   }
 
   /** Exact token-set Jaccard near-dup pairs on a bounded subset
-    * (quadratic verify step of the dedup pipeline).
+    * (quadratic verify step of the dedup pipeline; row-capped by API).
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("doc_id") < 60)
-    Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.30)
+    Dedup.jaccardPairsExhaustive(d, "doc_id", "text", threshold = 0.30)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (brute-force exact). */
+  /** Embedding-cosine near-duplicate pairs via SRP-LSH bucketing +
+    * exact in-bucket verification — the scale path (the brute-force
+    * crossJoin survives only as the row-capped
+    * `embeddingCosinePairsExhaustive` ground-truth helper). Near-dups
+    * are planted deterministically (v + 0.02·rotate(v), ids +10000,
+    * cosine ≈ 0.9998) so the oracle's exact self-join must agree
+    * pair-for-pair at threshold 0.98.
+    */
   def embedCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Dedup.embeddingCosinePairs(e, "vec_id", "embedding", threshold = 0.35)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val rotated = concat(slice(col("vec"), lit(2), size(col("vec")) - 1),
+      slice(col("vec"), 1, 1))
+    val planted = e.select((col("vec_id") + 10000).as("vec_id"),
+      zip_with(col("vec"), rotated, (a, b) => a + lit(0.02) * b).as("vec"))
+    Dedup.srpNearDupPairs(e.unionByName(planted), "vec_id", "vec",
+        threshold = 0.98, roundTo = Some(4))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash LSH candidate pairs (banded bucket join). Probabilistic —
-    * verified rows-only by the driver; recall/precision asserted in
-    * ScalaTest against exact Jaccard.
+  /** MinHash-LSH near-dup pairs, exactly verified: LSH banding generates
+    * candidates, exact shingle-set Jaccard keeps pairs ≥ 0.8 — so the
+    * output is deterministic (banding at 21 bands × r=3 misses a J=0.8
+    * pair with p ≈ 3·10⁻⁷) and the DuckDB oracle is a plain exact
+    * Jaccard self-join over the same planted corpus.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -86,13 +101,16 @@ object TextQueries {
     val nearDup = base.filter(col("doc_id") < 100)
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" appended")).as("text"))
-    Dedup.minhashLshPairs(base.unionByName(nearDup), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.5)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    Dedup.minhashNearDupPairs(base.unionByName(nearDup), "doc_id", "text",
+        threshold = 0.8, numHashes = 63, bands = 21, roundTo = Some(4))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup pairs (pigeonhole banding on 16-bit chunks). */
+  /** SimHash near-dup pairs over the PORTABLE 60-bit md5-derived
+    * signature, pigeonhole banding (maxDist+1 chunks ⇒ exact recall) —
+    * fully deterministic, so the oracle recomputes the identical
+    * signature in SQL and all-pairs-checks hamming ≤ 3.
+    */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val nearDup = base.filter(col("doc_id") < 100)
@@ -221,13 +239,56 @@ object TextQueries {
          |      len(list_distinct(list_concat(a.t, b.t))), 4) >= 0.30
          |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_cosine_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (SELECT vec_id + 10000 AS vec_id,
+        |    [v[i] + 0.02 * (CASE WHEN i = len(v) THEN v[1] ELSE v[i+1] END)
+        |     for i in generate_series(1, len(v))] AS v
+        |  FROM base),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        |FROM e a CROSS JOIN e b
-        |WHERE a.vec_id < b.vec_id
-        |  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' appended' FROM documents WHERE doc_id < 100),
+         |toks AS (SELECT doc_id, $sqlToks AS t FROM d),
+         |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+         |         THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t) - 2)]
+         |       END AS s FROM toks),
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |              len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |      FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz' FROM documents WHERE doc_id < 100),
+         |toks AS (SELECT doc_id, list_distinct($sqlToks) AS t FROM d),
+         |th AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM th),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS j),
+         |votes AS (SELECT doc_id, j,
+         |            sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM h CROSS JOIN bits GROUP BY doc_id, j),
+         |sig0 AS (SELECT doc_id,
+         |           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
+         |         FROM votes GROUP BY doc_id),
+         |sig AS (SELECT t.doc_id, coalesce(s.sim, 0) AS sim
+         |        FROM toks t LEFT JOIN sig0 s ON t.doc_id = s.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_text_match" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE len(list_intersect(
@@ -237,8 +298,5 @@ object TextQueries {
         |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
         |        ' ') || ' ') LIKE '% the fast %'
         |ORDER BY doc_id""".stripMargin
-    // q_minhash_lsh, q_simhash_pairs: probabilistic signatures (xxhash64
-    // seeds differ across engines) → rows-only driver check; exactness
-    // asserted in ScalaTest against true Jaccard.
   )
 }

@@ -35,13 +35,83 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+    val exact = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.contains((1L, 2L)) && exact.contains((5L, 6L)))
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 32, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(lsh), s"LSH missed ${exact diff lsh}")
+  }
+
+  test("minhashNearDupPairs matches exhaustive exact jaccard") {
+    val exact = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exhaustive uses token sets; run the verified path on 1-shingles so
+    // both compute the same set semantics
+    val verified = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleSize = 1, roundTo = Some(4))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == exact, s"verified=$verified exact=$exact")
+  }
+
+  test("jaccardPairsExhaustive refuses oversized inputs (verify-only guard)") {
+    val big = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id").cast("string")).as("text"))
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsExhaustive(big, "doc_id", "text", 0.5, maxRows = 100).count()
+    }
+  }
+
+  test("degenerate corpus (1k identical docs) completes under a small bucketCap") {
+    val degenerate = spark.range(0, 1000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated in every single document").as("text"))
+    // every band bucket holds all 1000 ids; cap 50 salts them ~20 ways.
+    // Completion without a quadratic straggler is the point; recall for
+    // identical docs under salting is 1-(1-1/s)^bands ≈ 66% of pairs.
+    val pairs = Dedup.minhashNearDupPairs(degenerate, "doc_id", "text",
+      threshold = 0.9, bucketCap = 50).count()
+    val allPairs = 1000L * 999 / 2
+    assert(pairs > allPairs / 3, s"found $pairs of $allPairs")
+    assert(pairs <= allPairs)
+    // the diagnostic surface reports what was salted
+    val sigs = Dedup.minhashSignatures(degenerate, "doc_id", "text", 63)
+    val banded = sigs.select(col("doc_id"), posexplode(array((0 until 21).map { b =>
+      xxhash64(lit(b), array_join(slice(col("sig"), b * 3 + 1, 3), ","))
+    }: _*)).as(Seq("band_idx", "band_hash")))
+    assert(Dedup.hotBuckets(banded, 50).count() == 21)
+  }
+
+  test("simhash60 is stable and md5-derived (portable signature)") {
+    val sig = Seq(Tuple1("the quick brown fox")).toDF("text")
+      .select(Dedup.simhash60(graft.functions.TextFunctions.tokenize(col("text"))))
+      .as[Long].head()
+    // deterministic across runs/engines; recompute expectation in Scala
+    def h(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val toks = Seq("the", "quick", "brown", "fox")
+    val expected = (0 until 60).map { j =>
+      val v = toks.map(t => if (((h(t) >> j) & 1L) == 1L) 1 else -1).sum
+      if (v > 0) 1L << j else 0L
+    }.reduce(_ | _)
+    assert(sig == expected, s"sig=$sig expected=$expected")
+  }
+
+  test("embedding near-dup pairs via SRP-LSH match exhaustive cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val exact = Dedup.embeddingCosinePairsExhaustive(vecs, "id", "vec", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    val srp = Dedup.srpNearDupPairs(vecs, "id", "vec", 0.9, roundTo = Some(4))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(srp == exact, s"srp=$srp exact=$exact")
   }
 
   test("minhash estimated jaccard approximates exact jaccard") {
@@ -62,14 +132,4 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
-  test("embedding cosine pairs") {
-    val vecs = Seq(
-      (1L, Array(1.0f, 0.0f, 0.0f)),
-      (2L, Array(0.99f, 0.1f, 0.0f)),
-      (3L, Array(0.0f, 1.0f, 0.0f))
-    ).toDF("id", "vec")
-    val pairs = Dedup.embeddingCosinePairs(vecs, "id", "vec", 0.9)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs == Set((1L, 2L)))
-  }
 }
