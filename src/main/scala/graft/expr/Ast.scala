@@ -18,6 +18,12 @@ case class Ident(name: String) extends Node
 /** `field["a"][0]` / `$meta["k"]` — JSON or array path access. */
 case class JsonPath(field: String, path: Seq[Either[String, Int]]) extends Node
 
+/** `$[sub]` — per-element sub-field reference, valid only inside an
+  * `element_filter` element expression (grammar StructSubFieldIdentifier,
+  * Plan.g4:154).
+  */
+case class StructSubField(name: String) extends Node
+
 case class ArrayLit(items: Seq[Node]) extends Node
 
 sealed trait UnaryOp

@@ -122,8 +122,32 @@ private[expr] object Calls {
       case g if g.startsWith("st_") =>
         graft.functions.GeoFunctions.compileCall(call, ctx)
 
+      // ---- per-element array predicates (reference:
+      // ElementFilterBitsNode.cpp + IterativeElementFilterNode.cpp,
+      // grammar Plan.g4:28/154) — a document matches when ANY element of
+      // the struct array satisfies the element expression, with `$[sub]`
+      // reading that element's sub-field. The per-element conjunction is
+      // the point: parallel array_contains on separate sub-fields can't
+      // express "the SAME element has qty>5 and type='A'". Compiles to
+      // `exists(field, elem => pred)` — codegen'd, no shuffle, and the
+      // whole predicate stays pushdown-eligible.
       case "element_filter" =>
-        throw CompileError("element_filter: not yet supported") // struct-array v2
+        if (ctx.element.isDefined)
+          throw CompileError("nested element_filter is not supported")
+        val fname = args(0) match {
+          case Ident(f) => f
+          case other    => throw CompileError(s"element_filter requires a field, got $other")
+        }
+        if (args.length != 2)
+          throw CompileError("element_filter(field, element_expr) takes exactly 2 args")
+        val elemSchema = ctx.fieldType(fname) match {
+          case Some(ArrayType(st: StructType, _)) => Some(st)
+          case Some(ArrayType(_, _))              => None
+          case other =>
+            throw CompileError(s"element_filter requires an ARRAY field, $fname is $other")
+        }
+        exists(col(fname), elem =>
+          ExprCompiler.compile(args(1), ctx.copy(element = Some((elem, elemSchema)))))
 
       case other =>
         throw CompileError(s"unknown function: $other")

@@ -26,7 +26,13 @@ object ExprCompiler {
       /** Template variable values (`{name}` placeholders). */
       params: Map[String, Any] = Map.empty,
       /** Seed for random_sample so plans stay deterministic per query. */
-      sampleSeed: Long = 42L) {
+      sampleSeed: Long = 42L,
+      /** Lambda element binding while compiling an `element_filter`
+        * element expression: the bound element Column plus its struct
+        * schema (None for scalar arrays, where `$[x]` is the element
+        * itself).
+        */
+      element: Option[(Column, Option[StructType])] = None) {
 
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
@@ -109,6 +115,18 @@ object ExprCompiler {
             case Some(meta) => get_json_object(col(meta), s"$$.$name")
             case None       => col(name) // let Catalyst raise unresolved
           }
+      }
+
+    case StructSubField(name) =>
+      ctx.element match {
+        case Some((elem, Some(st))) =>
+          if (!st.fieldNames.contains(name))
+            throw CompileError(s"struct array has no sub-field $name " +
+              s"(available: ${st.fieldNames.mkString(", ")})")
+          elem.getField(name)
+        case Some((elem, None)) => elem // scalar array: $[x] is the element
+        case None =>
+          throw CompileError(s"$$[$name] is only valid inside element_filter")
       }
 
     case jp @ JsonPath(field, parts) =>

@@ -10,6 +10,8 @@ object Lexer {
   case class TFloat(v: Double) extends Token
   case class TString(v: String) extends Token
   case class TIdent(name: String) extends Token
+  /** `$[field]` struct-array sub-field reference (element_filter scope). */
+  case class TStructSub(name: String) extends Token
   /** Multi- and single-char operators and punctuation, by literal text. */
   case class TOp(text: String) extends Token
   /** Case-insensitive word keywords: and or not in like exists is null
@@ -94,6 +96,15 @@ object Lexer {
             out += TInt(java.lang.Long.parseLong(text, 8)) // octal per grammar
           else out += TInt(text.toLong)
         }
+      } else if (c == '$' && peek(1) == '[') {
+        // $[ident] — struct sub-field (grammar StructSubFieldIdentifier)
+        i += 2
+        val start = i
+        while (i < n && (peek().isLetterOrDigit || peek() == '_')) i += 1
+        if (i == start || peek() != ']')
+          throw LexError("expected $[identifier]", i)
+        out += TStructSub(input.substring(start, i))
+        i += 1 // ']'
       } else if (c.isLetter || c == '_' || c == '$') {
         if ((c == 'r' || c == 'R') && (peek(1) == '\'' || peek(1) == '"')) {
           i += 1

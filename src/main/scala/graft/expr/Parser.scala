@@ -208,6 +208,8 @@ object Parser {
         expectOp("}")
         TemplateVar(name)
 
+      case TStructSub(name) => advance(); StructSubField(name)
+
       case TIdent(name) =>
         advance()
         cur match {

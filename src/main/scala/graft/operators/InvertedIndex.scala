@@ -31,6 +31,20 @@ object InvertedIndex {
     df.groupBy(col(valueCol))
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("postings"))
 
+  /** Point lookup via a value (bitmap-style) index: ids of rows whose
+    * indexed value is IN `values` — the reference's BITMAP index read
+    * path (BitmapIndex.cpp In/range queries re-expressed as a pruned
+    * index-table scan + posting explode). Postings of distinct values
+    * are disjoint, so the union needs no dedup; at scale the index table
+    * is stored sorted by value so the isin() prunes to a few row groups.
+    */
+  def lookupValues(index: DataFrame, valueCol: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "need at least one value")
+    index
+      .filter(col(valueCol).isin(values: _*))
+      .select(explode(col("postings")).as("id"))
+  }
+
   /** Term lookup via the index: ids of rows containing ALL query terms
     * (posting-list intersection — the index-side fast path the reference
     * takes for `text_match` when an inverted index exists).

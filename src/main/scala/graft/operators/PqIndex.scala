@@ -110,17 +110,18 @@ object PqIndex {
     */
   def searchRefined(encoded: DataFrame, idCol: String, codesCol: String,
       vecCol: String, model: Model, queries: Seq[(Long, Array[Float])],
-      k: Int, shortlist: Int): DataFrame = {
+      k: Int, shortlist: Int, roundTo: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val spark = encoded.sparkSession
     import spark.implicits._
     val candidates = search(encoded, idCol, codesCol, model, queries, shortlist)
       .select(col("qid"), col(idCol))
     val qDf = queries.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "_qvec")
+    val raw = graft.functions.VectorFunctions.l2(col(vecCol), col("_qvec"))
     val exact = broadcast(candidates)
       .join(encoded.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(qDf), "qid")
-      .withColumn("_score", graft.functions.VectorFunctions.l2(col(vecCol), col("_qvec")))
+      .withColumn("_score", roundTo.map(d => round(raw, d)).getOrElse(raw))
     VectorSearch.reduceTopK(exact, idCol, "qid", graft.functions.Metric.L2, k, Seq(idCol))
   }
 }

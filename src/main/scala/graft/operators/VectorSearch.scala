@@ -124,13 +124,26 @@ object VectorSearch {
   }
 
   /** Grouping search (reference: PhySearchGroupByNode,
-    * internal/core/src/exec/operator/SearchGroupByNode.cpp): per query,
-    * the best `k` groups by their best hit, each group contributing up to
-    * `groupSize` hits.
+    * internal/core/src/exec/operator/search-groupby/SearchGroupByOperator
+    * .{h,cpp}; proxy reduce internal/proxy/search_reduce_util.go:195-290):
+    * per query, the best `k` groups — by composite `groupCols` key — each
+    * contributing up to `groupSize` hits.
+    *
+    * `strictGroupSize` mirrors the reference knob (task.go:64,
+    * CompositeGroupByMap.IsGroupResEnough): the reference walks hits in
+    * score order, capping each group at groupSize and dropping groups
+    * beyond k. With strict=true the walk runs until all k groups are
+    * FULL, so every chosen group fills to groupSize when the data allows.
+    * With strict=false (reference default) the walk stops the moment the
+    * k-th distinct group appears, so hits ranked after that point are
+    * excluded even from non-full chosen groups — expressed here without
+    * re-walking: a hit survives iff its (score, tie) is at least as good
+    * as the k-th chosen group's BEST hit (the walk's stopping point).
     *
     * Two partial-aggregating top-k passes — no windows, no wide shuffle:
     * pass 1 reduces to ≤ groupSize hits per (query, group); pass 2 ranks
-    * groups per query by best-hit score.
+    * groups per query by best-hit score (= first-appearance order of the
+    * reference walk).
     */
   def groupBySearch(
       corpus: DataFrame,
@@ -141,40 +154,66 @@ object VectorSearch {
       qvecCol: String,
       metric: Metric.Value,
       k: Int,
-      groupCol: String,
+      groupCols: Seq[String],
       groupSize: Int = 1,
+      strictGroupSize: Boolean = false,
       filter: Option[Column] = None,
       outputCols: Seq[String] = Nil,
       roundTo: Option[Int] = None): DataFrame = {
+    require(groupCols.nonEmpty, "groupBySearch needs at least one group column")
     val out = (if (outputCols.nonEmpty) outputCols else Seq(idCol)).distinct
     val asc = !Metric.higherIsBetter(metric)
     val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
     val idType = scored.schema(idCol).dataType
-    val payload = struct(out.map(col): _*)
+    val tie = TopKFunctions.tieFor(col(idCol), idType)
+    // each hit carries its tie so the non-strict cutoff can compare
+    // against the walk's total (score, tie) order after aggregation
+    val payload = struct(out.map(col) :+ tie.as("_tie"): _*)
     // pass 1: per (query, group) keep the groupSize best hits
     val perGroup = scored
-      .groupBy(col(qidCol), col(groupCol))
+      .groupBy(col(qidCol) +: groupCols.map(col): _*)
       .agg(TopKFunctions
-        .top_k(col("_score"), TopKFunctions.tieFor(col(idCol), idType), payload, groupSize, asc)
+        .top_k(col("_score"), tie, payload, groupSize, asc)
         .as("_hits"))
       .withColumn("_best", col("_hits")(0)("score"))
-      .withColumn("_best_tie", TopKFunctions.tieFor(col("_hits")(0)("payload")(idCol), idType))
+      .withColumn("_best_tie", col("_hits")(0)("payload")("_tie"))
     // pass 2: per query keep the k best groups (by best hit)
-    perGroup
+    val groupPayload = struct(groupCols.map(col) :+ col("_hits"): _*)
+    val grouped = perGroup
       .groupBy(col(qidCol))
       .agg(TopKFunctions
-        .top_k(col("_best"), col("_best_tie"), struct(col(groupCol), col("_hits")), k, asc)
+        .top_k(col("_best"), col("_best_tie"), groupPayload, k, asc)
         .as("_groups"))
-      .select(col(qidCol), posexplode(col("_groups")).as(Seq("_gpos", "_g")))
+    // non-strict cutoff: the k-th chosen group's best hit is where the
+    // reference walk stopped; with < k groups the walk ran to exhaustion
+    val withThr = grouped
+      .withColumn("_full", size(col("_groups")) === k)
+      .withColumn("_thr_s", element_at(col("_groups"), -1)("score"))
+      .withColumn("_thr_t",
+        element_at(col("_groups"), -1)("payload")("_hits")(0)("payload")("_tie"))
+    val exploded = withThr
+      .select(col(qidCol), col("_full"), col("_thr_s"), col("_thr_t"),
+        posexplode(col("_groups")).as(Seq("_gpos", "_g")))
       .select(
-        col(qidCol),
-        (col("_gpos") + 1).cast("long").as("group_rank"),
-        col(s"_g.payload.$groupCol").as(groupCol),
-        posexplode(col("_g.payload._hits")).as(Seq("_hpos", "_hit")))
-      .select(
-        Seq(col(qidCol), col("group_rank"), col(groupCol),
-          (col("_hpos") + 1).cast("long").as("rank"), col("_hit.score").as("_score")) ++
-          out.map(c => col(s"_hit.payload.$c").as(c)): _*)
+        Seq(col(qidCol), col("_full"), col("_thr_s"), col("_thr_t"),
+          (col("_gpos") + 1).cast("long").as("group_rank")) ++
+          groupCols.map(g => col(s"_g.payload.$g").as(g)) :+
+          posexplode(col("_g.payload._hits")).as(Seq("_hpos", "_hit")): _*)
+    val surviving =
+      if (strictGroupSize) exploded
+      else {
+        val s = col("_hit.score"); val t = col("_hit.payload._tie")
+        val betterOrEq =
+          (if (asc) s < col("_thr_s") else s > col("_thr_s")) ||
+            (s === col("_thr_s") && t <= col("_thr_t"))
+        // trimmed hits are each group's worst suffix, so within-group
+        // ranks stay contiguous
+        exploded.filter(!col("_full") || betterOrEq)
+      }
+    surviving.select(
+      Seq(col(qidCol), col("group_rank")) ++ groupCols.map(col) ++
+        Seq((col("_hpos") + 1).cast("long").as("rank"), col("_hit.score").as("_score")) ++
+        out.map(c => col(s"_hit.payload.$c").as(c)): _*)
   }
 
   /** Requery (reference: CreateRequeryPlan,

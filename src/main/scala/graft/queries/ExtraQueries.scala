@@ -108,6 +108,23 @@ object ExtraQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** element_filter over a struct array through the expr grammar: orders
+    * whose line items include ONE element that is both early
+    * (l_linenumber <= 2) and large (l_quantity > 45) — per-element
+    * conjunction that parallel array predicates can't express
+    * (reference: ElementFilterBitsNode.cpp, $[sub] grammar Plan.g4:154).
+    */
+  def elementFilter(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+    items.filter(ExprCompiler.compile(
+        "element_filter(items, $[l_quantity] > 45.0 and $[l_linenumber] <= 2)", items))
+      .select(col("l_orderkey"), size(col("items")).as("n_items"))
+      .orderBy(col("l_orderkey"))
+  }
+
   // ---- §1.2/§2.6 sparse vectors (SPARSE_INVERTED_INDEX / WAND) ----
 
   def sparseTopk(s: SparkSession, dir: String): DataFrame = {
@@ -298,11 +315,47 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  // ---- §2.6 BITMAP index build + value lookup (BitmapIndex.cpp) ----
+
+  def bitmapLookup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = graft.operators.InvertedIndex.buildValueIndex(d, "doc_id", "lang")
+    val ids = graft.operators.InvertedIndex.lookupValues(index, "lang", Seq("en", "de"))
+    broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
+      .select(col("id"), col("lang"), col("source"))
+      .orderBy(col("id"))
+  }
+
+  // ---- §2.6 IVF_PQ: ADC shortlist + exact refine (knowhere IVF_PQ) ----
+
+  /** PQ with shortlist ≥ corpus: the exact refine re-ranks everything,
+    * so the result equals brute-force L2 and the oracle applies — the
+    * same trick q_ivf_exhaustive uses (partial-shortlist recall is
+    * asserted in PqIndexSpec).
+    */
+  def pqRefine(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PqIndex
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val model = PqIndex.train(emb, "embedding", m = 8, k = 16, dim = dim)
+    val encoded = emb.withColumn("_codes", PqIndex.encode(model, col("embedding")))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    PqIndex.searchRefined(encoded, "vec_id", "_codes", "embedding", model,
+        qs, k = 10, shortlist = n, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_hamming" -> (binaryHamming _),
     "q_json_contains" -> (jsonContains _),
     "q_model_rerank" -> (modelRerank _),
     "q_inverted_lookup" -> (invertedLookup _),
+    "q_bitmap_lookup" -> (bitmapLookup _),
+    "q_pq_refine" -> (pqRefine _),
     "q_phrase_match" -> (phraseMatch _),
     "q_phrase_slop" -> (phraseSlop _),
     "q_match_least" -> (matchLeast _),
@@ -312,6 +365,7 @@ object ExtraQueries {
     "q_geo_dwithin" -> (geoDWithin _),
     "q_geo_within" -> (geoWithin _),
     "q_array_exists" -> (arrayExists _),
+    "q_element_filter" -> (elementFilter _),
     "q_sparse_topk" -> (sparseTopk _),
     "q_maxsim" -> (maxSim _),
     "q_anti_join" -> (antiJoin _),
@@ -364,6 +418,19 @@ object ExtraQueries {
         |WHERE list_contains(string_split(text, ' '), 'vector')
         |  AND list_contains(string_split(text, ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
+    "q_bitmap_lookup" ->
+      """SELECT doc_id AS id, lang, source FROM documents
+        |WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,
+    "q_pq_refine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_phrase_match" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE ' ' || text || ' ' LIKE '% table table %' ORDER BY doc_id""".stripMargin,
@@ -405,6 +472,13 @@ object ExtraQueries {
       """SELECT vec_id, len(embedding) AS dim FROM embeddings
         |WHERE len(list_filter(embedding, x -> x > 0.4)) > 0
         |ORDER BY vec_id""".stripMargin,
+    "q_element_filter" ->
+      """WITH g AS (SELECT l_orderkey, count(*) AS n_items,
+        |    list(struct_pack(ln := l_linenumber, qty := l_quantity)) AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, n_items FROM g
+        |WHERE len(list_filter(items, e -> e.qty > 45.0 AND e.ln <= 2)) > 0
+        |ORDER BY l_orderkey""".stripMargin,
     "q_sparse_topk" ->
       """SELECT doc_id,
         |  2.0 * len(list_filter(string_split(text, ' '), t -> t = 'vector'))

@@ -85,14 +85,32 @@ object SearchQueries {
   }
 
   /** Grouping search (PhySearchGroupByNode): top 3 label-groups per
-    * query, 2 hits per group.
+    * query, 2 hits per group, strict (groups fill to group_size).
     */
   def groupBySearch(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.groupBySearch(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
-        Metric.COSINE, k = 3, groupCol = "label", groupSize = 2,
+        Metric.COSINE, k = 3, groupCols = Seq("label"), groupSize = 2,
+        strictGroupSize = true,
         outputCols = Seq("vec_id"), roundTo = Some(4))
       .select(col("qid"), col("group_rank"), col("label"),
+        col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("group_rank"), col("rank"))
+  }
+
+  /** Composite (multi-field) grouping search with the reference-default
+    * strict_group_size=false: hits ranked after the k-th distinct
+    * group's first appearance are excluded even from non-full groups
+    * (search_reduce_util.go walk semantics).
+    */
+  def groupByComposite(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("parity", (col("vec_id") % 2).cast("long"))
+    VectorSearch.groupBySearch(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.COSINE, k = 3, groupCols = Seq("label", "parity"), groupSize = 2,
+        strictGroupSize = false,
+        outputCols = Seq("vec_id"), roundTo = Some(4))
+      .select(col("qid"), col("group_rank"), col("label"), col("parity"),
         col("rank"), col("_score").as("score"), col("vec_id"))
       .orderBy(col("qid"), col("group_rank"), col("rank"))
   }
@@ -193,6 +211,7 @@ object SearchQueries {
     "q_range_search" -> (rangeSearch _),
     "q_search_iterator" -> (searchIterator _),
     "q_groupby_search" -> (groupBySearch _),
+    "q_groupby_composite" -> (groupByComposite _),
     "q_requery" -> (requery _),
     "q_rrf_fusion" -> (rrfFusion _),
     "q_weighted_fusion" -> (weightedFusion _),
@@ -260,6 +279,32 @@ object SearchQueries {
          |FROM g JOIN hh ON g.qid = hh.qid AND g.label = hh.label
          |WHERE g.group_rank <= 3
          |ORDER BY g.qid, g.group_rank, rank""".stripMargin,
+    "q_groupby_composite" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, e.vec_id, e.label, e.vec_id % 2 AS parity,
+         |        round($cosineExpr, 4) AS score
+         |      FROM q CROSS JOIN embeddings e),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |       FROM d),
+         |g AS (SELECT qid, label, parity, vec_id, score, rn,
+         |        row_number() OVER (PARTITION BY qid, label, parity ORDER BY rn) AS gr,
+         |        min(rn) OVER (PARTITION BY qid, label, parity) AS first_rn
+         |      FROM rn),
+         |gord AS (SELECT qid, label, parity, first_rn,
+         |           row_number() OVER (PARTITION BY qid ORDER BY first_rn) AS group_rank
+         |         FROM (SELECT DISTINCT qid, label, parity, first_rn FROM g)),
+         |thr AS (SELECT qid,
+         |          max(CASE WHEN group_rank = 3 THEN first_rn END) AS t,
+         |          count(*) AS ngroups
+         |        FROM gord WHERE group_rank <= 3 GROUP BY qid)
+         |SELECT g.qid, gord.group_rank, g.label, g.parity, g.gr AS rank, g.score, g.vec_id
+         |FROM g
+         |JOIN gord ON g.qid = gord.qid AND g.label = gord.label AND g.parity = gord.parity
+         |JOIN thr ON g.qid = thr.qid
+         |WHERE gord.group_rank <= 3 AND g.gr <= 2
+         |  AND (thr.ngroups < 3 OR g.rn <= thr.t)
+         |ORDER BY g.qid, gord.group_rank, rank""".stripMargin,
     "q_requery" ->
       s"""WITH ${scoredSql(cosineExpr)},
          |r AS (SELECT qid, vec_id, label, score,

@@ -168,6 +168,35 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ExprCompiler.parseIsoDuration("P1DT1S") == ((0, 1, 1000000L)))
   }
 
+  test("element_filter over struct arrays and scalar arrays") {
+    val sdf = Seq(
+      (1L, Seq((1L, 10.0), (2L, 50.0)), Seq(1L, 2L)),
+      (2L, Seq((1L, 60.0), (3L, 70.0)), Seq(5L, 6L)),
+      (3L, Seq((4L, 99.0)), Seq.empty[Long])
+    ).toDF("id", "raw", "tags")
+      .select(col("id"),
+        transform(col("raw"), e =>
+          struct(e.getField("_1").as("ln"), e.getField("_2").as("qty"))).as("items"),
+        col("tags"))
+    def ids(e: String): Set[Long] =
+      sdf.filter(ExprCompiler.compile(e, sdf)).select("id").as[Long].collect().toSet
+    // per-element conjunction: id=2 has (1,60) — early AND large on the
+    // SAME element; id=1 has early(1,10) and large(2,50) on DIFFERENT
+    // elements and must not match; id=3's large element is late.
+    assert(ids("element_filter(items, $[qty] > 45.0 and $[ln] <= 1)") == Set(2L))
+    assert(ids("element_filter(items, $[qty] > 45.0)") == Set(1L, 2L, 3L))
+    // scalar arrays: $[x] is the element itself
+    assert(ids("element_filter(tags, $[x] >= 5)") == Set(2L))
+    // unknown sub-field and nested element_filter are rejected
+    intercept[ExprCompiler.CompileError] {
+      ids("element_filter(items, $[nope] > 1)")
+    }
+    intercept[ExprCompiler.CompileError] {
+      ids("element_filter(items, element_filter(items, $[qty] > 1))")
+    }
+    intercept[ExprCompiler.CompileError] { ids("$[qty] > 45.0") }
+  }
+
   test("parse errors are informative") {
     intercept[Parser.ParseError](Parser.parse("id >"))
     intercept[Parser.ParseError](Parser.parse("id in (1,2)"))
