@@ -326,6 +326,20 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  // ---- §2.6 NGRAM index + fused multi-LIKE (NgramInvertedIndex.cpp) ----
+
+  /** Two inner-LIKE patterns answered through ONE ngram-index probe +
+    * exact refine; result must equal the full-scan LIKE conjunction.
+    */
+  def ngramLike(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = graft.operators.NgramIndex.build(d, "doc_id", "text", n = 3)
+    graft.operators.NgramIndex.likeSearch(d, "doc_id", "text", index,
+        patterns = Seq("ecto", "tream"), n = 3)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- §2.6 IVF_PQ: ADC shortlist + exact refine (knowhere IVF_PQ) ----
 
   /** PQ with shortlist ≥ corpus: the exact refine re-ranks everything,
@@ -356,6 +370,7 @@ object ExtraQueries {
     "q_inverted_lookup" -> (invertedLookup _),
     "q_bitmap_lookup" -> (bitmapLookup _),
     "q_pq_refine" -> (pqRefine _),
+    "q_ngram_like" -> (ngramLike _),
     "q_phrase_match" -> (phraseMatch _),
     "q_phrase_slop" -> (phraseSlop _),
     "q_match_least" -> (matchLeast _),
@@ -421,6 +436,10 @@ object ExtraQueries {
     "q_bitmap_lookup" ->
       """SELECT doc_id AS id, lang, source FROM documents
         |WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,
+    "q_ngram_like" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
+        |ORDER BY doc_id""".stripMargin,
     "q_pq_refine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),

@@ -90,6 +90,26 @@ class ExtraSpec extends SparkSpec {
     assert(words == Seq(-1L, 1L))
   }
 
+  test("ngram index multi-LIKE equals full-scan LIKE conjunction") {
+    val docs = Seq(
+      (1L, "the vector stream flows"),
+      (2L, "a vector without the other word"),
+      (3L, "streaming tables, no v-word"),
+      (4L, "Vector STREAM mixed case"), // case-sensitive refine must drop this
+      (5L, "xy") // shorter than a gram
+    ).toDF("doc_id", "text")
+    val index = NgramIndex.build(docs, "doc_id", "text", n = 3)
+    val viaIndex = NgramIndex.likeSearch(docs, "doc_id", "text", index,
+      Seq("ector", "stream")).select("doc_id").as[Long].collect().toSet
+    val fullScan = docs.filter(col("text").contains("ector") && col("text").contains("stream"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == fullScan && fullScan == Set(1L))
+    // short patterns fall back to the full scan rather than mis-pruning
+    val short = NgramIndex.likeSearch(docs, "doc_id", "text", index, Seq("xy"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(short == Set(5L))
+  }
+
   test("search facets bucket hits with bounded top_hits") {
     val hits = Seq(
       (0L, 1, 0.9, 10L), (0L, 1, 0.8, 11L), (0L, 2, 0.7, 12L),
