@@ -101,6 +101,44 @@ case class GeoIsValid(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `st_envelope(geomCol)` → struct(xmin,ymin,xmax,ymax) — one JTS parse
+  * per row at INGEST, so query-time coarse filters are plain double
+  * comparisons (codegen'd, zone-map prunable) instead of geometry ops.
+  * Reference: docs/design_docs/gis_filter_coarse_refine_split_fusion.md
+  * (coarse RTree probe + exact refine); the Spark analogue of the RTree
+  * is Parquet min/max stats over materialized envelope columns.
+  */
+case class GeoEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+    StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+  override def prettyName: String = "st_envelope"
+
+  override def nullSafeEval(v: Any): Any = {
+    val env = GeoOps.parse(v).getEnvelopeInternal
+    org.apache.spark.sql.catalyst.InternalRow(
+      env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `st_aswkb(geomCol)` — normalize WKT (or WKB) to WKB binary once at
+  * ingest; WKB parse at query time is ~10× cheaper than re-lexing WKT
+  * per row per predicate.
+  */
+case class GeoToWkb(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_aswkb"
+
+  override def nullSafeEval(v: Any): Any =
+    new org.locationtech.jts.io.WKBWriter().write(GeoOps.parse(v))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object GeoFunctions {
   import graft.expr.{Call, Ident, StringLit, IntLit, FloatLit, Node}
   import graft.expr.ExprCompiler.{CompileError, Ctx}
@@ -116,6 +154,33 @@ object GeoFunctions {
   def stIsValid(geom: Column): Column =
     ColumnBridge.column(GeoIsValid(ColumnBridge.expression(geom)))
 
+  def stEnvelope(geom: Column): Column =
+    ColumnBridge.column(GeoEnvelope(ColumnBridge.expression(geom)))
+
+  def stAsWkb(geom: Column): Column =
+    ColumnBridge.column(GeoToWkb(ColumnBridge.expression(geom)))
+
+  /** Ingest-time geometry preparation (run ONCE, before writing the
+    * table): re-encodes `geomCol` WKT→WKB and materializes the four
+    * envelope columns `<geom>_xmin/_ymin/_xmax/_ymax` that
+    * [[compileCall]] auto-detects to inject a coarse pre-filter ahead of
+    * the exact JTS refine. Written to Parquet, the envelope doubles get
+    * row-group min/max stats — the distributed analogue of the
+    * reference's RTree coarse probe (RTreeIndex.cpp).
+    */
+  def prepareGeometry(df: org.apache.spark.sql.DataFrame, geomCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val env = s"${geomCol}_env"
+    df.withColumn(env, stEnvelope(col(geomCol)))
+      .withColumn(geomCol, stAsWkb(col(geomCol)))
+      .withColumn(s"${geomCol}_xmin", col(s"$env.xmin"))
+      .withColumn(s"${geomCol}_ymin", col(s"$env.ymin"))
+      .withColumn(s"${geomCol}_xmax", col(s"$env.xmax"))
+      .withColumn(s"${geomCol}_ymax", col(s"$env.ymax"))
+      .drop(env)
+  }
+
   /** Coarse bbox pre-filter for pushdown: given materialized envelope
     * columns (xmin/xmax/ymin/ymax) and a query WKT, returns the zone-map-
     * prunable envelope-intersection predicate to AND in front of the
@@ -128,28 +193,73 @@ object GeoFunctions {
       ymin <= env.getMaxY && ymax >= env.getMinY
   }
 
+  /** The envelope-level NECESSARY condition for `pred` over the
+    * materialized `<field>_{xmin,ymin,xmax,ymax}` columns — a superset
+    * filter, so ANDing it ahead of the exact refine never changes the
+    * result, only prunes rows (and, on Parquet, whole row groups) before
+    * the expensive JTS evaluation.
+    */
+  private def coarseFilter(field: String, pred: String, queryWkt: String,
+      dist: Double = 0.0): Option[Column] = {
+    import org.apache.spark.sql.functions.col
+    val (xmin, ymin) = (col(s"${field}_xmin"), col(s"${field}_ymin"))
+    val (xmax, ymax) = (col(s"${field}_xmax"), col(s"${field}_ymax"))
+    val e = new WKTReader().read(queryWkt).getEnvelopeInternal
+    pred match {
+      // relation implies envelope intersection
+      case "st_intersects" | "st_equals" | "st_touches" | "st_overlaps" | "st_crosses" =>
+        Some(xmin <= e.getMaxX && xmax >= e.getMinX &&
+             ymin <= e.getMaxY && ymax >= e.getMinY)
+      // geom within query ⇒ geom's envelope inside query's envelope
+      case "st_within" =>
+        Some(xmin >= e.getMinX && xmax <= e.getMaxX &&
+             ymin >= e.getMinY && ymax <= e.getMaxY)
+      // geom contains query ⇒ geom's envelope covers query's envelope
+      case "st_contains" =>
+        Some(xmin <= e.getMinX && xmax >= e.getMaxX &&
+             ymin <= e.getMinY && ymax >= e.getMaxY)
+      // within distance d ⇒ envelopes within d on each axis
+      case "st_dwithin" =>
+        Some(xmin <= e.getMaxX + dist && xmax >= e.getMinX - dist &&
+             ymin <= e.getMaxY + dist && ymax >= e.getMinY - dist)
+      case _ => None
+    }
+  }
+
+  /** True when prepareGeometry's envelope columns exist for `field`. */
+  private def hasEnvelope(ctx: Ctx, field: String): Boolean =
+    Seq("_xmin", "_ymin", "_xmax", "_ymax")
+      .forall(s => ctx.fieldType(field + s).contains(DoubleType))
+
   private[graft] def compileCall(call: Call, ctx: Ctx): Column = {
     import org.apache.spark.sql.functions.{col, lit}
-    def geomCol: Column = call.args.head match {
-      case Ident(f) => col(f)
+    def geomField: String = call.args.head match {
+      case Ident(f) => f
       case other    => throw CompileError(s"${call.name} requires a geometry field, got $other")
     }
-    def wktArg(i: Int): Column = call.args(i) match {
-      case StringLit(s) => lit(s)
+    def wktArg(i: Int): String = call.args(i) match {
+      case StringLit(s) => s
       case other        => throw CompileError(s"${call.name} requires WKT string, got $other")
     }
+    /** coarse bbox AND exact JTS — coarse only when envelope columns exist. */
+    def coarseRefine(pred: String, exact: Column, wkt: String, dist: Double = 0.0): Column =
+      if (hasEnvelope(ctx, geomField))
+        coarseFilter(geomField, pred, wkt, dist).map(_ && exact).getOrElse(exact)
+      else exact
     call.name match {
-      case "st_isvalid" => stIsValid(geomCol)
+      case "st_isvalid" => stIsValid(col(geomField))
       case "st_dwithin" =>
         val d = call.args(2) match {
           case FloatLit(v) => v
           case IntLit(v)   => v.toDouble
           case other       => throw CompileError(s"st_dwithin distance must be number, got $other")
         }
-        stDWithin(geomCol, wktArg(1), d)
+        val wkt = wktArg(1)
+        coarseRefine("st_dwithin", stDWithin(col(geomField), lit(wkt), d), wkt, d)
       case p @ ("st_equals" | "st_touches" | "st_overlaps" | "st_crosses" |
                 "st_contains" | "st_intersects" | "st_within") =>
-        stPredicate(p, geomCol, wktArg(1))
+        val wkt = wktArg(1)
+        coarseRefine(p, stPredicate(p, col(geomField), lit(wkt)), wkt)
       case other => throw CompileError(s"unknown geo function $other")
     }
   }

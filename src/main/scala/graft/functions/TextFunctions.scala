@@ -57,6 +57,16 @@ object TextFunctions {
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
 
+  /** Fused tokens→shingles→signature in one codegen'd expression —
+    * bit-identical to `minhash(shingles(tokens, shingleSize), numHashes)`
+    * but single-pass (see [[graft.functions.MinHashSignature]]). Use this
+    * on the corpus-scan hot path.
+    */
+  def minhashSignature(tokens: Column, numHashes: Int, shingleSize: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), numHashes, shingleSize))
+
   /** Estimated Jaccard similarity of two equal-length minhash signatures. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =
     aggregate(

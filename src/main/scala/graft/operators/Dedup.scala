@@ -139,10 +139,9 @@ object Dedup {
     * grams hashed `numHashes` ways.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val sh = TextFunctions.shingles(TextFunctions.tokenize(col(textCol)), shingleSize)
-    df.select(col(idCol), TextFunctions.minhash(sh, numHashes).as("sig"))
-  }
+      numHashes: Int = 64, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol), TextFunctions.minhashSignature(
+      TextFunctions.tokenize(col(textCol)), numHashes, shingleSize).as("sig"))
 
   /** LSH candidate pairs: ids sharing ≥1 of `bands` bands, with their
     * estimated (minhash) Jaccard — pairs with est ≥ `threshold` kept.

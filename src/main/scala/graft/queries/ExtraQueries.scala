@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession
 import graft.expr.ExprCompiler
-import graft.functions.{Metric, SparseFunctions, TextFunctions}
+import graft.functions.{GeoFunctions, Metric, SparseFunctions, TextFunctions}
 import graft.operators.{MultiModal, SearchAgg, VectorSearch}
 
 /** Coverage queries for SURVEY.md §2 surfaces added after the first
@@ -91,8 +91,14 @@ object ExtraQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Geo filter through the coarse→refine split: prepareGeometry
+    * materializes envelope doubles + WKB once (the ingest step), and the
+    * compiled `st_within` auto-ANDs the bbox pre-filter so the JTS refine
+    * only touches envelope-passing rows (reference design doc:
+    * gis_filter_coarse_refine_split_fusion.md).
+    */
   def geoWithin(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventPoints(s, dir)
+    val ev = GeoFunctions.prepareGeometry(eventPoints(s, dir), "geom")
     ev.filter(ExprCompiler.compile(
         "st_within(geom, 'POLYGON((10 10, 90 10, 90 60, 10 60, 10 10))')", ev))
       .select(col("event_id"), col("user_id"))

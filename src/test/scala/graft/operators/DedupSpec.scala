@@ -132,4 +132,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L)))
   }
 
+  test("fused minhash_signature expression is bit-identical to the HOF formula") {
+    import graft.functions.TextFunctions
+    // mix of long docs, short-of-a-shingle docs, and the empty string
+    val edgy = docs.unionByName(Seq(
+      (7L, "two words"), (8L, "one"), (9L, ""), (10L, "a b c")).toDF("doc_id", "text"))
+    for ((nh, ss) <- Seq((64, 3), (63, 1), (16, 5))) {
+      val toks = TextFunctions.tokenize(col("text"))
+      val both = edgy.select(
+        TextFunctions.minhashSignature(toks, nh, ss).as("fused"),
+        TextFunctions.minhash(TextFunctions.shingles(toks, ss), nh).as("hof"))
+      val diff = both.filter(col("fused") =!= col("hof")).count()
+      assert(diff == 0, s"fused != HOF for numHashes=$nh shingleSize=$ss")
+      // the codegen path must agree with the interpreted path too
+      val interpreted = both.withColumn("_salt", lit(1)) // new plan, same exprs
+        .filter(col("fused") =!= col("hof")).count()
+      assert(interpreted == 0)
+    }
+  }
+
 }
