@@ -253,7 +253,6 @@ object Dedup {
 
   /** masks(i) = 1L << i (shift builtins need literal amounts). */
   private val BitMasks64 = typedlit(Seq.tabulate(64)(1L << _))
-  private val BitMasks60 = typedlit(Seq.tabulate(60)(1L << _))
 
   /** 64-bit SimHash of the token stream: per-token xxhash64, bitwise
     * majority vote (frequency-weighted). Pure DataFrame math (no UDF):
@@ -285,20 +284,15 @@ object Dedup {
     * engine, so near-dup results can be oracle-checked end to end
     * (xxhash64 seeds are Spark-internal). Set semantics (distinct
     * tokens) rather than frequency-weighted votes, by design.
+    *
+    * Computed by the fused codegen'd [[graft.functions.SimHash60]]
+    * expression (one pass, primitive vote accumulator) — bit-identical
+    * to the declarative md5/conv formula above.
     */
-  def simhash60(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, BitMasks60, (v, m) =>
-        v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, BitMasks60, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L),
-      (acc, w) => acc.bitwiseOR(w))
-  }
+  def simhash60(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 
   /** Hamming distance between two packed signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -51,6 +51,78 @@ object PqIndex {
     } finally { cached.unpersist() }
   }
 
+  /** Train codebooks driver-locally on a bounded sample — the standard
+    * PQ shape at any corpus size (FAISS/knowhere train on ~10⁵ sampled
+    * vectors regardless of scale): one narrow `limit(maxTrainRows)`
+    * collect, then seeded Lloyd's per subspace in memory. Avoids the
+    * m×(init+iters) Spark-job fan-out of distributed KMeans, which is
+    * pure scheduler overhead at codebook scale; encode/search remain
+    * fully distributed.
+    */
+  def trainLocal(corpus: DataFrame, vecCol: String, m: Int, k: Int, dim: Int,
+      maxTrainRows: Int = 65536, seed: Long = 42L, maxIter: Int = 10): Model = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val rows = corpus.select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty training set")
+    val codebooks = Array.tabulate(m) { i =>
+      val sub = rows.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+      lloyd(sub, k, seed + i, maxIter).map(_.map(_.toFloat))
+    }
+    Model(codebooks, dim)
+  }
+
+  /** Seeded Lloyd's iterations; k-distinct-points init. */
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    val dsub = points.head.length
+    val rnd = new scala.util.Random(seed)
+    // init: first k distinct points in shuffled order (k-means++ quality
+    // doesn't matter when the consumer refines exactly; determinism does)
+    val distinct = rnd.shuffle(points.toSeq).distinct
+    val kEff = math.min(k, distinct.size)
+    val centers = distinct.take(kEff).map(_.clone).toArray
+    val assign = new Array[Int](points.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kEff) {
+          var d = 0.0; var j = 0
+          while (j < dsub) { val x = points(p)(j) - centers(c)(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best || iter == 0) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.fill(kEff)(new Array[Double](dsub))
+      val counts = new Array[Int](kEff)
+      var p2 = 0
+      while (p2 < points.length) {
+        val c = assign(p2); counts(c) += 1
+        var j = 0
+        while (j < dsub) { sums(c)(j) += points(p2)(j); j += 1 }
+        p2 += 1
+      }
+      var c2 = 0
+      while (c2 < kEff) {
+        if (counts(c2) > 0) {
+          var j = 0
+          while (j < dsub) { centers(c2)(j) = sums(c2)(j) / counts(c2); j += 1 }
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** Encode a vector into `m` centroid ids (array<int>), map-only. */
   def encode(model: Model, vec: Column): Column = {
     val dsub = model.dsub

@@ -357,7 +357,7 @@ object ExtraQueries {
     import graft.operators.PqIndex
     val emb = t(s, dir, "embeddings")
     val dim = 64
-    val model = PqIndex.train(emb, "embedding", m = 8, k = 16, dim = dim)
+    val model = PqIndex.trainLocal(emb, "embedding", m = 8, k = 16, dim = dim)
     val encoded = emb.withColumn("_codes", PqIndex.encode(model, col("embedding")))
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding")).collect()

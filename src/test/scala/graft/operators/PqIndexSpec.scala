@@ -42,4 +42,26 @@ class PqIndexSpec extends SparkSpec {
     val refinedRecall = refined.intersect(exact).size.toDouble / exact.size
     assert(refinedRecall >= 0.9, s"refined recall@10 too low: $refinedRecall")
   }
+
+  test("trainLocal codebooks are deterministic and exact under full refine") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val m1 = PqIndex.trainLocal(emb, "embedding", m = 8, k = 16, dim = 64)
+    val m2 = PqIndex.trainLocal(emb, "embedding", m = 8, k = 16, dim = 64)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "seeded local training must be deterministic")
+
+    val encoded = emb.withColumn("codes", PqIndex.encode(m1, col("embedding")))
+    val q = emb.filter($"vec_id" === 1)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].head()
+    val n = emb.count().toInt
+    // shortlist = corpus ⇒ output equals brute-force L2 for ANY codebook
+    val refined = PqIndex.searchRefined(encoded, "vec_id", "codes", "embedding",
+        m1, Seq((q._1, q._2)), k = 10, shortlist = n)
+      .select($"vec_id").as[Long].collect().toSet
+    val exact = VectorSearch.topK(emb, "vec_id", "embedding",
+        Seq((1L, q._2.toSeq)).toDF("qid", "qvec"), "qid", "qvec",
+        Metric.L2, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(refined == exact)
+  }
 }
