@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Configurable analyzer pipeline: tokenizer + token filters, mirroring
+  * the reference's analyzer params (reference: Go dispatch
+  * internal/util/analyzer/analyzer.go + tantivy tokenizers
+  * internal/core/thirdparty/tantivy/tantivy-binding/src/analyzer/
+  * tokenizers/ — standard, whitespace, char_group
+  * (char_group_tokenizer.rs), ngram (ngram_tokenizer_with_chars.rs),
+  * keyword — and filters lowercase / stop / length / alphanumonly).
+  *
+  * jieba/lindera/icu/thai need dictionary assets the sandbox can't host;
+  * the dispatch rejects them explicitly rather than mis-tokenizing.
+  *
+  * Everything compiles to built-in codegen'd string/array functions —
+  * an analyzer runs inside whole-stage codegen on the corpus scan, so
+  * tokenization at 100 TB is a map-only pass with no UDF boundary.
+  */
+object Analyzers {
+
+  sealed trait Tokenizer
+  /** Lowercase + split on non-alphanumerics (tantivy "standard" + the
+    * default lowercase filter — same rules as [[TextFunctions.tokenize]]). */
+  case object Standard extends Tokenizer
+  /** Split on Unicode whitespace only; preserves case (filters may lower). */
+  case object Whitespace extends Tokenizer
+  /** Whole value as a single token. */
+  case object Keyword extends Tokenizer
+  /** All character n-grams with minGram <= n <= maxGram (tantivy NgramTokenizer). */
+  final case class Ngram(minGram: Int, maxGram: Int) extends Tokenizer {
+    require(minGram >= 1 && maxGram >= minGram, s"bad ngram range [$minGram,$maxGram]")
+  }
+  /** Split whenever a character from `delims` is seen (char_group_tokenizer.rs). */
+  final case class CharGroup(delims: Seq[Char]) extends Tokenizer {
+    require(delims.nonEmpty, "char_group needs at least one delimiter")
+  }
+
+  sealed trait Filter
+  case object Lowercase extends Filter
+  /** Drop tokens in the stop set (after earlier filters). */
+  final case class Stop(words: Seq[String]) extends Filter
+  /** Drop tokens longer than `max` chars (tantivy RemoveLongFilter). */
+  final case class MaxLength(max: Int) extends Filter
+  /** Drop tokens containing any non-[a-zA-Z0-9] char (AlphaNumOnlyFilter). */
+  case object AlphaNumOnly extends Filter
+
+  /** Escaped character class — works identically in Java regex (Spark)
+    * and RE2 (oracle side); \Q..\E quoting is Java-only, so escape
+    * per-char instead.
+    */
+  private def regexClass(delims: Seq[Char]): String =
+    delims.map(c => if (c.isLetterOrDigit) c.toString else "\\" + c)
+      .mkString("[", "", "]+")
+
+  private def tokensOf(c: Column, tok: Tokenizer): Column = tok match {
+    case Standard       => TextFunctions.tokenize(c)
+    case Whitespace     => filter(split(c, "\\s+"), t => t =!= "")
+    case Keyword        => array(c)
+    case Ngram(lo, hi)  =>
+      // per n in [lo,hi]: all grams of that length, concatenated in n order
+      flatten(array((lo to hi).map { n =>
+        when(length(c) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(c) - (n - 1)),
+            i => substring(c, i, lit(n))))
+      }: _*))
+    case CharGroup(ds)  => filter(split(c, regexClass(ds)), t => t =!= "")
+  }
+
+  private def applyFilter(tokens: Column, f: Filter): Column = f match {
+    case Lowercase     => transform(tokens, lower(_))
+    case Stop(words)   =>
+      val stopArr = array(words.map(lit): _*)
+      filter(tokens, t => !array_contains(stopArr, t))
+    case MaxLength(m)  => filter(tokens, t => length(t) <= m)
+    case AlphaNumOnly  => filter(tokens, t => t.rlike("^[a-zA-Z0-9]+$"))
+  }
+
+  /** Tokenize `c` with the given tokenizer, then apply filters in order. */
+  def analyze(c: Column, tokenizer: Tokenizer, filters: Seq[Filter] = Nil): Column =
+    filters.foldLeft(tokensOf(c, tokenizer))(applyFilter)
+
+  /** Param-map dispatch matching the reference's analyzer_params shape:
+    * `{"tokenizer": "char_group", "delims": " .,", "filters":
+    * "lowercase,stop", "stop_words": "the,and", ...}`. Unknown or
+    * unhostable tokenizers (jieba/lindera/icu/thai need dictionaries)
+    * fail fast.
+    */
+  def analyzeWith(c: Column, params: Map[String, String]): Column = {
+    val tok = params.getOrElse("tokenizer", "standard") match {
+      case "standard"   => Standard
+      case "whitespace" => Whitespace
+      case "keyword"    => Keyword
+      case "ngram"      => Ngram(
+        params.getOrElse("min_gram", "1").toInt, params.getOrElse("max_gram", "2").toInt)
+      case "char_group" => CharGroup(params.getOrElse("delims", " ").toSeq)
+      case other        => throw new IllegalArgumentException(
+        s"tokenizer '$other' not supported (jieba/lindera/icu/thai need dictionary assets)")
+    }
+    val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil).map {
+        case "lowercase"    => Lowercase
+        case "stop"         => Stop(params.getOrElse("stop_words", "")
+                                 .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case "max_length"   => MaxLength(params.getOrElse("max_token_length", "40").toInt)
+        case "alphanumonly" => AlphaNumOnly
+        case other          => throw new IllegalArgumentException(s"filter '$other' not supported")
+      }
+    analyze(c, tok, filters)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** L0 / delete-merge compaction — fold accumulated delete tombstones
+  * into sealed data by rewriting it, so later reads stop paying the
+  * per-query anti-join for old deletes (reference:
+  * internal/datacoord/compaction_l0_view.go — L0 segments hold deltalog
+  * deletes; an L0 compaction pushes them down into the sealed segments
+  * they cover; compaction_task_l0.go executes the rewrite).
+  *
+  * Spark-first shape: ONE pk join of data against the folded tombstone
+  * set (AQE broadcasts it when small), rewrite the parquet, and keep
+  * only the residual tombstones (ts > compactTs) for the read path.
+  * At 100 TB the join is the same cost a single read would pay — paid
+  * once instead of per query, and the rewrite can ride along with a
+  * clustering compaction's shuffle.
+  */
+object Compaction {
+
+  /** Fold tombstones with ts <= `compactTs` into `data`: returns
+    * (compacted data, residual tombstones). A row is dropped when a
+    * folded tombstone for its pk has tomb.ts >= row.ts (the MVCC delete
+    * rule, evaluated once at compaction time instead of per read).
+    */
+  def foldDeletes(data: DataFrame, tombstones: DataFrame, pkCol: String,
+      tsCol: String, compactTs: Column): (DataFrame, DataFrame) = {
+    val foldable = tombstones
+      .filter(col(tsCol) <= compactTs)
+      .groupBy(col(pkCol)).agg(max(col(tsCol)).as("_tomb_ts"))
+    val compacted = data
+      .join(foldable, Seq(pkCol), "left")
+      .filter(col("_tomb_ts").isNull || col(tsCol) > col("_tomb_ts"))
+      .drop("_tomb_ts")
+    val residual = tombstones.filter(col(tsCol) > compactTs)
+    (compacted, residual)
+  }
+
+  /** Execute the L0 compaction: rewrite `data` with deletes folded and
+    * persist the residual tombstones next to it.
+    */
+  def writeCompacted(data: DataFrame, tombstones: DataFrame, pkCol: String,
+      tsCol: String, compactTs: Column, path: String): Unit = {
+    val (compacted, residual) = foldDeletes(data, tombstones, pkCol, tsCol, compactTs)
+    compacted.write.mode("overwrite").parquet(s"$path/data")
+    residual.write.mode("overwrite").parquet(s"$path/tombstones")
+  }
+
+  /** Read a compacted layout at `readTs`: only the residual tombstones
+    * are re-applied — the folded ones are physically gone.
+    */
+  def readCompacted(spark: SparkSession, path: String, pkCol: String,
+      tsCol: String, readTs: Column): DataFrame = {
+    val data = spark.read.parquet(s"$path/data")
+    val residual = spark.read.parquet(s"$path/tombstones")
+    Mvcc.visible(data, pkCol, tsCol, readTs, tombstones = Some(residual))
+  }
+}

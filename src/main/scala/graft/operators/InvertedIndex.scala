@@ -16,12 +16,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object InvertedIndex {
 
-  /** Inverted index over a token-array column: (term, df, postings). */
+  /** Inverted index over a token-array column: (term, df, postings).
+    * `collect_set` dedups (id, term) pairs inside the partial aggregate,
+    * so the build is ONE shuffle (the old `distinct()+groupBy` shape was
+    * two full shuffles of the exploded pairs).
+    */
   def buildTokenIndex(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
     df.select(col(idCol), explode(tokensCol).as("term"))
-      .distinct()
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sort_array(collect_list(col(idCol))).as("postings"))
+      .agg(sort_array(collect_set(col(idCol))).as("postings"))
+      .select(col("term"), size(col("postings")).cast("long").as("df"), col("postings"))
 
   /** Bitmap-style index over a low-cardinality scalar column:
     * (value, cnt, postings). The sorted id list is the roaring-bitmap

@@ -203,7 +203,30 @@ object SearchQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Int8 vector search: corpus quantized (×32, RNE-by-floor, clamped),
+    * round-tripped through the packed-binary int8 codec (reference:
+    * VECTOR_INT8, Types.h:105), widened to float in-scan, exact L2 top-k.
+    * All values are exact small integers, so the oracle recomputes the
+    * identical quantization in SQL.
+    */
+  def int8Search(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorTypes => VT}
+    val emb = t(s, dir, "embeddings")
+    val quant = transform(col("embedding"), x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x.cast("double") * 32.0 + 0.5))).cast("int"))
+    val corpus = emb.select(col("vec_id"),
+      VT.fromInt8(VT.int8(quant)).as("vec"))
+    val qs = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    VectorSearch.topK(corpus, "vec_id", "vec", qs, "qid", "qvec",
+        Metric.L2, k = 10, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_int8_search" -> (int8Search _),
     "q_ivf_exhaustive" -> (ivfExhaustive _),
     "q_topk_ip" -> (topkIp _),
     "q_topk_filtered" -> (topkFiltered _),
@@ -220,6 +243,20 @@ object SearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_int8_search" ->
+      """WITH qv AS (SELECT vec_id,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |          x -> greatest(-127.0, least(127.0, floor(x * 32.0 + 0.5)))) AS v
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qvec FROM qv WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, e.v), 2), 4) AS score
+        |      FROM q CROSS JOIN qv e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_ivf_exhaustive" ->
       s"""WITH ${scoredSql(cosineExpr)},
          |r AS (SELECT qid, vec_id, score,

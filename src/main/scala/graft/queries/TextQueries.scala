@@ -120,6 +120,35 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** char_group tokenizer + lowercase/max_length/stop filter chain
+    * (reference: char_group_tokenizer.rs + analyzer filter params) —
+    * document frequency of the top surviving terms.
+    */
+  def analyzerCharGroup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents")
+    val toks = Analyzers.analyzeWith(col("text"), Map(
+      "tokenizer" -> "char_group", "delims" -> " .,;:!?",
+      "filters" -> "lowercase,max_length,stop",
+      "max_token_length" -> "8",
+      "stop_words" -> "the,and,of,to,in,is"))
+    d.select(col("doc_id"), explode(toks).as("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+  }
+
+  /** ngram tokenizer (tantivy ngram_tokenizer_with_chars.rs): total
+    * occurrence counts of the hottest character trigrams.
+    */
+  def analyzerNgram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+    d.select(explode(Analyzers.analyze(col("text"),
+        Analyzers.Ngram(3, 3), Seq(Analyzers.Lowercase))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(15)
+  }
+
   /** Full-text match queries through the expr compiler (tantivy
     * text_match / phrase_match semantics re-expressed).
     */
@@ -150,7 +179,9 @@ object TextQueries {
     "q_embed_cosine_pairs" -> (embedCosinePairs _),
     "q_minhash_lsh" -> (minhashLsh _),
     "q_simhash_pairs" -> (simhashPairs _),
-    "q_text_match" -> (textMatch _)
+    "q_text_match" -> (textMatch _),
+    "q_analyzer_chargroup" -> (analyzerCharGroup _),
+    "q_analyzer_ngram" -> (analyzerNgram _)
   )
 
   private val langValues = TextFunctions.LangMarkers.toSeq.sortBy(_._1).map {
@@ -297,6 +328,22 @@ object TextQueries {
         |  AND (' ' || array_to_string(
         |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
         |        ' ') || ' ') LIKE '% the fast %'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_analyzer_chargroup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '[ .,;:!?]+')) AS t0
+        |  FROM documents),
+        |f AS (SELECT DISTINCT doc_id, lower(t0) AS term FROM raw
+        |      WHERE t0 <> '' AND len(t0) <= 8
+        |        AND lower(t0) NOT IN ('the','and','of','to','in','is'))
+        |SELECT term, count(*) AS df FROM f GROUP BY term
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "q_analyzer_ngram" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(text) - 2),
+        |           i -> lower(substr(text, i, 3)))) AS gram
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 15""".stripMargin
   )
 }

@@ -116,7 +116,56 @@ object WriteQueries {
         min(col("l_partkey")).as("min_key"), max(col("l_partkey")).as("max_key"))
   }
 
+  /** L0 / delete-merge compaction round-trip (compaction_l0_view.go):
+    * fold pre-compactTs tombstones into a rewritten parquet layout, keep
+    * residual tombstones, then read at a later ts applying only the
+    * residuals — must equal the logical delete semantics end to end.
+    */
+  def compactFold(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_l0_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val o = t(s, dir, "orders")
+    val tombs = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    graft.operators.Compaction.writeCompacted(o, tombs, "o_orderkey", "o_orderdate",
+      to_timestamp(lit("1996-01-01 00:00:00")), path)
+    graft.operators.Compaction.readCompacted(s, path, "o_orderkey", "o_orderdate",
+        to_timestamp(lit("1997-06-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Consistency levels wired end to end (proxy/util.go:1301-1320): a
+    * sealed segment (parquet) unioned with a deterministic growing batch;
+    * BoundedStaleness resolves a read-ts that excludes the growing tail,
+    * Strong reads at the latest committed write and sees it.
+    */
+  def consistencyLevels(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConsistencyLevel, Mvcc}
+    val sealedSeg = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val maxSealedTs = sealedSeg.agg(max(col("ts"))).head().getLong(0)
+    val hourNs = 3600L * 1000000000L
+    val growing = sealedSeg.filter(col("event_id") < 50)
+      .select((col("event_id") + 1000000L).as("event_id"),
+        lit(maxSealedTs + 2 * hourNs).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val union = sealedSeg.unionByName(growing)
+    val latestCommitted = maxSealedTs + 2 * hourNs
+    val strongTs = Mvcc.resolveReadTs(ConsistencyLevel.Strong, latestCommitted, latestCommitted)
+    val boundedTs = Mvcc.resolveReadTs(ConsistencyLevel.BoundedStaleness,
+      latestCommitted, latestCommitted, stalenessMs = hourNs) // ns-domain staleness
+    def readAt(tsv: Long, label: String) =
+      Mvcc.visible(union, "event_id", "ts", lit(tsv))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(lit(label).as("level"), col("cnt"), col("sum_value"))
+    readAt(boundedTs, "bounded").unionByName(readAt(strongTs, "strong"))
+      .orderBy(col("level"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compact_fold" -> (compactFold _),
+    "q_consistency_levels" -> (consistencyLevels _),
     "q_mvcc_visibility" -> (mvccVisibility _),
     "q_upsert_lww" -> (upsertLww _),
     "q_upsert_partial" -> (upsertPartial _),
@@ -127,6 +176,24 @@ object WriteQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_compact_fold" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
+        |  AND o_orderpriority <> '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_consistency_levels" ->
+      """SELECT 'bounded' AS level,
+        |  (SELECT count(*) FROM events) AS cnt,
+        |  (SELECT round(sum(value), 2) FROM events) AS sum_value
+        |UNION ALL
+        |SELECT 'strong',
+        |  (SELECT count(*) FROM events)
+        |    + (SELECT count(*) FROM events WHERE event_id < 50),
+        |  round((SELECT sum(value) FROM events)
+        |    + (SELECT sum(value) FROM events WHERE event_id < 50), 2)
+        |ORDER BY level""".stripMargin,
     "q_mvcc_visibility" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice, o_orderdate

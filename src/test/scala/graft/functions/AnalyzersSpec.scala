@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Analyzers._
+
+class AnalyzersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(text: String, tok: Tokenizer, fs: Seq[Filter] = Nil): Seq[String] =
+    Seq(text).toDF("t")
+      .select(analyze(col("t"), tok, fs).as("toks"))
+      .as[Seq[String]].head()
+
+  test("standard tokenizer lowercases and splits on non-alnum") {
+    assert(run("Hello, World-42!", Standard) == Seq("hello", "world", "42"))
+  }
+
+  test("whitespace tokenizer preserves case and punctuation") {
+    assert(run("Hello,  World-42!", Whitespace) == Seq("Hello,", "World-42!"))
+  }
+
+  test("keyword tokenizer emits the whole value") {
+    assert(run("Hello World", Keyword) == Seq("Hello World"))
+  }
+
+  test("ngram tokenizer emits all grams in [min,max], in n order") {
+    assert(run("abcd", Ngram(3, 4)) == Seq("abc", "bcd", "abcd"))
+    assert(run("ab", Ngram(3, 4)) == Seq.empty) // shorter than minGram
+  }
+
+  test("char_group splits on the delimiter set (regex metachars escaped)") {
+    assert(run("a.b|c d", CharGroup(Seq('.', '|', ' '))) == Seq("a", "b", "c", "d"))
+  }
+
+  test("filters apply in order: lowercase, stop, max_length, alphanumonly") {
+    val got = run("The QUICK brown-fox extraordinarily runs", Whitespace,
+      Seq(Lowercase, Stop(Seq("the")), MaxLength(14), AlphaNumOnly))
+    assert(got == Seq("quick", "runs")) // "brown-fox" non-alnum, long word dropped
+  }
+
+  test("param-map dispatch matches the typed API and rejects unhostable tokenizers") {
+    val df = Seq("One two,three").toDF("t")
+    val viaMap = df.select(analyzeWith(col("t"), Map(
+      "tokenizer" -> "char_group", "delims" -> " ,",
+      "filters" -> "lowercase")).as("toks")).as[Seq[String]].head()
+    assert(viaMap == Seq("one", "two", "three"))
+    intercept[IllegalArgumentException] {
+      analyzeWith(col("t"), Map("tokenizer" -> "jieba"))
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val data = Seq(
+    (1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"), (4L, 25L, "d")
+  ).toDF("pk", "ts", "payload")
+  // pk=1 deleted early (foldable at compactTs=15), pk=2 deleted late
+  // (residual), pk=4 row written AFTER its tombstone (survives)
+  private val tombs = Seq((1L, 12L), (2L, 20L), (4L, 24L)).toDF("pk", "ts")
+
+  test("foldDeletes splits tombstones at compactTs and drops covered rows") {
+    val (compacted, residual) = Compaction.foldDeletes(data, tombs, "pk", "ts", lit(15L))
+    assert(compacted.select($"pk").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(residual.select($"pk").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("compacted read equals the uncompacted MVCC read at any later ts") {
+    val path = "/tmp/graft_test_l0"
+    Compaction.writeCompacted(data, tombs, "pk", "ts", lit(15L), path)
+    for (readTs <- Seq(15L, 22L, 30L)) {
+      val viaCompaction = Compaction.readCompacted(spark, path, "pk", "ts", lit(readTs))
+        .select($"pk").as[Long].collect().sorted.toSeq
+      val direct = Mvcc.visible(data, "pk", "ts", lit(readTs), tombstones = Some(tombs))
+        .select($"pk").as[Long].collect().sorted.toSeq
+      assert(viaCompaction == direct, s"divergence at readTs=$readTs")
+    }
+    // pk=4: tombstone ts=24 < row ts=25 — the delete does not cover the
+    // newer row, at any read ts
+    val late = Compaction.readCompacted(spark, path, "pk", "ts", lit(30L))
+      .select($"pk").as[Long].collect().toSet
+    assert(late.contains(4L))
+  }
+}
