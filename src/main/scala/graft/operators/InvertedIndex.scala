@@ -49,6 +49,65 @@ object InvertedIndex {
       .select(explode(col("postings")).as("id"))
   }
 
+  /** TRIE-style prefix lookup (reference: marisa-trie
+    * index/StringIndexMarisa.cpp — prefix walks). On a value index table
+    * stored sorted by value, `startsWith` is a contiguous key range, so
+    * parquet min/max stats prune to the row groups covering the prefix.
+    */
+  def lookupPrefix(index: DataFrame, valueCol: String, prefix: String): DataFrame =
+    index.filter(col(valueCol).startsWith(prefix))
+      .select(explode(col("postings")).as("id"))
+
+  /** STL_SORT-style range lookup (reference: index_type.go STL_SORT — a
+    * sorted array binary-searched for range predicates). Same pruning
+    * argument as [[lookupPrefix]]: a sorted index table turns the range
+    * into a few row groups.
+    */
+  def lookupRange(index: DataFrame, valueCol: String, lo: Any, hi: Any): DataFrame =
+    index.filter(col(valueCol) >= lit(lo) && col(valueCol) <= lit(hi))
+      .select(explode(col("postings")).as("id"))
+
+  /** JSON-path index (reference: index/JsonFlatIndex.cpp + json_stats/):
+    * a value index over one extracted JSON path, so path-equality
+    * filters become index lookups instead of per-row JSON parsing.
+    */
+  def buildJsonPathIndex(df: DataFrame, idCol: String, jsonCol: String,
+      path: String): DataFrame =
+    buildValueIndex(
+      df.withColumn("_jv", get_json_object(col(jsonCol), path)), idCol, "_jv")
+      .withColumnRenamed("_jv", "value")
+
+  /** HYBRID index dispatch (reference: index/HybridScalarIndex.cpp —
+    * picks a bitmap for low-cardinality columns, falls back to inverted
+    * postings above the cardinality cap). Both re-expressions share the
+    * (value, cnt, postings) table shape; the tag records which physical
+    * form a native engine would have chosen and lets callers route
+    * lookups / storage layout accordingly.
+    */
+  def buildHybridIndex(df: DataFrame, idCol: String, valueCol: String,
+      bitmapCardinalityCap: Long = 1000L): (String, DataFrame) = {
+    val card = df.agg(count_distinct(col(valueCol))).head().getLong(0)
+    val kind = if (card <= bitmapCardinalityCap) "BITMAP" else "INVERTED"
+    (kind, buildValueIndex(df, idCol, valueCol))
+  }
+
+  /** AUTOINDEX selection (reference: indexparamcheck AUTOINDEX — the
+    * engine picks the scalar index type from dtype + cardinality).
+    */
+  def autoIndexType(df: DataFrame, valueCol: String,
+      bitmapCardinalityCap: Long = 1000L): String = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    lazy val card = df.agg(count_distinct(col(valueCol))).head().getLong(0)
+    dt match {
+      case StringType if card <= bitmapCardinalityCap => "BITMAP"
+      case StringType => "TRIE"
+      case _: NumericType | DateType | TimestampType if card <= bitmapCardinalityCap => "BITMAP"
+      case _: NumericType | DateType | TimestampType => "STL_SORT"
+      case _ => "INVERTED"
+    }
+  }
+
   /** Term lookup via the index: ids of rows containing ALL query terms
     * (posting-list intersection — the index-side fast path the reference
     * takes for `text_match` when an inverted index exists).

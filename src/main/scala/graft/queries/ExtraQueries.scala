@@ -332,6 +332,39 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  // ---- §2.6 TRIE prefix lookup (StringIndexMarisa.cpp) ----
+
+  def triePrefix(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val index = graft.operators.InvertedIndex.buildValueIndex(p, "p_partkey", "p_brand")
+    val ids = graft.operators.InvertedIndex.lookupPrefix(index, "p_brand", "Brand#1")
+    broadcast(ids).join(p, ids("id") === p("p_partkey"), "inner")
+      .select(col("id"), col("p_brand"))
+      .orderBy(col("id"))
+  }
+
+  // ---- §2.6 STL_SORT range lookup ----
+
+  def stlSortRange(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val index = graft.operators.InvertedIndex.buildValueIndex(c, "c_custkey", "c_nationkey")
+    val ids = graft.operators.InvertedIndex.lookupRange(index, "c_nationkey", 5, 10)
+    broadcast(ids).join(c, ids("id") === c("c_custkey"), "inner")
+      .select(col("id"), col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("id"))
+  }
+
+  // ---- §2.6 JSON-path index lookup (JsonFlatIndex.cpp) ----
+
+  def jsonIndexLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val index = graft.operators.InvertedIndex.buildJsonPathIndex(ev, "event_id", "props", "$.k")
+    val ids = graft.operators.InvertedIndex.lookupValues(index, "value", Seq("42", "77"))
+    broadcast(ids).join(ev, ids("id") === ev("event_id"), "inner")
+      .select(col("id"), col("event_type"), col("props"))
+      .orderBy(col("id"))
+  }
+
   // ---- §2.6 NGRAM index + fused multi-LIKE (NgramInvertedIndex.cpp) ----
 
   /** Two inner-LIKE patterns answered through ONE ngram-index probe +
@@ -369,7 +402,31 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- §2.6 IVF_SQ8: per-dim 8-bit scalar quantization + refine ----
+
+  /** SQ8 with shortlist ≥ corpus: exact refine ⇒ equals brute-force L2
+    * (quantization-loss recall is asserted in Sq8IndexSpec).
+    */
+  def sq8Refine(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sq8Index
+    val emb = t(s, dir, "embeddings")
+    val model = Sq8Index.train(emb, "embedding")
+    val encoded = emb.withColumn("_codes", Sq8Index.encode(model, col("embedding")))
+    val qs = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    Sq8Index.searchRefined(encoded, "vec_id", "_codes", "embedding", model,
+        qs, k = 10, shortlist = n, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq8_refine" -> (sq8Refine _),
+    "q_trie_prefix" -> (triePrefix _),
+    "q_stlsort_range" -> (stlSortRange _),
+    "q_json_index_lookup" -> (jsonIndexLookup _),
     "q_binary_hamming" -> (binaryHamming _),
     "q_json_contains" -> (jsonContains _),
     "q_model_rerank" -> (modelRerank _),
@@ -407,6 +464,25 @@ object ExtraQueries {
       |      FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sq8_refine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id >= 3 AND vec_id < 6),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_trie_prefix" ->
+      """SELECT p_partkey AS id, p_brand FROM part
+        |WHERE p_brand LIKE 'Brand#1%' ORDER BY p_partkey""".stripMargin,
+    "q_stlsort_range" ->
+      """SELECT c_custkey AS id, c_nationkey, c_mktsegment FROM customer
+        |WHERE c_nationkey BETWEEN 5 AND 10 ORDER BY c_custkey""".stripMargin,
+    "q_json_index_lookup" ->
+      """SELECT event_id AS id, event_type, props FROM events
+        |WHERE (props->>'$.k') IN ('42', '77') ORDER BY event_id""".stripMargin,
     "q_binary_hamming" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
         |d AS (SELECT q.qid, e.vec_id,

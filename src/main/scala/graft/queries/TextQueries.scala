@@ -132,7 +132,9 @@ object TextQueries {
       "filters" -> "lowercase,max_length,stop",
       "max_token_length" -> "8",
       "stop_words" -> "the,and,of,to,in,is"))
-    d.select(col("doc_id"), explode(toks).as("term")).distinct()
+    // array_distinct before explode ⇒ (doc, term) pairs are already
+    // unique ⇒ df is ONE hash-agg shuffle, no distinct() pass
+    d.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(20)
   }
