@@ -41,8 +41,18 @@ object Bm25 {
 
   /** Build the BM25 statistics for a corpus. */
   def build(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): Model =
+    buildFromTokens(docs, idCol, TextFunctions.tokenize(col(textCol)), k1, b)
+
+  /** Build from an arbitrary token expression — the multi-analyzer BM25
+    * shape (reference: multi_analyzer_bm25_function.go — per-document
+    * analyzer selection, e.g. by a language column, feeding one shared
+    * statistics build). Pass e.g.
+    * `when($"lang" === "de", Analyzers.analyze(...)).otherwise(tokenize(...))`.
+    */
+  def buildFromTokens(docs: DataFrame, idCol: String, toksCol: Column,
       k1: Double = 1.2, b: Double = 0.75): Model = {
-    val toks = docs.select(col(idCol), TextFunctions.tokenize(col(textCol)).as("_toks"))
+    val toks = docs.select(col(idCol), toksCol.as("_toks"))
     val postings = toks
       .select(col(idCol), size(col("_toks")).cast("double").as("dl"),
         explode(col("_toks")).as("term"))
@@ -61,8 +71,14 @@ object Bm25 {
     log(lit(1.0) + (nDocs - df + 0.5) / (df + 0.5))
 
   /** Score all docs containing ≥1 query term. Output: (idCol, _score). */
-  def score(model: Model, query: String): DataFrame = {
-    val qTerms = TextFunctions.tokenizeString(query).distinct
+  def score(model: Model, query: String): DataFrame =
+    scoreTerms(model, TextFunctions.tokenizeString(query))
+
+  /** Score with pre-analyzed query terms (for non-standard analyzers —
+    * the query must be tokenized with the same analyzer as its corpus).
+    */
+  def scoreTerms(model: Model, terms: Seq[String]): DataFrame = {
+    val qTerms = terms.distinct
     if (qTerms.isEmpty)
       return model.postings.select(col(model.idCol), lit(0.0).as("_score")).limit(0)
     val matched = model.postings
@@ -78,8 +94,13 @@ object Bm25 {
   }
 
   /** Full-text top-k search. Output: (idCol, rank, _score), best-first. */
-  def search(model: Model, query: String, k: Int, roundTo: Option[Int] = None): DataFrame = {
-    val scored = score(model, query)
+  def search(model: Model, query: String, k: Int, roundTo: Option[Int] = None): DataFrame =
+    searchTerms(model, TextFunctions.tokenizeString(query), k, roundTo)
+
+  /** Top-k with pre-analyzed query terms. */
+  def searchTerms(model: Model, terms: Seq[String], k: Int,
+      roundTo: Option[Int] = None): DataFrame = {
+    val scored = scoreTerms(model, terms)
     val s = roundTo.map(d => round(col("_score"), d)).getOrElse(col("_score"))
     val idType = scored.schema(model.idCol).dataType
     scored.select(col(model.idCol), s.as("_score"))

@@ -225,7 +225,38 @@ object SearchQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** fp16 vector pipeline (reference: VECTOR_FLOAT16, Types.h:95): the
+    * corpus rides as packed binary16 (half the scan bytes), an
+    * approximate pass scores the fp16-decoded vectors, and an exact
+    * float32 refine re-ranks — with shortlist ≥ corpus the output is
+    * exact, so the brute-force oracle applies (fp16 precision itself is
+    * asserted bit-exactly in VectorTypesSpec).
+    */
+  def fp16Search(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions, VectorTypes => VT}
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      VT.fromFp16(VT.fp16(col("embedding"))).as("_f16"))
+    val qs = corpus.filter(col("vec_id") >= 6 && col("vec_id") < 9)
+      .select(col("vec_id").as("qid"), col("_f16").as("qvec"))
+    val n = emb.count().toInt
+    val short = VectorSearch.topK(corpus, "vec_id", "_f16", qs, "qid", "qvec",
+        Metric.L2, k = n)
+      .select(col("qid"), col("vec_id"))
+    val qExact = corpus.filter(col("vec_id") >= 6 && col("vec_id") < 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("_qvec"))
+    val raw = VectorFunctions.l2(col("embedding"), col("_qvec"))
+    val exact = broadcast(short)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qExact), "qid")
+      .withColumn("_score", round(raw, 4))
+    VectorSearch.reduceTopK(exact, "vec_id", "qid", Metric.L2, 10, Seq("vec_id"))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fp16_search" -> (fp16Search _),
     "q_int8_search" -> (int8Search _),
     "q_ivf_exhaustive" -> (ivfExhaustive _),
     "q_topk_ip" -> (topkIp _),
@@ -243,6 +274,17 @@ object SearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fp16_search" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id >= 6 AND vec_id < 9),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_int8_search" ->
       """WITH qv AS (SELECT vec_id,
         |        list_transform(CAST(embedding AS DOUBLE[]),

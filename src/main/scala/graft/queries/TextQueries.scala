@@ -171,8 +171,27 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Multi-analyzer BM25 (multi_analyzer_bm25_function.go): German docs
+    * tokenized with a char_group analyzer, everything else with the
+    * standard analyzer — ONE shared statistics build and search.
+    */
+  def bm25Multilang(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents")
+    val toks = when(col("lang") === "de",
+        Analyzers.analyze(col("text"),
+          Analyzers.CharGroup(Seq(' ', '.', ',')), Seq(Analyzers.Lowercase)))
+      .otherwise(TextFunctions.tokenize(col("text")))
+    val model = graft.operators.Bm25.buildFromTokens(d, "doc_id", toks)
+    graft.operators.Bm25
+      .searchTerms(model, Seq("filter", "window", "stream"), k = 15, roundTo = Some(4))
+      .select(col("doc_id"), col("rank"), col("_score").as("score"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (bm25 _),
+    "q_bm25_multilang" -> (bm25Multilang _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -193,6 +212,28 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
+         |       FROM dt GROUP BY doc_id, term),
+         |stats AS (SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term),
+         |g AS (SELECT count(*) * 1.0 AS n, avg(len(t) * 1.0) AS avgdl FROM toks),
+         |q(term) AS (VALUES ('filter'), ('window'), ('stream')),
+         |s AS (SELECT tf.doc_id,
+         |        sum(ln(1.0 + (g.n - st.df + 0.5) / (st.df + 0.5)) *
+         |            tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl)))
+         |          AS score
+         |      FROM tf JOIN q USING (term) JOIN stats st USING (term) CROSS JOIN g
+         |      GROUP BY tf.doc_id),
+         |r AS (SELECT doc_id, round(score, 4) AS score,
+         |        row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+         |      FROM s)
+         |SELECT doc_id, rank, score FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    "q_bm25_multilang" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |         CASE WHEN lang = 'de'
+         |           THEN list_filter(string_split_regex(lower(text), '[ .,]+'), x -> x <> '')
+         |           ELSE $sqlToks END AS t
+         |       FROM documents),
          |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
          |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
          |       FROM dt GROUP BY doc_id, term),
