@@ -284,6 +284,27 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- §2.6 BIN_IVF_FLAT: binary k-majority IVF + Hamming probes ----
+
+  /** Exhaustive probes (nprobe = nlist) ⇒ equals BIN_FLAT brute force,
+    * so the sign-bit Hamming oracle applies; pruned-probe recall is
+    * asserted in BinIvfIndexSpec.
+    */
+  def binIvf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryVector
+    import graft.operators.BinIvfIndex
+    val emb = t(s, dir, "embeddings")
+      .withColumn("_bin", BinaryVector.binarize(col("embedding")))
+    val model = BinIvfIndex.train(emb, "_bin", nlist = 8, nbits = 64)
+    val clustered = BinIvfIndex.layout(emb, "_bin", model)
+    val q = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("_bin").as("_qbin"))
+    BinIvfIndex.search(clustered, "vec_id", "_bin", model, q, "qid", "_qbin",
+        k = 10, nprobe = model.nlist)
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- §2.1 json_contains over the dynamic $meta field ----
 
   def jsonContains(s: SparkSession, dir: String): DataFrame = {
@@ -427,6 +448,7 @@ object ExtraQueries {
     "q_trie_prefix" -> (triePrefix _),
     "q_stlsort_range" -> (stlSortRange _),
     "q_json_index_lookup" -> (jsonIndexLookup _),
+    "q_bin_ivf" -> (binIvf _),
     "q_binary_hamming" -> (binaryHamming _),
     "q_json_contains" -> (jsonContains _),
     "q_model_rerank" -> (modelRerank _),
@@ -483,6 +505,18 @@ object ExtraQueries {
     "q_json_index_lookup" ->
       """SELECT event_id AS id, event_type, props FROM events
         |WHERE (props->>'$.k') IN ('42', '77') ORDER BY event_id""".stripMargin,
+    "q_bin_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |           WHERE vec_id >= 3 AND vec_id < 6),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CASE WHEN (q.qe[i] > 0) != (e.embedding[i] > 0) THEN 1 ELSE 0 END))
+        |          AS DOUBLE) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_binary_hamming" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
         |d AS (SELECT q.qid, e.vec_id,
