@@ -56,4 +56,29 @@ object Compaction {
     val residual = spark.read.parquet(s"$path/tombstones")
     Mvcc.visible(data, pkCol, tsCol, readTs, tombstones = Some(residual))
   }
+
+  /** Mix compaction (reference: the datacoord "mix" policy — merge many
+    * small sealed segments into ~maxSize ones, no delete folding):
+    * coalesce a fragmented layout into files of ≈`targetFileBytes`,
+    * optionally keeping/establishing a sort by `sortCol` so zone-map
+    * pruning survives the merge. Returns the output file count.
+    *
+    * File count derives from the INPUT's on-disk bytes (compressed), so
+    * the merge stays proportional at any scale; `coalesce` avoids a
+    * shuffle entirely in the unsorted case.
+    */
+  def mergeSmallFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCol: Option[String] = None): Int = {
+    val data = spark.read.parquet(inPath)
+    val inputBytes = data.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      math.ceil(inputBytes.toDouble / targetFileBytes).toInt)
+    val merged = sortCol match {
+      case Some(c) => data.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case None    => data.coalesce(nFiles)
+    }
+    merged.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

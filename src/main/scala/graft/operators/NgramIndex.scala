@@ -17,6 +17,13 @@ import graft.functions.TextFunctions
   * with the exact, case-sensitive predicate. The index is built on
   * LOWERCASED grams, so candidates are a superset of case-sensitive
   * matches — the refine step restores exactness.
+  *
+  * This same candidate/refine path serves the substring queries the
+  * reference's FMINDEX (index/FMIndex.cpp) answers — an FM-index's
+  * compressed suffix structure is pointer-chasing-per-query and has no
+  * efficient distributed re-expression, while the gram postings table
+  * shards/prunes naturally, so NGRAM is deliberately the one substring
+  * index here.
   */
 object NgramIndex {
 

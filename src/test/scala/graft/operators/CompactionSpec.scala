@@ -36,4 +36,36 @@ class CompactionSpec extends SparkSpec {
       .select($"pk").as[Long].collect().toSet
     assert(late.contains(4L))
   }
+
+  test("mix compaction merges a fragmented layout without changing the data") {
+    val in = "/tmp/graft_test_mix_in"
+    val out = "/tmp/graft_test_mix_out"
+    val df = spark.range(0, 2000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(40).write.mode("overwrite").parquet(in) // 40 tiny files
+    val nIn = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIn >= 30)
+    Compaction.mergeSmallFiles(spark, in, out, targetFileBytes = 10L * 1024 * 1024)
+    val nOut = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut < 5, s"expected few merged files, got $nOut")
+    val got = spark.read.parquet(out).select($"id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 2000L).toSeq)
+  }
+
+  test("sorted mix compaction keeps per-file key ranges near-disjoint") {
+    val in = "/tmp/graft_test_mixsort_in"
+    val out = "/tmp/graft_test_mixsort_out"
+    spark.range(0, 5000).selectExpr("id", "id AS key")
+      .repartition(20).write.mode("overwrite").parquet(in)
+    Compaction.mergeSmallFiles(spark, in, out,
+      targetFileBytes = 20L * 1024, sortCol = Some("key"))
+    val stats = Clustering.fileStats(spark, out, "key").collect()
+    assert(stats.length > 1)
+    // ranges must not overlap (range-partitioned rewrite)
+    val ranges = stats.map(r => (r.getAs[Long]("key_min"), r.getAs[Long]("key_max")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
 }
