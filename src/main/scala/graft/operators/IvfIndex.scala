@@ -93,6 +93,23 @@ object IvfIndex {
     Model(model.clusterCenters.map(_.toArray.map(_.toFloat)), nlist)
   }
 
+  /** Train driver-locally on a bounded sample — the standard coarse-
+    * quantizer shape at any corpus size (FAISS/knowhere train IVF
+    * codebooks on ~10⁵ sampled vectors regardless of scale): one narrow
+    * `limit(maxTrainRows)` collect + seeded Lloyd's in memory. Avoids
+    * distributed KMeans' per-iteration job fan-out (pure scheduler
+    * overhead at codebook scale); layout/search remain distributed.
+    */
+  def trainLocal(corpus: DataFrame, vecCol: String, nlist: Int,
+      maxTrainRows: Int = 65536, seed: Long = 42L, maxIter: Int = 10): Model = {
+    val rows = corpus.select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty training set")
+    val centers = PqIndex.lloyd(rows, nlist, seed, maxIter).map(_.map(_.toFloat))
+    Model(centers, centers.length)
+  }
+
   def assign(model: Model, vec: Column): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec), model.centroids, 1))
 

@@ -74,8 +74,10 @@ object PqIndex {
     Model(codebooks, dim)
   }
 
-  /** Seeded Lloyd's iterations; k-distinct-points init. */
-  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+  /** Seeded Lloyd's iterations; k-distinct-points init. Shared with
+    * [[IvfIndex.trainLocal]].
+    */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
       maxIter: Int): Array[Array[Double]] = {
     val dsub = points.head.length
     val rnd = new scala.util.Random(seed)

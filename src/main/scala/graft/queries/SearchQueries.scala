@@ -195,7 +195,7 @@ object SearchQueries {
   def ivfExhaustive(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.IvfIndex
     val emb = t(s, dir, "embeddings")
-    val model = IvfIndex.train(emb, "embedding", nlist = 16)
+    val model = IvfIndex.trainLocal(emb, "embedding", nlist = 16)
     val clustered = IvfIndex.layout(emb, "embedding", model)
     IvfIndex.search(clustered, "vec_id", "embedding", model, queries(s, dir),
         "qid", "qvec", Metric.COSINE, k = 10, nprobe = 16, roundTo = Some(4))
