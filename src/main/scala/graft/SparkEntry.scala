@@ -155,7 +155,44 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** NullExpr kernel (PhyNullExpr, plan.proto:186-194): IS NULL over a
+    * JSON path that is absent for some rows.
+    */
+  def exprNull(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(graft.expr.ExprCompiler.compile(
+        """props["k"] is null and event_type == "view"""", ev, jsonColumns = Set("props")))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CallExpr registry (FunctionFactory.cpp:64-65 — exactly
+    * `empty(varchar)` and `starts_with(varchar, varchar)`).
+    */
+  def exprCall(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.filter(graft.expr.ExprCompiler.compile(
+        "starts_with(p_brand, 'Brand#2') and not empty(p_name)", p))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Bitwise arith-op-eval-range kernels (&, ^, <<, >> —
+    * BinaryArithOpEvalRangeExpr, plan.proto:29-42).
+    */
+  def exprBitwise(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(graft.expr.ExprCompiler.compile(
+        "(l_partkey & 7) == 3 and ((l_suppkey >> 2) == 5 or (l_linenumber ^ 1) == 0) " +
+          "and (l_linenumber << 1) <= 8", li))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expr_null" -> (exprNull _),
+    "q_expr_call" -> (exprCall _),
+    "q_expr_bitwise" -> (exprBitwise _),
     "q_agg_group" -> (aggGroup _),
     "q_count_filter" -> (countFilter _),
     "q_orderby_limit" -> (orderByLimit _),
@@ -170,6 +207,20 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_expr_null" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE (props->>'$.k') IS NULL AND event_type = 'view'
+        |ORDER BY event_id""".stripMargin,
+    "q_expr_call" ->
+      """SELECT p_partkey, p_brand, p_name FROM part
+        |WHERE p_brand LIKE 'Brand#2%' AND len(trim(p_name)) <> 0
+        |ORDER BY p_partkey""".stripMargin,
+    "q_expr_bitwise" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE (l_partkey & 7) = 3
+        |  AND ((l_suppkey >> 2) = 5 OR xor(l_linenumber, 1) = 0)
+        |  AND (l_linenumber << 1) <= 8
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

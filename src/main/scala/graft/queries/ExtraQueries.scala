@@ -305,6 +305,38 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- §2.1 dynamic $meta field resolution ----
+
+  /** Fields absent from the schema resolve through the $meta JSON
+    * catch-all (reference: dynamic field, SURVEY §1.2). The meta column
+    * is built deterministically from base columns so the oracle can
+    * apply the equivalent predicate on those columns directly.
+    */
+  def dynamicMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("_meta",
+      to_json(struct(col("lang").as("tag_lang"), col("n_chars").as("nc"))))
+    val ctx = graft.expr.ExprCompiler.Ctx(d.schema, metaColumn = Some("_meta"))
+    d.filter(graft.expr.ExprCompiler.compile("""tag_lang == "en" and nc > 300""", ctx))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- §2.6 BIN_FLAT with JACCARD metric ----
+
+  def binaryJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BinaryVector
+    val emb = t(s, dir, "embeddings")
+      .withColumn("_bin", BinaryVector.binarize(col("embedding")))
+    val q = emb.filter(col("vec_id") >= 6 && col("vec_id") < 9)
+      .select(col("vec_id").as("qid"), col("_bin").as("_qbin"))
+    val scored = emb.crossJoin(broadcast(q))
+      .withColumn("_score",
+        round(BinaryVector.jaccardBinary(col("_bin"), col("_qbin")), 4))
+    VectorSearch.reduceTopK(scored, "vec_id", "qid", Metric.COSINE, 10, Seq("vec_id"))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- §2.1 json_contains over the dynamic $meta field ----
 
   def jsonContains(s: SparkSession, dir: String): DataFrame = {
@@ -449,6 +481,8 @@ object ExtraQueries {
     "q_stlsort_range" -> (stlSortRange _),
     "q_json_index_lookup" -> (jsonIndexLookup _),
     "q_bin_ivf" -> (binIvf _),
+    "q_dynamic_meta" -> (dynamicMeta _),
+    "q_binary_jaccard" -> (binaryJaccard _),
     "q_binary_hamming" -> (binaryHamming _),
     "q_json_contains" -> (jsonContains _),
     "q_model_rerank" -> (modelRerank _),
@@ -505,6 +539,28 @@ object ExtraQueries {
     "q_json_index_lookup" ->
       """SELECT event_id AS id, event_type, props FROM events
         |WHERE (props->>'$.k') IN ('42', '77') ORDER BY event_id""".stripMargin,
+    "q_dynamic_meta" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 300 ORDER BY doc_id""".stripMargin,
+    "q_binary_jaccard" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |           WHERE vec_id >= 6 AND vec_id < 9),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CASE WHEN q.qe[i] > 0 AND e.embedding[i] > 0 THEN 1 ELSE 0 END))
+        |          AS inter,
+        |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CASE WHEN q.qe[i] > 0 OR e.embedding[i] > 0 THEN 1 ELSE 0 END))
+        |          AS uni
+        |      FROM q CROSS JOIN embeddings e),
+        |sc AS (SELECT qid, vec_id,
+        |         CASE WHEN uni = 0 THEN 0.0
+        |              ELSE round(inter * 1.0 / uni, 4) END AS score
+        |       FROM d),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM sc)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_bin_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
         |           WHERE vec_id >= 3 AND vec_id < 6),
