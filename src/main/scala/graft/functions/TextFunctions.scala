@@ -28,6 +28,20 @@ object TextFunctions {
   /** Whitespace-token count (cheap, for token budgeting). */
   def tokenCount(c: Column): Column = size(tokenize(c))
 
+  /** BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct
+    * split, simplified to constructs Java regex and RE2 treat
+    * identically): letter runs, single digits, punctuation runs.
+    */
+  val BpeSplitRegex = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
+
+  /** LLM token-budget estimate: count of BPE-ish pre-tokens. A closer
+    * proxy for real tokenizer counts than whitespace words (numbers
+    * count per digit, punctuation separates) without shipping a merges
+    * table.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeSplitRegex), lit(0)))
+
   /** Word n-gram shingles over the token array, joined by single spaces. */
   def shingles(tokens: Column, n: Int): Column =
     when(size(tokens) < n, array(array_join(tokens, " ")))

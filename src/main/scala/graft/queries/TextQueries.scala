@@ -20,12 +20,15 @@ object TextQueries {
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** Token counting + punctuation ratio + fingerprint per document. */
+  /** Token counting (whitespace + BPE-ish pre-tokens) + punctuation
+    * ratio + fingerprint per document.
+    */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("token_cnt"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_cnt"),
         round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
@@ -253,6 +256,7 @@ object TextQueries {
     "q_text_stats" ->
       s"""SELECT doc_id,
          | len($sqlToks) AS token_cnt,
+         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+')) AS bpe_cnt,
          | round(CASE WHEN len(text) = 0 THEN 0.0
          |   ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text)
          | END, 4) AS punct_ratio,
