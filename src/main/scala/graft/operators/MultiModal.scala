@@ -74,4 +74,60 @@ object MultiModal {
       .toDF()
       .withColumnRenamed("id", idCol)
   }
+
+  /** Deterministic stand-in for a pixel resize: maps the payload to
+    * exactly `targetBytes` by periodic sampling (up- or down-"scaling").
+    * A real image resize has the identical contract — bytes in, bytes of
+    * a known size out — so swapping the codec changes no plumbing.
+    */
+  private[graft] def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (bytes.isEmpty) new Array[Byte](0)
+    else Array.tabulate(targetBytes)(i => bytes(((i.toLong * bytes.length) / targetBytes).toInt))
+  }
+
+  case class Resized(id: Long, payload: Array[Byte], n_bytes: Long)
+
+  /** Payload→payload transform (the resize shape): binary in, binary
+    * out, metadata refreshed; narrow map, nothing shuffles.
+    */
+  def resize(withPayload: DataFrame, idCol: String, targetBytes: Int): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = resizeStub(bytes, targetBytes)
+        Resized(id, out, out.length.toLong)
+      })
+      .toDF()
+      .withColumnRenamed("id", idCol)
+  }
+
+  case class Frame(id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Frame sampling (the video shape): one INPUT row fans out to one row
+    * per sampled fixed-size frame — `mapPartitions` + iterator flatMap,
+    * so a long video never materializes all frames at once and the fan-
+    * out happens where the bytes already live (no shuffle; downstream
+    * repartition can rebalance if frame counts skew).
+    */
+  def sampleFrames(withPayload: DataFrame, idCol: String, frameBytes: Int,
+      stride: Int = 2): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          Frame(id, f.toLong,
+            java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      })
+      .toDF()
+      .withColumnRenamed("id", idCol)
+  }
 }
