@@ -105,6 +105,47 @@ object ExtraQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-row 10×10 rectangles centered on the event point — lets the
+    * containment/intersection predicates have exact arithmetic oracles
+    * (the y coordinate is integral, so touch/boundary cases resolve
+    * identically in JTS and in the oracle's inequalities).
+    */
+  private def eventRects(s: SparkSession, dir: String): DataFrame = {
+    val x = col("value")
+    val y = (col("user_id") % 100).cast("double")
+    def pt(px: org.apache.spark.sql.Column,
+        py: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(px.cast("string"), lit(" "), py.cast("string"))
+    t(s, dir, "events").withColumn("rect",
+      concat(lit("POLYGON(("),
+        pt(x - 5, y - 5), lit(","), pt(x + 5, y - 5), lit(","),
+        pt(x + 5, y + 5), lit(","), pt(x - 5, y + 5), lit(","),
+        pt(x - 5, y - 5), lit("))")))
+  }
+
+  /** ST_Contains: row rectangles containing a fixed point. JTS contains
+    * excludes the boundary, hence the strict inequalities in the oracle.
+    * (ST_Equals/Touches/Crosses/Overlaps remain ScalaTest-level: on this
+    * point/rect corpus they are measure-zero or degenerate.)
+    */
+  def geoContains(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventRects(s, dir)
+    ev.filter(ExprCompiler.compile("st_contains(rect, 'POINT(50 50)')", ev))
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ST_Intersects: row rectangles meeting a fixed rectangle (closed —
+    * touching counts, hence non-strict oracle inequalities).
+    */
+  def geoIntersects(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventRects(s, dir)
+    ev.filter(ExprCompiler.compile(
+        "st_intersects(rect, 'POLYGON((40 40, 60 40, 60 60, 40 60, 40 40))')", ev))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- §2.1 element filter over ARRAY column (ElementFilterBitsNode) ----
 
   def arrayExists(s: SparkSession, dir: String): DataFrame = {
@@ -498,6 +539,8 @@ object ExtraQueries {
     "q_template_vars" -> (templateVars _),
     "q_geo_dwithin" -> (geoDWithin _),
     "q_geo_within" -> (geoWithin _),
+    "q_geo_contains" -> (geoContains _),
+    "q_geo_intersects" -> (geoIntersects _),
     "q_array_exists" -> (arrayExists _),
     "q_element_filter" -> (elementFilter _),
     "q_sparse_topk" -> (sparseTopk _),
@@ -658,6 +701,16 @@ object ExtraQueries {
       """SELECT event_id, user_id FROM events
         |WHERE value > 10 AND value < 90
         |  AND (user_id % 100) > 10 AND (user_id % 100) < 60
+        |ORDER BY event_id""".stripMargin,
+    "q_geo_contains" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE value > 45 AND value < 55
+        |  AND (user_id % 100) > 45 AND (user_id % 100) < 55
+        |ORDER BY event_id""".stripMargin,
+    "q_geo_intersects" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE value >= 35 AND value <= 65
+        |  AND (user_id % 100) >= 35 AND (user_id % 100) <= 65
         |ORDER BY event_id""".stripMargin,
     "q_array_exists" ->
       """SELECT vec_id, len(embedding) AS dim FROM embeddings
