@@ -20,12 +20,52 @@ object InvertedIndex {
     * `collect_set` dedups (id, term) pairs inside the partial aggregate,
     * so the build is ONE shuffle (the old `distinct()+groupBy` shape was
     * two full shuffles of the exploded pairs).
+    *
+    * CAUTION at scale: a frequent term's postings land in ONE
+    * aggregation-buffer row — fine for bounded-cardinality values
+    * ([[buildValueIndex]], the bitmap analogue), hazardous for open text
+    * at 100 TB. Prefer [[buildTokenPairs]] there.
     */
   def buildTokenIndex(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
     df.select(col(idCol), explode(tokensCol).as("term"))
       .groupBy(col("term"))
       .agg(sort_array(collect_set(col(idCol))).as("postings"))
       .select(col("term"), size(col("postings")).cast("long").as("df"), col("postings"))
+
+  /** Flat (term, id) pair index — the scale-safe text-index
+    * representation: no per-term array buffer ever materializes, so a
+    * boilerplate term appearing in billions of docs costs rows, not one
+    * giant cell. `tokensCol` must be per-row distinct (wrap in
+    * `array_distinct`) so (term, id) pairs are unique by construction.
+    *
+    * Probing needs NO aggregation of the full index: the term filter
+    * prunes first (sorted-by-term storage ⇒ row-group pruning), and only
+    * matching pairs reach the per-id counting shuffle.
+    */
+  def buildTokenPairs(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokensCol).as("term"))
+
+  /** Persist a pair index sorted by term so lookups prune to the few
+    * row groups covering their terms.
+    */
+  def writeTokenPairs(pairs: DataFrame, path: String, numPartitions: Int): Unit =
+    pairs.repartitionByRange(numPartitions, col("term"))
+      .sortWithinPartitions(col("term"), col("id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** AND-semantics lookup on a pair index: ids containing ALL terms.
+    * Only term-matching pairs shuffle; the count stays partial+final.
+    */
+  def lookupAllPairs(pairs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val distinctTerms = terms.distinct
+    pairs
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") === distinctTerms.size)
+      .select(col("id"))
+  }
 
   /** Bitmap-style index over a low-cardinality scalar column:
     * (value, cnt, postings). The sorted id list is the roaring-bitmap

@@ -27,12 +27,14 @@ import graft.functions.TextFunctions
   */
 object NgramIndex {
 
-  /** Build the (gram, df, postings) index table over `textCol`'s distinct
-    * lowercase `n`-grams. At scale, write sorted by `gram` so lookups
-    * prune to a few row groups.
+  /** Build the flat (gram, id) pair index over `textCol`'s distinct
+    * lowercase `n`-grams — the scale-safe representation (a hot gram
+    * like "the" never materializes a single giant postings cell; see
+    * [[InvertedIndex.buildTokenPairs]]). At scale, persist with
+    * [[InvertedIndex.writeTokenPairs]] so gram filters prune row groups.
     */
   def build(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    InvertedIndex.buildTokenIndex(df, idCol,
+    InvertedIndex.buildTokenPairs(df, idCol,
       array_distinct(TextFunctions.charNgrams(col(textCol), n)))
 
   /** The lowercase n-grams a candidate must contain to possibly match
@@ -52,7 +54,7 @@ object NgramIndex {
     val grams = patterns.flatMap(patternGrams(_, n)).distinct
     require(grams.nonEmpty,
       s"no indexable grams (all patterns shorter than $n chars) — use a full scan")
-    InvertedIndex.lookupAll(index, grams)
+    InvertedIndex.lookupAllPairs(index, grams)
   }
 
   /** Exact fused multi-LIKE: rows of `df` matching ALL `%pattern%`s,

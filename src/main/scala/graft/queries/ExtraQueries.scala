@@ -407,9 +407,9 @@ object ExtraQueries {
 
   def invertedLookup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val index = graft.operators.InvertedIndex.buildTokenIndex(
-      d, "doc_id", TextFunctions.tokenize(col("text")))
-    val ids = graft.operators.InvertedIndex.lookupAll(index, Seq("vector", "spark"))
+    val index = graft.operators.InvertedIndex.buildTokenPairs(
+      d, "doc_id", array_distinct(TextFunctions.tokenize(col("text"))))
+    val ids = graft.operators.InvertedIndex.lookupAllPairs(index, Seq("vector", "spark"))
     broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
       .select(col("id"), col("lang"))
       .orderBy(col("id"))

@@ -63,6 +63,21 @@ class ExtraSpec extends SparkSpec {
     assert(ids("a", "zzz") == Seq()) // missing term → empty intersection
   }
 
+  test("pair-table index answers identically to the postings-array index") {
+    val df = Seq((1L, "a b c b"), (2L, "a c"), (3L, "b"), (4L, "a b"))
+      .toDF("id", "text")
+    val arrIdx = InvertedIndex.buildTokenIndex(df, "id",
+      TextFunctions.tokenize(col("text")))
+    val pairIdx = InvertedIndex.buildTokenPairs(df, "id",
+      array_distinct(TextFunctions.tokenize(col("text"))))
+    for (terms <- Seq(Seq("a", "b"), Seq("b"), Seq("a", "zzz"), Seq("a", "a", "c"))) {
+      val viaArr = InvertedIndex.lookupAll(arrIdx, terms).as[Long].collect().sorted.toSeq
+      val viaPairs = InvertedIndex.lookupAllPairs(pairIdx, terms)
+        .as[Long].collect().sorted.toSeq
+      assert(viaArr == viaPairs, s"divergence on $terms")
+    }
+  }
+
   test("model rerank orders by deterministic cross-encoder score") {
     val hits = Seq((0L, 1L, "x y"), (0L, 2L, "x y z"), (0L, 3L, "q"))
       .toDF("qid", "doc_id", "text")
