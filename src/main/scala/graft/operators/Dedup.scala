@@ -226,6 +226,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components of an undirected (id_a, id_b) pair graph by
+    * iterative min-label propagation: every node's label converges to
+    * the minimum id reachable from it. Near-dup clusters are short
+    * chains/stars, so convergence is a handful of iterations; each
+    * iteration is one hash-agg + one join, both partial+final (the
+    * standard large-graph CC shape — no driver-side graph).
+    *
+    * Output: (id, component) for every id appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("_minNbr"))
+      .select(col("id_a").as("id"),
+        least(col("id_a"), col("_minNbr")).as("component"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor's current label, min over neighbors ∪ self
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "id_b"), "id_b")
+        .select(col("id_a").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // converged when no label changed this round
+      converged = next.join(labels.withColumnRenamed("component", "_prev"), "id")
+        .filter(col("component") =!= col("_prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus minus near-duplicates: one representative (min id) survives
+    * per near-dup cluster — the end-to-end operator a training-data
+    * pipeline runs (pairs → components → filter), all bucketed joins.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 63, bands: Int = 21,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold, numHashes,
+      bands, shingleSize)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component")) // keep the min id of each cluster
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** All-pairs exact token-set Jaccard over a SMALL table — verify-only
     * (ground truth for recall tests / bounded subsets). Guarded: refuses
     * inputs above `maxRows` rather than silently going quadratic.

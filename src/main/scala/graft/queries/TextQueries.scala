@@ -109,6 +109,22 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** End-to-end dedup: corpus minus near-duplicates (LSH pairs → graph
+    * components → min-id survivor per cluster). Planted dups form
+    * deterministic 2-node clusters, so the oracle is "drop every id that
+    * an exact-Jaccard pair marks as the larger member".
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val nearDup = base.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text"))
+    Dedup.dropNearDuplicates(base.unionByName(nearDup), "doc_id", "text",
+        threshold = 0.8, numHashes = 63, bands = 21)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs over the PORTABLE 60-bit md5-derived
     * signature, pigeonhole banding (maxDist+1 chunks ⇒ exact recall) —
     * fully deterministic, so the oracle recomputes the identical
@@ -202,6 +218,7 @@ object TextQueries {
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_embed_cosine_pairs" -> (embedCosinePairs _),
     "q_minhash_lsh" -> (minhashLsh _),
+    "q_dedup_survivors" -> (dedupSurvivors _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_text_match" -> (textMatch _),
     "q_analyzer_chargroup" -> (analyzerCharGroup _),
@@ -328,6 +345,32 @@ object TextQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' appended' FROM documents WHERE doc_id < 100),
+         |toks AS (SELECT doc_id, $sqlToks AS t FROM d),
+         |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+         |         THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t) - 2)]
+         |       END AS s FROM toks),
+         |ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+         |       WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+         |             len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+         |          UNION ALL SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |losers AS (SELECT id FROM comp WHERE comp < id)
+         |SELECT doc_id, text FROM d
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH d AS (
          |  SELECT doc_id, text FROM documents

@@ -151,4 +151,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on chains and stars (multi-hop)") {
+    // components: {1,5,9} chain via 5, {2,3} pair, {7} absent from pairs
+    val pairs = Seq((1L, 5L), (5L, 9L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 3L -> 2L))
+    // adversarial: chain where min id is at the END — needs propagation
+    val chain = Seq((9L, 7L), (7L, 5L), (5L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(got2.values.toSet == Set(1L))
+  }
+
+  test("dropNearDuplicates keeps exactly one representative per cluster") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta extra"), // near-dup of 1
+      (3L, "completely different text about other things entirely"),
+      (4L, "alpha beta gamma delta epsilon zeta eta extra more")) // near-dup of 2
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.6)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // 1,2,4 form one cluster (chain through 2) -> keep 1; 3 untouched
+    assert(kept == Seq(1L, 3L))
+  }
 }
