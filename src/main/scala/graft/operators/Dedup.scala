@@ -236,8 +236,13 @@ object Dedup {
     * Output: (id, component) for every id appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // persist BEFORE the symmetric union: its two branches would
+    // otherwise each recompute the (expensive — typically an LSH
+    // pipeline) pair lineage inside the union job
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p
+      .unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("id_a"))
       .agg(min(col("id_b")).as("_minNbr"))
