@@ -32,7 +32,7 @@ object Dedup {
     * no-op at real scale where inputs already have many partitions — the
     * shuffle only triggers when the input is narrower than the cluster.
     */
-  private def parallelize(df: DataFrame): DataFrame = {
+  private[operators] def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // estimate the scan's task count from plan statistics (bytes /
     // max split size) — materializing `df.rdd` just to read its

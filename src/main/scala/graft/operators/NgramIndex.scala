@@ -34,7 +34,9 @@ object NgramIndex {
     * [[InvertedIndex.writeTokenPairs]] so gram filters prune row groups.
     */
   def build(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    InvertedIndex.buildTokenPairs(df, idCol,
+    // adaptive repartition: the per-row gram explode is the expensive
+    // pass — don't let a single small row group serialize it
+    InvertedIndex.buildTokenPairs(Dedup.parallelize(df), idCol,
       array_distinct(TextFunctions.charNgrams(col(textCol), n)))
 
   /** The lowercase n-grams a candidate must contain to possibly match
