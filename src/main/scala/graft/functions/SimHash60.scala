@@ -47,17 +47,34 @@ object SimHash60 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Corpus vocabulary is tiny relative to token instances ("the"
+    * recurs in every doc), so memoize token→hash per thread. Keys are
+    * COPIED — the incoming UTF8String may alias a reused row buffer.
+    * Cleared when it outgrows a bound so adversarial vocabularies can't
+    * grow it without limit.
+    */
+  private val memo = new ThreadLocal[java.util.HashMap[UTF8String, java.lang.Long]] {
+    override def initialValue() = new java.util.HashMap[UTF8String, java.lang.Long](1 << 14)
+  }
+  private val MemoCap = 1 << 16
+
   /** First 60 bits of md5(token) — the value of the first 15 hex chars
     * of the digest parsed base-16 (= first 8 bytes big-endian >>> 4).
     */
   def hash60(token: UTF8String): Long = {
+    val m = memo.get()
+    val hit = m.get(token)
+    if (hit != null) return hit.longValue()
     val md = digest.get()
     md.reset()
     val d = md.digest(token.getBytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v >>> 4
+    v >>>= 4
+    if (m.size() >= MemoCap) m.clear()
+    m.put(token.copy(), v)
+    v
   }
 
   /** The packed 60-bit signature over the DISTINCT non-null tokens. */
