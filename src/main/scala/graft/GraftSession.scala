@@ -18,6 +18,7 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // local-only: the test parquet files are single-digit MB, so the
