@@ -98,20 +98,30 @@ object Dedup {
     // corpus, so cache the (small, ids-only) exploded table instead of
     // recomputing signatures three times
     val bandedP = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = bandedP.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("_sz"))
-    // the sizes join co-partitions with the bucket self-join below, so
-    // AQE reuses the exchange; only 3 small columns + a count shuffle.
-    // Salt is PER BAND (hash of band_idx + id): two ids split apart in
-    // one hot band can still meet in another, so identical-doc recall
-    // under salting is 1 − (1−1/s)^hotBands rather than hard loss.
-    val salted = bandedP.join(sizes, Seq("band_idx", "band_hash"))
-      .withColumn("_salt",
-        when(col("_sz") > bucketCap,
-          pmod(xxhash64(col("band_idx"), col(idCol)),
-            ceil(col("_sz").cast("double") / bucketCap).cast(LongType)))
-          .otherwise(lit(0L)))
-      .select(col("band_idx"), col("band_hash"), col("_salt"), col(idCol))
+    // materializes the persist (needed by every consumer below anyway);
+    // if the WHOLE banded table fits under the cap, no single bucket can
+    // exceed it, so the sizes join + salting provably cannot trigger —
+    // skip both. At scale the count exceeds the cap and the guarded
+    // path runs.
+    val totalRows = bandedP.count()
+    val salted = if (totalRows <= bucketCap) {
+      bandedP.select(col("band_idx"), col("band_hash"), lit(0L).as("_salt"), col(idCol))
+    } else {
+      val sizes = bandedP.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("_sz"))
+      // the sizes join co-partitions with the bucket self-join below, so
+      // AQE reuses the exchange; only 3 small columns + a count shuffle.
+      // Salt is PER BAND (hash of band_idx + id): two ids split apart in
+      // one hot band can still meet in another, so identical-doc recall
+      // under salting is 1 − (1−1/s)^hotBands rather than hard loss.
+      bandedP.join(sizes, Seq("band_idx", "band_hash"))
+        .withColumn("_salt",
+          when(col("_sz") > bucketCap,
+            pmod(xxhash64(col("band_idx"), col(idCol)),
+              ceil(col("_sz").cast("double") / bucketCap).cast(LongType)))
+            .otherwise(lit(0L)))
+        .select(col("band_idx"), col("band_hash"), col("_salt"), col(idCol))
+    }
     val a = salted.withColumnRenamed(idCol, "id_a")
     val b = salted.withColumnRenamed(idCol, "id_b")
     // dedup candidate pairs FIRST (near-dups collide in many bands — up

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Analyzers, BinaryVector, Metric, TextFunctions}
+import graft.operators.{Dedup, Sq8Index, VectorSearch}
+
+/** Boundary behavior across operators: empty inputs, over-sized k,
+  * degenerate data. These are the conditions a long-running pipeline
+  * actually hits (empty partitions after filters, constant columns,
+  * short documents).
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = GraftSession.table(spark, sfDir, "embeddings")
+
+  test("top-k with k larger than the corpus returns the whole corpus, ranked") {
+    val n = emb.count().toInt
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val hits = VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.L2, k = n + 500)
+    assert(hits.count() == n)
+    val ranks = hits.select($"rank").as[Long].collect().sorted
+    assert(ranks.head == 1L && ranks.last == n.toLong)
+  }
+
+  test("offset beyond the result set yields empty, not an error") {
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val n = emb.count().toInt
+    val hits = VectorSearch.topK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.L2, k = 10, offset = n + 10)
+    assert(hits.count() == 0)
+  }
+
+  test("BM25 with an empty / all-unknown query returns no hits") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val model = graft.operators.Bm25.build(docs, "doc_id", "text")
+    assert(graft.operators.Bm25.search(model, "", 5).count() == 0)
+    assert(graft.operators.Bm25.search(model, "zzz qqq", 5).count() == 0)
+  }
+
+  test("analyzers on empty and whitespace-only strings yield empty token arrays") {
+    val df = Seq("", "   ", "\t\n").toDF("t")
+    for (tok <- Seq(Analyzers.Standard, Analyzers.Whitespace)) {
+      val toks = df.select(Analyzers.analyze(col("t"), tok).as("x"))
+        .as[Seq[String]].collect()
+      assert(toks.forall(_.isEmpty), s"$tok on blank input: ${toks.toSeq}")
+    }
+    // keyword keeps the raw value (a single, possibly-blank token)
+    val kw = df.select(Analyzers.analyze(col("t"), Analyzers.Keyword).as("x"))
+      .as[Seq[String]].collect()
+    assert(kw.forall(_.length == 1))
+  }
+
+  test("sq8 on a constant dimension (diff = 0) roundtrips to the constant") {
+    val df = Seq((1L, Seq(1f, 5f)), (2L, Seq(1f, 7f))).toDF("id", "v")
+    val model = Sq8Index.train(df, "v")
+    assert(model.diffs(0) == 0f)
+    val rt = df.select(Sq8Index.decode(model, Sq8Index.encode(model, $"v")).as("rt"))
+      .as[Seq[Float]].collect()
+    assert(rt.forall(_.head == 1f))
+  }
+
+  test("dedup over a corpus with no duplicates returns it unchanged") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about entirely other topics here"),
+      (3L, "a third unrelated document mentioning nothing shared at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+    assert(kept.count() == 3)
+  }
+
+  test("binarize/hamming on empty vectors is zero-distance, not garbage") {
+    val df = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    val d = df.select(BinaryVector.hamming(
+        BinaryVector.binarize($"a"), BinaryVector.binarize($"b")).as("d"))
+      .as[Long].head()
+    assert(d == 0L)
+  }
+
+  test("shingles of a document shorter than the shingle size fall back to one shingle") {
+    val got = Seq("one two").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokenize($"t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(got == Seq("one two"))
+  }
+}
