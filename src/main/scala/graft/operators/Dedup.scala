@@ -245,12 +245,19 @@ object Dedup {
     *
     * Output: (id, component) for every id appearing in `pairs`.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      localEdgeCap: Long = 4_000_000L): DataFrame = {
     // persist BEFORE the symmetric union: its two branches would
     // otherwise each recompute the (expensive — typically an LSH
     // pipeline) pair lineage inside the union job
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the duplicate graph is the DUP subset of the corpus — usually
+    // orders of magnitude smaller than the data. Below the cap, a
+    // driver-local union-find (milliseconds) replaces 2-4 iterative
+    // join/agg rounds; above it, the distributed label propagation
+    // runs. Same bounded-artifact dispatch as sampled codebook training.
+    if (p.count() <= localEdgeCap) return ccLocal(p)
     val edges = p
       .unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -276,6 +283,31 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-local union-find with path compression over a collected
+    * (bounded) edge list; labels normalized to the min id per component.
+    */
+  private def ccLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    parent.keySet().forEach(id => out += ((id, find(id))))
+    out.toSeq.toDF("id", "component")
   }
 
   /** Corpus minus near-duplicates: one representative (min id) survives

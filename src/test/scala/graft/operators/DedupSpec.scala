@@ -151,16 +151,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("connected components converge on chains and stars (multi-hop)") {
+  test("connected components converge on chains and stars (both paths)") {
     // components: {1,5,9} chain via 5, {2,3} pair, {7} absent from pairs
     val pairs = Seq((1L, 5L), (5L, 9L), (2L, 3L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 3L -> 2L))
+    val expect = Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 3L -> 2L)
+    // localEdgeCap = 0 forces the distributed label-propagation path;
+    // the default takes the driver-local union-find — must agree
+    for (cap <- Seq(0L, 4000000L)) {
+      val got = Dedup.connectedComponents(pairs, localEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"cap=$cap")
+    }
     // adversarial: chain where min id is at the END — needs propagation
     val chain = Seq((9L, 7L), (7L, 5L), (5L, 3L), (3L, 1L)).toDF("id_a", "id_b")
-    val got2 = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
-    assert(got2.values.toSet == Set(1L))
+    for (cap <- Seq(0L, 4000000L)) {
+      val got2 = Dedup.connectedComponents(chain, localEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got2.values.toSet == Set(1L), s"cap=$cap")
+    }
   }
 
   test("dropNearDuplicates keeps exactly one representative per cluster") {
