@@ -1,0 +1,86 @@
+package graft.expr
+
+import org.apache.spark.sql.functions.expr
+
+import graft.{GraftSession, SparkSpec}
+
+/** Differential fuzz: random predicates in the milvus expression grammar
+  * are compiled by ExprCompiler AND mechanically translated to Spark SQL
+  * (the grammars overlap on ranges/IN/LIKE/logic/arith up to `==` → `=`)
+  * — both filters must select the identical row set. Seeded, so failures
+  * reproduce.
+  */
+class ExprFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = GraftSession.table(spark, sfDir, "lineitem")
+    .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+    .cache()
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def numLeaf(): String = {
+    val (c, lo, hi) = rnd.nextInt(4) match {
+      case 0 => ("l_quantity", 1, 50)
+      case 1 => ("l_partkey", 1, 2000)
+      case 2 => ("l_suppkey", 1, 100)
+      case 3 => ("l_linenumber", 1, 7)
+    }
+    val v = lo + rnd.nextInt(hi - lo + 1)
+    rnd.nextInt(6) match {
+      case 0 => s"$c < $v"
+      case 1 => s"$c <= $v"
+      case 2 => s"$c > $v"
+      case 3 => s"$c >= $v"
+      case 4 => s"$c == $v"
+      case 5 => s"($c % ${2 + rnd.nextInt(9)}) == ${rnd.nextInt(2)}"
+    }
+  }
+
+  private def strLeaf(): String = rnd.nextInt(4) match {
+    case 0 => s"""l_returnflag == "${Seq("A", "N", "R")(rnd.nextInt(3))}""""
+    case 1 => s"""l_linestatus in ["O", "F"]"""
+    case 2 => s"""l_returnflag like "${Seq("A", "N", "R")(rnd.nextInt(3))}%""""
+    case 3 => s"""l_returnflag != "N""""
+  }
+
+  private def node(depth: Int): String = {
+    if (depth == 0) { if (rnd.nextBoolean()) numLeaf() else strLeaf() }
+    else rnd.nextInt(5) match {
+      case 0 => s"(${node(depth - 1)}) and (${node(depth - 1)})"
+      case 1 => s"(${node(depth - 1)}) or (${node(depth - 1)})"
+      case 2 => s"not (${node(depth - 1)})"
+      case 3 => s"${10 + rnd.nextInt(20)} < l_quantity <= ${30 + rnd.nextInt(20)}"
+      case _ => node(depth - 1)
+    }
+  }
+
+  /** Mechanical milvus-grammar → Spark-SQL translation. */
+  private def toSql(e: String): String = {
+    var s = e.replace("==", "=")
+    // two-sided range `a < col <= b` → conjunction
+    s = """(\d+) < (l_\w+) <= (\d+)""".r.replaceAllIn(s,
+      m => s"(${m.group(2)} > ${m.group(1)} AND ${m.group(2)} <= ${m.group(3)})")
+    s = s.replace("in [", "in (").replace("\"]", "\")").replace("\", \"", "\", \"")
+    s = s.replace("]", ")")
+    s.replace("\"", "'")
+  }
+
+  test("200 random grammar predicates match their Spark SQL translation") {
+    var nonTrivial = 0
+    for (i <- 0 until 200) {
+      val eStr = node(2 + rnd.nextInt(2))
+      val sql = toSql(eStr)
+      val viaCompiler = li.filter(ExprCompiler.compile(eStr, li))
+        .select($"l_orderkey", $"l_linenumber").as[(Long, Long)].collect().toSet
+      val viaSql = li.filter(expr(sql))
+        .select($"l_orderkey", $"l_linenumber").as[(Long, Long)].collect().toSet
+      assert(viaCompiler == viaSql,
+        s"#$i mismatch (${viaCompiler.size} vs ${viaSql.size}):\n  expr: $eStr\n  sql:  $sql")
+      if (viaCompiler.nonEmpty && viaCompiler.size != li.count()) nonTrivial += 1
+    }
+    // sanity: the generator must produce mostly selective predicates
+    assert(nonTrivial > 100, s"only $nonTrivial non-trivial predicates generated")
+  }
+}
