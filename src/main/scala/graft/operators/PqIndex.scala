@@ -188,11 +188,17 @@ object PqIndex {
     import org.apache.spark.sql.functions.broadcast
     val spark = encoded.sparkSession
     import spark.implicits._
-    val candidates = search(encoded, idCol, codesCol, model, queries, shortlist)
+    val candidates0 = search(encoded, idCol, codesCol, model, queries, shortlist)
       .select(col("qid"), col(idCol))
+    // broadcast is right when the shortlist is the usual nq·k' rows;
+    // an exhaustive configuration (shortlist ≈ corpus, the oracle-check
+    // mode) must NOT force a corpus-sized broadcast — let AQE decide.
+    val candidates =
+      if (queries.size.toLong * shortlist <= 1000000L) broadcast(candidates0)
+      else candidates0
     val qDf = queries.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "_qvec")
     val raw = graft.functions.VectorFunctions.l2(col(vecCol), col("_qvec"))
-    val exact = broadcast(candidates)
+    val exact = candidates
       .join(encoded.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(qDf), "qid")
       .withColumn("_score", roundTo.map(d => round(raw, d)).getOrElse(raw))

@@ -71,11 +71,16 @@ object Sq8Index {
       .withColumn("_dec", decode(model, col(codesCol)))
       .crossJoin(qDf)
       .withColumn("_score", graft.functions.VectorFunctions.l2(col("_dec"), col("_qvec")))
-    val candidates = VectorSearch
+    val candidates0 = VectorSearch
       .reduceTopK(approx, idCol, "qid", graft.functions.Metric.L2, shortlist, Seq(idCol))
       .select(col("qid"), col(idCol))
+    // see PqIndex.searchRefined: don't force a broadcast when the
+    // shortlist is corpus-sized (the exhaustive/oracle configuration)
+    val candidates =
+      if (queries.size.toLong * shortlist <= 1000000L) broadcast(candidates0)
+      else candidates0
     val raw = graft.functions.VectorFunctions.l2(col(vecCol), col("_qvec"))
-    val exact = broadcast(candidates)
+    val exact = candidates
       .join(encoded.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(qDf, "qid")
       .withColumn("_score", roundTo.map(d => round(raw, d)).getOrElse(raw))

@@ -246,7 +246,9 @@ object SearchQueries {
     val qExact = corpus.filter(col("vec_id") >= 6 && col("vec_id") < 9)
       .select(col("vec_id").as("qid"), col("embedding").as("_qvec"))
     val raw = VectorFunctions.l2(col("embedding"), col("_qvec"))
-    val exact = broadcast(short)
+    // shortlist = corpus here (oracle mode): no broadcast hint — AQE
+    // picks the join; production shortlists (nq·k') broadcast on their own
+    val exact = short
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(qExact), "qid")
       .withColumn("_score", round(raw, 4))
