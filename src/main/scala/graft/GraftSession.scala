@@ -25,7 +25,7 @@ object GraftSession {
       // default 128 MB split puts a whole table in ONE task — expensive
       // per-row expressions (minhash, simhash) then run single-threaded.
       // On a real cluster leave the default; files are many and large.
-      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       // events.parquet carries TIMESTAMP(NANOS); read as long (nanos)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
