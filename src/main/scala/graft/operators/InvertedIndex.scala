@@ -89,6 +89,46 @@ object InvertedIndex {
       .select(explode(col("postings")).as("id"))
   }
 
+  /** Positional postings: one row per (id, term) with the term's token
+    * positions (reference: tantivy positional postings behind
+    * PhraseMatch — index/TextMatchIndex.cpp stores positions so phrase
+    * queries never rescan text). Positions per (doc, term) are bounded
+    * by document length — no wide-row hazard. At scale, persist sorted
+    * by term (same pruning argument as [[writeTokenPairs]]).
+    */
+  def buildPositionalIndex(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(tokensCol).as(Seq("pos", "term")))
+      .groupBy(col("id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Index-accelerated exact phrase match (slop = 0): ids whose token
+    * stream contains `terms` at consecutive positions. The scan touches
+    * ONLY the query terms' postings (term filter prunes first); the
+    * adjacency check is a per-candidate array fold, never a text rescan.
+    * Sloppy phrases stay on the regex path ([[graft.expr.Calls]]) —
+    * positional slop enumeration doesn't beat it until slop is large.
+    */
+  def phraseSearch(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    if (terms.distinct.size == 1 && terms.size == 1)
+      return index.filter(col("term") === terms.head).select(col("id"))
+    // per-candidate row: positions of each query term, in phrase order
+    val matched = index.filter(col("term").isin(terms.distinct: _*))
+    val byDoc = matched
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("_tp"))
+      .filter(terms.distinct.map(t => map_contains_key(col("_tp"), lit(t)))
+        .reduce(_ && _))
+    // adjacency: ∃ p in positions(t0) such that ∀ i: p+i ∈ positions(ti)
+    val anchor = element_at(col("_tp"), lit(terms.head))
+    val ok = exists(anchor, p =>
+      terms.zipWithIndex.tail.map { case (t, i) =>
+        array_contains(element_at(col("_tp"), lit(t)), p + i)
+      }.foldLeft(lit(true))(_ && _))
+    byDoc.filter(ok).select(col("id"))
+  }
+
   /** TRIE-style prefix lookup (reference: marisa-trie
     * index/StringIndexMarisa.cpp — prefix walks). On a value index table
     * stored sorted by value, `startsWith` is a contiguous key range, so

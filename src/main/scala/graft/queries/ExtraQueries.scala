@@ -415,6 +415,21 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  // ---- §2.5 positional-postings phrase index (TextMatchIndex.cpp) ----
+
+  /** Exact phrase through positional postings — index-side adjacency
+    * check, no text rescan; must equal the normalized-stream LIKE oracle.
+    */
+  def phraseIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = graft.operators.InvertedIndex.buildPositionalIndex(
+      d, "doc_id", TextFunctions.tokenize(col("text")))
+    val ids = graft.operators.InvertedIndex.phraseSearch(index, Seq("the", "fast"))
+    broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
+      .select(col("id"), col("lang"))
+      .orderBy(col("id"))
+  }
+
   // ---- §2.6 BITMAP index build + value lookup (BitmapIndex.cpp) ----
 
   def bitmapLookup(s: SparkSession, dir: String): DataFrame = {
@@ -529,6 +544,7 @@ object ExtraQueries {
     "q_model_rerank" -> (modelRerank _),
     "q_inverted_lookup" -> (invertedLookup _),
     "q_bitmap_lookup" -> (bitmapLookup _),
+    "q_phrase_index" -> (phraseIndex _),
     "q_pq_refine" -> (pqRefine _),
     "q_ngram_like" -> (ngramLike _),
     "q_phrase_match" -> (phraseMatch _),
@@ -651,6 +667,12 @@ object ExtraQueries {
     "q_bitmap_lookup" ->
       """SELECT doc_id AS id, lang, source FROM documents
         |WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,
+    "q_phrase_index" ->
+      """SELECT doc_id AS id, lang FROM documents
+        |WHERE (' ' || array_to_string(
+        |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |        ' ') || ' ') LIKE '% the fast %'
+        |ORDER BY doc_id""".stripMargin,
     "q_ngram_like" ->
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'

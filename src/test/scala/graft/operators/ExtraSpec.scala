@@ -78,6 +78,23 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("positional phrase index matches adjacency incl. repeated terms") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "b a c"), (3L, "x a b y"), (4L, "a x b"),
+      (5L, "a b a b"), (6L, "b b b"))
+      .toDF("id", "text")
+    val idx = InvertedIndex.buildPositionalIndex(df, "id",
+      TextFunctions.tokenize(col("text")))
+    def ids(terms: String*) =
+      InvertedIndex.phraseSearch(idx, terms).as[Long].collect().sorted.toSeq
+    assert(ids("a", "b") == Seq(1L, 3L, 5L))
+    assert(ids("a", "b", "a") == Seq(5L))   // repeated term in phrase
+    assert(ids("b", "b") == Seq(6L))        // doc 5's b's (pos 1,3) are not adjacent
+    assert(ids("c", "d") == Seq(1L))
+    assert(ids("d") == Seq(1L))             // single term
+    assert(ids("a", "z") == Seq())
+  }
+
   test("model rerank orders by deterministic cross-encoder score") {
     val hits = Seq((0L, 1L, "x y"), (0L, 2L, "x y z"), (0L, 3L, "q"))
       .toDF("qid", "doc_id", "text")
