@@ -98,30 +98,26 @@ object Dedup {
     // corpus, so cache the (small, ids-only) exploded table instead of
     // recomputing signatures three times
     val bandedP = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materializes the persist (needed by every consumer below anyway);
-    // if the WHOLE banded table fits under the cap, no single bucket can
-    // exceed it, so the sizes join + salting provably cannot trigger —
-    // skip both. At scale the count exceeds the cap and the guarded
-    // path runs.
-    val totalRows = bandedP.count()
-    val salted = if (totalRows <= bucketCap) {
-      bandedP.select(col("band_idx"), col("band_hash"), lit(0L).as("_salt"), col(idCol))
-    } else {
-      val sizes = bandedP.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("_sz"))
-      // the sizes join co-partitions with the bucket self-join below, so
-      // AQE reuses the exchange; only 3 small columns + a count shuffle.
-      // Salt is PER BAND (hash of band_idx + id): two ids split apart in
-      // one hot band can still meet in another, so identical-doc recall
-      // under salting is 1 − (1−1/s)^hotBands rather than hard loss.
-      bandedP.join(sizes, Seq("band_idx", "band_hash"))
-        .withColumn("_salt",
-          when(col("_sz") > bucketCap,
-            pmod(xxhash64(col("band_idx"), col(idCol)),
-              ceil(col("_sz").cast("double") / bucketCap).cast(LongType)))
-            .otherwise(lit(0L)))
-        .select(col("band_idx"), col("band_hash"), col("_salt"), col(idCol))
-    }
+    // Only buckets ABOVE the cap need salting, and those are rare by
+    // construction (≤ rows·bands/bucketCap of them, each a degenerate
+    // band hash), so join the banded table against the hot buckets only:
+    // AQE broadcasts the (tiny) hot set and the banded table never
+    // re-shuffles — vs a full sizes equi-join, which would move every
+    // (band, id) row a second time just to attach a count that is ≤ cap
+    // for almost all of them. Salt is PER BAND (hash of band_idx + id):
+    // two ids split apart in one hot band can still meet in another, so
+    // identical-doc recall under salting is 1 − (1−1/s)^hotBands rather
+    // than hard loss.
+    val hot = bandedP.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") > bucketCap)
+    val salted = bandedP.join(hot, Seq("band_idx", "band_hash"), "left")
+      .withColumn("_salt",
+        when(col("_sz").isNotNull,
+          pmod(xxhash64(col("band_idx"), col(idCol)),
+            ceil(col("_sz").cast("double") / bucketCap).cast(LongType)))
+          .otherwise(lit(0L)))
+      .select(col("band_idx"), col("band_hash"), col("_salt"), col(idCol))
     val a = salted.withColumnRenamed(idCol, "id_a")
     val b = salted.withColumnRenamed(idCol, "id_b")
     // dedup candidate pairs FIRST (near-dups collide in many bands — up
@@ -205,16 +201,23 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val base = parallelize(df)
-    val sigs = minhashSignatures(base, idCol, textCol, numHashes, shingleSize)
+    // ONE pass over the raw text: tokenize → shingle → distinct set,
+    // persisted. Signatures derive from the SET (shingleSize=1 hashes
+    // each shingle string as-is): per-seed minima over distinct shingles
+    // equal minima over all shingle occurrences, so this is bit-identical
+    // to signing the token stream directly — but the expensive
+    // tokenize+shingle work is not repeated for the verify-side sets.
+    val sets = base.select(col(idCol), array_distinct(TextFunctions.shingles(
+      TextFunctions.tokenize(col(textCol)), shingleSize)).as("_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets.select(col(idCol),
+      TextFunctions.minhashSignature(col("_set"), numHashes, 1).as("sig"))
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b), array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))
       }: _*)).as(Seq("band_idx", "band_hash")))
-    val shingleSets = base.select(col(idCol), array_distinct(TextFunctions.shingles(
-      TextFunctions.tokenize(col(textCol)), shingleSize)).as("_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardVerify(bandedPairs(banded, idCol, bucketCap), shingleSets, idCol, "_set",
+    jaccardVerify(bandedPairs(banded, idCol, bucketCap), sets, idCol, "_set",
       threshold, roundTo)
   }
 
