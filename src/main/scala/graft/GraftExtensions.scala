@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(children(2), "minhash_signature", "shingleSize"))
       }))
 
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "_FUNC_(normalizedText, k, w) - winnowing rolling-hash fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "winnow_fingerprint(normalizedText, k, w)")
+        WinnowFingerprint(children.head,
+          litInt(children(1), "winnow_fingerprint", "k"),
+          litInt(children(2), "winnow_fingerprint", "w"))
+      }))
+
     for ((name, mode) <- Seq(
         "fp16_encode" -> NarrowVectorCodec.Fp16Enc,
         "fp16_decode" -> NarrowVectorCodec.Fp16Dec,

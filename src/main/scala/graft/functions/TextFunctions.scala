@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis functions: analyzer/tokenizer, token matching helpers,
@@ -99,6 +99,18 @@ object TextFunctions {
     * near-whitespace/punctuation-invariant dedup key.
     */
   def fingerprint(c: Column): Column = md5(array_join(tokenize(c), " "))
+
+  /** Winnowing rolling-hash fingerprints over the normalized char stream
+    * — one fused codegen'd pass (see [[graft.functions.WinnowFingerprint]]
+    * for semantics, the DuckDB-recomputable hash, and why this must NOT
+    * be written with higher-order functions). Empty array for docs
+    * shorter than k normalized chars.
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WinnowFingerprint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          regexp_replace(lower(text), "[^a-z0-9]", "")), k, w))
 
   /** Lexical highlighter (reference: internal/proxy/highlighter.go:41-171
     * — post-search markup of matched terms): wraps whole-word, case-

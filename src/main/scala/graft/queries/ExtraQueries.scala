@@ -474,6 +474,32 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  // ---- §2.6 HYBRID + AUTOINDEX dispatch (HybridScalarIndex.cpp) ----
+
+  /** Hybrid dispatch measures cardinality and picks the physical index
+    * form, then routes lookups through it; AUTOINDEX resolves a type
+    * from dtype + cardinality. The chosen kinds surface as result
+    * columns so the oracle pins the routing decision itself, not just
+    * the routed rows (lang card=5 ⇒ BITMAP; n_chars card≈300 over the
+    * cap ⇒ INVERTED; text is high-card string ⇒ TRIE).
+    */
+  def hybridDispatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val d = t(s, dir, "documents")
+    val cap = 100L
+    val (kindLang, idxLang) = InvertedIndex.buildHybridIndex(d, "doc_id", "lang", cap)
+    val (kindN, idxN) = InvertedIndex.buildHybridIndex(d, "doc_id", "n_chars", cap)
+    val langHits = InvertedIndex.lookupValues(idxLang, "lang", Seq("en", "de"))
+      .agg(count(lit(1)).as("lang_hits"))
+    val ncharHits = InvertedIndex.lookupRange(idxN, "n_chars", 100, 200)
+      .agg(count(lit(1)).as("nchar_hits"))
+    langHits.crossJoin(ncharHits).select(
+      lit(kindLang).as("kind_lang"), col("lang_hits"),
+      lit(kindN).as("kind_nchars"), col("nchar_hits"),
+      lit(InvertedIndex.autoIndexType(d, "text", cap)).as("auto_text"),
+      lit(InvertedIndex.autoIndexType(d, "n_chars", cap)).as("auto_nchars"))
+  }
+
   // ---- §2.6 NGRAM index + fused multi-LIKE (NgramInvertedIndex.cpp) ----
 
   /** Two inner-LIKE patterns answered through ONE ngram-index probe +
@@ -536,6 +562,7 @@ object ExtraQueries {
     "q_trie_prefix" -> (triePrefix _),
     "q_stlsort_range" -> (stlSortRange _),
     "q_json_index_lookup" -> (jsonIndexLookup _),
+    "q_hybrid_dispatch" -> (hybridDispatch _),
     "q_bin_ivf" -> (binIvf _),
     "q_dynamic_meta" -> (dynamicMeta _),
     "q_binary_jaccard" -> (binaryJaccard _),
@@ -592,6 +619,13 @@ object ExtraQueries {
     "q_trie_prefix" ->
       """SELECT p_partkey AS id, p_brand FROM part
         |WHERE p_brand LIKE 'Brand#1%' ORDER BY p_partkey""".stripMargin,
+    "q_hybrid_dispatch" ->
+      """SELECT 'BITMAP' AS kind_lang,
+        |  (SELECT count(*) FROM documents WHERE lang IN ('en','de')) AS lang_hits,
+        |  'INVERTED' AS kind_nchars,
+        |  (SELECT count(*) FROM documents WHERE n_chars BETWEEN 100 AND 200) AS nchar_hits,
+        |  'TRIE' AS auto_text,
+        |  'STL_SORT' AS auto_nchars""".stripMargin,
     "q_stlsort_range" ->
       """SELECT c_custkey AS id, c_nationkey, c_mktsegment FROM customer
         |WHERE c_nationkey BETWEEN 5 AND 10 ORDER BY c_custkey""".stripMargin,

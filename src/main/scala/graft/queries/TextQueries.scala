@@ -34,6 +34,17 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) —
+    * both engines evaluate the same modular polynomial hash, so the
+    * compare is exact (see [[TextFunctions.winnowFingerprints]]).
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** Language-ID heuristic (stopword markers). */
   def langId(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
@@ -212,6 +223,7 @@ object TextQueries {
     "q_bm25" -> (bm25 _),
     "q_bm25_multilang" -> (bm25Multilang _),
     "q_text_stats" -> (textStats _),
+    "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_dedup_fingerprint" -> (dedupFingerprint _),
@@ -230,6 +242,24 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // same polynomial: pows = 257^(4-j) mod 2^31-1 = [67503107, 16974593, 66049, 257, 1]
+    "q_winnow_fingerprint" ->
+      """WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS txt
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_transform(range(1, length(txt)-5+2), i ->
+        |          (ascii(substr(txt,i::INT,1))::BIGINT*67503107 % 2147483647
+        |         + ascii(substr(txt,(i+1)::INT,1))::BIGINT*16974593 % 2147483647
+        |         + ascii(substr(txt,(i+2)::INT,1))::BIGINT*66049 % 2147483647
+        |         + ascii(substr(txt,(i+3)::INT,1))::BIGINT*257 % 2147483647
+        |         + ascii(substr(txt,(i+4)::INT,1))::BIGINT) % 2147483647) AS hashes
+        |      FROM c WHERE length(txt) >= 5),
+        |m AS (SELECT doc_id, CASE WHEN len(hashes) >= 4 THEN
+        |        list_transform(range(1, len(hashes)-4+2), i -> list_aggregate(hashes[i:i+3], 'min'))
+        |      ELSE [list_aggregate(hashes, 'min')] END AS mins
+        |      FROM h),
+        |f AS (SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m)
+        |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin,
     "q_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
