@@ -537,6 +537,27 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- §2.6 HNSW: segment-parallel graph build + beam search ----
+
+  /** HNSW with ef = corpus: the bidirectional insertion chain makes each
+    * partition graph strongly connected, so an un-pruned beam visits
+    * every node and the result equals brute-force L2 — the oracle
+    * applies (practical-ef recall is asserted in HnswIndexSpec).
+    */
+  def hnswExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HnswIndex
+    val emb = t(s, dir, "embeddings")
+    val index = HnswIndex.build(emb, "vec_id", "embedding", numParts = 8,
+      m = 8, efConstruction = 32)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    HnswIndex.search(index, qs, k = 10, ef = n, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("id").as("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- §2.6 IVF_SQ8: per-dim 8-bit scalar quantization + refine ----
 
   /** SQ8 with shortlist ≥ corpus: exact refine ⇒ equals brute-force L2
@@ -559,6 +580,7 @@ object ExtraQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq8_refine" -> (sq8Refine _),
+    "q_hnsw_exhaustive" -> (hnswExhaustive _),
     "q_trie_prefix" -> (triePrefix _),
     "q_stlsort_range" -> (stlSortRange _),
     "q_json_index_lookup" -> (jsonIndexLookup _),
@@ -606,6 +628,16 @@ object ExtraQueries {
       |      FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_hnsw_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_sq8_refine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id >= 3 AND vec_id < 6),

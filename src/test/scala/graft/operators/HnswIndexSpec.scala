@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Metric
+
+class HnswIndexSpec extends SparkSpec {
+
+  private lazy val emb = graft.GraftSession.table(spark, sfDir, "embeddings")
+  private lazy val n = emb.count().toInt
+
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id"), col("embedding")).collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  private def bruteTopK(k: Int): Map[(Long, Long), Int] = {
+    val qdf = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    VectorSearch.topK(emb, "vec_id", "embedding", qdf, "qid", "qvec",
+        Metric.L2, k)
+      .select(col("qid"), col("vec_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+  }
+
+  private lazy val index =
+    HnswIndex.build(emb, "vec_id", "embedding", numParts = 4, m = 8,
+      efConstruction = 32).cache()
+
+  test("exhaustive ef equals brute force exactly (connectivity guarantee)") {
+    val got = HnswIndex.search(index, queries, k = 10, ef = n)
+      .select(col("qid"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    val want = bruteTopK(10)
+    assert(got == want)
+  }
+
+  test("recall@10 at practical ef stays high") {
+    val got = HnswIndex.search(index, queries, k = 10, ef = 64)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteTopK(10).keySet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("graph invariants: chain edges present, degrees bounded") {
+    import spark.implicits._
+    val nodes = index.as[HnswIndex.Node].collect()
+    nodes.groupBy(_.part).foreach { case (_, group) =>
+      val ids = group.map(_.id).sorted
+      val byId = group.map(g => g.id -> g).toMap
+      // bidirectional insertion chain at layer 0
+      ids.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(byId(a).nbrs(0).contains(b), s"$a missing chain edge to $b")
+          assert(byId(b).nbrs(0).contains(a), s"$b missing chain edge to $a")
+        case _ =>
+      }
+      // degree caps: 2M at layer 0 (+2 chain), M above
+      group.foreach { g =>
+        assert(g.nbrs(0).length <= 2 * 8 + 2)
+        g.nbrs.drop(1).foreach(l => assert(l.length <= 8 + 2))
+      }
+    }
+  }
+
+  test("index roundtrips through parquet") {
+    val path = java.nio.file.Files.createTempDirectory("hnsw").toString
+    index.write.mode("overwrite").parquet(path)
+    val reloaded = spark.read.parquet(path)
+    val got = HnswIndex.search(reloaded, queries, k = 5, ef = n)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteTopK(5).keySet
+    assert(got == want)
+  }
+}
