@@ -221,6 +221,50 @@ object Dedup {
       threshold, roundTo)
   }
 
+  /** Winnowing-fingerprint near-dup pairs (the MOSS shape): docs
+    * sharing rolling-hash fingerprints (see
+    * [[graft.functions.WinnowFingerprint]]) are paired through a
+    * fingerprint-bucket join, scored by overlap = |shared| / min(|A|,|B|)
+    * — a containment measure robust to truncation/extension, which
+    * minhash-Jaccard under-scores.
+    *
+    * Scale shape: explode to (fp, id) — each fingerprint IS the bucket
+    * key, like an LSH band hash. Fingerprints appearing in more than
+    * `maxDocFreq` docs are dropped before the self-join (MOSS's
+    * boilerplate mitigation — an fp shared by half the corpus carries no
+    * dedup signal but would make one bucket quadratic); overlap is then
+    * measured against the FILTERED fingerprint sets on both sides, so
+    * the ratio stays internally consistent. Everything is equi-joins and
+    * partial+final counts on the fp / pair keys; candidate pairs — not
+    * the corpus — bound the quadratic term.
+    *
+    * Output: (id_a, id_b, shared, overlap), overlap rounded to 4dp.
+    */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      minOverlap: Double = 0.5, k: Int = 5, w: Int = 4,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val base = parallelize(df)
+    val fps = base.select(col(idCol).as("id"),
+        explode(TextFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq).select(col("fp"))
+    val filtered = fps.join(rare, "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val a = filtered.select(col("fp"), col("id").as("id_a"))
+    val b = filtered.select(col("fp"), col("id").as("id_b"))
+    val shared = a.join(b, "fp").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("nfp").as("_na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nfp").as("_nb")), "id_b")
+      .withColumn("overlap",
+        round(col("shared") / least(col("_na"), col("_nb")), 4))
+      .filter(col("shared") / least(col("_na"), col("_nb")) >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
+  }
+
   /** Exact set-Jaccard verification of candidate pairs: joins each
     * (id_a, id_b) to its sets and keeps pairs with J ≥ `threshold`.
     * Quadratic work is bounded by the candidate count BY API SHAPE —

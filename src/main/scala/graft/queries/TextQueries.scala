@@ -45,6 +45,21 @@ object TextQueries {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** Winnow near-dup pairs on a corpus of docs + 80%-truncated copies
+    * (ids +10000): containment-style overlap finds truncation pairs that
+    * Jaccard would under-score. Both engines recompute the identical
+    * rolling hash, so the compare is exact.
+    */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 300)
+    val truncated = base.select((col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, 1, cast(floor(length(text)*0.8) as int))").as("text"))
+    Dedup.winnowNearDupPairs(base.unionByName(truncated), "doc_id", "text",
+        minOverlap = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Language-ID heuristic (stopword markers). */
   def langId(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
@@ -224,6 +239,7 @@ object TextQueries {
     "q_bm25_multilang" -> (bm25Multilang _),
     "q_text_stats" -> (textStats _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
+    "q_winnow_pairs" -> (winnowPairs _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_dedup_fingerprint" -> (dedupFingerprint _),
@@ -260,6 +276,38 @@ object TextQueries {
         |      FROM h),
         |f AS (SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m)
         |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substring(text, 1, CAST(floor(length(text)*0.8) AS INT))
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS txt
+        |      FROM corpus),
+        |h AS (SELECT doc_id,
+        |        list_transform(range(1, length(txt)-5+2), i ->
+        |          (ascii(substr(txt,i::INT,1))::BIGINT*67503107 % 2147483647
+        |         + ascii(substr(txt,(i+1)::INT,1))::BIGINT*16974593 % 2147483647
+        |         + ascii(substr(txt,(i+2)::INT,1))::BIGINT*66049 % 2147483647
+        |         + ascii(substr(txt,(i+3)::INT,1))::BIGINT*257 % 2147483647
+        |         + ascii(substr(txt,(i+4)::INT,1))::BIGINT) % 2147483647) AS hashes
+        |      FROM c WHERE length(txt) >= 5),
+        |m AS (SELECT doc_id, CASE WHEN len(hashes) >= 4 THEN
+        |        list_transform(range(1, len(hashes)-4+2), i -> list_aggregate(hashes[i:i+3], 'min'))
+        |      ELSE [list_aggregate(hashes, 'min')] END AS mins
+        |      FROM h),
+        |f AS (SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM m),
+        |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000),
+        |ff AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM ff GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |          FROM ff a JOIN ff b USING (fp) WHERE a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  round(shared * 1.0 / least(sa.nfp, sb.nfp), 4) AS overlap
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE shared * 1.0 / least(sa.nfp, sb.nfp) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),

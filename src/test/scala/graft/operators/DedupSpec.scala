@@ -55,6 +55,38 @@ class DedupSpec extends SparkSpec {
     assert(verified == exact, s"verified=$verified exact=$exact")
   }
 
+  test("winnow pairs find truncation containment; unrelated docs excluded") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while the band plays on"),
+      // a strict prefix of doc 1 (truncation) — high containment, lowish jaccard
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated content about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupPairs(corpus, "doc_id", "text", minOverlap = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("winnow pairs drop boilerplate fingerprints above maxDocFreq") {
+    // 40 docs sharing one long boilerplate sentence + distinct bodies:
+    // uncapped, the boilerplate fingerprints give every doc pair a high
+    // shared count (≈ all-pairs); the doc-frequency cap removes them, so
+    // the surviving pairs are a strict, much smaller subset
+    val boiler = "this document is provided under the standard license terms " +
+      "and may be redistributed freely provided this notice remains intact"
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, s"$boiler unique body number $i with extra filler ${i * 37}")
+    }.toDF("doc_id", "text")
+    def run(cap: Long) = Dedup.winnowNearDupPairs(corpus, "doc_id", "text",
+        minOverlap = 0.5, maxDocFreq = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(1000L)
+    val capped = run(10L)
+    assert(uncapped.size == 40 * 39 / 2, s"boilerplate should pair everything, got ${uncapped.size}")
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size / 10,
+      s"capped=${capped.size} uncapped=${uncapped.size}")
+  }
+
   test("jaccardPairsExhaustive refuses oversized inputs (verify-only guard)") {
     val big = spark.range(0, 200).select(col("id").as("doc_id"),
       concat(lit("doc "), col("id").cast("string")).as("text"))
