@@ -54,6 +54,31 @@ class WinnowSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("randomized strings agree with the independent model (seeded)") {
+    def model(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
+      val P = 2147483647L
+      val t = text.toLowerCase.filter(c => c.isDigit || (c >= 'a' && c <= 'z'))
+      if (t.length < k) return Seq.empty
+      val hashes = (0 to t.length - k).map { i =>
+        t.substring(i, i + k).foldLeft(0L)((h, c) => (h * 257 + c) % P)
+      }
+      val mins =
+        if (hashes.size < w) Seq(hashes.min)
+        else (0 to hashes.size - w).map(i => hashes.slice(i, i + w).min)
+      mins.distinct.sorted
+    }
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,;!?ÄÖüß中文"
+    val texts = (1L to 60L).map { id =>
+      val len = rnd.nextInt(40) // includes lengths straddling k and k+w-1
+      id -> Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val got = fps(texts: _*)
+    texts.foreach { case (id, txt) =>
+      assert(got(id) == model(txt), s"doc $id text='$txt'")
+    }
+  }
+
   test("SQL registration evaluates the same expression") {
     val viaSql = spark.sql(
       """SELECT winnow_fingerprint(

@@ -65,6 +65,30 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("randomized corpus: exhaustive ef equals brute force (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val dim = 8
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat()))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val idx = HnswIndex.build(df, "vec_id", "embedding", numParts = 3, m = 4,
+      efConstruction = 16)
+    val qs = corpus.take(7).map { case (id, v) => (id, v) }
+    val got = HnswIndex.search(idx, qs, k = 15, ef = 300)
+      .select(col("qid"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val want = qs.flatMap { case (qid, qv) =>
+      corpus.map { case (id, v) => (qid, id, l2(qv, v)) }
+        .sortBy(t => (t._3, t._2)).take(15).zipWithIndex
+        .map { case ((_, id, _), i) => (qid, id) -> (i + 1).toLong }
+    }.toMap
+    assert(got == want)
+  }
+
   test("index roundtrips through parquet") {
     val path = java.nio.file.Files.createTempDirectory("hnsw").toString
     index.write.mode("overwrite").parquet(path)
