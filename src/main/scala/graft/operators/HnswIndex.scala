@@ -54,16 +54,35 @@ object HnswIndex {
 
   /** Build the per-partition graphs. One shuffle (hash by id → part). */
   def build(df: DataFrame, idCol: String, vecCol: String, numParts: Int,
-      m: Int = 16, efConstruction: Int = 64): DataFrame = {
-    val spark = df.sparkSession
+      m: Int = 16, efConstruction: Int = 64): DataFrame =
+    buildFrom(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .withColumn("part", pmod(xxhash64(col("id")), lit(numParts)).cast("int")),
+      numParts, m, efConstruction)
+
+  /** IVF-clustered HNSW: partition by nearest IVF centroid instead of by
+    * id hash, one graph per cell. Hash partitioning scatters every
+    * neighborhood across all partitions, so plain [[build]] must probe
+    * them all; centroid partitioning makes partitions spatially coherent,
+    * and [[searchPruned]] then probes only the `nprobe` nearest cells per
+    * query — the same two-level pruning the reference gets from delegator
+    * segment pruning over clustering-compacted segments (its
+    * segment-prune design doc) in front of per-segment graph indexes.
+    */
+  def buildClustered(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, m: Int = 16, efConstruction: Int = 64): DataFrame =
+    buildFrom(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .withColumn("part", IvfIndex.assign(model, col("vec")).cast("int")),
+      model.nlist, m, efConstruction)
+
+  private def buildFrom(withPart: DataFrame, numParts: Int, m: Int,
+      efConstruction: Int): DataFrame = {
+    val spark = withPart.sparkSession
     import spark.implicits._
-    val parted = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("part", pmod(xxhash64(col("id")), lit(numParts)).cast("int"))
-      .repartition(numParts, col("part"))
-      .as[InRow]
+    val parted = withPart.repartition(numParts, col("part")).as[InRow]
     parted.mapPartitions { rows =>
-      // a task may hold several hash-parts; each part is its own graph
+      // a task may hold several parts; each part is its own graph
       rows.toArray.groupBy(_.part).iterator.flatMap { case (part, group) =>
         val all = group.sortBy(_.id) // deterministic insertion order
         buildPartition(part, all.map(_.id), all.map(_.vec), m, efConstruction)
@@ -192,6 +211,48 @@ object HnswIndex {
         // a task may hold several hash-parts; search each graph separately
         rows.toArray.groupBy(_.part).iterator.flatMap { case (_, nodes) =>
           searchPartition(nodes, qs, k, ef)
+        }
+      }.toDF()
+    val scored = roundTo.map(d => hits.withColumn("_score", round(col("_score"), d)))
+      .getOrElse(hits)
+    VectorSearch.reduceTopK(scored, "id", "qid", Metric.L2, k, Seq("id"))
+  }
+
+  /** Probe-pruned search over a [[buildClustered]] index: each query
+    * visits only its `nprobe` nearest cells' graphs (ranked against the
+    * — driver-local — IVF centroids, nq·nlist float ops). Work drops
+    * from O(parts·nq·beam) to O(nprobe·nq·beam); recall follows the IVF
+    * pruning curve and is spec-asserted. Exact when nprobe = nlist and
+    * ef ≥ cell size.
+    */
+  def searchPruned(index: DataFrame, model: IvfIndex.Model,
+      queries: Seq[(Long, Array[Float])], k: Int, ef: Int, nprobe: Int,
+      roundTo: Option[Int] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = (a(i) - b(i)).toDouble; s += d * d; i += 1 }
+      s
+    }
+    // part -> the queries that probe it (small: nq · nprobe entries)
+    val qsByPart: Map[Int, Array[(Long, Array[Float])]] = queries
+      .flatMap { case (qid, q) =>
+        model.centroids.indices
+          .sortBy(c => d2(q, model.centroids(c)))
+          .take(math.min(nprobe, model.nlist))
+          .map(c => c -> ((qid, q)))
+      }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toArray }
+    val hits = index.as[Node]
+      .repartition(col("part"))
+      .mapPartitions { rows =>
+        rows.toArray.groupBy(_.part).iterator.flatMap { case (part, nodes) =>
+          qsByPart.get(part) match {
+            case Some(qs) => searchPartition(nodes, qs, k, ef)
+            case None     => Nil // cell pruned for every query
+          }
         }
       }.toDF()
     val scored = roundTo.map(d => hits.withColumn("_score", round(col("_score"), d)))

@@ -89,6 +89,48 @@ class HnswIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("clustered build + probe-pruned search: near-full recall on clustered data at nprobe=2/8") {
+    import spark.implicits._
+    // 8 well-separated Gaussian blobs — the data shape centroid pruning
+    // is designed for (on uniform data pruning degrades toward the
+    // probed-fraction, as with any IVF)
+    val rnd = new scala.util.Random(7L)
+    val dim = 16
+    val corpus = (0 until 400).map { i =>
+      val blob = i % 8
+      (i.toLong, Array.tabulate(dim)(d =>
+        (if (d == blob * 2) 10f else 0f) + rnd.nextFloat()))
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val model = IvfIndex.trainLocal(df, "embedding", nlist = 8)
+    val clustered = HnswIndex.buildClustered(df, "vec_id", "embedding", model,
+      m = 8, efConstruction = 32).cache()
+    val qs = corpus.take(6)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val want = qs.flatMap { case (qid, qv) =>
+      corpus.map { case (id, v) => (qid, id, l2(qv, v)) }
+        .sortBy(t => (t._3, t._2)).take(10).map(t => (qid, t._2))
+    }.toSet
+    val pruned = HnswIndex.searchPruned(clustered, model, qs, k = 10,
+        ef = 64, nprobe = 2)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pruned.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"pruned recall@10 = $recall")
+  }
+
+  test("clustered build at full probes + exhaustive ef equals brute force") {
+    val model = IvfIndex.trainLocal(emb, "embedding", nlist = 8)
+    val clustered = HnswIndex.buildClustered(emb, "vec_id", "embedding", model,
+      m = 8, efConstruction = 32)
+    val full = HnswIndex.searchPruned(clustered, model, queries, k = 10,
+        ef = n, nprobe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bruteTopK(10).keySet)
+  }
+
   test("index roundtrips through parquet") {
     val path = java.nio.file.Files.createTempDirectory("hnsw").toString
     index.write.mode("overwrite").parquet(path)
