@@ -71,7 +71,11 @@ object NgramIndex {
     if (patterns.exists(patternGrams(_, n).isEmpty)) df.filter(exact)
     else {
       val ids = candidateIds(index, patterns, n)
-      df.join(broadcast(ids), df(idCol) === ids("id"), "left_semi")
+      // no broadcast hint: candidate count is data-dependent — selective
+      // patterns give a tiny set (AQE broadcasts it on its own), but a
+      // pattern of frequent grams can select a corpus-sized candidate
+      // set, and a forced broadcast would OOM the driver
+      df.join(ids, df(idCol) === ids("id"), "left_semi")
         .filter(exact)
     }
   }

@@ -301,7 +301,9 @@ object ExtraQueries {
       ColumnBridge.expression(xxhash64(col("o_custkey")))))
     t(s, dir, "orders")
       .filter(probe)
-      .join(broadcast(cust.select(col("c_custkey"))),
+      // no broadcast hint: the build side is a data-dependent filter
+      // result — AQE broadcasts it when it is actually small
+      .join(cust.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
   }
@@ -410,7 +412,7 @@ object ExtraQueries {
     val index = graft.operators.InvertedIndex.buildTokenPairs(
       d, "doc_id", array_distinct(TextFunctions.tokenize(col("text"))))
     val ids = graft.operators.InvertedIndex.lookupAllPairs(index, Seq("vector", "spark"))
-    broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
+    ids.join(d, ids("id") === d("doc_id"), "inner")
       .select(col("id"), col("lang"))
       .orderBy(col("id"))
   }
@@ -425,7 +427,7 @@ object ExtraQueries {
     val index = graft.operators.InvertedIndex.buildPositionalIndex(
       d, "doc_id", TextFunctions.tokenize(col("text")))
     val ids = graft.operators.InvertedIndex.phraseSearch(index, Seq("the", "fast"))
-    broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
+    ids.join(d, ids("id") === d("doc_id"), "inner")
       .select(col("id"), col("lang"))
       .orderBy(col("id"))
   }
@@ -436,7 +438,7 @@ object ExtraQueries {
     val d = t(s, dir, "documents")
     val index = graft.operators.InvertedIndex.buildValueIndex(d, "doc_id", "lang")
     val ids = graft.operators.InvertedIndex.lookupValues(index, "lang", Seq("en", "de"))
-    broadcast(ids).join(d, ids("id") === d("doc_id"), "inner")
+    ids.join(d, ids("id") === d("doc_id"), "inner")
       .select(col("id"), col("lang"), col("source"))
       .orderBy(col("id"))
   }
@@ -447,7 +449,7 @@ object ExtraQueries {
     val p = t(s, dir, "part")
     val index = graft.operators.InvertedIndex.buildValueIndex(p, "p_partkey", "p_brand")
     val ids = graft.operators.InvertedIndex.lookupPrefix(index, "p_brand", "Brand#1")
-    broadcast(ids).join(p, ids("id") === p("p_partkey"), "inner")
+    ids.join(p, ids("id") === p("p_partkey"), "inner")
       .select(col("id"), col("p_brand"))
       .orderBy(col("id"))
   }
@@ -458,7 +460,7 @@ object ExtraQueries {
     val c = t(s, dir, "customer")
     val index = graft.operators.InvertedIndex.buildValueIndex(c, "c_custkey", "c_nationkey")
     val ids = graft.operators.InvertedIndex.lookupRange(index, "c_nationkey", 5, 10)
-    broadcast(ids).join(c, ids("id") === c("c_custkey"), "inner")
+    ids.join(c, ids("id") === c("c_custkey"), "inner")
       .select(col("id"), col("c_nationkey"), col("c_mktsegment"))
       .orderBy(col("id"))
   }
@@ -469,7 +471,7 @@ object ExtraQueries {
     val ev = t(s, dir, "events")
     val index = graft.operators.InvertedIndex.buildJsonPathIndex(ev, "event_id", "props", "$.k")
     val ids = graft.operators.InvertedIndex.lookupValues(index, "value", Seq("42", "77"))
-    broadcast(ids).join(ev, ids("id") === ev("event_id"), "inner")
+    ids.join(ev, ids("id") === ev("event_id"), "inner")
       .select(col("id"), col("event_type"), col("props"))
       .orderBy(col("id"))
   }
