@@ -213,7 +213,7 @@ object Queries {
         |ORDER BY event_id""".stripMargin,
     "q_expr_call" ->
       """SELECT p_partkey, p_brand, p_name FROM part
-        |WHERE p_brand LIKE 'Brand#2%' AND len(trim(p_name)) <> 0
+        |WHERE p_brand LIKE 'Brand#2%' AND len(p_name) <> 0
         |ORDER BY p_partkey""".stripMargin,
     "q_expr_bitwise" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem

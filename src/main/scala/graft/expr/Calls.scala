@@ -134,12 +134,12 @@ private[expr] object Calls {
       case "element_filter" =>
         if (ctx.element.isDefined)
           throw CompileError("nested element_filter is not supported")
+        if (args.length != 2)
+          throw CompileError("element_filter(field, element_expr) takes exactly 2 args")
         val fname = args(0) match {
           case Ident(f) => f
           case other    => throw CompileError(s"element_filter requires a field, got $other")
         }
-        if (args.length != 2)
-          throw CompileError("element_filter(field, element_expr) takes exactly 2 args")
         val elemSchema = ctx.fieldType(fname) match {
           case Some(ArrayType(st: StructType, _)) => Some(st)
           case Some(ArrayType(_, _))              => None
@@ -178,6 +178,18 @@ private[expr] object Calls {
       if (slop == 0 || qTokens.size == 1) {
         stream.contains(" " + qTokens.mkString(" ") + " ")
       } else {
+        // branch count is C(slop+n-2, n-2): fine for real phrases, but
+        // user-supplied (phrase length × slop) combinations can explode
+        // combinatorially (12 tokens × slop 20 ≈ 30M branches) — reject
+        // past a budget instead of hanging compilation / OOMing the
+        // driver on an adversarial query
+        def choose(n: Int, k: Int): BigInt =
+          (0 until k).foldLeft(BigInt(1))((acc, i) => acc * (n - i) / (i + 1))
+        val nBranches = choose(slop + qTokens.size - 2, qTokens.size - 2)
+        if (nBranches > 5000)
+          throw CompileError(
+            s"phrase_match slop=$slop over ${qTokens.size} tokens expands to " +
+              s"$nBranches regex branches (cap 5000) — lower the slop or shorten the phrase")
         // No `.*` anchors: rlike is a substring search already, and a
         // leading `(^|.*)` causes catastrophic backtracking on
         // non-matching rows (measured 20× slower at sf0.1).

@@ -44,6 +44,10 @@ object BinIvfIndex {
       .map(_.getSeq[Long](0).toArray)
     require(rows.nonEmpty, "empty training set")
     val words = rows.head.length
+    // nbits is declared width; fail fast if the packed data disagrees
+    // rather than silently training on a different width
+    require(nbits == words * 64,
+      s"nbits=$nbits but packed vectors carry ${words * 64} bits ($words words)")
     val rnd = new scala.util.Random(seed)
     val distinct = rnd.shuffle(rows.toSeq).map(_.toSeq).distinct.map(_.toArray)
     val k = math.min(nlist, distinct.size)
@@ -160,7 +164,12 @@ case class NearestBinaryCentroids(child: Expression, centroids: Array[Array[Long
     var c = 0
     while (c < centroids.length) {
       val ctr = centroids(c)
-      val n = math.min(arr.numElements(), ctr.length)
+      // a width mismatch (re-trained codebook, differently-packed probe)
+      // must fail, not assign clusters from a prefix Hamming distance —
+      // same contract as VectorDistance's dim check
+      if (arr.numElements() != ctr.length) throw new IllegalArgumentException(
+        s"$prettyName: vector has ${arr.numElements()} words, centroid has ${ctr.length}")
+      val n = ctr.length
       var acc = 0; var i = 0
       while (i < n) { acc += java.lang.Long.bitCount(arr.getLong(i) ^ ctr(i)); i += 1 }
       dists(c) = acc

@@ -37,21 +37,36 @@ object Compaction {
     (compacted, residual)
   }
 
-  /** Execute the L0 compaction: rewrite `data` with deletes folded and
-    * persist the residual tombstones next to it.
+  /** Execute the L0 compaction: rewrite `data` with deletes folded,
+    * persist the residual tombstones next to it, and record the
+    * compaction watermark — reads below it would be WRONG (folded
+    * deletes are physically gone, so a row deleted at ts ∈ (readTs,
+    * compactTs] could not be resurrected) and must be rejected.
     */
   def writeCompacted(data: DataFrame, tombstones: DataFrame, pkCol: String,
       tsCol: String, compactTs: Column, path: String): Unit = {
     val (compacted, residual) = foldDeletes(data, tombstones, pkCol, tsCol, compactTs)
     compacted.write.mode("overwrite").parquet(s"$path/data")
     residual.write.mode("overwrite").parquet(s"$path/tombstones")
+    val spark = data.sparkSession
+    spark.range(1).select(compactTs.cast("long").as("compact_ts"))
+      .write.mode("overwrite").parquet(s"$path/_watermark")
   }
 
   /** Read a compacted layout at `readTs`: only the residual tombstones
-    * are re-applied — the folded ones are physically gone.
+    * are re-applied — the folded ones are physically gone, which is why
+    * readTs must be ≥ the recorded compaction watermark (the reference
+    * enforces the same rule as the collection's truncated MVCC horizon).
     */
   def readCompacted(spark: SparkSession, path: String, pkCol: String,
       tsCol: String, readTs: Column): DataFrame = {
+    val watermark = spark.read.parquet(s"$path/_watermark")
+      .head().getLong(0)
+    val readTsVal = spark.range(1).select(readTs.cast("long")).head().getLong(0)
+    require(readTsVal >= watermark,
+      s"readTs $readTsVal predates the compaction watermark $watermark — " +
+        "deletes folded at compaction cannot be un-applied; read an " +
+        "un-compacted layout for time travel below the watermark")
     val data = spark.read.parquet(s"$path/data")
     val residual = spark.read.parquet(s"$path/tombstones")
     Mvcc.visible(data, pkCol, tsCol, readTs, tombstones = Some(residual))

@@ -292,7 +292,7 @@ object Dedup {
     *
     * Output: (id, component) for every id appearing in `pairs`.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
       localEdgeCap: Long = 4_000_000L): DataFrame = {
     // persist BEFORE the symmetric union: its two branches would
     // otherwise each recompute the (expensive — typically an LSH
@@ -304,7 +304,11 @@ object Dedup {
     // driver-local union-find (milliseconds) replaces 2-4 iterative
     // join/agg rounds; above it, the distributed label propagation
     // runs. Same bounded-artifact dispatch as sampled codebook training.
-    if (p.count() <= localEdgeCap) return ccLocal(p)
+    if (p.count() <= localEdgeCap) {
+      val local = ccLocal(p) // collects the edges; p's cache is then dead
+      p.unpersist()
+      return local
+    }
     val edges = p
       .unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -312,6 +316,7 @@ object Dedup {
       .agg(min(col("id_b")).as("_minNbr"))
       .select(col("id_a").as("id"),
         least(col("id_a"), col("_minNbr")).as("component"))
+    var persisted: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -322,39 +327,67 @@ object Dedup {
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // converged when no label changed this round
+      // converged when no label changed this round (also materializes
+      // `next`, making it safe to drop the previous iteration's cache)
       converged = next.join(labels.withColumnRenamed("component", "_prev"), "id")
         .filter(col("component") =!= col("_prev"))
         .isEmpty
+      if (persisted != null) persisted.unpersist()
+      persisted = next
       labels = next
       iter += 1
     }
+    // min-label propagation advances one hop per round, so a component
+    // whose diameter exceeds maxIter would otherwise return with NON-
+    // minimal labels — i.e. silently split clusters and under-dedup.
+    // Fail loudly instead: the caller raises maxIter (diameter-of-dup-
+    // chain rounds) or pre-thins the pair graph.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "a duplicate chain is longer than maxIter hops; raise maxIter")
+    // labels is persisted + materialized (by the convergence check), so
+    // the edge caches behind it are dead weight
+    edges.unpersist()
+    p.unpersist()
     labels
   }
 
   /** Driver-local union-find with path compression over a collected
     * (bounded) edge list; labels normalized to the min id per component.
+    * Handles both PK domains of the reference (int64 AND varchar —
+    * Types.h:113) by unioning toward the type's natural minimum.
     */
   private def ccLocal(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.as[(Long, Long)].collect()
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
+    val idType = pairs.schema("id_a").dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case StringType  => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type $other (int or string PKs)")
+    }
+    val edges = pairs.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
       var c = x
       while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    edges.foreach { case (a, b) =>
+    edges.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
       parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
     }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
-    parent.keySet().forEach(id => out += ((id, find(id))))
-    out.toSeq.toDF("id", "component")
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach(id =>
+      out += org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(StructField("id", idType), StructField("component", idType))))
   }
 
   /** Corpus minus near-duplicates: one representative (min id) survives

@@ -33,16 +33,21 @@ object Mvcc {
     * Strong reads at the latest committed write; BoundedStaleness lags
     * `now` by a fixed window; Session reads at the caller's last write;
     * Eventually takes whatever is current (here: now).
+    *
+    * All arguments share the timestamp column's domain — `staleness` is
+    * deliberately unit-agnostic (ns for a nanosecond ts column, ms for
+    * an epoch-millis one) and has no default: a unit-suffixed name with
+    * a "5000" default silently meant 5 µs on ns-domain tables.
     */
   def resolveReadTs(
       level: ConsistencyLevel.Value,
       latestCommittedTs: => Long,
       now: => Long,
-      stalenessMs: Long = 5000L,
+      staleness: Long,
       sessionTs: Long = 0L): Long = level match {
     case ConsistencyLevel.Strong           => latestCommittedTs
-    case ConsistencyLevel.BoundedStaleness => now - stalenessMs
-    case ConsistencyLevel.Session          => math.max(sessionTs, now - stalenessMs)
+    case ConsistencyLevel.BoundedStaleness => now - staleness
+    case ConsistencyLevel.Session          => math.max(sessionTs, now - staleness)
     case ConsistencyLevel.Eventually       => now
   }
 

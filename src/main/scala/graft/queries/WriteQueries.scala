@@ -152,9 +152,10 @@ object WriteQueries {
         col("user_id"), col("event_type"), col("value"))
     val union = sealedSeg.unionByName(growing)
     val latestCommitted = maxSealedTs + 2 * hourNs
-    val strongTs = Mvcc.resolveReadTs(ConsistencyLevel.Strong, latestCommitted, latestCommitted)
+    val strongTs = Mvcc.resolveReadTs(ConsistencyLevel.Strong, latestCommitted,
+      latestCommitted, staleness = hourNs)
     val boundedTs = Mvcc.resolveReadTs(ConsistencyLevel.BoundedStaleness,
-      latestCommitted, latestCommitted, stalenessMs = hourNs) // ns-domain staleness
+      latestCommitted, latestCommitted, staleness = hourNs) // ns-domain staleness
     def readAt(tsv: Long, label: String) =
       Mvcc.visible(union, "event_id", "ts", lit(tsv))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))

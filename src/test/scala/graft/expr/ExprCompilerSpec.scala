@@ -195,6 +195,20 @@ class ExprCompilerSpec extends SparkSpec {
       ids("element_filter(items, element_filter(items, $[qty] > 1))")
     }
     intercept[ExprCompiler.CompileError] { ids("$[qty] > 45.0") }
+    // arity errors surface as CompileError even with zero args
+    intercept[ExprCompiler.CompileError] { ids("element_filter()") }
+  }
+
+  test("phrase_match rejects combinatorial slop x phrase-length explosions") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[ExprCompiler.CompileError] {
+      d.filter(ExprCompiler.compile(
+        "phrase_match(text, 'one two three four five six seven eight nine ten eleven twelve', 20)",
+        d)).collect()
+    }
+    assert(e.getMessage.contains("regex branches"))
+    // real-sized slop still compiles
+    d.filter(ExprCompiler.compile("phrase_match(text, 'a c', 2)", d)).collect()
   }
 
   test("parse errors are informative") {

@@ -17,6 +17,19 @@ class BinIvfIndexSpec extends SparkSpec {
     assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
   }
 
+  test("declared nbits must match the packed width; probe width must match the codebook") {
+    val e = intercept[IllegalArgumentException] {
+      BinIvfIndex.train(emb, "_bin", nlist = 8, nbits = 128)
+    }
+    assert(e.getMessage.contains("bits"))
+    val model = BinIvfIndex.train(emb, "_bin", nlist = 8, nbits = 64)
+    val wide = emb.withColumn("_bin2", concat(col("_bin"), col("_bin")))
+    val err = intercept[Exception] {
+      wide.select(BinIvfIndex.assign(model, col("_bin2"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("exhaustive probes equal brute-force hamming; pruned probes keep recall") {
     val model = BinIvfIndex.train(emb, "_bin", nlist = 8, nbits = 64)
     val clustered = BinIvfIndex.layout(emb, "_bin", model)

@@ -37,6 +37,17 @@ class CompactionSpec extends SparkSpec {
     assert(late.contains(4L))
   }
 
+  test("reads below the compaction watermark are rejected, not silently wrong") {
+    val path = "/tmp/graft_test_l0_wm"
+    Compaction.writeCompacted(data, tombs, "pk", "ts", lit(15L), path)
+    // a row deleted at ts in (readTs, 15] is physically gone — time
+    // travel below the watermark cannot be answered from this layout
+    val e = intercept[IllegalArgumentException] {
+      Compaction.readCompacted(spark, path, "pk", "ts", lit(10L)).collect()
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("mix compaction merges a fragmented layout without changing the data") {
     val in = "/tmp/graft_test_mix_in"
     val out = "/tmp/graft_test_mix_out"

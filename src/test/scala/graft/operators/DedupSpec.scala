@@ -203,6 +203,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components handle string (VarChar) PKs on both paths") {
+    val pairs = Seq(("docB", "docA"), ("docC", "docB"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val expect = Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "x" -> "x", "y" -> "x")
+    for (cap <- Seq(0L, 4000000L)) {
+      val got = Dedup.connectedComponents(pairs, localEdgeCap = cap)
+        .as[(String, String)].collect().toMap
+      assert(got == expect, s"cap=$cap")
+    }
+  }
+
+  test("distributed CC fails loudly instead of returning unconverged labels") {
+    // a 6-hop chain with maxIter=2 cannot reach the min id everywhere
+    val chain = (1L to 6L).sliding(2).map(s => (s(1), s(0))).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2, localEdgeCap = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dropNearDuplicates keeps exactly one representative per cluster") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),

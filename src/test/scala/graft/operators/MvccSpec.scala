@@ -56,10 +56,10 @@ class MvccSpec extends SparkSpec {
   test("consistency levels resolve the read timestamp") {
     import ConsistencyLevel._
     val latest = 1000L; val now = 1200L
-    assert(Mvcc.resolveReadTs(Strong, latest, now) == 1000L)
-    assert(Mvcc.resolveReadTs(BoundedStaleness, latest, now, stalenessMs = 300) == 900L)
-    assert(Mvcc.resolveReadTs(Session, latest, now, stalenessMs = 300,
+    assert(Mvcc.resolveReadTs(Strong, latest, now, staleness = 300) == 1000L)
+    assert(Mvcc.resolveReadTs(BoundedStaleness, latest, now, staleness = 300) == 900L)
+    assert(Mvcc.resolveReadTs(Session, latest, now, staleness = 300,
       sessionTs = 1100L) == 1100L) // session floor wins over staleness
-    assert(Mvcc.resolveReadTs(Eventually, latest, now) == 1200L)
+    assert(Mvcc.resolveReadTs(Eventually, latest, now, staleness = 300) == 1200L)
   }
 }
