@@ -19,8 +19,33 @@ import graft.functions.Metric
   */
 object Fusion {
 
+  /** Identical-subrequest dedup (reference:
+    * planparserv2/check_identical.go — a hybrid search whose sub-requests
+    * compile to the same plan runs the ANN once): returns the distinct
+    * sub-results plus, for each original position, the index of its
+    * representative. Detection is Catalyst semantic plan equality, so
+    * differently-written but equivalent DataFrames dedup too. Callers
+    * fuse using the multiplicity mapping; Spark then plans each distinct
+    * subtree once and ReuseExchange shares the scan.
+    */
+  def dedupIdentical(results: Seq[DataFrame]): (Seq[DataFrame], Seq[Int]) = {
+    val reps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // optimized (not analyzed) plans: trivially different formulations
+    // (a pushed-down filter, a constant-true predicate) normalize away
+    val mapping = results.map { df =>
+      val plan = df.queryExecution.optimizedPlan
+      reps.indexWhere(_.queryExecution.optimizedPlan.sameResult(plan)) match {
+        case -1 => reps += df; reps.length - 1
+        case i  => i
+      }
+    }
+    (reps.toSeq, mapping)
+  }
+
   /** Reciprocal Rank Fusion: score(pk) = Σ_i 1/(k + rank_i(pk)).
     * (reference: operator_merge.go:342 — rank is 1-based, default k=60)
+    * Identical sub-requests are deduped first and contribute with
+    * multiplicity (same arithmetic as evaluating each copy).
     */
   def rrf(
       results: Seq[DataFrame],
@@ -28,9 +53,11 @@ object Fusion {
       idCol: String,
       topK: Int,
       rrfK: Double = 60.0): DataFrame = {
-    val unioned = results
-      .map(df => df.select(col(qidCol), col(idCol),
-        (lit(1.0) / (lit(rrfK) + col("rank"))).as("_partial")))
+    val (reps, mapping) = dedupIdentical(results)
+    val mult = mapping.groupBy(identity).view.mapValues(_.size).toMap
+    val unioned = reps.zipWithIndex
+      .map { case (df, i) => df.select(col(qidCol), col(idCol),
+        (lit(mult(i).toDouble) / (lit(rrfK) + col("rank"))).as("_partial")) }
       .reduce(_ unionAll _)
     fuseAndRank(unioned, qidCol, idCol, topK)
   }

@@ -26,6 +26,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(ranks.head == 1L && ranks.last == n.toLong)
   }
 
+  test("rows with null vectors are excluded from search, not an error (null_data parity)") {
+    // reference integration suite `null_data`: nullable vector fields —
+    // null rows are unsearchable but must not fail the query
+    val withNulls = Seq(
+      (1L, Some(Array(1f, 0f))), (2L, Some(Array(0f, 1f))), (3L, None))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1f, 0f))).toDF("qid", "qvec")
+    val hits = VectorSearch.topK(withNulls, "vec_id", "embedding", q, "qid", "qvec",
+      Metric.L2, k = 10)
+    val ids = hits.select($"vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"null-vector row must be absent, got $ids")
+  }
+
   test("offset beyond the result set yields empty, not an error") {
     val q = emb.filter($"vec_id" === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
