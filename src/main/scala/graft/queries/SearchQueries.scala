@@ -188,6 +188,26 @@ object SearchQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Rerank function CHAIN (reference: chain/rerank_builder.go — the
+    * function_chain suite applies rerankers sequentially): gauss decay
+    * then conditional boost over one candidate set, one final reduce.
+    */
+  def rerankChain(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+      Metric.COSINE, k = 20, outputCols = Seq("vec_id", "label"), roundTo = Some(4))
+    val decayed = hits.withColumn("_score",
+      col("_score") * Fusion.decayFactor("gauss", col("label").cast("double"),
+        origin = 5.0, scale = 3.0))
+    val boosted = Fusion.boost(decayed, "_score",
+      Seq((col("label") === 3, lit(2.0))), boostMode = "multiply")
+    VectorSearch.reduceTopK(boosted, "vec_id", "qid", Metric.COSINE, 10,
+        Seq("vec_id", "label"))
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"),
+        col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF index build + exhaustive-probe search (nprobe = nlist ⇒ exact,
     * so the brute-force oracle applies; partial-probe recall is asserted
     * in ScalaTest).
@@ -272,7 +292,8 @@ object SearchQueries {
     "q_rrf_fusion" -> (rrfFusion _),
     "q_weighted_fusion" -> (weightedFusion _),
     "q_boost_rescore" -> (boostRescore _),
-    "q_decay_rescore" -> (decayRescore _)
+    "q_decay_rescore" -> (decayRescore _),
+    "q_rerank_chain" -> (rerankChain _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -455,6 +476,22 @@ object SearchQueries {
          |        score * exp(greatest(0.0, abs(CAST(label AS DOUBLE) - 5.0) - 0.0) *
          |                    greatest(0.0, abs(CAST(label AS DOUBLE) - 5.0) - 0.0) *
          |                    ln(0.5) / 9.0) AS s
+         |      FROM r WHERE rank <= 20),
+         |rr AS (SELECT qid, vec_id, label, s,
+         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank
+         |       FROM h)
+         |SELECT qid, rank, round(s, 6) AS score, vec_id, label FROM rr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_rerank_chain" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |r AS (SELECT qid, vec_id, label, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |      FROM d),
+         |h AS (SELECT qid, vec_id, label,
+         |        score * exp(greatest(0.0, abs(CAST(label AS DOUBLE) - 5.0) - 0.0) *
+         |                    greatest(0.0, abs(CAST(label AS DOUBLE) - 5.0) - 0.0) *
+         |                    ln(0.5) / 9.0)
+         |              * (CASE WHEN label = 3 THEN 2.0 ELSE 1.0 END) AS s
          |      FROM r WHERE rank <= 20),
          |rr AS (SELECT qid, vec_id, label, s,
          |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rank
