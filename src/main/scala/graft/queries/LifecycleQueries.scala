@@ -1,0 +1,231 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+import graft.operators.PartitionKey
+import graft.sources.{BulkImport, Npy, SchemaEvolution}
+import graft.streaming.Streaming
+
+/** Driver-gated queries for the collection lifecycle surfaces that were
+  * ScalaTest-only in round 1/2: streaming ingest end-to-end, numpy bulk
+  * import, schema evolution (add-field + default_value), partition-key
+  * routing, and external-table field mapping. Each runs the real
+  * machinery (a live StreamingQuery, a real .npy file, a real
+  * partitioned/merged parquet layout) and lands on a DuckDB-checkable
+  * result over the standard tables.
+  */
+object LifecycleQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def deleteRecursively(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  /** Streaming insert end-to-end (SURVEY §2.7: WAL → dedup →
+    * flush/seal): a MemoryStream WAL carrying each event TWICE (an
+    * at-least-once WAL replay), watermark + pk dedup
+    * (Streaming.dedupedIngest), idempotent parquet flush
+    * (Streaming.flushToParquet), then a read of the sealed layout —
+    * counts must equal exactly-once semantics over the original rows.
+    * The WAL fixture is bounded (event_id < 2000) because a MemoryStream
+    * feeds from the driver; the dedup/flush plan is the unbounded path.
+    */
+  def streamIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val path = s"/tmp/graft_stream_${tag(dir)}"
+    val ck = path + "_ck"
+    deleteRecursively(path); deleteRecursively(ck)
+    val rows = t(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect().toSeq
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    input.addData(rows ++ rows) // duplicated WAL delivery
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts_event", (col("ts") / lit(1000000000L)).cast("timestamp"))
+    val deduped = Streaming.dedupedIngest(stream, "event_id", "ts_event")
+    val q = Streaming.flushToParquet(deduped, path, ck)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Numpy bulk import round trip (importutilv2/numpy): export the first
+    * 100 embeddings to a real .npy (v1 header, <f4), re-import through
+    * the distributed reader, and emit every element — content equality
+    * with the source table, element by element.
+    */
+  def npyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_npy_${tag(dir)}.npy"
+    val vecs = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .orderBy(col("vec_id"))
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+      .toSeq
+    Npy.write(path, vecs)
+    BulkImport.read(s, "npy", path)
+      .select(col("row_idx"), posexplode(col("vec")).as(Seq("_p", "_v")))
+      .select(col("row_idx"), (col("_p") + 1).cast("long").as("pos"),
+        round(col("_v").cast("double"), 5).as("val"))
+      .orderBy(col("row_idx"), col("pos"))
+  }
+
+  /** Schema evolution (AddCollectionField + default_value): segment 1
+    * sealed before the DDL (no `o_orderpriority` column), segment 2
+    * after; a mergeSchema read + default fill serves the union without
+    * rewriting segment 1.
+    */
+  def addField(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_evolve_${tag(dir)}"
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderkey") <= 7500)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/seg1")
+    o.filter(col("o_orderkey") > 7500)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/seg2")
+    SchemaEvolution.readMerged(s, Seq(s"$path/seg1", s"$path/seg2"),
+        defaults = Map("o_orderpriority" -> lit("0-NONE")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Partition-key routing (is_partition_key): events hash-partitioned
+    * on user_id into 8 directory partitions; `user_id == 42` prunes to
+    * one directory (PartitionFilters in the scan) before reading a row.
+    */
+  def partitionKey(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_partkey_${tag(dir)}"
+    PartitionKey.write(
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+      "user_id", numPartitions = 8, path)
+    PartitionKey.readKeyEquals(s, path, "user_id", lit(42L), numPartitions = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** External table field mapping (external_table.md `external_field`):
+    * the collection schema (name, price, brand) is served query-in-place
+    * from the differently-named columns of the external parquet.
+    */
+  def externalMap(s: SparkSession, dir: String): DataFrame = {
+    BulkImport.readExternal(s, "parquet", s"$dir/part.parquet",
+        fieldMapping = Map(
+          "name" -> "p_name", "price" -> "p_retailprice", "brand" -> "p_brand"))
+      .filter(col("price") > 950)
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("price")), 2).as("sum_price"))
+      .orderBy(col("brand"))
+  }
+
+  /** Snapshot read (datacoord/snapshot.go): manifest the current file
+    * set, append more segments to the SAME directory afterwards, then a
+    * snapshot read serves exactly the manifested files — time travel by
+    * construction, no data copy, immune to later appends.
+    */
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshot
+    val path = s"/tmp/graft_snap_${tag(dir)}"
+    deleteRecursively(path)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") < 5000).write.parquet(s"$path/data")
+    Snapshot.create(s, s"$path/data", s"$path/snaps", "s1")
+    ev.filter(col("event_id") >= 5000).write.mode("append").parquet(s"$path/data")
+    Snapshot.read(s, s"$path/snaps", "s1")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** LOB externalize → delete → GC → resolve round trip
+    * (storagev2 LobFileInfo + garbage_collector_lob.go): payloads live
+    * in a content-addressed blob store; deleting the 'zh' docs and
+    * GC'ing must leave every surviving row resolvable byte-for-byte
+    * (a wrongly GC'd blob surfaces as a null payload here).
+    */
+  def lobGc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Lob
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), encode(col("text"), "UTF-8").as("payload"))
+    val (data, blobs) = Lob.externalize(docs, "payload")
+    val live = data.filter(col("lang") =!= "zh")
+    val kept = Lob.gc(blobs, live)
+    Lob.resolve(live, kept)
+      .select(col("doc_id"), col("_lob_ref").as("digest"),
+        col("_lob_bytes").as("lob_bytes"),
+        octet_length(col("payload")).cast("long").as("bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ingest" -> (streamIngest _),
+    "q_npy_roundtrip" -> (npyRoundtrip _),
+    "q_add_field" -> (addField _),
+    "q_partition_key" -> (partitionKey _),
+    "q_external_map" -> (externalMap _),
+    "q_snapshot_read" -> (snapshotRead _),
+    "q_lob_gc" -> (lobGc _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_ingest" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 2000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_npy_roundtrip" ->
+      """SELECT row_idx, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |       round(CAST(unnest(embedding) AS DOUBLE), 5) AS val
+        |FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_idx, embedding
+        |      FROM embeddings WHERE vec_id < 100)
+        |ORDER BY row_idx, pos""".stripMargin,
+    "q_add_field" ->
+      """SELECT CASE WHEN o_orderkey <= 7500 THEN '0-NONE' ELSE o_orderpriority END
+        |         AS o_orderpriority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_partition_key" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE user_id = 42
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_external_map" ->
+      """SELECT p_brand AS brand, count(*) AS cnt,
+        |       round(sum(p_retailprice), 2) AS sum_price
+        |FROM part WHERE p_retailprice > 950
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_snapshot_read" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 5000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_lob_gc" ->
+      """SELECT doc_id, md5(text) AS digest,
+        |       octet_length(encode(text)) AS lob_bytes,
+        |       octet_length(encode(text)) AS bytes
+        |FROM documents WHERE lang <> 'zh'
+        |ORDER BY doc_id""".stripMargin
+  )
+}

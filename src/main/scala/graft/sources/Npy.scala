@@ -83,4 +83,28 @@ object Npy {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Write a 2-D float32 matrix as an NPY v1 file (`<f4`, C order) —
+    * the export half of the import contract, used by tests and the
+    * round-trip oracle query. Caller bounds `rows` (this is a fixture
+    * writer, not a data path; bulk exports go through parquet).
+    */
+  def write(path: String, rows: Seq[Array[Float]]): Unit = {
+    require(rows.nonEmpty, "empty NPY write")
+    val dim = rows.head.length
+    require(rows.forall(_.length == dim), "ragged rows in NPY write")
+    val dict = s"{'descr': '<f4', 'fortran_order': False, 'shape': (${rows.length}, $dim), }"
+    // header (magic + version + len + dict) padded with spaces to 64-byte
+    // alignment, newline-terminated (numpy format spec v1.0)
+    val unpadded = Magic.length + 2 + 2 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val headerLen = dict.length + pad + 1
+    val buf = ByteBuffer.allocate(unpadded + pad + rows.length * dim * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic).put(1.toByte).put(0.toByte)
+      .put((headerLen & 0xff).toByte).put(((headerLen >> 8) & 0xff).toByte)
+      .put(dict.getBytes("ASCII")).put(Array.fill(pad)(' '.toByte)).put('\n'.toByte)
+    rows.foreach(r => r.foreach(buf.putFloat))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
 }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.PartitionKey
+
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Npy.write/read round-trips float32 matrices bit-exactly") {
+    val path = "/tmp/graft_test_npy_rt.npy"
+    val data = Seq(
+      Array(1.5f, -2.25f, Float.MinPositiveValue),
+      Array(0f, 1e30f, -0.5f),
+      Array(Float.MaxValue, -1f, 42f))
+    Npy.write(path, data)
+    val got = Npy.read(spark, path)
+      .select($"row_idx", $"vec").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(got.map(_._2.toList).toList == data.map(_.toList).toList)
+  }
+
+  test("Npy.write rejects ragged and empty input") {
+    intercept[IllegalArgumentException](Npy.write("/tmp/x.npy", Seq.empty))
+    intercept[IllegalArgumentException](
+      Npy.write("/tmp/x.npy", Seq(Array(1f), Array(1f, 2f))))
+  }
+
+  test("SchemaEvolution fills defaults only where the column is absent") {
+    val base = "/tmp/graft_test_evolve"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("pk", "v")
+      .write.mode("overwrite").parquet(s"$base/old")
+    Seq((3L, 30.0, "x"), (4L, 40.0, null.asInstanceOf[String]))
+      .toDF("pk", "v", "tag")
+      .write.mode("overwrite").parquet(s"$base/new")
+    val got = SchemaEvolution
+      .readMergedValues(spark, Seq(s"$base/old", s"$base/new"), Map("tag" -> "D"))
+      .select($"pk", $"tag").as[(Long, String)].collect().sortBy(_._1)
+    // old-segment rows AND explicit nulls in new segments both take the
+    // default — matching the reference, where a nullable added field
+    // reads back default_value when unset
+    assert(got.toList == List((1L, "D"), (2L, "D"), (3L, "x"), (4L, "D")))
+  }
+
+  test("SchemaEvolution rejects defaults for unknown fields") {
+    val base = "/tmp/graft_test_evolve2"
+    Seq((1L, 1.0)).toDF("pk", "v").write.mode("overwrite").parquet(s"$base/a")
+    intercept[IllegalArgumentException](
+      SchemaEvolution.readMergedValues(spark, Seq(s"$base/a"), Map("nope" -> 1)))
+  }
+
+  test("PartitionKey routing prunes to a single directory partition") {
+    val path = "/tmp/graft_test_partkey"
+    val df = (0L until 400L).map(i => (i, i % 20, s"u$i")).toDF("id", "key", "v")
+    PartitionKey.write(df, "key", numPartitions = 8, path)
+    val routed = PartitionKey.readKeyEquals(spark, path, "key", lit(7L), 8)
+    // correctness: exactly the key==7 rows
+    assert(routed.count() == 20)
+    assert(routed.agg(count_distinct($"key")).head().getLong(0) == 1)
+    // pruning: the routing predicate reaches the scan as a directory-level
+    // PartitionFilter on the folded partition id (not a post-scan Filter)
+    val expectedPart = spark.range(1)
+      .select(PartitionKey.partitionId(lit(7L), 8)).head().getLong(0)
+    val planStr = routed.queryExecution.sparkPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.matches(s"(?s).*PartitionFilters: \\[[^\\]]*_part#\\d+ = $expectedPart.*"),
+      s"expected a PartitionFilters entry (_part = $expectedPart) in:\n$planStr")
+  }
+
+  test("readExternal maps external column names and rejects missing ones") {
+    val path = "/tmp/graft_test_external"
+    Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("ext_id", "ext_name", "ext_score")
+      .write.mode("overwrite").parquet(path)
+    val mapped = BulkImport.readExternal(spark, "parquet", path,
+      Map("id" -> "ext_id", "score" -> "ext_score"))
+    assert(mapped.columns.toList == List("id", "score"))
+    assert(mapped.agg(sum($"score")).head().getDouble(0) == 11.0)
+    intercept[IllegalArgumentException](
+      BulkImport.readExternal(spark, "parquet", path, Map("id" -> "missing_col")))
+  }
+}
