@@ -25,10 +25,19 @@ object PartitionKey {
     pmod(xxhash64(key), lit(numPartitions.toLong))
 
   /** Write `df` hash-partitioned on `keyCol` into `numPartitions`
-    * directory partitions at `path`.
+    * directory partitions at `path`. Rows are shuffled onto their
+    * target partition first (`filesPerPartition` tasks per directory)
+    * so the layout is `numPartitions × filesPerPartition` right-sized
+    * files — without this, every input task writes a sliver into every
+    * directory (tasks × partitions small files, the classic dynamic-
+    * partition-write explosion at scale).
     */
-  def write(df: DataFrame, keyCol: String, numPartitions: Int, path: String): Unit =
+  def write(df: DataFrame, keyCol: String, numPartitions: Int, path: String,
+      filesPerPartition: Int = 1): Unit =
     df.withColumn("_part", partitionId(col(keyCol), numPartitions))
+      .withColumn("_subfile", pmod(xxhash64(col(keyCol), lit(17)), lit(filesPerPartition.toLong)))
+      .repartition(numPartitions * filesPerPartition, col("_part"), col("_subfile"))
+      .drop("_subfile")
       .write.partitionBy("_part").mode("overwrite").parquet(path)
 
   /** Read with partition-key routing: `keyCol == value` becomes a
