@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.GraftSession
 import graft.operators.Mvcc
@@ -136,9 +136,13 @@ object WriteQueries {
   }
 
   /** Consistency levels wired end to end (proxy/util.go:1301-1320): a
-    * sealed segment (parquet) unioned with a deterministic growing batch;
-    * BoundedStaleness resolves a read-ts that excludes the growing tail,
-    * Strong reads at the latest committed write and sees it.
+    * sealed segment (parquet) unioned with two deterministic growing
+    * batches — the session's own write at sealed+1h and a foreign write
+    * at sealed+2h. With staleness 90min and now = sealed+2h:
+    * BoundedStaleness reads at sealed+30m (sealed rows only), Session
+    * reads at its own write ts (sealed + own write — read-your-writes),
+    * Strong reads at the latest committed ts and Eventually at now
+    * (both see everything).
     */
   def consistencyLevels(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{ConsistencyLevel, Mvcc}
@@ -146,21 +150,28 @@ object WriteQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val maxSealedTs = sealedSeg.agg(max(col("ts"))).head().getLong(0)
     val hourNs = 3600L * 1000000000L
-    val growing = sealedSeg.filter(col("event_id") < 50)
-      .select((col("event_id") + 1000000L).as("event_id"),
-        lit(maxSealedTs + 2 * hourNs).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val union = sealedSeg.unionByName(growing)
-    val latestCommitted = maxSealedTs + 2 * hourNs
-    val strongTs = Mvcc.resolveReadTs(ConsistencyLevel.Strong, latestCommitted,
-      latestCommitted, staleness = hourNs)
-    val boundedTs = Mvcc.resolveReadTs(ConsistencyLevel.BoundedStaleness,
-      latestCommitted, latestCommitted, staleness = hourNs) // ns-domain staleness
+    val ownTs = maxSealedTs + hourNs
+    val foreignTs = maxSealedTs + 2 * hourNs
+    def growing(pred: Column, idOffset: Long, ts: Long) =
+      sealedSeg.filter(pred)
+        .select((col("event_id") + idOffset).as("event_id"), lit(ts).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    val union = sealedSeg
+      .unionByName(growing(col("event_id") < 50, 1000000L, ownTs))
+      .unionByName(growing(col("event_id") >= 50 && col("event_id") < 80, 2000000L, foreignTs))
+    val now = foreignTs
+    val staleness = hourNs * 3 / 2 // 90 min in the ts domain (ns)
+    def tsFor(level: ConsistencyLevel.Value) =
+      Mvcc.resolveReadTs(level, latestCommittedTs = foreignTs, now = now,
+        staleness = staleness, sessionTs = ownTs)
     def readAt(tsv: Long, label: String) =
       Mvcc.visible(union, "event_id", "ts", lit(tsv))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .select(lit(label).as("level"), col("cnt"), col("sum_value"))
-    readAt(boundedTs, "bounded").unionByName(readAt(strongTs, "strong"))
+    readAt(tsFor(ConsistencyLevel.BoundedStaleness), "bounded")
+      .unionByName(readAt(tsFor(ConsistencyLevel.Eventually), "eventually"))
+      .unionByName(readAt(tsFor(ConsistencyLevel.Session), "session"))
+      .unionByName(readAt(tsFor(ConsistencyLevel.Strong), "strong"))
       .orderBy(col("level"))
   }
 
@@ -185,15 +196,20 @@ object WriteQueries {
         |  AND o_orderpriority <> '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
     "q_consistency_levels" ->
-      """SELECT 'bounded' AS level,
-        |  (SELECT count(*) FROM events) AS cnt,
-        |  (SELECT round(sum(value), 2) FROM events) AS sum_value
+      """WITH own AS (SELECT count(*) c, sum(value) v FROM events WHERE event_id < 50),
+        |  frn AS (SELECT count(*) c, sum(value) v FROM events
+        |          WHERE event_id >= 50 AND event_id < 80),
+        |  sld AS (SELECT count(*) c, sum(value) v FROM events)
+        |SELECT 'bounded' AS level, sld.c AS cnt, round(sld.v, 2) AS sum_value
+        |  FROM sld
         |UNION ALL
-        |SELECT 'strong',
-        |  (SELECT count(*) FROM events)
-        |    + (SELECT count(*) FROM events WHERE event_id < 50),
-        |  round((SELECT sum(value) FROM events)
-        |    + (SELECT sum(value) FROM events WHERE event_id < 50), 2)
+        |SELECT 'eventually', sld.c + own.c + frn.c,
+        |  round(sld.v + own.v + frn.v, 2) FROM sld, own, frn
+        |UNION ALL
+        |SELECT 'session', sld.c + own.c, round(sld.v + own.v, 2) FROM sld, own
+        |UNION ALL
+        |SELECT 'strong', sld.c + own.c + frn.c,
+        |  round(sld.v + own.v + frn.v, 2) FROM sld, own, frn
         |ORDER BY level""".stripMargin,
     "q_mvcc_visibility" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
