@@ -42,7 +42,7 @@ object NgramIndex {
   /** The lowercase n-grams a candidate must contain to possibly match
     * `%pattern%`. Empty when the pattern is too short to index.
     */
-  private[operators] def patternGrams(pattern: String, n: Int): Seq[String] = {
+  private[graft] def patternGrams(pattern: String, n: Int): Seq[String] = {
     val p = pattern.toLowerCase
     if (p.length < n) Seq.empty
     else (0 to p.length - n).map(i => p.substring(i, i + n)).distinct

@@ -516,6 +516,29 @@ object ExtraQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The same multi-LIKE, but routed AUTOMATICALLY by the Catalyst
+    * optimizer rule (plans/NgramRewrite.scala — the reference's
+    * per-expression index-vs-scan choice): a plain `.filter` over the
+    * registered table gains the index semi-join + exact refine with no
+    * query-side code. NgramRewriteSpec asserts the plan shape; this
+    * entry gates the result through the DuckDB oracle.
+    */
+  def ngramRule(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.NgramRewrite
+    val base = s"/tmp/graft_ngramrule_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    d.write.mode("overwrite").parquet(s"$base/data")
+    graft.operators.InvertedIndex.writeTokenPairs(
+      graft.operators.NgramIndex.build(s.read.parquet(s"$base/data"), "doc_id", "text"),
+      s"$base/index", numPartitions = 8)
+    NgramRewrite.register(s"$base/data", "doc_id", "text", s"$base/index")
+    NgramRewrite.install(s)
+    s.read.parquet(s"$base/data")
+      .filter(col("text").contains("ecto") && col("text").like("%tream%"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- §2.6 IVF_PQ: ADC shortlist + exact refine (knowhere IVF_PQ) ----
 
   /** PQ with shortlist ≥ corpus: the exact refine re-ranks everything,
@@ -598,6 +621,7 @@ object ExtraQueries {
     "q_phrase_index" -> (phraseIndex _),
     "q_pq_refine" -> (pqRefine _),
     "q_ngram_like" -> (ngramLike _),
+    "q_ngram_rule" -> (ngramRule _),
     "q_phrase_match" -> (phraseMatch _),
     "q_phrase_slop" -> (phraseSlop _),
     "q_match_least" -> (matchLeast _),
@@ -742,6 +766,10 @@ object ExtraQueries {
         |        ' ') || ' ') LIKE '% the fast %'
         |ORDER BY doc_id""".stripMargin,
     "q_ngram_like" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
+        |ORDER BY doc_id""".stripMargin,
+    "q_ngram_rule" ->
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
