@@ -12,7 +12,8 @@ object ExplainAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_expr_range", "q_topk_cosine", "q_requery", "q_mvcc_visibility",
-        "q_bm25", "q_minhash_lsh", "q_clustered_scan")
+        "q_bm25", "q_minhash_lsh", "q_clustered_scan", "q_ngram_rule",
+        "q_partition_key", "q_lob_gc")
     val spark = GraftSession.local()
     names.foreach { n =>
       println(s"\n===== $n =====")

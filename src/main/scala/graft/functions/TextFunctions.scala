@@ -181,4 +181,33 @@ object TextFunctions {
     val tokLenOk = when(mtl >= 2.5 && mtl <= 12.0, 1.0).otherwise(0.0)
     round((lengthOk + punctOk + stopOk + tokLenOk) / 4.0, 4)
   }
+
+  // ---- PII scrubbing (training-pipeline redaction pass) ----
+
+  /** Conservative PII patterns: email, IPv4, international-ish phone
+    * (7+ chars of digits/separators, digit-delimited). Deliberately
+    * RE2-compatible (no lookaround) so the exact same regexes run in
+    * Spark's codegen'd `regexp_replace`, the DuckDB oracle, and any
+    * external audit tooling; greedy leftmost matching consumes a whole
+    * digit run, so long ids aren't half-redacted.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4"  -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "phone" -> "\\+?[0-9][0-9 ()./-]{5,}[0-9]")
+
+  /** Redact PII spans to `[TYPE]` tags — one chained `regexp_replace`
+    * per pattern, all codegen'd, no UDFs; order matters (emails first so
+    * their digit runs aren't half-eaten by the phone pattern, IPv4
+    * before phone because the phone separator class includes dots).
+    */
+  def scrubPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, s"[${name.toUpperCase}]")
+    }
+
+  /** Count of PII matches per document (for filtering/reporting). */
+  def piiCount(c: Column): Column =
+    PiiPatterns.map { case (_, re) => size(regexp_extract_all(c, lit(re), lit(0))) }
+      .reduce(_ + _)
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Data mixing for training-corpus assembly — not a reference operator
+  * (the reference stops at random_sample), but the standard pretraining
+  * step downstream of its dedup/quality passes: re-weight strata
+  * (language, source, quality bucket) by DETERMINISTIC per-stratum
+  * subsampling, so the mix is reproducible run-to-run and auditable
+  * row-by-row (the same arithmetic-hash trick as q_sample_mod — no RNG,
+  * no seed state, any engine can recompute membership).
+  *
+  * Scale shape: a pure narrow filter — no shuffle, no sampleBy() RNG
+  * per partition, pushdown-friendly; the per-stratum rate lookup is a
+  * CASE expression, not a join.
+  */
+object Mixing {
+
+  /** Membership hash in [0, 100): uniform-ish, engine-agnostic
+    * (multiplicative hash mod a prime — reproducible in plain SQL).
+    */
+  def pctHash(idCol: Column): Column =
+    pmod(pmod(idCol * lit(2654435761L), lit(1000000007L)), lit(100))
+
+  /** Keep each row of stratum s with probability rates(s)/100
+    * (default `defaultPct` for unlisted strata), deterministically in
+    * the row's id.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pctHash(col(idCol)) < rate)
+  }
+}

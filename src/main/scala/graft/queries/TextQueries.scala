@@ -234,7 +234,41 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** PII scrubbing pass (training-pipeline redaction; not a reference
+    * operator — the pipeline step the brief's text-analysis family
+    * implies). Documents are augmented with deterministic synthetic PII
+    * (email/phone/IP derived from doc_id) so redaction is actually
+    * exercised; output hashes the scrubbed text and counts matches per
+    * kind, all RE2/Java-regex-portable so the oracle recomputes both.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        lit(" Contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)), lit(".7 now")))
+    aug.select(col("doc_id"),
+        md5(TextFunctions.scrubPii(col("aug"))).as("scrub_md5"),
+        TextFunctions.piiCount(col("aug")).cast("long").as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sampling / data mixing: downsample the
+    * dominant language strata (en 10%, zh 50%), keep the rest — the
+    * reproducible-mix step of corpus assembly (operators/Mixing.scala).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Mixing.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 10, "zh" -> 50))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (piiScrub _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_bm25" -> (bm25 _),
     "q_bm25_multilang" -> (bm25Multilang _),
     "q_text_stats" -> (textStats _),
@@ -258,6 +292,29 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1 (555) 010-'
+        |      || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IPV4]', 'g'),
+        |      '\+?[0-9][0-9 ()./-]{5,}[0-9]', '[PHONE]', 'g')) AS scrub_md5,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+        |  + len(regexp_extract_all(aug, '\+?[0-9][0-9 ()./-]{5,}[0-9]')) AS n_pii
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE ((doc_id * 2654435761 % 1000000007) % 100 + 100) % 100 <
+        |      CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 100 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // same polynomial: pows = 257^(4-j) mod 2^31-1 = [67503107, 16974593, 66049, 257, 1]
     "q_winnow_fingerprint" ->
       """WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS txt

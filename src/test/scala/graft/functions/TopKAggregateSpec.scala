@@ -61,6 +61,32 @@ class TopKAggregateSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("large topk (reference testcases/large_topk: k = 16384)") {
+    // 20 query groups × 5k rows, k far above group size AND at the
+    // reference's max topk — exercises heap growth + merge at size
+    val big = spark.range(100000)
+      .select((col("id") % 20).as("g"), col("id").as("tie"),
+        ((col("id") * 131 % 99991).cast("double")).as("score"))
+    val counts = big.repartition(16)
+      .groupBy("g")
+      .agg(TopKFunctions.top_k(col("score"), col("tie"),
+        struct(col("tie")), 16384, ascending = true).as("hits"))
+      .select(col("g"), size(col("hits")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(counts.size == 20 && counts.values.forall(_ == 5000))
+    // and k smaller than the group still truncates correctly at scale
+    val k = 4096
+    val first = big.repartition(16).groupBy("g")
+      .agg(TopKFunctions.top_k(col("score"), col("tie"),
+        struct(col("tie")), k, ascending = true).as("hits"),
+        min(col("score")).as("true_best"))
+      .select(col("g"), size(col("hits")).as("n"),
+        element_at(col("hits"), 1).getField("score").as("best"), col("true_best"))
+      .collect()
+    assert(first.forall(_.getInt(1) == k))
+    assert(first.forall(r => r.getDouble(2) == r.getDouble(3))) // heap head = true min
+  }
+
   test("duplicate scores break ties by ascending tie column") {
     val dup = Seq((1L, 5.0, 10L), (1L, 5.0, 3L), (1L, 5.0, 7L)).toDF("g", "score", "tie")
     val got = dup.groupBy("g")
