@@ -131,15 +131,29 @@ object ExprCompiler {
 
     case jp @ JsonPath(field, parts) =>
       ctx.fieldType(field) match {
-        case Some(ArrayType(_, _)) =>
+        case Some(ArrayType(et, _)) =>
+          // try_element_at: out-of-bounds index yields null → the row
+          // fails the predicate (the reference's OOB semantics) instead
+          // of an ANSI runtime error aborting the whole query
           parts match {
-            case Seq(Right(idx)) => element_at(col(field), idx + 1) // 0-based → 1-based
-            case _ => throw CompileError(s"array field $field supports single int index")
+            case Seq(Right(idx)) => try_element_at(col(field), lit(idx + 1)) // 0-based → 1-based
+            case Seq(Right(idx), Left(key)) => et match {
+              // StructIndexFieldIdentifier `f[0][sub]` (grammar Plan.g4)
+              case st: StructType if st.fieldNames.contains(key) =>
+                try_element_at(col(field), lit(idx + 1)).getField(key)
+              case st: StructType => throw CompileError(
+                s"struct array $field has no sub-field $key " +
+                  s"(available: ${st.fieldNames.mkString(", ")})")
+              case other => throw CompileError(
+                s"$field[$idx][$key] needs an array of structs, $field is array<$other>")
+            }
+            case _ => throw CompileError(
+              s"array field $field supports [int] or [int][subField] access")
           }
         case Some(StructType(_)) =>
           parts.foldLeft(col(field)) {
             case (c, Left(key))  => c.getField(key)
-            case (c, Right(idx)) => element_at(c, idx + 1)
+            case (c, Right(idx)) => try_element_at(c, lit(idx + 1))
           }
         case _ =>
           val base = if (ctx.fieldType(field).isDefined) col(field)

@@ -46,15 +46,35 @@ object Lexer {
           i += 1
           if (i >= n) throw LexError("unterminated escape", i)
           val esc = input.charAt(i)
-          sb += (esc match {
-            case 'n' => '\n'
-            case 't' => '\t'
-            case 'r' => '\r'
-            case 'b' => '\b'
-            case 'f' => '\f'
-            case other => other // \\ \' \" and passthrough
-          })
-          i += 1
+          esc match {
+            case 'n' => sb += '\n'; i += 1
+            case 't' => sb += '\t'; i += 1
+            case 'r' => sb += '\r'; i += 1
+            case 'b' => sb += '\b'; i += 1
+            case 'f' => sb += '\f'; i += 1
+            case 'a' => sb += 7.toChar; i += 1
+            case 'v' => sb += 11.toChar; i += 1
+            case 'x' => // \xHH.. hex escape (grammar EscapeSequence)
+              i += 1
+              val st = i
+              while (i < n && i - st < 8 &&
+                "0123456789abcdefABCDEF".indexOf(input.charAt(i).toInt) >= 0) i += 1
+              if (i == st) throw LexError("empty \\x escape", i)
+              sb += Integer.parseInt(input.substring(st, i), 16).toChar
+            case 'u' | 'U' => // \uHHHH / \UHHHHHHHH universal char
+              val quads = if (esc == 'u') 4 else 8
+              i += 1
+              if (i + quads > n) throw LexError("short unicode escape", i)
+              val cp = Integer.parseInt(input.substring(i, i + quads), 16)
+              sb ++= Character.toChars(cp)
+              i += quads
+            case d if d >= '0' && d <= '7' => // octal, 1-3 digits
+              val st = i
+              while (i < n && i - st < 3 &&
+                input.charAt(i) >= '0' && input.charAt(i) <= '7') i += 1
+              sb += Integer.parseInt(input.substring(st, i), 8).toChar
+            case other => sb += other; i += 1 // \\ \' \" \? and passthrough
+          }
         } else if (ch == '\\' && raw) {
           sb += ch
           i += 1
@@ -109,6 +129,13 @@ object Lexer {
         if ((c == 'r' || c == 'R') && (peek(1) == '\'' || peek(1) == '"')) {
           i += 1
           out += TString(lexString(raw = true))
+        } else if ((c == 'u' || c == 'U' || c == 'L') && (peek(1) == '\'' || peek(1) == '"')) {
+          // EncodingPrefix (u/U/L) — strings are already unicode here
+          i += 1
+          out += TString(lexString(raw = false))
+        } else if (c == 'u' && peek(1) == '8' && (peek(2) == '\'' || peek(2) == '"')) {
+          i += 2 // u8 prefix
+          out += TString(lexString(raw = false))
         } else {
           val start = i
           i += 1

@@ -266,7 +266,10 @@ object Parser {
         cur match {
           case TString(s) => advance(); parts += Left(s)
           case TInt(v)    => advance(); parts += Right(v.toInt)
-          case other      => throw ParseError(s"expected string or int index, got $other")
+          // bare identifier: struct sub-field (grammar StructFieldIdentifier
+          // `f[sub]` / StructIndexFieldIdentifier `f[0][sub]`)
+          case TIdent(s)  => advance(); parts += Left(s)
+          case other      => throw ParseError(s"expected string, int, or identifier index, got $other")
         }
         expectOp("]")
       }

@@ -197,6 +197,11 @@ class ExprCompilerSpec extends SparkSpec {
     intercept[ExprCompiler.CompileError] { ids("$[qty] > 45.0") }
     // arity errors surface as CompileError even with zero args
     intercept[ExprCompiler.CompileError] { ids("element_filter()") }
+    // StructIndexFieldIdentifier `f[0][sub]` (bare-identifier bracket)
+    assert(ids("items[0][qty] > 45.0") == Set(2L, 3L))
+    assert(ids("items[1][ln] == 2") == Set(1L))
+    intercept[ExprCompiler.CompileError] { ids("items[0][nope] > 1") }
+    intercept[ExprCompiler.CompileError] { ids("tags[0][sub] > 1") }
   }
 
   test("phrase_match rejects combinatorial slop x phrase-length explosions") {
@@ -209,6 +214,30 @@ class ExprCompilerSpec extends SparkSpec {
     assert(e.getMessage.contains("regex branches"))
     // real-sized slop still compiles
     d.filter(ExprCompiler.compile("phrase_match(text, 'a c', 2)", d)).collect()
+  }
+
+  test("grammar corners: literal radices, raw strings, escapes, arrays") {
+    // Plan.g4 IntegerConstant: octal (leading 0), hex, binary
+    check("id == 0x14", $"id" === 20)
+    check("id == 0b10100", $"id" === 20)
+    check("id == 024", $"id" === 20)
+    // unary plus / bitwise not
+    check("+id == 20", $"id" === 20)
+    check("~id == -21", $"id" === 20) // ~x = -x-1
+    // raw strings keep backslashes verbatim (RawStringLiteral)
+    check("""s =~ r'name_\d_x'""", $"s".rlike("name_\\d_x"))
+    // escape decoding per grammar EscapeSequence: \x (greedy hex, as the
+    // reference's HexadecimalDigitSequence), \uHHHH, octal (max 3 digits)
+    assert(Lexer.tokenize("""'\x41 B\102'""") ==
+      Vector(Lexer.TString("A B" + "B"), Lexer.TEof))
+    // trailing comma + empty array literals
+    check("id in [1, 2, 3,]", $"id".isin(1, 2, 3))
+    check("id in []", lit(false))
+    // double-quoted strings are interchangeable with single
+    check("s == \"name_7\"", $"s" === "name_7")
+    // encoding prefixes (grammar EncodingPrefix: u8 | u | U | L)
+    check("""s == u8'name_7'""", $"s" === "name_7")
+    check("""s == L"name_7"""", $"s" === "name_7")
   }
 
   test("parse errors are informative") {
