@@ -36,6 +36,13 @@ object Analyzers {
   final case class CharGroup(delims: Seq[Char]) extends Tokenizer {
     require(delims.nonEmpty, "char_group needs at least one delimiter")
   }
+  /** Script-aware dispatch (tantivy lang_ident tokenizer: detect the
+    * language, tokenize accordingly). Without dictionary assets
+    * (jieba/lindera/icu), CJK runs tokenize as character bigrams — the
+    * standard dictionary-free CJK search tokenization — and everything
+    * else as `standard`. Mixed-script text yields both token kinds.
+    */
+  case object LangIdent extends Tokenizer
 
   sealed trait Filter
   case object Lowercase extends Filter
@@ -66,6 +73,14 @@ object Analyzers {
             i => substring(c, i, lit(n))))
       }: _*))
     case CharGroup(ds)  => filter(split(c, regexClass(ds)), t => t =!= "")
+    case LangIdent      =>
+      val cjkClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
+      val latin = TextFunctions.tokenize(regexp_replace(c, cjkClass, " "))
+      val runs = regexp_extract_all(c, lit(cjkClass + "+"), lit(0))
+      val grams = flatten(transform(runs, run =>
+        when(length(run) === 1, array(run)).otherwise(
+          transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2))))))
+      concat(latin, grams)
   }
 
   private def applyFilter(tokens: Column, f: Filter): Column = f match {
@@ -95,8 +110,10 @@ object Analyzers {
       case "ngram"      => Ngram(
         params.getOrElse("min_gram", "1").toInt, params.getOrElse("max_gram", "2").toInt)
       case "char_group" => CharGroup(params.getOrElse("delims", " ").toSeq)
+      case "lang_ident" => LangIdent
       case other        => throw new IllegalArgumentException(
-        s"tokenizer '$other' not supported (jieba/lindera/icu/thai need dictionary assets)")
+        s"tokenizer '$other' not supported (jieba/lindera/icu/thai need dictionary assets; " +
+          "lang_ident covers CJK via char bigrams)")
     }
     val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil).map {

@@ -252,4 +252,83 @@ object VectorSearch {
     }
     reduceTopK(cursored, idCol, qidCol, metric, batch, out)
   }
+
+  /** Iterative post-filter search (reference: IterativeFilterNode.cpp +
+    * the `iterative_filter` hint, proxy/search_util.go:589): ANN top-k′
+    * WITHOUT the filter, filter the candidates, and if any query is left
+    * short of k, retry with a grown k′ — falling back to the exact
+    * pre-filtered scan once k′ would reach the corpus. Exact on
+    * termination (a query is only emitted short when even the full
+    * corpus can't fill k for it), and cheap when the filter is
+    * permissive: most candidates survive the first round, so the
+    * filter's (possibly expensive) predicate runs on nq·k′ rows instead
+    * of the whole corpus.
+    */
+  def iterativePostFilter(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      k: Int,
+      filter: Column,
+      outputCols: Seq[String] = Nil,
+      roundTo: Option[Int] = None,
+      growthFactor: Int = 4): DataFrame = {
+    require(growthFactor > 1, "growthFactor must be > 1")
+    val out = if (outputCols.nonEmpty) outputCols else Seq(idCol)
+    val corpusSize = corpus.count()
+    val nq = queries.count()
+    var kPrime = math.min(3L * k, corpusSize)
+    while (kPrime < corpusSize) {
+      val cand = topK(corpus, idCol, vecCol, queries, qidCol, qvecCol, metric,
+        kPrime.toInt, filter = None, outputCols = out, roundTo = roundTo)
+      val survivors = cand.filter(filter)
+      val satisfied = survivors.groupBy(col(qidCol)).count()
+        .filter(col("count") >= k).count()
+      if (satisfied == nq)
+        return reduceTopK(survivors, idCol, qidCol, metric, k, out)
+      kPrime = math.min(kPrime * growthFactor, corpusSize)
+    }
+    // exact fallback: pre-filtered full scan
+    topK(corpus, idCol, vecCol, queries, qidCol, qvecCol, metric, k,
+      filter = Some(filter), outputCols = out, roundTo = roundTo)
+  }
+
+  /** Two-stage search (reference: delegator_twostage.go:35-105 — stage 1
+    * executes the filter alone and counts survivors; stage 2 picks the
+    * physical strategy from that count): a selective filter scores ONLY
+    * the survivors (retrieve-then-score), a permissive one goes ANN-first
+    * with the iterative post-filter, where the predicate runs on nq·k′
+    * candidates instead of every corpus row. Both paths are exact here,
+    * so the choice is pure cost. Returns (chosenPath, result) so callers
+    * and tests can observe the decision.
+    */
+  def twoStageSearch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      k: Int,
+      filter: Column,
+      outputCols: Seq[String] = Nil,
+      roundTo: Option[Int] = None,
+      selectivityCutoff: Double = 0.2): (String, DataFrame) = {
+    val total = math.max(1L, corpus.count())
+    val matched = corpus.filter(filter).count() // stage 1: filter-only pass
+    if (matched.toDouble / total <= selectivityCutoff) {
+      ("retrieve-then-score",
+        topK(corpus, idCol, vecCol, queries, qidCol, qvecCol, metric, k,
+          filter = Some(filter), outputCols = outputCols, roundTo = roundTo))
+    } else {
+      ("ann-post-filter",
+        iterativePostFilter(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+          metric, k, filter, outputCols, roundTo))
+    }
+  }
 }

@@ -273,6 +273,27 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Two-stage search dispatch (delegator_twostage.go): stage 1 counts
+    * the filter's survivors, stage 2 picks retrieve-then-score for the
+    * selective label==7 (10%) and ANN + iterative post-filter for the
+    * permissive label!=7 (90%). Both paths are exact; the oracle pins
+    * the path choice via the literal label AND the results.
+    */
+  def twostageSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def run(f: org.apache.spark.sql.Column) = {
+      val (path, res) = VectorSearch.twoStageSearch(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", graft.functions.Metric.COSINE, k = 5, filter = f,
+        outputCols = Seq("vec_id", "label"), roundTo = Some(4))
+      res.select(lit(path).as("path"), col("qid"), col("rank"),
+        col("_score").as("score"), col("vec_id"), col("label"))
+    }
+    run(col("label") === 7).unionByName(run(col("label") =!= 7))
+      .orderBy(col("path"), col("qid"), col("rank"))
+  }
+
   // ---- §4 bloom-filter PK prefilter (pkoracle/bloom_filter_set.go) ----
 
   /** Bloom prefilter + exact semi-join refine: the false positives the
@@ -622,6 +643,7 @@ object ExtraQueries {
     "q_pq_refine" -> (pqRefine _),
     "q_ngram_like" -> (ngramLike _),
     "q_ngram_rule" -> (ngramRule _),
+    "q_twostage_search" -> (twostageSearch _),
     "q_phrase_match" -> (phraseMatch _),
     "q_phrase_slop" -> (phraseSlop _),
     "q_match_least" -> (matchLeast _),
@@ -773,6 +795,22 @@ object ExtraQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
+    "q_twostage_search" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |sel AS (SELECT 'retrieve-then-score' AS path, qid, vec_id, label, score,
+        |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |        FROM d WHERE label = 7),
+        |perm AS (SELECT 'ann-post-filter' AS path, qid, vec_id, label, score,
+        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |         FROM d WHERE label <> 7)
+        |SELECT path, qid, rank, score, vec_id, label FROM sel WHERE rank <= 5
+        |UNION ALL
+        |SELECT path, qid, rank, score, vec_id, label FROM perm WHERE rank <= 5
+        |ORDER BY path, qid, rank""".stripMargin,
     "q_pq_refine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),

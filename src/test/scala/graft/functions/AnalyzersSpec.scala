@@ -50,4 +50,23 @@ class AnalyzersSpec extends SparkSpec {
       analyzeWith(col("t"), Map("tokenizer" -> "jieba"))
     }
   }
+
+  test("lang_ident: CJK runs become char bigrams, latin stays standard") {
+    assert(run("\u4e2d\u6587\u5206\u8bcd", Analyzers.LangIdent) ==
+      Seq("\u4e2d\u6587", "\u6587\u5206", "\u5206\u8bcd"))
+    assert(run("single \u5b57 char", Analyzers.LangIdent) ==
+      Seq("single", "char", "\u5b57"))
+    assert(run("Spark\u5f15\u64ce fast", Analyzers.LangIdent) ==
+      Seq("spark", "fast", "\u5f15\u64ce"))
+    assert(run("no cjk at all", Analyzers.LangIdent) ==
+      Seq("no", "cjk", "at", "all"))
+    // hangul + katakana runs bigram too
+    assert(run("\ud55c\uad6d\uc5b4", Analyzers.LangIdent) ==
+      Seq("\ud55c\uad6d", "\uad6d\uc5b4"))
+    // param-map dispatch reaches it
+    val viaParams = Seq("\u4e2d\u6587 ok").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "lang_ident")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaParams == Seq("ok", "\u4e2d\u6587"))
+  }
 }

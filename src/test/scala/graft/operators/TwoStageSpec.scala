@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Metric
+
+class TwoStageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 200 corpus vectors in 4-d, deterministic; label = id % 10
+  private lazy val corpus = spark.range(200)
+    .select(col("id"),
+      array((0 until 4).map(d => (pmod(col("id") * (d + 3), lit(97)) / lit(97.0))
+        .cast("float")): _*).as("vec"),
+      pmod(col("id"), lit(10)).as("label"))
+    .cache()
+
+  private lazy val queries = corpus.filter($"id" < 3)
+    .select($"id".as("qid"), $"vec".as("qvec"))
+
+  private def brute(filter: org.apache.spark.sql.Column, k: Int) =
+    VectorSearch.topK(corpus, "id", "vec", queries, "qid", "qvec",
+        Metric.L2, k, filter = Some(filter), outputCols = Seq("id", "label"))
+      .select($"qid", $"rank", $"id").collect().toSet
+
+  test("selective filter routes to retrieve-then-score and stays exact") {
+    val f = $"label" === 7 // 10% ≤ default 20% cutoff
+    val (path, res) = VectorSearch.twoStageSearch(corpus, "id", "vec",
+      queries, "qid", "qvec", Metric.L2, 5, f, outputCols = Seq("id", "label"))
+    assert(path == "retrieve-then-score")
+    assert(res.select($"qid", $"rank", $"id").collect().toSet == brute(f, 5))
+  }
+
+  test("permissive filter routes to ANN + iterative post-filter, exact") {
+    val f = $"label" =!= 7 // 90% survives
+    val (path, res) = VectorSearch.twoStageSearch(corpus, "id", "vec",
+      queries, "qid", "qvec", Metric.L2, 5, f, outputCols = Seq("id", "label"))
+    assert(path == "ann-post-filter")
+    assert(res.select($"qid", $"rank", $"id").collect().toSet == brute(f, 5))
+  }
+
+  test("iterative post-filter grows k' until exact, even when top hits die") {
+    // filter kills 70% — above cutoff, and most near neighbors vanish, so
+    // the first k'=3k round is typically short and must regrow
+    val f = $"label".isin(0, 1, 2)
+    val res = VectorSearch.iterativePostFilter(corpus, "id", "vec",
+      queries, "qid", "qvec", Metric.L2, 8, f, outputCols = Seq("id", "label"))
+    assert(res.select($"qid", $"rank", $"id").collect().toSet == brute(f, 8))
+  }
+
+  test("post-filter falls back to exact scan when k exceeds the filtered corpus") {
+    val f = $"id" < 6 // only 6 rows can ever match; k=10 can't be filled
+    val res = VectorSearch.iterativePostFilter(corpus, "id", "vec",
+      queries, "qid", "qvec", Metric.L2, 10, f, outputCols = Seq("id"))
+    val perQ = res.groupBy($"qid").count().as[(Long, Long)].collect().toMap
+    assert(perQ.values.forall(_ == 6)) // short but complete and exact
+    assert(res.select($"qid", $"rank", $"id").collect().toSet == brute(f, 10))
+  }
+}
