@@ -1,0 +1,218 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.expr.ExprCompiler
+import graft.functions.Metric
+import graft.operators.{ConsistencyLevel, Mvcc, VectorSearch}
+
+/** Field options beyond the Spark type (reference: FieldSchema —
+  * `is_primary_key`/`autoID` `Types.h:113-114`, dim, analyzer params,
+  * partition key, dynamic `$meta`).
+  */
+final case class CollectionSchema(
+    pkField: String,
+    vectorFields: Map[String, Int] = Map.empty, // name -> dim
+    tsField: String = "_ts",
+    metaField: Option[String] = None,
+    autoId: Boolean = false)
+
+/** The user-facing collection facade (SURVEY §7's design stance): the
+  * reference's client surface — Insert / Delete / Upsert / Flush /
+  * Search / Query / Get / count, with MVCC visibility, consistency
+  * levels, and the filter-expression language — over a sealed parquet
+  * layout plus a growing in-session buffer, backed entirely by the
+  * operator library. A reference user's workflow (`impl.go` Insert
+  * :2429, Delete :2557, Upsert task_upsert.go, Search :2817, Query
+  * :3739) maps 1:1 onto these methods.
+  *
+  * State model (the Spark re-expression of growing/sealed segments):
+  * `sealedPath` holds flushed parquet; `growing` is the un-flushed
+  * DataFrame tail (the reference's growing segment — searchable
+  * immediately); `tombs` holds (pk, ts) delete markers. `flush()`
+  * seals the growing tail. Timestamps are a session-monotonic counter
+  * (the TSO stand-in); reads resolve a ts from the consistency level
+  * exactly like `proxy/util.go:1301-1320`.
+  *
+  * Scale notes: every read is `sealed ∪ growing` with the same plan the
+  * operator library uses (visibility anti-join only when tombstones
+  * exist, broadcast queries, partial-agg top-k). The growing tail lives
+  * as a DataFrame — on a real deployment it would be the streaming
+  * union (`Streaming.dedupedIngest`), which shares this exact read path.
+  */
+final class Collection private (
+    val spark: SparkSession,
+    val schema: CollectionSchema,
+    sealedPath: Option[String]) {
+
+  private var sealedDf: Option[DataFrame] = sealedPath.map(p => spark.read.parquet(p))
+  private var growing: Option[DataFrame] = None
+  private var tombs: Option[DataFrame] = None
+
+  /** Session TSO (rootcoord's timestamp oracle stand-in). Seeded past
+    * the sealed data's max ts on open — otherwise a delete at counter
+    * ts=1 would sit below every existing row's timestamp and apply to
+    * nothing.
+    */
+  private val tso = new AtomicLong(
+    sealedDf.map(_.agg(max(col(schema.tsField))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }).getOrElse(0L))
+  private def nextTs(): Long = tso.incrementAndGet()
+
+  private var lastWriteTs: Long = tso.get()
+
+  /** Rows visible to readers before MVCC (sealed ∪ growing). */
+  private def raw: DataFrame = (sealedDf, growing) match {
+    case (Some(s), Some(g)) => s.unionByName(g, allowMissingColumns = true)
+    case (Some(s), None)    => s
+    case (None, Some(g))    => g
+    case (None, None) => throw new IllegalStateException("empty collection — insert first")
+  }
+
+  /** Insert rows (reference `Proxy.Insert`): stamps the write ts; with
+    * autoID, assigns collision-free pks from the ts counter base. The
+    * rows land in the growing tail — immediately searchable, exactly
+    * like a growing segment. Returns the write ts.
+    */
+  def insert(rows: DataFrame): Long = {
+    val ts = nextTs()
+    val stamped0 = rows.withColumn(schema.tsField, lit(ts))
+    val stamped =
+      if (!schema.autoId) stamped0
+      else stamped0.withColumn(schema.pkField,
+        // deterministic, collision-free across inserts: ts base + row id
+        monotonically_increasing_id() + lit(ts * 1000000L))
+    growing = Some(growing.map(_.unionByName(stamped)).getOrElse(stamped))
+    lastWriteTs = ts
+    ts
+  }
+
+  /** Delete by filter expression or pk list (reference `Proxy.Delete`):
+    * appends (pk, ts) tombstones; nothing is rewritten until
+    * [[compact]]. Returns the delete ts.
+    */
+  def delete(filterExpr: String): Long = {
+    val ts = nextTs()
+    // materialize NOW (localCheckpoint): the tombstone set is the pks
+    // matching at delete time — a lazy plan would re-evaluate against
+    // rows inserted later and delete them retroactively
+    val victims = raw.filter(compiled(filterExpr))
+      .select(col(schema.pkField), lit(ts).as(schema.tsField))
+      .localCheckpoint(true)
+    tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))
+    lastWriteTs = ts
+    ts
+  }
+
+  def deletePks(pks: Seq[Any]): Long = {
+    val ts = nextTs()
+    import scala.jdk.CollectionConverters._
+    val pkType = raw.schema(schema.pkField).dataType
+    val t = spark.createDataFrame(
+      pks.map(p => org.apache.spark.sql.Row(p, ts)).asJava,
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField(schema.pkField, pkType),
+        org.apache.spark.sql.types.StructField(schema.tsField, LongType))))
+    tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
+    lastWriteTs = ts
+    ts
+  }
+
+  /** Upsert (reference task_upsert.go): new versions of existing pks +
+    * inserts, resolved last-writer-wins at read time by ts.
+    */
+  def upsert(rows: DataFrame): Long = insert(rows)
+
+  /** Seal the growing tail to parquet (reference flush; datanode
+    * write-buffer → binlog). The collection keeps serving the union.
+    */
+  def flush(path: String): Unit = {
+    growing.foreach { g =>
+      val merged = sealedDf.map(_.unionByName(g, allowMissingColumns = true)).getOrElse(g)
+      merged.write.mode("overwrite").parquet(path)
+      sealedDf = Some(spark.read.parquet(path))
+      growing = None
+    }
+  }
+
+  /** MVCC read view at the consistency level's resolved ts, upsert
+    * semantics applied (latest version per pk, tombstones, TTL).
+    */
+  def readView(
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      staleness: Long = 0L,
+      sessionTs: Long = 0L,
+      ttl: Option[Column] = None): DataFrame = {
+    val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
+    val visible = Mvcc.visible(raw, schema.pkField, schema.tsField, lit(readTs),
+      tombstones = tombs, ttl = ttl)
+    Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
+  }
+
+  private def compiled(filterExpr: String): Column =
+    ExprCompiler.compile(filterExpr,
+      ExprCompiler.Ctx(raw.schema, metaColumn = schema.metaField))
+
+  /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
+    * collection's expression language, projection, optional sort/limit.
+    */
+  def query(
+      filterExpr: String,
+      outputFields: Seq[String],
+      limit: Int = -1,
+      orderBy: Seq[Column] = Nil,
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
+    val base = readView(level).filter(compiled(filterExpr))
+      .select(outputFields.map(col): _*)
+    val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
+    if (limit > 0) sorted.limit(limit) else sorted
+  }
+
+  def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong): Long = {
+    val v = readView(level)
+    (if (filterExpr.isEmpty) v else v.filter(compiled(filterExpr))).count()
+  }
+
+  /** Get by primary keys (reference `Get`/requery path). */
+  def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame =
+    readView().filter(col(schema.pkField).isin(pks: _*))
+      .select(outputFields.map(col): _*)
+
+  /** ANN search (reference `Proxy.Search`): top-k per query vector over
+    * the MVCC view, optional filter expression, metric-typed.
+    */
+  def search(
+      vectorField: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      metric: Metric.Value = Metric.COSINE,
+      filterExpr: String = "",
+      outputFields: Seq[String] = Nil,
+      roundTo: Option[Int] = None,
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
+    require(schema.vectorFields.contains(vectorField),
+      s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
+    val corpus = readView(level)
+    val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
+    val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
+    VectorSearch.topK(corpus, schema.pkField, vectorField, queries, "qid", "qvec",
+      metric, k, filter = filter, outputCols = out, roundTo = roundTo)
+  }
+}
+
+object Collection {
+
+  /** Create an empty collection (reference `CreateCollection`). */
+  def create(spark: SparkSession, schema: CollectionSchema): Collection =
+    new Collection(spark, schema, None)
+
+  /** Open over an existing sealed parquet layout (external/bulk data). */
+  def open(spark: SparkSession, schema: CollectionSchema, path: String): Collection =
+    new Collection(spark, schema, Some(path))
+}

@@ -182,7 +182,33 @@ object LifecycleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The full client lifecycle through the [[graft.Collection]] facade
+    * (reference integration flow: open → insert → delete-by-expr →
+    * upsert → read): replay-insert new pks, delete the clicks, upsert
+    * every user-1 row (newer ts beats the click tombstones —
+    * read-your-writes LWW), then aggregate the MVCC view. The oracle
+    * recomputes the same lifecycle in plain SQL.
+    */
+  def collectionE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val c = Collection.open(s,
+      CollectionSchema(pkField = "event_id", tsField = "ts"), s"$dir/events.parquet")
+    val ev = t(s, dir, "events")
+    c.insert(ev.filter(col("event_id") < 500)
+      .select((col("event_id") + 10000000L).as("event_id"), col("user_id"),
+        lit("replay").as("event_type"), col("value"), col("props")))
+    c.delete("""event_type == "click"""")
+    c.upsert(ev.filter(col("user_id") === 1)
+      .select(col("event_id"), col("user_id"), lit("upd").as("event_type"),
+        (col("value") + 1000).as("value"), col("props")))
+    c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collection_e2e" -> (collectionE2e _),
     "q_stream_ingest" -> (streamIngest _),
     "q_npy_roundtrip" -> (npyRoundtrip _),
     "q_add_field" -> (addField _),
@@ -193,6 +219,16 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_collection_e2e" ->
+      """WITH final AS (
+        |  SELECT CASE WHEN user_id = 1 THEN 'upd' ELSE event_type END AS event_type,
+        |         CASE WHEN user_id = 1 THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |  WHERE user_id = 1 OR event_type <> 'click'
+        |  UNION ALL
+        |  SELECT 'replay', value FROM events WHERE event_id < 500)
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_ingest" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 2000

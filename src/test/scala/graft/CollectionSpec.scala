@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Metric
+import graft.operators.ConsistencyLevel
+
+/** End-to-end facade scenario, mirroring the reference's integration
+  * flow (tests/integration: insert → search → delete → upsert → query).
+  */
+class CollectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Long): Seq[Float] =
+    (0 until 4).map(d => ((seed * (d + 3)) % 97).toFloat / 97f)
+
+  private def mkRows(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i), s"doc $i", i % 5)).toDF("pk", "emb", "txt", "grp")
+
+  private def fresh() = {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 50L))
+    c
+  }
+
+  test("insert makes rows immediately searchable (growing segment)") {
+    val c = fresh()
+    assert(c.count() == 50)
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val hits = c.search("emb", qs, k = 3, metric = Metric.L2,
+      outputFields = Seq("pk", "txt"))
+    // nearest neighbor of vec(7) is row 7 itself at distance 0
+    assert(hits.filter($"rank" === 1).select($"pk").as[Long].head() == 7L)
+  }
+
+  test("delete by expression hides rows; tombstones don't resurrect") {
+    val c = fresh()
+    c.delete("grp == 2") // pks 2, 7, 12, ... (10 rows)
+    assert(c.count() == 40)
+    assert(c.count("grp == 2") == 0)
+    // a later insert of a deleted pk IS visible (newer ts wins)
+    c.insert(mkRows(Seq(7L)))
+    assert(c.count("pk == 7") == 1)
+    // and stays visible alongside the other survivors
+    assert(c.count() == 41)
+  }
+
+  test("delete is by-time: rows inserted after the delete survive it") {
+    val c = fresh()
+    c.delete("grp == 1")
+    val before = c.count()
+    c.insert(mkRows(Seq(1L, 6L))) // same pks as deleted rows, later ts
+    assert(c.count() == before + 2)
+  }
+
+  test("upsert is last-writer-wins at read time") {
+    val c = fresh()
+    c.upsert(Seq((3L, vec(99), "updated doc 3", 9L)).toDF("pk", "emb", "txt", "grp"))
+    assert(c.count() == 50) // still one row per pk
+    val got = c.get(Seq(3L), Seq("pk", "txt", "grp")).as[(Long, String, Long)].head()
+    assert(got == ((3L, "updated doc 3", 9L)))
+  }
+
+  test("query with expression language, projection, sort, limit") {
+    val c = fresh()
+    val rows = c.query("grp >= 3 and pk < 20", Seq("pk", "grp"),
+      limit = 5, orderBy = Seq(col("pk").asc))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(3L, 4L, 8L, 9L, 13L))
+  }
+
+  test("filtered search respects deletes and the filter") {
+    val c = fresh()
+    c.delete("pk == 7")
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val hits = c.search("emb", qs, k = 3, metric = Metric.L2,
+      filterExpr = "grp != 4", outputFields = Seq("pk", "grp"))
+      .select($"pk", $"grp").as[(Long, Long)].collect()
+    assert(!hits.map(_._1).contains(7L)) // deleted
+    assert(hits.forall(_._2 != 4L))      // filtered
+  }
+
+  test("flush seals the growing tail and reads stay identical") {
+    val c = fresh()
+    c.delete("grp == 0")
+    val before = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted
+    c.flush("/tmp/graft_test_collection_flush")
+    val after = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted
+    assert(before.toList == after.toList)
+    // sealed files actually exist
+    assert(spark.read.parquet("/tmp/graft_test_collection_flush").count() == 50)
+  }
+
+  test("bounded-staleness read excludes the newest write") {
+    val c = fresh() // writes at ts=1
+    c.insert(mkRows(Seq(100L))) // ts=2
+    // staleness 1 tick: read at ts=1 — the tail insert is invisible
+    assert(c.readView(ConsistencyLevel.BoundedStaleness, staleness = 1L)
+      .count() == 50)
+    assert(c.count() == 51) // strong sees it
+  }
+
+  test("autoID collections assign collision-free pks") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4), autoId = true))
+    c.insert((0L until 10L).map(i => (vec(i), s"d$i")).toDF("emb", "txt"))
+    c.insert((0L until 10L).map(i => (vec(i), s"e$i")).toDF("emb", "txt"))
+    val pks = c.readView().select($"pk").as[Long].collect()
+    assert(pks.distinct.length == 20)
+  }
+
+  test("open() serves an existing parquet layout") {
+    mkRows(0L until 30L).withColumn("_ts", lit(0L))
+      .write.mode("overwrite").parquet("/tmp/graft_test_collection_open")
+    val c = Collection.open(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)),
+      "/tmp/graft_test_collection_open")
+    assert(c.count() == 30)
+    c.delete("pk >= 20")
+    assert(c.count() == 20)
+  }
+}
