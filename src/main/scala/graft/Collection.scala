@@ -204,6 +204,68 @@ final class Collection private (
     VectorSearch.topK(corpus, schema.pkField, vectorField, queries, "qid", "qvec",
       metric, k, filter = filter, outputCols = out, roundTo = roundTo)
   }
+
+  /** One hybrid-search sub-request (reference `IsAdvanced` sub-search:
+    * its own vector field, queries, metric, filter, and weight).
+    */
+  final case class SubSearch(
+      vectorField: String,
+      queries: DataFrame, // (qid, qvec) — qids align across sub-searches
+      metric: Metric.Value = Metric.COSINE,
+      filterExpr: String = "",
+      weight: Double = 1.0,
+      k: Int = 100)
+
+  /** Hybrid search (reference `HybridSearch`, task_search.go:489 +
+    * rerank chain §2.4): run each sub-search, fuse the ranked lists with
+    * RRF (`ranker = "rrf"`) or weighted score fusion, requery output
+    * fields for the fused top-k by pk.
+    */
+  def hybridSearch(
+      subs: Seq[SubSearch],
+      k: Int,
+      ranker: String = "rrf",
+      rrfK: Double = 60.0,
+      outputFields: Seq[String] = Nil,
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
+    require(subs.nonEmpty, "hybrid search needs at least one sub-search")
+    val corpus = readView(level)
+    val results = subs.map { sub =>
+      require(schema.vectorFields.contains(sub.vectorField),
+        s"${sub.vectorField} is not a vector field")
+      val filter = if (sub.filterExpr.isEmpty) None else Some(compiled(sub.filterExpr))
+      VectorSearch.topK(corpus, schema.pkField, sub.vectorField, sub.queries,
+        "qid", "qvec", sub.metric, sub.k, filter = filter)
+    }
+    val fused = ranker match {
+      case "rrf" => graft.operators.Fusion.rrf(results, "qid", schema.pkField, k, rrfK)
+      case "weighted" => graft.operators.Fusion.weighted(results,
+        subs.map(_.metric), subs.map(_.weight), "qid", schema.pkField, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown ranker '$other' (rrf | weighted)")
+    }
+    if (outputFields.isEmpty) fused
+    else VectorSearch.requery(fused, corpus, schema.pkField,
+      outputFields.filterNot(_ == schema.pkField))
+  }
+
+  /** PK-cursor query iterator (reference query iterator,
+    * plan.proto:377-381): next `batch` rows with pk beyond `lastPk`.
+    */
+  def queryIterator(
+      filterExpr: String,
+      outputFields: Seq[String],
+      batch: Int,
+      lastPk: Option[Any] = None): DataFrame = {
+    val base = readView().filter(
+      if (filterExpr.isEmpty) lit(true) else compiled(filterExpr))
+    val cursored = lastPk match {
+      case Some(p) => base.filter(col(schema.pkField) > lit(p))
+      case None    => base
+    }
+    cursored.select((schema.pkField +: outputFields.filterNot(_ == schema.pkField)).map(col): _*)
+      .orderBy(col(schema.pkField)).limit(batch)
+  }
 }
 
 object Collection {

@@ -120,4 +120,46 @@ class CollectionSpec extends SparkSpec {
     c.delete("pk >= 20")
     assert(c.count() == 20)
   }
+
+  test("hybrid search fuses sub-searches and requeries output fields") {
+    val c = fresh()
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    // cosine is degenerate on this fixture (vectors are collinear until
+    // the mod wraps), so both subs use L2 — one filtered, one not
+    val rrf = c.hybridSearch(
+      Seq(
+        c.SubSearch("emb", qs, Metric.L2, k = 10),
+        c.SubSearch("emb", qs, Metric.L2, filterExpr = "grp != 2", k = 10)),
+      k = 5, ranker = "rrf", outputFields = Seq("pk", "txt"))
+    assert(rrf.count() == 5)
+    assert(rrf.columns.contains("txt"))
+    // fusion semantics are pinned in FusionSpec; here assert the facade
+    // wiring: the fused list is the L2 neighborhood of 7, and 7 itself —
+    // excluded by the filtered sub (grp(7)==2), present in only one list
+    // — is RRF-demoted below the two-list neighbors, out of the top 5
+    val pks = rrf.select(col("pk")).as[Long].collect().toSet
+    assert(!pks.contains(7L) && pks.forall(p => math.abs(p - 7L) <= 4))
+    // but with a big enough k it's still reachable via the unfiltered sub
+    val wide = c.hybridSearch(
+      Seq(c.SubSearch("emb", qs, Metric.L2, k = 10),
+        c.SubSearch("emb", qs, Metric.L2, filterExpr = "grp != 2", k = 10)),
+      k = 12, ranker = "rrf")
+    assert(wide.select(col("pk")).as[Long].collect().contains(7L))
+    val w = c.hybridSearch(
+      Seq(c.SubSearch("emb", qs, Metric.L2, weight = 0.3, k = 10),
+        c.SubSearch("emb", qs, Metric.COSINE, weight = 0.7, k = 10)),
+      k = 5, ranker = "weighted")
+    assert(w.count() == 5)
+  }
+
+  test("query iterator pages by pk cursor") {
+    val c = fresh()
+    val p1 = c.queryIterator("grp == 1", Seq("pk", "grp"), batch = 3)
+      .select(col("pk")).as[Long].collect()
+    assert(p1.toList == List(1L, 6L, 11L))
+    val p2 = c.queryIterator("grp == 1", Seq("pk", "grp"), batch = 3,
+      lastPk = Some(p1.last))
+      .select(col("pk")).as[Long].collect()
+    assert(p2.toList == List(16L, 21L, 26L))
+  }
 }
