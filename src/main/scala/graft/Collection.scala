@@ -249,6 +249,71 @@ final class Collection private (
       outputFields.filterNot(_ == schema.pkField))
   }
 
+  private final case class IndexState(
+      model: graft.operators.IvfIndex.Model,
+      clustered: DataFrame,
+      buildTs: Long)
+  private var indexes: Map[String, IndexState] = Map.empty
+
+  /** CreateIndex (reference DDL → datacoord index build): train an IVF
+    * codebook on the collection's visible view and persist the
+    * clustered layout. Writes AFTER the build don't invalidate it — the
+    * reference's exact read model applies: the indexed (sealed) side is
+    * searched through the index with post-build changes masked out (the
+    * delete-bitset analogue), the post-build tail is brute-forced (the
+    * growing-segment interim path), and the two hit lists reduce
+    * together.
+    */
+  def createIndex(vectorField: String, nlist: Int, trainSample: Int = 10000): Unit = {
+    require(schema.vectorFields.contains(vectorField),
+      s"$vectorField is not a vector field")
+    import graft.operators.IvfIndex
+    val view = readView()
+    val model = IvfIndex.trainLocal(view, vectorField, nlist, maxTrainRows = trainSample)
+    val clustered = IvfIndex.layout(view, vectorField, model).persist()
+    clustered.count() // materialize the layout (the index build job)
+    indexes += vectorField -> IndexState(model, clustered, lastWriteTs)
+  }
+
+  /** ANN search through the field's IVF index (reference
+    * SearchOnSealed + SearchOnGrowing + cross-segment reduce). With
+    * `nprobe = nlist` the result is exact (== [[search]]); smaller
+    * nprobe trades recall for pruning.
+    */
+  def searchIndexed(
+      vectorField: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      metric: Metric.Value = Metric.COSINE,
+      outputFields: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    import graft.operators.IvfIndex
+    val st = indexes.getOrElse(vectorField,
+      throw new IllegalStateException(s"no index on $vectorField — createIndex first"))
+    val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
+    val view = readView()
+    // rows whose CURRENT version postdates the index build (inserts +
+    // upserts) — they're served brute-force from the live view
+    val tail = view.filter(col(schema.tsField) > st.buildTs)
+    // mask superseded/deleted pks out of the indexed layout (the
+    // delete-bitset analogue): any pk changed or tombstoned after build
+    val tombPks = tombs.map(_.filter(col(schema.tsField) > st.buildTs)
+      .select(col(schema.pkField)))
+    val changed = tombPks
+      .map(tail.select(col(schema.pkField)).unionByName(_))
+      .getOrElse(tail.select(col(schema.pkField)))
+    val indexSide = st.clustered.join(changed.distinct(), Seq(schema.pkField), "left_anti")
+    val idxHits = IvfIndex.search(indexSide, schema.pkField, vectorField, st.model,
+      queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
+    val tailHits = VectorSearch.topK(tail, schema.pkField, vectorField,
+      queries, "qid", "qvec", metric, k, outputCols = out, roundTo = roundTo)
+    // cross-segment reduce: hits already carry _score — re-reduce to k
+    VectorSearch.reduceTopK(
+      idxHits.drop("rank").unionByName(tailHits.drop("rank")),
+      schema.pkField, "qid", metric, k, out)
+  }
+
   /** PK-cursor query iterator (reference query iterator,
     * plan.proto:377-381): next `batch` rows with pk beyond `lastPk`.
     */

@@ -162,4 +162,24 @@ class CollectionSpec extends SparkSpec {
       .select(col("pk")).as[Long].collect()
     assert(p2.toList == List(16L, 21L, 26L))
   }
+
+  test("indexed search: exact at nprobe=nlist, correct across post-build writes") {
+    val c = fresh()
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    // post-build churn: insert new, upsert existing, delete some
+    c.insert(mkRows(60L until 70L))
+    c.upsert(Seq((5L, vec(77), "doc 5 v2", 0L)).toDF("pk", "emb", "txt", "grp"))
+    c.delete("pk == 8 or pk == 61")
+    val qs = Seq((0L, vec(7)), (1L, vec(64))).toDF("qid", "qvec")
+    val got = c.searchIndexed("emb", qs, k = 6, nprobe = 4, metric = Metric.L2,
+        outputFields = Seq("pk", "txt"))
+      .select(col("qid"), col("rank"), col("pk")).collect().toSet
+    val want = c.search("emb", qs, k = 6, metric = Metric.L2,
+        outputFields = Seq("pk", "txt"))
+      .select(col("qid"), col("rank"), col("pk")).collect().toSet
+    assert(got == want) // nprobe = nlist: exhaustive == brute force
+    // deleted pks never surface; the upserted vector reflects v2
+    val pks = got.map(_.getLong(2))
+    assert(!pks.contains(8L) && !pks.contains(61L))
+  }
 }
