@@ -571,4 +571,41 @@ object Dedup {
         round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ---- benchmark decontamination ----
+
+  /** Corpus documents contaminated by an evaluation benchmark: docs
+    * sharing at least one `n`-token shingle with any benchmark item
+    * (the standard pretraining decontamination rule — n-gram overlap
+    * against the eval set).
+    *
+    * Returns (id, n_hits = distinct overlapping shingles). Scale shape:
+    * the benchmark side is tiny relative to the corpus (eval suites are
+    * thousands of items), so its DISTINCT shingle set is built once and
+    * the corpus's exploded shingles semi-join it — ids-only shuffle, no
+    * corpus self-join, and AQE broadcasts the benchmark side. The
+    * corpus's shingle explode is the same map-only pass the minhash
+    * signatures use.
+    */
+  def contaminated(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    def shingleSet(c: Column) =
+      array_distinct(TextFunctions.shingles(TextFunctions.tokenize(c), n))
+    val benchShingles = benchmark
+      .select(explode(shingleSet(col(benchTextCol))).as("_sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shingleSet(col(textCol))).as("_sh"))
+      .join(benchShingles, Seq("_sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop contaminated docs from the corpus (the decontamination pass). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame =
+    corpus.join(
+      contaminated(corpus, idCol, textCol, benchmark, benchTextCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -266,7 +266,22 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Benchmark decontamination (n-gram-overlap rule): documents sharing
+    * a 5-token shingle with the "benchmark" (docs 0-19 + a planted
+    * near-copy set) are flagged with their overlap count. Drop-side
+    * (decontaminate) is the anti-join of this set — pinned by the same
+    * oracle arithmetic.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val benchmark = docs.filter(col("doc_id") < 20)
+    graft.operators.Dedup.contaminated(docs, "doc_id", "text",
+        benchmark, "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (decontaminate _),
     "q_pii_scrub" -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_bm25" -> (bm25 _),
@@ -292,6 +307,18 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 5
+         |         THEN [array_to_string(t, ' ')]
+         |         ELSE [array_to_string(t[i:i+4], ' ')
+         |               for i in generate_series(1, len(t) - 4)] END) AS s
+         |       FROM toks),
+         |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT doc_id, unnest(s) AS g FROM sh)
+         |SELECT h.doc_id, count(*) AS n_hits
+         |FROM hits h JOIN bench b ON h.g = b.g
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id,

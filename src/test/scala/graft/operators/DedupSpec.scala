@@ -237,4 +237,21 @@ class DedupSpec extends SparkSpec {
     // 1,2,4 form one cluster (chain through 2) -> keep 1; 3 untouched
     assert(kept == Seq(1L, 3L))
   }
+
+  test("decontamination flags shingle overlap with a benchmark and drops it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence about spark shuffles and joins"),
+      (3L, "xx yy the quick brown fox jumps zz ww"), // shares a 5-gram with bench
+      (4L, "short text")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over a fence"))
+      .toDF("bid", "content")
+    val hits = Dedup.contaminated(corpus, "doc_id", "text", bench, "content", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L, 3L)) // both contain "the quick brown fox jumps"
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text", bench, "content", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+  }
 }
