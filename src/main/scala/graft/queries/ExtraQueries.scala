@@ -294,6 +294,55 @@ object ExtraQueries {
       .orderBy(col("path"), col("qid"), col("rank"))
   }
 
+  // ---- vector-anchored joins (20260708-vector-anchored-join.md) ----
+
+  /** Shape 1 — enrichment join: cosine top-k over embeddings
+    * (join_key = vec_id) LEFT OUTER enriched from the `part` side table
+    * by p_partkey; vec_id 0 has no part row and must survive with a
+    * null price (the doc's "don't drop a hit whose metadata row is
+    * missing").
+    */
+  def vjoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    val hits = cosineHits(s, dir, 8)
+    graft.operators.VectorJoin.enrich(hits, "vec_id",
+        t(s, dir, "part").withColumnRenamed("p_partkey", "vec_id"),
+        sideCols = Seq("p_retailprice"), leftOuter = true)
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"),
+        round(col("p_retailprice"), 2).as("price"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Shape 2 — SEMI pre-filter: search only embeddings whose key
+    * qualifies under a predicate on the side table (part.p_size <= 5)
+    * — the key set is pushed into the scan before any distance math.
+    */
+  def vjoinPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val restricted = graft.operators.VectorJoin.semiPrefilter(
+      emb, "vec_id", t(s, dir, "part"), "p_partkey", col("p_size") <= 5)
+    VectorSearch.topK(restricted, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", graft.functions.Metric.COSINE, k = 10, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Shape 3 — lateral vector search: the part table DRIVES (filtered
+    * rows ≤ the guardrail), each driver row binds its query vector
+    * by-reference (anchor p_partkey → embeddings.vec_id), and one
+    * batched ANN (nq = |driver|) returns top-3 per driver row.
+    */
+  def vjoinLateral(s: SparkSession, dir: String): DataFrame = {
+    val driver = t(s, dir, "part")
+      .filter(col("p_partkey") <= 400 && pmod(col("p_partkey") * 37, lit(100)) < 5)
+    graft.operators.VectorJoin.lateralSearch(driver, "p_partkey", "p_partkey",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        graft.functions.Metric.L2, k = 3, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- §4 bloom-filter PK prefilter (pkoracle/bloom_filter_set.go) ----
 
   /** Bloom prefilter + exact semi-join refine: the false positives the
@@ -644,6 +693,9 @@ object ExtraQueries {
     "q_ngram_like" -> (ngramLike _),
     "q_ngram_rule" -> (ngramRule _),
     "q_twostage_search" -> (twostageSearch _),
+    "q_vjoin_enrich" -> (vjoinEnrich _),
+    "q_vjoin_prefilter" -> (vjoinPrefilter _),
+    "q_vjoin_lateral" -> (vjoinLateral _),
     "q_phrase_match" -> (phraseMatch _),
     "q_phrase_slop" -> (phraseSlop _),
     "q_match_least" -> (matchLeast _),
@@ -795,6 +847,44 @@ object ExtraQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
+    "q_vjoin_enrich" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT r.qid, r.rank, r.score, r.vec_id, round(p.p_retailprice, 2) AS price
+        |FROM r LEFT JOIN part p ON p.p_partkey = r.vec_id
+        |WHERE r.rank <= 8 ORDER BY r.qid, r.rank""".stripMargin,
+    "q_vjoin_prefilter" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |v AS (SELECT e.* FROM embeddings e
+        |      WHERE e.vec_id IN (SELECT p_partkey FROM part WHERE p_size <= 5)),
+        |d AS (SELECT q.qid, v.vec_id,
+        |        round(list_cosine_similarity(q.qvec, CAST(v.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN v),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+    "q_vjoin_lateral" ->
+      """WITH drv AS (SELECT p_partkey AS qid FROM part
+        |             WHERE p_partkey <= 400 AND (p_partkey * 37) % 100 < 5),
+        |q AS (SELECT d.qid, CAST(e.embedding AS DOUBLE[]) AS qvec
+        |      FROM drv d JOIN embeddings e ON e.vec_id = d.qid),
+        |dist AS (SELECT q.qid, e.vec_id,
+        |    round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM dist)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
     "q_twostage_search" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
