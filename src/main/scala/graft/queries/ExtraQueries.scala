@@ -294,6 +294,29 @@ object ExtraQueries {
       .orderBy(col("path"), col("qid"), col("rank"))
   }
 
+  /** Search embedded aggregation (20260413-search_embedded_agg.md):
+    * nested grouping over search hits — per query, the top-3 labels by
+    * avg score (bucket-level ordering by a metric alias), each with
+    * count, avg, and its top-2 hits sorted by score (flattened ES
+    * nested-terms response).
+    */
+  def searchGroupagg(s: SparkSession, dir: String): DataFrame = {
+    val spec = SearchAgg.GroupBy(Seq("qid"), topGroups = 3,
+      orderBy = Seq(col("qid").asc),
+      subGroup = Some(SearchAgg.GroupBy(Seq("label"), topGroups = 3,
+        metrics = Map("avg_score" -> avg(col("_score"))),
+        orderBy = Seq(col("avg_score").desc),
+        topHits = Some(SearchAgg.TopHits(2, col("_score"), ascending = false,
+          payloadCols = Seq("vec_id"))))))
+    SearchAgg.groupTree(cosineHits(s, dir, 50), spec, idCol = "vec_id")
+      .select(col("qid"), col("label"), col("_count").as("cnt"),
+        col("avg_score"),
+        array_join(transform(col("_hits"), h => h.getField("vec_id")), ",")
+          .as("top_ids"),
+        col("_count_l0").as("cnt_q"))
+      .orderBy(col("qid"), col("label"))
+  }
+
   // ---- vector-anchored joins (20260708-vector-anchored-join.md) ----
 
   /** Shape 1 — enrichment join: cosine top-k over embeddings
@@ -693,6 +716,7 @@ object ExtraQueries {
     "q_ngram_like" -> (ngramLike _),
     "q_ngram_rule" -> (ngramRule _),
     "q_twostage_search" -> (twostageSearch _),
+    "q_search_groupagg" -> (searchGroupagg _),
     "q_vjoin_enrich" -> (vjoinEnrich _),
     "q_vjoin_prefilter" -> (vjoinPrefilter _),
     "q_vjoin_lateral" -> (vjoinLateral _),
@@ -847,6 +871,32 @@ object ExtraQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
+    "q_search_groupagg" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |h AS (SELECT qid, vec_id, label, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM d),
+        |hits AS (SELECT * FROM h WHERE rank <= 50),
+        |b AS (SELECT qid, label, count(*) AS cnt, round(avg(score), 4) AS avg_score
+        |      FROM hits GROUP BY qid, label),
+        |bk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY qid ORDER BY avg_score DESC, label) AS brank FROM b),
+        |th AS (SELECT qid, label,
+        |         string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY score DESC, vec_id)
+        |           AS top_ids
+        |       FROM (SELECT *, row_number() OVER
+        |               (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS hr
+        |             FROM hits)
+        |       WHERE hr <= 2 GROUP BY qid, label),
+        |cq AS (SELECT qid, count(*) AS cnt_q FROM hits GROUP BY qid)
+        |SELECT bk.qid, bk.label, bk.cnt, bk.avg_score, th.top_ids, cq.cnt_q
+        |FROM bk JOIN th ON bk.qid = th.qid AND bk.label = th.label
+        |JOIN cq ON cq.qid = bk.qid
+        |WHERE bk.brank <= 3 ORDER BY bk.qid, bk.label""".stripMargin,
     "q_vjoin_enrich" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
