@@ -297,6 +297,52 @@ object VectorSearch {
       filter = Some(filter), outputCols = out, roundTo = roundTo)
   }
 
+  /** Element-level search over a struct-array vector sub-field
+    * (reference: design doc 20260602-struct_hybrid_search.md — one query
+    * vector matched against INDIVIDUAL struct elements; hits are
+    * identified by (primary key, element index), unlike embedding-list
+    * search which stays row-level).
+    *
+    * Spark shape: `posexplode` the struct array (map-only — the narrow
+    * explode runs inside the scan's stage), score elements like any
+    * corpus, and reduce with the usual partial-agg top-k; the element's
+    * identity (pk, element_index) rides in the payload while a hashed
+    * composite id provides the deterministic tie-break.
+    */
+  def elementSearch(
+      corpus: DataFrame,
+      pkCol: String,
+      structArrCol: String,
+      vecField: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      k: Int,
+      elementFilter: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    val elems0 = corpus
+      .select(col(pkCol), posexplode(col(structArrCol)).as(Seq("element_index", "_elem")))
+      .select(col(pkCol), col("element_index").cast("long").as("element_index"),
+        col(s"_elem.$vecField").as("_evec"), col("_elem"))
+    val elems = elementFilter.map(elems0.filter).getOrElse(elems0)
+      .withColumn("_eid", xxhash64(col(pkCol), col("element_index")))
+    topK(elems, "_eid", "_evec", queries, qidCol, qvecCol, metric, k,
+        outputCols = Seq(pkCol, "element_index"), roundTo = roundTo)
+      .drop("_eid")
+  }
+
+  /** Collapse element-level hits to row-level candidates (the doc's
+    * collapse mode before rerank): one row per (query, pk), keeping the
+    * best element's score, re-ranked.
+    */
+  def collapseElements(hits: DataFrame, pkCol: String, qidCol: String,
+      metric: Metric.Value, k: Int): DataFrame = {
+    val best = if (Metric.higherIsBetter(metric)) max(col("_score")) else min(col("_score"))
+    val rows = hits.groupBy(col(qidCol), col(pkCol)).agg(best.as("_score"))
+    reduceTopK(rows, pkCol, qidCol, metric, k, Seq(pkCol))
+  }
+
   /** Two-stage search (reference: delegator_twostage.go:35-105 — stage 1
     * executes the filter alone and counts survivors; stage 2 picks the
     * physical strategy from that count): a selective filter scores ONLY

@@ -317,6 +317,33 @@ object ExtraQueries {
       .orderBy(col("qid"), col("label"))
   }
 
+  /** Element-level struct-array search (20260602-struct_hybrid_search.md):
+    * embeddings are packed 5-per-row into a struct array (element =
+    * {vec_id, vec}), then ONE query vector searches individual elements —
+    * hits are (parent pk, element_index), not rows. The oracle unrolls
+    * the same packing arithmetically (parent = vec_id/5, index =
+    * vec_id%5).
+    */
+  def elementSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val packed = emb
+      .withColumn("parent_id", (col("vec_id") / 5).cast("long"))
+      .groupBy(col("parent_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("chunks"))
+      .withColumn("chunks", transform(col("chunks"),
+        c => struct(c.getField("vec_id").as("chunk_id"), c.getField("embedding").as("vec"))))
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // rank on EXACT distances (random 64-d floats never tie there), round
+    // only for display — a rounded-score tie would fall to the engine's
+    // internal hash tiebreak, which the oracle can't reproduce
+    VectorSearch.elementSearch(packed, "parent_id", "chunks", "vec",
+        qs, "qid", "qvec", Metric.L2, k = 10)
+      .select(col("qid"), col("rank"), round(col("_score"), 4).as("score"),
+        col("parent_id"), col("element_index"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- vector-anchored joins (20260708-vector-anchored-join.md) ----
 
   /** Shape 1 — enrichment join: cosine top-k over embeddings
@@ -717,6 +744,7 @@ object ExtraQueries {
     "q_ngram_rule" -> (ngramRule _),
     "q_twostage_search" -> (twostageSearch _),
     "q_search_groupagg" -> (searchGroupagg _),
+    "q_element_search" -> (elementSearch _),
     "q_vjoin_enrich" -> (vjoinEnrich _),
     "q_vjoin_prefilter" -> (vjoinPrefilter _),
     "q_vjoin_lateral" -> (vjoinLateral _),
@@ -871,6 +899,18 @@ object ExtraQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
+    "q_element_search" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 2),
+        |d AS (SELECT q.qid, e.vec_id // 5 AS parent_id, e.vec_id % 5 AS element_index,
+        |        power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, parent_id, element_index, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC,
+        |          parent_id, element_index) AS rank
+        |      FROM d)
+        |SELECT qid, rank, round(score, 4) AS score, parent_id, element_index
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_search_groupagg" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),

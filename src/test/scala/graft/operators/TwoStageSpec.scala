@@ -8,6 +8,9 @@ import graft.functions.Metric
 class TwoStageSpec extends SparkSpec {
   import spark.implicits._
 
+  private def vecSeq(seed: Long): Seq[Float] =
+    (0 until 4).map(d => ((seed * (d + 3)) % 97).toFloat / 97f)
+
   // 200 corpus vectors in 4-d, deterministic; label = id % 10
   private lazy val corpus = spark.range(200)
     .select(col("id"),
@@ -47,6 +50,26 @@ class TwoStageSpec extends SparkSpec {
     val res = VectorSearch.iterativePostFilter(corpus, "id", "vec",
       queries, "qid", "qvec", Metric.L2, 8, f, outputCols = Seq("id", "label"))
     assert(res.select($"qid", $"rank", $"id").collect().toSet == brute(f, 8))
+  }
+
+  test("element-level struct-array search and collapse-to-row mode") {
+    // 3 parents × 3 chunks; chunk vec = vecSeq(parent*10 + idx)
+    val packed = (0L until 3L).map { p =>
+      (p, (0 until 3).map(i => (i.toLong, vecSeq(p * 10 + i))))
+    }.toDF("doc", "raw")
+      .select($"doc", transform($"raw",
+        c => struct(c.getField("_1").as("cid"), c.getField("_2").as("v"))).as("chunks"))
+    val qs = Seq((0L, vecSeq(21))).toDF("qid", "qvec") // == doc 2, chunk 1
+    val hits = VectorSearch.elementSearch(packed, "doc", "chunks", "v",
+      qs, "qid", "qvec", Metric.L2, k = 9)
+    val top = hits.filter($"rank" === 1)
+      .select($"doc", $"element_index").as[(Long, Long)].head()
+    assert(top == ((2L, 1L))) // the exact element is located, not just the row
+    // collapse mode: one candidate per doc, best element's score kept
+    val rows = VectorSearch.collapseElements(hits, "doc", "qid", Metric.L2, k = 3)
+    assert(rows.count() == 3)
+    assert(rows.filter($"rank" === 1).select($"doc").as[Long].head() == 2L)
+    assert(rows.groupBy($"doc").count().collect().forall(_.getLong(1) == 1))
   }
 
   test("post-filter falls back to exact scan when k exceeds the filtered corpus") {
