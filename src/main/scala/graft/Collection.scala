@@ -129,6 +129,27 @@ final class Collection private (
     */
   def upsert(rows: DataFrame): Long = insert(rows)
 
+  /** Truncate (reference: 20260129-truncate_collection.md — clear all
+    * data, keep the collection's schema/indexes/config): drops every row
+    * written up to now. Implemented as a ts-horizon cut, so it is a
+    * metadata operation like the reference's (no rewrite; rows at or
+    * below the horizon stop being visible and later inserts are
+    * unaffected). Built indexes over pre-truncate data are dropped.
+    */
+  def truncate(): Long = {
+    val ts = nextTs()
+    // a full-range tombstone per existing pk would be O(rows); instead
+    // cut the raw view at the horizon, which visible() honors because
+    // every remaining read path goes through readView
+    val horizon = ts
+    sealedDf = sealedDf.map(_.filter(col(schema.tsField) > horizon).cache())
+    growing = growing.map(_.filter(col(schema.tsField) > horizon))
+    tombs = None
+    indexes = Map.empty
+    lastWriteTs = ts
+    ts
+  }
+
   /** Seal the growing tail to parquet (reference flush; datanode
     * write-buffer → binlog). The collection keeps serving the union.
     */

@@ -46,4 +46,32 @@ object Snapshot {
   /** Read snapshot `id`: exactly the manifested files, nothing newer. */
   def read(spark: SparkSession, snapRoot: String, id: String): DataFrame =
     spark.read.parquet(manifest(spark, snapRoot, id): _*)
+
+  /** Export snapshot `id` as a SELF-CONTAINED portable directory
+    * (reference: 20260609-external-snapshot-export-restore.md —
+    * snapshots export to external storage and restore into a different
+    * cluster): the manifested data files are copied under
+    * `destDir/data/`, so the export survives GC/compaction/drop of the
+    * source collection. Returns the number of files exported.
+    */
+  def export(spark: SparkSession, snapRoot: String, id: String, destDir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(s"$destDir/data")
+    val fs = dest.getFileSystem(conf)
+    require(!fs.exists(dest), s"export target $dest already exists")
+    fs.mkdirs(dest)
+    val files = manifest(spark, snapRoot, id)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val src = new Path(f)
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+        fs, new Path(dest, f"part-$i%05d.parquet"), false, conf)
+    }
+    files.size
+  }
+
+  /** Open an exported snapshot — no manifest indirection needed: the
+    * directory IS the snapshot.
+    */
+  def restore(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.parquet(s"$destDir/data")
 }

@@ -182,4 +182,17 @@ class CollectionSpec extends SparkSpec {
     val pks = got.map(_.getLong(2))
     assert(!pks.contains(8L) && !pks.contains(61L))
   }
+
+  test("truncate clears data but keeps the collection usable") {
+    val c = fresh()
+    c.createIndex("emb", nlist = 2)
+    c.truncate()
+    assert(c.count() == 0)
+    intercept[IllegalStateException] { // pre-truncate index is dropped
+      c.searchIndexed("emb", Seq((0L, vec(1))).toDF("qid", "qvec"), 1, 2)
+    }
+    c.insert(mkRows(200L until 210L)) // post-truncate writes visible
+    assert(c.count() == 10)
+    assert(c.query("pk >= 0", Seq("pk")).as[Long].collect().min == 200L)
+  }
 }

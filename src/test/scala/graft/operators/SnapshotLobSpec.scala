@@ -64,4 +64,20 @@ class SnapshotLobSpec extends SparkSpec {
     val live = data.filter($"id" === 1L) // delete row 2, row 1 still refs the blob
     assert(Lob.gc(blobs, live).count() == 1)
   }
+
+  test("exported snapshot survives deletion of the source collection") {
+    val base = "/tmp/graft_test_snap_export"
+    rmrf(base)
+    (1L to 8L).toDF("id").write.parquet(s"$base/data")
+    Snapshot.create(spark, s"$base/data", s"$base/snaps", "s1")
+    val n = Snapshot.export(spark, s"$base/snaps", "s1", s"$base/exported")
+    assert(n > 0)
+    rmrf(s"$base/data") // source collection dropped/GC'd
+    val restored = Snapshot.restore(spark, s"$base/exported")
+      .as[Long].collect().sorted
+    assert(restored.toList == (1L to 8L).toList)
+    // export refuses to clobber an existing target
+    intercept[IllegalArgumentException](
+      Snapshot.export(spark, s"$base/snaps", "s1", s"$base/exported"))
+  }
 }
