@@ -101,15 +101,19 @@ object SearchAgg {
             .as("_th")
         }
     val bucketed = hits.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    // bucket-level ordering WITHIN the parent bucket (ES terms.order):
-    // rank over the aggregated (small) bucket table, keep topGroups
-    val w = if (parentKeys.isEmpty) Window.partitionBy()
-            else Window.partitionBy(parentKeys.map(col): _*)
-    val kept = bucketed
-      .withColumn("_brank", row_number().over(
-        w.orderBy(spec.orderBy ++ spec.fields.map(col(_).asc): _*)))
-      .filter(col("_brank") <= spec.topGroups)
-      .drop("_brank")
+    // bucket-level ordering (ES terms.order): keep topGroups buckets.
+    // Root level: sort+limit → TakeOrderedAndProject (distributed
+    // partial top-N — an unpartitioned window would funnel every bucket
+    // of a high-cardinality group-by through ONE task). Nested levels:
+    // rank within the parent's buckets (naturally partitioned).
+    val order = spec.orderBy ++ spec.fields.map(col(_).asc)
+    val kept =
+      if (parentKeys.isEmpty) bucketed.orderBy(order: _*).limit(spec.topGroups)
+      else bucketed
+        .withColumn("_brank", row_number().over(
+          Window.partitionBy(parentKeys.map(col): _*).orderBy(order: _*)))
+        .filter(col("_brank") <= spec.topGroups)
+        .drop("_brank")
     val withHits = spec.topHits match {
       case Some(_) => kept.withColumn("_hits",
         transform(col("_th"), h => h.getField("payload"))).drop("_th")
