@@ -99,10 +99,12 @@ final class Collection private (
     */
   def delete(filterExpr: String): Long = {
     val ts = nextTs()
-    // materialize NOW (localCheckpoint): the tombstone set is the pks
-    // matching at delete time — a lazy plan would re-evaluate against
-    // rows inserted later and delete them retroactively
-    val victims = raw.filter(compiled(filterExpr))
+    // evaluate on the CURRENT VISIBLE VIEW, not raw versions: a predicate
+    // matching only a superseded (upserted-over) version must not delete
+    // the pk (reference delete-by-expr runs against visible entities).
+    // Materialize NOW (localCheckpoint): a lazy plan would re-evaluate
+    // against rows inserted later and delete them retroactively.
+    val victims = readView().filter(compiled(filterExpr))
       .select(col(schema.pkField), lit(ts).as(schema.tsField))
       .localCheckpoint(true)
     tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))

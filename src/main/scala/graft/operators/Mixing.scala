@@ -19,9 +19,13 @@ object Mixing {
 
   /** Membership hash in [0, 100): uniform-ish, engine-agnostic
     * (multiplicative hash mod a prime — reproducible in plain SQL).
+    * The id is reduced mod the prime BEFORE the multiply so the product
+    * stays ≤ ~2.6e18 < Long.Max for ANY id — Spark 4's ANSI mode throws
+    * on silent Long overflow, which an unreduced multiply would hit on
+    * large synthetic ids.
     */
   def pctHash(idCol: Column): Column =
-    pmod(pmod(idCol * lit(2654435761L), lit(1000000007L)), lit(100))
+    pmod(pmod(pmod(idCol, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)), lit(100))
 
   /** Keep each row of stratum s with probability rates(s)/100
     * (default `defaultPct` for unlisted strata), deterministically in

@@ -339,7 +339,7 @@ object TextQueries {
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
-        |WHERE ((doc_id * 2654435761 % 1000000007) % 100 + 100) % 100 <
+        |WHERE (((doc_id % 1000000007) * 2654435761 % 1000000007) % 100 + 100) % 100 <
         |      CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 100 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // same polynomial: pows = 257^(4-j) mod 2^31-1 = [67503107, 16974593, 66049, 257, 1]

@@ -195,4 +195,13 @@ class CollectionSpec extends SparkSpec {
     assert(c.count() == 10)
     assert(c.query("pk >= 0", Seq("pk")).as[Long].collect().min == 200L)
   }
+
+  test("delete-by-expr evaluates on the visible view, not stale versions") {
+    val c = fresh()
+    // upsert pk 3 so its grp changes 3 -> 9; the OLD version had grp 3
+    c.upsert(Seq((3L, vec(3), "doc 3 v2", 9L)).toDF("pk", "emb", "txt", "grp"))
+    c.delete("grp == 3") // matches pks 3(old!), 8, 13, ... — old versions must NOT count
+    assert(c.count("pk == 3") == 1) // survives: its CURRENT grp is 9
+    assert(c.count("pk == 8") == 0) // currently grp 3 → deleted
+  }
 }
