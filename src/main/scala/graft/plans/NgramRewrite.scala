@@ -106,12 +106,18 @@ object NgramRewrite {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case other     => Seq(other)
       }
+      // the probed side must be the BARE column: an expression over it
+      // (reverse(text), substring(text), …) changes which grams the
+      // matched bytes produce, and a rewrite there would DROP rows
+      def isTextAttr(e: Expression): Boolean = e match {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name == textCol
+        case _ => false
+      }
       conjuncts(cond).flatMap {
-        case Contains(a, Literal(s: UTF8String, _))
-            if a.references.size == 1 && a.references.head.name == textCol =>
+        case Contains(a, Literal(s: UTF8String, _)) if isTextAttr(a) =>
           Some(s.toString)
-        case Like(a, Literal(s: UTF8String, _), escape)
-            if a.references.size == 1 && a.references.head.name == textCol =>
+        case Like(a, Literal(s: UTF8String, _), escape) if isTextAttr(a) =>
           val p = s.toString
           val inner = p.length > 2 && p.startsWith("%") && p.endsWith("%") &&
             !p.substring(1, p.length - 1).exists(c => c == '%' || c == '_' || c == escape)

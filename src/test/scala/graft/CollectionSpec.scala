@@ -204,4 +204,24 @@ class CollectionSpec extends SparkSpec {
     assert(c.count("pk == 3") == 1) // survives: its CURRENT grp is 9
     assert(c.count("pk == 8") == 0) // currently grp 3 → deleted
   }
+
+  test("string primary keys work through insert/delete/search/index") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert((0L until 30L).map(i => (s"doc-$i", vec(i), i % 3))
+      .toDF("pk", "emb", "grp"))
+    assert(c.count() == 30)
+    c.deletePks(Seq("doc-4", "doc-5"))
+    assert(c.count() == 28)
+    val qs = Seq((0L, vec(9))).toDF("qid", "qvec")
+    val hits = c.search("emb", qs, k = 3, metric = Metric.L2,
+      outputFields = Seq("pk"))
+    assert(hits.filter($"rank" === 1).select($"pk").as[String].head() == "doc-9")
+    c.createIndex("emb", nlist = 2)
+    val idx = c.searchIndexed("emb", qs, k = 3, nprobe = 2, metric = Metric.L2)
+      .select($"qid", $"rank", $"pk").collect().toSet
+    val brute = c.search("emb", qs, k = 3, metric = Metric.L2)
+      .select($"qid", $"rank", $"pk").collect().toSet
+    assert(idx == brute)
+  }
 }

@@ -70,6 +70,14 @@ class NgramRewriteSpec extends SparkSpec {
     assert(q.as[Long].collect().sorted.toList == List(2L, 5L))
   }
 
+  test("expressions over the text column are NOT rewritten (bytes differ)") {
+    // reverse(text) contains 'kciuq' matches docs containing 'quick' —
+    // but 'kciuq' grams don't exist in the index; a rewrite would drop rows
+    val q = relation.filter(reverse($"text").contains("kciuq")).select($"doc_id")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q.as[Long].collect().sorted.toList == List(1L, 3L))
+  }
+
   test("unregistered tables are untouched") {
     val other = "/tmp/graft_test_ngramrule/other"
     Seq((9L, "quick")).toDF("doc_id", "text").write.mode("overwrite").parquet(other)
