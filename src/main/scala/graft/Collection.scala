@@ -164,8 +164,33 @@ final class Collection private (
     }
   }
 
+  // ---- row-level security (20250610-rls_design.md) ----
+  private var rlsPolicies: Seq[String] = Nil
+  private var currentUser: Option[Rls.UserContext] = None
+
+  /** Enable RLS: every subsequent read is filtered by ALL policies'
+    * `using_expr` (resolved against the caller's user context).
+    */
+  def enableRls(usingExprs: Seq[String]): Unit = { rlsPolicies = usingExprs }
+  def disableRls(): Unit = { rlsPolicies = Nil }
+
+  /** Set the caller identity for subsequent reads. With RLS enabled and
+    * no identity set, reads fail — enforced, not advisory.
+    */
+  def setUser(ctx: Rls.UserContext): Unit = { currentUser = Some(ctx) }
+
+  private def rlsFilter(df: DataFrame): DataFrame =
+    if (rlsPolicies.isEmpty) df
+    else {
+      val ctx = currentUser.getOrElse(throw new IllegalStateException(
+        "RLS is enabled but no user context is set — call setUser first"))
+      rlsPolicies.foldLeft(df)((d, p) => d.filter(compiled(Rls.resolve(p, ctx))))
+    }
+
   /** MVCC read view at the consistency level's resolved ts, upsert
-    * semantics applied (latest version per pk, tombstones, TTL).
+    * semantics applied (latest version per pk, tombstones, TTL), RLS
+    * policies applied last (they compile to ordinary predicates and ride
+    * the same pushdown as user filters).
     */
   def readView(
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
@@ -175,7 +200,7 @@ final class Collection private (
     val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
     val visible = Mvcc.visible(raw, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
-    Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
+    rlsFilter(Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField))
   }
 
   private def compiled(filterExpr: String): Column =

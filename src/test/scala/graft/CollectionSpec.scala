@@ -224,4 +224,28 @@ class CollectionSpec extends SparkSpec {
       .select($"qid", $"rank", $"pk").collect().toSet
     assert(idx == brute)
   }
+
+  test("row-level security: policies filter every read by user context") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert((0L until 20L).map(i =>
+        (i, vec(i), if (i % 2 == 0) "us" else "eu", s"tenant${i % 4}"))
+      .toDF("pk", "emb", "region", "tenant"))
+    c.enableRls(Seq("region == $current_user_tags['region']"))
+    // enforced: no user context → reads fail
+    intercept[IllegalStateException] { c.count() }
+    c.setUser(Rls.UserContext("alice", Map("region" -> "us")))
+    assert(c.count() == 10)
+    assert(c.query("pk >= 0", Seq("pk", "region"))
+      .select($"region").distinct().as[String].collect().toList == List("us"))
+    // searches are scoped too
+    val qs = Seq((0L, vec(3))).toDF("qid", "qvec") // pk 3 is an eu row
+    val hits = c.search("emb", qs, k = 5, metric = Metric.L2, outputFields = Seq("pk"))
+    assert(!hits.select($"pk").as[Long].collect().contains(3L))
+    // a user missing the referenced tag sees nothing (deny by default)
+    c.setUser(Rls.UserContext("bob"))
+    assert(c.count() == 0)
+    c.disableRls()
+    assert(c.count() == 20)
+  }
 }
