@@ -49,9 +49,9 @@ final class Collection private (
     val schema: CollectionSchema,
     sealedPath: Option[String]) {
 
-  private var sealedDf: Option[DataFrame] = sealedPath.map(p => spark.read.parquet(p))
-  private var growing: Option[DataFrame] = None
-  private var tombs: Option[DataFrame] = None
+  @volatile private var sealedDf: Option[DataFrame] = sealedPath.map(p => spark.read.parquet(p))
+  @volatile private var growing: Option[DataFrame] = None
+  @volatile private var tombs: Option[DataFrame] = None
 
   /** Session TSO (rootcoord's timestamp oracle stand-in). Seeded past
     * the sealed data's max ts on open — otherwise a delete at counter
@@ -130,6 +130,27 @@ final class Collection private (
     * inserts, resolved last-writer-wins at read time by ts.
     */
   def upsert(rows: DataFrame): Long = insert(rows)
+
+  /** Attach a Structured Streaming source as this collection's live
+    * ingest (reference §2.7: WAL → querynode growing segment): each
+    * micro-batch lands through [[insert]] — stamped with a write ts,
+    * immediately searchable — so batch reads over `sealed ∪ growing`
+    * see streamed rows with the same MVCC semantics as direct inserts.
+    * Micro-batches are materialized on arrival (localCheckpoint inside
+    * a foreachBatch is the exactly-once handoff point; the checkpoint
+    * location makes replays idempotent at the source).
+    */
+  def attachStream(stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // pin the batch's contents before it leaves the micro-batch scope
+        insert(batch.localCheckpoint(true))
+        ()
+      }
+      .start()
 
   /** Truncate (reference: 20260129-truncate_collection.md — clear all
     * data, keep the collection's schema/indexes/config): drops every row

@@ -248,4 +248,30 @@ class CollectionSpec extends SparkSpec {
     c.disableRls()
     assert(c.count() == 20)
   }
+
+  test("attached stream feeds the growing segment with MVCC semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 10L)) // direct insert first
+    val input = MemoryStream[(Long, Seq[Float], String, Long)]
+    val stream = input.toDF().toDF("pk", "emb", "txt", "grp")
+    val ck = "/tmp/graft_test_attach_ck_" + System.nanoTime()
+    val q = c.attachStream(stream, ck)
+    // pks chosen so vec(seed) is unique mod 97 within this fixture
+    input.addData((250L, vec(250), "s1", 0L), (251L, vec(251), "s2", 1L))
+    q.processAllAvailable()
+    assert(c.count() == 12) // streamed rows immediately visible
+    input.addData((5L, vec(55), "upserted via stream", 9L)) // LWW over pk 5
+    q.processAllAvailable()
+    q.stop()
+    assert(c.count() == 12) // still one row per pk
+    assert(c.get(Seq(5L), Seq("pk", "txt")).select($"txt").as[String].head()
+      == "upserted via stream")
+    // streamed rows are searchable like any growing-segment rows
+    val hits = c.search("emb", Seq((0L, vec(251))).toDF("qid", "qvec"),
+      k = 1, metric = Metric.L2, outputFields = Seq("pk"))
+    assert(hits.select($"pk").as[Long].head() == 251L)
+  }
 }
