@@ -52,6 +52,17 @@ object Analyzers {
   final case class MaxLength(max: Int) extends Filter
   /** Drop tokens containing any non-[a-zA-Z0-9] char (AlphaNumOnlyFilter). */
   case object AlphaNumOnly extends Filter
+  /** Lucene-compatible Arabic normalization (reference:
+    * 20260403-arabic-thai-analyzer.md, arabic_normalization_filter.rs):
+    * hamza/alef variants → bare alef, teh marbuta → heh, alef maksura →
+    * yeh, harakat (U+064B..U+065F) and tatweel (U+0640) removed.
+    */
+  case object ArabicNormalization extends Filter
+  /** Non-ASCII decimal digits → ASCII 0-9 (decimaldigit filter; the
+    * common systems: Arabic-Indic, Extended Arabic-Indic, Thai,
+    * Devanagari, Bengali, Fullwidth).
+    */
+  case object DecimalDigit extends Filter
 
   /** Escaped character class — works identically in Java regex (Spark)
     * and RE2 (oracle side); \Q..\E quoting is Java-only, so escape
@@ -83,6 +94,15 @@ object Analyzers {
       concat(latin, grams)
   }
 
+  private val DigitFrom =
+    "٠١٢٣٤٥٦٧٨٩" + // Arabic-Indic
+    "۰۱۲۳۴۵۶۷۸۹" + // Extended Arabic
+    "๐๑๒๓๔๕๖๗๘๙" + // Thai
+    "०१२३४५६७८९" + // Devanagari
+    "০১২৩৪৫৬৭৮৯" + // Bengali
+    "０１２３４５６７８９"   // Fullwidth
+  private val DigitTo = "0123456789" * 6
+
   private def applyFilter(tokens: Column, f: Filter): Column = f match {
     case Lowercase     => transform(tokens, lower(_))
     case Stop(words)   =>
@@ -90,6 +110,13 @@ object Analyzers {
       filter(tokens, t => !array_contains(stopArr, t))
     case MaxLength(m)  => filter(tokens, t => length(t) <= m)
     case AlphaNumOnly  => filter(tokens, t => t.rlike("^[a-zA-Z0-9]+$"))
+    case ArabicNormalization =>
+      // آأإ (hamza/alef) → ا; ة (teh marbuta) →
+      // ه; ى (alef maksura) → ي; strip harakat + tatweel
+      transform(tokens, t => regexp_replace(
+        translate(t, "آأإةى", "اااهي"),
+        "[ً-ٟـ]", ""))
+    case DecimalDigit  => transform(tokens, t => translate(t, DigitFrom, DigitTo))
   }
 
   /** Tokenize `c` with the given tokenizer, then apply filters in order. */
@@ -122,6 +149,8 @@ object Analyzers {
                                  .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         case "max_length"   => MaxLength(params.getOrElse("max_token_length", "40").toInt)
         case "alphanumonly" => AlphaNumOnly
+        case "arabic_normalization" => ArabicNormalization
+        case "decimaldigit" => DecimalDigit
         case other          => throw new IllegalArgumentException(s"filter '$other' not supported")
       }
     analyze(c, tok, filters)

@@ -69,4 +69,30 @@ class AnalyzersSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(viaParams == Seq("ok", "\u4e2d\u6587"))
   }
+
+  test("arabic normalization + decimal digit filters (Lucene-compatible)") {
+    // hamza-alef variants fold to bare alef
+    assert(run("\u0623\u062d\u0645\u062f", Analyzers.Whitespace,
+      Seq(Analyzers.ArabicNormalization)) ==
+      run("\u0627\u062d\u0645\u062f", Analyzers.Whitespace, Nil))
+    // teh marbuta to heh; alef maksura to yeh
+    assert(run("\u0645\u062f\u0631\u0633\u0629", Analyzers.Whitespace,
+      Seq(Analyzers.ArabicNormalization)).head.endsWith("\u0647"))
+    assert(run("\u0645\u0646\u0649", Analyzers.Whitespace,
+      Seq(Analyzers.ArabicNormalization)).head.endsWith("\u064a"))
+    // harakat (diacritics) and tatweel removed
+    assert(run("\u0643\u064e\u062a\u064e\u0628\u064e", Analyzers.Whitespace,
+      Seq(Analyzers.ArabicNormalization)) == Seq("\u0643\u062a\u0628"))
+    assert(run("\u0643\u0640\u0640\u062a\u0628", Analyzers.Whitespace,
+      Seq(Analyzers.ArabicNormalization)) == Seq("\u0643\u062a\u0628"))
+    // digit systems fold to ASCII: arabic-indic, thai, fullwidth
+    assert(run("\u0661\u0662\u0663 \u0e54\u0e55 \uff17\uff18", Analyzers.Whitespace,
+      Seq(Analyzers.DecimalDigit)) == Seq("123", "45", "78"))
+    // param-map dispatch
+    val viaParams = Seq("\u0623\u0628 \u0661\u0660").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "whitespace",
+        "filters" -> "arabic_normalization,decimaldigit")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaParams == Seq("\u0627\u0628", "10"))
+  }
 }
