@@ -42,6 +42,15 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeSplitRegex), lit(0)))
 
+  /** Fused one-pass DISTINCT shingle set (see [[TokenShingles]]) —
+    * equals `array_distinct(shingles(tokens, n))` without the
+    * interpreted HOF chain; use on hot dedup/decontamination paths.
+    */
+  def shingleSet(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TokenShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n, distinct = true))
+
   /** Word n-gram shingles over the token array, joined by single spaces. */
   def shingles(tokens: Column, n: Int): Column =
     when(size(tokens) < n, array(array_join(tokens, " ")))

@@ -207,8 +207,8 @@ object Dedup {
     // equal minima over all shingle occurrences, so this is bit-identical
     // to signing the token stream directly — but the expensive
     // tokenize+shingle work is not repeated for the verify-side sets.
-    val sets = base.select(col(idCol), array_distinct(TextFunctions.shingles(
-      TextFunctions.tokenize(col(textCol)), shingleSize)).as("_set"))
+    val sets = base.select(col(idCol), TextFunctions.shingleSet(
+      TextFunctions.tokenize(col(textCol)), shingleSize).as("_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col(idCol),
       TextFunctions.minhashSignature(col("_set"), numHashes, 1).as("sig"))
@@ -590,7 +590,7 @@ object Dedup {
   def contaminated(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
     def shingleSet(c: Column) =
-      array_distinct(TextFunctions.shingles(TextFunctions.tokenize(c), n))
+      TextFunctions.shingleSet(TextFunctions.tokenize(c), n)
     val benchShingles = benchmark
       .select(explode(shingleSet(col(benchTextCol))).as("_sh"))
       .distinct()

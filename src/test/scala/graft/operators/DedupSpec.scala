@@ -254,4 +254,20 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(clean == Set(2L, 4L))
   }
+
+  test("fused shingleSet equals the declarative distinct-shingle chain") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two", "single", "", "a a a a a", "x y x y x y")
+      .toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = docs.select(TextFunctions.shingleSet(
+        TextFunctions.tokenize($"text"), n).as("s")).as[Seq[String]].collect()
+      val want = docs.select(array_distinct(TextFunctions.shingles(
+        TextFunctions.tokenize($"text"), n)).as("s")).as[Seq[String]].collect()
+      assert(got.map(_.toList).toList == want.map(_.toList).toList, s"n=$n")
+    }
+  }
 }
