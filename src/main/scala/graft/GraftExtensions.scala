@@ -62,6 +62,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(children(2), "minhash_signature", "shingleSize"))
       }))
 
+    ext.injectFunction((FunctionIdentifier("token_shingles"),
+      info("token_shingles",
+        "_FUNC_(tokens, n, distinct) - fused word n-gram shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "token_shingles(tokens, n, distinct)")
+        val distinct = children(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"token_shingles: distinct must be a boolean literal, got $other")
+        }
+        TokenShingles(children.head,
+          litInt(children(1), "token_shingles", "n"), distinct)
+      }))
+
     ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint",
         "_FUNC_(normalizedText, k, w) - winnowing rolling-hash fingerprints"),

@@ -20,7 +20,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  simhash60(split(text, ' ')) AS sim,
         |  minhash_signature(split(text, ' '), 16, 2) AS mh,
         |  int8_decode(int8_encode(array(1, 200, -5))) AS i8,
-        |  fp16_decode(fp16_encode(va)) AS f16
+        |  fp16_decode(fp16_encode(va)) AS f16,
+        |  token_shingles(split(text, ' '), 2, true) AS sh
         |FROM ext_t""".stripMargin).head()
 
     val viaCols = spark.table("ext_t").select(
@@ -29,7 +30,8 @@ class GraftExtensionsSpec extends SparkSpec {
       Dedup.simhash60(split(col("text"), " ")).as("sim"),
       TextFunctions.minhashSignature(split(col("text"), " "), 16, 2).as("mh"),
       VectorTypes.fromInt8(VectorTypes.int8(array(lit(1), lit(200), lit(-5)))).as("i8"),
-      VectorTypes.fromFp16(VectorTypes.fp16(col("va"))).as("f16")).head()
+      VectorTypes.fromFp16(VectorTypes.fp16(col("va"))).as("f16"),
+      TextFunctions.shingleSet(split(col("text"), " "), 2).as("sh")).head()
 
     assert(sql.getDouble(0) == viaCols.getDouble(0))
     assert(sql.getDouble(1) == viaCols.getDouble(1))
@@ -37,6 +39,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.getSeq[Long](3) == viaCols.getSeq[Long](3))
     assert(sql.getSeq[Float](4) == Seq(1f, 127f, -5f))
     assert(sql.getSeq[Float](5) == viaCols.getSeq[Float](5))
+    assert(sql.getSeq[String](6) == viaCols.getSeq[String](6))
+    assert(sql.getSeq[String](6) == Seq("a b", "b c", "c a"))
   }
 
   test("non-literal metric / wrong arity fail fast") {

@@ -83,4 +83,50 @@ class ExprFuzzSpec extends SparkSpec {
     // sanity: the generator must produce mostly selective predicates
     assert(nonTrivial > 100, s"only $nonTrivial non-trivial predicates generated")
   }
+
+  // ---- JSON + array leaf fuzz (the kernels the scalar fuzz can't reach) ----
+
+  private lazy val jdf = (0L until 400L).map { i =>
+    (i,
+      s"""{"a": ${i % 50}, "b": "v${i % 7}", "arr": [${i % 5}, ${i % 11}], """ +
+        s""""nested": {"x": ${i % 13}}${if (i % 9 == 0) "" else s""", "opt": ${i % 3}"""}}""",
+      Seq(i % 5, i % 11, i % 17))
+  }.toDF("id", "js", "arr").cache()
+
+  private def jsonLeaf(): (String, String) = rnd.nextInt(6) match {
+    case 0 =>
+      val v = rnd.nextInt(50)
+      (s"""js["a"] > $v""", s"CAST(get_json_object(js, '$$.a') AS LONG) > $v")
+    case 1 =>
+      val v = rnd.nextInt(7)
+      (s"""js["b"] == "v$v"""", s"get_json_object(js, '$$.b') = 'v$v'")
+    case 2 =>
+      val v = rnd.nextInt(13)
+      (s"""js["nested"]["x"] <= $v""",
+        s"CAST(get_json_object(js, '$$.nested.x') AS LONG) <= $v")
+    case 3 =>
+      ("""exists js["opt"]""", "get_json_object(js, '$.opt') IS NOT NULL")
+    case 4 =>
+      val v = rnd.nextInt(11)
+      (s"""js["arr"][1] == $v""", s"CAST(get_json_object(js, '$$.arr[1]') AS LONG) = $v")
+    case 5 =>
+      val v = rnd.nextInt(17)
+      (s"array_contains(arr, $v)", s"array_contains(arr, ${v}L)")
+  }
+
+  test("150 random JSON/array predicates match their Spark SQL translation") {
+    for (i <- 0 until 150) {
+      val leaves = Seq.fill(1 + rnd.nextInt(3))(jsonLeaf())
+      val ops = Seq.fill(leaves.size - 1)(if (rnd.nextBoolean()) "and" else "or")
+      def joinUp(parts: Seq[String], o: Seq[String]): String =
+        parts.tail.zip(o).foldLeft(parts.head) { case (acc, (p, op)) => s"($acc) $op ($p)" }
+      val eStr = joinUp(leaves.map(_._1), ops)
+      val sql = joinUp(leaves.map(_._2), ops.map(_.toUpperCase))
+      val viaCompiler = jdf.filter(ExprCompiler.compile(eStr, jdf, jsonColumns = Set("js")))
+        .select($"id").as[Long].collect().toSet
+      val viaSql = jdf.filter(expr(sql)).select($"id").as[Long].collect().toSet
+      assert(viaCompiler == viaSql,
+        s"#$i mismatch (${viaCompiler.size} vs ${viaSql.size}):\n  expr: $eStr\n  sql:  $sql")
+    }
+  }
 }
