@@ -157,6 +157,41 @@ object InvertedIndex {
       df.withColumn("_jv", get_json_object(col(jsonCol), path)), idCol, "_jv")
       .withColumnRenamed("_jv", "value")
 
+  /** Typed JSON-path index with index-type dispatch (reference MEP
+    * 20260410-json_path_index_multi_type.md: JSON path indexes support
+    * STL_SORT / BITMAP / HYBRID / AUTOINDEX beyond INVERTED, with a
+    * `json_cast_type` — sort indexes serve ranges on numeric keys,
+    * bitmaps serve equality/IN on low-cardinality keys, HYBRID picks by
+    * cardinality like regular scalar columns). Rows where the path is
+    * missing or fails the cast are EXCLUDED from the index, matching
+    * the reference's per-type null handling; queries must treat
+    * index-miss as no-match, not scan-fallback. Returns (chosenType,
+    * (value, cnt, postings) index with `value` of `castType`).
+    */
+  def buildJsonPathIndexTyped(df: DataFrame, idCol: String, jsonCol: String,
+      path: String, castType: org.apache.spark.sql.types.DataType,
+      indexType: String = "AUTOINDEX",
+      bitmapCardinalityCap: Long = 1000L): (String, DataFrame) = {
+    val projected = df
+      .select(col(idCol),
+        get_json_object(col(jsonCol), path).try_cast(castType).as("value"))
+      .filter(col("value").isNotNull)
+    indexType.toUpperCase match {
+      case "INVERTED" | "STL_SORT" | "BITMAP" =>
+        (indexType.toUpperCase, buildValueIndex(projected, idCol, "value"))
+      case "HYBRID" =>
+        buildHybridIndex(projected, idCol, "value", bitmapCardinalityCap)
+      case "AUTOINDEX" =>
+        val t = autoIndexType(projected, "value", bitmapCardinalityCap)
+        // TRIE resolution only applies to whole string columns; JSON
+        // string paths resolve to the postings form like the reference
+        val kind = if (t == "TRIE") "INVERTED" else t
+        (kind, buildValueIndex(projected, idCol, "value"))
+      case other => throw new IllegalArgumentException(
+        s"json path index type $other not supported (INVERTED|STL_SORT|BITMAP|HYBRID|AUTOINDEX)")
+    }
+  }
+
   /** HYBRID index dispatch (reference: index/HybridScalarIndex.cpp —
     * picks a bitmap for low-cardinality columns, falls back to inverted
     * postings above the cardinality cap). Both re-expressions share the

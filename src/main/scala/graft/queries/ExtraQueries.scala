@@ -596,6 +596,26 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  /** Typed JSON-path index (20260410-json_path_index_multi_type.md):
+    * props.$.k cast to LONG, indexed STL_SORT, range-queried — plus the
+    * AUTOINDEX route whose chosen kind (BITMAP: card ≈ 100 under the
+    * cap) is pinned as a column.
+    */
+  def jsonTypedIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    import org.apache.spark.sql.types.LongType
+    val ev = t(s, dir, "events")
+    val (kind, sorted) = InvertedIndex.buildJsonPathIndexTyped(
+      ev, "event_id", "props", "$.k", LongType, "STL_SORT")
+    val (autoKind, _) = InvertedIndex.buildJsonPathIndexTyped(
+      ev, "event_id", "props", "$.k", LongType, "AUTOINDEX")
+    val ids = InvertedIndex.lookupRange(sorted, "value", 10L, 20L)
+    ids.join(ev, ids("id") === ev("event_id"), "inner")
+      .select(col("id"), col("event_type"),
+        lit(kind).as("kind"), lit(autoKind).as("auto_kind"))
+      .orderBy(col("id"))
+  }
+
   // ---- §2.6 HYBRID + AUTOINDEX dispatch (HybridScalarIndex.cpp) ----
 
   /** Hybrid dispatch measures cardinality and picks the physical index
@@ -729,6 +749,7 @@ object ExtraQueries {
     "q_trie_prefix" -> (triePrefix _),
     "q_stlsort_range" -> (stlSortRange _),
     "q_json_index_lookup" -> (jsonIndexLookup _),
+    "q_json_typed_index" -> (jsonTypedIndex _),
     "q_hybrid_dispatch" -> (hybridDispatch _),
     "q_bin_ivf" -> (binIvf _),
     "q_dynamic_meta" -> (dynamicMeta _),
@@ -813,6 +834,12 @@ object ExtraQueries {
     "q_stlsort_range" ->
       """SELECT c_custkey AS id, c_nationkey, c_mktsegment FROM customer
         |WHERE c_nationkey BETWEEN 5 AND 10 ORDER BY c_custkey""".stripMargin,
+    "q_json_typed_index" ->
+      """SELECT event_id AS id, event_type,
+        |       'STL_SORT' AS kind, 'BITMAP' AS auto_kind
+        |FROM events
+        |WHERE TRY_CAST(props->>'$.k' AS BIGINT) BETWEEN 10 AND 20
+        |ORDER BY id""".stripMargin,
     "q_json_index_lookup" ->
       """SELECT event_id AS id, event_type, props FROM events
         |WHERE (props->>'$.k') IN ('42', '77') ORDER BY event_id""".stripMargin,
