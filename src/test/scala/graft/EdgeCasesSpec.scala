@@ -101,4 +101,34 @@ class EdgeCasesSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(got == Seq("one two"))
   }
+
+  test("new operators tolerate empty inputs (drivers, hits, struct arrays)") {
+    import graft.functions.Metric
+    import graft.operators.{SearchAgg, VectorJoin, VectorSearch}
+    val v = (0L until 10L).map(i => (i, Seq(i.toFloat, 1f)))
+      .toDF("id", "vec")
+    // lateral with an empty driver: zero queries, zero hits, no error
+    val noDriver = Seq.empty[(Long, Long)].toDF("item_id", "anchor")
+    assert(VectorJoin.lateralSearch(noDriver, "item_id", "anchor",
+      v, "id", "vec", Metric.L2, k = 2).count() == 0)
+    // enrichment of zero hits
+    val noHits = Seq.empty[(Long, Long, Double)].toDF("qid", "id", "_score")
+    assert(VectorJoin.enrich(noHits, "id",
+      Seq((1L, 2.0)).toDF("id", "price"), Seq("price")).count() == 0)
+    // group tree over zero hits: no buckets, no error
+    val noRows = Seq.empty[(Long, String, Double)].toDF("id", "g", "score")
+    assert(SearchAgg.groupTree(noRows,
+      SearchAgg.GroupBy(Seq("g"), 3), "id").count() == 0)
+    // element search where some rows carry empty struct arrays
+    val structed = Seq(
+      (1L, Seq((1L, Seq(0f, 0f)))),
+      (2L, Seq.empty[(Long, Seq[Float])])
+    ).toDF("doc", "raw")
+      .select($"doc", transform($"raw",
+        c => struct(c.getField("_1").as("cid"), c.getField("_2").as("v"))).as("chunks"))
+    val qs = Seq((0L, Seq(0f, 0f))).toDF("qid", "qvec")
+    val hits = VectorSearch.elementSearch(structed, "doc", "chunks", "v",
+      qs, "qid", "qvec", Metric.L2, k = 5)
+    assert(hits.select($"doc").as[Long].collect().toList == List(1L))
+  }
 }
