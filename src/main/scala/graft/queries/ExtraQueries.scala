@@ -344,6 +344,25 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Tree-ensemble (xgboost-style) L0 rerank
+    * (20260708-xgboost-function-chain.md): recalled candidates re-score
+    * through a 2-tree model over entity features (label) and the recall
+    * score — compiled to codegen'd when/otherwise arithmetic the oracle
+    * replays as CASE expressions.
+    */
+  def xgbRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TreeEnsemble._
+    val model = Model(Seq(
+      Split("label", 5.0, left = Leaf(0.6), right = Leaf(-0.3)),
+      Split("_score", 0.1, left = Leaf(-0.1),
+        right = Split("label", 2.0, left = Leaf(0.5), right = Leaf(0.2)))),
+      baseScore = 0.05)
+    graft.functions.TreeEnsemble.rerank(cosineHits(s, dir, 50), model, "qid", k = 10)
+      .select(col("qid"), col("rank"), col("_rerank").as("rerank_score"),
+        col("vec_id"), col("label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- vector-anchored joins (20260708-vector-anchored-join.md) ----
 
   /** Shape 1 — enrichment join: cosine top-k over embeddings
@@ -766,6 +785,7 @@ object ExtraQueries {
     "q_twostage_search" -> (twostageSearch _),
     "q_search_groupagg" -> (searchGroupagg _),
     "q_element_search" -> (elementSearch _),
+    "q_xgb_rerank" -> (xgbRerank _),
     "q_vjoin_enrich" -> (vjoinEnrich _),
     "q_vjoin_prefilter" -> (vjoinPrefilter _),
     "q_vjoin_lateral" -> (vjoinLateral _),
@@ -926,6 +946,27 @@ object ExtraQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
+    "q_xgb_rerank" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id, e.label,
+        |        round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |h AS (SELECT qid, vec_id, label, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank0
+        |      FROM d),
+        |hits AS (SELECT * FROM h WHERE rank0 <= 50),
+        |m AS (SELECT *, round(
+        |        (CASE WHEN label < 5 THEN 0.6 ELSE -0.3 END)
+        |        + (CASE WHEN score < 0.1 THEN -0.1
+        |                WHEN label < 2 THEN 0.5 ELSE 0.2 END)
+        |        + 0.05, 6) AS rerank_score
+        |      FROM hits),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY qid ORDER BY rerank_score DESC, rank0 ASC) AS rank
+        |      FROM m)
+        |SELECT qid, rank, rerank_score, vec_id, label FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_element_search" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 2),
