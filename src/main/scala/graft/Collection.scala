@@ -264,14 +264,20 @@ final class Collection private (
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
       roundTo: Option[Int] = None,
-      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      orderBy: Seq[Column] = Nil): DataFrame = {
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
     val corpus = readView(level)
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
-    VectorSearch.topK(corpus, schema.pkField, vectorField, queries, "qid", "qvec",
-      metric, k, filter = filter, outputCols = out, roundTo = roundTo)
+    val hits = VectorSearch.topK(corpus, schema.pkField, vectorField, queries,
+      "qid", "qvec", metric, k, filter = filter, outputCols = out, roundTo = roundTo)
+    // search order-by (reference MEP 20260129-search-orderby): recall is
+    // still similarity top-k; the RETURNED hits re-sort by scalar fields
+    // within each query (presentation order, not candidate selection)
+    if (orderBy.isEmpty) hits
+    else hits.orderBy(col("qid") +: orderBy: _*)
   }
 
   /** One hybrid-search sub-request (reference `IsAdvanced` sub-search:

@@ -274,4 +274,17 @@ class CollectionSpec extends SparkSpec {
       k = 1, metric = Metric.L2, outputFields = Seq("pk"))
     assert(hits.select($"pk").as[Long].head() == 251L)
   }
+
+  test("search order-by re-sorts returned hits by scalar fields") {
+    val c = fresh()
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val hits = c.search("emb", qs, k = 5, metric = Metric.L2,
+      outputFields = Seq("pk", "grp"), orderBy = Seq(col("grp").asc, col("pk").asc))
+      .select($"pk", $"grp").as[(Long, Long)].collect()
+    // same candidate set as plain top-5, different presentation order
+    val plain = c.search("emb", qs, k = 5, metric = Metric.L2,
+      outputFields = Seq("pk", "grp")).select($"pk").as[Long].collect().toSet
+    assert(hits.map(_._1).toSet == plain)
+    assert(hits.map(_._2).toList == hits.map(_._2).sorted.toList)
+  }
 }
