@@ -84,4 +84,33 @@ class FusionPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("connected components match a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 10) {
+      val n = 20 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // driver union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).groupBy(_._2).values
+          .map(_.map(_._1).toSet).toSet
+        // the operator, forced through BOTH paths
+        for (cap <- Seq(0L, 4000000L)) {
+          val got = Dedup.connectedComponents(
+              edges.toDF("id_a", "id_b"), localEdgeCap = cap)
+            .as[(Long, Long)].collect()
+            .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+          assert(got == want, s"trial=$trial cap=$cap")
+        }
+      }
+    }
+  }
 }
