@@ -128,4 +128,45 @@ object Mvcc {
       }: _*)
     latestByPk(current.unionByName(merged), pkCol, tsCol, tiebreakCol)
   }
+
+  /** Per-field update operation for [[partialUpsertOps]] (reference:
+    * `FieldOp` in the partial-update array-op client surface —
+    * tests/python_client/milvus_client/test_milvus_client_partial_update_array_op.py):
+    * `Set` replaces the value (null carries the old one forward, like
+    * [[partialUpsert]]); `ArrayAppend` concatenates the update's
+    * elements onto the current array; `ArrayRemove` deletes every
+    * occurrence of the update's elements from it.
+    */
+  sealed trait FieldOp
+  case object SetOp extends FieldOp
+  case object ArrayAppend extends FieldOp
+  case object ArrayRemove extends FieldOp
+
+  /** Partial upsert with per-field ops — same merge shape as
+    * [[partialUpsert]] (one join against the current version, LWW
+    * resolve), the op only changing the merged column expression. A
+    * missing current row treats the current array as empty.
+    */
+  def partialUpsertOps(base: DataFrame, updates: DataFrame, pkCol: String,
+      tsCol: String, tiebreakCol: String, fieldOps: Map[String, FieldOp]): DataFrame = {
+    val current = latestByPk(base, pkCol, tsCol, tiebreakCol)
+    val cols = fieldOps.keys.toSeq
+    val cur = current.select(
+      col(pkCol) +: cols.map(c => col(c).as(s"_cur_$c")): _*)
+    val merged = updates
+      .join(cur, Seq(pkCol), "left")
+      .select(base.columns.map { c =>
+        def empty = array().cast(base.schema(c).dataType)
+        fieldOps.get(c) match {
+          case Some(SetOp) => coalesce(col(c), col(s"_cur_$c")).as(c)
+          case Some(ArrayAppend) =>
+            concat(coalesce(col(s"_cur_$c"), empty), coalesce(col(c), empty)).as(c)
+          case Some(ArrayRemove) =>
+            filter(coalesce(col(s"_cur_$c"), empty),
+              e => !array_contains(coalesce(col(c), empty), e)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    latestByPk(current.unionByName(merged), pkCol, tsCol, tiebreakCol)
+  }
 }

@@ -36,4 +36,14 @@ object SchemaEvolution {
   def readMergedValues(spark: SparkSession, paths: Seq[String],
       defaults: Map[String, Any]): DataFrame =
     readMerged(spark, paths, defaults.map { case (k, v) => k -> lit(v) })
+
+  /** Drop a collection field (reference:
+    * 20260413-drop-collection-field-design.md — DDL-level removal, no
+    * segment rewrite; the column simply stops being served and later
+    * re-adding the name starts fresh). Read-side: a projection mask.
+    */
+  def dropField(df: DataFrame, field: String): DataFrame = {
+    require(df.columns.contains(field), s"no such field $field")
+    df.drop(field)
+  }
 }

@@ -240,6 +240,26 @@ class ExprCompilerSpec extends SparkSpec {
     check("""s == L"name_7"""", $"s" === "name_7")
   }
 
+  test("three-valued logic over nullable fields (reference 3VL suite)") {
+    // nullable long column: null rows must behave per SQL 3VL — a null
+    // comparison is UNKNOWN, filters keep only TRUE, NOT(UNKNOWN) stays
+    // UNKNOWN, and IS NULL is the only way to select the null rows
+    val ndf = Seq[(Long, Option[Long])]((1L, Some(5L)), (2L, None), (3L, Some(10L)))
+      .toDF("id", "v")
+    def ids(e: String): Set[Long] =
+      ndf.filter(ExprCompiler.compile(e, ndf)).select("id").as[Long].collect().toSet
+    assert(ids("v > 4") == Set(1L, 3L))
+    assert(ids("not (v > 4)") == Set.empty)          // UNKNOWN stays out under NOT
+    assert(ids("v > 4 or v is null") == Set(1L, 2L, 3L))
+    assert(ids("v > 4 and v is null") == Set.empty)
+    assert(ids("v is null") == Set(2L))
+    assert(ids("v is not null") == Set(1L, 3L))
+    assert(ids("v == 5 or v == 10") == Set(1L, 3L))
+    assert(ids("v != 5") == Set(3L))                  // null is neither = nor !=
+    assert(ids("v in [5, 10]") == Set(1L, 3L))
+    assert(ids("not (v in [5])") == Set(3L))          // null excluded from NOT IN
+  }
+
   test("parse errors are informative") {
     intercept[Parser.ParseError](Parser.parse("id >"))
     intercept[Parser.ParseError](Parser.parse("id in (1,2)"))

@@ -62,4 +62,25 @@ class MvccSpec extends SparkSpec {
       sessionTs = 1100L) == 1100L) // session floor wins over staleness
     assert(Mvcc.resolveReadTs(Eventually, latest, now, staleness = 300) == 1200L)
   }
+
+  test("partial upsert with array append/remove field ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq(
+      (1L, 1L, Seq("a", "b"), Seq(1L, 2L), 10.0),
+      (2L, 1L, Seq("x"), Seq(9L), 20.0)
+    ).toDF("pk", "ts", "tags", "nums", "score")
+    val updates = Seq(
+      (1L, 2L, Seq("c", "b"), Seq(2L), Option.empty[Double]),
+      (3L, 2L, Seq("new"), Seq(7L), Some(30.0)) // no current row: append to empty
+    ).toDF("pk", "ts", "tags", "nums", "score")
+    val out = Mvcc.partialUpsertOps(base, updates, "pk", "ts", "pk",
+        Map("tags" -> Mvcc.ArrayAppend, "nums" -> Mvcc.ArrayRemove,
+          "score" -> Mvcc.SetOp))
+      .select(col("pk"), col("tags"), col("nums"), col("score"))
+      .as[(Long, Seq[String], Seq[Long], Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Seq("a", "b", "c", "b"), Seq(1L), 10.0))) // append dups kept; 2 removed; score carried
+    assert(out(1) == ((2L, Seq("x"), Seq(9L), 20.0)))                // untouched
+    assert(out(2) == ((3L, Seq("new"), Seq(), 30.0)))                // fresh row
+  }
 }

@@ -78,4 +78,16 @@ class LifecycleSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       BulkImport.readExternal(spark, "parquet", path, Map("id" -> "missing_col")))
   }
+
+  test("dropField removes a column without touching data files") {
+    val path = "/tmp/graft_test_dropfield"
+    Seq((1L, "x", 5.0), (2L, "y", 6.0)).toDF("pk", "tag", "v")
+      .write.mode("overwrite").parquet(path)
+    val dropped = SchemaEvolution.dropField(spark.read.parquet(path), "tag")
+    assert(dropped.columns.toList == List("pk", "v"))
+    intercept[IllegalArgumentException](
+      SchemaEvolution.dropField(dropped, "tag"))
+    // the files still carry the column: re-adding the name starts fresh
+    assert(spark.read.parquet(path).columns.contains("tag"))
+  }
 }
