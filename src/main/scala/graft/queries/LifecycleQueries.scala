@@ -207,7 +207,33 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Partial-update array field ops (FieldOp.array_append /
+    * array_remove, test_milvus_client_partial_update_array_op.py): base
+    * rows carry each user's pre-cutoff event types twice; one upsert per
+    * user APPENDS their post-cutoff types to `tags` and REMOVES
+    * click/error from `kept` — both resolved by the one-join LWW merge.
+    */
+  def upsertArrayOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mvcc
+    val cutoffNs = 1705708800000000000L // 2024-01-20 UTC (ts reads as long nanos)
+    val ev = t(s, dir, "events")
+    val pre = ev.filter(col("ts") <= cutoffNs).groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("t"))
+    val post = ev.filter(col("ts") > cutoffNs).groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("t"))
+    val base = pre.select(col("user_id"), lit(1L).as("_v"),
+      col("t").as("tags"), col("t").as("kept"))
+    val updates = post.select(col("user_id"), lit(2L).as("_v"),
+      col("t").as("tags"), array(lit("click"), lit("error")).as("kept"))
+    Mvcc.partialUpsertOps(base, updates, "user_id", "_v", "user_id",
+        Map("tags" -> Mvcc.ArrayAppend, "kept" -> Mvcc.ArrayRemove))
+      .select(col("user_id"), array_join(col("tags"), ",").as("tags"),
+        array_join(col("kept"), ",").as("kept"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert_array_ops" -> (upsertArrayOps _),
     "q_collection_e2e" -> (collectionE2e _),
     "q_stream_ingest" -> (streamIngest _),
     "q_npy_roundtrip" -> (npyRoundtrip _),
@@ -219,6 +245,22 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_upsert_array_ops" ->
+      """WITH pre AS (SELECT user_id, list_sort(list(event_type)) AS t
+        |             FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |             GROUP BY user_id),
+        |post AS (SELECT user_id, list_sort(list(event_type)) AS t
+        |         FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        |         GROUP BY user_id)
+        |SELECT COALESCE(pre.user_id, post.user_id) AS user_id,
+        |  COALESCE(array_to_string(
+        |    list_concat(COALESCE(pre.t, []), COALESCE(post.t, [])), ','), '') AS tags,
+        |  CASE WHEN post.user_id IS NULL
+        |       THEN COALESCE(array_to_string(COALESCE(pre.t, []), ','), '')
+        |       ELSE COALESCE(array_to_string(list_filter(COALESCE(pre.t, []),
+        |              x -> x <> 'click' AND x <> 'error'), ','), '') END AS kept
+        |FROM pre FULL OUTER JOIN post ON pre.user_id = post.user_id
+        |ORDER BY user_id""".stripMargin,
     "q_collection_e2e" ->
       """WITH final AS (
         |  SELECT CASE WHEN user_id = 1 THEN 'upd' ELSE event_type END AS event_type,
