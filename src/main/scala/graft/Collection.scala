@@ -217,11 +217,22 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       staleness: Long = 0L,
       sessionTs: Long = 0L,
+      ttl: Option[Column] = None): DataFrame =
+    rlsFilter(readViewUnscoped(level, staleness, sessionTs, ttl))
+
+  /** The view BEFORE row-level security — for shared physical artifacts
+    * (index builds), which must not bake one caller's policy scope in;
+    * RLS re-applies per query on top.
+    */
+  private def readViewUnscoped(
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      staleness: Long = 0L,
+      sessionTs: Long = 0L,
       ttl: Option[Column] = None): DataFrame = {
     val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
     val visible = Mvcc.visible(raw, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
-    rlsFilter(Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField))
+    Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
   }
 
   private def compiled(filterExpr: String): Column =
@@ -343,7 +354,10 @@ final class Collection private (
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field")
     import graft.operators.IvfIndex
-    val view = readView()
+    // build over the UNSCOPED view: the index is a shared physical
+    // artifact — baking the building caller's RLS scope in would serve
+    // wrong results to every other user. RLS re-applies per query below.
+    val view = readViewUnscoped()
     val model = IvfIndex.trainLocal(view, vectorField, nlist, maxTrainRows = trainSample)
     val clustered = IvfIndex.layout(view, vectorField, model).persist()
     clustered.count() // materialize the layout (the index build job)
@@ -378,7 +392,11 @@ final class Collection private (
     val changed = tombPks
       .map(tail.select(col(schema.pkField)).unionByName(_))
       .getOrElse(tail.select(col(schema.pkField)))
-    val indexSide = st.clustered.join(changed.distinct(), Seq(schema.pkField), "left_anti")
+    // rlsFilter here: the shared layout is unscoped, so the caller's
+    // policies apply at query time (the tail side came through readView
+    // and is already scoped)
+    val indexSide = rlsFilter(
+      st.clustered.join(changed.distinct(), Seq(schema.pkField), "left_anti"))
     val idxHits = IvfIndex.search(indexSide, schema.pkField, vectorField, st.model,
       queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
     val tailHits = VectorSearch.topK(tail, schema.pkField, vectorField,

@@ -287,4 +287,23 @@ class CollectionSpec extends SparkSpec {
     assert(hits.map(_._1).toSet == plain)
     assert(hits.map(_._2).toList == hits.map(_._2).sorted.toList)
   }
+
+  test("a shared index enforces each caller's RLS scope at query time") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert((0L until 40L).map(i =>
+        (i, vec(i), if (i % 2 == 0) "us" else "eu"))
+      .toDF("pk", "emb", "region"))
+    c.createIndex("emb", nlist = 2) // built unscoped, shared by all users
+    c.enableRls(Seq("region == $current_user_tags['region']"))
+    val qs = Seq((0L, vec(9))).toDF("qid", "qvec")
+    c.setUser(Rls.UserContext("alice", Map("region" -> "us")))
+    val us = c.searchIndexed("emb", qs, k = 5, nprobe = 2, metric = Metric.L2,
+      outputFields = Seq("pk")).select($"pk").as[Long].collect()
+    assert(us.nonEmpty && us.forall(_ % 2 == 0))
+    c.setUser(Rls.UserContext("bob", Map("region" -> "eu")))
+    val eu = c.searchIndexed("emb", qs, k = 5, nprobe = 2, metric = Metric.L2,
+      outputFields = Seq("pk")).select($"pk").as[Long].collect()
+    assert(eu.nonEmpty && eu.forall(_ % 2 == 1))
+  }
 }
