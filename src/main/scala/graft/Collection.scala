@@ -131,6 +131,41 @@ final class Collection private (
     */
   def upsert(rows: DataFrame): Long = insert(rows)
 
+  /** Partial upsert (reference task_upsert_partial_op.go + the array
+    * field-op client surface): `rows` carry the pk plus ONLY the fields
+    * being updated — missing fields carry forward from the current
+    * version; provided fields replace it (null = keep current), or
+    * apply an array op from `fieldOps` (append/remove). Resolved by one
+    * join against the current view, then written as a full new version.
+    * The merge basis is the UNSCOPED view: a caller's RLS read scope
+    * must not silently blank fields of a row they're updating.
+    */
+  def upsertPartial(rows: DataFrame,
+      fieldOps: Map[String, Mvcc.FieldOp] = Map.empty): Long = {
+    val pk = schema.pkField
+    require(rows.columns.contains(pk), s"partial upsert rows need the pk column $pk")
+    val provided = rows.columns.filterNot(_ == pk).toSet
+    val current = readViewUnscoped()
+    val dataCols = current.columns.filterNot(_ == schema.tsField).toSeq
+    val cur = current.select(dataCols.map(c =>
+      if (c == pk) col(c) else col(c).as(s"_cur_$c")): _*)
+    val joined = rows.join(cur, Seq(pk), "left")
+    val full = joined.select(dataCols.map { c =>
+      def empty = array().cast(current.schema(c).dataType)
+      if (c == pk) col(c)
+      else if (!provided.contains(c)) col(s"_cur_$c").as(c)
+      else fieldOps.get(c) match {
+        case Some(Mvcc.ArrayAppend) =>
+          concat(coalesce(col(s"_cur_$c"), empty), coalesce(col(c), empty)).as(c)
+        case Some(Mvcc.ArrayRemove) =>
+          filter(coalesce(col(s"_cur_$c"), empty),
+            e => !array_contains(coalesce(col(c), empty), e)).as(c)
+        case _ => coalesce(col(c), col(s"_cur_$c")).as(c)
+      }
+    }: _*)
+    insert(full.localCheckpoint(true)) // pin: the merge must not re-resolve later
+  }
+
   /** Attach a Structured Streaming source as this collection's live
     * ingest (reference §2.7: WAL → querynode growing segment): each
     * micro-batch lands through [[insert]] — stamped with a write ts,

@@ -306,4 +306,28 @@ class CollectionSpec extends SparkSpec {
       outputFields = Seq("pk")).select($"pk").as[Long].collect()
     assert(eu.nonEmpty && eu.forall(_ % 2 == 1))
   }
+
+  test("facade partial upsert: carried fields, null-keeps, array ops") {
+    import graft.operators.Mvcc
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(Seq(
+      (1L, vec(1), "one", Seq("a", "b"), 10.0),
+      (2L, vec(2), "two", Seq("x"), 20.0))
+      .toDF("pk", "emb", "txt", "tags", "score"))
+    // update only score for pk 1; append to tags for pk 2
+    c.upsertPartial(Seq((1L, 99.0)).toDF("pk", "score"))
+    c.upsertPartial(Seq((2L, Seq("y", "x"))).toDF("pk", "tags"),
+      fieldOps = Map("tags" -> Mvcc.ArrayAppend))
+    val got = c.readView()
+      .select($"pk", $"txt", $"tags", $"score")
+      .as[(Long, String, Seq[String], Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "one", Seq("a", "b"), 99.0))) // txt/tags carried
+    assert(got(1) == ((2L, "two", Seq("x", "y", "x"), 20.0)))
+    // vectors carried too: searching still finds pk 1 at its old spot
+    val hit = c.search("emb", Seq((0L, vec(1))).toDF("qid", "qvec"), k = 1,
+      metric = Metric.L2, outputFields = Seq("pk"))
+      .select($"pk").as[Long].head()
+    assert(hit == 1L)
+  }
 }
