@@ -326,6 +326,46 @@ final class Collection private (
     else hits.orderBy(col("qid") +: orderBy: _*)
   }
 
+  /** Range search over the MVCC view (radius / range_filter semantics,
+    * proxy/search_util.go:588-597).
+    */
+  def rangeSearch(
+      vectorField: String,
+      queries: DataFrame,
+      radius: Double,
+      rangeFilter: Option[Double] = None,
+      k: Int = 0,
+      metric: Metric.Value = Metric.COSINE,
+      filterExpr: String = "",
+      outputFields: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
+    val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
+    VectorSearch.rangeSearch(readView(), schema.pkField, vectorField,
+      queries, "qid", "qvec", metric, radius, rangeFilter, k, filter, out, roundTo)
+  }
+
+  /** Grouping search over the MVCC view (group_by_field_ids +
+    * group_size + strict_group_size, search_reduce_util.go:87).
+    */
+  def groupBySearch(
+      vectorField: String,
+      queries: DataFrame,
+      k: Int,
+      groupFields: Seq[String],
+      groupSize: Int = 1,
+      strictGroupSize: Boolean = false,
+      metric: Metric.Value = Metric.COSINE,
+      filterExpr: String = "",
+      outputFields: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
+    val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
+    VectorSearch.groupBySearch(readView(), schema.pkField, vectorField,
+      queries, "qid", "qvec", metric, k, groupFields, groupSize,
+      strictGroupSize, filter, out, roundTo)
+  }
+
   /** One hybrid-search sub-request (reference `IsAdvanced` sub-search:
     * its own vector field, queries, metric, filter, and weight).
     */

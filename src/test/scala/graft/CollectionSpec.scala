@@ -330,4 +330,18 @@ class CollectionSpec extends SparkSpec {
       .select($"pk").as[Long].head()
     assert(hit == 1L)
   }
+
+  test("facade range search and grouping search route through the MVCC view") {
+    val c = fresh()
+    c.delete("pk == 8")
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val inRange = c.rangeSearch("emb", qs, radius = 0.5, metric = Metric.L2,
+      outputFields = Seq("pk"))
+    val pks = inRange.select($"pk").as[Long].collect().toSet
+    assert(pks.contains(7L) && !pks.contains(8L)) // deleted row never in range
+    val grouped = c.groupBySearch("emb", qs, k = 3, groupFields = Seq("grp"),
+      groupSize = 2, outputFields = Seq("pk")) // group col comes back on its own
+    val byGrp = grouped.groupBy($"grp").count().as[(Long, Long)].collect().toMap
+    assert(byGrp.size == 3 && byGrp.values.forall(_ <= 2))
+  }
 }
