@@ -366,6 +366,25 @@ final class Collection private (
       strictGroupSize, filter, out, roundTo)
   }
 
+  /** Paged ANN iterator (reference search iterator v2 / last_bound
+    * cursor): next `batch` hits strictly beyond `lastBound` in metric
+    * order; feed the last returned score back as the next cursor.
+    */
+  def searchIterator(
+      vectorField: String,
+      queries: DataFrame,
+      batch: Int,
+      lastBound: Option[Double] = None,
+      metric: Metric.Value = Metric.COSINE,
+      filterExpr: String = "",
+      outputFields: Seq[String] = Nil,
+      roundTo: Option[Int] = None): DataFrame = {
+    val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
+    val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
+    VectorSearch.searchIterator(readView(), schema.pkField, vectorField,
+      queries, "qid", "qvec", metric, batch, lastBound, filter, out, roundTo)
+  }
+
   /** One hybrid-search sub-request (reference `IsAdvanced` sub-search:
     * its own vector field, queries, metric, filter, and weight).
     */

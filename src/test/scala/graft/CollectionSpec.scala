@@ -344,4 +344,21 @@ class CollectionSpec extends SparkSpec {
     val byGrp = grouped.groupBy($"grp").count().as[(Long, Long)].collect().toMap
     assert(byGrp.size == 3 && byGrp.values.forall(_ <= 2))
   }
+
+  test("facade search iterator pages by last-bound cursor without overlap") {
+    val c = fresh()
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val p1 = c.searchIterator("emb", qs, batch = 5, metric = Metric.L2,
+      outputFields = Seq("pk"))
+    val b1 = p1.agg(max($"_score")).head().getDouble(0) // L2: next page is > bound
+    val p2 = c.searchIterator("emb", qs, batch = 5, lastBound = Some(b1),
+      metric = Metric.L2, outputFields = Seq("pk"))
+    val ids1 = p1.select($"pk").as[Long].collect().toSet
+    val ids2 = p2.select($"pk").as[Long].collect().toSet
+    assert(ids1.size == 5 && ids2.size == 5 && (ids1 & ids2).isEmpty)
+    // together they equal the straight top-10
+    val top10 = c.search("emb", qs, k = 10, metric = Metric.L2,
+      outputFields = Seq("pk")).select($"pk").as[Long].collect().toSet
+    assert((ids1 ++ ids2) == top10)
+  }
 }
