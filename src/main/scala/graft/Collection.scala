@@ -80,15 +80,31 @@ final class Collection private (
     * rows land in the growing tail — immediately searchable, exactly
     * like a growing segment. Returns the write ts.
     */
+  /** AutoID block allocator (reference: rootcoord's ID allocator hands
+    * out contiguous blocks per insert). A partition-stride scheme
+    * (monotonically_increasing_id + batch offset) is NOT collision-free
+    * across batches — the 2^33 partition stride can land exactly on
+    * another batch's offset — so ids are allocated as a counted block
+    * and assigned by a contiguous zipWithIndex, exactly unique.
+    */
+  private val idAlloc = new AtomicLong(1L << 40)
+
   def insert(rows: DataFrame): Long = {
     val ts = nextTs()
-    val stamped0 = rows.withColumn(schema.tsField, lit(ts))
-    val stamped =
-      if (!schema.autoId) stamped0
-      else stamped0.withColumn(schema.pkField,
-        // deterministic, collision-free across inserts: ts base + row id
-        monotonically_increasing_id() + lit(ts * 1000000L))
-    growing = Some(growing.map(_.unionByName(stamped)).getOrElse(stamped))
+    val stamped = rows.withColumn(schema.tsField, lit(ts))
+    val withPk =
+      if (!schema.autoId) stamped
+      else {
+        val n = stamped.count() // the block-allocation RPC analogue
+        val base = idAlloc.getAndAdd(n)
+        val struct_ = stamped.schema
+        val rdd = stamped.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+        }
+        spark.createDataFrame(rdd,
+            struct_.add(org.apache.spark.sql.types.StructField(schema.pkField, LongType)))
+      }
+    growing = Some(growing.map(_.unionByName(withPk)).getOrElse(withPk))
     lastWriteTs = ts
     ts
   }
