@@ -203,6 +203,28 @@ final class Collection private (
       }
       .start()
 
+  /** L0 / delete-merge compaction (reference: datacoord L0 policy via
+    * [[graft.operators.Compaction]]): fold every current tombstone into
+    * a rewritten sealed layout at `path`, drop the tombstones, and keep
+    * serving — reads stop paying the per-query anti-join for old
+    * deletes. Requires a flushed collection (the reference also
+    * compacts sealed segments only).
+    */
+  def compact(path: String): Unit = {
+    require(growing.isEmpty, "flush the growing tail before compacting")
+    val sealedData = sealedDf.getOrElse(
+      throw new IllegalStateException("nothing to compact — empty collection"))
+    tombs match {
+      case None => () // nothing to fold
+      case Some(t) =>
+        graft.operators.Compaction.writeCompacted(
+          sealedData, t, schema.pkField, schema.tsField,
+          lit(lastWriteTs), path)
+        sealedDf = Some(spark.read.parquet(s"$path/data"))
+        tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
+    }
+  }
+
   /** Truncate (reference: 20260129-truncate_collection.md — clear all
     * data, keep the collection's schema/indexes/config): drops every row
     * written up to now. Implemented as a ts-horizon cut, so it is a

@@ -361,4 +361,19 @@ class CollectionSpec extends SparkSpec {
       outputFields = Seq("pk")).select($"pk").as[Long].collect().toSet
     assert((ids1 ++ ids2) == top10)
   }
+
+  test("compact folds tombstones into the sealed layout; reads unchanged") {
+    val c = fresh()
+    c.delete("grp == 3")
+    c.flush("/tmp/graft_test_collection_compact_flush")
+    val before = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted.toList
+    c.compact("/tmp/graft_test_collection_compact")
+    val after = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted.toList
+    assert(after == before)
+    assert(c.count() == 40)
+    // compacting an unflushed collection is rejected
+    c.insert(mkRows(Seq(500L)))
+    intercept[IllegalArgumentException](
+      c.compact("/tmp/graft_test_collection_compact2"))
+  }
 }
