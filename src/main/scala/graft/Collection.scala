@@ -53,6 +53,13 @@ final class Collection private (
   @volatile private var growing: Option[DataFrame] = None
   @volatile private var tombs: Option[DataFrame] = None
 
+  /** Guards every read-modify-write of the mutable collection state
+    * (growing/tombs/sealedDf/lastWriteTs/indexes). attachStream invokes
+    * insert from the streaming micro-batch thread, so concurrent user
+    * writes would otherwise lose a batch or observe torn state.
+    */
+  private[this] val stateLock = new Object
+
   /** Session TSO (rootcoord's timestamp oracle stand-in). Seeded past
     * the sealed data's max ts on open — otherwise a delete at counter
     * ts=1 would sit below every existing row's timestamp and apply to
@@ -65,7 +72,7 @@ final class Collection private (
     }).getOrElse(0L))
   private def nextTs(): Long = tso.incrementAndGet()
 
-  private var lastWriteTs: Long = tso.get()
+  @volatile private var lastWriteTs: Long = tso.get()
 
   /** Rows visible to readers before MVCC (sealed ∪ growing). */
   private def raw: DataFrame = (sealedDf, growing) match {
@@ -89,7 +96,7 @@ final class Collection private (
     */
   private val idAlloc = new AtomicLong(1L << 40)
 
-  def insert(rows: DataFrame): Long = {
+  def insert(rows: DataFrame): Long = stateLock.synchronized {
     val ts = nextTs()
     val stamped = rows.withColumn(schema.tsField, lit(ts))
     val withPk =
@@ -113,7 +120,7 @@ final class Collection private (
     * appends (pk, ts) tombstones; nothing is rewritten until
     * [[compact]]. Returns the delete ts.
     */
-  def delete(filterExpr: String): Long = {
+  def delete(filterExpr: String): Long = stateLock.synchronized {
     val ts = nextTs()
     // evaluate on the CURRENT VISIBLE VIEW, not raw versions: a predicate
     // matching only a superseded (upserted-over) version must not delete
@@ -128,7 +135,7 @@ final class Collection private (
     ts
   }
 
-  def deletePks(pks: Seq[Any]): Long = {
+  def deletePks(pks: Seq[Any]): Long = stateLock.synchronized {
     val ts = nextTs()
     import scala.jdk.CollectionConverters._
     val pkType = raw.schema(schema.pkField).dataType
@@ -210,17 +217,36 @@ final class Collection private (
     * deletes. Requires a flushed collection (the reference also
     * compacts sealed segments only).
     */
-  def compact(path: String): Unit = {
+  def compact(path: String): Unit = stateLock.synchronized {
     require(growing.isEmpty, "flush the growing tail before compacting")
     val sealedData = sealedDf.getOrElse(
       throw new IllegalStateException("nothing to compact — empty collection"))
     tombs match {
       case None => () // nothing to fold
       case Some(t) =>
+        // folded tombstones vanish from `tombs`, but clustered index
+        // layouts built BEFORE those deletes still physically contain the
+        // rows — record the folded pks per index so searchIndexed's
+        // delete-bitset mask survives compaction (the reference keeps the
+        // delete bitset on the indexed segment for the same reason)
+        if (indexes.nonEmpty) {
+          val foldedPks = t
+            .select(col(schema.pkField), col(schema.tsField)).localCheckpoint(true)
+          indexes = indexes.map { case (f, st) =>
+            val mine = foldedPks.filter(col(schema.tsField) > st.buildTs)
+              .select(col(schema.pkField))
+            f -> st.copy(foldedTombPks =
+              Some(st.foldedTombPks.map(_.unionByName(mine)).getOrElse(mine)))
+          }
+        }
+        // each compaction runs in a fresh run directory: overwriting a
+        // directory the current sealedDf plan reads from is illegal in
+        // Spark (and the reference likewise seals into new segment files)
+        val runPath = s"$path/run-${nextTs()}"
         graft.operators.Compaction.writeCompacted(
           sealedData, t, schema.pkField, schema.tsField,
-          lit(lastWriteTs), path)
-        sealedDf = Some(spark.read.parquet(s"$path/data"))
+          lit(lastWriteTs), runPath)
+        sealedDf = Some(spark.read.parquet(s"$runPath/data"))
         tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
     }
   }
@@ -232,7 +258,7 @@ final class Collection private (
     * below the horizon stop being visible and later inserts are
     * unaffected). Built indexes over pre-truncate data are dropped.
     */
-  def truncate(): Long = {
+  def truncate(): Long = stateLock.synchronized {
     val ts = nextTs()
     // a full-range tombstone per existing pk would be O(rows); instead
     // cut the raw view at the horizon, which visible() honors because
@@ -247,13 +273,19 @@ final class Collection private (
   }
 
   /** Seal the growing tail to parquet (reference flush; datanode
-    * write-buffer → binlog). The collection keeps serving the union.
+    * write-buffer → binlog): ONLY the tail is written, into a fresh
+    * segment directory `path/seg-N` — the incremental segment seal, not
+    * a full-dataset rewrite — and the collection keeps serving the union
+    * of segment reads. Never overwrites a directory the current
+    * sealedDf plan reads from, so repeated flushes to one path are safe.
     */
-  def flush(path: String): Unit = {
+  def flush(path: String): Unit = stateLock.synchronized {
     growing.foreach { g =>
-      val merged = sealedDf.map(_.unionByName(g, allowMissingColumns = true)).getOrElse(g)
-      merged.write.mode("overwrite").parquet(path)
-      sealedDf = Some(spark.read.parquet(path))
+      val segPath = s"$path/seg-${nextTs()}"
+      g.write.parquet(segPath)
+      val seg = spark.read.parquet(segPath)
+      sealedDf = Some(sealedDf
+        .map(_.unionByName(seg, allowMissingColumns = true)).getOrElse(seg))
       growing = None
     }
   }
@@ -278,7 +310,13 @@ final class Collection private (
     else {
       val ctx = currentUser.getOrElse(throw new IllegalStateException(
         "RLS is enabled but no user context is set — call setUser first"))
-      rlsPolicies.foldLeft(df)((d, p) => d.filter(compiled(Rls.resolve(p, ctx))))
+      rlsPolicies.foldLeft(df) { (d, p) =>
+        // placeholders become template params compiled to lit() Columns —
+        // context values are never re-lexed as expression text, so no
+        // value (quotes, backslash escapes) can alter the policy's shape
+        val (expr, params) = Rls.resolve(p, ctx)
+        d.filter(compiled(expr, params))
+      }
     }
 
   /** MVCC read view at the consistency level's resolved ts, upsert
@@ -308,9 +346,9 @@ final class Collection private (
     Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
   }
 
-  private def compiled(filterExpr: String): Column =
+  private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
     ExprCompiler.compile(filterExpr,
-      ExprCompiler.Ctx(raw.schema, metaColumn = schema.metaField))
+      ExprCompiler.Ctx(raw.schema, metaColumn = schema.metaField, params = params))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.
@@ -467,11 +505,17 @@ final class Collection private (
       outputFields.filterNot(_ == schema.pkField))
   }
 
+  /** `foldedTombPks`: pks whose post-build deletes were folded away by
+    * [[compact]] — the tombstones are gone from `tombs`, but the
+    * clustered layout still physically holds the rows, so the mask must
+    * persist with the index (the on-segment delete bitset analogue).
+    */
   private final case class IndexState(
       model: graft.operators.IvfIndex.Model,
       clustered: DataFrame,
-      buildTs: Long)
-  private var indexes: Map[String, IndexState] = Map.empty
+      buildTs: Long,
+      foldedTombPks: Option[DataFrame] = None)
+  @volatile private var indexes: Map[String, IndexState] = Map.empty
 
   /** CreateIndex (reference DDL → datacoord index build): train an IVF
     * codebook on the collection's visible view and persist the
@@ -493,7 +537,9 @@ final class Collection private (
     val model = IvfIndex.trainLocal(view, vectorField, nlist, maxTrainRows = trainSample)
     val clustered = IvfIndex.layout(view, vectorField, model).persist()
     clustered.count() // materialize the layout (the index build job)
-    indexes += vectorField -> IndexState(model, clustered, lastWriteTs)
+    stateLock.synchronized {
+      indexes += vectorField -> IndexState(model, clustered, lastWriteTs)
+    }
   }
 
   /** ANN search through the field's IVF index (reference
@@ -521,9 +567,8 @@ final class Collection private (
     // delete-bitset analogue): any pk changed or tombstoned after build
     val tombPks = tombs.map(_.filter(col(schema.tsField) > st.buildTs)
       .select(col(schema.pkField)))
-    val changed = tombPks
-      .map(tail.select(col(schema.pkField)).unionByName(_))
-      .getOrElse(tail.select(col(schema.pkField)))
+    val changed = (tombPks.toSeq ++ st.foldedTombPks.toSeq)
+      .foldLeft(tail.select(col(schema.pkField)))(_ unionByName _)
     // rlsFilter here: the shared layout is unscoped, so the caller's
     // policies apply at query time (the tail side came through readView
     // and is already scoped)

@@ -84,12 +84,29 @@ class CollectionSpec extends SparkSpec {
   test("flush seals the growing tail and reads stay identical") {
     val c = fresh()
     c.delete("grp == 0")
+    val path = "/tmp/graft_test_collection_flush_" + System.nanoTime()
     val before = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted
-    c.flush("/tmp/graft_test_collection_flush")
+    c.flush(path)
     val after = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted
     assert(before.toList == after.toList)
-    // sealed files actually exist
-    assert(spark.read.parquet("/tmp/graft_test_collection_flush").count() == 50)
+    // sealed segment files actually exist
+    assert(spark.read.parquet(s"$path/seg-*").count() == 50)
+  }
+
+  test("repeated flushes seal incremental segments, not full rewrites") {
+    val c = fresh()
+    val path = "/tmp/graft_test_collection_reflush_" + System.nanoTime()
+    c.flush(path)
+    c.insert(mkRows(100L until 110L))
+    c.flush(path) // second flush to the SAME path: only the new tail seals
+    c.insert(mkRows(200L until 205L))
+    c.flush(path)
+    assert(c.count() == 65)
+    val segs = new java.io.File(path).listFiles().filter(_.getName.startsWith("seg-"))
+    assert(segs.length == 3)
+    // each segment holds only its tail (no full-dataset rewrite)
+    assert(segs.map(s => spark.read.parquet(s.getPath).count()).sorted.toList
+      == List(5L, 10L, 50L))
   }
 
   test("bounded-staleness read excludes the newest write") {
@@ -365,15 +382,56 @@ class CollectionSpec extends SparkSpec {
   test("compact folds tombstones into the sealed layout; reads unchanged") {
     val c = fresh()
     c.delete("grp == 3")
-    c.flush("/tmp/graft_test_collection_compact_flush")
+    c.flush("/tmp/graft_test_collection_compact_flush_" + System.nanoTime())
+    val cpath = "/tmp/graft_test_collection_compact_" + System.nanoTime()
     val before = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted.toList
-    c.compact("/tmp/graft_test_collection_compact")
+    c.compact(cpath)
     val after = c.query("pk >= 0", Seq("pk")).as[Long].collect().sorted.toList
     assert(after == before)
     assert(c.count() == 40)
+    // a second delete+compact cycle to the SAME path works (fresh run dir;
+    // never overwrites the directory the current sealed plan reads)
+    c.delete("grp == 4")
+    c.compact(cpath)
+    assert(c.count() == 30)
     // compacting an unflushed collection is rejected
     c.insert(mkRows(Seq(500L)))
     intercept[IllegalArgumentException](
-      c.compact("/tmp/graft_test_collection_compact2"))
+      c.compact("/tmp/graft_test_collection_compact2_" + System.nanoTime()))
+  }
+
+  test("compact keeps indexed search masking folded deletes (stale-index)") {
+    val c = fresh()
+    c.flush("/tmp/graft_test_collection_idxcompact_flush_" + System.nanoTime())
+    c.createIndex("emb", nlist = 2)
+    c.delete("pk == 7") // post-build delete, masked via tombstones...
+    c.compact("/tmp/graft_test_collection_idxcompact_" + System.nanoTime())
+    // ...and after compaction folds the tombstones away, STILL masked
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val hits = c.searchIndexed("emb", qs, k = 5, nprobe = 2, metric = Metric.L2)
+      .select($"pk").as[Long].collect()
+    assert(!hits.contains(7L))
+    // and the rest of the neighborhood still comes back
+    assert(hits.length == 5)
+  }
+
+  test("RLS context values are literals — escape sequences don't decode") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert((0L until 4L).map(i => (i, vec(i), if (i < 2) "bob" else "eve"))
+      .toDF("pk", "emb", "owner"))
+    c.enableRls(Seq("owner == $current_user_name"))
+    c.setUser(Rls.UserContext("bob"))
+    assert(c.count() == 2)
+    // \142ob would decode to "bob" if spliced through the Lexer; as a
+    // literal param it stays those exact six characters → matches nothing
+    c.setUser(Rls.UserContext("\\142ob"))
+    assert(c.count() == 0)
+    // a trailing backslash must not blow up the policy compile either
+    c.setUser(Rls.UserContext("eve\\"))
+    assert(c.count() == 0)
+    // quotes can't break out of the literal
+    c.setUser(Rls.UserContext("x\" or pk >= 0 or owner == \"x"))
+    assert(c.count() == 0)
   }
 }
