@@ -8,11 +8,20 @@ import org.apache.spark.sql.SparkSession
   * Queries are fully materialized via a noop-format write (a bare
   * `count()` would let Catalyst prune the projected expressions — e.g.
   * a highlight or distance column — and under-report the work).
+  *
+  * Each query runs SPARK_GRAFT_RUNS times (default 3) in interleaved
+  * rounds and reports the per-query MEDIAN — single runs on a shared
+  * box swing 2-6x on identical code (BENCH_LOCAL.md), so one sample is
+  * noise, not a measurement. SPARK_GRAFT_ONLY=a,b,c restricts to named
+  * queries for local iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,13 +44,26 @@ object Bench {
     // JVM/session warmup so the first measured query isn't charged for it
     SparkEntry.queries.get("q_count_filter").foreach(run)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(fn)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // interleaved rounds (q1 q2 ... qN, repeated) rather than
+    // back-to-back per query: a GC/compaction spike lands in one round's
+    // samples, not all of one query's
+    val samples: Seq[Seq[(String, Double)]] =
+      (1 to runs).map(_ => selected.map { case (name, fn) => name -> run(fn) })
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = selected.map { case (name, _) =>
+      name -> median(samples.map(_.toMap.apply(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -176,20 +176,26 @@ object InvertedIndex {
       .select(col(idCol),
         get_json_object(col(jsonCol), path).try_cast(castType).as("value"))
       .filter(col("value").isNotNull)
-    indexType.toUpperCase match {
-      case "INVERTED" | "STL_SORT" | "BITMAP" =>
-        (indexType.toUpperCase, buildValueIndex(projected, idCol, "value"))
+    // ONE build regardless of the requested type: every resolved kind
+    // shares the (value, cnt, postings) table shape, and kind resolution
+    // reads cardinality off the built index (its row count IS the
+    // distinct-value count) — never a second full JSON parse of `df`.
+    // Persisted so kind resolution and subsequent lookups share one
+    // materialization of the parse.
+    val index = buildValueIndex(projected, idCol, "value").persist()
+    val kind = indexType.toUpperCase match {
+      case t @ ("INVERTED" | "STL_SORT" | "BITMAP") => t
       case "HYBRID" =>
-        buildHybridIndex(projected, idCol, "value", bitmapCardinalityCap)
+        if (index.count() <= bitmapCardinalityCap) "BITMAP" else "INVERTED"
       case "AUTOINDEX" =>
-        val t = autoIndexType(projected, "value", bitmapCardinalityCap)
+        val t = autoIndexTypeOf(castType, index.count(), bitmapCardinalityCap)
         // TRIE resolution only applies to whole string columns; JSON
         // string paths resolve to the postings form like the reference
-        val kind = if (t == "TRIE") "INVERTED" else t
-        (kind, buildValueIndex(projected, idCol, "value"))
+        if (t == "TRIE") "INVERTED" else t
       case other => throw new IllegalArgumentException(
         s"json path index type $other not supported (INVERTED|STL_SORT|BITMAP|HYBRID|AUTOINDEX)")
     }
+    (kind, index)
   }
 
   /** HYBRID index dispatch (reference: index/HybridScalarIndex.cpp —
@@ -200,20 +206,35 @@ object InvertedIndex {
     * lookups / storage layout accordingly.
     */
   def buildHybridIndex(df: DataFrame, idCol: String, valueCol: String,
-      bitmapCardinalityCap: Long = 1000L): (String, DataFrame) = {
-    val card = df.agg(count_distinct(col(valueCol))).head().getLong(0)
+      bitmapCardinalityCap: Long = 1000L,
+      knownCard: Option[Long] = None): (String, DataFrame) = {
+    val card = knownCard.getOrElse(
+      df.agg(count_distinct(col(valueCol))).head().getLong(0))
     val kind = if (card <= bitmapCardinalityCap) "BITMAP" else "INVERTED"
     (kind, buildValueIndex(df, idCol, valueCol))
   }
 
   /** AUTOINDEX selection (reference: indexparamcheck AUTOINDEX — the
     * engine picks the scalar index type from dtype + cardinality).
+    * `knownCard` lets callers batch cardinality measurement into one
+    * multi-aggregate job instead of one driver-blocking action per
+    * column (the q_hybrid_dispatch serial-actions fix).
     */
   def autoIndexType(df: DataFrame, valueCol: String,
-      bitmapCardinalityCap: Long = 1000L): String = {
+      bitmapCardinalityCap: Long = 1000L,
+      knownCard: Option[Long] = None): String = {
+    lazy val card = knownCard.getOrElse(
+      df.agg(count_distinct(col(valueCol))).head().getLong(0))
+    autoIndexTypeOf(df.schema(valueCol).dataType, card, bitmapCardinalityCap)
+  }
+
+  /** The pure dtype+cardinality → index-type rule behind AUTOINDEX.
+    * `card` is by-name: string columns over the cap resolve without
+    * ever measuring cardinality when the caller already knows the type.
+    */
+  def autoIndexTypeOf(dt: org.apache.spark.sql.types.DataType, card: => Long,
+      bitmapCardinalityCap: Long): String = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(valueCol).dataType
-    lazy val card = df.agg(count_distinct(col(valueCol))).head().getLong(0)
     dt match {
       case StringType if card <= bitmapCardinalityCap => "BITMAP"
       case StringType => "TRIE"

@@ -626,8 +626,10 @@ object ExtraQueries {
     val ev = t(s, dir, "events")
     val (kind, sorted) = InvertedIndex.buildJsonPathIndexTyped(
       ev, "event_id", "props", "$.k", LongType, "STL_SORT")
-    val (autoKind, _) = InvertedIndex.buildJsonPathIndexTyped(
-      ev, "event_id", "props", "$.k", LongType, "AUTOINDEX")
+    // AUTOINDEX resolution reuses the ALREADY-BUILT value index — every
+    // resolved kind shares its table shape, so the routing decision is a
+    // row count over the (persisted) index, not a second JSON-parse build
+    val autoKind = InvertedIndex.autoIndexTypeOf(LongType, sorted.count(), 1000L)
     val ids = InvertedIndex.lookupRange(sorted, "value", 10L, 20L)
     ids.join(ev, ids("id") === ev("event_id"), "inner")
       .select(col("id"), col("event_type"),
@@ -648,8 +650,18 @@ object ExtraQueries {
     import graft.operators.InvertedIndex
     val d = t(s, dir, "documents")
     val cap = 100L
-    val (kindLang, idxLang) = InvertedIndex.buildHybridIndex(d, "doc_id", "lang", cap)
-    val (kindN, idxN) = InvertedIndex.buildHybridIndex(d, "doc_id", "n_chars", cap)
+    // ONE multi-aggregate job measures every cardinality the dispatch
+    // needs (the reference's per-column meta stats); the old shape ran
+    // four driver-blocking actions back to back
+    val cards = d.agg(
+      count_distinct(col("lang")).as("c_lang"),
+      count_distinct(col("n_chars")).as("c_nchars"),
+      count_distinct(col("text")).as("c_text")).head()
+    val (cLang, cNchars, cText) = (cards.getLong(0), cards.getLong(1), cards.getLong(2))
+    val (kindLang, idxLang) =
+      InvertedIndex.buildHybridIndex(d, "doc_id", "lang", cap, knownCard = Some(cLang))
+    val (kindN, idxN) =
+      InvertedIndex.buildHybridIndex(d, "doc_id", "n_chars", cap, knownCard = Some(cNchars))
     val langHits = InvertedIndex.lookupValues(idxLang, "lang", Seq("en", "de"))
       .agg(count(lit(1)).as("lang_hits"))
     val ncharHits = InvertedIndex.lookupRange(idxN, "n_chars", 100, 200)
@@ -657,8 +669,10 @@ object ExtraQueries {
     langHits.crossJoin(ncharHits).select(
       lit(kindLang).as("kind_lang"), col("lang_hits"),
       lit(kindN).as("kind_nchars"), col("nchar_hits"),
-      lit(InvertedIndex.autoIndexType(d, "text", cap)).as("auto_text"),
-      lit(InvertedIndex.autoIndexType(d, "n_chars", cap)).as("auto_nchars"))
+      lit(InvertedIndex.autoIndexType(d, "text", cap, knownCard = Some(cText)))
+        .as("auto_text"),
+      lit(InvertedIndex.autoIndexType(d, "n_chars", cap, knownCard = Some(cNchars)))
+        .as("auto_nchars"))
   }
 
   // ---- §2.6 NGRAM index + fused multi-LIKE (NgramInvertedIndex.cpp) ----
