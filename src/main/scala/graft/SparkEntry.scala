@@ -27,14 +27,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ graft.queries.SearchQueries.all ++
       graft.queries.TextQueries.all ++ graft.queries.WriteQueries.all ++
-      graft.queries.ExtraQueries.all ++ graft.queries.LifecycleQueries.all
+      graft.queries.ExtraQueries.all ++ graft.queries.LifecycleQueries.all ++
+      graft.queries.FunctionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracles ++ graft.queries.SearchQueries.oracles ++
       graft.queries.TextQueries.oracles ++ graft.queries.WriteQueries.oracles ++
-      graft.queries.ExtraQueries.oracles ++ graft.queries.LifecycleQueries.oracles
+      graft.queries.ExtraQueries.oracles ++ graft.queries.LifecycleQueries.oracles ++
+      graft.queries.FunctionQueries.oracles
 }
 
 /** The operator-coverage query suite (grows with SURVEY.md §2). */
