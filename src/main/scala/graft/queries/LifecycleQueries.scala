@@ -207,6 +207,75 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Collection TTL (reference: docs/user_guides/collection_ttl.md +
+    * exec/expression/EntityTTLTest.cpp — rows older than the
+    * collection's ttl relative to the read timestamp are invisible to
+    * every read, enforced in the MVCC visibility pass, not by a
+    * background purge): open events as a collection, read with a 7-day
+    * TTL, aggregate the surviving rows. The oracle recomputes the same
+    * horizon cut in SQL. The TTL predicate is `ts + ttl > readTs` — a
+    * pushdown-friendly range filter, so at 100 TB the scan prunes whole
+    * time-ordered row groups.
+    */
+  def ttlVisibility(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val c = Collection.open(s,
+      CollectionSchema(pkField = "event_id", tsField = "ts"), s"$dir/events.parquet")
+    val ttlNs = 7L * 86400L * 1000000000L // 7 days in the ts column's ns domain
+    c.readView(ttl = Some(lit(ttlNs)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Row-level security enforced through the facade (reference: design
+    * doc 20250610-rls_design.md — per-collection policies whose
+    * using_expr filters every read, `$current_user_name` /
+    * `$current_user_tags['k']` resolved from the caller's context):
+    * two policies — a tag-scoped `lang` restriction and an
+    * identity-gated clause — both must pass (AND fold). The oracle pins
+    * the exact visible-row set for the caller's scope, making RLS a
+    * hard driver gate rather than a ScalaTest assertion.
+    */
+  def rlsRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, Rls}
+    val path = s"/tmp/graft_rls_${tag(dir)}"
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), lit(1L).as("_ts"))
+      .write.mode("overwrite").parquet(path)
+    val c = Collection.open(s,
+      CollectionSchema(pkField = "doc_id", tsField = "_ts"), path)
+    c.enableRls(Seq(
+      """lang == $current_user_tags['lang_scope']""",
+      """$current_user_name != "blocked""""))
+    c.setUser(Rls.UserContext("alice", Map("lang_scope" -> "en")))
+    c.readView()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(length(col("text"))).as("sum_len"))
+      .orderBy(col("lang"))
+  }
+
+  /** Truncate (reference: 20260129-truncate_collection.md — clear all
+    * rows, keep schema/config; a metadata ts-horizon cut, no rewrite):
+    * open events, truncate, then re-insert a bounded slice; the read
+    * view must contain EXACTLY the post-truncate inserts — pre-truncate
+    * rows gone, new writes unaffected. Oracle recomputes the insert
+    * slice alone.
+    */
+  def truncateCut(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val c = Collection.open(s,
+      CollectionSchema(pkField = "event_id", tsField = "ts"), s"$dir/events.parquet")
+    c.truncate()
+    val ev = t(s, dir, "events")
+    c.insert(ev.filter(col("event_id") < 1000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props")))
+    c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Partial-update array field ops (FieldOp.array_append /
     * array_remove, test_milvus_client_partial_update_array_op.py): base
     * rows carry each user's pre-cutoff event types twice; one upsert per
@@ -233,6 +302,9 @@ object LifecycleQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ttl_visibility" -> (ttlVisibility _),
+    "q_rls_read" -> (rlsRead _),
+    "q_truncate" -> (truncateCut _),
     "q_upsert_array_ops" -> (upsertArrayOps _),
     "q_collection_e2e" -> (collectionE2e _),
     "q_stream_ingest" -> (streamIngest _),
@@ -245,6 +317,19 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ttl_visibility" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rls_read" ->
+      """SELECT lang, count(*) AS cnt, sum(length(text)) AS sum_len
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_truncate" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 1000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_upsert_array_ops" ->
       """WITH pre AS (SELECT user_id, list_sort(list(event_type)) AS t
         |             FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
