@@ -189,6 +189,21 @@ object ExtraQueries {
       .limit(20)
   }
 
+  /** SPARSE_WAND (util_index.go:32-46): term-upper-bound pruned sparse
+    * top-k over a real inverted postings index — a rare high-weight term
+    * ('dup', df≈5% of docs) plus common low-weight terms makes the
+    * MaxScore split prune the common postings from candidate generation;
+    * results must equal brute force (the oracle scores every doc).
+    */
+  def sparseWand(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SparseWand
+    val weights = Map("dup" -> 10.0, "spark" -> 0.3, "window" -> 0.3, "sort" -> 0.2)
+    val idx = SparseWand.build(t(s, dir, "documents"), "doc_id",
+      SparseFunctions.termFreqs(TextFunctions.tokenize(col("text"))))
+    SparseWand.search(idx, weights, k = 10, roundTo = Some(4))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   // ---- §1.2 VECTOR_ARRAY / EmbList + MAX_SIM metric (plan.proto:51-54) ----
 
   /** One multi-vector query (2 vectors) against multi-vector "documents"
@@ -816,6 +831,7 @@ object ExtraQueries {
     "q_array_exists" -> (arrayExists _),
     "q_element_filter" -> (elementFilter _),
     "q_sparse_topk" -> (sparseTopk _),
+    "q_sparse_wand" -> (sparseWand _),
     "q_maxsim" -> (maxSim _),
     "q_anti_join" -> (antiJoin _),
     "q_analyzer_terms" -> (analyzerTerms _),
@@ -1151,6 +1167,15 @@ object ExtraQueries {
         |  + 1.0 * len(list_filter(string_split(text, ' '), t -> t = 'spark'))
         |  + 0.5 * len(list_filter(string_split(text, ' '), t -> t = 'table')) > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_sparse_wand" ->
+      """WITH s AS (SELECT doc_id,
+        |  round(10.0 * len(list_filter(string_split(text, ' '), t -> t = 'dup'))
+        |  + 0.3 * len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+        |  + 0.3 * len(list_filter(string_split(text, ' '), t -> t = 'window'))
+        |  + 0.2 * len(list_filter(string_split(text, ' '), t -> t = 'sort')), 4) AS score
+        |FROM documents)
+        |SELECT doc_id, score FROM s WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_maxsim" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 2),

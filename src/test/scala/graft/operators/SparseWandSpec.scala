@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{SparseFunctions, TextFunctions}
+
+/** SPARSE_WAND: pruned top-k must equal brute force, and the pruning
+  * must actually skip postings at practical thresholds.
+  */
+class SparseWandSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: 'rare' appears in 4 docs with high tf; filler terms everywhere
+  private lazy val docs = (0L until 200L).map { i =>
+    val rare = if (i % 50 == 0) "rare rare rare " else ""
+    val text = rare + s"alpha beta ${if (i % 2 == 0) "gamma" else "delta"} alpha"
+    (i, text)
+  }.toDF("doc_id", "text")
+
+  private lazy val idx = SparseWand.build(docs, "doc_id",
+    SparseFunctions.termFreqs(TextFunctions.tokenize(col("text"))))
+
+  private val query = Map("rare" -> 5.0, "alpha" -> 0.4, "gamma" -> 0.3)
+
+  test("postings index carries per-term max weights and df") {
+    val bounds = idx.termBounds.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(bounds("rare") == ((3.0, 4L)))   // tf 3 in 4 docs
+    assert(bounds("alpha") == ((2.0, 200L)))
+    assert(bounds("gamma")._2 == 100L)
+  }
+
+  test("essential split prunes common terms at a practical threshold") {
+    val (essential, theta) = SparseWand.essentialSplit(idx, query, k = 4)
+    // θ = 4th best 'rare' contribution = 3·5.0 = 15; UB(alpha)+UB(gamma)
+    // = 0.8 + 0.9 < 15, so only 'rare' is essential
+    assert(theta == 15.0)
+    assert(essential == Seq("rare"))
+    // candidate generation touches 4 docs, not the 200 matching 'alpha'
+    val candidates = idx.postings
+      .filter(col("term").isin(essential: _*))
+      .select(col("doc_id")).distinct().count()
+    assert(candidates == 4)
+  }
+
+  test("pruned search equals exhaustive brute force") {
+    val pruned = SparseWand.search(idx, query, k = 4)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    val brute = SparseWand.search(idx, query, k = 4, exhaustive = true)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned == brute)
+    assert(pruned.map(_._1) == Seq(0L, 50L, 100L, 150L))
+    // rare 3·5.0 + alpha 2·0.4 + gamma tf1·0.3 (docs 0,50,100,150 even)
+    assert(pruned.head._2 == 15.0 + 0.8 + 0.3)
+  }
+
+  test("k larger than the best term's postings falls back to exhaustive") {
+    val (essential, theta) = SparseWand.essentialSplit(idx, query, k = 10)
+    assert(theta == 0.0)
+    assert(essential == query.keys.toSeq.sorted)
+    val hits = SparseWand.search(idx, query, k = 10)
+    assert(hits.count() == 10)
+  }
+
+  test("query with no indexed terms returns empty") {
+    assert(SparseWand.search(idx, Map("zzz" -> 1.0), k = 5).count() == 0)
+  }
+}
