@@ -43,6 +43,15 @@ object Analyzers {
     * else as `standard`. Mixed-script text yields both token kinds.
     */
   case object LangIdent extends Tokenizer
+  /** Dictionary-free jieba-style CJK segmentation (reference:
+    * tokenizers/jieba_tokenizer.rs — jieba's search mode emits words AND
+    * their sub-grams; without the frequency dictionary the standard
+    * fallback is every unigram plus every bigram of a CJK run: bigram
+    * precision with unigram recall, so single-character words — most of
+    * the function-word vocabulary — stay findable). Non-CJK text
+    * tokenizes as `standard`, like [[LangIdent]].
+    */
+  case object CjkMixed extends Tokenizer
 
   sealed trait Filter
   case object Lowercase extends Filter
@@ -85,13 +94,25 @@ object Analyzers {
       }: _*))
     case CharGroup(ds)  => filter(split(c, regexClass(ds)), t => t =!= "")
     case LangIdent      =>
-      val cjkClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
-      val latin = TextFunctions.tokenize(regexp_replace(c, cjkClass, " "))
-      val runs = regexp_extract_all(c, lit(cjkClass + "+"), lit(0))
-      val grams = flatten(transform(runs, run =>
+      cjkDispatch(c, run =>
         when(length(run) === 1, array(run)).otherwise(
-          transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2))))))
-      concat(latin, grams)
+          transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2)))))
+    case CjkMixed       =>
+      cjkDispatch(c, run => concat(
+        transform(sequence(lit(1), length(run)), i => run.substr(i, lit(1))),
+        when(length(run) > 1,
+          transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))))
+  }
+
+  /** Script-aware split: non-CJK spans tokenize as `standard`; each
+    * maximal CJK run feeds `gramsOf`. Mixed-script text yields both.
+    */
+  private def cjkDispatch(c: Column, gramsOf: Column => Column): Column = {
+    val cjkClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
+    val latin = TextFunctions.tokenize(regexp_replace(c, cjkClass, " "))
+    val runs = regexp_extract_all(c, lit(cjkClass + "+"), lit(0))
+    concat(latin, flatten(transform(runs, gramsOf)))
   }
 
   private val DigitFrom =
@@ -137,10 +158,15 @@ object Analyzers {
       case "ngram"      => Ngram(
         params.getOrElse("min_gram", "1").toInt, params.getOrElse("max_gram", "2").toInt)
       case "char_group" => CharGroup(params.getOrElse("delims", " ").toSeq)
-      case "lang_ident" => LangIdent
+      case "lang_ident" =>
+        if (params.get("cjk_mode").contains("mixed")) CjkMixed else LangIdent
+      // jieba without its frequency dictionary = search-mode gram
+      // emission; lindera/icu/thai stay rejected (no dictionary-free
+      // fallback exists for those segmenters)
+      case "jieba"      => CjkMixed
       case other        => throw new IllegalArgumentException(
-        s"tokenizer '$other' not supported (jieba/lindera/icu/thai need dictionary assets; " +
-          "lang_ident covers CJK via char bigrams)")
+        s"tokenizer '$other' not supported (lindera/icu/thai need dictionary assets; " +
+          "lang_ident covers CJK via char bigrams, jieba via mixed uni+bigrams)")
     }
     val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil).map {

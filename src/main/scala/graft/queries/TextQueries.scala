@@ -184,6 +184,26 @@ object TextQueries {
       .orderBy(col("df").desc, col("term")).limit(20)
   }
 
+  /** Jieba-style dictionary-free CJK segmentation (jieba_tokenizer.rs;
+    * search-mode gram emission = every unigram + every bigram per Han
+    * run). The corpus is synthetic ASCII, so the fixture maps a-z onto
+    * 26 Han codepoints deterministically — the analyzer then sees real
+    * multi-character Han runs; term counts over the emitted grams are
+    * recomputed by the oracle with the same mapping.
+    */
+  def analyzerCjk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents").filter(col("lang") === "zh")
+    val han = HanAlphabet
+    val cjkText = translate(
+      regexp_replace(col("text"), "[^a-z ]", ""),
+      "abcdefghijklmnopqrstuvwxyz", han)
+    val toks = Analyzers.analyzeWith(cjkText, Map("tokenizer" -> "jieba"))
+    d.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(30)
+  }
+
   /** ngram tokenizer (tantivy ngram_tokenizer_with_chars.rs): total
     * occurrence counts of the hottest character trigrams.
     */
@@ -299,14 +319,37 @@ object TextQueries {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_text_match" -> (textMatch _),
     "q_analyzer_chargroup" -> (analyzerCharGroup _),
-    "q_analyzer_ngram" -> (analyzerNgram _)
+    "q_analyzer_ngram" -> (analyzerNgram _),
+    "q_analyzer_cjk" -> (analyzerCjk _)
   )
+
+  /** 26 Han codepoints standing in for a-z in the CJK analyzer fixture
+    * (shared between the Spark query and its DuckDB oracle).
+    */
+  private val HanAlphabet =
+    "的一是不了人我在有他" +
+    "这中大来上国个到说们" +
+    "为子和你地出"
 
   private val langValues = TextFunctions.LangMarkers.toSeq.sortBy(_._1).map {
     case (lang, words) => s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_analyzer_cjk" ->
+      s"""WITH runs AS (
+        |  SELECT unnest(string_split(translate(regexp_replace(text, '[^a-z ]', '', 'g'),
+        |    'abcdefghijklmnopqrstuvwxyz', '$HanAlphabet'), ' ')) AS run
+        |  FROM documents WHERE lang = 'zh'),
+        |toks AS (
+        |  SELECT unnest(list_concat(
+        |    list_transform(range(1, length(run) + 1), i -> substr(run, CAST(i AS INT), 1)),
+        |    CASE WHEN length(run) > 1
+        |      THEN list_transform(range(1, length(run)), i -> substr(run, CAST(i AS INT), 2))
+        |      ELSE CAST([] AS VARCHAR[]) END)) AS term
+        |  FROM runs WHERE run <> '')
+        |SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |ORDER BY cnt DESC, term LIMIT 30""".stripMargin,
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 5

@@ -47,8 +47,29 @@ class AnalyzersSpec extends SparkSpec {
       "filters" -> "lowercase")).as("toks")).as[Seq[String]].head()
     assert(viaMap == Seq("one", "two", "three"))
     intercept[IllegalArgumentException] {
-      analyzeWith(col("t"), Map("tokenizer" -> "jieba"))
+      analyzeWith(col("t"), Map("tokenizer" -> "lindera"))
     }
+  }
+
+  test("jieba (dictionary-free): CJK runs emit unigrams AND bigrams") {
+    // search-mode gram emission: n unigrams + (n-1) bigrams per run
+    assert(run("中文分词", Analyzers.CjkMixed) ==
+      Seq("中", "文", "分", "词",
+        "中文", "文分", "分词"))
+    // single-char run: unigram only, no empty bigram slots
+    assert(run("single 字 char", Analyzers.CjkMixed) ==
+      Seq("single", "char", "字"))
+    // param-map: "jieba" resolves to the mixed mode; lang_ident opts in
+    // via cjk_mode=mixed
+    val viaJieba = Seq("中文 ok").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "jieba")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaJieba == Seq("ok", "中", "文", "中文"))
+    val viaMode = Seq("中文 ok").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"),
+        Map("tokenizer" -> "lang_ident", "cjk_mode" -> "mixed")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaMode == viaJieba)
   }
 
   test("lang_ident: CJK runs become char bigrams, latin stays standard") {
