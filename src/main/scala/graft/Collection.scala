@@ -112,6 +112,20 @@ final class Collection private (
             struct_.add(org.apache.spark.sql.types.StructField(schema.pkField, LongType)))
       }
     growing = Some(growing.map(_.unionByName(withPk)).getOrElse(withPk))
+    // growing-segment interim index (reference IVFFLAT_CC,
+    // segcore/IndexConfigGenerator.cpp:37): batches arriving after an
+    // index build are centroid-assigned ON INGEST against the sealed
+    // index's codebook (map-only, no retrain) and cached per batch, so
+    // searchIndexed probe-prunes the tail instead of brute-forcing it
+    indexes = indexes.map { case (f, st) =>
+      if (!withPk.columns.contains(f)) f -> st
+      else {
+        val asg = withPk
+          .withColumn("_cluster", graft.operators.IvfIndex.assign(st.model, col(f)))
+          .persist() // lazy: materializes on first search, reused after
+        f -> st.copy(interim = Some(st.interim.map(_.unionByName(asg)).getOrElse(asg)))
+      }
+    }
     lastWriteTs = ts
     ts
   }
@@ -510,21 +524,32 @@ final class Collection private (
     * clustered layout still physically holds the rows, so the mask must
     * persist with the index (the on-segment delete bitset analogue).
     */
+  /** `interim`: the growing-tail interim index (IVFFLAT_CC analogue) —
+    * post-build inserts centroid-assigned on ingest, all versions; the
+    * read path narrows it to current-visible rows by (pk, ts).
+    */
   private final case class IndexState(
       model: graft.operators.IvfIndex.Model,
       clustered: DataFrame,
       buildTs: Long,
-      foldedTombPks: Option[DataFrame] = None)
+      foldedTombPks: Option[DataFrame] = None,
+      interim: Option[DataFrame] = None)
   @volatile private var indexes: Map[String, IndexState] = Map.empty
+
+  /** Test hook: the interim (growing-tail) cluster assignments for a
+    * field's index, if any post-build inserts landed.
+    */
+  private[graft] def interimLayout(vectorField: String): Option[DataFrame] =
+    indexes.get(vectorField).flatMap(_.interim)
 
   /** CreateIndex (reference DDL → datacoord index build): train an IVF
     * codebook on the collection's visible view and persist the
     * clustered layout. Writes AFTER the build don't invalidate it — the
     * reference's exact read model applies: the indexed (sealed) side is
     * searched through the index with post-build changes masked out (the
-    * delete-bitset analogue), the post-build tail is brute-forced (the
-    * growing-segment interim path), and the two hit lists reduce
-    * together.
+    * delete-bitset analogue), the post-build tail is served through the
+    * interim index its inserts built on ingest (IVFFLAT_CC — brute force
+    * only if no insert landed), and the two hit lists reduce together.
     */
   def createIndex(vectorField: String, nlist: Int, trainSample: Int = 10000): Unit = {
     require(schema.vectorFields.contains(vectorField),
@@ -576,8 +601,21 @@ final class Collection private (
       st.clustered.join(changed.distinct(), Seq(schema.pkField), "left_anti"))
     val idxHits = IvfIndex.search(indexSide, schema.pkField, vectorField, st.model,
       queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
-    val tailHits = VectorSearch.topK(tail, schema.pkField, vectorField,
-      queries, "qid", "qvec", metric, k, outputCols = out, roundTo = roundTo)
+    // tail side: serve through the interim index when ingest built one
+    // (probe-pruned like the sealed side); brute force only as fallback.
+    // The interim holds ALL post-build versions — the (pk, ts) semi-join
+    // against the scoped visible tail applies MVCC + RLS in one pass.
+    val tailHits = st.interim match {
+      case Some(asg) =>
+        val visibleAsg = asg.join(
+          tail.select(col(schema.pkField), col(schema.tsField)),
+          Seq(schema.pkField, schema.tsField), "left_semi")
+        IvfIndex.search(visibleAsg, schema.pkField, vectorField, st.model,
+          queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
+      case None =>
+        VectorSearch.topK(tail, schema.pkField, vectorField,
+          queries, "qid", "qvec", metric, k, outputCols = out, roundTo = roundTo)
+    }
     // cross-segment reduce: hits already carry _score — re-reduce to k
     VectorSearch.reduceTopK(
       idxHits.drop("rank").unionByName(tailHits.drop("rank")),

@@ -200,6 +200,37 @@ class CollectionSpec extends SparkSpec {
     assert(!pks.contains(8L) && !pks.contains(61L))
   }
 
+  test("growing-tail interim index: ingest assigns clusters, search probe-prunes the tail") {
+    val c = fresh()
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    assert(c.interimLayout("emb").isEmpty) // nothing post-build yet
+    c.insert(mkRows(100L until 140L))
+    c.insert(mkRows(140L until 160L))
+    // both post-build batches are centroid-assigned on ingest
+    val asg = c.interimLayout("emb").get
+    assert(asg.count() == 60)
+    assert(asg.columns.contains("_cluster"))
+    val nClusters = asg.select($"_cluster").distinct().count()
+    assert(nClusters > 1 && nClusters <= 4) // genuinely spread over the codebook
+    // recall at practical nprobe: a tail row's own vector must come back
+    // at rank 1 (its assigned cluster IS the query's nearest centroid).
+    // pk 155: vec() aliases mod 97, and 155 % 97 = 58 collides with no
+    // sealed row (0-49) or other tail row — the match is unique.
+    val qs = Seq((0L, vec(155))).toDF("qid", "qvec")
+    val hits = c.searchIndexed("emb", qs, k = 3, nprobe = 1, metric = Metric.L2)
+    assert(hits.filter($"rank" === 1).select($"pk").as[Long].head() == 155L)
+    // exhaustive probes == brute force, tail upserts/deletes included
+    c.upsert(Seq((110L, vec(999), "doc 110 v2", 0L)).toDF("pk", "emb", "txt", "grp"))
+    c.delete("pk == 150")
+    val qs2 = Seq((0L, vec(7)), (1L, vec(145))).toDF("qid", "qvec")
+    val got = c.searchIndexed("emb", qs2, k = 8, nprobe = 4, metric = Metric.L2)
+      .select($"qid", $"rank", $"pk").collect().toSet
+    val want = c.search("emb", qs2, k = 8, metric = Metric.L2, outputFields = Seq("pk"))
+      .select($"qid", $"rank", $"pk").collect().toSet
+    assert(got == want)
+    assert(!got.map(_.getLong(2)).contains(150L))
+  }
+
   test("truncate clears data but keeps the collection usable") {
     val c = fresh()
     c.createIndex("emb", nlist = 2)
