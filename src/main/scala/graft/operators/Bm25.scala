@@ -93,6 +93,82 @@ object Bm25 {
       .agg(sum(col("_part")).as("_score"))
   }
 
+  /** Incrementally-maintained BM25 statistics (reference: the
+    * delegator's idf_oracle, internal/querynodev2/delegator/
+    * idf_oracle.go:64-96 — global df/avgdl updated as segments ingest,
+    * never recomputed from the full corpus). Each [[ingest]] batch
+    * contributes one batch-local aggregate pass:
+    *
+    *  - per-term df deltas, merged into the running (term, df) table by
+    *    a full-outer sum (vocabulary-sized, localCheckpoint'ed so the
+    *    merge lineage stays O(1) deep across batches);
+    *  - (n_docs, Σdl) deltas, folded into two driver-side scalars;
+    *  - the batch's postings, appended (scoring needs them anyway).
+    *
+    * [[model]] assembles a standard [[Model]] whose scores are exactly
+    * what a full rebuild over everything ingested so far would produce —
+    * the freshness contract a streaming BM25 needs: inserting a batch
+    * shifts every IDF immediately, at batch-sized cost. Attach to a
+    * [[graft.streaming.Streaming.dedupedIngest]] stream via [[attachTo]].
+    */
+  final class Bm25Incremental(idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75) {
+    private var postings: Option[DataFrame] = None
+    private var termDf: Option[DataFrame] = None // (term, df)
+    private var nDocs: Long = 0L
+    private var sumDl: Double = 0.0
+
+    def ingest(batch: DataFrame): Unit = synchronized {
+      val m = buildFromTokens(batch, idCol, TextFunctions.tokenize(col(textCol)), k1, b)
+      // pin the batch's postings NOW (micro-batch frames are only valid
+      // inside their trigger) and keep the union lineage shallow
+      val batchPost = m.postings.localCheckpoint(true)
+      val batchDf = batchPost.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("_df_delta"))
+      termDf = Some(termDf match {
+        case None => batchDf.select(col("term"), col("_df_delta").as("df")).localCheckpoint(true)
+        case Some(prev) => prev
+          .join(batchDf, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0.0)) + coalesce(col("_df_delta"), lit(0.0))).as("df"))
+          .localCheckpoint(true)
+      })
+      // deltas over the BATCH, not its postings: a zero-token doc still
+      // counts toward n_docs/avgdl, exactly as a full rebuild would
+      val Array(nDelta, dlDelta) = batch
+        .select(size(TextFunctions.tokenize(col(textCol))).cast("double").as("_dl"))
+        .agg(count(lit(1)).cast("double"), coalesce(sum(col("_dl")), lit(0.0)))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      nDocs += nDelta.toLong
+      sumDl += dlDelta
+      postings = Some(postings.map(_.unionByName(batchPost)).getOrElse(batchPost))
+    }
+
+    /** The current global model — identical scores to a full rebuild. */
+    def model: Model = synchronized {
+      val post = postings.getOrElse(
+        throw new IllegalStateException("no batches ingested yet"))
+      val globals = post.sparkSession
+        .sql(s"SELECT CAST($nDocs AS DOUBLE) AS n_docs, " +
+          s"CAST(${if (nDocs == 0) 0.0 else sumDl / nDocs} AS DOUBLE) AS avgdl")
+      Model(post, termDf.get, globals, idCol, k1, b)
+    }
+
+    /** Feed from a streaming source (typically the output of
+      * [[graft.streaming.Streaming.dedupedIngest]]).
+      */
+    def attachTo(stream: DataFrame, checkpoint: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          ingest(batch)
+          ()
+        }
+        .start()
+  }
+
   /** Full-text top-k search. Output: (idCol, rank, _score), best-first. */
   def search(model: Model, query: String, k: Int, roundTo: Option[Int] = None): DataFrame =
     searchTerms(model, TextFunctions.tokenizeString(query), k, roundTo)
