@@ -127,6 +127,7 @@ final class Collection private (
       }
     }
     lastWriteTs = ts
+    invalidateFilterCache()
     ts
   }
 
@@ -146,6 +147,7 @@ final class Collection private (
       .localCheckpoint(true)
     tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))
     lastWriteTs = ts
+    invalidateFilterCache()
     ts
   }
 
@@ -160,6 +162,7 @@ final class Collection private (
         org.apache.spark.sql.types.StructField(schema.tsField, LongType))))
     tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
     lastWriteTs = ts
+    invalidateFilterCache()
     ts
   }
 
@@ -283,6 +286,7 @@ final class Collection private (
     tombs = None
     indexes = Map.empty
     lastWriteTs = ts
+    invalidateFilterCache()
     ts
   }
 
@@ -358,6 +362,59 @@ final class Collection private (
     val visible = Mvcc.visible(raw, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
     Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
+  }
+
+  // ---- compiled-filter result cache (reference: exec/expression/
+  // ExprCache.cpp — per-segment cache of filter result bitsets keyed by
+  // the expression, dropped when the segment's data changes). Spark
+  // shape: the cached artifact is the persisted FILTERED MVCC view (the
+  // bitset's moral equivalent — projections layer on top and share it).
+  // The key embeds the write-ts and the caller's RLS scope, so a write
+  // or a different principal can never see a stale or foreign result;
+  // writes also eagerly unpersist every entry (memory hygiene — the
+  // ts-in-key already guarantees correctness).
+  private val filterCache =
+    scala.collection.mutable.LinkedHashMap.empty[(String, Long, String), DataFrame]
+  private val filterCacheCapacity = 16
+  private var filterHits = 0L
+  private var filterMisses = 0L
+  private[graft] def filterCacheStats: (Long, Long) =
+    stateLock.synchronized((filterHits, filterMisses))
+
+  private def invalidateFilterCache(): Unit = {
+    filterCache.valuesIterator.foreach(_.unpersist())
+    filterCache.clear()
+  }
+
+  /** [[query]] through the filter-result cache: a repeated filter at an
+    * unchanged write-ts reuses the persisted filtered view instead of
+    * re-scanning (the reference's repeated-filter fast path).
+    */
+  def queryCached(
+      filterExpr: String,
+      outputFields: Seq[String],
+      limit: Int = -1,
+      orderBy: Seq[Column] = Nil): DataFrame = {
+    val base = stateLock.synchronized {
+      val scope = rlsPolicies.mkString(";") + "|" + currentUser.toString
+      val key = (filterExpr, lastWriteTs, scope)
+      filterCache.get(key) match {
+        case Some(df) => filterHits += 1; df
+        case None =>
+          filterMisses += 1
+          val df = readView().filter(compiled(filterExpr)).persist()
+          filterCache.put(key, df)
+          while (filterCache.size > filterCacheCapacity) { // FIFO eviction
+            val (k, old) = filterCache.head
+            old.unpersist()
+            filterCache.remove(k)
+          }
+          df
+      }
+    }
+    val projected = base.select(outputFields.map(col): _*)
+    val sorted = if (orderBy.nonEmpty) projected.orderBy(orderBy: _*) else projected
+    if (limit > 0) sorted.limit(limit) else sorted
   }
 
   private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =

@@ -231,6 +231,32 @@ class CollectionSpec extends SparkSpec {
     assert(!got.map(_.getLong(2)).contains(150L))
   }
 
+  test("filter-result cache: repeated filters hit, writes invalidate, RLS scopes split") {
+    val c = fresh()
+    val r1 = c.queryCached("grp == 2", Seq("pk")).as[Long].collect().sorted
+    assert(c.filterCacheStats == ((0L, 1L))) // cold: miss
+    val r2 = c.queryCached("grp == 2", Seq("pk")).as[Long].collect().sorted
+    assert(c.filterCacheStats == ((1L, 1L))) // warm: hit, same write-ts
+    assert(r1.toSeq == r2.toSeq)
+    // different projection over the same filter still hits (the cached
+    // artifact is the filtered view, not the projected result)
+    c.queryCached("grp == 2", Seq("pk", "txt"))
+    assert(c.filterCacheStats == ((2L, 1L)))
+    // a write advances the ts → same expression misses and sees new rows
+    c.insert(Seq((500L, vec(500), "doc 500", 2L)).toDF("pk", "emb", "txt", "grp"))
+    val r3 = c.queryCached("grp == 2", Seq("pk")).as[Long].collect().sorted
+    assert(c.filterCacheStats == ((2L, 2L)))
+    assert(r3.length == r1.length + 1 && r3.contains(500L))
+    // a different RLS principal never shares a cached entry
+    c.enableRls(Seq("grp == $current_user_tags['g']"))
+    c.setUser(Rls.UserContext("alice", Map("g" -> "2")))
+    val alice = c.queryCached("pk >= 0", Seq("pk")).as[Long].collect().toSet
+    c.setUser(Rls.UserContext("bob", Map("g" -> "3")))
+    val bob = c.queryCached("pk >= 0", Seq("pk")).as[Long].collect().toSet
+    assert(c.filterCacheStats == ((2L, 4L))) // two scope-distinct misses
+    assert(alice.intersect(bob).isEmpty && alice.nonEmpty && bob.nonEmpty)
+  }
+
   test("truncate clears data but keeps the collection usable") {
     val c = fresh()
     c.createIndex("emb", nlist = 2)
