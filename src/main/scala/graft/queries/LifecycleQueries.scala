@@ -276,6 +276,54 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Filter-result cache (ExprCache.cpp analogue): the same compiled
+    * filter runs twice through queryCached — the second read must be a
+    * cache hit (asserted in-query; a miss fails the whole entry) and
+    * the returned rows must equal the plain SQL filter.
+    */
+  def exprCacheRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val c = Collection.open(s,
+      CollectionSchema(pkField = "event_id", tsField = "ts"), s"$dir/events.parquet")
+    val expr = """value >= 50.0 and event_type == "click""""
+    val out = Seq("event_id", "user_id", "value")
+    c.queryCached(expr, out).write.format("noop").mode("overwrite").save() // warm
+    val r = c.queryCached(expr, out) // must hit
+    val (hits, misses) = c.filterCacheStats
+    require(hits == 1L && misses == 1L,
+      s"filter cache did not hit: hits=$hits misses=$misses")
+    r.select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Growing-tail interim index end-to-end (IVFFLAT_CC): seal the
+    * embeddings table, build an IVF index, then insert a shifted copy of
+    * the first 200 vectors as post-build tail; searchIndexed at
+    * nprobe = nlist is exact, so the hits must equal brute-force top-k
+    * over the sealed ∪ tail union — which the oracle recomputes. Ties
+    * (each tail vector duplicates a sealed one) break by pk ascending on
+    * both sides.
+    */
+  def interimSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    import graft.functions.Metric
+    val path = s"/tmp/graft_interim_${tag(dir)}"
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id"), col("embedding"), lit(1L).as("_ts"))
+      .write.mode("overwrite").parquet(path)
+    val c = Collection.open(s,
+      CollectionSchema(pkField = "vec_id", vectorFields = Map("embedding" -> 0)), path)
+    c.createIndex("embedding", nlist = 8, trainSample = 2000)
+    c.insert(emb.filter(col("vec_id") < 200)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    c.searchIndexed("embedding", qs, k = 10, nprobe = 8,
+        metric = Metric.L2, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Partial-update array field ops (FieldOp.array_append /
     * array_remove, test_milvus_client_partial_update_array_op.py): base
     * rows carry each user's pre-cutoff event types twice; one upsert per
@@ -305,6 +353,8 @@ object LifecycleQueries {
     "q_ttl_visibility" -> (ttlVisibility _),
     "q_rls_read" -> (rlsRead _),
     "q_truncate" -> (truncateCut _),
+    "q_expr_cache" -> (exprCacheRead _),
+    "q_interim_search" -> (interimSearch _),
     "q_upsert_array_ops" -> (upsertArrayOps _),
     "q_collection_e2e" -> (collectionE2e _),
     "q_stream_ingest" -> (streamIngest _),
@@ -330,6 +380,25 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 1000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_expr_cache" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 50.0 AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "q_interim_search" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 200),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, a.vec_id,
+        |        round(power(list_distance(CAST(a.embedding AS DOUBLE[]), q.qvec), 2), 4)
+        |          AS score
+        |      FROM q CROSS JOIN all_v a),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_upsert_array_ops" ->
       """WITH pre AS (SELECT user_id, list_sort(list(event_type)) AS t
         |             FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'

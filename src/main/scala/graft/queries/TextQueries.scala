@@ -236,6 +236,21 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Streaming-freshness BM25 (idf_oracle.go:64-96): the corpus ingests
+    * in four micro-batch-sized increments through Bm25Incremental —
+    * (df, avgdl) merge per batch, never a full recompute — and the final
+    * scores must equal the oracle's whole-corpus BM25.
+    */
+  def bm25Stream(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inc = new graft.operators.Bm25.Bm25Incremental("doc_id", "text")
+    (0 until 4).foreach(b => inc.ingest(docs.filter(pmod(col("doc_id"), lit(4)) === b)))
+    graft.operators.Bm25
+      .searchTerms(inc.model, Seq("merge", "batch", "key"), k = 15, roundTo = Some(4))
+      .select(col("doc_id"), col("rank"), col("_score").as("score"))
+      .orderBy(col("rank"))
+  }
+
   /** Multi-analyzer BM25 (multi_analyzer_bm25_function.go): German docs
     * tokenized with a char_group analyzer, everything else with the
     * standard analyzer — ONE shared statistics build and search.
@@ -305,6 +320,7 @@ object TextQueries {
     "q_pii_scrub" -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_bm25" -> (bm25 _),
+    "q_bm25_stream" -> (bm25Stream _),
     "q_bm25_multilang" -> (bm25Multilang _),
     "q_text_stats" -> (textStats _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
@@ -443,6 +459,24 @@ object TextQueries {
          |stats AS (SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term),
          |g AS (SELECT count(*) * 1.0 AS n, avg(len(t) * 1.0) AS avgdl FROM toks),
          |q(term) AS (VALUES ('filter'), ('window'), ('stream')),
+         |s AS (SELECT tf.doc_id,
+         |        sum(ln(1.0 + (g.n - st.df + 0.5) / (st.df + 0.5)) *
+         |            tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl)))
+         |          AS score
+         |      FROM tf JOIN q USING (term) JOIN stats st USING (term) CROSS JOIN g
+         |      GROUP BY tf.doc_id),
+         |r AS (SELECT doc_id, round(score, 4) AS score,
+         |        row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+         |      FROM s)
+         |SELECT doc_id, rank, score FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    "q_bm25_stream" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
+         |       FROM dt GROUP BY doc_id, term),
+         |stats AS (SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term),
+         |g AS (SELECT count(*) * 1.0 AS n, avg(len(t) * 1.0) AS avgdl FROM toks),
+         |q(term) AS (VALUES ('merge'), ('batch'), ('key')),
          |s AS (SELECT tf.doc_id,
          |        sum(ln(1.0 + (g.n - st.df + 0.5) / (st.df + 0.5)) *
          |            tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl)))
