@@ -18,12 +18,11 @@ import graft.functions.TextFunctions
   * LOWERCASED grams, so candidates are a superset of case-sensitive
   * matches — the refine step restores exactness.
   *
-  * This same candidate/refine path serves the substring queries the
-  * reference's FMINDEX (index/FMIndex.cpp) answers — an FM-index's
-  * compressed suffix structure is pointer-chasing-per-query and has no
-  * efficient distributed re-expression, while the gram postings table
-  * shards/prunes naturally, so NGRAM is deliberately the one substring
-  * index here.
+  * For the reference's FMINDEX workload — arbitrary-length substring
+  * queries answered from the index alone, including patterns shorter
+  * than the gram size — see [[SubstringIndex]] (positional grams +
+  * chain verification); this index keeps the lean distinct-gram form
+  * that the LIKE fast path wants.
   */
 object NgramIndex {
 

@@ -652,6 +652,23 @@ object ExtraQueries {
       .orderBy(col("id"))
   }
 
+  /** FMINDEX workload (index/FMIndex.cpp): arbitrary-length substring
+    * queries answered from the positional-gram index alone — a 2-char
+    * pattern (below the gram size, where NGRAM would full-scan), an
+    * 8-char chained pattern, and a chain across a word boundary. The
+    * oracle is the contains() scan each probe must equal.
+    */
+  def substringIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SubstringIndex
+    val d = t(s, dir, "documents")
+    val idx = SubstringIndex.build(d, "doc_id", "text")
+    Seq("up", "customer", "join batch")
+      .map(p => SubstringIndex.matchIds(idx, p)
+        .select(lit(p).as("pattern"), col("id").as("doc_id")))
+      .reduce(_ unionByName _)
+      .orderBy(col("pattern"), col("doc_id"))
+  }
+
   // ---- §2.6 HYBRID + AUTOINDEX dispatch (HybridScalarIndex.cpp) ----
 
   /** Hybrid dispatch measures cardinality and picks the physical index
@@ -810,6 +827,7 @@ object ExtraQueries {
     "q_phrase_index" -> (phraseIndex _),
     "q_pq_refine" -> (pqRefine _),
     "q_ngram_like" -> (ngramLike _),
+    "q_substring_index" -> (substringIndex _),
     "q_ngram_rule" -> (ngramRule _),
     "q_twostage_search" -> (twostageSearch _),
     "q_search_groupagg" -> (searchGroupagg _),
@@ -972,6 +990,13 @@ object ExtraQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
         |ORDER BY doc_id""".stripMargin,
+    "q_substring_index" ->
+      """SELECT 'up' AS pattern, doc_id FROM documents WHERE contains(text, 'up')
+        |UNION ALL
+        |SELECT 'customer', doc_id FROM documents WHERE contains(text, 'customer')
+        |UNION ALL
+        |SELECT 'join batch', doc_id FROM documents WHERE contains(text, 'join batch')
+        |ORDER BY pattern, doc_id""".stripMargin,
     "q_ngram_rule" ->
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%ecto%' AND text LIKE '%tream%'
