@@ -144,6 +144,33 @@ object Bm25 {
       postings = Some(postings.map(_.unionByName(batchPost)).getOrElse(batchPost))
     }
 
+    /** Release previously-ingested rows (the idf_oracle's segment-
+      * release path: a segment unloading DECREMENTS its df/avgdl
+      * contribution — reference idf_oracle.go `Remove`). `batch` must
+      * be the released rows with the same id/text columns; stats fold
+      * out exactly as they folded in, so the model again equals a full
+      * rebuild over what remains.
+      */
+    def release(batch: DataFrame): Unit = synchronized {
+      val m = buildFromTokens(batch, idCol, TextFunctions.tokenize(col(textCol)), k1, b)
+      val batchDf = m.postings.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("_df_delta"))
+      termDf = termDf.map(_.join(batchDf, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0.0)) - coalesce(col("_df_delta"), lit(0.0))).as("df"))
+        .filter(col("df") > 0.0)
+        .localCheckpoint(true))
+      val Array(nDelta, dlDelta) = batch
+        .select(size(TextFunctions.tokenize(col(textCol))).cast("double").as("_dl"))
+        .agg(count(lit(1)).cast("double"), coalesce(sum(col("_dl")), lit(0.0)))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      nDocs -= nDelta.toLong
+      sumDl -= dlDelta
+      postings = postings.map(_
+        .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint(true))
+    }
+
     /** The current global model — identical scores to a full rebuild. */
     def model: Model = synchronized {
       val post = postings.getOrElse(

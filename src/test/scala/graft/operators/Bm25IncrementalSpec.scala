@@ -45,6 +45,19 @@ class Bm25IncrementalSpec extends SparkSpec {
     assert(df == 4.0)
   }
 
+  test("release folds a segment's stats back out (idf_oracle Remove)") {
+    val inc = new Bm25.Bm25Incremental("doc_id", "text")
+    val batches = corpus.grouped(4).toSeq // two batches of 4
+    batches.foreach(b => inc.ingest(b.toDF("doc_id", "text")))
+    inc.release(batches(0).toDF("doc_id", "text"))
+    val remaining = Bm25.build(batches(1).toDF("doc_id", "text"), "doc_id", "text")
+    assert(scoresOf(inc.model, Seq("join", "broadcast", "watermark")) ==
+      scoresOf(remaining, Seq("join", "broadcast", "watermark")))
+    // df for a term wholly inside the released batch is gone, not zero-rowed
+    assert(inc.model.termStats.filter(col("term") === "spark").count() == 0)
+    assert(inc.model.globals.select(col("n_docs")).as[Double].head() == 4.0)
+  }
+
   test("streaming attach: scores track the oracle through dedup + micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
