@@ -47,15 +47,37 @@ object SparseWand {
   /** Build the sparse inverted index from a `map<string,double>`-typed
     * sparse vector column (e.g. [[graft.functions.SparseFunctions.termFreqs]]).
     */
-  def build(docs: DataFrame, idCol: String, sparseCol: Column): Index = {
-    val postings = docs
+  def build(docs: DataFrame, idCol: String, sparseCol: Column): Index =
+    fromPostings(docs
       .select(col(idCol), explode(map_entries(sparseCol)).as("_e"))
       .select(col(idCol), col("_e.key").as("term"),
-        col("_e.value").cast("double").as("weight"))
+        col("_e.value").cast("double").as("weight")), idCol)
+
+  /** Build term-frequency postings straight from a token array — one
+    * explode + hash agg, skipping the per-row sparse-map construction
+    * (which is O(distinct·tokens) per doc). Equivalent index, the shape
+    * to use when the sparse vector IS term frequencies.
+    */
+  def buildFromTokens(docs: DataFrame, idCol: String, toksCol: Column): Index =
+    fromPostings(docs
+      .select(col(idCol), explode(toksCol).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("weight")), idCol)
+
+  private def fromPostings(postings: DataFrame, idCol: String): Index = {
     val bounds = postings.groupBy(col("term"))
       .agg(max(col("weight")).as("max_weight"), count(lit(1)).as("df"))
     Index(postings, bounds, idCol)
   }
+
+  /** Pin the index (postings + bounds) in storage: a search makes
+    * several passes over the postings (θ estimation, candidates, exact
+    * rescore) — built lazily they would each re-derive the index from
+    * the corpus. On a cluster this is the written postings table; in a
+    * session, persist().
+    */
+  def materialize(index: Index): Index =
+    index.copy(postings = index.postings.persist(), termBounds = index.termBounds.persist())
 
   /** The essential/non-essential split for `query` at threshold θ:
     * returns (essential terms, θ). Exposed for specs to assert real

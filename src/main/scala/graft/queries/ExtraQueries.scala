@@ -198,8 +198,8 @@ object ExtraQueries {
   def sparseWand(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SparseWand
     val weights = Map("dup" -> 10.0, "spark" -> 0.3, "window" -> 0.3, "sort" -> 0.2)
-    val idx = SparseWand.build(t(s, dir, "documents"), "doc_id",
-      SparseFunctions.termFreqs(TextFunctions.tokenize(col("text"))))
+    val idx = SparseWand.materialize(SparseWand.buildFromTokens(
+      t(s, dir, "documents"), "doc_id", TextFunctions.tokenize(col("text"))))
     SparseWand.search(idx, weights, k = 10, roundTo = Some(4))
       .orderBy(col("score").desc, col("doc_id"))
   }
@@ -661,7 +661,9 @@ object ExtraQueries {
   def substringIndex(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SubstringIndex
     val d = t(s, dir, "documents")
-    val idx = SubstringIndex.build(d, "doc_id", "text")
+    // build once, probe three times: the lazy build would re-explode the
+    // corpus per pattern (on a cluster this is the written postings table)
+    val idx = SubstringIndex.build(d, "doc_id", "text").persist()
     Seq("up", "customer", "join batch")
       .map(p => SubstringIndex.matchIds(idx, p)
         .select(lit(p).as("pattern"), col("id").as("doc_id")))

@@ -162,6 +162,60 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Snapshot export/restore (20260609-external-snapshot-export-restore
+    * .md): export copies the manifested files into a self-contained
+    * directory; the SOURCE collection then mutates (append) and is
+    * dropped entirely — restore must still serve exactly the snapshot's
+    * rows. Self-containment is proven by deletion, not asserted.
+    */
+  def snapshotExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Snapshot
+    val path = s"/tmp/graft_snapexp_${tag(dir)}"
+    deleteRecursively(path)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") < 4000).write.parquet(s"$path/data")
+    Snapshot.create(s, s"$path/data", s"$path/snaps", "s1")
+    Snapshot.export(s, s"$path/snaps", "s1", s"$path/exp")
+    ev.filter(col("event_id") >= 4000).write.mode("append").parquet(s"$path/data")
+    deleteRecursively(s"$path/data") // drop the source collection
+    Snapshot.restore(s, s"$path/exp")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Event-time windowed aggregation over a live stream (the Spark-
+    * native streaming upgrade the reference lacks): tumbling 6-hour
+    * windows with a watermark, complete-mode memory sink, compared
+    * against the oracle's bucket arithmetic over the same rows.
+    */
+  def windowedAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val rows = t(s, dir, "events")
+      .filter(col("event_id") < 3000)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .collect().toSeq
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)]
+    input.addData(rows)
+    val stream = input.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("ts_event", (col("ts") / lit(1000000000L)).cast("timestamp"))
+    val windowed = Streaming.windowedCounts(
+      stream, "ts_event", "event_type", "6 hours", "6 hours", "1 hour")
+    val sink = s"winagg_${tag(dir)}"
+    val q = windowed.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink)
+      .select(col("window.start").cast("long").as("win"), col("event_type"),
+        col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("win"), col("event_type"))
+  }
+
   /** LOB externalize → delete → GC → resolve round trip
     * (storagev2 LobFileInfo + garbage_collector_lob.go): payloads live
     * in a content-addressed blob store; deleting the 'zh' docs and
@@ -355,6 +409,8 @@ object LifecycleQueries {
     "q_truncate" -> (truncateCut _),
     "q_expr_cache" -> (exprCacheRead _),
     "q_interim_search" -> (interimSearch _),
+    "q_snapshot_export" -> (snapshotExport _),
+    "q_windowed_agg" -> (windowedAgg _),
     "q_upsert_array_ops" -> (upsertArrayOps _),
     "q_collection_e2e" -> (collectionE2e _),
     "q_stream_ingest" -> (streamIngest _),
@@ -384,6 +440,15 @@ object LifecycleQueries {
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 50.0 AND event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+    "q_snapshot_export" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 4000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_windowed_agg" ->
+      """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 3000
+        |GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin,
     "q_interim_search" ->
       """WITH all_v AS (
         |  SELECT vec_id, embedding FROM embeddings
