@@ -47,6 +47,21 @@ object SubstringIndex {
       .select(col("_e.gram").as("gram"), col("id"), col("_e.pos").as("pos"))
   }
 
+  /** Persist the postings laid out BY GRAM — range-partitioned and
+    * sorted, so a chained probe's `gram = '…'` equality filters prune
+    * whole row groups via parquet zone maps before any row is read (the
+    * at-scale index form; same layout argument as
+    * [[InvertedIndex.writeTokenPairs]]). Sub-gram containment probes
+    * still scan the gram column only (column pruning), never the corpus.
+    */
+  def write(index: DataFrame, path: String, numPartitions: Int): Unit =
+    index.repartitionByRange(numPartitions, col("gram"))
+      .sortWithinPartitions(col("gram"), col("id"), col("pos"))
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Ids of docs containing `pattern` — answered from the index alone,
     * exact for every pattern length ≥ 1.
     */

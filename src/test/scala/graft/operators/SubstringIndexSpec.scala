@@ -54,4 +54,18 @@ class SubstringIndexSpec extends SparkSpec {
     assert(got("ab").contains(2L))
     assert(got("b").contains(2L))
   }
+
+  test("persisted layout: chained probes push gram equality to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ssidx").toString
+    SubstringIndex.write(idx, dir, numPartitions = 2)
+    val loaded = SubstringIndex.load(spark, dir)
+    val q = SubstringIndex.matchIds(loaded, "quick")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // chunks 'qui' and 'ick' must reach the parquet scan as pushed
+    // equality filters (row-group pruning on the gram-sorted layout)
+    assert(plan.contains("EqualTo(gram,qui)") && plan.contains("EqualTo(gram,ick)"),
+      s"expected gram pushdown in plan:\n$plan")
+    assert(q.as[Long].collect().toSet == want("quick"))
+  }
 }
