@@ -115,6 +115,52 @@ object SparseWand {
     (qTerms.filterNot(nonEssential), theta)
   }
 
+  /** nq-batched pruned sparse top-k (the reference searches sparse
+    * queries batched like dense ones): per-query essential terms are
+    * resolved on the driver (|queries|·|terms| scalars), then ONE
+    * candidate join over (term → qid) essential pairs and ONE rescore
+    * join over (term → qid, weight) serve every query together — the
+    * postings are scanned a constant number of times regardless of nq,
+    * and the final per-query top-k is a partial-agg groupBy(qid).
+    * Output: (qid, idCol, score, rank).
+    */
+  def searchMany(index: Index, queries: Seq[(Long, Map[String, Double])], k: Int,
+      exhaustive: Boolean = false, roundTo: Option[Int] = None): DataFrame = {
+    require(queries.nonEmpty, "no queries")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val essential: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
+      val terms = if (exhaustive) q.keys.toSeq.sorted else essentialSplit(index, q, k)._1
+      terms.map(qid -> _)
+    }
+    val weights: Seq[(Long, String, Double)] = queries.flatMap { case (qid, q) =>
+      q.toSeq.map { case (t, w) => (qid, t, w) }
+    }
+    val allTerms = weights.map(_._2).distinct
+    val qp = index.postings.filter(col("term").isin(allTerms: _*))
+    val candidates = qp
+      .join(broadcast(essential.toDF("qid", "term")), Seq("term"))
+      .select(col("qid"), col(index.idCol)).distinct()
+    val scored = qp
+      .join(broadcast(weights.toDF("qid", "term", "qw")), Seq("term"))
+      .join(candidates, Seq("qid", index.idCol), "left_semi")
+      .groupBy(col("qid"), col(index.idCol))
+      .agg(sum(col("weight") * col("qw")).as("_raw"))
+      .select(col("qid"), col(index.idCol),
+        roundTo.map(d => round(col("_raw"), d)).getOrElse(col("_raw")).as("score"))
+    val idType = scored.schema(index.idCol).dataType
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKFunctions.top_k(col("score"),
+        TopKFunctions.tieFor(col(index.idCol), idType),
+        struct(col(index.idCol), col("score")), k, ascending = false).as("_hits"))
+      .select(col("qid"), posexplode(col("_hits")).as(Seq("_pos", "_hit")))
+      .select(col("qid"),
+        col(s"_hit.payload.${index.idCol}").as(index.idCol),
+        col("_hit.payload.score").as("score"),
+        (col("_pos") + 1).cast("long").as("rank"))
+  }
+
   /** Pruned sparse top-k. Output: (idCol, score), best-first; equal to
     * brute force. `exhaustive = true` disables pruning (every term
     * essential) — the SPARSE_INVERTED_INDEX path.

@@ -68,4 +68,23 @@ class SparseWandSpec extends SparkSpec {
   test("query with no indexed terms returns empty") {
     assert(SparseWand.search(idx, Map("zzz" -> 1.0), k = 5).count() == 0)
   }
+
+  test("nq-batched search equals per-query search, pruning intact") {
+    val queries = Seq(
+      1L -> query,
+      2L -> Map("alpha" -> 1.0, "delta" -> 2.0),
+      3L -> Map("rare" -> 1.0))
+    val batched = SparseWand.searchMany(idx, queries, k = 4)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val single = queries.flatMap { case (qid, q) =>
+      SparseWand.search(idx, q, k = 4)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))))
+        .select(lit(qid).as("qid"), col("doc_id"), col("score"), col("rank"))
+        .as[(Long, Long, Double, Long)].collect()
+    }.toSet
+    assert(batched == single)
+  }
 }
