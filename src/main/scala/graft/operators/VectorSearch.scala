@@ -297,6 +297,55 @@ object VectorSearch {
       filter = Some(filter), outputCols = out, roundTo = roundTo)
   }
 
+  /** Iterative post-filter THROUGH an IVF index — the indexed upgrade of
+    * [[iterativePostFilter]]: growth rounds expand the probe set
+    * (nprobe × growthFactor) alongside the candidate budget, so each
+    * round scores only the probed clusters' rows instead of re-scoring
+    * the full corpus (the round-2 structural caveat). Once nprobe
+    * reaches nlist the rounds are exhaustive, and the terminal fallback
+    * is the exact pre-filtered scan — so a query is only ever emitted
+    * short when the whole corpus can't fill k for it; recall below
+    * nlist probes is the index's, exactly as in the reference's
+    * post-filtered index search.
+    */
+  def iterativePostFilterIndexed(
+      clustered: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      metric: Metric.Value,
+      k: Int,
+      filter: Column,
+      outputCols: Seq[String] = Nil,
+      roundTo: Option[Int] = None,
+      growthFactor: Int = 4,
+      nprobe0: Int = 1): DataFrame = {
+    require(growthFactor > 1, "growthFactor must be > 1")
+    val out = if (outputCols.nonEmpty) outputCols else Seq(idCol)
+    val corpusSize = clustered.count()
+    val nq = queries.count()
+    var nprobe = math.min(math.max(1, nprobe0), model.nlist)
+    var kPrime = math.min(3L * k, corpusSize)
+    while (nprobe < model.nlist || kPrime < corpusSize) {
+      val cand = IvfIndex.search(clustered, idCol, vecCol, model,
+        queries, qidCol, qvecCol, metric, kPrime.toInt, nprobe,
+        outputCols = out, roundTo = roundTo)
+      val survivors = cand.drop("rank").filter(filter)
+      val satisfied = survivors.groupBy(col(qidCol)).count()
+        .filter(col("count") >= k).count()
+      if (satisfied == nq)
+        return reduceTopK(survivors, idCol, qidCol, metric, k, out)
+      nprobe = math.min(nprobe * growthFactor, model.nlist)
+      kPrime = math.min(kPrime * growthFactor, corpusSize)
+    }
+    // exact fallback: pre-filtered scan of the (still complete) layout
+    topK(clustered, idCol, vecCol, queries, qidCol, qvecCol, metric, k,
+      filter = Some(filter), outputCols = out, roundTo = roundTo)
+  }
+
   /** Element-level search over a struct-array vector sub-field
     * (reference: design doc 20260602-struct_hybrid_search.md — one query
     * vector matched against INDIVIDUAL struct elements; hits are

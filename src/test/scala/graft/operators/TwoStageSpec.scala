@@ -72,6 +72,37 @@ class TwoStageSpec extends SparkSpec {
     assert(rows.groupBy($"doc").count().collect().forall(_.getLong(1) == 1))
   }
 
+  test("indexed post-filter: k' growth at exhaustive probes stays exact") {
+    val model = IvfIndex.trainLocal(corpus, "vec", nlist = 8, maxTrainRows = 200)
+    val clustered = IvfIndex.layout(corpus, "vec", model).cache()
+    // selective filter + nprobe0 = nlist: every round is exhaustive, so
+    // the k' growth loop (first rounds fall short of k survivors) must
+    // land on exactly the brute-force filtered top-k
+    val f = $"label" === 7
+    val res = VectorSearch.iterativePostFilterIndexed(clustered, "id", "vec",
+      model, queries, "qid", "qvec", Metric.L2, 8, f,
+      outputCols = Seq("id", "label"), nprobe0 = model.nlist)
+    assert(res.select($"qid", $"rank", $"id").collect().toSet == brute(f, 8))
+  }
+
+  test("indexed post-filter: permissive filter satisfies within probed clusters") {
+    val model = IvfIndex.trainLocal(corpus, "vec", nlist = 8, maxTrainRows = 200)
+    val clustered = IvfIndex.layout(corpus, "vec", model).cache()
+    val f = $"label" =!= 7
+    val res = VectorSearch.iterativePostFilterIndexed(clustered, "id", "vec",
+      model, queries, "qid", "qvec", Metric.L2, 5, f,
+      outputCols = Seq("id", "label"), nprobe0 = 2)
+    val rows = res.select($"qid", $"rank", $"id", $"label").collect()
+    // every query filled to k, every hit passes the filter
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    assert(rows.forall(_.getLong(3) != 7))
+    // a corpus query's own vector lives in its probed-first cluster:
+    // rank 1 is the true (filtered) nearest even at low nprobe
+    val r1 = res.filter($"rank" === 1).select($"qid", $"id")
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("post-filter falls back to exact scan when k exceeds the filtered corpus") {
     val f = $"id" < 6 // only 6 rows can ever match; k=10 can't be filled
     val res = VectorSearch.iterativePostFilter(corpus, "id", "vec",
