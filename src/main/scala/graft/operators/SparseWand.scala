@@ -87,6 +87,10 @@ object SparseWand {
   def essentialSplit(index: Index, query: Map[String, Double], k: Int): (Seq[String], Double) = {
     require(query.nonEmpty, "empty sparse query")
     val qTerms = query.keys.toSeq.sorted
+    // the pruning bound (score ≤ Σ UB over matched terms) needs every
+    // contribution non-negative; a negative weight makes partial sums
+    // non-monotone, so such queries take the exhaustive path
+    if (query.valuesIterator.exists(_ < 0)) return (qTerms, 0.0)
     val bounds = index.termBounds
       .filter(col("term").isin(qTerms: _*))
       .select(col("term"), col("max_weight"))

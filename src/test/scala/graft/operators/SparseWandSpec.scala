@@ -69,6 +69,17 @@ class SparseWandSpec extends SparkSpec {
     assert(SparseWand.search(idx, Map("zzz" -> 1.0), k = 5).count() == 0)
   }
 
+  test("negative weights disable pruning (bound needs non-negative terms)") {
+    val q = Map("rare" -> 5.0, "alpha" -> -1.0)
+    val (essential, theta) = SparseWand.essentialSplit(idx, q, k = 2)
+    assert(theta == 0.0 && essential == q.keys.toSeq.sorted)
+    val pruned = SparseWand.search(idx, q, k = 5)
+      .orderBy(col("score").desc, col("doc_id")).as[(Long, Double)].collect().toSeq
+    val brute = SparseWand.search(idx, q, k = 5, exhaustive = true)
+      .orderBy(col("score").desc, col("doc_id")).as[(Long, Double)].collect().toSeq
+    assert(pruned == brute)
+  }
+
   test("nq-batched search equals per-query search, pruning intact") {
     val queries = Seq(
       1L -> query,
