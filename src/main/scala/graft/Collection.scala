@@ -112,6 +112,7 @@ final class Collection private (
             struct_.add(org.apache.spark.sql.types.StructField(schema.pkField, LongType)))
       }
     growing = Some(growing.map(_.unionByName(withPk)).getOrElse(withPk))
+    logChange("insert", withPk)
     // growing-segment interim index (reference IVFFLAT_CC,
     // segcore/IndexConfigGenerator.cpp:37): batches arriving after an
     // index build are centroid-assigned ON INGEST against the sealed
@@ -146,6 +147,7 @@ final class Collection private (
       .select(col(schema.pkField), lit(ts).as(schema.tsField))
       .localCheckpoint(true)
     tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))
+    logChange("delete", victims)
     lastWriteTs = ts
     invalidateFilterCache()
     ts
@@ -161,6 +163,7 @@ final class Collection private (
         org.apache.spark.sql.types.StructField(schema.pkField, pkType),
         org.apache.spark.sql.types.StructField(schema.tsField, LongType))))
     tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
+    logChange("delete", t)
     lastWriteTs = ts
     invalidateFilterCache()
     ts
@@ -677,6 +680,55 @@ final class Collection private (
     VectorSearch.reduceTopK(
       idxHits.drop("rank").unionByName(tailHits.drop("rank")),
       schema.pkField, "qid", metric, k, out)
+  }
+
+  // ---- CDC / replication (reference: the CDC change feed + cluster
+  // replication surface): every write appends to a changelog carrying
+  // the ORIGINAL timestamps; a replica applies the feed verbatim, so
+  // its MVCC view converges to the primary's — same LWW resolution,
+  // same tombstone semantics, no re-stamping. The log is the WAL
+  // analogue: at deployment scale it would be the streaming sink the
+  // WAL already feeds (Streaming.dedupedIngest), sharing this format.
+  @volatile private var changeLog: Option[DataFrame] = None
+
+  private def logChange(op: String, rows: DataFrame): Unit = {
+    val entry = rows.withColumn("_op", lit(op))
+    changeLog = Some(changeLog
+      .map(_.unionByName(entry, allowMissingColumns = true)).getOrElse(entry))
+  }
+
+  /** The change feed strictly after `sinceTs` (op ∈ insert|delete, rows
+    * with their original write ts). Feed it to [[applyChanges]] on a
+    * replica; repeated incremental syncs use the last applied ts.
+    */
+  def changesSince(sinceTs: Long): DataFrame = changeLog match {
+    case Some(log) => log.filter(col(schema.tsField) > sinceTs)
+    case None => throw new IllegalStateException("no writes logged yet")
+  }
+
+  /** Apply a primary's change feed to THIS collection (the replica):
+    * inserts land in the growing tail and deletes in the tombstone set
+    * with their original timestamps; the local TSO advances past the
+    * feed's horizon so subsequent local writes stay ordered after it.
+    */
+  def applyChanges(changes: DataFrame): Long = stateLock.synchronized {
+    val pinned = changes.localCheckpoint(true)
+    val ins = pinned.filter(col("_op") === "insert").drop("_op")
+    val del = pinned.filter(col("_op") === "delete")
+      .select(col(schema.pkField), col(schema.tsField))
+    if (!ins.isEmpty)
+      growing = Some(growing.map(_.unionByName(ins, allowMissingColumns = true)).getOrElse(ins))
+    if (!del.isEmpty)
+      tombs = Some(tombs.map(_.unionByName(del)).getOrElse(del))
+    val feedMax = pinned.agg(max(col(schema.tsField))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    var cur = tso.get()
+    while (feedMax > cur && !tso.compareAndSet(cur, feedMax)) cur = tso.get()
+    if (feedMax > lastWriteTs) lastWriteTs = feedMax
+    invalidateFilterCache()
+    feedMax
   }
 
   /** PK-cursor query iterator (reference query iterator,

@@ -162,6 +162,31 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** CDC replication: the primary takes an insert, a delete-by-expr,
+    * and an upsert; the replica applies the change feed with original
+    * timestamps and must serve the same MVCC view — which the oracle
+    * recomputes from the write sequence (upsert at ts3 wins over the
+    * ts2 delete for user-2 rows, read-your-writes LWW).
+    */
+  def cdcReplica(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val schema = CollectionSchema(pkField = "event_id")
+    val ev = t(s, dir, "events").filter(col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val primary = Collection.create(s, schema)
+    primary.insert(ev)
+    primary.delete("""event_type == "error"""")
+    primary.upsert(ev.filter(col("user_id") === 2)
+      .select(col("event_id"), col("user_id"), lit("upd").as("event_type"),
+        (col("value") + 500).as("value")))
+    val replica = Collection.create(s, schema)
+    replica.applyChanges(primary.changesSince(0L))
+    replica.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Snapshot export/restore (20260609-external-snapshot-export-restore
     * .md): export copies the manifested files into a self-contained
     * directory; the SOURCE collection then mutates (append) and is
@@ -411,6 +436,7 @@ object LifecycleQueries {
     "q_interim_search" -> (interimSearch _),
     "q_snapshot_export" -> (snapshotExport _),
     "q_windowed_agg" -> (windowedAgg _),
+    "q_cdc_replica" -> (cdcReplica _),
     "q_upsert_array_ops" -> (upsertArrayOps _),
     "q_collection_e2e" -> (collectionE2e _),
     "q_stream_ingest" -> (streamIngest _),
@@ -443,6 +469,14 @@ object LifecycleQueries {
     "q_snapshot_export" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cdc_replica" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT CASE WHEN user_id = 2 THEN 'upd' ELSE event_type END AS event_type,
+        |         CASE WHEN user_id = 2 THEN value + 500 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id < 3000 AND (user_id = 2 OR event_type <> 'error'))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_windowed_agg" ->
       """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win,

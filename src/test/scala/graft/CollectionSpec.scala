@@ -257,6 +257,27 @@ class CollectionSpec extends SparkSpec {
     assert(alice.intersect(bob).isEmpty && alice.nonEmpty && bob.nonEmpty)
   }
 
+  test("CDC: replica applying the change feed converges to the primary") {
+    val primary = fresh()
+    primary.delete("grp == 2")
+    primary.upsert(Seq((5L, vec(77), "doc 5 v2", 9L)).toDF("pk", "emb", "txt", "grp"))
+    val replica = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    val syncTs = replica.applyChanges(primary.changesSince(0L))
+    def view(c: Collection) = c.readView()
+      .select($"pk", $"txt", $"grp").collect().toSet
+    assert(view(replica) == view(primary))
+    assert(replica.count() == 40) // 50 - 10 deleted; pk5 upsert replaces in place
+    // incremental sync: only the delta ships, original timestamps kept
+    primary.insert(mkRows(300L until 310L))
+    primary.delete("pk == 3")
+    replica.applyChanges(primary.changesSince(syncTs))
+    assert(view(replica) == view(primary))
+    // replica stays writable and ordered after the feed horizon
+    replica.insert(mkRows(900L until 905L))
+    assert(replica.count() == primary.count() + 5)
+  }
+
   test("truncate clears data but keeps the collection usable") {
     val c = fresh()
     c.createIndex("emb", nlist = 2)
