@@ -131,4 +131,51 @@ class EdgeCasesSpec extends SparkSpec {
       qs, "qid", "qvec", Metric.L2, k = 5)
     assert(hits.select($"doc").as[Long].collect().toList == List(1L))
   }
+
+  test("CJK mixed tokenizer: empty, whitespace-only, and non-CJK text") {
+    def toks(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(Analyzers.analyze($"t", Analyzers.CjkMixed).as("x"))
+      .as[Seq[String]].head()
+    assert(toks("") == Nil)
+    assert(toks("   ") == Nil)
+    assert(toks("only ascii words") == Seq("only", "ascii", "words"))
+  }
+
+  test("TTL boundary: a row expiring exactly at the read ts is invisible") {
+    import graft.operators.Mvcc
+    // visible requires ts + ttl > readTs (strict): ts=5, ttl=5, read=10 → out
+    val data = Seq((1L, 5L), (2L, 6L)).toDF("pk", "_ts")
+    val vis = Mvcc.visible(data, "pk", "_ts", lit(10L), ttl = Some(lit(5L)))
+      .select($"pk").as[Long].collect().toSet
+    assert(vis == Set(2L))
+  }
+
+  test("filter cache: eviction past capacity unpersists without breaking reads") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    c.insert((0L until 40L).map(i => (i, i % 20)).toDF("pk", "grp"))
+    // 20 distinct filters overflow the 16-entry FIFO; all reads stay right
+    for (g <- 0 until 20)
+      assert(c.queryCached(s"grp == $g", Seq("pk")).count() == 2)
+    // early entries were evicted: repeating filter 0 is a miss again
+    val (h0, m0) = c.filterCacheStats
+    c.queryCached("grp == 0", Seq("pk"))
+    val (h1, m1) = c.filterCacheStats
+    assert(h1 == h0 && m1 == m0 + 1)
+  }
+
+  test("CDC: applying an empty delta is a no-op that keeps the replica readable") {
+    val p = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    val syncTs = p.insert(Seq((1L, "x")).toDF("pk", "v"))
+    val r = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    r.applyChanges(p.changesSince(0L))
+    r.applyChanges(p.changesSince(syncTs)) // nothing new
+    assert(r.count() == 1)
+  }
+
+  test("substring index: pattern longer than every document matches nothing") {
+    import graft.operators.SubstringIndex
+    val docs = Seq((1L, "short"), (2L, "tiny")).toDF("doc_id", "text")
+    val idx = SubstringIndex.build(docs, "doc_id", "text")
+    assert(SubstringIndex.matchIds(idx, "much longer than any doc").count() == 0)
+  }
 }
