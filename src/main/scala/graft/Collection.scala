@@ -21,6 +21,23 @@ final case class CollectionSchema(
     metaField: Option[String] = None,
     autoId: Boolean = false)
 
+/** Growing-segment seal policies (reference:
+  * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
+  * sealL1SegmentByLifetime; integration suite
+  * tests/integration/sealpolicies). When a policy trips at write time
+  * the growing tail auto-seals into a fresh segment directory under
+  * `path`, exactly as [[Collection.flush]] would. Age is measured in
+  * session-TSO ticks (the stand-in for the reference's HLC timestamps);
+  * checks run on the write path — Spark-first, no background sweeper.
+  */
+final case class SealPolicy(
+    path: String,
+    maxRows: Long = Long.MaxValue,
+    maxAgeTicks: Long = Long.MaxValue) {
+  require(maxRows != Long.MaxValue || maxAgeTicks != Long.MaxValue,
+    "a seal policy needs at least one bound (maxRows or maxAgeTicks)")
+}
+
 /** The user-facing collection facade (SURVEY §7's design stance): the
   * reference's client surface — Insert / Delete / Upsert / Flush /
   * Search / Query / Get / count, with MVCC visibility, consistency
@@ -52,6 +69,24 @@ final class Collection private (
   @volatile private var sealedDf: Option[DataFrame] = sealedPath.map(p => spark.read.parquet(p))
   @volatile private var growing: Option[DataFrame] = None
   @volatile private var tombs: Option[DataFrame] = None
+
+  // ---- seal policies (segment_allocation_policy.go) ----
+  private var sealPolicy: Option[SealPolicy] = None
+  private var growingRows: Long = 0L // tracked only while a policy is set
+  private var growingSinceTs: Option[Long] = None
+
+  /** Install (or, with None semantics via [[clearSealPolicy]], remove)
+    * the auto-seal policy. Row accounting starts from the next insert —
+    * set the policy before writing, like the reference's config keys.
+    */
+  def setSealPolicy(p: SealPolicy): Unit = stateLock.synchronized { sealPolicy = Some(p) }
+  def clearSealPolicy(): Unit = stateLock.synchronized { sealPolicy = None }
+
+  /** Number of segment directories sealed at `path` so far. */
+  def sealedSegmentCount(path: String): Int = {
+    val d = new java.io.File(path)
+    if (!d.isDirectory) 0 else d.listFiles().count(_.getName.startsWith("seg-"))
+  }
 
   /** Guards every read-modify-write of the mutable collection state
     * (growing/tombs/sealedDf/lastWriteTs/indexes). attachStream invokes
@@ -99,10 +134,12 @@ final class Collection private (
   def insert(rows: DataFrame): Long = stateLock.synchronized {
     val ts = nextTs()
     val stamped = rows.withColumn(schema.tsField, lit(ts))
+    var countedRows: Option[Long] = None // reused by the seal policy check
     val withPk =
       if (!schema.autoId) stamped
       else {
         val n = stamped.count() // the block-allocation RPC analogue
+        countedRows = Some(n)
         val base = idAlloc.getAndAdd(n)
         val struct_ = stamped.schema
         val rdd = stamped.rdd.zipWithIndex().map { case (r, i) =>
@@ -129,6 +166,15 @@ final class Collection private (
     }
     lastWriteTs = ts
     invalidateFilterCache()
+    // seal-policy check (capacity / lifetime): rows are counted only
+    // while a policy is installed, so the extra action is opt-in
+    sealPolicy.foreach { p =>
+      growingRows += countedRows.getOrElse(withPk.count())
+      if (growingSinceTs.isEmpty) growingSinceTs = Some(ts)
+      if (growingRows >= p.maxRows ||
+          ts - growingSinceTs.get >= p.maxAgeTicks)
+        flush(p.path) // reentrant on stateLock; resets the counters
+    }
     ts
   }
 
@@ -308,6 +354,8 @@ final class Collection private (
       sealedDf = Some(sealedDf
         .map(_.unionByName(seg, allowMissingColumns = true)).getOrElse(seg))
       growing = None
+      growingRows = 0L
+      growingSinceTs = None
     }
   }
 

@@ -128,6 +128,32 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Materialized-view partition-key-isolated ANN search (reference:
+    * tests/integration/materialized_view/materialized_view_test.go —
+    * with EnableMaterializedView, a search whose filter pins the
+    * partition key touches only that key's physical partition).
+    * Spark-first shape: the collection layout is directory-partitioned
+    * on the key, so `label == 3` becomes Catalyst partition pruning
+    * (PartitionFilters on `_part`) BEFORE any vector bytes are read;
+    * brute-force top-k then runs over the 1/8 slice only. At 100 TB the
+    * search scans one directory partition, not the corpus.
+    */
+  def mvSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Metric
+    import graft.operators.VectorSearch
+    val path = s"/tmp/graft_mv_${tag(dir)}"
+    PartitionKey.write(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label")),
+      "label", numPartitions = 8, path)
+    val pruned = PartitionKey.readKeyEquals(s, path, "label", lit(3), numPartitions = 8)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    VectorSearch.topK(pruned, "vec_id", "embedding", qs, "qid", "qvec",
+        Metric.L2, k = 10, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** External table field mapping (external_table.md `external_field`):
     * the collection schema (name, price, brand) is served query-in-place
     * from the differently-named columns of the external parquet.
@@ -443,6 +469,7 @@ object LifecycleQueries {
     "q_npy_roundtrip" -> (npyRoundtrip _),
     "q_add_field" -> (addField _),
     "q_partition_key" -> (partitionKey _),
+    "q_mv_search" -> (mvSearch _),
     "q_external_map" -> (externalMap _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_lob_gc" -> (lobGc _)
@@ -543,6 +570,19 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE user_id = 42
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mv_search" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE label = 3),
+        |d AS (SELECT q.qid, c.vec_id,
+        |        round(power(list_distance(q.qvec, c.v), 2), 4) AS score
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "q_external_map" ->
       """SELECT p_brand AS brand, count(*) AS cnt,
         |       round(sum(p_retailprice), 2) AS sum_price

@@ -277,7 +277,27 @@ object SearchQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Search with the vector field in output_fields (reference:
+    * tests/integration/getvector — the querynode fetches the hit rows'
+    * vectors and returns them in the search result). The vector rides
+    * the same top-k payload struct as any scalar output field — no
+    * second fetch — then unnests to (pos, val) rows so the oracle can
+    * value-compare the returned floats.
+    */
+  def searchGetVector(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.topK(emb, "vec_id", "embedding", queries(s, dir), "qid", "qvec",
+        Metric.L2, k = 3, outputCols = Seq("vec_id", "embedding"), roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos0", "fval")))
+      .select(col("qid"), col("rank"), col("vec_id"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        round(col("fval").cast("double"), 5).as("val"))
+      .orderBy(col("qid"), col("rank"), col("pos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_getvector" -> (searchGetVector _),
     "q_fp16_search" -> (fp16Search _),
     "q_int8_search" -> (int8Search _),
     "q_ivf_exhaustive" -> (ivfExhaustive _),
@@ -297,6 +317,20 @@ object SearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_search_getvector" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id, e.embedding,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, embedding,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, vec_id,
+        |       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |       round(CAST(unnest(embedding) AS DOUBLE), 5) AS val
+        |FROM r WHERE rank <= 3
+        |ORDER BY qid, rank, pos""".stripMargin,
     "q_fp16_search" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id >= 6 AND vec_id < 9),

@@ -109,6 +109,36 @@ class CollectionSpec extends SparkSpec {
       == List(5L, 10L, 50L))
   }
 
+  test("seal policy by capacity: growing tail auto-seals at the row bound") {
+    val c = fresh() // 50 growing rows, policy not yet set — untracked
+    val path = "/tmp/graft_test_collection_sealcap_" + System.nanoTime()
+    c.setSealPolicy(SealPolicy(path, maxRows = 100))
+    c.insert(mkRows(100L until 160L)) // 60 tracked < 100 → no seal
+    assert(c.sealedSegmentCount(path) == 0)
+    c.insert(mkRows(200L until 250L)) // 110 tracked ≥ 100 → auto-seal
+    assert(c.sealedSegmentCount(path) == 1)
+    c.insert(mkRows(300L until 310L)) // counter reset: 10 < 100 → no seal
+    assert(c.sealedSegmentCount(path) == 1)
+    // reads unchanged through the auto-seal: 50+60+50+10 rows visible
+    assert(c.count() == 170)
+  }
+
+  test("seal policy by lifetime: an aged growing tail seals on the next write") {
+    val c = fresh()
+    val path = "/tmp/graft_test_collection_sealage_" + System.nanoTime()
+    c.setSealPolicy(SealPolicy(path, maxAgeTicks = 3))
+    c.insert(mkRows(100L until 105L)) // tail born at ts T
+    c.delete("pk == 999") // no-op victim set, but advances the TSO
+    c.delete("pk == 998")
+    assert(c.sealedSegmentCount(path) == 0)
+    c.insert(mkRows(200L until 205L)) // ts - T ≥ 3 → seals on this write
+    assert(c.sealedSegmentCount(path) == 1)
+    assert(c.count() == 60)
+    c.clearSealPolicy()
+    c.insert(mkRows(300L until 305L))
+    assert(c.sealedSegmentCount(path) == 1) // policy removed: no more seals
+  }
+
   test("bounded-staleness read excludes the newest write") {
     val c = fresh() // writes at ts=1
     c.insert(mkRows(Seq(100L))) // ts=2

@@ -67,6 +67,34 @@ class LifecycleSpec extends SparkSpec {
       s"expected a PartitionFilters entry (_part = $expectedPart) in:\n$planStr")
   }
 
+  test("materialized-view search: partition-key filter prunes before the vector scan") {
+    import graft.functions.Metric
+    import graft.operators.VectorSearch
+    val path = "/tmp/graft_test_mv"
+    val dim = 4
+    val df = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d => (i * 31 + d).toFloat % 97), (i % 5).toInt)
+    }.toDF("id", "vec", "cat")
+    PartitionKey.write(df, "cat", numPartitions = 8, path)
+    val pruned = PartitionKey.readKeyEquals(spark, path, "cat", lit(2), 8)
+    // the ANN search's scan carries the directory-level PartitionFilter —
+    // vectors outside the pinned key's partition are never read
+    val qs = Seq((0L, Array.tabulate(dim)(d => (62 + d).toFloat % 97)))
+      .toDF("qid", "qvec")
+    val hits = VectorSearch.topK(pruned, "id", "vec", qs, "qid", "qvec",
+      Metric.L2, k = 5)
+    val expectedPart = spark.range(1)
+      .select(PartitionKey.partitionId(lit(2), 8)).head().getLong(0)
+    val planStr = hits.queryExecution.sparkPlan.toString
+    assert(planStr.matches(s"(?s).*PartitionFilters: \\[[^\\]]*_part#\\d+ = $expectedPart.*"),
+      s"expected a PartitionFilters entry (_part = $expectedPart) in:\n$planStr")
+    // every hit is from the pinned key, and rank 1 is the exact row (id=2
+    // has vec = (62+d)%97, matching the query): isolation didn't lose it
+    val got = hits.select($"id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ % 5 == 2))
+    assert(hits.filter($"rank" === 1).select($"id").as[Long].head() == 2L)
+  }
+
   test("readExternal maps external column names and rejects missing ones") {
     val path = "/tmp/graft_test_external"
     Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("ext_id", "ext_name", "ext_score")
