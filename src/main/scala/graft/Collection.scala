@@ -650,6 +650,28 @@ final class Collection private (
   private[graft] def interimLayout(vectorField: String): Option[DataFrame] =
     indexes.get(vectorField).flatMap(_.interim)
 
+  /** DescribeIndex (reference: `impl.go DescribeIndex` →
+    * `indexpb.IndexInfo{IndexedRows, TotalRows, PendingIndexRows}`;
+    * integration suite tests/integration/indexstat asserts
+    * IndexedRows == TotalRows once the build catches up). Indexed rows
+    * = the persisted clustered layout; pending rows = currently-visible
+    * rows newer than the build, served by the interim index (or brute
+    * force) until the next build folds them in.
+    */
+  def describeIndex(vectorField: String): Collection.IndexDescription = {
+    val st = indexes.getOrElse(vectorField, throw new NoSuchElementException(
+      s"no index on field '$vectorField'"))
+    val visible = readViewUnscoped() // metadata: not scoped to one caller's RLS view
+    Collection.IndexDescription(
+      field = vectorField,
+      indexType = "IVF_FLAT",
+      nlist = st.model.nlist,
+      indexedRows = st.clustered.count(), // persisted layout → cheap re-count
+      pendingRows = visible.filter(col(schema.tsField) > st.buildTs).count(),
+      totalRows = visible.count(),
+      buildTs = st.buildTs)
+  }
+
   /** CreateIndex (reference DDL → datacoord index build): train an IVF
     * codebook on the collection's visible view and persist the
     * clustered layout. Writes AFTER the build don't invalidate it — the
@@ -807,4 +829,45 @@ object Collection {
   /** Open over an existing sealed parquet layout (external/bulk data). */
   def open(spark: SparkSession, schema: CollectionSchema, path: String): Collection =
     new Collection(spark, schema, Some(path))
+
+  // ---- collection aliases (impl.go CreateAlias/DropAlias/AlterAlias) ----
+  // The zero-downtime swap: clients address the alias, operators rebuild
+  // into a fresh collection and re-point it. Resolution happens at call
+  // time, so in-flight readers of the old target are unaffected.
+  private val aliases = new java.util.concurrent.ConcurrentHashMap[String, Collection]()
+
+  /** Register a new alias; rejects an existing name (the reference
+    * errors on duplicate CreateAlias — re-pointing is [[alterAlias]]).
+    */
+  def createAlias(name: String, target: Collection): Unit = {
+    val prev = aliases.putIfAbsent(name, target)
+    require(prev == null, s"alias '$name' already exists — use alterAlias to re-point it")
+  }
+
+  /** Atomically re-point an existing alias. */
+  def alterAlias(name: String, target: Collection): Unit = {
+    val prev = aliases.replace(name, target)
+    if (prev == null) throw new NoSuchElementException(s"alias '$name' does not exist")
+  }
+
+  def dropAlias(name: String): Unit =
+    if (aliases.remove(name) == null)
+      throw new NoSuchElementException(s"alias '$name' does not exist")
+
+  /** Resolve an alias to its current target. */
+  def resolve(name: String): Collection = {
+    val c = aliases.get(name)
+    if (c == null) throw new NoSuchElementException(s"alias '$name' does not exist")
+    c
+  }
+
+  /** The DescribeIndex result (indexpb.IndexInfo stats subset). */
+  final case class IndexDescription(
+      field: String,
+      indexType: String,
+      nlist: Int,
+      indexedRows: Long,
+      pendingRows: Long,
+      totalRows: Long,
+      buildTs: Long)
 }

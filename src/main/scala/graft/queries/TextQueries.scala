@@ -315,7 +315,33 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid full-text + dense search — the reference's flagship hybrid
+    * shape (HybridSearch with a BM25 FunctionSchema output field as one
+    * AnnSearchRequest and a dense vector as the other, RRF-ranked;
+    * docs/user_guides/ hybrid search). Both sub-searches run over the
+    * same id space (documents.doc_id ↔ embeddings.vec_id) and meet in
+    * the standard RRF reducer — lexical recall + semantic recall in one
+    * result list.
+    */
+  def hybridBm25Dense(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Metric
+    import graft.operators.{Bm25, Fusion, VectorSearch}
+    val model = Bm25.build(t(s, dir, "documents"), "doc_id", "text")
+    val textHits = Bm25.search(model, "filter window stream", k = 20, roundTo = Some(4))
+      .select(lit(0L).as("qid"), col("rank"), col("doc_id"))
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    val denseHits = VectorSearch.topK(emb, "vec_id", "embedding", qs, "qid", "qvec",
+        Metric.COSINE, k = 20, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("vec_id").as("doc_id"))
+    Fusion.rrf(Seq(textHits, denseHits), "qid", "doc_id", topK = 10)
+      .select(col("rank"), round(col("_score"), 6).as("score"), col("doc_id"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_bm25_dense" -> (hybridBm25Dense _),
     "q_decontaminate" -> (decontaminate _),
     "q_pii_scrub" -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -451,6 +477,39 @@ object TextQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE shared * 1.0 / least(sa.nfp, sb.nfp) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_hybrid_bm25_dense" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
+         |       FROM dt GROUP BY doc_id, term),
+         |stats AS (SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term),
+         |g AS (SELECT count(*) * 1.0 AS n, avg(len(t) * 1.0) AS avgdl FROM toks),
+         |q(term) AS (VALUES ('filter'), ('window'), ('stream')),
+         |s AS (SELECT tf.doc_id,
+         |        sum(ln(1.0 + (g.n - st.df + 0.5) / (st.df + 0.5)) *
+         |            tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl)))
+         |          AS score
+         |      FROM tf JOIN q USING (term) JOIN stats st USING (term) CROSS JOIN g
+         |      GROUP BY tf.doc_id),
+         |tr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+         |       FROM s),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id AS doc_id,
+         |        round(list_cosine_similarity(qv.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+         |      FROM qv CROSS JOIN embeddings e),
+         |dr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |       FROM d),
+         |u AS (SELECT doc_id, 1.0 / (60 + rank) AS part FROM tr WHERE rank <= 20
+         |      UNION ALL
+         |      SELECT doc_id, 1.0 / (60 + rank) AS part FROM dr WHERE rank <= 20),
+         |f AS (SELECT doc_id, sum(part) AS sc FROM u GROUP BY doc_id),
+         |rr AS (SELECT doc_id, sc,
+         |         row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+         |       FROM f)
+         |SELECT rank, round(sc, 6) AS score, doc_id FROM rr WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
     "q_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),

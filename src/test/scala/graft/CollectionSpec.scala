@@ -109,6 +109,38 @@ class CollectionSpec extends SparkSpec {
       == List(5L, 10L, 50L))
   }
 
+  test("describeIndex reports indexed/pending/total rows across builds") {
+    val c = fresh() // 50 rows
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    val d1 = c.describeIndex("emb")
+    assert(d1.indexType == "IVF_FLAT" && d1.nlist == 4)
+    assert(d1.indexedRows == 50 && d1.totalRows == 50 && d1.pendingRows == 0)
+    c.insert(mkRows(100L until 120L)) // post-build tail → pending
+    val d2 = c.describeIndex("emb")
+    assert(d2.totalRows == 70 && d2.pendingRows == 20 && d2.indexedRows == 50)
+    c.createIndex("emb", nlist = 4, trainSample = 1000) // rebuild catches up
+    val d3 = c.describeIndex("emb")
+    assert(d3.indexedRows == 70 && d3.pendingRows == 0 && d3.totalRows == 70)
+    intercept[NoSuchElementException](c.describeIndex("txt"))
+  }
+
+  test("aliases resolve at call time: alter re-points without touching readers") {
+    val blue = fresh() // 50 rows
+    val green = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    green.insert(mkRows(0L until 10L))
+    val name = "prod_" + System.nanoTime()
+    Collection.createAlias(name, blue)
+    assert(Collection.resolve(name).count() == 50)
+    intercept[IllegalArgumentException](Collection.createAlias(name, green))
+    Collection.alterAlias(name, green) // the zero-downtime swap
+    assert(Collection.resolve(name).count() == 10)
+    Collection.dropAlias(name)
+    intercept[NoSuchElementException](Collection.resolve(name))
+    intercept[NoSuchElementException](Collection.alterAlias(name, green))
+    intercept[NoSuchElementException](Collection.dropAlias(name))
+  }
+
   test("seal policy by capacity: growing tail auto-seals at the row bound") {
     val c = fresh() // 50 growing rows, policy not yet set — untracked
     val path = "/tmp/graft_test_collection_sealcap_" + System.nanoTime()
