@@ -52,6 +52,17 @@ object Analyzers {
     * tokenizes as `standard`, like [[LangIdent]].
     */
   case object CjkMixed extends Tokenizer
+  /** Dictionary-free lindera-style Japanese segmentation (reference:
+    * tokenizers/lindera_tokenizer.rs — IPADIC morpheme segmentation).
+    * Without the dictionary, script-run boundaries are the standard
+    * fallback: transitions between Han / Hiragana / Katakana closely
+    * track morpheme boundaries in Japanese (kanji stems vs kana
+    * inflections vs katakana loanwords). Each maximal kana run is one
+    * token; Han runs emit uni+bigrams like [[CjkMixed]] (multi-kanji
+    * compounds stay findable at both granularities); everything else
+    * tokenizes as `standard`.
+    */
+  case object JaScriptRuns extends Tokenizer
 
   sealed trait Filter
   case object Lowercase extends Filter
@@ -103,6 +114,22 @@ object Analyzers {
         when(length(run) > 1,
           transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2))))
           .otherwise(array().cast("array<string>"))))
+    case JaScriptRuns   =>
+      // U+30FC (prolonged sound mark) is Script=Common but belongs
+      // inside katakana loanwords (データ) — include it explicitly
+      val jp = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}ー]"
+      val latin = TextFunctions.tokenize(regexp_replace(c, jp, " "))
+      val hanRuns = regexp_extract_all(c, lit("[\\p{IsHan}]+"), lit(0))
+      // hira and kata runs extracted separately: a loanword in katakana
+      // and its following hiragana particle are distinct morphemes
+      val kanaRuns = regexp_extract_all(
+        c, lit("[\\p{IsHiragana}]+|[\\p{IsKatakana}ー]+"), lit(0))
+      val hanGrams = flatten(transform(hanRuns, run => concat(
+        transform(sequence(lit(1), length(run)), i => run.substr(i, lit(1))),
+        when(length(run) > 1,
+          transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>")))))
+      concat(latin, hanGrams, kanaRuns)
   }
 
   /** Script-aware split: non-CJK spans tokenize as `standard`; each
@@ -161,12 +188,14 @@ object Analyzers {
       case "lang_ident" =>
         if (params.get("cjk_mode").contains("mixed")) CjkMixed else LangIdent
       // jieba without its frequency dictionary = search-mode gram
-      // emission; lindera/icu/thai stay rejected (no dictionary-free
-      // fallback exists for those segmenters)
+      // emission; lindera without IPADIC = script-run boundaries;
+      // icu/thai stay rejected (no dictionary-free fallback exists)
       case "jieba"      => CjkMixed
+      case "lindera"    => JaScriptRuns
       case other        => throw new IllegalArgumentException(
-        s"tokenizer '$other' not supported (lindera/icu/thai need dictionary assets; " +
-          "lang_ident covers CJK via char bigrams, jieba via mixed uni+bigrams)")
+        s"tokenizer '$other' not supported (icu/thai need dictionary assets; " +
+          "lang_ident covers CJK via char bigrams, jieba via mixed uni+bigrams, " +
+          "lindera via script-run segmentation)")
     }
     val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil).map {

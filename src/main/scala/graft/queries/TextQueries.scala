@@ -191,6 +191,38 @@ object TextQueries {
     * multi-character Han runs; term counts over the emitted grams are
     * recomputed by the oracle with the same mapping.
     */
+  /** Fixture alphabet for the Japanese analyzer: the 11 most frequent
+    * letters map to hiragana (inflection-like runs) and the other 15 to
+    * Han (stem-like runs), so translated words contain the script
+    * transitions the tokenizer segments on. Shared with the oracle.
+    */
+  private val JaHira = "あいうえおかきくけこさ"
+  private val JaHan = "的一是不了人我在有他这中大来上"
+  private val JaAlphabet: String = {
+    val kanaLetters = "aeiounsrhlt"
+    var hi = 0
+    var ha = 0
+    "abcdefghijklmnopqrstuvwxyz".map { ch =>
+      if (kanaLetters.contains(ch)) { val c = JaHira(hi); hi += 1; c }
+      else { val c = JaHan(ha); ha += 1; c }
+    }.mkString
+  }
+
+  /** Lindera-analyzer stand-in (dictionary-free Japanese script-run
+    * segmentation): hottest terms over a mixed kanji/kana corpus —
+    * whole kana runs plus Han uni+bigrams.
+    */
+  def analyzerJa(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents").filter(col("lang") === "zh")
+    val jaText = translate(regexp_replace(col("text"), "[^a-z ]", ""),
+      "abcdefghijklmnopqrstuvwxyz", JaAlphabet)
+    val toks = Analyzers.analyzeWith(jaText, Map("tokenizer" -> "lindera"))
+    d.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(30)
+  }
+
   def analyzerCjk(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Analyzers
     val d = t(s, dir, "documents").filter(col("lang") === "zh")
@@ -362,7 +394,8 @@ object TextQueries {
     "q_text_match" -> (textMatch _),
     "q_analyzer_chargroup" -> (analyzerCharGroup _),
     "q_analyzer_ngram" -> (analyzerNgram _),
-    "q_analyzer_cjk" -> (analyzerCjk _)
+    "q_analyzer_cjk" -> (analyzerCjk _),
+    "q_analyzer_ja" -> (analyzerJa _)
   )
 
   /** 26 Han codepoints standing in for a-z in the CJK analyzer fixture
@@ -378,6 +411,24 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_analyzer_ja" ->
+      s"""WITH src AS (
+        |  SELECT translate(regexp_replace(text, '[^a-z ]', '', 'g'),
+        |    'abcdefghijklmnopqrstuvwxyz', '$JaAlphabet') AS t
+        |  FROM documents WHERE lang = 'zh'),
+        |hanruns AS (SELECT unnest(regexp_extract_all(t, '[$JaHan]+')) AS run FROM src),
+        |hantoks AS (
+        |  SELECT unnest(list_concat(
+        |    list_transform(range(1, length(run) + 1), i -> substr(run, CAST(i AS INT), 1)),
+        |    CASE WHEN length(run) > 1
+        |      THEN list_transform(range(1, length(run)), i -> substr(run, CAST(i AS INT), 2))
+        |      ELSE CAST([] AS VARCHAR[]) END)) AS term
+        |  FROM hanruns WHERE run <> ''),
+        |kana AS (SELECT unnest(regexp_extract_all(t, '[$JaHira]+')) AS term FROM src),
+        |toks AS (SELECT term FROM hantoks
+        |         UNION ALL SELECT term FROM kana WHERE term <> '')
+        |SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |ORDER BY cnt DESC, term LIMIT 30""".stripMargin,
     "q_analyzer_cjk" ->
       s"""WITH runs AS (
         |  SELECT unnest(string_split(translate(regexp_replace(text, '[^a-z ]', '', 'g'),

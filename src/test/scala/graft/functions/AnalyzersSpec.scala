@@ -47,8 +47,25 @@ class AnalyzersSpec extends SparkSpec {
       "filters" -> "lowercase")).as("toks")).as[Seq[String]].head()
     assert(viaMap == Seq("one", "two", "three"))
     intercept[IllegalArgumentException] {
-      analyzeWith(col("t"), Map("tokenizer" -> "lindera"))
+      analyzeWith(col("t"), Map("tokenizer" -> "icu"))
     }
+  }
+
+  test("lindera (dictionary-free): Japanese script runs segment at boundaries") {
+    // kanji stem + hiragana inflection: 食べる → Han run 食 (uni only,
+    // single char) + kana run べる kept whole
+    assert(run("食べる", Analyzers.JaScriptRuns) == Seq("食", "べる"))
+    // katakana loanword and hiragana particle stay separate runs
+    assert(run("データを分析する", Analyzers.JaScriptRuns) ==
+      Seq("分", "析", "分析", "データ", "を", "する"))
+    // latin text passes through as standard tokens
+    assert(run("Spark で処理", Analyzers.JaScriptRuns) ==
+      Seq("spark", "処", "理", "処理", "で"))
+    // param-map: "lindera" resolves to the script-run mode
+    val viaMap = Seq("食べる ok").toDF("t")
+      .select(analyzeWith(col("t"), Map("tokenizer" -> "lindera")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaMap == Seq("ok", "食", "べる"))
   }
 
   test("jieba (dictionary-free): CJK runs emit unigrams AND bigrams") {
