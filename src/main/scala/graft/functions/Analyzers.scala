@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * (char_group_tokenizer.rs), ngram (ngram_tokenizer_with_chars.rs),
   * keyword — and filters lowercase / stop / length / alphanumonly).
   *
-  * jieba/lindera/icu/thai need dictionary assets the sandbox can't host;
-  * the dispatch rejects them explicitly rather than mis-tokenizing.
+  * jieba/lindera ship without their dictionary assets here, so they map
+  * to the standard dictionary-free fallbacks (mixed uni+bigrams /
+  * script-run segmentation); icu/thai map to the JDK's ICU-derived
+  * UAX#29 word break, which bundles the Thai break dictionary.
   *
   * Everything compiles to built-in codegen'd string/array functions —
   * an analyzer runs inside whole-stage codegen on the corpus scan, so
@@ -63,6 +65,15 @@ object Analyzers {
     * tokenizes as `standard`.
     */
   case object JaScriptRuns extends Tokenizer
+  /** UAX#29 word segmentation via the JDK's BreakIterator (reference:
+    * tokenizers/icu_tokenizer.rs wraps ICU's word-break; the JDK ships
+    * the same ICU-derived break rules AND dictionaries — including the
+    * Thai one, so `thai` needs no external assets either). Empty tag =
+    * root locale. Imperative per-string iteration → a UDF, not a native
+    * expression; analyzer cost sits at ingest/index-build time, off the
+    * scan hot path.
+    */
+  final case class WordBreak(languageTag: String) extends Tokenizer
 
   sealed trait Filter
   case object Lowercase extends Filter
@@ -130,6 +141,32 @@ object Analyzers {
           transform(sequence(lit(1), length(run) - 1), i => run.substr(i, lit(2))))
           .otherwise(array().cast("array<string>")))))
       concat(latin, hanGrams, kanaRuns)
+    case WordBreak(tag) => wordBreakUdf(c, lit(tag))
+  }
+
+  /** BreakIterator word extraction: keeps segments containing at least
+    * one letter/digit (UAX#29 emits punctuation/space segments too).
+    * getWordInstance clones a prototype per call — cheap enough for the
+    * per-row ingest path.
+    */
+  private val wordBreakUdf = udf { (s: String, tag: String) =>
+    if (s == null) Seq.empty[String]
+    else {
+      val loc = if (tag.isEmpty) java.util.Locale.ROOT
+                else java.util.Locale.forLanguageTag(tag)
+      val bi = java.text.BreakIterator.getWordInstance(loc)
+      bi.setText(s)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = bi.first()
+      var end = bi.next()
+      while (end != java.text.BreakIterator.DONE) {
+        val w = s.substring(start, end)
+        if (w.exists(Character.isLetterOrDigit)) buf += w
+        start = end
+        end = bi.next()
+      }
+      buf.toSeq
+    }
   }
 
   /** Script-aware split: non-CJK spans tokenize as `standard`; each
@@ -173,9 +210,8 @@ object Analyzers {
 
   /** Param-map dispatch matching the reference's analyzer_params shape:
     * `{"tokenizer": "char_group", "delims": " .,", "filters":
-    * "lowercase,stop", "stop_words": "the,and", ...}`. Unknown or
-    * unhostable tokenizers (jieba/lindera/icu/thai need dictionaries)
-    * fail fast.
+    * "lowercase,stop", "stop_words": "the,and", ...}`. Unknown
+    * tokenizers fail fast.
     */
   def analyzeWith(c: Column, params: Map[String, String]): Column = {
     val tok = params.getOrElse("tokenizer", "standard") match {
@@ -189,13 +225,16 @@ object Analyzers {
         if (params.get("cjk_mode").contains("mixed")) CjkMixed else LangIdent
       // jieba without its frequency dictionary = search-mode gram
       // emission; lindera without IPADIC = script-run boundaries;
-      // icu/thai stay rejected (no dictionary-free fallback exists)
+      // icu/thai map to the JDK's ICU-derived UAX#29 word break (the
+      // JDK bundles the Thai break dictionary)
       case "jieba"      => CjkMixed
       case "lindera"    => JaScriptRuns
+      case "icu"        => WordBreak(params.getOrElse("locale", ""))
+      case "thai"       => WordBreak(params.getOrElse("locale", "th"))
       case other        => throw new IllegalArgumentException(
-        s"tokenizer '$other' not supported (icu/thai need dictionary assets; " +
-          "lang_ident covers CJK via char bigrams, jieba via mixed uni+bigrams, " +
-          "lindera via script-run segmentation)")
+        s"tokenizer '$other' not supported (lang_ident covers CJK via char " +
+          "bigrams, jieba via mixed uni+bigrams, lindera via script-run " +
+          "segmentation, icu/thai via JDK UAX#29 word break)")
     }
     val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil).map {

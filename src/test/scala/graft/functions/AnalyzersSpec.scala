@@ -40,15 +40,39 @@ class AnalyzersSpec extends SparkSpec {
     assert(got == Seq("quick", "runs")) // "brown-fox" non-alnum, long word dropped
   }
 
-  test("param-map dispatch matches the typed API and rejects unhostable tokenizers") {
+  test("param-map dispatch matches the typed API and rejects unknown tokenizers") {
     val df = Seq("One two,three").toDF("t")
     val viaMap = df.select(analyzeWith(col("t"), Map(
       "tokenizer" -> "char_group", "delims" -> " ,",
       "filters" -> "lowercase")).as("toks")).as[Seq[String]].head()
     assert(viaMap == Seq("one", "two", "three"))
     intercept[IllegalArgumentException] {
-      analyzeWith(col("t"), Map("tokenizer" -> "icu"))
+      analyzeWith(col("t"), Map("tokenizer" -> "no_such_tokenizer"))
     }
+  }
+
+  test("icu: UAX#29 word break keeps mid-word punctuation, drops the rest") {
+    assert(run("Can't stop the rain.", WordBreak("")) ==
+      Seq("Can't", "stop", "the", "rain"))
+    // Han runs stay whole segments under the JDK's root-locale rules
+    assert(run("中文 ok", WordBreak("")) == Seq("中文", "ok"))
+    // param-map dispatch; hyphenated compounds stay one segment
+    val viaMap = Seq("a-b c").toDF("t")
+      .select(analyzeWith(col("t"), Map("tokenizer" -> "icu")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaMap == Seq("a-b", "c"))
+  }
+
+  test("thai: JDK break dictionary segments Thai words (no spaces in input)") {
+    // สวัสดีครับ = สวัสดี (hello) + ครับ (polite particle)
+    assert(run("สวัสดีครับ",
+      WordBreak("th")) ==
+      Seq("สวัสดี", "ครับ"))
+    // param-map: "thai" defaults the locale to th
+    val viaMap = Seq("สวัสดี ok").toDF("t")
+      .select(analyzeWith(col("t"), Map("tokenizer" -> "thai")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaMap == Seq("สวัสดี", "ok"))
   }
 
   test("lindera (dictionary-free): Japanese script runs segment at boundaries") {
