@@ -60,10 +60,27 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> median(samples.map(_.toMap.apply(name)))
     }
+    // interpolated percentile over the valid samples — with runs=3 this
+    // reads as (lo, hi) straddling the median, enough to tell box noise
+    // (wide spread) from a real regression (tight spread, high median)
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else {
+        val idx = p * (ok.size - 1)
+        val lo = idx.toInt
+        val hi = math.min(lo + 1, ok.size - 1)
+        ok(lo) + (idx - lo) * (ok(hi) - ok(lo))
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val spread = selected.map { case (name, _) =>
+      val xs = samples.map(_.toMap.apply(name))
+      "\"" + name + f"""\":[${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

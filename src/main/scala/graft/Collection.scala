@@ -155,15 +155,7 @@ final class Collection private (
     // index build are centroid-assigned ON INGEST against the sealed
     // index's codebook (map-only, no retrain) and cached per batch, so
     // searchIndexed probe-prunes the tail instead of brute-forcing it
-    indexes = indexes.map { case (f, st) =>
-      if (!withPk.columns.contains(f)) f -> st
-      else {
-        val asg = withPk
-          .withColumn("_cluster", graft.operators.IvfIndex.assign(st.model, col(f)))
-          .persist() // lazy: materializes on first search, reused after
-        f -> st.copy(interim = Some(st.interim.map(_.unionByName(asg)).getOrElse(asg)))
-      }
-    }
+    assignInterim(withPk)
     lastWriteTs = ts
     invalidateFilterCache()
     // seal-policy check (capacity / lifetime): rows are counted only
@@ -333,7 +325,13 @@ final class Collection private (
     sealedDf = sealedDf.map(_.filter(col(schema.tsField) > horizon).cache())
     growing = growing.map(_.filter(col(schema.tsField) > horizon))
     tombs = None
+    indexes.valuesIterator.foreach(releaseIndexState)
     indexes = Map.empty
+    // the pre-truncate changelog no longer reproduces this collection's
+    // state — record the horizon so changesSince refuses stale cursors
+    truncateHorizon = ts
+    changeLog = None
+    cdcApplied = None
     lastWriteTs = ts
     invalidateFilterCache()
     ts
@@ -641,8 +639,51 @@ final class Collection private (
       clustered: DataFrame,
       buildTs: Long,
       foldedTombPks: Option[DataFrame] = None,
-      interim: Option[DataFrame] = None)
+      interim: Option[DataFrame] = None,
+      // the individually-persisted per-batch assignment frames that make
+      // up `interim` — kept so a rebuild/drop/truncate can unpersist them
+      // (unpersisting the union plan alone would leak its constituents)
+      interimParts: Seq[DataFrame] = Nil)
   @volatile private var indexes: Map[String, IndexState] = Map.empty
+
+  /** Free every executor cache block an index state holds. Dropping the
+    * Map reference alone leaks the persisted clustered layout and each
+    * per-batch interim frame for the life of the session.
+    */
+  private def releaseIndexState(st: IndexState): Unit = {
+    st.clustered.unpersist()
+    st.interimParts.foreach(_.unpersist())
+  }
+
+  /** Drop a field's index (reference `DropIndex`), releasing its cached
+    * layout and interim assignments. Subsequent searchIndexed calls fail
+    * until createIndex runs again.
+    */
+  def dropIndex(vectorField: String): Unit = stateLock.synchronized {
+    indexes.get(vectorField).foreach(releaseIndexState)
+    indexes -= vectorField
+  }
+
+  /** Centroid-assign newly-ingested rows into each index's interim
+    * (growing-tail) layout — shared by [[insert]] and [[applyChanges]]
+    * so CDC-applied rows are probe-pruned exactly like direct inserts
+    * (a tail row absent from the interim would silently vanish from
+    * searchIndexed results, since the brute-force fallback only runs
+    * when no interim exists at all).
+    */
+  private def assignInterim(rows: DataFrame): Unit = {
+    indexes = indexes.map { case (f, st) =>
+      if (!rows.columns.contains(f)) f -> st
+      else {
+        val asg = rows
+          .withColumn("_cluster", graft.operators.IvfIndex.assign(st.model, col(f)))
+          .persist() // lazy: materializes on first search, reused after
+        f -> st.copy(
+          interim = Some(st.interim.map(_.unionByName(asg)).getOrElse(asg)),
+          interimParts = st.interimParts :+ asg)
+      }
+    }
+  }
 
   /** Test hook: the interim (growing-tail) cluster assignments for a
     * field's index, if any post-build inserts landed.
@@ -693,6 +734,7 @@ final class Collection private (
     val clustered = IvfIndex.layout(view, vectorField, model).persist()
     clustered.count() // materialize the layout (the index build job)
     stateLock.synchronized {
+      indexes.get(vectorField).foreach(releaseIndexState) // rebuild frees the old build
       indexes += vectorField -> IndexState(model, clustered, lastWriteTs)
     }
   }
@@ -716,13 +758,32 @@ final class Collection private (
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     val view = readView()
     // rows whose CURRENT version postdates the index build (inserts +
-    // upserts) — they're served brute-force from the live view
-    val tail = view.filter(col(schema.tsField) > st.buildTs)
+    // upserts) — they're served brute-force from the live view. CDC-
+    // applied rows keep the PRIMARY's timestamps, which can predate
+    // this collection's build ts, so for them post-build membership is
+    // decided by local ARRIVAL time, not version ts: a bounded
+    // broadcast semi-join against the applied feed (no cost at all on
+    // collections that never ingested a feed)
+    val tsTail = view.filter(col(schema.tsField) > st.buildTs)
+    val lateCdc = cdcApplied.map(_.filter(
+      col("_arrival") > st.buildTs && col(schema.tsField) <= st.buildTs))
+    val tail = lateCdc match {
+      case Some(cdc) => tsTail.unionByName(view.join(
+        broadcast(cdc.filter(col("_op") === "insert")
+          .select(col(schema.pkField), col(schema.tsField))),
+        Seq(schema.pkField, schema.tsField), "left_semi"))
+      case None => tsTail
+    }
     // mask superseded/deleted pks out of the indexed layout (the
-    // delete-bitset analogue): any pk changed or tombstoned after build
+    // delete-bitset analogue): any pk changed or tombstoned after build.
+    // CDC deletes join by arrival for the same reason as above — a
+    // feed-applied tombstone with an old origin ts must still mask the
+    // indexed version it kills
     val tombPks = tombs.map(_.filter(col(schema.tsField) > st.buildTs)
       .select(col(schema.pkField)))
-    val changed = (tombPks.toSeq ++ st.foldedTombPks.toSeq)
+    val lateCdcDelPks = lateCdc.map(_.filter(col("_op") === "delete")
+      .select(col(schema.pkField)))
+    val changed = (tombPks.toSeq ++ lateCdcDelPks.toSeq ++ st.foldedTombPks.toSeq)
       .foldLeft(tail.select(col(schema.pkField)))(_ unionByName _)
     // rlsFilter here: the shared layout is unscoped, so the caller's
     // policies apply at query time (the tail side came through readView
@@ -760,6 +821,16 @@ final class Collection private (
   // analogue: at deployment scale it would be the streaming sink the
   // WAL already feeds (Streaming.dedupedIngest), sharing this format.
   @volatile private var changeLog: Option[DataFrame] = None
+  // (pk, ts, _op, _arrival) for every feed row this collection applied:
+  // arrival is the LOCAL tick of the apply, origin ts is the primary's.
+  // Bounded by the applied-feed volume (same order as changeLog).
+  @volatile private var cdcApplied: Option[DataFrame] = None
+  @volatile private var truncateHorizon: Long = 0L
+
+  /** The ts of the most recent [[truncate]] (0 if never truncated) —
+    * the earliest valid [[changesSince]] cursor.
+    */
+  def truncateTs: Long = truncateHorizon
 
   private def logChange(op: String, rows: DataFrame): Unit = {
     val entry = rows.withColumn("_op", lit(op))
@@ -769,11 +840,19 @@ final class Collection private (
 
   /** The change feed strictly after `sinceTs` (op ∈ insert|delete, rows
     * with their original write ts). Feed it to [[applyChanges]] on a
-    * replica; repeated incremental syncs use the last applied ts.
+    * replica; repeated incremental syncs use the last applied ts. A
+    * cursor predating a truncate is refused — the surviving log cannot
+    * reproduce the pre-truncate state, so a silent partial feed would
+    * diverge the replica.
     */
-  def changesSince(sinceTs: Long): DataFrame = changeLog match {
-    case Some(log) => log.filter(col(schema.tsField) > sinceTs)
-    case None => throw new IllegalStateException("no writes logged yet")
+  def changesSince(sinceTs: Long): DataFrame = {
+    if (sinceTs < truncateHorizon) throw new IllegalStateException(
+      s"changesSince($sinceTs) predates a truncate at ts=$truncateHorizon — " +
+        "re-seed the replica from a snapshot instead of the change feed")
+    changeLog match {
+      case Some(log) => log.filter(col(schema.tsField) > sinceTs)
+      case None => throw new IllegalStateException("no writes logged yet")
+    }
   }
 
   /** Apply a primary's change feed to THIS collection (the replica):
@@ -783,13 +862,32 @@ final class Collection private (
     */
   def applyChanges(changes: DataFrame): Long = stateLock.synchronized {
     val pinned = changes.localCheckpoint(true)
+    // local arrival tick: feed rows keep their ORIGIN timestamps (for
+    // LWW convergence), so index-vs-tail splits need to know when they
+    // landed HERE — nextTs() is strictly greater than every earlier
+    // buildTs and ≤ every later one
+    val arrivalTs = nextTs()
+    val cdcEntry = pinned
+      .select(col(schema.pkField), col(schema.tsField), col("_op"))
+      .withColumn("_arrival", lit(arrivalTs))
+    cdcApplied = Some(cdcApplied.map(_.unionByName(cdcEntry)).getOrElse(cdcEntry))
     val ins = pinned.filter(col("_op") === "insert").drop("_op")
     val del = pinned.filter(col("_op") === "delete")
       .select(col(schema.pkField), col(schema.tsField))
-    if (!ins.isEmpty)
+    if (!ins.isEmpty) {
       growing = Some(growing.map(_.unionByName(ins, allowMissingColumns = true)).getOrElse(ins))
+      // CDC rows enter the interim index exactly like direct inserts —
+      // otherwise an indexed search silently drops them from the tail
+      assignInterim(ins)
+    }
     if (!del.isEmpty)
       tombs = Some(tombs.map(_.unionByName(del)).getOrElse(del))
+    // append the applied feed to THIS collection's changelog (original
+    // ops + timestamps), so chained replication (replica-of-replica)
+    // reproduces the full state — a leaf-only replica would otherwise
+    // serve an empty/partial feed from changesSince
+    changeLog = Some(changeLog
+      .map(_.unionByName(pinned, allowMissingColumns = true)).getOrElse(pinned))
     val feedMax = pinned.agg(max(col(schema.tsField))).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
@@ -797,6 +895,10 @@ final class Collection private (
     var cur = tso.get()
     while (feedMax > cur && !tso.compareAndSet(cur, feedMax)) cur = tso.get()
     if (feedMax > lastWriteTs) lastWriteTs = feedMax
+    // the apply IS a local write: later index builds must carry a
+    // buildTs ≥ this arrival so the late-CDC split above excludes rows
+    // those builds already cover
+    if (arrivalTs > lastWriteTs) lastWriteTs = arrivalTs
     invalidateFilterCache()
     feedMax
   }

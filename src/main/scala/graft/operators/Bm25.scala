@@ -123,6 +123,20 @@ object Bm25 {
       // pin the batch's postings NOW (micro-batch frames are only valid
       // inside their trigger) and keep the union lineage shallow
       val batchPost = m.postings.localCheckpoint(true)
+      // a pk must live in exactly ONE live batch (the segment model —
+      // and the dedupedIngest attach point guarantees it upstream):
+      // duplicate postings rows would double-score the doc, and release
+      // by left_anti on the id would strip BOTH batches' postings while
+      // decrementing df/n_docs/sumDl by one batch only. Enforced, not
+      // assumed — re-ingesting a pk requires releasing it first.
+      postings.foreach { prev =>
+        val clash = prev.select(col(idCol))
+          .join(batchPost.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+          .limit(1)
+        require(clash.isEmpty,
+          s"duplicate pk across live BM25 batches (column $idCol) — " +
+            "release the old version first, or dedupe upstream (dedupedIngest)")
+      }
       val batchDf = batchPost.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("_df_delta"))
       termDf = Some(termDf match {

@@ -65,8 +65,14 @@ object SparseWand {
       .agg(count(lit(1)).cast("double").as("weight")), idCol)
 
   private def fromPostings(postings: DataFrame, idCol: String): Index = {
+    // min_weight rides along so essentialSplit can detect negative
+    // DOCUMENT weights: θ (k-th best single-term contribution ≤ k-th
+    // best full score) is only a valid lower bound when every other
+    // contribution is ≥ 0 — a negative posting would let θ exceed the
+    // true k-th score and over-prune, breaking the exactness contract
     val bounds = postings.groupBy(col("term"))
-      .agg(max(col("weight")).as("max_weight"), count(lit(1)).as("df"))
+      .agg(max(col("weight")).as("max_weight"), min(col("weight")).as("min_weight"),
+        count(lit(1)).as("df"))
     Index(postings, bounds, idCol)
   }
 
@@ -91,10 +97,14 @@ object SparseWand {
     // contribution non-negative; a negative weight makes partial sums
     // non-monotone, so such queries take the exhaustive path
     if (query.valuesIterator.exists(_ < 0)) return (qTerms, 0.0)
-    val bounds = index.termBounds
+    val stats = index.termBounds
       .filter(col("term").isin(qTerms: _*))
-      .select(col("term"), col("max_weight"))
+      .select(col("term"), col("max_weight"), col("min_weight"))
       .collect()
+    // a negative DOCUMENT weight under any query term makes θ unsound
+    // (contributions are no longer all ≥ 0) — exhaustive path
+    if (stats.exists(_.getDouble(2) < 0)) return (qTerms, 0.0)
+    val bounds = stats
       .map(r => r.getString(0) -> r.getDouble(1) * query(r.getString(0)))
       .toMap
     if (bounds.isEmpty) return (qTerms, 0.0) // no postings at all

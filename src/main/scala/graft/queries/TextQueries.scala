@@ -223,6 +223,91 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term")).limit(30)
   }
 
+  /** Fixture for the icu/thai analyzers (UAX#29 WordBreak — reference
+    * `tantivy-binding/src/analyzer/tokenizers/icu_tokenizer.rs`,
+    * 20260403-arabic-thai-analyzer.md). The synthetic corpus has no
+    * Thai/mixed-locale text, so each doc is assigned one of six fixed
+    * sentences by `doc_id % 6`; the Spark side runs the REAL
+    * BreakIterator analyzer, while the ORACLE carries each sentence's
+    * precomputed token list verbatim (BreakIterator output is
+    * deterministic for a fixed JDK — same precompute approach as the
+    * q_analyzer_ja alphabet fixture). Counts stay data-dependent
+    * through the per-sid document counts.
+    */
+  private val ThaiSentences = Seq(
+    "สวัสดีครับผมชื่อสมชาย",
+    "วันนี้อากาศดีมาก",
+    "ฉันกินข้าวที่ร้านอาหาร",
+    "ประเทศไทยมีชายหาดสวยงาม",
+    "เด็กนักเรียนอ่านหนังสือในห้องสมุด",
+    "ขอบคุณมากครับ")
+  /** `BreakIterator.getWordInstance(th)` over [[ThaiSentences]] — the
+    * Thai break dictionary splits the unspaced runs into real words.
+    */
+  private val ThaiTokens = Seq(
+    Seq("สวัสดี", "ครับ", "ผม", "ชื่อ", "สม", "ชาย"),
+    Seq("วัน", "นี้", "อากาศ", "ดี", "มาก"),
+    Seq("ฉัน", "กิน", "ข้าว", "ที่", "ร้าน", "อาหาร"),
+    Seq("ประเทศ", "ไทย", "มี", "ชาย", "หาด", "สวย", "งาม"),
+    Seq("เด็ก", "นักเรียน", "อ่าน", "หนังสือ", "ใน", "ห้องสมุด"),
+    Seq("ขอบคุณ", "มาก", "ครับ"))
+
+  private val IcuSentences = Seq(
+    "Hello world this is ICU tokenization",
+    "مرحبا بالعالم من جديد",
+    "今日は良い天気ですね",
+    "Привет мир как дела сегодня",
+    "C'est déjà l'été n'est-ce pas",
+    "version 2.0 released on 2026-08-13")
+  /** `BreakIterator.getWordInstance(ROOT)` over [[IcuSentences]] —
+    * Latin/Cyrillic/Arabic split on spaces, CJK through the break
+    * dictionary, apostrophes kept word-internal, numbers as units.
+    */
+  private val IcuTokens = Seq(
+    Seq("Hello", "world", "this", "is", "ICU", "tokenization"),
+    Seq("مرحبا", "بالعالم", "من", "جديد"),
+    Seq("今日", "は", "良", "い", "天気", "ですね"),
+    Seq("Привет", "мир", "как", "дела", "сегодня"),
+    Seq("C'est", "déjà", "l'été", "n'est-ce", "pas"),
+    Seq("version", "2.0", "released", "on", "2026", "08", "13"))
+
+  private def sentenceCounts(
+      s: SparkSession, dir: String,
+      sentences: Seq[String], tokenizer: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents")
+    val sent = element_at(array(sentences.map(lit): _*),
+      (col("doc_id") % sentences.size).cast("int") + 1)
+    val toks = Analyzers.analyzeWith(sent, Map("tokenizer" -> tokenizer))
+    d.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(25)
+  }
+
+  def analyzerThai(s: SparkSession, dir: String): DataFrame =
+    sentenceCounts(s, dir, ThaiSentences, "thai")
+
+  def analyzerIcu(s: SparkSession, dir: String): DataFrame =
+    sentenceCounts(s, dir, IcuSentences, "icu")
+
+  /** DuckDB VALUES rows `(sid, [tok, …])` for a precomputed-token
+    * oracle (apostrophes doubled for the SQL literal).
+    */
+  private def sqlTokenRows(tokens: Seq[Seq[String]]): String =
+    tokens.zipWithIndex.map { case (toks, sid) =>
+      toks.map(t => "'" + t.replace("'", "''") + "'")
+        .mkString(s"($sid, [", ",", "])")
+    }.mkString(",\n        |  ")
+
+  private def sentenceOracle(tokens: Seq[Seq[String]]): String =
+    s"""WITH sents(sid, toks) AS (VALUES
+       |  ${sqlTokenRows(tokens)}),
+       |docs AS (SELECT CAST(doc_id % ${tokens.size} AS INT) AS sid FROM documents),
+       |t AS (SELECT unnest(s.toks) AS term
+       |      FROM docs d JOIN sents s ON d.sid = s.sid)
+       |SELECT term, count(*) AS cnt FROM t GROUP BY term
+       |ORDER BY cnt DESC, term LIMIT 25""".stripMargin
+
   def analyzerCjk(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Analyzers
     val d = t(s, dir, "documents").filter(col("lang") === "zh")
@@ -395,7 +480,9 @@ object TextQueries {
     "q_analyzer_chargroup" -> (analyzerCharGroup _),
     "q_analyzer_ngram" -> (analyzerNgram _),
     "q_analyzer_cjk" -> (analyzerCjk _),
-    "q_analyzer_ja" -> (analyzerJa _)
+    "q_analyzer_ja" -> (analyzerJa _),
+    "q_analyzer_thai" -> (analyzerThai _),
+    "q_analyzer_icu" -> (analyzerIcu _)
   )
 
   /** 26 Han codepoints standing in for a-z in the CJK analyzer fixture
@@ -411,6 +498,8 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_analyzer_thai" -> sentenceOracle(ThaiTokens),
+    "q_analyzer_icu" -> sentenceOracle(IcuTokens),
     "q_analyzer_ja" ->
       s"""WITH src AS (
         |  SELECT translate(regexp_replace(text, '[^a-z ]', '', 'g'),

@@ -107,7 +107,7 @@ object WriteQueries {
     * the unclustered oracle while Parquet stats prune the files.
     */
   def clusteredScan(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_clustered_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = s"${LifecycleQueries.scratchDir("clustered")}/data"
     graft.operators.Clustering.writeClustered(
       t(s, dir, "lineitem"), "l_partkey", path, numPartitions = 16)
     graft.operators.Clustering.prunedRead(s, path, "l_partkey", 100L, 300L)
@@ -122,7 +122,7 @@ object WriteQueries {
     * residuals — must equal the logical delete semantics end to end.
     */
   def compactFold(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_l0_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val path = s"${LifecycleQueries.scratchDir("l0")}/data"
     val o = t(s, dir, "orders")
     val tombs = o.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))

@@ -293,6 +293,41 @@ class CollectionSpec extends SparkSpec {
     assert(!got.map(_.getLong(2)).contains(150L))
   }
 
+  test("CDC-applied rows enter the interim index and surface in indexed search") {
+    val c = fresh()
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    // a direct post-build insert creates an interim — the regression
+    // scenario: CDC rows must then ALSO enter it, or searchIndexed's
+    // interim semi-join silently drops them (no brute-force fallback)
+    c.insert(mkRows(100L until 110L))
+    val primary = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    primary.insert(mkRows(200L until 210L))
+    c.applyChanges(primary.changesSince(0L))
+    assert(c.interimLayout("emb").get.count() == 20) // direct + CDC batches
+    // pk 205: 205 % 97 = 11 collides with sealed pk 11 — query vec(203)
+    // instead (203 % 97 = 9... also collides). Compare against brute
+    // force over the same view, which is the exactness contract anyway.
+    val qs = Seq((0L, vec(205)), (1L, vec(104))).toDF("qid", "qvec")
+    val got = c.searchIndexed("emb", qs, k = 6, nprobe = 4, metric = Metric.L2)
+      .select($"qid", $"rank", $"pk").collect().toSet
+    val want = c.search("emb", qs, k = 6, metric = Metric.L2, outputFields = Seq("pk"))
+      .select($"qid", $"rank", $"pk").collect().toSet
+    assert(got == want)
+    // the CDC rows are genuinely reachable through the index
+    assert(got.map(_.getLong(2)).exists(pk => pk >= 200L && pk < 210L))
+  }
+
+  test("changesSince refuses a cursor predating a truncate") {
+    val c = fresh()
+    c.truncate()
+    c.insert(mkRows(300L until 305L))
+    intercept[IllegalStateException] { c.changesSince(0L) }
+    // a post-truncate cursor still works and carries the new inserts
+    val feed = c.changesSince(c.truncateTs)
+    assert(feed.filter($"_op" === "insert").count() == 5)
+  }
+
   test("filter-result cache: repeated filters hit, writes invalidate, RLS scopes split") {
     val c = fresh()
     val r1 = c.queryCached("grp == 2", Seq("pk")).as[Long].collect().sorted
@@ -430,6 +465,43 @@ class CollectionSpec extends SparkSpec {
     val hits = c.search("emb", Seq((0L, vec(251))).toDF("qid", "qvec"),
       k = 1, metric = Metric.L2, outputFields = Seq("pk"))
     assert(hits.select($"pk").as[Long].head() == 251L)
+  }
+
+  test("facade survives concurrent insert/delete/flush racing an attached stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 50L))
+    val input = MemoryStream[(Long, Seq[Float], String, Long)]
+    val ck = "/tmp/graft_test_race_ck_" + System.nanoTime()
+    val q = c.attachStream(input.toDF().toDF("pk", "emb", "txt", "grp"), ck)
+    val flushDir = "/tmp/graft_test_race_flush_" + System.nanoTime()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    // four mutator/reader threads race the streaming micro-batches: all
+    // pk ranges are disjoint, so the FINAL state is deterministic even
+    // though the interleaving isn't — any torn read/write under
+    // stateLock shows up as a wrong count or a thread exception
+    val tIns = worker { (0 until 5).foreach(b =>
+      c.insert(mkRows((1000L + b * 10) until (1000L + b * 10 + 10)))) }
+    val tDel = worker { (0 until 5).foreach(b => c.deletePks(Seq(b.toLong))) }
+    val tFlush = worker { (0 until 3).foreach { _ => c.flush(flushDir); Thread.sleep(10) } }
+    val tRead = worker { (0 until 5).foreach(_ => c.count()) }
+    (0 until 5).foreach(b => input.addData((3000L + b, vec(3000L + b), s"s$b", 0L)))
+    q.processAllAvailable()
+    Seq(tIns, tDel, tFlush, tRead).foreach(_.join())
+    q.processAllAvailable()
+    q.stop()
+    assert(errs.isEmpty, s"concurrent facade ops threw: ${errs.toArray.mkString("; ")}")
+    // 50 initial − 5 deleted + 50 threaded + 5 streamed
+    assert(c.count() == 100)
+    assert(c.count("pk < 5") == 0)
+    // flushed state serves identically to pre-flush state
+    assert(c.count("pk >= 1000 AND pk < 1050") == 50)
   }
 
   test("search order-by re-sorts returned hits by scalar fields") {

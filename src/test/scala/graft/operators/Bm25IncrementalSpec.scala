@@ -58,6 +58,25 @@ class Bm25IncrementalSpec extends SparkSpec {
     assert(inc.model.globals.select(col("n_docs")).as[Double].head() == 4.0)
   }
 
+  test("duplicate pk across live batches is refused (release invariant)") {
+    val inc = new Bm25.Bm25Incremental("doc_id", "text")
+    inc.ingest(corpus.take(4).toDF("doc_id", "text"))
+    // re-ingesting pk 0 would double-score it and make a later release
+    // strip both versions' postings while unwinding only one batch's stats
+    val ex = intercept[IllegalArgumentException] {
+      inc.ingest(Seq((0L, "re-ingested version")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("duplicate pk"))
+    // release-then-reingest is the sanctioned update path
+    inc.release(corpus.take(1).toDF("doc_id", "text"))
+    inc.ingest(Seq((0L, "join shuffles again")).toDF("doc_id", "text"))
+    val expect = Bm25.build(
+      (Seq((0L, "join shuffles again")) ++ corpus.slice(1, 4)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(scoresOf(inc.model, Seq("join", "shuffle")) ==
+      scoresOf(expect, Seq("join", "shuffle")))
+  }
+
   test("streaming attach: scores track the oracle through dedup + micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -24,8 +24,9 @@ class SparseWandSpec extends SparkSpec {
   private val query = Map("rare" -> 5.0, "alpha" -> 0.4, "gamma" -> 0.3)
 
   test("postings index carries per-term max weights and df") {
-    val bounds = idx.termBounds.collect().map(r =>
-      r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val bounds = idx.termBounds
+      .select(col("term"), col("max_weight"), col("df")).collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(bounds("rare") == ((3.0, 4L)))   // tf 3 in 4 docs
     assert(bounds("alpha") == ((2.0, 200L)))
     assert(bounds("gamma")._2 == 100L)
@@ -76,6 +77,25 @@ class SparseWandSpec extends SparkSpec {
     val pruned = SparseWand.search(idx, q, k = 5)
       .orderBy(col("score").desc, col("doc_id")).as[(Long, Double)].collect().toSeq
     val brute = SparseWand.search(idx, q, k = 5, exhaustive = true)
+      .orderBy(col("score").desc, col("doc_id")).as[(Long, Double)].collect().toSeq
+    assert(pruned == brute)
+  }
+
+  test("negative DOCUMENT weight under a query term disables pruning") {
+    // build from explicit postings: doc 9 carries a negative 'rare'
+    // weight, so θ from single-term contributions would over-estimate
+    // the true k-th score and over-prune — must take the exhaustive path
+    val sparse = (0L until 20L).map { i =>
+      val w = if (i == 9L) -2.0 else if (i % 5 == 0) 3.0 else 0.5
+      (i, Map("rare" -> w, "alpha" -> 1.0))
+    }.toDF("doc_id", "sv")
+    val nidx = SparseWand.build(sparse, "doc_id", col("sv"))
+    val q = Map("rare" -> 4.0, "alpha" -> 0.1)
+    val (essential, theta) = SparseWand.essentialSplit(nidx, q, k = 3)
+    assert(theta == 0.0 && essential == q.keys.toSeq.sorted)
+    val pruned = SparseWand.search(nidx, q, k = 3)
+      .orderBy(col("score").desc, col("doc_id")).as[(Long, Double)].collect().toSeq
+    val brute = SparseWand.search(nidx, q, k = 3, exhaustive = true)
       .orderBy(col("score").desc, col("doc_id")).as[(Long, Double)].collect().toSeq
     assert(pruned == brute)
   }
