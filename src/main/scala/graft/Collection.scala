@@ -88,6 +88,60 @@ final class Collection private (
     if (!d.isDirectory) 0 else d.listFiles().count(_.getName.startsWith("seg-"))
   }
 
+  // ---- named partitions (reference impl.go CreatePartition /
+  // DropPartition / ShowPartitions; search/query take partition_names).
+  // Spark-first: a `_partition` tag column, scoped reads filter on it
+  // BEFORE any vector/aggregate work — the SURVEY §1 mapping.
+  @volatile private var partitionSet: Set[String] = Set(Collection.DefaultPartition)
+
+  def listPartitions: Seq[String] = partitionSet.toSeq.sorted
+
+  def createPartition(name: String): Unit = stateLock.synchronized {
+    require(name.nonEmpty, "partition name must be non-empty")
+    require(!partitionSet.contains(name), s"partition '$name' already exists")
+    partitionSet += name
+  }
+
+  /** Drop a partition and tombstone its rows (the reference releases
+    * the partition's segments; MVCC tombstones are this engine's
+    * release). The default partition cannot be dropped.
+    */
+  def dropPartition(name: String): Long = stateLock.synchronized {
+    require(name != Collection.DefaultPartition, "cannot drop the default partition")
+    require(partitionSet.contains(name), s"no such partition '$name'")
+    val ts = nextTs()
+    val victims = readViewUnscoped()
+      .filter(col(Collection.PartitionCol) === name)
+      .select(col(schema.pkField), lit(ts).as(schema.tsField))
+      .localCheckpoint(true)
+    tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))
+    logChange("delete", victims)
+    partitionSet -= name
+    lastWriteTs = ts
+    invalidateFilterCache()
+    ts
+  }
+
+  /** Insert into a NAMED partition (reference Insert with
+    * partition_name): rows are tagged and ride the normal write path.
+    */
+  def insertInto(partition: String, rows: DataFrame): Long = {
+    require(partitionSet.contains(partition), s"no such partition '$partition'")
+    insert(rows.withColumn(Collection.PartitionCol, lit(partition)))
+  }
+
+  /** Scope a view to named partitions; every name must exist (the
+    * reference errors on unknown partition_names rather than silently
+    * returning nothing).
+    */
+  private def partitionScope(view: DataFrame, names: Seq[String]): DataFrame =
+    if (names.isEmpty) view
+    else {
+      val unknown = names.filterNot(partitionSet.contains)
+      require(unknown.isEmpty, s"no such partition(s): ${unknown.mkString(", ")}")
+      view.filter(col(Collection.PartitionCol).isin(names: _*))
+    }
+
   /** Guards every read-modify-write of the mutable collection state
     * (growing/tombs/sealedDf/lastWriteTs/indexes). attachStream invokes
     * insert from the streaming micro-batch thread, so concurrent user
@@ -133,7 +187,11 @@ final class Collection private (
 
   def insert(rows: DataFrame): Long = stateLock.synchronized {
     val ts = nextTs()
-    val stamped = rows.withColumn(schema.tsField, lit(ts))
+    // untagged rows land in the default partition; insertInto pre-tags
+    val tagged =
+      if (rows.columns.contains(Collection.PartitionCol)) rows
+      else rows.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
+    val stamped = tagged.withColumn(schema.tsField, lit(ts))
     var countedRows: Option[Long] = None // reused by the seal policy check
     val withPk =
       if (!schema.autoId) stamped
@@ -398,6 +456,31 @@ final class Collection private (
       ttl: Option[Column] = None): DataFrame =
     rlsFilter(readViewUnscoped(level, staleness, sessionTs, ttl))
 
+  /** Export the current visible rows as v1 binlog segments (the
+    * migration-out path; reference `internal/storage/binlog_writer.go`
+    * format via [[graft.sources.Binlog.writeSegment]]): rows hash-split
+    * on pk into `segments` bounded segment directories, one insert-log
+    * file per field plus the delta already folded in (the view is
+    * tombstone-free by construction).
+    */
+  def exportBinlog(dir: String, segments: Int = 4): Unit = {
+    val view = readView()
+    val n = math.max(segments, 1)
+    (0 until n).foreach { i =>
+      graft.sources.Binlog.writeSegment(
+        view.filter(pmod(hash(col(schema.pkField)), lit(n)) === i),
+        s"$dir/seg-$i", collectionId = 1L, partitionId = 1L,
+        segmentId = i.toLong, orderCol = schema.pkField)
+    }
+  }
+
+  /** Import v1 binlog segments written by [[exportBinlog]] (or the
+    * fixture writer) as one insert batch — the
+    * `importutilv2/binlog` migration-in path.
+    */
+  def importBinlog(dir: String): Long =
+    insert(graft.sources.Binlog.readSegments(spark, dir))
+
   /** The view BEFORE row-level security — for shared physical artifacts
     * (index builds), which must not bake one caller's policy scope in;
     * RLS re-applies per query on top.
@@ -478,15 +561,18 @@ final class Collection private (
       outputFields: Seq[String],
       limit: Int = -1,
       orderBy: Seq[Column] = Nil,
-      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
-    val base = readView(level).filter(compiled(filterExpr))
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      partitionNames: Seq[String] = Nil): DataFrame = {
+    val scoped = partitionScope(readView(level), partitionNames)
+    val base = (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
       .select(outputFields.map(col): _*)
     val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
     if (limit > 0) sorted.limit(limit) else sorted
   }
 
-  def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong): Long = {
-    val v = readView(level)
+  def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      partitionNames: Seq[String] = Nil): Long = {
+    val v = partitionScope(readView(level), partitionNames)
     (if (filterExpr.isEmpty) v else v.filter(compiled(filterExpr))).count()
   }
 
@@ -507,10 +593,13 @@ final class Collection private (
       outputFields: Seq[String] = Nil,
       roundTo: Option[Int] = None,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
-      orderBy: Seq[Column] = Nil): DataFrame = {
+      orderBy: Seq[Column] = Nil,
+      partitionNames: Seq[String] = Nil): DataFrame = {
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
-    val corpus = readView(level)
+    // partition scope prunes BEFORE any distance work — at scale this
+    // is the reference's partition-level segment pruning
+    val corpus = partitionScope(readView(level), partitionNames)
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     val hits = VectorSearch.topK(corpus, schema.pkField, vectorField, queries,
@@ -871,7 +960,12 @@ final class Collection private (
       .select(col(schema.pkField), col(schema.tsField), col("_op"))
       .withColumn("_arrival", lit(arrivalTs))
     cdcApplied = Some(cdcApplied.map(_.unionByName(cdcEntry)).getOrElse(cdcEntry))
-    val ins = pinned.filter(col("_op") === "insert").drop("_op")
+    val ins0 = pinned.filter(col("_op") === "insert").drop("_op")
+    // keep partition tagging consistent with insert(): an untagged feed
+    // (pre-partition primary) must not union a null column into growing
+    val ins =
+      if (ins0.columns.contains(Collection.PartitionCol)) ins0
+      else ins0.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
     val del = pinned.filter(col("_op") === "delete")
       .select(col(schema.pkField), col(schema.tsField))
     if (!ins.isEmpty) {
@@ -923,6 +1017,13 @@ final class Collection private (
 }
 
 object Collection {
+
+  /** The implicit partition every untagged row lands in (reference:
+    * the `_default` partition every collection is born with).
+    */
+  val DefaultPartition = "_default"
+  /** Tag column carrying each row's named partition. */
+  val PartitionCol = "_partition"
 
   /** Create an empty collection (reference `CreateCollection`). */
   def create(spark: SparkSession, schema: CollectionSchema): Collection =

@@ -94,6 +94,40 @@ object Analyzers {
     * Devanagari, Bengali, Fullwidth).
     */
   case object DecimalDigit extends Filter
+  /** Porter-stem each token (tantivy `stemmer` filter,
+    * stemmer_filter.rs; only "english" is supported — porter is an
+    * English algorithm and the sandbox carries no other snowball data).
+    */
+  final case class Stem(language: String) extends Filter
+  /** Drop tokens containing any punctuation or whitespace character
+    * (remove_punct_filter.rs drops on an unanchored `[\p{Punct}\s]+`
+    * match, i.e. ANY punct inside the token kills it).
+    */
+  case object RemovePunct extends Filter
+  /** Keep only tokens containing a Han character (cn_char_filter.rs
+    * CnCharOnlyFilter); [[CnAlphaNumOnly]] also admits ASCII
+    * alphanumerics.
+    */
+  case object CnCharOnly extends Filter
+  case object CnAlphaNumOnly extends Filter
+  /** Strip diacritics: NFD-decompose then drop combining marks
+    * (asciifolding — the Lucene ASCIIFoldingFilter's dominant case).
+    */
+  case object AsciiFolding extends Filter
+  /** Keep only tokens matching `expr` (regex_filter.rs: the stream
+    * advances past non-matching tokens).
+    */
+  final case class RegexKeep(expr: String) extends Filter
+  /** Expand tokens through a synonym dictionary: a matching token is
+    * followed by its synonyms (synonym_filter.rs with expand=true —
+    * the index-side expansion shape).
+    */
+  final case class Synonym(dict: Map[String, Seq[String]]) extends Filter
+  /** Split compound words fully decomposable into dictionary parts
+    * (decompounder_filter.rs / split_compound_words); tokens that
+    * don't fully decompose stay whole.
+    */
+  final case class Decompounder(dict: Seq[String]) extends Filter
 
   /** Escaped character class — works identically in Java regex (Spark)
     * and RE2 (oracle side); \Q..\E quoting is Java-only, so escape
@@ -202,6 +236,68 @@ object Analyzers {
         translate(t, "آأإةى", "اااهي"),
         "[ً-ٟـ]", ""))
     case DecimalDigit  => transform(tokens, t => translate(t, DigitFrom, DigitTo))
+    case Stem(lang) =>
+      require(lang == "english", s"stemmer language '$lang' not supported (english only)")
+      stemUdf(tokens)
+    case RemovePunct   => filter(tokens, t => !t.rlike("[\\p{Punct}\\s]"))
+    case CnCharOnly    => filter(tokens, t => t.rlike("\\p{IsHan}"))
+    case CnAlphaNumOnly => filter(tokens, t => t.rlike("^[\\p{IsHan}a-zA-Z0-9]+$"))
+    case AsciiFolding  => foldUdf(tokens)
+    case RegexKeep(e)  => filter(tokens, t => t.rlike(e))
+    case Synonym(dict) =>
+      val entries = dict.toSeq.sortBy(_._1)
+      val keys = array(entries.map(e => lit(e._1)): _*)
+      val vals = array(entries.map(e => array((e._1 +: e._2).map(lit): _*)): _*)
+      // token → [token] or [token, syn…], flattened back to one stream
+      flatten(transform(tokens, t => {
+        val idx = array_position(keys, t)
+        when(idx > 0, element_at(vals, idx.cast("int"))).otherwise(array(t))
+      }))
+    case Decompounder(dict) => decompoundUdf(dict)(tokens)
+  }
+
+  // UDFs sit at ingest/index-build time like the WordBreak tokenizers,
+  // never on the scan path
+  private lazy val stemUdf =
+    udf((ts: Seq[String]) => if (ts == null) null else ts.map(PorterStemmer.stem))
+  private lazy val foldUdf = udf { (ts: Seq[String]) =>
+    if (ts == null) null
+    else ts.map(t => java.text.Normalizer
+      .normalize(t, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", ""))
+  }
+  private def decompoundUdf(dict: Seq[String]) = udf { (ts: Seq[String]) =>
+    if (ts == null) null
+    else {
+      val words = dict.toSet
+      val maxLen = if (words.isEmpty) 0 else words.iterator.map(_.length).max
+      // DP full-cover segmentation, longest-part-first at each split
+      def split(t: String): Seq[String] = {
+        val n = t.length
+        val from = Array.fill[Int](n + 1)(-1)
+        from(0) = 0
+        var i = 0
+        while (i < n) {
+          if (from(i) >= 0) {
+            var l = math.min(maxLen, n - i)
+            while (l >= 1) {
+              if (from(i + l) < 0 && words.contains(t.substring(i, i + l)))
+                from(i + l) = i
+              l -= 1
+            }
+          }
+          i += 1
+        }
+        if (from(n) < 0) Seq(t)
+        else {
+          var parts = List.empty[String]
+          var j = n
+          while (j > 0) { val s = from(j); parts = t.substring(s, j) :: parts; j = s }
+          parts
+        }
+      }
+      ts.flatMap(split)
+    }
   }
 
   /** Tokenize `c` with the given tokenizer, then apply filters in order. */
@@ -245,6 +341,22 @@ object Analyzers {
         case "alphanumonly" => AlphaNumOnly
         case "arabic_normalization" => ArabicNormalization
         case "decimaldigit" => DecimalDigit
+        case "stemmer"      => Stem(params.getOrElse("language", "english"))
+        case "removepunct"  => RemovePunct
+        case "cncharonly"   => CnCharOnly
+        case "cnalphanumonly" => CnAlphaNumOnly
+        case "asciifolding" => AsciiFolding
+        case "regex"        => RegexKeep(params.getOrElse("expr",
+          throw new IllegalArgumentException("regex filter needs 'expr'")))
+        // synonyms: "key:syn1|syn2;key2:syn" (the tantivy dict-file rows
+        // rendered into one param string)
+        case "synonym"      => Synonym(params.getOrElse("synonyms", "")
+          .split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+            val Array(k, vs) = e.split(":", 2)
+            k.trim -> vs.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+          }.toMap)
+        case "decompounder" => Decompounder(params.getOrElse("word_list", "")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         case other          => throw new IllegalArgumentException(s"filter '$other' not supported")
       }
     analyze(c, tok, filters)

@@ -52,16 +52,23 @@ object JsonShred {
     * aggregate pass counting per-path presence. Paths present in at
     * least `minFreq` of rows (capped at `maxPaths`, most frequent
     * first) become shredded columns.
+    *
+    * Stats run over a `sampleRows`-bounded prefix — key statistics are
+    * a frequency ESTIMATE deciding layout, not a correctness input, so
+    * at 100 TB the analyze cost stays constant (the reference likewise
+    * collects stats per flushed segment, never over the full
+    * collection). Pass Int.MaxValue to force exact stats.
     */
   def analyze(df: DataFrame, jsonCol: String, minFreq: Double = 0.5,
-      maxPaths: Int = 16): Manifest = {
+      maxPaths: Int = 16, sampleRows: Int = 100000): Manifest = {
     val spark = df.sparkSession
     import spark.implicits._
-    val strings = df.select(col(jsonCol)).as[String]
+    val sample = df.limit(sampleRows)
+    val strings = sample.select(col(jsonCol)).as[String]
     val inferred = spark.read.json(strings).schema
     val leaves = leafPaths(inferred)
     if (leaves.isEmpty) return Manifest(jsonCol, Nil)
-    val presence = df.agg(
+    val presence = sample.agg(
       count(lit(1)).as("_n"),
       leaves.map { case (p, _) =>
         count(get_json_object(col(jsonCol), s"$$.$p")).as(shredColName(p))

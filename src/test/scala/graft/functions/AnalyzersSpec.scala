@@ -40,6 +40,59 @@ class AnalyzersSpec extends SparkSpec {
     assert(got == Seq("quick", "runs")) // "brown-fox" non-alnum, long word dropped
   }
 
+  test("stemmer filter porter-stems the token stream") {
+    assert(run("ponies plastered generalizations", Whitespace,
+      Seq(Lowercase, Stem("english"))) == Seq("poni", "plaster", "gener"))
+    intercept[IllegalArgumentException] {
+      run("x y", Whitespace, Seq(Stem("german")))
+    }
+  }
+
+  test("removepunct drops tokens containing ANY punctuation") {
+    assert(run("ok don't fine trailing.", Whitespace, Seq(RemovePunct)) ==
+      Seq("ok", "fine"))
+  }
+
+  test("cncharonly / cnalphanumonly keep Han (and alnum) tokens") {
+    assert(run("中文 mixed中 latin 42", Whitespace, Seq(CnCharOnly)) ==
+      Seq("中文", "mixed中"))
+    assert(run("中文 mixed中 latin! 42", Whitespace, Seq(CnAlphaNumOnly)) ==
+      Seq("中文", "mixed中", "42"))
+  }
+
+  test("asciifolding strips diacritics via NFD") {
+    assert(run("déjà naïve Ångström", Whitespace, Seq(AsciiFolding)) ==
+      Seq("deja", "naive", "Angstrom"))
+  }
+
+  test("regex filter keeps only matching tokens") {
+    assert(run("alpha beta42 gamma7", Whitespace, Seq(RegexKeep("\\d"))) ==
+      Seq("beta42", "gamma7"))
+  }
+
+  test("synonym filter expands matches in place, stream order preserved") {
+    val syn = Synonym(Map("big" -> Seq("large", "huge")))
+    assert(run("a big dog", Whitespace, Seq(syn)) ==
+      Seq("a", "big", "large", "huge", "dog"))
+  }
+
+  test("decompounder splits fully-decomposable compounds, keeps the rest") {
+    val d = Decompounder(Seq("butter", "milk", "cream"))
+    assert(run("buttermilk buttercup milkcream", Whitespace, Seq(d)) ==
+      Seq("butter", "milk", "buttercup", "milk", "cream"))
+  }
+
+  test("param-map dispatch reaches the new filters") {
+    val df = Seq("Generalizations WERE big-news überall").toDF("t")
+    val got = df.select(analyzeWith(col("t"), Map(
+      "tokenizer" -> "whitespace",
+      "filters" -> "lowercase,asciifolding,removepunct,stemmer,synonym",
+      // the stemmer runs first, so the synonym key is the STEM
+      "synonyms" -> "uberal:everywhere")).as("toks")).as[Seq[String]].head()
+    // big-news dropped by removepunct; überall folded, stemmed, expanded
+    assert(got == Seq("gener", "were", "uberal", "everywhere"))
+  }
+
   test("param-map dispatch matches the typed API and rejects unknown tokenizers") {
     val df = Seq("One two,three").toDF("t")
     val viaMap = df.select(analyzeWith(col("t"), Map(
