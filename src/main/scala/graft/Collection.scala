@@ -97,6 +97,7 @@ final class Collection private (
   def listPartitions: Seq[String] = partitionSet.toSeq.sorted
 
   def createPartition(name: String): Unit = stateLock.synchronized {
+    requirePriv("CreatePartition")
     require(name.nonEmpty, "partition name must be non-empty")
     require(!partitionSet.contains(name), s"partition '$name' already exists")
     partitionSet += name
@@ -107,6 +108,7 @@ final class Collection private (
     * release). The default partition cannot be dropped.
     */
   def dropPartition(name: String): Long = stateLock.synchronized {
+    requirePriv("DropPartition")
     require(name != Collection.DefaultPartition, "cannot drop the default partition")
     require(partitionSet.contains(name), s"no such partition '$name'")
     val ts = nextTs()
@@ -185,7 +187,12 @@ final class Collection private (
     */
   private val idAlloc = new AtomicLong(1L << 40)
 
-  def insert(rows: DataFrame): Long = stateLock.synchronized {
+  def insert(rows: DataFrame): Long = {
+    requirePriv("Insert")
+    insertImpl(rows)
+  }
+
+  private[graft] def insertImpl(rows: DataFrame): Long = stateLock.synchronized {
     val ts = nextTs()
     // untagged rows land in the default partition; insertInto pre-tags
     val tagged =
@@ -233,6 +240,7 @@ final class Collection private (
     * [[compact]]. Returns the delete ts.
     */
   def delete(filterExpr: String): Long = stateLock.synchronized {
+    requirePriv("Delete")
     val ts = nextTs()
     // evaluate on the CURRENT VISIBLE VIEW, not raw versions: a predicate
     // matching only a superseded (upserted-over) version must not delete
@@ -250,6 +258,7 @@ final class Collection private (
   }
 
   def deletePks(pks: Seq[Any]): Long = stateLock.synchronized {
+    requirePriv("Delete")
     val ts = nextTs()
     import scala.jdk.CollectionConverters._
     val pkType = raw.schema(schema.pkField).dataType
@@ -268,7 +277,7 @@ final class Collection private (
   /** Upsert (reference task_upsert.go): new versions of existing pks +
     * inserts, resolved last-writer-wins at read time by ts.
     */
-  def upsert(rows: DataFrame): Long = insert(rows)
+  def upsert(rows: DataFrame): Long = { requirePriv("Upsert"); insertImpl(rows) }
 
   /** Partial upsert (reference task_upsert_partial_op.go + the array
     * field-op client surface): `rows` carry the pk plus ONLY the fields
@@ -334,6 +343,7 @@ final class Collection private (
     * compacts sealed segments only).
     */
   def compact(path: String): Unit = stateLock.synchronized {
+    requirePriv("Compaction")
     require(growing.isEmpty, "flush the growing tail before compacting")
     val sealedData = sealedDf.getOrElse(
       throw new IllegalStateException("nothing to compact — empty collection"))
@@ -403,6 +413,7 @@ final class Collection private (
     * sealedDf plan reads from, so repeated flushes to one path are safe.
     */
   def flush(path: String): Unit = stateLock.synchronized {
+    requirePriv("Flush")
     growing.foreach { g =>
       val segPath = s"$path/seg-${nextTs()}"
       g.write.parquet(segPath)
@@ -429,6 +440,28 @@ final class Collection private (
     * no identity set, reads fail — enforced, not advisory.
     */
   def setUser(ctx: Rls.UserContext): Unit = { currentUser = Some(ctx) }
+
+  // ---- operation-level security (reference OperatePrivilege; see
+  // [[Rbac]]). RLS scopes WHICH ROWS a principal sees; RBAC gates
+  // WHICH OPERATIONS it may invoke at all.
+  @volatile private var rbacCtx: Option[(Rbac.Registry, String)] = None
+
+  /** Enforce RBAC on this collection: every facade operation checks the
+    * caller's privilege (identity from [[setUser]]) in `registry`
+    * against `collectionName` before building a plan.
+    */
+  def enableRbac(registry: Rbac.Registry, collectionName: String): Unit =
+    rbacCtx = Some((registry, collectionName))
+  def disableRbac(): Unit = rbacCtx = None
+
+  private def requirePriv(privilege: String): Unit = rbacCtx.foreach {
+    case (reg, cname) =>
+      val user = currentUser.map(_.userName).getOrElse(throw new IllegalStateException(
+        "RBAC is enabled but no user context is set — call setUser first"))
+      if (!reg.allowed(user, privilege, cname))
+        throw new SecurityException(
+          s"user '$user' lacks privilege $privilege on collection '$cname'")
+  }
 
   private def rlsFilter(df: DataFrame): DataFrame =
     if (rlsPolicies.isEmpty) df
@@ -478,8 +511,10 @@ final class Collection private (
     * fixture writer) as one insert batch — the
     * `importutilv2/binlog` migration-in path.
     */
-  def importBinlog(dir: String): Long =
-    insert(graft.sources.Binlog.readSegments(spark, dir))
+  def importBinlog(dir: String): Long = {
+    requirePriv("Import")
+    insertImpl(graft.sources.Binlog.readSegments(spark, dir))
+  }
 
   /** The view BEFORE row-level security — for shared physical artifacts
     * (index builds), which must not bake one caller's policy scope in;
@@ -563,6 +598,7 @@ final class Collection private (
       orderBy: Seq[Column] = Nil,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil): DataFrame = {
+    requirePriv("Query")
     val scoped = partitionScope(readView(level), partitionNames)
     val base = (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
       .select(outputFields.map(col): _*)
@@ -572,14 +608,17 @@ final class Collection private (
 
   def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil): Long = {
+    requirePriv("Query")
     val v = partitionScope(readView(level), partitionNames)
     (if (filterExpr.isEmpty) v else v.filter(compiled(filterExpr))).count()
   }
 
   /** Get by primary keys (reference `Get`/requery path). */
-  def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame =
+  def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame = {
+    requirePriv("Query")
     readView().filter(col(schema.pkField).isin(pks: _*))
       .select(outputFields.map(col): _*)
+  }
 
   /** ANN search (reference `Proxy.Search`): top-k per query vector over
     * the MVCC view, optional filter expression, metric-typed.
@@ -595,6 +634,7 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       orderBy: Seq[Column] = Nil,
       partitionNames: Seq[String] = Nil): DataFrame = {
+    requirePriv("Search")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
     // partition scope prunes BEFORE any distance work — at scale this

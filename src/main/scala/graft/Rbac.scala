@@ -1,0 +1,114 @@
+package graft
+
+/** Role-based access control (reference: `proxy/impl.go` CreateRole /
+  * OperatePrivilege / OperatePrivilegeV2, privilege enums in
+  * milvus-proto commonpb.ObjectPrivilege, built-in privilege GROUPS in
+  * `pkg/util/constant.go` CollectionReadOnly/ReadWrite/AdminPrivileges).
+  *
+  * Operation-level security, complementing [[Rls]] (row-level): a user
+  * holds roles, a role holds grants of (privilege | privilege group)
+  * on a collection name (`*` = any), and every facade operation checks
+  * its privilege before touching a plan. Pure driver-side metadata —
+  * nothing here runs on executors, so enforcement cost is O(grants)
+  * per operation, independent of data size.
+  */
+object Rbac {
+
+  /** Collection-level privileges (the subset of
+    * commonpb.ObjectPrivilege this engine's facade exposes), named
+    * exactly as the reference names them.
+    */
+  val CollectionPrivileges: Set[String] = Set(
+    "Query", "Search", "GetStatistics", "IndexDetail", "ShowPartitions",
+    "Insert", "Delete", "Upsert", "Import", "Flush", "Compaction",
+    "CreateIndex", "DropIndex", "CreatePartition", "DropPartition",
+    "CreateAlias", "DropAlias", "Truncate")
+
+  /** Built-in privilege groups (`pkg/util/constant.go`, rbac v2):
+    * ReadOnly ⊂ ReadWrite ⊂ Admin.
+    */
+  val ReadOnlyGroup: Set[String] = Set(
+    "Query", "Search", "GetStatistics", "IndexDetail", "ShowPartitions")
+  val ReadWriteGroup: Set[String] = ReadOnlyGroup ++ Set(
+    "Insert", "Delete", "Upsert", "Import", "Flush", "Compaction",
+    "CreateIndex", "DropIndex", "CreatePartition", "DropPartition",
+    "Truncate")
+  val AdminGroup: Set[String] = ReadWriteGroup ++ Set("CreateAlias", "DropAlias")
+
+  private val Groups: Map[String, Set[String]] = Map(
+    "CollectionReadOnly" -> ReadOnlyGroup,
+    "CollectionReadWrite" -> ReadWriteGroup,
+    "CollectionAdmin" -> AdminGroup)
+
+  final case class Grant(role: String, privilege: String, collection: String)
+
+  /** Mutable driver-side registry of roles, user-role bindings, and
+    * grants — the rootcoord metastore analogue. Thread-safe: facade
+    * checks may race admin mutations.
+    */
+  final class Registry {
+    private var roles: Set[String] = Set("admin", "public") // reference built-ins
+    private var userRoles: Map[String, Set[String]] = Map.empty
+    private var grants: Set[Grant] = Set.empty
+    private val lock = new Object
+
+    def createRole(role: String): Unit = lock.synchronized {
+      require(!roles.contains(role), s"role '$role' already exists")
+      roles += role
+    }
+
+    def dropRole(role: String): Unit = lock.synchronized {
+      require(!Set("admin", "public").contains(role), s"cannot drop built-in role '$role'")
+      roles -= role
+      grants = grants.filterNot(_.role == role)
+      userRoles = userRoles.view.mapValues(_ - role).toMap
+    }
+
+    def addUserToRole(user: String, role: String): Unit = lock.synchronized {
+      require(roles.contains(role), s"no such role '$role'")
+      userRoles += user -> (userRoles.getOrElse(user, Set.empty) + role)
+    }
+
+    def removeUserFromRole(user: String, role: String): Unit = lock.synchronized {
+      userRoles += user -> (userRoles.getOrElse(user, Set.empty) - role)
+    }
+
+    /** Grant a privilege or a built-in group (reference
+      * OperatePrivilege(Grant) / V2 with groups). `collection` may be
+      * `*` for any collection.
+      */
+    def grant(role: String, privilegeOrGroup: String, collection: String): Unit =
+      lock.synchronized {
+        require(roles.contains(role), s"no such role '$role'")
+        require(Groups.contains(privilegeOrGroup) ||
+          CollectionPrivileges.contains(privilegeOrGroup),
+          s"unknown privilege '$privilegeOrGroup'")
+        grants += Grant(role, privilegeOrGroup, collection)
+      }
+
+    /** Revoke a previously granted privilege/group (exact match, like
+      * the reference's Revoke — a group grant is revoked as a group).
+      */
+    def revoke(role: String, privilegeOrGroup: String, collection: String): Unit =
+      lock.synchronized { grants -= Grant(role, privilegeOrGroup, collection) }
+
+    /** Does `user` hold `privilege` on `collection`? The built-in
+      * `admin` role passes everything (reference root/admin semantics).
+      */
+    def allowed(user: String, privilege: String, collection: String): Boolean =
+      lock.synchronized {
+        val rs = userRoles.getOrElse(user, Set.empty) + "public"
+        if (rs.contains("admin")) return true
+        grants.exists { g =>
+          rs.contains(g.role) &&
+          (g.collection == "*" || g.collection == collection) &&
+          (g.privilege == privilege ||
+            Groups.get(g.privilege).exists(_.contains(privilege)))
+        }
+      }
+
+    def listGrants(role: String): Seq[Grant] =
+      lock.synchronized(grants.filter(_.role == role).toSeq.sortBy(g =>
+        (g.collection, g.privilege)))
+  }
+}

@@ -518,6 +518,43 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** RBAC end-to-end (reference `impl.go` CreateRole/OperatePrivilege,
+    * privilege groups in `pkg/util/constant.go`): a writer role loads
+    * the data, a reader role (CollectionReadOnly) aggregates it —
+    * phase 1. Phase 2 revokes the reader's grant mid-session: the same
+    * query must now throw, recorded as a `denied` marker row the
+    * oracle pins. Proves grants gate operations and revocation takes
+    * effect immediately, not at next session.
+    */
+  def rbacRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, Rbac, Rls}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val reg = new Rbac.Registry
+    reg.createRole("reader"); reg.createRole("writer")
+    reg.addUserToRole("w", "writer"); reg.addUserToRole("r", "reader")
+    reg.grant("writer", "CollectionReadWrite", "events")
+    reg.grant("reader", "CollectionReadOnly", "events")
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.setUser(Rls.UserContext("w"))
+    c.enableRbac(reg, "events")
+    c.insert(ev.filter(col("event_id") < 2500))
+    c.setUser(Rls.UserContext("r"))
+    val phase1 = c.query("", Seq("event_type", "value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("phase", lit(1L))
+    val p1 = phase1.localCheckpoint(true) // evaluate UNDER the live grant
+    reg.revoke("reader", "CollectionReadOnly", "events")
+    val denied =
+      try { c.count(); "unexpected-allow" }
+      catch { case _: SecurityException => "denied" }
+    import s.implicits._
+    val phase2 = Seq((denied, 0L, 0.0, 2L))
+      .toDF("event_type", "cnt", "sum_value", "phase")
+    p1.unionByName(phase2).orderBy(col("phase"), col("event_type"))
+  }
+
   /** Named partitions end-to-end (reference `impl.go` CreatePartition /
     * DropPartition; Search/Query with partition_names): events split
     * into `hot` / `cold` partitions plus untagged default-partition
@@ -581,6 +618,7 @@ object LifecycleQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binlog_import" -> (binlogImport _),
     "q_partition_names" -> (partitionNamesRead _),
+    "q_rbac_read" -> (rbacRead _),
     "q_seal_policy" -> (sealPolicyRead _),
     "q_alias_swap" -> (aliasSwap _),
     "q_ttl_visibility" -> (ttlVisibility _),
@@ -608,6 +646,13 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000 AND value >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rbac_read" ->
+      """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 2500 GROUP BY event_type
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'denied', CAST(0 AS BIGINT), 0.0
+        |ORDER BY phase, event_type""".stripMargin,
     "q_partition_names" ->
       """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
         |  round(sum(value), 2) AS sum_value

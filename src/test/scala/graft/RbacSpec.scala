@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Metric
+
+class RbacSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Long): Seq[Float] =
+    (0 until 4).map(d => ((seed * (d + 3)) % 97).toFloat / 97f)
+
+  private def mkRows(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i), s"doc $i", i % 5)).toDF("pk", "emb", "txt", "grp")
+
+  test("registry: groups expand, wildcard collections, admin bypass") {
+    val r = new Rbac.Registry
+    r.createRole("reader")
+    r.addUserToRole("alice", "reader")
+    r.grant("reader", "CollectionReadOnly", "docs")
+    assert(r.allowed("alice", "Search", "docs"))
+    assert(r.allowed("alice", "Query", "docs"))
+    assert(!r.allowed("alice", "Insert", "docs"), "ReadOnly excludes writes")
+    assert(!r.allowed("alice", "Search", "other"), "grant is per collection")
+    r.grant("reader", "Insert", "*")
+    assert(r.allowed("alice", "Insert", "anything"))
+    r.revoke("reader", "Insert", "*")
+    assert(!r.allowed("alice", "Insert", "anything"))
+    // admin role passes everything without grants
+    r.addUserToRole("root", "admin")
+    assert(r.allowed("root", "DropPartition", "docs"))
+    // unknown role/privilege fail fast
+    intercept[IllegalArgumentException] { r.grant("nope", "Query", "docs") }
+    intercept[IllegalArgumentException] { r.grant("reader", "Banana", "docs") }
+    intercept[IllegalArgumentException] { r.dropRole("admin") }
+  }
+
+  test("facade: RBAC gates operations by the caller's grants") {
+    val reg = new Rbac.Registry
+    reg.createRole("reader"); reg.createRole("writer")
+    reg.addUserToRole("alice", "reader")
+    reg.addUserToRole("bob", "writer")
+    reg.grant("reader", "CollectionReadOnly", "events")
+    reg.grant("writer", "CollectionReadWrite", "events")
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.setUser(Rls.UserContext("bob"))
+    c.enableRbac(reg, "events")
+    c.insert(mkRows(0L until 20L)) // writer may insert
+    c.setUser(Rls.UserContext("alice"))
+    assert(c.count() == 20) // reader may read...
+    assert(c.search("emb", Seq((0L, vec(3))).toDF("qid", "qvec"), k = 1,
+      metric = Metric.L2, outputFields = Seq("pk"))
+      .select($"pk").as[Long].head() == 3L)
+    intercept[SecurityException] { c.insert(mkRows(Seq(100L))) } // ...not write
+    intercept[SecurityException] { c.delete("grp == 1") }
+    intercept[SecurityException] { c.createPartition("p") }
+    // revoking the read grant closes the read path too
+    reg.revoke("reader", "CollectionReadOnly", "events")
+    intercept[SecurityException] { c.count() }
+    // upsert is its own privilege, not Insert (reference semantics)
+    reg.createRole("upserter")
+    reg.addUserToRole("carol", "upserter")
+    reg.grant("upserter", "Upsert", "events")
+    c.setUser(Rls.UserContext("carol"))
+    c.upsert(mkRows(Seq(5L)))
+    intercept[SecurityException] { c.insert(mkRows(Seq(200L))) }
+    // disabling restores open access
+    c.disableRbac()
+    c.setUser(Rls.UserContext("alice"))
+    assert(c.count() == 20)
+  }
+}
