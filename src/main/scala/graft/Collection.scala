@@ -99,6 +99,9 @@ final class Collection private (
   def createPartition(name: String): Unit = stateLock.synchronized {
     requirePriv("CreatePartition")
     require(name.nonEmpty, "partition name must be non-empty")
+    // flushed layouts are hive-partitioned on the name; an all-numeric
+    // name would be type-inferred back as int and break the union
+    require(name.exists(!_.isDigit), s"partition name '$name' must not be all digits")
     require(!partitionSet.contains(name), s"partition '$name' already exists")
     partitionSet += name
   }
@@ -132,16 +135,20 @@ final class Collection private (
     insert(rows.withColumn(Collection.PartitionCol, lit(partition)))
   }
 
-  /** Scope a view to named partitions; every name must exist (the
-    * reference errors on unknown partition_names rather than silently
-    * returning nothing).
+  /** Predicate scoping a read to named partitions; every name must
+    * exist (the reference errors on unknown partition_names rather than
+    * silently returning nothing). Applied BELOW the MVCC resolution:
+    * partitions are physically separate sub-collections, so visibility
+    * resolves within the scope — and the predicate reaches the parquet
+    * scan as a PartitionFilter (directory pruning) instead of dying
+    * above the latest-by-pk aggregate.
     */
-  private def partitionScope(view: DataFrame, names: Seq[String]): DataFrame =
-    if (names.isEmpty) view
+  private def partitionPredicate(names: Seq[String]): Option[Column] =
+    if (names.isEmpty) None
     else {
       val unknown = names.filterNot(partitionSet.contains)
       require(unknown.isEmpty, s"no such partition(s): ${unknown.mkString(", ")}")
-      view.filter(col(Collection.PartitionCol).isin(names: _*))
+      Some(col(Collection.PartitionCol).isin(names: _*))
     }
 
   /** Guards every read-modify-write of the mutable collection state
@@ -416,7 +423,14 @@ final class Collection private (
     requirePriv("Flush")
     growing.foreach { g =>
       val segPath = s"$path/seg-${nextTs()}"
-      g.write.parquet(segPath)
+      // sealed segments are laid out BY NAMED PARTITION (hive-style
+      // directories): a partition_names-scoped read then prunes whole
+      // directories at the file source (PartitionFilters) before any
+      // row is touched — the reference's partition-level segment
+      // pruning, expressed as Spark partitioned parquet
+      if (g.columns.contains(Collection.PartitionCol))
+        g.write.partitionBy(Collection.PartitionCol).parquet(segPath)
+      else g.write.parquet(segPath)
       val seg = spark.read.parquet(segPath)
       sealedDf = Some(sealedDf
         .map(_.unionByName(seg, allowMissingColumns = true)).getOrElse(seg))
@@ -486,8 +500,11 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       staleness: Long = 0L,
       sessionTs: Long = 0L,
-      ttl: Option[Column] = None): DataFrame =
-    rlsFilter(readViewUnscoped(level, staleness, sessionTs, ttl))
+      ttl: Option[Column] = None,
+      partitionNames: Seq[String] = Nil,
+      ignoreGrowing: Boolean = false): DataFrame =
+    rlsFilter(readViewUnscoped(level, staleness, sessionTs, ttl,
+      partitionPredicate(partitionNames), ignoreGrowing))
 
   /** Export the current visible rows as v1 binlog segments (the
     * migration-out path; reference `internal/storage/binlog_writer.go`
@@ -524,9 +541,21 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       staleness: Long = 0L,
       sessionTs: Long = 0L,
-      ttl: Option[Column] = None): DataFrame = {
+      ttl: Option[Column] = None,
+      preFilter: Option[Column] = None,
+      ignoreGrowing: Boolean = false): DataFrame = {
     val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
-    val visible = Mvcc.visible(raw, schema.pkField, schema.tsField, lit(readTs),
+    // ignore_growing (reference search/query param): serve SEALED
+    // segments only — the un-flushed tail is skipped entirely, trading
+    // freshness for not touching the in-memory segment
+    val src =
+      if (!ignoreGrowing) raw
+      else sealedDf.getOrElse(growing.map(_.filter(lit(false))).getOrElse(raw))
+    // partition scope lands UNDER the MVCC aggregate so it reaches the
+    // scan (PartitionFilters on a flushed hive layout); rows missing
+    // the tag (pre-partition sealed data) are never scope-visible
+    val base = preFilter.map(src.filter).getOrElse(src)
+    val visible = Mvcc.visible(base, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
     Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
   }
@@ -597,9 +626,11 @@ final class Collection private (
       limit: Int = -1,
       orderBy: Seq[Column] = Nil,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
-      partitionNames: Seq[String] = Nil): DataFrame = {
+      partitionNames: Seq[String] = Nil,
+      ignoreGrowing: Boolean = false): DataFrame = {
     requirePriv("Query")
-    val scoped = partitionScope(readView(level), partitionNames)
+    val scoped = readView(level, partitionNames = partitionNames,
+      ignoreGrowing = ignoreGrowing)
     val base = (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
       .select(outputFields.map(col): _*)
     val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
@@ -607,9 +638,11 @@ final class Collection private (
   }
 
   def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
-      partitionNames: Seq[String] = Nil): Long = {
+      partitionNames: Seq[String] = Nil,
+      ignoreGrowing: Boolean = false): Long = {
     requirePriv("Query")
-    val v = partitionScope(readView(level), partitionNames)
+    val v = readView(level, partitionNames = partitionNames,
+      ignoreGrowing = ignoreGrowing)
     (if (filterExpr.isEmpty) v else v.filter(compiled(filterExpr))).count()
   }
 
@@ -633,13 +666,15 @@ final class Collection private (
       roundTo: Option[Int] = None,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       orderBy: Seq[Column] = Nil,
-      partitionNames: Seq[String] = Nil): DataFrame = {
+      partitionNames: Seq[String] = Nil,
+      ignoreGrowing: Boolean = false): DataFrame = {
     requirePriv("Search")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
     // partition scope prunes BEFORE any distance work — at scale this
     // is the reference's partition-level segment pruning
-    val corpus = partitionScope(readView(level), partitionNames)
+    val corpus = readView(level, partitionNames = partitionNames,
+      ignoreGrowing = ignoreGrowing)
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     val hits = VectorSearch.topK(corpus, schema.pkField, vectorField, queries,

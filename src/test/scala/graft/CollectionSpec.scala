@@ -496,6 +496,44 @@ class CollectionSpec extends SparkSpec {
     assert(c.count(partitionNames = Seq("p2")) == 0)
   }
 
+  test("ignore_growing serves sealed segments only") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 20L))
+    val dir = "/tmp/graft_test_ig_" + System.nanoTime()
+    c.flush(dir)
+    c.insert(mkRows(20L until 30L)) // growing tail
+    assert(c.count() == 30)
+    assert(c.count(ignoreGrowing = true) == 20)
+    val hits = c.search("emb", Seq((0L, vec(25))).toDF("qid", "qvec"),
+      k = 30, metric = Metric.L2, outputFields = Seq("pk"), ignoreGrowing = true)
+      .select($"pk").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(_ < 20L), "growing pks must not surface")
+    // a delete recorded after the flush still masks the sealed row
+    c.deletePks(Seq(5L))
+    assert(c.count(ignoreGrowing = true) == 19)
+  }
+
+  test("flushed partitions prune directories at the file source") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", mkRows(0L until 20L))
+    c.insertInto("p2", mkRows(20L until 40L))
+    val dir = "/tmp/graft_test_partflush_" + System.nanoTime()
+    c.flush(dir)
+    assert(c.count(partitionNames = Seq("p1")) == 20) // sealed reads still scope
+    val plan = c.query("", Seq("pk"), partitionNames = Seq("p1"))
+      .queryExecution.executedPlan.toString
+    // the scope must reach the scan as a PARTITION filter (directory
+    // pruning), not merely a post-scan row filter
+    assert(plan.contains("PartitionFilters") && plan.contains("_partition"),
+      s"expected a partition filter on the flushed scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*_partition".r.findFirstIn(plan).isDefined,
+      s"_partition not inside PartitionFilters:\n$plan")
+  }
+
   test("binlog export/import round-trips the collection (migration path)") {
     val c = fresh()
     c.delete("grp == 3")
