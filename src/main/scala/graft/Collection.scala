@@ -88,6 +88,33 @@ final class Collection private (
     if (!d.isDirectory) 0 else d.listFiles().count(_.getName.startsWith("seg-"))
   }
 
+  // ---- load / release (reference impl.go LoadCollection /
+  // ReleaseCollection / GetLoadState): "loaded" maps to the sealed
+  // layout pinned in executor memory (persist + materialize), released
+  // = on-disk parquet only. The growing tail is memory-resident by
+  // construction, exactly like the reference's growing segment.
+  @volatile private var loadedFlag: Boolean = false
+
+  def load(): Unit = stateLock.synchronized {
+    requirePriv("Load")
+    sealedDf = sealedDf.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sealedDf.foreach(_.count()) // LoadCollection blocks until resident
+    loadedFlag = true
+  }
+
+  def release(): Unit = stateLock.synchronized {
+    requirePriv("Release")
+    sealedDf.foreach(_.unpersist())
+    loadedFlag = false
+  }
+
+  /** `Loaded` | `NotLoad` (GetLoadState). */
+  def loadState: String = if (loadedFlag) "Loaded" else "NotLoad"
+
+  private[graft] def sealedStorageLevel =
+    sealedDf.map(_.storageLevel)
+
   // ---- named partitions (reference impl.go CreatePartition /
   // DropPartition / ShowPartitions; search/query take partition_names).
   // Spark-first: a `_partition` tag column, scoped reads filter on it
@@ -434,6 +461,10 @@ final class Collection private (
       val seg = spark.read.parquet(segPath)
       sealedDf = Some(sealedDf
         .map(_.unionByName(seg, allowMissingColumns = true)).getOrElse(seg))
+      // a loaded collection stays loaded across flushes (the reference
+      // keeps serving from memory while handoff swaps segments)
+      if (loadedFlag) sealedDf = sealedDf.map(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       growing = None
       growingRows = 0L
       growingSinceTs = None

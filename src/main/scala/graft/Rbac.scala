@@ -22,7 +22,7 @@ object Rbac {
     "Query", "Search", "GetStatistics", "IndexDetail", "ShowPartitions",
     "Insert", "Delete", "Upsert", "Import", "Flush", "Compaction",
     "CreateIndex", "DropIndex", "CreatePartition", "DropPartition",
-    "CreateAlias", "DropAlias", "Truncate")
+    "CreateAlias", "DropAlias", "Truncate", "Load", "Release")
 
   /** Built-in privilege groups (`pkg/util/constant.go`, rbac v2):
     * ReadOnly ⊂ ReadWrite ⊂ Admin.
@@ -32,7 +32,7 @@ object Rbac {
   val ReadWriteGroup: Set[String] = ReadOnlyGroup ++ Set(
     "Insert", "Delete", "Upsert", "Import", "Flush", "Compaction",
     "CreateIndex", "DropIndex", "CreatePartition", "DropPartition",
-    "Truncate")
+    "Truncate", "Load", "Release")
   val AdminGroup: Set[String] = ReadWriteGroup ++ Set("CreateAlias", "DropAlias")
 
   private val Groups: Map[String, Set[String]] = Map(

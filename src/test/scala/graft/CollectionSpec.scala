@@ -496,6 +496,28 @@ class CollectionSpec extends SparkSpec {
     assert(c.count(partitionNames = Seq("p2")) == 0)
   }
 
+  test("load/release pin and unpin the sealed layout; flush keeps it pinned") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 20L))
+    val dir = "/tmp/graft_test_load_" + System.nanoTime()
+    c.flush(dir)
+    assert(c.loadState == "NotLoad")
+    c.load()
+    assert(c.loadState == "Loaded")
+    assert(c.sealedStorageLevel.exists(_.useMemory), "load must pin in memory")
+    assert(c.count() == 20)
+    // flushing more data keeps the collection loaded
+    c.insert(mkRows(20L until 30L))
+    c.flush(dir)
+    assert(c.loadState == "Loaded" && c.sealedStorageLevel.exists(_.useMemory))
+    assert(c.count() == 30)
+    c.release()
+    assert(c.loadState == "NotLoad")
+    assert(c.sealedStorageLevel.exists(!_.useMemory), "release must unpin")
+    assert(c.count() == 30) // still served from disk
+  }
+
   test("ignore_growing serves sealed segments only") {
     val c = Collection.create(spark,
       CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
