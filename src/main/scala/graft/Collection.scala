@@ -859,6 +859,20 @@ final class Collection private (
     indexes -= vectorField
   }
 
+  /** Release every executor cache block this collection holds —
+    * indexes, interim assignments, the pinned sealed layout, and the
+    * filter cache. Called by [[Collection.dropCollection]]; the facade
+    * object itself stays usable (unloaded), matching DropCollection's
+    * resource-release half.
+    */
+  def close(): Unit = stateLock.synchronized {
+    indexes.valuesIterator.foreach(releaseIndexState)
+    indexes = Map.empty
+    invalidateFilterCache()
+    sealedDf.foreach(_.unpersist())
+    loadedFlag = false
+  }
+
   /** Centroid-assign newly-ingested rows into each index's interim
     * (growing-tail) layout — shared by [[insert]] and [[applyChanges]]
     * so CDC-applied rows are probe-pruned exactly like direct inserts
@@ -1148,6 +1162,82 @@ object Collection {
   /** Register a new alias; rejects an existing name (the reference
     * errors on duplicate CreateAlias — re-pointing is [[alterAlias]]).
     */
+  // ---- database namespaces (reference impl.go CreateDatabase /
+  // DropDatabase / ListDatabases; collections are registered by name
+  // inside a database — the rootcoord metastore's two-level namespace).
+  private val databases =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[String, Collection]]()
+  databases.put("default", new java.util.concurrent.ConcurrentHashMap[String, Collection]())
+
+  def createDatabase(db: String): Unit = {
+    require(db.nonEmpty, "database name must be non-empty")
+    val prev = databases.putIfAbsent(db,
+      new java.util.concurrent.ConcurrentHashMap[String, Collection]())
+    require(prev == null, s"database '$db' already exists")
+  }
+
+  /** Drop an EMPTY database (the reference refuses to drop a database
+    * that still holds collections; `default` is undroppable).
+    */
+  def dropDatabase(db: String): Unit = {
+    require(db != "default", "cannot drop the default database")
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    require(colls.isEmpty, s"database '$db' is not empty — drop its collections first")
+    databases.remove(db)
+  }
+
+  def listDatabases: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    databases.keySet().asScala.toSeq.sorted
+  }
+
+  /** Register a collection under a name (CreateCollection's naming half
+    * — [[create]] stays anonymous for library-style use).
+    */
+  def registerCollection(name: String, coll: Collection, db: String = "default"): Unit = {
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    val prev = colls.putIfAbsent(name, coll)
+    require(prev == null, s"collection '$db.$name' already exists")
+  }
+
+  def getCollection(name: String, db: String = "default"): Collection = {
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    val c = colls.get(name)
+    if (c == null) throw new NoSuchElementException(s"collection '$db.$name' does not exist")
+    c
+  }
+
+  def hasCollection(name: String, db: String = "default"): Boolean = {
+    val colls = databases.get(db)
+    colls != null && colls.containsKey(name)
+  }
+
+  def listCollections(db: String = "default"): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    colls.keySet().asScala.toSeq.sorted
+  }
+
+  /** Drop a registered collection: unregister, drop aliases pointing at
+    * it, and release every executor cache block it holds (DropCollection
+    * releases the collection's segments and indexes in the reference).
+    */
+  def dropCollection(name: String, db: String = "default"): Unit = {
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    val c = colls.remove(name)
+    if (c == null) throw new NoSuchElementException(s"collection '$db.$name' does not exist")
+    import scala.jdk.CollectionConverters._
+    aliases.entrySet().asScala.filter(_.getValue eq c)
+      .map(_.getKey).foreach(aliases.remove)
+    c.close()
+  }
+
   def createAlias(name: String, target: Collection): Unit = {
     val prev = aliases.putIfAbsent(name, target)
     require(prev == null, s"alias '$name' already exists — use alterAlias to re-point it")

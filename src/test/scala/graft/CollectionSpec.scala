@@ -496,6 +496,36 @@ class CollectionSpec extends SparkSpec {
     assert(c.count(partitionNames = Seq("p2")) == 0)
   }
 
+  test("database namespaces: two-level registry, drop releases resources") {
+    val db = s"tenant_${System.nanoTime()}" // registry is JVM-global; stay unique
+    Collection.createDatabase(db)
+    assert(Collection.listDatabases.contains(db))
+    intercept[IllegalArgumentException] { Collection.createDatabase(db) }
+    val c = fresh()
+    Collection.registerCollection("docs", c, db)
+    assert(Collection.hasCollection("docs", db))
+    assert(!Collection.hasCollection("docs")) // default db is a separate namespace
+    assert(Collection.listCollections(db) == Seq("docs"))
+    assert(Collection.getCollection("docs", db).count() == 50)
+    // an alias pointing at the collection dies with it
+    val alias = s"docs_alias_${System.nanoTime()}"
+    Collection.createAlias(alias, c)
+    // a non-empty database refuses to drop
+    intercept[IllegalArgumentException] { Collection.dropDatabase(db) }
+    c.createIndex("emb", nlist = 2)
+    Collection.dropCollection("docs", db)
+    assert(!Collection.hasCollection("docs", db))
+    intercept[NoSuchElementException] { Collection.resolve(alias) }
+    // close() released the index state: indexed search now fails
+    intercept[Exception] {
+      c.searchIndexed("emb", Seq((0L, vec(3))).toDF("qid", "qvec"),
+        k = 1, nprobe = 2, metric = Metric.L2)
+    }
+    Collection.dropDatabase(db) // now empty → allowed
+    assert(!Collection.listDatabases.contains(db))
+    intercept[IllegalArgumentException] { Collection.dropDatabase("default") }
+  }
+
   test("load/release pin and unpin the sealed layout; flush keeps it pinned") {
     val c = Collection.create(spark,
       CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
