@@ -663,7 +663,7 @@ final class Collection private (
     val scoped = readView(level, partitionNames = partitionNames,
       ignoreGrowing = ignoreGrowing)
     val base = (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
-      .select(outputFields.map(col): _*)
+      .select(expandFields(outputFields, scoped.columns).map(col): _*)
     val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
     if (limit > 0) sorted.limit(limit) else sorted
   }
@@ -680,9 +680,21 @@ final class Collection private (
   /** Get by primary keys (reference `Get`/requery path). */
   def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame = {
     requirePriv("Query")
-    readView().filter(col(schema.pkField).isin(pks: _*))
-      .select(outputFields.map(col): _*)
+    val v = readView().filter(col(schema.pkField).isin(pks: _*))
+    v.select(expandFields(outputFields, v.columns).map(col): _*)
   }
+
+  /** GetCollectionStatistics (reference impl.go): row count of the
+    * current visible view.
+    */
+  def statistics: Map[String, String] = {
+    requirePriv("GetStatistics")
+    Map("row_count" -> readView().count().toString)
+  }
+
+  /** `output_fields = ["*"]` means every field (reference wildcard). */
+  private def expandFields(fields: Seq[String], all: Seq[String]): Seq[String] =
+    if (fields == Seq("*")) all else fields
 
   /** ANN search (reference `Proxy.Search`): top-k per query vector over
     * the MVCC view, optional filter expression, metric-typed.

@@ -118,6 +118,22 @@ private[expr] object Calls {
         val b = ExprCompiler.compile(args(1), ctx)
         a.startsWith(b)
 
+      // ---- approximate membership (reference: BloomFilterExpr.cpp +
+      // tests/integration/bloommatch — `bloom_match(field, blob)` keeps
+      // rows whose field MIGHT be in the serialized filter; false
+      // positives allowed, false negatives never). The blob is a
+      // base64-encoded Spark BloomFilterAggregate image built over
+      // xxhash64(field) — engine-specific bytes behind the reference's
+      // call shape, exactly like the index file formats.
+      case "bloom_match" =>
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graft.ColumnBridge
+        val (_, c) = fieldArg(0)
+        val blob = java.util.Base64.getDecoder.decode(stringArg(1))
+        ColumnBridge.column(BloomFilterMightContain(
+          Literal(blob, BinaryType),
+          ColumnBridge.expression(xxhash64(c))))
+
       // ---- geo (reference: GISFunctionFilterExpr.cpp) — custom exprs ----
       case g if g.startsWith("st_") =>
         graft.functions.GeoFunctions.compileCall(call, ctx)

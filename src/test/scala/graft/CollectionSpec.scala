@@ -496,6 +496,15 @@ class CollectionSpec extends SparkSpec {
     assert(c.count(partitionNames = Seq("p2")) == 0)
   }
 
+  test("statistics and the output_fields wildcard") {
+    val c = fresh()
+    c.delete("grp == 0")
+    assert(c.statistics("row_count").toLong == c.count())
+    val cols = c.query("pk == 3", Seq("*")).columns.toSet
+    assert(Set("pk", "emb", "txt", "grp").subsetOf(cols), s"wildcard missed: $cols")
+    assert(c.get(Seq(3L), Seq("*")).columns.toSet == cols)
+  }
+
   test("database namespaces: two-level registry, drop releases resources") {
     val db = s"tenant_${System.nanoTime()}" // registry is JVM-global; stay unique
     Collection.createDatabase(db)

@@ -36,6 +36,26 @@ class ExprCompilerSpec extends SparkSpec {
       s"diff=${(got diff want) ++ (want diff got)}")
   }
 
+  test("bloom_match keeps every true member and only false-positive extras") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.xxhash64
+    import org.apache.spark.sql.graft.ColumnBridge
+    // serialize a filter over ids 0..19, probe the fixture through the
+    // expression language: no false negatives, any extras must at least
+    // be marked might-contain by the SAME filter (false positives)
+    val members = df.filter($"id" < 20)
+    val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64($"id")),
+      Literal(100L), Literal(4096L)).toAggregateExpression())
+    val blob = members.agg(bfAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val b64 = java.util.Base64.getEncoder.encodeToString(blob)
+    val got = df.filter(ExprCompiler.compile(s"""bloom_match(id, "$b64")""", df))
+      .select("id").as[Long].collect().toSet
+    assert((0L until 20L).toSet.subsetOf(got), "bloom_match lost a true member")
+    assert(got.size <= 30, "implausible false-positive volume for 4096 bits")
+  }
+
   test("ranges and arithmetic") {
     check("id > 50", $"id" > 50)
     check("id >= 50 and id < 60", $"id" >= 50 && $"id" < 60)
