@@ -19,7 +19,15 @@ final case class CollectionSchema(
     vectorFields: Map[String, Int] = Map.empty, // name -> dim
     tsField: String = "_ts",
     metaField: Option[String] = None,
-    autoId: Boolean = false)
+    autoId: Boolean = false,
+    // default_value per field (Types.h:114 DefaultValueType;
+    // tests/integration/null_data): an omitted column or an explicit
+    // null is filled with the default at insert time.
+    fieldDefaults: Map[String, Any] = Map.empty,
+    // nullable=false fields WITHOUT a default: inserts carrying a null
+    // (or omitting the column entirely) are rejected, the reference's
+    // proxy-side validation. Fields not listed here are nullable.
+    nonNullable: Set[String] = Set.empty)
 
 /** Growing-segment seal policies (reference:
   * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
@@ -232,7 +240,24 @@ final class Collection private (
     val tagged =
       if (rows.columns.contains(Collection.PartitionCol)) rows
       else rows.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
-    val stamped = tagged.withColumn(schema.tsField, lit(ts))
+    // default_value fill (null_data contract): an omitted column
+    // materializes as the default for every row; an explicit null is
+    // coalesced to the default. Pure column expressions — map-only.
+    val defaulted = schema.fieldDefaults.foldLeft(tagged) { case (df, (f, v)) =>
+      if (!df.columns.contains(f)) df.withColumn(f, lit(v))
+      else df.withColumn(f, coalesce(col(f), lit(v)))
+    }
+    // nullable=false without a default: reject nulls up front (the
+    // reference validates row-wise in the proxy before the WAL append).
+    // The existence check is one bounded limit(1) action per declared
+    // field — opt-in cost, not on the default write path.
+    schema.nonNullable.filterNot(schema.fieldDefaults.contains).foreach { f =>
+      require(defaulted.columns.contains(f),
+        s"field '$f' is not nullable and has no default — column missing from insert")
+      require(defaulted.filter(col(f).isNull).isEmpty,
+        s"field '$f' is not nullable — insert carries null values")
+    }
+    val stamped = defaulted.withColumn(schema.tsField, lit(ts))
     var countedRows: Option[Long] = None // reused by the seal policy check
     val withPk =
       if (!schema.autoId) stamped

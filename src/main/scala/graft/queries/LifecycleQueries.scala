@@ -615,7 +615,39 @@ object LifecycleQueries {
     before.unionByName(after).orderBy(col("phase"), col("event_type"))
   }
 
+  /** Nullable fields + default_value on the insert path (reference:
+    * FieldSchema nullable/default_value `Types.h:114`,
+    * tests/integration/null_data): batch A inserts explicit nulls into
+    * the nullable `value` field (one per error row); batch B omits
+    * `event_type` entirely — the schema default "unknown" fills it.
+    * Comparison filters exclude null rows, `is null` selects exactly
+    * them (counted through the expression language), and aggregates
+    * skip nulls (`cnt_val` vs `cnt`). The oracle recomputes the fill +
+    * null semantics in SQL.
+    */
+  def nullableField(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id",
+      fieldDefaults = Map("event_type" -> "unknown"),
+      nonNullable = Set("user_id")))
+    c.insert(ev.filter(col("event_id") < 1500)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("value")))
+    c.insert(ev.filter(col("event_id") >= 1500 && col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"), col("value"))) // no event_type
+    val nNull = c.query("value is null", Seq("event_id")).count()
+    c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), count(col("value")).as("cnt_val"),
+        round(coalesce(sum(col("value")), lit(0.0)), 2).as("sum_value"))
+      .withColumn("n_null", lit(nNull))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nullable_field" -> (nullableField _),
     "q_binlog_import" -> (binlogImport _),
     "q_partition_names" -> (partitionNamesRead _),
     "q_rbac_read" -> (rbacRead _),
@@ -642,6 +674,17 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_nullable_field" ->
+      """WITH rows_ AS (
+        |  SELECT CASE WHEN event_id >= 1500 THEN 'unknown' ELSE event_type END
+        |           AS event_type,
+        |         CASE WHEN event_id < 1500 AND event_type = 'error' THEN NULL
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id < 3000)
+        |SELECT event_type, count(*) AS cnt, count(value) AS cnt_val,
+        |       round(coalesce(sum(value), 0.0), 2) AS sum_value,
+        |       (SELECT count(*) FROM rows_ WHERE value IS NULL) AS n_null
+        |FROM rows_ GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_binlog_import" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000 AND value >= 10

@@ -792,4 +792,34 @@ class CollectionSpec extends SparkSpec {
     c.setUser(Rls.UserContext("x\" or pk >= 0 or owner == \"x"))
     assert(c.count() == 0)
   }
+
+  test("nullable fields: default fill on omit + explicit null, non-nullable rejected") {
+    // reference: FieldSchema nullable/default_value (Types.h:114),
+    // tests/integration/null_data
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk",
+      fieldDefaults = Map("tag" -> "unk"), nonNullable = Set("grp")))
+    // omitted `tag` → default; explicit null tag → default; null `score` stays null
+    c.insert(Seq((1L, 10L, Some(1.5)), (2L, 20L, None))
+      .toDF("pk", "grp", "score"))
+    c.insert(Seq((3L, 30L, Option("t3"), Some(2.0)), (4L, 40L, Option.empty[String], None))
+      .toDF("pk", "grp", "tag", "score"))
+    val view = c.readView().select($"pk", $"grp", $"tag", $"score").orderBy($"pk")
+    assert(view.select($"tag").as[String].collect().toSeq ==
+      Seq("unk", "unk", "t3", "unk"))
+    // nullable column: comparisons exclude nulls, `is null` selects them
+    assert(c.count("score > 0.0") == 2)
+    assert(c.count("score is null") == 2)
+    assert(c.count("score is not null") == 2)
+    // aggregates skip nulls
+    assert(c.readView().agg(count($"score")).as[Long].head() == 2L)
+    // non-nullable without default: explicit null and missing column both throw
+    intercept[IllegalArgumentException] {
+      c.insert(Seq((5L, Option.empty[Long], "t")).toDF("pk", "grp", "tag"))
+    }
+    intercept[IllegalArgumentException] {
+      c.insert(Seq((6L, "t")).toDF("pk", "tag"))
+    }
+    // the failed inserts left nothing behind
+    assert(c.count() == 4)
+  }
 }
