@@ -80,7 +80,15 @@ object Bench {
       "\"" + name + f"""\":[${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$runs}""")
+    // Full detail first (may scroll out of the driver's 2000-char stdout
+    // tail), then a compact canonical line LAST: the driver can only
+    // parse what survives in the tail, and ~127 queries x ~22 chars
+    // doesn't fit, so the last line carries the total plus the slowest
+    // 35 medians (the ones worth grading) in well under 2000 chars.
+    println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$runs}""")
+    val slow = results.sortBy(-_._2).take(35)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow,"queries_reported":"slowest 35 of ${results.size}; full map on the total_detail line","sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -725,7 +725,7 @@ object LifecycleQueries {
         |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rls_read" ->
-      """SELECT lang, count(*) AS cnt, sum(length(text)) AS sum_len
+      """SELECT lang, count(*) AS cnt, CAST(sum(length(text)) AS BIGINT) AS sum_len
         |FROM documents WHERE lang = 'en'
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_truncate" ->

@@ -44,6 +44,13 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns differ: oracle={wcols} got={gcols}")
                 n_fail += 1
                 continue
+            # dtype drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+            # hashes differently in the driver even when values compare
+            # equal here — surface it loudly so it gets CAST-fixed.
+            dt = [(c, str(want[c].dtype), str(got[c].dtype)) for c in wcols
+                  if str(want[c].dtype) != str(got[c].dtype)]
+            if dt:
+                print(f"DTYPE {name}: {dt}")
             w = sorted(tuple(norm(v) for v in r) for r in
                        want[wcols].itertuples(index=False, name=None))
             g = sorted(tuple(norm(v) for v in r) for r in
