@@ -24,6 +24,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // small-file splits (see GraftSession.local) — local-mode only
@@ -80,15 +81,22 @@ object Bench {
       "\"" + name + f"""\":[${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
     // Full detail first (may scroll out of the driver's 2000-char stdout
     // tail), then a compact canonical line LAST: the driver can only
-    // parse what survives in the tail, and ~127 queries x ~22 chars
-    // doesn't fit, so the last line carries the total plus the slowest
-    // 35 medians (the ones worth grading) in well under 2000 chars.
+    // read what survives in the tail, and ~140 queries x ~22 chars
+    // doesn't fit. The truncated map is named `slowest` (NOT `queries`)
+    // so no consumer mistakes it for the full per-query map; failed
+    // queries (median -1) are excluded from it and surfaced as a count
+    // in `failed` instead. Each slowest entry is [median, p25, p75] so
+    // the spread discipline survives on the canonical line too.
     println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$runs}""")
-    val slow = results.sortBy(-_._2).take(35)
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow,"queries_reported":"slowest 35 of ${results.size}; full map on the total_detail line","sf":"$sfDir","runs":$runs}""")
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v) =>
+        val xs = samples.map(_.toMap.apply(k))
+        "\"" + k + f"""\":[$v%.3f,${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
+      }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"slowest":$slow,"slowest_note":"[median,p25,p75] for slowest 25 of ${results.size}; full maps on the total_detail line","sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

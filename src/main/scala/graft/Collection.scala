@@ -74,7 +74,12 @@ final class Collection private (
     val schema: CollectionSchema,
     sealedPath: Option[String]) {
 
-  @volatile private var sealedDf: Option[DataFrame] = sealedPath.map(p => spark.read.parquet(p))
+  // Sealed reads go through the ts normalization boundary: the MVCC
+  // machinery below (visibility, TTL, truncate horizons) works in
+  // epoch-nanos Long, while driver parquet may carry the ts field as
+  // timestamp[us] (see GraftSession.normalizeTs).
+  @volatile private var sealedDf: Option[DataFrame] =
+    sealedPath.map(p => GraftSession.normalizeTs(spark.read.parquet(p), Set(schema.tsField)))
   @volatile private var growing: Option[DataFrame] = None
   @volatile private var tombs: Option[DataFrame] = None
 

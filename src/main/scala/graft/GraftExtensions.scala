@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // MVCC ts predicates over normalizeTs'd columns fold back to plain
+    // timestamp comparisons so the parquet scan pushes + zone-map-prunes
+    // them (the engine's hottest filter — see TsDomainRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.TsDomainRewrite)
+
     ext.injectFunction((FunctionIdentifier("vector_distance"),
       info("vector_distance", "_FUNC_(a, b, 'L2'|'IP'|'COSINE') - typed vector distance"),
       (children: Seq[Expression]) => {

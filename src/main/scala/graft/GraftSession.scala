@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session + table helpers shared by Verify, Bench, tests and examples.
@@ -35,7 +37,42 @@ object GraftSession {
     spark
   }
 
-  /** Read one of the driver-provided parquet tables under `dir`. */
+  /** The engine's MVCC time domain is epoch-nanos int64, mirroring the
+    * reference's boundary conversion (TIMESTAMPTZ is carried as int64
+    * epoch internally — reference `Types.h:70-102`). Source parquet may
+    * encode the `ts` column either as INT64 TIMESTAMP(NANOS) (read as
+    * Long via `nanosAsLong`) or as `timestamp[us]` (read as
+    * TIMESTAMP / TIMESTAMP_NTZ): both must land as Long nanos.
+    */
+  private val tsDomainCols = Set("ts", "_ts")
+
+  /** Normalize MVCC ts columns (`ts`/`_ts` plus any in `extra`) from
+    * Timestamp/TimestampNTZ to epoch-nanos Long, once, at the load
+    * boundary — every downstream consumer (MVCC visibility, TTL,
+    * truncate horizon, consistency-level resolution, tuple encoders)
+    * then works in a single Long domain. Long-typed inputs pass
+    * through untouched (idempotent). Business-time columns
+    * (`o_orderdate`, `l_shipdate`) are NOT touched — they stay
+    * timestamp-typed and compare in the calendar domain.
+    *
+    * Scale note: the conversion is a pure per-row expression
+    * (`unix_micros * 1000`) inside whole-stage codegen — no shuffle,
+    * no UDF. The TIMESTAMP_NTZ → TIMESTAMP cast is instant-preserving
+    * because the session timezone is pinned to UTC above.
+    */
+  def normalizeTs(df: DataFrame, extra: Set[String] = Set.empty): DataFrame = {
+    val targets = tsDomainCols ++ extra
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (targets.contains(f.name) &&
+          (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+        d.withColumn(f.name, unix_micros(col(f.name).cast(TimestampType)) * 1000L)
+      else d
+    }
+  }
+
+  /** Read one of the driver-provided parquet tables under `dir`,
+    * with the MVCC ts columns normalized to epoch-nanos Long.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 }

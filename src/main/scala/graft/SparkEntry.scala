@@ -149,6 +149,23 @@ object Queries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Timestamptz interval compare over the epoch-nanos MVCC ts domain
+    * (reference TimestamptzArithCompareExpr.cpp over TIMESTAMPTZ carried
+    * as int64 epoch, Types.h:70-102): the fixed-duration interval folds
+    * into the comparison literal — a plain pushdown range filter on the
+    * int64 ts — while the month interval takes the calendar path; the
+    * reversed `iso'...' OP field ± INTERVAL` form is exercised too.
+    */
+  def tstzCompare(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(graft.expr.ExprCompiler.compile(
+        "ts + INTERVAL 'P3D' > iso'2024-01-25T00:00:00Z' and " +
+        "iso'2024-02-25T00:00:00Z' >= ts + INTERVAL 'P1M' and " +
+        """event_type == "view"""", ev))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   /** Column-vs-column compare kernel (PhyCompareFilterExpr). */
   def exprCompareCols(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -205,6 +222,7 @@ object Queries {
     "q_expr_in_like" -> (exprInLike _),
     "q_expr_json" -> (exprJson _),
     "q_expr_ts_arith" -> (exprTsArith _),
+    "q_tstz_compare" -> (tstzCompare _),
     "q_expr_compare_cols" -> (exprCompareCols _)
   )
 
@@ -287,6 +305,12 @@ object Queries {
         |WHERE l_shipdate + INTERVAL 30 DAY > TIMESTAMP '1998-09-01 00:00:00'
         |  AND l_linenumber = 1
         |ORDER BY l_orderkey""".stripMargin,
+    "q_tstz_compare" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'
+        |  AND ts + INTERVAL 1 MONTH <= TIMESTAMP '2024-02-25 00:00:00'
+        |  AND event_type = 'view'
+        |ORDER BY event_id""".stripMargin,
     "q_expr_compare_cols" ->
       """SELECT l_orderkey, l_linenumber, l_discount, l_tax
         |FROM lineitem WHERE l_discount > l_tax

@@ -9,6 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // small-file splits (see GraftSession.local) — local-mode only
       .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)

@@ -224,21 +224,58 @@ object ExprCompiler {
       }
 
     case TsCompare(field, sign, interval, op, iso, reversed) =>
-      val base = col(field)
-      val shifted = interval match {
+      val (months, days, micros) = interval match {
         case Some(isoDur) =>
-          val (months, days, micros) = parseIsoDuration(isoDur)
-          val m = months * sign; val d = days * sign; val us = micros * sign
-          base + expr(s"make_interval(0, $m, 0, $d, 0, 0, ${us / 1000000.0})")
-        case None => base
+          val (m, d, us) = parseIsoDuration(isoDur)
+          (m * sign, d * sign, us * sign)
+        case None => (0, 0, 0L)
       }
-      val tsLit = to_timestamp(lit(iso.replace("T", " ").stripSuffix("Z")))
-      val (l, r) = if (reversed) (tsLit, shifted) else (shifted, tsLit)
-      op match {
+      def cmp(l: Column, r: Column): Column = op match {
         case BinOp.Lt => l < r; case BinOp.Le => l <= r
         case BinOp.Gt => l > r; case BinOp.Ge => l >= r
         case BinOp.Eq => l === r; case BinOp.Ne => l =!= r
         case other    => throw CompileError(s"bad timestamptz op $other")
+      }
+      // The MVCC ts domain carries TIMESTAMPTZ as epoch-nanos int64
+      // (the reference's boundary conversion, Types.h:70-102); calendar
+      // business-time columns stay timestamp-typed. Dispatch on the
+      // column's actual type.
+      if (ctx.fieldType(field).contains(LongType)) {
+        val litNs = java.time.LocalDateTime
+          .parse(iso.stripSuffix("Z"))
+          .toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli * 1000000L
+        if (months == 0) {
+          // fixed-duration interval: fold the shift into the literal so
+          // the predicate stays `ts <op> constant` — a plain range
+          // filter the parquet scan pushes down and zone-map-prunes
+          // (col + c <op> lit  ⟺  col <op> lit - c).
+          val shiftNs = days * 86400000000000L + micros * 1000L
+          val (l, r) =
+            if (reversed) (lit(litNs - shiftNs), col(field))
+            else (col(field), lit(litNs - shiftNs))
+          cmp(l, r)
+        } else {
+          // month components are calendar-dependent relative to the row
+          // value — do the arithmetic in the timestamp domain (rare
+          // path; not pushdown-eligible by construction).
+          // `div` = integer division (Column./ would go through Double)
+          val asTs = timestamp_micros(expr(s"`$field` div 1000"))
+          val shifted = asTs + expr(
+            s"make_interval(0, $months, 0, $days, 0, 0, ${micros / 1000000.0})")
+          val tsLit = timestamp_micros(lit(litNs / 1000L))
+          val (l, r) = if (reversed) (tsLit, shifted) else (shifted, tsLit)
+          cmp(l, r)
+        }
+      } else {
+        val base = col(field)
+        val shifted =
+          if (months == 0 && days == 0 && micros == 0L) base
+          else base + expr(
+            s"make_interval(0, $months, 0, $days, 0, 0, ${micros / 1000000.0})")
+        val tsLit = to_timestamp(lit(iso.replace("T", " ").stripSuffix("Z")))
+        val (l, r) = if (reversed) (tsLit, shifted) else (shifted, tsLit)
+        cmp(l, r)
       }
 
     case IsoLit(v) =>

@@ -151,7 +151,7 @@ object ExtraQueries {
   def arrayExists(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "embeddings")
       .filter(exists(col("embedding"), x => x > lit(0.4)))
-      .select(col("vec_id"), array_size(col("embedding")).as("dim"))
+      .select(col("vec_id"), array_size(col("embedding")).cast("long").as("dim"))
       .orderBy(col("vec_id"))
   }
 
@@ -168,7 +168,7 @@ object ExtraQueries {
         struct(col("l_linenumber"), col("l_quantity")))).as("items"))
     items.filter(ExprCompiler.compile(
         "element_filter(items, $[l_quantity] > 45.0 and $[l_linenumber] <= 2)", items))
-      .select(col("l_orderkey"), size(col("items")).as("n_items"))
+      .select(col("l_orderkey"), size(col("items")).cast("long").as("n_items"))
       .orderBy(col("l_orderkey"))
   }
 
@@ -373,8 +373,8 @@ object ExtraQueries {
         right = Split("label", 2.0, left = Leaf(0.5), right = Leaf(0.2)))),
       baseScore = 0.05)
     graft.functions.TreeEnsemble.rerank(cosineHits(s, dir, 50), model, "qid", k = 10)
-      .select(col("qid"), col("rank"), col("_rerank").as("rerank_score"),
-        col("vec_id"), col("label"))
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("_rerank").as("rerank_score"), col("vec_id"), col("label"))
       .orderBy(col("qid"), col("rank"))
   }
 

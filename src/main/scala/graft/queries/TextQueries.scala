@@ -27,8 +27,8 @@ object TextQueries {
     val d = t(s, dir, "documents")
     d.select(
         col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("token_cnt"),
-        TextFunctions.bpeTokenCount(col("text")).as("bpe_cnt"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("token_cnt"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("bpe_cnt"),
         round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))

@@ -7,6 +7,7 @@ For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
 with the sfDir parquet tables registered as views, load the Spark result
 parquet, sort columns by name, sort rows, and compare cell-by-cell.
 """
+import glob
 import json
 import math
 import sys
@@ -35,6 +36,14 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        # a declared oracle with no result dir means Verify never dumped
+        # the query (planning failure or a GRAFT_ONLY restriction) — an
+        # explicit FAIL line, never a silent omission / opaque IO error
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            print(f"MISSING {name}: no result parquet under {out_dir}/{name} "
+                  f"(query not dumped by Verify — planning failure or GRAFT_ONLY?)")
+            n_fail += 1
+            continue
         try:
             want = con.execute(sql).fetchdf()
             got = con.execute(
@@ -45,12 +54,15 @@ def main(sf_dir, out_dir):
                 n_fail += 1
                 continue
             # dtype drift (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
-            # hashes differently in the driver even when values compare
-            # equal here — surface it loudly so it gets CAST-fixed.
+            # is a FAILURE here (mirrors the driver, whose value-hash
+            # includes the dtype) even when values compare equal below —
+            # CAST-align the query or the oracle SQL.
             dt = [(c, str(want[c].dtype), str(got[c].dtype)) for c in wcols
                   if str(want[c].dtype) != str(got[c].dtype)]
             if dt:
                 print(f"DTYPE {name}: {dt}")
+                n_fail += 1
+                continue
             w = sorted(tuple(norm(v) for v in r) for r in
                        want[wcols].itertuples(index=False, name=None))
             g = sorted(tuple(norm(v) for v in r) for r in
