@@ -42,6 +42,21 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeSplitRegex), lit(0)))
 
+  /** Start offsets for overlapping fixed-size character chunks
+    * (training-pipeline document chunking: context-window packing and
+    * retrieval splitting). Offsets stride by `size - overlap`; every
+    * non-empty document yields at least one chunk (an empty text yields
+    * exactly one empty chunk, so no document silently disappears). Pure
+    * column math (`sequence`), map-only and codegen-friendly — at
+    * 100 TB chunking is a projection, never a shuffle.
+    */
+  def chunkStarts(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0, s"chunk size must be positive (got $size)")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size) (got $overlap for size $size)")
+    sequence(lit(0), greatest(length(text) - 1, lit(0)), lit(size - overlap))
+  }
+
   /** Fused one-pass DISTINCT shingle set (see [[TokenShingles]]) —
     * equals `array_distinct(shingles(tokens, n))` without the
     * interpreted HOF chain; use on hot dedup/decontamination paths.

@@ -646,7 +646,85 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** GetCollectionStatistics + DescribeIndex stats end-to-end (reference
+    * `impl.go GetCollectionStatistics` → row_count; `DescribeIndex` →
+    * `indexpb.IndexInfo{IndexedRows, TotalRows, PendingIndexRows}`;
+    * integration suite tests/integration/indexstat). Batch 1 is indexed,
+    * batch 2 lands after the build (pending), then a delete punches
+    * tombstones into the indexed half: indexed_rows stays at the
+    * persisted build size, pending counts only the post-build tail, and
+    * total/row_count reflect the visible view. The oracle recomputes
+    * every counter from the driving predicates.
+    */
+  def collectionStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val c = Collection.create(s,
+      CollectionSchema(pkField = "vec_id", vectorFields = Map("embedding" -> 0)))
+    c.insert(emb.filter(col("vec_id") < 300))
+    c.createIndex("embedding", nlist = 8, trainSample = 2000)
+    c.insert(emb.filter(col("vec_id") >= 300 && col("vec_id") < 450))
+    c.delete("(vec_id % 7) == 0 and vec_id < 300")
+    val d = c.describeIndex("embedding")
+    val rowCount = c.statistics("row_count").toLong
+    import s.implicits._
+    Seq((d.indexType, d.nlist, d.indexedRows, d.pendingRows, d.totalRows, rowCount))
+      .toDF("index_type", "nlist", "indexed_rows", "pending_rows", "total_rows",
+        "row_count")
+  }
+
+  /** Database namespaces end-to-end (reference `impl.go` CreateDatabase /
+    * ListDatabases / DropDatabase; rootcoord's two-level db.collection
+    * namespace): two tenant databases each register name-addressed
+    * collections, phase 1 lists and counts them through the registry,
+    * phase 2 re-lists after a DropCollection — the dropped name must be
+    * gone while every other (db, collection) is untouched. Registry
+    * names carry a per-run nonce (the registry is JVM-global); the
+    * emitted rows use fixed tenant labels so the result is deterministic.
+    */
+  def databaseNs(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val nonce = System.nanoTime()
+    val dbA = s"tenant_a_$nonce"
+    val dbB = s"tenant_b_$nonce"
+    Collection.createDatabase(dbA)
+    Collection.createDatabase(dbB)
+    val labels = Map(dbA -> "tenant_a", dbB -> "tenant_b")
+    def mk(df: DataFrame, pk: String): Collection = {
+      val c = Collection.create(s, CollectionSchema(pkField = pk))
+      c.insert(df)
+      c
+    }
+    Collection.registerCollection("clicks",
+      mk(ev.filter(col("event_type") === "click" && col("event_id") < 4000), "event_id"), dbA)
+    Collection.registerCollection("errors",
+      mk(ev.filter(col("event_type") === "error" && col("event_id") < 4000), "event_id"), dbA)
+    Collection.registerCollection("docs_en",
+      mk(docs.filter(col("lang") === "en"), "doc_id"), dbB)
+    import s.implicits._
+    def listing(phase: Long): DataFrame =
+      Seq(dbA, dbB).flatMap { db =>
+        Collection.listCollections(db).map { name =>
+          (phase, labels(db), name, Collection.getCollection(name, db).count())
+        }
+      }.toDF("phase", "db", "coll", "cnt")
+    val p1 = listing(1L)
+    Collection.dropCollection("errors", dbA)
+    val p2 = listing(2L)
+    // registry hygiene: the nonce databases are transient — empty and drop
+    Seq(dbA, dbB).foreach { db =>
+      Collection.listCollections(db).foreach(Collection.dropCollection(_, db))
+      Collection.dropDatabase(db)
+    }
+    p1.unionByName(p2).orderBy(col("phase"), col("db"), col("coll"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collection_stats" -> (collectionStats _),
+    "q_database_ns" -> (databaseNs _),
     "q_nullable_field" -> (nullableField _),
     "q_binlog_import" -> (binlogImport _),
     "q_partition_names" -> (partitionNamesRead _),
@@ -674,6 +752,31 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_collection_stats" ->
+      """SELECT 'IVF_FLAT' AS index_type, CAST(8 AS INTEGER) AS nlist,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 300) AS indexed_rows,
+        |  (SELECT count(*) FROM embeddings
+        |     WHERE vec_id >= 300 AND vec_id < 450) AS pending_rows,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 450
+        |     AND NOT (vec_id % 7 = 0 AND vec_id < 300)) AS total_rows,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 450
+        |     AND NOT (vec_id % 7 = 0 AND vec_id < 300)) AS row_count""".stripMargin,
+    "q_database_ns" ->
+      """WITH l AS (
+        |  SELECT 'tenant_a' AS db, 'clicks' AS coll,
+        |    (SELECT count(*) FROM events
+        |       WHERE event_type = 'click' AND event_id < 4000) AS cnt
+        |  UNION ALL
+        |  SELECT 'tenant_a', 'errors',
+        |    (SELECT count(*) FROM events
+        |       WHERE event_type = 'error' AND event_id < 4000)
+        |  UNION ALL
+        |  SELECT 'tenant_b', 'docs_en',
+        |    (SELECT count(*) FROM documents WHERE lang = 'en'))
+        |SELECT CAST(1 AS BIGINT) AS phase, db, coll, cnt FROM l
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), db, coll, cnt FROM l WHERE coll <> 'errors'
+        |ORDER BY phase, db, coll""".stripMargin,
     "q_nullable_field" ->
       """WITH rows_ AS (
         |  SELECT CASE WHEN event_id >= 1500 THEN 'unknown' ELSE event_type END

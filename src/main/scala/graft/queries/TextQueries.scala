@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.GraftSession
 import graft.functions.TextFunctions
 import graft.operators.Dedup
+import graft.streaming.Streaming
 
 /** Driver-gated queries for §2.5 text analysis + the training-data
   * dedup/quality operators (tokenize, lang-id, quality, fingerprint,
@@ -483,7 +484,67 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Overlapping document chunking (training-pipeline context-window
+    * packing / retrieval splitting): 200-char chunks striding by 150
+    * (50-char overlap). Emits md5 + length per chunk so the full chunk
+    * geometry — count, boundaries, content — is pinned; the oracle
+    * recomputes the stride arithmetic with a lateral range + substr.
+    * Pure column math over [[TextFunctions.chunkStarts]]: map-only, no
+    * shuffle, chunking 100 TB is exactly as parallel as scanning it.
+    */
+  def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.select(col("doc_id"), col("text"),
+        posexplode(TextFunctions.chunkStarts(col("text"), size = 200, overlap = 50))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        md5(col("text").substr(col("start") + 1, lit(200))).as("chunk_md5"),
+        length(col("text").substr(col("start") + 1, lit(200))).cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Streaming content dedup (the ingest-path half of the dedup family):
+    * the corpus streams in two micro-batches, each delivered twice (an
+    * at-least-once WAL), and batch 2 additionally replays all of
+    * batch 1 — in-batch replays and cross-batch replays must all
+    * collapse to ONE surviving row per distinct content fingerprint via
+    * [[graft.streaming.Streaming.contentDedupIngest]] state. Survivor
+    * attribution is arrival-order-dependent, so the emitted rows are
+    * fingerprint-level facts only (fp, copies=1) — deterministic by
+    * construction; the oracle recomputes the distinct-fingerprint set.
+    * Event times are bounded (`doc_id mod 600` seconds) so the
+    * watermark never classifies a replay as late at any scale factor.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val base = LifecycleQueries.scratchDir("sdedup")
+    val path = s"$base/data"
+    val ck = s"$base/ck"
+    val rows = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData(b1 ++ b1) // duplicated WAL delivery within the batch
+    input.addData(b2 ++ b2 ++ b1) // + full cross-batch replay of b1
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("ts_event",
+        timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(600))))
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+    val deduped = Streaming.contentDedupIngest(stream, "fp", "ts_event", "1 hour")
+    val q = Streaming.flushToParquet(deduped, path, ck)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(path)
+      .groupBy(col("fp")).agg(count(lit(1)).as("copies"))
+      .orderBy(col("fp"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunk" -> (docChunk _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_hybrid_bm25_dense" -> (hybridBm25Dense _),
     "q_decontaminate" -> (decontaminate _),
     "q_pii_scrub" -> (piiScrub _),
@@ -525,6 +586,18 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_doc_chunk" ->
+      """SELECT d.doc_id, CAST(g.i // 150 AS BIGINT) AS chunk_id,
+        |  md5(substr(d.text, CAST(g.i AS INTEGER) + 1, 200)) AS chunk_md5,
+        |  CAST(length(substr(d.text, CAST(g.i AS INTEGER) + 1, 200)) AS BIGINT)
+        |    AS chunk_len
+        |FROM documents d, UNNEST(range(0, greatest(length(d.text), 1), 150)) AS g(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_stream_dedup" ->
+      s"""WITH f AS (
+         |  SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
+         |  FROM documents)
+         |SELECT fp, CAST(1 AS BIGINT) AS copies FROM f ORDER BY fp""".stripMargin,
     "q_analyzer_thai" -> sentenceOracle(ThaiTokens),
     "q_analyzer_icu" -> sentenceOracle(IcuTokens),
     "q_analyzer_stem" -> sentenceOracle(StemTokens),

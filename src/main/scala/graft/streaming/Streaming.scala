@@ -34,6 +34,22 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(pkCol, tsCol)
 
+  /** Streaming content-level dedup (training-pipeline corpus dedup on
+    * the ingest path): rows whose `fpCol` content fingerprint was seen
+    * before — in the same micro-batch, a replayed delivery, or any
+    * earlier batch within the watermark horizon — are dropped, whatever
+    * their event time. The streaming analogue of exact-dedup's hash
+    * groupBy. State is bounded by the watermark: a fingerprint expires
+    * once the watermark passes its event time + delay, so at
+    * 100 TB/day state is proportional to the dedup horizon, not the
+    * corpus.
+    */
+  def contentDedupIngest(stream: DataFrame, fpCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   /** Flush loop: seal each micro-batch to the Parquet table
     * (datanode write-buffer flush). Returns the StreamingQuery.
     *
