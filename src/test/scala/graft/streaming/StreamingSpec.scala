@@ -27,6 +27,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows sameElements Array(1L, 2L))
   }
 
+  test("content dedup drops same-fingerprint rows across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val out = Streaming.contentDedupIngest(df, "fp", "ts")
+    val q = out.writeStream.format("memory").queryName("cdedup_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    // doc 2 repeats doc 1's content (different pk — pk-dedup would keep it)
+    input.addData((1L, t0, "Alpha beta."), (2L, t0, "alpha BETA"), (3L, t0, "gamma"))
+    q.processAllAvailable()
+    input.addData((4L, t0, "alpha beta"), (5L, t0, "delta")) // cross-batch replay
+    q.processAllAvailable()
+    q.stop()
+    val fps = spark.table("cdedup_out").select("fp").as[String].collect()
+    assert(fps.length == 3) // alpha-beta, gamma, delta — one survivor each
+    assert(fps.distinct.length == 3)
+  }
+
   test("windowed counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
