@@ -53,6 +53,40 @@ object BenchScale {
         Dedup.connectedComponents(pairs).count()
       })
 
+    // --- vector family over replicated embeddings: brute-force top-k
+    // (the reduce path's shuffle volume must stay O(partitions·nq·k))
+    // and IVF build+probe (train sample bounded, probes prune clusters)
+    val embBase = GraftSession.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nEmb = embBase.count()
+
+    /** Per-copy deterministic perturbation so replicas are distinct
+      * vectors (not exact duplicates) without changing the geometry's
+      * scale — corpus grows, per-query work per row stays constant.
+      */
+    def replicateEmb(copies: Int): DataFrame =
+      (0 until copies).map { c =>
+        embBase.select((col("vec_id") + lit(c.toLong * nEmb)).as("vec_id"),
+          transform(col("embedding"),
+            x => x * (lit(1.0f) + lit(c.toFloat * 0.001f))).as("embedding"))
+      }.reduce(_ unionByName _)
+
+    val queries = embBase.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint(true)
+
+    import graft.functions.Metric
+    import graft.operators.{IvfIndex, VectorSearch}
+    val vecOps: Seq[(String, DataFrame => Long)] = Seq(
+      "topk_brute" -> (d => VectorSearch.topK(d, "vec_id", "embedding",
+        queries, "qid", "qvec", Metric.COSINE, k = 10).count()),
+      "ivf_build_q" -> { d =>
+        val model = IvfIndex.trainLocal(d, "embedding", nlist = 32, maxTrainRows = 5000)
+        val layout = IvfIndex.layout(d, "embedding", model)
+        IvfIndex.search(layout, "vec_id", "embedding", model,
+          queries, "qid", "qvec", Metric.COSINE, k = 10, nprobe = 4).count()
+      })
+
     val scales = Seq(1, 5, 10)
     println(f"${"op"}%-12s ${"copies"}%7s ${"rows"}%8s ${"pairs/cc"}%9s ${"sec"}%8s")
     val results = for (copies <- scales; (name, fn) <- ops) yield {
@@ -61,12 +95,28 @@ object BenchScale {
       println(f"$name%-12s $copies%7d ${nBase * copies}%8d $n%9d $sec%8.2f")
       (name, copies, sec)
     }
-    // scaling exponent between 1× and 10×: log(t10/t1)/log(10);
-    // ≤ ~1.3 reads as linear-with-overhead, ≥ ~2 as quadratic
+    // vectors are cheap per row — push the corpus two decades so the
+    // curve is work-dominated, not session-overhead-dominated
+    val vecScales = Seq(1, 20, 100)
+    val vecResults = for (copies <- vecScales; (name, fn) <- vecOps) yield {
+      val corpus = replicateEmb(copies).localCheckpoint(true)
+      val (sec, n) = time(fn(corpus))
+      println(f"$name%-12s $copies%7d ${nEmb * copies}%8d $n%9d $sec%8.2f")
+      (name, copies, sec)
+    }
+    // scaling exponent between the smallest and largest scale:
+    // log(tMax/t1)/log(max); ≤ ~1.3 reads as linear-with-overhead,
+    // ≥ ~2 as quadratic
+    def exponent(all: Seq[(String, Int, Double)], name: String, top: Int): Double = {
+      val t1 = all.collect { case (`name`, 1, s) => s }.head
+      val tN = all.collect { case (`name`, `top`, s) => s }.head
+      math.log(tN / t1) / math.log(top.toDouble)
+    }
     ops.foreach { case (name, _) =>
-      val t1 = results.collect { case (`name`, 1, s) => s }.head
-      val t10 = results.collect { case (`name`, 10, s) => s }.head
-      println(f"$name%-12s scaling exponent (1x→10x): ${math.log(t10 / t1) / math.log(10.0)}%.2f")
+      println(f"$name%-12s scaling exponent (1x→10x): ${exponent(results, name, 10)}%.2f")
+    }
+    vecOps.foreach { case (name, _) =>
+      println(f"$name%-12s scaling exponent (1x→100x): ${exponent(vecResults, name, 100)}%.2f")
     }
     spark.stop()
   }

@@ -245,12 +245,21 @@ final class Collection private (
     val tagged =
       if (rows.columns.contains(Collection.PartitionCol)) rows
       else rows.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
+    // a dropped field is gone from the schema — inserts carrying it are
+    // rejected at the proxy boundary (drop-collection-field contract)
+    droppedFields.keysIterator.find(tagged.columns.contains).foreach { f =>
+      throw new IllegalArgumentException(
+        s"field '$f' was dropped from the collection schema")
+    }
     // default_value fill (null_data contract): an omitted column
     // materializes as the default for every row; an explicit null is
     // coalesced to the default. Pure column expressions — map-only.
-    val defaulted = schema.fieldDefaults.foldLeft(tagged) { case (df, (f, v)) =>
-      if (!df.columns.contains(f)) df.withColumn(f, lit(v))
-      else df.withColumn(f, coalesce(col(f), lit(v)))
+    // DDL-added fields (addCollectionField) fill the same way.
+    val ddlDefaults = maskedFields.view.mapValues(_._2).toMap
+    val defaulted = (schema.fieldDefaults ++ ddlDefaults).foldLeft(tagged) {
+      case (df, (f, v)) =>
+        if (!df.columns.contains(f)) df.withColumn(f, lit(v))
+        else df.withColumn(f, coalesce(col(f), lit(v)))
     }
     // nullable=false without a default: reject nulls up front (the
     // reference validates row-wise in the proxy before the WAL append).
@@ -277,7 +286,13 @@ final class Collection private (
         spark.createDataFrame(rdd,
             struct_.add(org.apache.spark.sql.types.StructField(schema.pkField, LongType)))
       }
-    growing = Some(growing.map(_.unionByName(withPk)).getOrElse(withPk))
+    // schema evolution: once a field DDL has run, batches may differ in
+    // columns (a pre-DDL tail vs a post-DDL insert) — union by name with
+    // null fill, the mergeSchema analogue. Without DDL stay strict so a
+    // misspelled column fails loudly instead of null-filling.
+    val evolved = droppedFields.nonEmpty || maskedFields.nonEmpty
+    growing = Some(growing
+      .map(_.unionByName(withPk, allowMissingColumns = evolved)).getOrElse(withPk))
     logChange("insert", withPk)
     // growing-segment interim index (reference IVFFLAT_CC,
     // segcore/IndexConfigGenerator.cpp:37): batches arriving after an
@@ -594,6 +609,73 @@ final class Collection private (
     insertImpl(graft.sources.Binlog.readSegments(spark, dir))
   }
 
+  // ---- field DDL state (reference 20260413-drop-collection-field-
+  // design.md + 20230405-default_value.md): a dropped field maps to its
+  // drop ts; a (re-)added field maps to (addTs, default) and serves the
+  // default for every row older than the DDL — the field-ID-monotonicity
+  // analogue that keeps dropped data from resurfacing under a recycled
+  // name. Both are driver-side metadata; enforcement is a projection.
+  @volatile private var droppedFields: Map[String, Long] = Map.empty
+  @volatile private var maskedFields: Map[String, (Long, Any)] = Map.empty
+
+  /** Drop a collection field (AlterCollectionSchema drop path): the
+    * field becomes invisible to every read immediately — schema-driven
+    * filtering, no segment rewrite (the lazy-cleanup contract) — inserts
+    * carrying it are rejected, and indexes on it are cascade-dropped
+    * (the ack-callback cleanup). The PK, the MVCC ts field, the
+    * partition tag, and the last vector field refuse to drop (the
+    * proxy-side validations).
+    */
+  def dropField(field: String): Long = stateLock.synchronized {
+    requirePriv("AlterCollection")
+    require(field != schema.pkField, s"cannot drop the primary key field '$field'")
+    require(field != schema.tsField, s"cannot drop the MVCC ts field '$field'")
+    require(field != Collection.PartitionCol, "cannot drop the partition tag")
+    require(!(schema.vectorFields.contains(field) && schema.vectorFields.size == 1),
+      s"cannot drop the last vector field '$field'")
+    val ts = nextTs()
+    indexes.get(field).foreach { st => releaseIndexState(st); indexes -= field }
+    droppedFields += field -> ts
+    maskedFields -= field
+    lastWriteTs = ts
+    invalidateFilterCache()
+    ts
+  }
+
+  /** AddCollectionField on the live facade (20230405-default_value.md;
+    * re-add-capable per the drop-field design): the field serves
+    * `default` for every row older than this DDL — both the plain
+    * add-field default fill and the no-resurrection guarantee after
+    * [[dropField]] of the same name.
+    */
+  def addCollectionField(field: String, default: Any): Long = stateLock.synchronized {
+    requirePriv("AlterCollection")
+    require(field != schema.pkField && field != schema.tsField &&
+      field != Collection.PartitionCol, s"cannot redefine system field '$field'")
+    val ts = nextTs()
+    droppedFields -= field
+    maskedFields += field -> ((ts, default))
+    lastWriteTs = ts
+    invalidateFilterCache()
+    ts
+  }
+
+  /** Read-side enforcement of the field DDLs: dropped columns are
+    * projected out; (re-)added columns serve the default for rows older
+    * than the DDL ts. A projection mask — no shuffle, no rewrite, and
+    * column pruning still drops the underlying data for queries that
+    * never touch the field.
+    */
+  private def applyFieldDdl(df: DataFrame): DataFrame = {
+    val afterDrop = droppedFields.keysIterator.foldLeft(df)((d, f) =>
+      if (d.columns.contains(f)) d.drop(f) else d)
+    maskedFields.foldLeft(afterDrop) { case (d, (f, (addTs, dflt))) =>
+      if (!d.columns.contains(f)) d.withColumn(f, lit(dflt))
+      else d.withColumn(f,
+        when(col(schema.tsField) >= lit(addTs), col(f)).otherwise(lit(dflt)))
+    }
+  }
+
   /** The view BEFORE row-level security — for shared physical artifacts
     * (index builds), which must not bake one caller's policy scope in;
     * RLS re-applies per query on top.
@@ -618,7 +700,8 @@ final class Collection private (
     val base = preFilter.map(src.filter).getOrElse(src)
     val visible = Mvcc.visible(base, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
-    Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
+    applyFieldDdl(
+      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField))
   }
 
   // ---- compiled-filter result cache (reference: exec/expression/
@@ -674,9 +757,28 @@ final class Collection private (
     if (limit > 0) sorted.limit(limit) else sorted
   }
 
+  /** The schema the EXPRESSION LANGUAGE sees: physical columns minus
+    * dropped fields plus DDL-added fields not yet physically present.
+    * Compiling against the raw schema would let a filter on a dropped
+    * field slip through (Spark's ResolveMissingReferences resolves
+    * filter attributes through the drop projection) — the reference
+    * rejects such filters at the proxy, and so must we.
+    */
+  private def exprSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val kept = raw.schema.fields.filterNot(f => droppedFields.contains(f.name))
+    val extra = maskedFields.collect {
+      case (f, (_, dflt)) if !raw.schema.fieldNames.contains(f) =>
+        StructField(f,
+          org.apache.spark.sql.graft.ColumnBridge.expression(lit(dflt)).dataType)
+    }
+    StructType(kept ++ extra)
+  }
+
   private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
     ExprCompiler.compile(filterExpr,
-      ExprCompiler.Ctx(raw.schema, metaColumn = schema.metaField, params = params))
+      ExprCompiler.Ctx(exprSchema, metaColumn = schema.metaField, params = params,
+        strictColumns = true))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.

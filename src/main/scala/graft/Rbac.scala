@@ -22,7 +22,8 @@ object Rbac {
     "Query", "Search", "GetStatistics", "IndexDetail", "ShowPartitions",
     "Insert", "Delete", "Upsert", "Import", "Flush", "Compaction",
     "CreateIndex", "DropIndex", "CreatePartition", "DropPartition",
-    "CreateAlias", "DropAlias", "Truncate", "Load", "Release")
+    "CreateAlias", "DropAlias", "Truncate", "Load", "Release",
+    "AlterCollection")
 
   /** Built-in privilege groups (`pkg/util/constant.go`, rbac v2):
     * ReadOnly ⊂ ReadWrite ⊂ Admin.
@@ -33,7 +34,8 @@ object Rbac {
     "Insert", "Delete", "Upsert", "Import", "Flush", "Compaction",
     "CreateIndex", "DropIndex", "CreatePartition", "DropPartition",
     "Truncate", "Load", "Release")
-  val AdminGroup: Set[String] = ReadWriteGroup ++ Set("CreateAlias", "DropAlias")
+  val AdminGroup: Set[String] =
+    ReadWriteGroup ++ Set("CreateAlias", "DropAlias", "AlterCollection")
 
   private val Groups: Map[String, Set[String]] = Map(
     "CollectionReadOnly" -> ReadOnlyGroup,

@@ -32,7 +32,14 @@ object ExprCompiler {
         * schema (None for scalar arrays, where `$[x]` is the element
         * itself).
         */
-      element: Option[(Column, Option[StructType])] = None) {
+      element: Option[(Column, Option[StructType])] = None,
+      /** Reject identifiers absent from `schema` at COMPILE time instead
+        * of deferring to Catalyst. The facade needs this: Spark's
+        * ResolveMissingReferences resolves filter attributes through a
+        * projection, so a filter on a schema-dropped field would
+        * otherwise silently read the masked physical column.
+        */
+      strictColumns: Boolean = false) {
 
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
@@ -113,7 +120,10 @@ object ExprCompiler {
           ctx.metaColumn match {
             // dynamic field: pull from the $meta JSON catch-all
             case Some(meta) => get_json_object(col(meta), s"$$.$name")
-            case None       => col(name) // let Catalyst raise unresolved
+            case None if ctx.strictColumns =>
+              throw CompileError(s"unknown field '$name' " +
+                s"(schema: ${ctx.schema.fieldNames.mkString(", ")})")
+            case None => col(name) // let Catalyst raise unresolved
           }
       }
 

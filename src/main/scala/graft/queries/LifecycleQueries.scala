@@ -722,7 +722,41 @@ object LifecycleQueries {
     p1.unionByName(p2).orderBy(col("phase"), col("db"), col("coll"))
   }
 
+  /** Drop-collection-field end-to-end (reference
+    * 20260413-drop-collection-field-design.md, AlterCollectionSchema
+    * drop path): phase 1 reads after `value` is dropped — the column is
+    * gone (value_present pins it) and aggregates run without it; the
+    * field is then RE-ADDED with default -1.0 and a second batch
+    * inserted. Phase 2's sums prove the no-resurrection contract: every
+    * pre-drop row serves the default, never its original value, while
+    * the post-re-add batch serves real values. The oracle recomputes
+    * both phases from the driving predicates.
+    */
+  def dropFieldRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.insert(ev.filter(col("event_id") < 2000))
+    c.dropField("value")
+    val p1 = c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), lit(0.0).as("sum_value"))
+      .withColumn("value_present", lit(c.readView().columns.contains("value")))
+      .withColumn("phase", lit(1L))
+      .localCheckpoint(true) // evaluate while the field is dropped
+    c.addCollectionField("value", -1.0)
+    c.insert(ev.filter(col("event_id") >= 2000 && col("event_id") < 3000))
+    val p2 = c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("value_present", lit(c.readView().columns.contains("value")))
+      .withColumn("phase", lit(2L))
+    p1.unionByName(p2).orderBy(col("phase"), col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drop_field" -> (dropFieldRead _),
     "q_collection_stats" -> (collectionStats _),
     "q_database_ns" -> (databaseNs _),
     "q_nullable_field" -> (nullableField _),
@@ -752,6 +786,15 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_drop_field" ->
+      """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
+        |  0.0 AS sum_value, false AS value_present
+        |FROM events WHERE event_id < 2000 GROUP BY event_type
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, count(*),
+        |  round(sum(CASE WHEN event_id < 2000 THEN -1.0 ELSE value END), 2), true
+        |FROM events WHERE event_id < 3000 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q_collection_stats" ->
       """SELECT 'IVF_FLAT' AS index_type, CAST(8 AS INTEGER) AS nlist,
         |  (SELECT count(*) FROM embeddings WHERE vec_id < 300) AS indexed_rows,

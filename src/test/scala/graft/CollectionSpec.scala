@@ -822,4 +822,44 @@ class CollectionSpec extends SparkSpec {
     // the failed inserts left nothing behind
     assert(c.count() == 4)
   }
+
+  test("dropField hides the column, rejects inserts, cascades the index") {
+    val c = fresh()
+    c.createIndex("emb", nlist = 4, trainSample = 100)
+    assert(c.describeIndex("emb").totalRows == 50)
+    c.dropField("txt")
+    assert(!c.readView().columns.contains("txt"))
+    // filters over the dropped field no longer resolve
+    intercept[Exception] { c.count("""txt == "doc 1"""") }
+    // inserts carrying the dropped field are rejected at the boundary
+    intercept[IllegalArgumentException] { c.insert(mkRows(100L until 101L)) }
+    // validations: pk / ts / last vector field refuse to drop
+    intercept[IllegalArgumentException] { c.dropField("pk") }
+    intercept[IllegalArgumentException] { c.dropField("_ts") }
+    intercept[IllegalArgumentException] { c.dropField("emb") }
+    // index cascade: dropping an indexed vector field removes its index
+    val c2 = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("emb" -> 4, "emb2" -> 4)))
+    c2.insert((0L until 20L).map(i => (i, vec(i), vec(i + 1))).toDF("pk", "emb", "emb2"))
+    c2.createIndex("emb2", nlist = 2, trainSample = 100)
+    c2.dropField("emb2")
+    intercept[NoSuchElementException] { c2.describeIndex("emb2") }
+  }
+
+  test("re-adding a dropped field never resurrects old data") {
+    val c = fresh()
+    c.dropField("grp")
+    c.addCollectionField("grp", -1L)
+    // pre-DDL rows serve the default, not their original grp values
+    assert(c.readView().select($"grp").as[Long].collect().forall(_ == -1L))
+    // post-DDL inserts carry real values; omitted column fills the default
+    c.insert(Seq((100L, vec(100), "d", 9L)).toDF("pk", "emb", "txt", "grp"))
+    c.insert(Seq((101L, vec(101), "d")).toDF("pk", "emb", "txt"))
+    val byPk = c.readView().select($"pk", $"grp").as[(Long, Long)].collect().toMap
+    assert(byPk(100L) == 9L && byPk(101L) == -1L && byPk(0L) == -1L)
+    // a plain add on a fresh name = default fill for all older rows
+    c.addCollectionField("flag", "new")
+    val flags = c.readView().select($"flag").as[String].collect()
+    assert(flags.nonEmpty && flags.forall(_ == "new"))
+  }
 }
