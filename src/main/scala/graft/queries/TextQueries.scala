@@ -348,6 +348,31 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term")).limit(30)
   }
 
+  /** Pinyin filter (MEP 20260209-pinyin_filter.md): Han "words" (the
+    * deterministic a-z → Han fixture mapping) expand through the filter
+    * with every option on — original Han token, per-syllable full
+    * pinyin, joined full pinyin, and separate first letters — and the
+    * hottest resulting terms are counted. The oracle recomputes the
+    * whole expansion from the same 26-entry letter→(han, pinyin) table.
+    */
+  def analyzerPinyin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Analyzers
+    val d = t(s, dir, "documents").filter(col("lang") === "zh")
+    val hanText = translate(
+      regexp_replace(lower(col("text")), "[^a-z ]", ""),
+      "abcdefghijklmnopqrstuvwxyz", HanAlphabet)
+    val toks = Analyzers.analyzeWith(hanText, Map(
+      "tokenizer" -> "whitespace",
+      "filters" -> "pinyin",
+      "keep_original" -> "true",
+      "keep_full_pinyin" -> "true",
+      "keep_joined_full_pinyin" -> "true",
+      "keep_separate_first_letter" -> "true"))
+    d.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(30)
+  }
+
   /** ngram tokenizer (tantivy ngram_tokenizer_with_chars.rs): total
     * occurrence counts of the hottest character trigrams.
     */
@@ -567,6 +592,7 @@ object TextQueries {
     "q_analyzer_chargroup" -> (analyzerCharGroup _),
     "q_analyzer_ngram" -> (analyzerNgram _),
     "q_analyzer_cjk" -> (analyzerCjk _),
+    "q_analyzer_pinyin" -> (analyzerPinyin _),
     "q_analyzer_ja" -> (analyzerJa _),
     "q_analyzer_thai" -> (analyzerThai _),
     "q_analyzer_icu" -> (analyzerIcu _),
@@ -598,6 +624,37 @@ object TextQueries {
          |  SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
          |  FROM documents)
          |SELECT fp, CAST(1 AS BIGINT) AS copies FROM f ORDER BY fp""".stripMargin,
+    "q_analyzer_pinyin" -> {
+      // letter → (han, pinyin) VALUES built from the SAME tables the
+      // Spark side uses (HanAlphabet + Analyzers.PinyinTable) — no drift
+      val vals = HanAlphabet.zipWithIndex.map { case (h, i) =>
+        s"('${('a' + i).toChar}','$h','${graft.functions.Analyzers.PinyinTable(h)}')"
+      }.mkString(", ")
+      s"""WITH ws AS (
+         |  SELECT ROW_NUMBER() OVER () AS rid, w FROM (
+         |    SELECT unnest(list_filter(string_split(
+         |      regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+         |      x -> x <> '')) AS w
+         |    FROM documents WHERE lang = 'zh')),
+         |m(ch, han, py) AS (VALUES $vals),
+         |chars AS (
+         |  SELECT ws.rid, g.i, substr(ws.w, CAST(g.i AS INT), 1) AS ch
+         |  FROM ws, UNNEST(range(1, length(ws.w) + 1)) AS g(i)),
+         |perword AS (
+         |  SELECT c.rid,
+         |    string_agg(m.han, '' ORDER BY c.i) AS hanw,
+         |    list(m.py ORDER BY c.i) AS sylls,
+         |    string_agg(m.py, '' ORDER BY c.i) AS joinedw
+         |  FROM chars c JOIN m ON c.ch = m.ch GROUP BY c.rid),
+         |terms AS (
+         |  SELECT hanw AS term FROM perword
+         |  UNION ALL SELECT unnest(sylls) FROM perword
+         |  UNION ALL SELECT joinedw FROM perword
+         |  UNION ALL SELECT unnest(list_transform(sylls, s -> substr(s, 1, 1)))
+         |    FROM perword)
+         |SELECT term, count(*) AS cnt FROM terms GROUP BY term
+         |ORDER BY cnt DESC, term LIMIT 30""".stripMargin
+    },
     "q_analyzer_thai" -> sentenceOracle(ThaiTokens),
     "q_analyzer_icu" -> sentenceOracle(IcuTokens),
     "q_analyzer_stem" -> sentenceOracle(StemTokens),

@@ -210,4 +210,27 @@ class AnalyzersSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(viaParams == Seq("\u0627\u0628", "10"))
   }
+
+  test("pinyin filter: full syllables, joined, initials, keep_original") {
+    // \u5f20\u4e09 \u2192 zhang, san (the MEP's motivating name-lookup example)
+    assert(run("\u5f20\u4e09", Whitespace, Seq(Pinyin())) == Seq("zhang", "san"))
+    assert(run("\u5f20\u4e09", Whitespace,
+      Seq(Pinyin(keepFullPinyin = false, keepJoinedFullPinyin = true))) ==
+      Seq("zhangsan"))
+    assert(run("\u5f20\u4e09", Whitespace,
+      Seq(Pinyin(keepFullPinyin = false, keepSeparateFirstLetter = true))) ==
+      Seq("z", "s"))
+    assert(run("\u5f20\u4e09", Whitespace, Seq(Pinyin(keepOriginal = true))) ==
+      Seq("\u5f20\u4e09", "zhang", "san"))
+    // non-Han tokens pass through untouched; unknown Han rides along
+    assert(run("hello \u4e2d\u56fd", Whitespace, Seq(Pinyin())) ==
+      Seq("hello", "zhong", "guo"))
+    assert(run("\u4e2dX", Whitespace, Seq(Pinyin())) == Seq("zhong", "X"))
+    // param-map dispatch
+    val viaParams2 = Seq("\u5317\u4eac ok").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "whitespace",
+        "filters" -> "pinyin", "keep_joined_full_pinyin" -> "true")).as("x"))
+      .as[Seq[String]].head()
+    assert(viaParams2 == Seq("bei", "jing", "beijing", "ok"))
+  }
 }
