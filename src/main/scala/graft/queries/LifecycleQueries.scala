@@ -755,7 +755,46 @@ object LifecycleQueries {
     p1.unionByName(p2).orderBy(col("phase"), col("event_type"))
   }
 
+  /** External-table refresh end-to-end (reference
+    * 20260526-milvus-table-external-source.md +
+    * 20260526-external_table_add_column_refresh.md): fragment 1 is
+    * snapshotted at create; fragment 2 lands on disk AFTER the snapshot
+    * and must stay invisible to phase 1 (the manifest contract — a live
+    * path read would leak it). Refresh diffs the directory (kept=1,
+    * added=1 — pinned in the output) and additively maps a new
+    * collection field onto an existing external column, so phase 2
+    * serves both fragments with real values for the new field and no
+    * data was rewritten. The oracle recomputes both phases.
+    */
+  def externalRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ExternalTable
+    val base = scratchDir("extref")
+    val ev = t(s, dir, "events")
+      .select(col("event_id").as("id"), col("event_type").as("etype"),
+        col("value").as("val"))
+    ev.filter(col("id") < 2000).write.mode("overwrite").parquet(s"$base/frag1")
+    val et = ExternalTable.create(s, "parquet", base,
+      Map("event_id" -> "id", "event_type" -> "etype"))
+    ev.filter(col("id") >= 2000 && col("id") < 3000)
+      .write.mode("overwrite").parquet(s"$base/frag2")
+    val p1 = et.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), lit(0.0).as("sum_value"))
+      .withColumn("phase", lit(1L))
+      .localCheckpoint(true) // evaluate against the pre-refresh snapshot
+    val stats = et.refresh(addMappings = Map("value" -> "val"))
+    val p2 = et.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("phase", lit(2L))
+    p1.unionByName(p2)
+      .withColumn("kept", lit(stats.kept.toLong))
+      .withColumn("added", lit(stats.added.toLong))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_external_refresh" -> (externalRefresh _),
     "q_drop_field" -> (dropFieldRead _),
     "q_collection_stats" -> (collectionStats _),
     "q_database_ns" -> (databaseNs _),
@@ -786,6 +825,15 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_external_refresh" ->
+      """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
+        |  0.0 AS sum_value, CAST(1 AS BIGINT) AS kept, CAST(1 AS BIGINT) AS added
+        |FROM events WHERE event_id < 2000 GROUP BY event_type
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, count(*), round(sum(value), 2),
+        |  CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM events WHERE event_id < 3000 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     "q_drop_field" ->
       """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
         |  0.0 AS sum_value, false AS value_present

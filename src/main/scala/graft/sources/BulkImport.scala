@@ -40,11 +40,100 @@ object BulkImport {
       fieldMapping: Map[String, String],
       options: Map[String, String] = Map.empty): DataFrame = {
     val raw = read(spark, format, path, options)
+    project(raw, fieldMapping, path)
+  }
+
+  private[sources] def project(raw: DataFrame, fieldMapping: Map[String, String],
+      path: String): DataFrame = {
     val missing = fieldMapping.values.filterNot(raw.columns.contains)
     require(missing.isEmpty,
       s"external table $path lacks mapped columns: ${missing.mkString(", ")}")
     raw.select(fieldMapping.toSeq.sortBy(_._1).map { case (field, ext) =>
       org.apache.spark.sql.functions.col(ext).as(field)
     }: _*)
+  }
+}
+
+/** External table with a STABLE fragment snapshot + refresh (reference:
+  * docs/user_guides/external_table.md and the refresh designs
+  * 20260526-milvus-table-external-source.md /
+  * 20260526-external_table_add_column_refresh.md).
+  *
+  * Reads serve exactly the file fragments captured at creation or last
+  * [[refresh]] — files landing in the directory later are INVISIBLE
+  * until the next refresh (the manifest-snapshot contract; a live Spark
+  * path read would silently pick them up). Refresh diffs the directory:
+  * unchanged fragments are kept as-is (the same-segment patch — no
+  * rewrite), new fragments join, removed fragments drop out, and the
+  * field mapping can grow additively (a new collection field mapped
+  * onto an existing external column); fragments predating the column
+  * serve null for it via mergeSchema. Dropping or re-mapping fields is
+  * a non-goal, as in the reference.
+  *
+  * Scale note: the snapshot is a driver-side path list (the catalog
+  * manifest analogue); the data plane stays a plain distributed scan
+  * with pushdown over the pinned fragment paths.
+  */
+final class ExternalTable private (
+    spark: SparkSession,
+    format: String,
+    dir: String,
+    private var mapping: Map[String, String]) {
+
+  final case class RefreshStats(kept: Int, added: Int, removed: Int)
+
+  private var fragments: Vector[String] = Vector.empty
+
+  private def listFragments(): Vector[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).sorted.toVector
+
+  def fieldMapping: Map[String, String] = mapping
+  def fragmentPaths: Seq[String] = fragments
+
+  /** Read the SNAPSHOT fragments under the current mapping. */
+  def read(): DataFrame = {
+    require(fragments.nonEmpty, s"external table $dir has no fragments")
+    val raw = format.toLowerCase match {
+      case "parquet" =>
+        spark.read.option("mergeSchema", "true").parquet(fragments: _*)
+      case "json" => spark.read.json(fragments: _*)
+      case "csv" =>
+        spark.read.options(Map("header" -> "true", "inferSchema" -> "true"))
+          .csv(fragments: _*)
+      case other => throw new IllegalArgumentException(
+        s"external table format '$other' not supported")
+    }
+    BulkImport.project(raw, mapping, dir)
+  }
+
+  /** Re-list the directory and advance the snapshot; optionally grow the
+    * mapping (additive only). Returns the fragment diff.
+    */
+  def refresh(addMappings: Map[String, String] = Map.empty): RefreshStats = {
+    addMappings.keys.find(mapping.contains).foreach { f =>
+      throw new IllegalArgumentException(
+        s"field '$f' is already mapped — refresh mappings are additive only")
+    }
+    val now = listFragments()
+    val stats = RefreshStats(
+      kept = fragments.count(now.contains),
+      added = now.count(f => !fragments.contains(f)),
+      removed = fragments.count(f => !now.contains(f)))
+    mapping ++= addMappings
+    fragments = now
+    read() // validates the widened mapping against the new snapshot
+    stats
+  }
+}
+
+object ExternalTable {
+  /** Create over `dir`, snapshotting its current fragments. */
+  def create(spark: SparkSession, format: String, dir: String,
+      fieldMapping: Map[String, String]): ExternalTable = {
+    val et = new ExternalTable(spark, format, dir, fieldMapping)
+    et.refresh()
+    et
   }
 }

@@ -107,6 +107,33 @@ class LifecycleSpec extends SparkSpec {
       BulkImport.readExternal(spark, "parquet", path, Map("id" -> "missing_col")))
   }
 
+  test("ExternalTable snapshots fragments; refresh diffs and widens the mapping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_extref").toString
+    Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("ext_id", "ext_name", "ext_score")
+      .write.parquet(s"$dir/f1")
+    val et = ExternalTable.create(spark, "parquet", dir, Map("id" -> "ext_id"))
+    // a fragment landing after the snapshot stays invisible until refresh
+    Seq((3L, "c", 7.0)).toDF("ext_id", "ext_name", "ext_score")
+      .write.parquet(s"$dir/f2")
+    assert(et.read().count() == 2)
+    val s1 = et.refresh(addMappings = Map("score" -> "ext_score"))
+    assert(s1.kept == 1 && s1.added == 1 && s1.removed == 0)
+    assert(et.read().columns.sorted.toSeq == Seq("id", "score"))
+    assert(et.read().agg(sum($"score")).head().getDouble(0) == 18.0)
+    // removed fragments drop out on the next refresh
+    deleteRec(new java.io.File(s"$dir/f1"))
+    val s2 = et.refresh()
+    assert(s2.kept == 1 && s2.removed == 1)
+    assert(et.read().count() == 1)
+    // re-mapping an existing field is rejected (additive only)
+    intercept[IllegalArgumentException](et.refresh(Map("id" -> "ext_name")))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete()
+  }
+
   test("dropField removes a column without touching data files") {
     val path = "/tmp/graft_test_dropfield"
     Seq((1L, "x", 5.0), (2L, "y", 6.0)).toDF("pk", "tag", "v")
