@@ -1286,6 +1286,26 @@ object Collection {
     * the `_default` partition every collection is born with).
     */
   val DefaultPartition = "_default"
+
+  /** RunAnalyzer RPC (reference `Proxy.RunAnalyzer` impl.go:6629):
+    * tokenize ad-hoc texts under explicit analyzer params — the
+    * tokenizer-debugging surface every client SDK exposes. One row per
+    * (text_idx, position, token); `withHash` adds the 32-bit Murmur3
+    * token hash (the reference's WithHash returns the token's u32
+    * sparse dimension; this engine's sparse BM25 keys by term string,
+    * so the hash is the dimension a hash-keyed client would use).
+    */
+  def runAnalyzer(spark: SparkSession, texts: Seq[String],
+      analyzerParams: Map[String, String],
+      withHash: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("text_idx", "text")
+    val toks = df.select(col("text_idx"),
+      posexplode(graft.functions.Analyzers.analyzeWith(col("text"), analyzerParams))
+        .as(Seq("position", "token")))
+    if (withHash) toks.withColumn("token_hash", hash(col("token"))) else toks
+  }
   /** Tag column carrying each row's named partition. */
   val PartitionCol = "_partition"
 

@@ -846,6 +846,18 @@ class CollectionSpec extends SparkSpec {
     intercept[NoSuchElementException] { c2.describeIndex("emb2") }
   }
 
+  test("runAnalyzer tokenizes ad-hoc texts with params and optional hash") {
+    val out = Collection.runAnalyzer(spark,
+      Seq("Hello, World!", "graft 分词"),
+      Map("tokenizer" -> "standard"), withHash = true)
+    val rows = out.select($"text_idx", $"position", $"token")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(rows == Seq((0L, 0, "hello"), (0L, 1, "world"), (1L, 0, "graft")))
+    assert(out.columns.contains("token_hash"))
+    // empty input → zero rows, not an error (the RPC's empty-placeholder path)
+    assert(Collection.runAnalyzer(spark, Nil, Map.empty).count() == 0)
+  }
+
   test("re-adding a dropped field never resurrects old data") {
     val c = fresh()
     c.dropField("grp")
