@@ -136,6 +136,20 @@ final class Collection private (
 
   def listPartitions: Seq[String] = partitionSet.toSeq.sorted
 
+  /** HasPartition (reference impl.go). */
+  def hasPartition(name: String): Boolean = partitionSet.contains(name)
+
+  /** GetPartitionStatistics (reference impl.go): visible row count of
+    * one named partition — the partition scope prunes before counting,
+    * exactly like a partition_names-scoped query.
+    */
+  def partitionStatistics(name: String): Map[String, String] = {
+    requirePriv("GetStatistics")
+    require(partitionSet.contains(name), s"no such partition '$name'")
+    Map("row_count" ->
+      readView(partitionNames = Seq(name)).count().toString)
+  }
+
   def createPartition(name: String): Unit = stateLock.synchronized {
     requirePriv("CreatePartition")
     require(name.nonEmpty, "partition name must be non-empty")
@@ -1422,6 +1436,15 @@ object Collection {
     val c = aliases.get(name)
     if (c == null) throw new NoSuchElementException(s"alias '$name' does not exist")
     c
+  }
+
+  /** ListAliases (reference impl.go): every alias currently pointing at
+    * `target`, sorted.
+    */
+  def listAliases(target: Collection): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    aliases.entrySet().asScala.filter(_.getValue eq target)
+      .map(_.getKey).toSeq.sorted
   }
 
   /** The DescribeIndex result (indexpb.IndexInfo stats subset). */

@@ -112,5 +112,48 @@ object Rbac {
     def listGrants(role: String): Seq[Grant] =
       lock.synchronized(grants.filter(_.role == role).toSeq.sortBy(g =>
         (g.collection, g.privilege)))
+
+    // ---- credentials (reference impl.go CreateCredential /
+    // UpdateCredential / DeleteCredential / ListCredUsers; the proxy
+    // stores bcrypt digests in the metastore — here a salted SHA-256,
+    // the same never-store-plaintext contract). Verification is
+    // constant-time over the digest bytes.
+    private var credentials: Map[String, (Array[Byte], Array[Byte])] = Map.empty
+
+    private def digest(password: String, salt: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(salt)
+      md.digest(password.getBytes("UTF-8"))
+    }
+
+    def createCredential(user: String, password: String): Unit = lock.synchronized {
+      require(!credentials.contains(user), s"credential for '$user' already exists")
+      val salt = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(salt)
+      credentials += user -> ((salt, digest(password, salt)))
+    }
+
+    /** UpdateCredential: the old password must verify first (the
+      * reference checks oldPassword before accepting newPassword).
+      */
+    def updateCredential(user: String, oldPassword: String, newPassword: String): Unit =
+      lock.synchronized {
+        require(verifyCredential(user, oldPassword), "old password does not verify")
+        val salt = new Array[Byte](16)
+        new java.security.SecureRandom().nextBytes(salt)
+        credentials += user -> ((salt, digest(newPassword, salt)))
+      }
+
+    def verifyCredential(user: String, password: String): Boolean = lock.synchronized {
+      credentials.get(user).exists { case (salt, want) =>
+        java.security.MessageDigest.isEqual(want, digest(password, salt))
+      }
+    }
+
+    def deleteCredential(user: String): Unit = lock.synchronized {
+      credentials -= user
+    }
+
+    def listCredUsers: Seq[String] = lock.synchronized(credentials.keys.toSeq.sorted)
   }
 }

@@ -846,6 +846,24 @@ class CollectionSpec extends SparkSpec {
     intercept[NoSuchElementException] { c2.describeIndex("emb2") }
   }
 
+  test("hasPartition, partitionStatistics, and listAliases metadata surfaces") {
+    val c = fresh()
+    c.createPartition("hot")
+    c.insertInto("hot", mkRows(100L until 110L))
+    assert(c.hasPartition("hot") && !c.hasPartition("cold"))
+    assert(c.partitionStatistics("hot")("row_count") == "10")
+    assert(c.partitionStatistics(Collection.DefaultPartition)("row_count") == "50")
+    intercept[IllegalArgumentException](c.partitionStatistics("cold"))
+    val a1 = s"alias_a_${System.nanoTime()}"
+    val a2 = s"alias_b_${System.nanoTime()}"
+    Collection.createAlias(a1, c)
+    Collection.createAlias(a2, c)
+    assert(Collection.listAliases(c) == Seq(a1, a2).sorted)
+    Collection.dropAlias(a1)
+    Collection.dropAlias(a2)
+    assert(Collection.listAliases(c).isEmpty)
+  }
+
   test("runAnalyzer tokenizes ad-hoc texts with params and optional hash") {
     val out = Collection.runAnalyzer(spark,
       Seq("Hello, World!", "graft 分词"),

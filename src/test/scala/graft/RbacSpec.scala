@@ -70,4 +70,21 @@ class RbacSpec extends SparkSpec {
     c.setUser(Rls.UserContext("alice"))
     assert(c.count() == 20)
   }
+
+  test("credentials: create/verify/update/delete, never plaintext-equal") {
+    val reg = new Rbac.Registry
+    reg.createCredential("alice", "s3cret")
+    assert(reg.verifyCredential("alice", "s3cret"))
+    assert(!reg.verifyCredential("alice", "wrong"))
+    assert(!reg.verifyCredential("nobody", "s3cret"))
+    intercept[IllegalArgumentException](reg.createCredential("alice", "x"))
+    // update requires the old password
+    intercept[IllegalArgumentException](reg.updateCredential("alice", "wrong", "n3w"))
+    reg.updateCredential("alice", "s3cret", "n3w")
+    assert(reg.verifyCredential("alice", "n3w") && !reg.verifyCredential("alice", "s3cret"))
+    reg.createCredential("bob", "pw")
+    assert(reg.listCredUsers == Seq("alice", "bob"))
+    reg.deleteCredential("bob")
+    assert(reg.listCredUsers == Seq("alice"))
+  }
 }
