@@ -50,6 +50,68 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(fpCol)
 
+  final case class NearDupVerdict(docId: Long, bucket: Long, dup: Boolean)
+
+  /** Streaming MinHash near-dup (the LSH half of the dedup family on
+    * the ingest path — [[contentDedupIngest]] only catches EXACT
+    * content): each arriving doc's minhash signature is banded, and a
+    * `flatMapGroupsWithState` per band bucket keeps the signatures of
+    * bucket pioneers; an arrival whose estimated Jaccard vs any pioneer
+    * reaches `threshold` is flagged. A doc flagged in ANY of its bands
+    * is a near-dup — reduce verdicts per doc with `max(dup)` (batch
+    * LSH's OR-across-bands), e.g. in the sink's foreachBatch.
+    *
+    * Within a micro-batch, bucket arrivals process in ascending doc id,
+    * so pioneer-vs-dup attribution is deterministic. Non-dup signatures
+    * join the bucket state up to `bucketCap` (the batch LSH bucket-cap
+    * analogue — a hot bucket stops absorbing pioneers instead of
+    * growing without bound); at 100 TB/day the cap bounds state by
+    * #buckets × cap × signature size, independent of corpus size.
+    */
+  def minhashNearDupVerdicts(
+      docs: DataFrame, // streaming (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      bucketCap: Int = 64): Dataset[NearDupVerdict] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val sig = graft.functions.TextFunctions.minhashSignature(
+      graft.functions.TextFunctions.tokenize(col(textCol)), numHashes, shingleSize)
+    val banded = docs
+      .withColumn("_sig", sig)
+      .select(col(idCol).cast("long").as("doc_id"), col("_sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(lit("band"), b,
+            slice(col("_sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+            .cast("long")))
+          .as(Seq("_band", "_bucket")))
+      .select(col("doc_id"), col("_sig").as("sig"), col("_bucket").as("bucket"))
+      .as[(Long, Seq[Long], Long)]
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[Seq[Long]], NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Seq[Long], Long)],
+            state: GroupState[Seq[Seq[Long]]]) =>
+          var pioneers = state.getOption.getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, s, _) =>
+            val isDup = pioneers.exists(p =>
+              p.iterator.zip(s.iterator).count(t => t._1 == t._2).toDouble
+                / numHashes >= threshold)
+            if (!isDup && pioneers.size < bucketCap) pioneers = pioneers :+ s
+            NearDupVerdict(id, bucket, isDup)
+          }
+          state.update(pioneers)
+          out.iterator
+      }
+  }
+
   /** Flush loop: seal each micro-batch to the Parquet table
     * (datanode write-buffer flush). Returns the StreamingQuery.
     *

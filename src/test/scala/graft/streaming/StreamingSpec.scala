@@ -67,6 +67,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1)._2 == 1 && rows(1)._3 == 4.0)
   }
 
+  test("streaming minhash near-dup flags near-copies across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(n: Int, changed: Set[Int] = Set.empty): String =
+      (0 until 50).map(i => if (changed(i)) s"alt$i" else s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val verdicts = Streaming.minhashNearDupVerdicts(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6)
+    val q = verdicts.toDF().writeStream.format("memory").queryName("ndup_out")
+      .outputMode("append").start()
+    // batch 1: two distinct originals
+    input.addData((1L, doc(1)), (2L, (100 until 150).map(i => s"w$i").mkString(" ")))
+    q.processAllAvailable()
+    // batch 2: a near-copy of doc 1 (one token changed), and a fresh doc
+    input.addData((3L, doc(1, changed = Set(7))),
+      (4L, (200 until 250).map(i => s"v$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    val dupByDoc = spark.table("ndup_out")
+      .groupBy($"docId").agg(max($"dup").as("dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(!dupByDoc(1L) && !dupByDoc(2L) && !dupByDoc(4L))
+    assert(dupByDoc(3L)) // near-copy caught by at least one band
+  }
+
   test("flush to parquet appends micro-batches (seal/flush path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_flush").toString
