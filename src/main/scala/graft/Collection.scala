@@ -681,9 +681,14 @@ final class Collection private (
     * never touch the field.
     */
   private def applyFieldDdl(df: DataFrame): DataFrame = {
-    val afterDrop = droppedFields.keysIterator.foldLeft(df)((d, f) =>
+    // snapshot both maps atomically: a reader racing dropField could
+    // otherwise see the field in droppedFields AND (stale) maskedFields
+    // and plan it as default-masked instead of absent
+    val (dropped, masked) =
+      stateLock.synchronized((droppedFields, maskedFields))
+    val afterDrop = dropped.keysIterator.foldLeft(df)((d, f) =>
       if (d.columns.contains(f)) d.drop(f) else d)
-    maskedFields.foldLeft(afterDrop) { case (d, (f, (addTs, dflt))) =>
+    masked.foldLeft(afterDrop) { case (d, (f, (addTs, dflt))) =>
       if (!d.columns.contains(f)) d.withColumn(f, lit(dflt))
       else d.withColumn(f,
         when(col(schema.tsField) >= lit(addTs), col(f)).otherwise(lit(dflt)))
@@ -780,8 +785,10 @@ final class Collection private (
     */
   private def exprSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructField, StructType}
-    val kept = raw.schema.fields.filterNot(f => droppedFields.contains(f.name))
-    val extra = maskedFields.collect {
+    val (dropped, masked) =
+      stateLock.synchronized((droppedFields, maskedFields))
+    val kept = raw.schema.fields.filterNot(f => dropped.contains(f.name))
+    val extra = masked.collect {
       case (f, (_, dflt)) if !raw.schema.fieldNames.contains(f) =>
         StructField(f,
           org.apache.spark.sql.graft.ColumnBridge.expression(lit(dflt)).dataType)

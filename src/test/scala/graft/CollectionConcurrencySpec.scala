@@ -113,4 +113,54 @@ class CollectionConcurrencySpec extends SparkSpec {
     // read path serving them (at least one seal happened)
     assert(c.sealedSegmentCount(s"$base/segs") >= 1)
   }
+
+  test("field DDL racing readers: every read sees a whole drop or re-add, never a half state") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    c.insert(rows(0L until 200L))
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def worker(body: => Unit): Unit = {
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try body catch { case t: Throwable => failures.add(t) }
+        }
+      })
+      ()
+    }
+    // DDL thread: drop and re-add `grp` repeatedly
+    worker {
+      (0 until 6).foreach { i =>
+        c.dropField("grp")
+        Thread.sleep(3)
+        c.addCollectionField("grp", -1L)
+        Thread.sleep(3)
+      }
+      stop.set(true)
+    }
+    // reader threads: a read must see grp either absent (mid-drop) or
+    // fully masked (-1 for all pre-DDL rows) — never original values
+    (0 until 2).foreach { _ =>
+      worker {
+        while (!stop.get()) {
+          val v = c.readView()
+          if (v.columns.contains("grp")) {
+            val distinctGrp = v.select(col("grp")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            assert(distinctGrp == Set(-1L),
+              s"half-applied DDL visible: grp values $distinctGrp")
+          } else assert(c.count() == 200L)
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "workers timed out")
+    assert(failures.isEmpty, s"worker failed: ${Option(failures.peek())}")
+    // final state: re-added field serves the default everywhere
+    assert(c.readView().select(col("grp")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L))
+  }
 }
