@@ -793,7 +793,42 @@ object LifecycleQueries {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** Custom per-key streaming state end-to-end
+    * (KeyValueGroupedDataset.mapGroupsWithState — the extension point
+    * the reference lacks natively, SURVEY §2.7): per-user running event
+    * counts accumulate across two micro-batches through
+    * [[Streaming.sessionCounts]] state; the LAST update per user must
+    * equal the user's total event count, which the oracle recomputes as
+    * a plain GROUP BY. Update-mode sink, so intermediate counts also
+    * land — the query takes max(count) per key (counts only grow).
+    */
+  def sessionState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val rows = t(s, dir, "events").filter(col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, Long)].collect().toSeq
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Streaming.sessionCounts(input.toDS())
+    val sink = s"sess_${System.nanoTime()}"
+    val q = out.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    input.addData(b1.map(r => (r._2, r._3)))
+    q.processAllAvailable()
+    input.addData(b2.map(r => (r._2, r._3)))
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink)
+      .groupBy(col("key").as("user_id"))
+      .agg(max(col("count")).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_state" -> (sessionState _),
     "q_external_refresh" -> (externalRefresh _),
     "q_drop_field" -> (dropFieldRead _),
     "q_collection_stats" -> (collectionStats _),
@@ -825,6 +860,10 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_session_state" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events WHERE event_id < 3000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_external_refresh" ->
       """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
         |  0.0 AS sum_value, CAST(1 AS BIGINT) AS kept, CAST(1 AS BIGINT) AS added
