@@ -827,7 +827,44 @@ object LifecycleQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Growing-segment union read through the live facade (SURVEY §1.1:
+    * sealed ∪ growing served transparently): a batch insert seals to
+    * parquet via flush, then [[graft.Collection.attachStream]] feeds the
+    * growing tail from a live MemoryStream — plus one more DIRECT insert
+    * racing the stream's view. The final read must serve sealed +
+    * streamed + direct rows as one MVCC view; the oracle recomputes the
+    * union from the driving predicates.
+    */
+  def streamUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val base = scratchDir("sunion")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.insert(ev.filter(col("event_id") < 1500))
+    c.flush(s"$base/segs") // sealed half
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val sq = c.attachStream(
+      input.toDF().toDF("event_id", "user_id", "event_type", "value"), s"$base/ck")
+    val streamed = ev.filter(col("event_id") >= 1500 && col("event_id") < 2500)
+      .as[(Long, Long, String, Double)].collect().toSeq
+    input.addData(streamed)
+    sq.processAllAvailable()
+    c.insert(ev.filter(col("event_id") >= 2500 && col("event_id") < 3000)) // direct
+    input.addData(streamed.take(50)) // replayed delivery: upsert keeps one
+    sq.processAllAvailable()
+    sq.stop()
+    c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_union" -> (streamUnion _),
     "q_session_state" -> (sessionState _),
     "q_external_refresh" -> (externalRefresh _),
     "q_drop_field" -> (dropFieldRead _),
@@ -860,6 +897,10 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_union" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 3000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_session_state" ->
       """SELECT user_id, count(*) AS n_events
         |FROM events WHERE event_id < 3000

@@ -567,7 +567,33 @@ object TextQueries {
       .orderBy(col("fp"))
   }
 
+  /** Repetition filter (the Gopher-rules duplicate-n-gram family of
+    * training-data quality signals): per document, the fraction of
+    * word 2-grams and 3-grams that are repeats of an earlier occurrence
+    * (1 − distinct/total), plus the flag a filtering pipeline would cut
+    * on. Pure column math — tokenize, shingle, distinct-count — so the
+    * pass stays map-only at corpus scale; the oracle recomputes the
+    * shingles and ratios in SQL.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextFunctions.tokenize(col("text"))
+    def dupFrac(n: Int) = {
+      val grams = TextFunctions.shingles(toks, n)
+      when(size(grams) <= 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(grams)).cast("double")
+          / size(grams).cast("double"), 4))
+    }
+    d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        dupFrac(2).as("dup2"),
+        dupFrac(3).as("dup3"))
+      .withColumn("flagged", col("dup3") > 0.1)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (repetition _),
     "q_doc_chunk" -> (docChunk _),
     "q_stream_dedup" -> (streamDedup _),
     "q_hybrid_bm25_dense" -> (hybridBm25Dense _),
@@ -612,6 +638,24 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    CASE WHEN len(t) < 2 THEN ['x']
+         |         ELSE list_transform(range(1, len(t)),
+         |                i -> t[i] || ' ' || t[i+1]) END AS g2,
+         |    CASE WHEN len(t) < 3 THEN ['x']
+         |         ELSE list_transform(range(1, len(t) - 1),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS g3
+         |  FROM toks),
+         |r AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS dup2,
+         |    round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) AS dup3
+         |  FROM g)
+         |SELECT doc_id, n_tokens, dup2, dup3, dup3 > 0.1 AS flagged
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_doc_chunk" ->
       """SELECT d.doc_id, CAST(g.i // 150 AS BIGINT) AS chunk_id,
         |  md5(substr(d.text, CAST(g.i AS INTEGER) + 1, 200)) AS chunk_md5,
