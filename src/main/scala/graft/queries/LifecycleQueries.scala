@@ -863,7 +863,31 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** csv + json bulk import round trip (reference
+    * importutilv2/{csv,json} readers): the same event slice exports to
+    * both wire formats and re-imports through the distributed readers
+    * (csv with header + schema inference, json lines); per-format
+    * aggregates must equal the source — numeric types must survive both
+    * serializations. The oracle recomputes from the source predicate.
+    */
+  def importFormats(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir("impfmt")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 2000)
+    ev.write.option("header", "true").csv(s"$base/csv")
+    ev.write.json(s"$base/json")
+    def agg(fmt: String): DataFrame =
+      BulkImport.read(s, fmt, s"$base/$fmt")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("fmt", lit(fmt))
+    agg("csv").unionByName(agg("json"))
+      .orderBy(col("fmt"), col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_import_formats" -> (importFormats _),
     "q_stream_union" -> (streamUnion _),
     "q_session_state" -> (sessionState _),
     "q_external_refresh" -> (externalRefresh _),
@@ -897,6 +921,14 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_import_formats" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events WHERE event_id < 2000 GROUP BY event_type)
+        |SELECT event_type, cnt, sum_value, 'csv' AS fmt FROM a
+        |UNION ALL
+        |SELECT event_type, cnt, sum_value, 'json' FROM a
+        |ORDER BY fmt, event_type""".stripMargin,
     "q_stream_union" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 3000
