@@ -886,7 +886,34 @@ object LifecycleQueries {
       .orderBy(col("fmt"), col("event_type"))
   }
 
+  /** Load / Release / GetLoadState end-to-end (reference impl.go
+    * LoadCollection → sealed layout pinned resident, ReleaseCollection
+    * → on-disk only): the sealed half is flushed, then queried across
+    * the NotLoad → Loaded → NotLoad transitions — the load state must
+    * track exactly and counts must be identical in every state (load is
+    * a residency change, never a visibility change). The oracle pins
+    * the state strings and recomputes the counts.
+    */
+  def loadStateRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.insert(ev.filter(col("event_id") < 2000))
+    c.flush(s"${scratchDir("loadst")}/segs") // sealed half to pin
+    def phase(p: Long): DataFrame =
+      Seq((p, c.loadState, c.count())).toDF("phase", "state", "cnt")
+    val p1 = phase(1L)
+    c.load()
+    val p2 = phase(2L)
+    c.release()
+    val p3 = phase(3L)
+    p1.unionByName(p2).unionByName(p3).orderBy(col("phase"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_load_state" -> (loadStateRead _),
     "q_import_formats" -> (importFormats _),
     "q_stream_union" -> (streamUnion _),
     "q_session_state" -> (sessionState _),
@@ -921,6 +948,12 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_load_state" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM events WHERE event_id < 2000)
+        |SELECT CAST(1 AS BIGINT) AS phase, 'NotLoad' AS state, cnt FROM n
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'Loaded', cnt FROM n
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'NotLoad', cnt FROM n
+        |ORDER BY phase""".stripMargin,
     "q_import_formats" ->
       """WITH a AS (
         |  SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
