@@ -578,11 +578,16 @@ object TextQueries {
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = TextFunctions.tokenize(col("text"))
+    // total shingle count is pure arithmetic (t−n+1, min 1 — matching
+    // the under-n whole-doc shingle); the distinct count uses the fused
+    // one-pass codegen'd shingle set. An interpreted HOF
+    // transform+array_distinct chain here re-evaluates the tokenize
+    // subtree per reference and ran ~25× slower (the q_minhash_lsh
+    // round-1 lesson, BENCH_LOCAL.md).
     def dupFrac(n: Int) = {
-      val grams = TextFunctions.shingles(toks, n)
-      when(size(grams) <= 0, lit(0.0)).otherwise(
-        round(lit(1.0) - size(array_distinct(grams)).cast("double")
-          / size(grams).cast("double"), 4))
+      val total = greatest(size(toks) - (n - 1), lit(1)).cast("double")
+      val distinct = size(TextFunctions.shingleSet(toks, n)).cast("double")
+      round(lit(1.0) - distinct / total, 4)
     }
     d.select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
