@@ -645,7 +645,19 @@ final class Collection private (
     require(field != schema.pkField, s"cannot drop the primary key field '$field'")
     require(field != schema.tsField, s"cannot drop the MVCC ts field '$field'")
     require(field != Collection.PartitionCol, "cannot drop the partition tag")
-    require(!(schema.vectorFields.contains(field) && schema.vectorFields.size == 1),
+    // the field must exist in the EFFECTIVE schema (physical columns
+    // minus already-dropped plus re-added) — dropping a nonexistent
+    // field is an error, as in the reference's validateDropField
+    val physical =
+      sealedDf.map(_.columns.toSet).getOrElse(Set.empty[String]) ++
+        growing.map(_.columns.toSet).getOrElse(Set.empty[String])
+    val effective = (physical -- droppedFields.keySet) ++ maskedFields.keySet
+    require(effective.contains(field), s"field '$field' not found")
+    // last-vector-field check against the vector fields still LIVE —
+    // with two vector fields, dropping both sequentially must fail on
+    // the second, not leave the collection vector-less
+    val liveVector = schema.vectorFields.keySet -- droppedFields.keySet
+    require(!(liveVector.contains(field) && liveVector.size == 1),
       s"cannot drop the last vector field '$field'")
     val ts = nextTs()
     indexes.get(field).foreach { st => releaseIndexState(st); indexes -= field }

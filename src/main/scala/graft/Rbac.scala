@@ -115,15 +115,21 @@ object Rbac {
 
     // ---- credentials (reference impl.go CreateCredential /
     // UpdateCredential / DeleteCredential / ListCredUsers; the proxy
-    // stores bcrypt digests in the metastore — here a salted SHA-256,
-    // the same never-store-plaintext contract). Verification is
-    // constant-time over the digest bytes.
+    // stores bcrypt digests in the metastore — here PBKDF2-HMAC-SHA256
+    // with a high iteration count, the same key-stretched
+    // never-store-plaintext contract without a non-JDK bcrypt dep).
+    // Verification is constant-time over the digest bytes.
     private var credentials: Map[String, (Array[Byte], Array[Byte])] = Map.empty
 
+    // 210k iterations ≈ the current OWASP floor for PBKDF2-SHA256 —
+    // the work factor bcrypt's cost parameter supplies in the reference
+    private val Pbkdf2Iterations = 210000
+
     private def digest(password: String, salt: Array[Byte]): Array[Byte] = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      md.update(salt)
-      md.digest(password.getBytes("UTF-8"))
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, Pbkdf2Iterations, 256)
+      javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(spec).getEncoded
     }
 
     def createCredential(user: String, password: String): Unit = lock.synchronized {

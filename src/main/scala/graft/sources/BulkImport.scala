@@ -84,46 +84,67 @@ final class ExternalTable private (
 
   private var fragments: Vector[String] = Vector.empty
 
-  private def listFragments(): Vector[String] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getPath).sorted.toVector
+  /** Lists via the Hadoop FileSystem API so hdfs:// / s3a:// / any
+    * Hadoop-FS URI works, not just local paths (the class is a catalog
+    * manifest over whatever store the cluster reads).
+    */
+  private def listFragments(): Vector[String] = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val p  = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Vector.empty
+    else fs.listStatus(p).toVector
+      .filter { s => // fragments may be files or parquet dirs
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString).sorted
+  }
 
   def fieldMapping: Map[String, String] = mapping
   def fragmentPaths: Seq[String] = fragments
 
-  /** Read the SNAPSHOT fragments under the current mapping. */
-  def read(): DataFrame = {
-    require(fragments.nonEmpty, s"external table $dir has no fragments")
+  private def readWith(frags: Vector[String], map: Map[String, String]): DataFrame = {
+    require(frags.nonEmpty, s"external table $dir has no fragments")
     val raw = format.toLowerCase match {
       case "parquet" =>
-        spark.read.option("mergeSchema", "true").parquet(fragments: _*)
-      case "json" => spark.read.json(fragments: _*)
+        spark.read.option("mergeSchema", "true").parquet(frags: _*)
+      case "json" => spark.read.json(frags: _*)
       case "csv" =>
         spark.read.options(Map("header" -> "true", "inferSchema" -> "true"))
-          .csv(fragments: _*)
+          .csv(frags: _*)
       case other => throw new IllegalArgumentException(
         s"external table format '$other' not supported")
     }
-    BulkImport.project(raw, mapping, dir)
+    BulkImport.project(raw, map, dir)
   }
+
+  /** Read the SNAPSHOT fragments under the current mapping. */
+  def read(): DataFrame = readWith(fragments, mapping)
 
   /** Re-list the directory and advance the snapshot; optionally grow the
     * mapping (additive only). Returns the fragment diff.
+    *
+    * Validates the CANDIDATE mapping against the CANDIDATE fragment list
+    * BEFORE committing either — a refresh that references a column absent
+    * from the new fragments throws and leaves the table exactly as it was
+    * (mappings are additive-only, so a half-committed bad mapping would be
+    * permanent otherwise).
     */
   def refresh(addMappings: Map[String, String] = Map.empty): RefreshStats = {
     addMappings.keys.find(mapping.contains).foreach { f =>
       throw new IllegalArgumentException(
         s"field '$f' is already mapped — refresh mappings are additive only")
     }
-    val now = listFragments()
+    val now        = listFragments()
+    val candidate  = mapping ++ addMappings
+    readWith(now, candidate) // validate first; throws without mutating state
     val stats = RefreshStats(
       kept = fragments.count(now.contains),
       added = now.count(f => !fragments.contains(f)),
       removed = fragments.count(f => !now.contains(f)))
-    mapping ++= addMappings
+    mapping = candidate
     fragments = now
-    read() // validates the widened mapping against the new snapshot
     stats
   }
 }

@@ -65,8 +65,18 @@ object Streaming {
     * so pioneer-vs-dup attribution is deterministic. Non-dup signatures
     * join the bucket state up to `bucketCap` (the batch LSH bucket-cap
     * analogue — a hot bucket stops absorbing pioneers instead of
-    * growing without bound); at 100 TB/day the cap bounds state by
-    * #buckets × cap × signature size, independent of corpus size.
+    * growing without bound), so each bucket's state is capped at
+    * bucketCap × signature size.
+    *
+    * State across buckets: the number of DISTINCT band buckets grows
+    * with distinct corpus content, so for an unbounded run pass
+    * `stateTtl` — idle bucket states are evicted via
+    * ProcessingTimeTimeout once no arrival has hit them for the TTL
+    * (the dedup-horizon contract: total state ∝ active buckets within
+    * the horizon × cap, independent of total corpus size). The default
+    * None keeps NoTimeout for deterministic tests: with a timeout set,
+    * the engine schedules empty batches to evaluate timeouts, which
+    * prevents `processAllAvailable` from settling.
     */
   def minhashNearDupVerdicts(
       docs: DataFrame, // streaming (idCol, textCol)
@@ -76,7 +86,8 @@ object Streaming {
       shingleSize: Int = 3,
       bands: Int = 16,
       threshold: Double = 0.7,
-      bucketCap: Int = 64): Dataset[NearDupVerdict] = {
+      bucketCap: Int = 64,
+      stateTtl: Option[String] = None): Dataset[NearDupVerdict] = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -93,22 +104,32 @@ object Streaming {
           .as(Seq("_band", "_bucket")))
       .select(col("doc_id"), col("_sig").as("sig"), col("_bucket").as("bucket"))
       .as[(Long, Seq[Long], Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(_._3)
       .flatMapGroupsWithState[Seq[Seq[Long]], NearDupVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (bucket: Long, rows: Iterator[(Long, Seq[Long], Long)],
             state: GroupState[Seq[Seq[Long]]]) =>
-          var pioneers = state.getOption.getOrElse(Seq.empty)
-          val out = rows.toSeq.sortBy(_._1).map { case (id, s, _) =>
-            val isDup = pioneers.exists(p =>
-              p.iterator.zip(s.iterator).count(t => t._1 == t._2).toDouble
-                / numHashes >= threshold)
-            if (!isDup && pioneers.size < bucketCap) pioneers = pioneers :+ s
-            NearDupVerdict(id, bucket, isDup)
+          if (state.hasTimedOut) {
+            // idle bucket past the dedup horizon — evict its pioneers
+            state.remove()
+            Iterator.empty
+          } else {
+            var pioneers = state.getOption.getOrElse(Seq.empty)
+            val out = rows.toSeq.sortBy(_._1).map { case (id, s, _) =>
+              val isDup = pioneers.exists(p =>
+                p.iterator.zip(s.iterator).count(t => t._1 == t._2).toDouble
+                  / numHashes >= threshold)
+              if (!isDup && pioneers.size < bucketCap) pioneers = pioneers :+ s
+              NearDupVerdict(id, bucket, isDup)
+            }
+            state.update(pioneers)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(pioneers)
-          out.iterator
       }
   }
 

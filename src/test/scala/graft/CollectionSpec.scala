@@ -833,10 +833,13 @@ class CollectionSpec extends SparkSpec {
     intercept[Exception] { c.count("""txt == "doc 1"""") }
     // inserts carrying the dropped field are rejected at the boundary
     intercept[IllegalArgumentException] { c.insert(mkRows(100L until 101L)) }
-    // validations: pk / ts / last vector field refuse to drop
+    // validations: pk / ts / last vector field / nonexistent refuse to drop
     intercept[IllegalArgumentException] { c.dropField("pk") }
     intercept[IllegalArgumentException] { c.dropField("_ts") }
     intercept[IllegalArgumentException] { c.dropField("emb") }
+    intercept[IllegalArgumentException] { c.dropField("no_such_field") }
+    // double-drop: the field left the effective schema on the first drop
+    intercept[IllegalArgumentException] { c.dropField("txt") }
     // index cascade: dropping an indexed vector field removes its index
     val c2 = Collection.create(spark, CollectionSchema(pkField = "pk",
       vectorFields = Map("emb" -> 4, "emb2" -> 4)))
@@ -844,6 +847,8 @@ class CollectionSpec extends SparkSpec {
     c2.createIndex("emb2", nlist = 2, trainSample = 100)
     c2.dropField("emb2")
     intercept[NoSuchElementException] { c2.describeIndex("emb2") }
+    // with emb2 gone, emb is now the LAST live vector field — must refuse
+    intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
   test("hasPartition, partitionStatistics, and listAliases metadata surfaces") {

@@ -127,6 +127,12 @@ class LifecycleSpec extends SparkSpec {
     assert(et.read().count() == 1)
     // re-mapping an existing field is rejected (additive only)
     intercept[IllegalArgumentException](et.refresh(Map("id" -> "ext_name")))
+    // a refresh whose widened mapping references a missing column fails
+    // WITHOUT committing: the table keeps serving the old snapshot+mapping
+    val (fragsBefore, mapBefore) = (et.fragmentPaths, et.fieldMapping)
+    intercept[IllegalArgumentException](et.refresh(Map("extra" -> "no_such_col")))
+    assert(et.fragmentPaths == fragsBefore && et.fieldMapping == mapBefore)
+    assert(et.read().count() == 1) // still readable after the failed refresh
   }
 
   private def deleteRec(f: java.io.File): Unit = {
