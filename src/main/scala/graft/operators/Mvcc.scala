@@ -69,8 +69,27 @@ object Mvcc {
       ttl: Option[Column] = None): DataFrame = {
     val alive = data.filter(col(tsCol) <= readTs)
     val unexpired = ttl match {
-      case Some(t) => alive.filter(col(tsCol) + t > readTs)
-      case None    => alive
+      // For a FIXED-DURATION ttl (day-time interval or a numeric offset
+      // in the ts column's own domain), `ts + ttl > readTs ⟺
+      // ts > readTs - ttl` EXACTLY, and the right side constant-folds to
+      // a literal — so the TTL bound is attribute-vs-literal and reaches
+      // the parquet scan's PushedFilters (row-group pruning on the
+      // hottest read path). Calendar intervals (months) are NOT
+      // shift-invariant (month-end clamping), so they keep the
+      // `ts + ttl > readTs` form and stay post-scan — same property as
+      // the reference's calendar TIMESTAMPTZ arithmetic.
+      case Some(t) =>
+        // resolve the ttl's type via a trivial analyzed projection
+        // (Spark 4 Columns are lazy nodes with no dataType of their own)
+        val fixedDuration = scala.util.Try(
+          data.sparkSession.range(1).select(t).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.DayTimeIntervalType => true
+            case _: org.apache.spark.sql.types.NumericType => true
+            case _ => false
+          }).getOrElse(false)
+        if (fixedDuration) alive.filter(col(tsCol) > readTs - t)
+        else alive.filter(col(tsCol) + t > readTs)
+      case None => alive
     }
     tombstones match {
       case Some(tombs) =>

@@ -861,7 +861,31 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** RunAnalyzer facade under oracle (reference `Proxy.RunAnalyzer`
+    * impl.go:6629 — the tokenizer-debugging RPC): two fixed debug texts
+    * through two analyzer configs (plain standard; standard + stop +
+    * porter-stem), one row per (cfg, text_idx, position, token), pinned
+    * against a precomputed token oracle. The stem-config vocabulary
+    * reuses words whose porter output is already pinned by
+    * q_analyzer_stem's oracle.
+    */
+  def runAnalyzerQ(s: SparkSession, dir: String): DataFrame = {
+    val texts = Seq(
+      "The Quick brown-Fox jumped over 42 lazy dogs",
+      "Motoring ponies hopping, plastered cats sized")
+    val std = graft.Collection.runAnalyzer(s, texts, Map("tokenizer" -> "standard"))
+      .withColumn("cfg", lit("standard"))
+    val stem = graft.Collection.runAnalyzer(s, texts,
+      Map("tokenizer" -> "standard", "filters" -> "stop,stemmer",
+        "stop_words" -> "the,over"))
+      .withColumn("cfg", lit("stem"))
+    std.unionByName(stem)
+      .select(col("cfg"), col("text_idx"), col("position"), col("token"))
+      .orderBy(col("cfg"), col("text_idx"), col("position"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_run_analyzer" -> (runAnalyzerQ _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_hnsw_exhaustive" -> (hnswExhaustive _),
     "q_trie_prefix" -> (triePrefix _),
@@ -922,7 +946,27 @@ object ExtraQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
       |      FROM d)""".stripMargin
 
+  private val runAnalyzerTokens: String = {
+    val std = Seq(
+      Seq("the", "quick", "brown", "fox", "jumped", "over", "42", "lazy", "dogs"),
+      Seq("motoring", "ponies", "hopping", "plastered", "cats", "sized"))
+    val stem = Seq(
+      Seq("quick", "brown", "fox", "jump", "42", "lazi", "dog"),
+      Seq("motor", "poni", "hop", "plaster", "cat", "size"))
+    (for {
+      (cfg, texts) <- Seq("standard" -> std, "stem" -> stem)
+      (toks, ti) <- texts.zipWithIndex
+      (tok, pos) <- toks.zipWithIndex
+    } yield s"('$cfg', $ti, $pos, '$tok')").mkString(",\n        |  ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_run_analyzer" ->
+      s"""WITH toks(cfg, text_idx, position, token) AS (VALUES
+        |  $runAnalyzerTokens)
+        |SELECT cfg, CAST(text_idx AS BIGINT) AS text_idx,
+        |  CAST(position AS INT) AS position, token
+        |FROM toks ORDER BY cfg, text_idx, position""".stripMargin,
     "q_hnsw_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
