@@ -47,6 +47,18 @@ object Bench {
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // one UNMEASURED warmup round first: queries that persist()
+    // intermediates (the dedup/index family) pay a one-time cold cost —
+    // pipeline compute + codegen compile — that Spark's CacheManager
+    // then amortizes across every later identical plan. Without the
+    // warmup, round 1's cold sample lands in the measured set and reads
+    // as spread (the r6 q_dedup_survivors [2.5, 6.1] s p25-p75 was
+    // exactly cold-vs-warm, tools/SurvivorProfile); with it, all
+    // measured samples observe the steady state a resident engine runs
+    // in. The round is per-suite, not per-query, so cross-query cache
+    // pressure (all ~150 queries' blocks resident at once) is part of
+    // what the measured rounds see — same as before.
+    selected.foreach { case (_, fn) => run(fn) }
     // interleaved rounds (q1 q2 ... qN, repeated) rather than
     // back-to-back per query: a GC/compaction spike lands in one round's
     // samples, not all of one query's
