@@ -884,8 +884,30 @@ object ExtraQueries {
       .orderBy(col("cfg"), col("text_idx"), col("position"))
   }
 
+  /** DISKANN-analogue Vamana graph at exhaustive beam (reference index
+    * type `IndexDISKANN`, tests/integration/util_index.go:32-46): with
+    * the connectivity chain, beam l = corpus size makes per-partition
+    * search exhaustive, so the result equals brute-force L2 top-k — the
+    * oracle checks the whole build/search/reduce pipeline end to end.
+    * Practical-beam recall lives in VamanaIndexSpec.
+    */
+  def vamanaExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VamanaIndex
+    val emb = t(s, dir, "embeddings")
+    val index = VamanaIndex.build(emb, "vec_id", "embedding", numParts = 8,
+      r = 16, l = 32)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    VamanaIndex.search(index, qs, k = 10, l = n, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("id").as("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_run_analyzer" -> (runAnalyzerQ _),
+    "q_vamana_exhaustive" -> (vamanaExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_hnsw_exhaustive" -> (hnswExhaustive _),
     "q_trie_prefix" -> (triePrefix _),
@@ -961,6 +983,16 @@ object ExtraQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_vamana_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_run_analyzer" ->
       s"""WITH toks(cfg, text_idx, position, token) AS (VALUES
         |  $runAnalyzerTokens)
