@@ -905,9 +905,32 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SCANN-analogue anisotropic PQ at exhaustive shortlist (reference
+    * index type `IndexScaNN`, tests/integration/util_index.go:32-46):
+    * shortlist = corpus makes the exact-IP refine a brute-force MIPS
+    * ranking, so the oracle pins the full train/encode/ADC/refine
+    * pipeline; practical-shortlist recall and the anisotropic-loss
+    * argmin property live in ScannIndexSpec.
+    */
+  def scannExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ScannIndex
+    val emb = t(s, dir, "embeddings")
+    val model = ScannIndex.trainLocal(emb, "embedding", m = 8, k = 16, dim = 64)
+    val encoded = emb.withColumn("_codes", ScannIndex.encode(model, col("embedding")))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    ScannIndex.searchRefined(encoded, "vec_id", "_codes", "embedding", model,
+        qs, k = 10, shortlist = n, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_run_analyzer" -> (runAnalyzerQ _),
     "q_vamana_exhaustive" -> (vamanaExhaustive _),
+    "q_scann_exhaustive" -> (scannExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_hnsw_exhaustive" -> (hnswExhaustive _),
     "q_trie_prefix" -> (triePrefix _),
@@ -983,6 +1006,16 @@ object ExtraQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_scann_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(list_inner_product(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_vamana_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
