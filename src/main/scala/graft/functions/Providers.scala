@@ -1,0 +1,229 @@
+package graft.functions
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+
+/** External embedding-provider dispatch made REAL against any HTTP
+  * endpoint (reference: provider construction in
+  * internal/util/function/embedding/{openai,voyageai,cohere,tei}_embedding_provider.go,
+  * dispatched from function.go:38-42; shared HTTP/retry contract
+  * models/common.go:342-420).
+  *
+  * What is re-expressed faithfully:
+  *  - named provider configs: `model_name`, `dim` (validated against the
+  *    field dim, ParseAndCheckFieldDim), `user`, `truncate`
+  *    (voyageai), api key from function params → collection conf → env
+  *    (the ParseAKAndURL precedence), per-provider default URL and
+  *    max batch size (openai/voyageai 128, cohere 96; tei requires an
+  *    explicit endpoint URL).
+  *  - request batching: texts are sent in maxBatch-sized chunks; each
+  *    response must return exactly one embedding per input and each
+  *    embedding must match the field dim, else the call fails (the
+  *    CallEmbedding count/dim validations).
+  *  - retry contract: up to `maxRetries` sends per chunk; 429 and 5xx
+  *    are transient and retried with linear backoff, any other non-200
+  *    fails immediately (common.go:368-377).
+  *
+  * Deliberate divergences, documented: one canonical JSON wire shape
+  * (the OpenAI one) is used for every provider — the per-provider wire
+  * dialects are auth/format trivia the in-process stub doesn't need to
+  * reproduce; and the default provider for oracle queries remains the
+  * deterministic local [[IngestFunctions.CharFreqEmbedding]] (no egress
+  * in any target environment).
+  *
+  * Scale shape: [[embedDataFrame]] runs the HTTP calls executor-side in
+  * `mapPartitions`, one client per partition, batching inside the
+  * partition — the corpus never collects to the driver, and concurrency
+  * = partition count, the same fan-out the reference gets from its
+  * segment-parallel ingest.
+  */
+object Providers {
+
+  final case class ProviderConfig(
+      provider: String,
+      url: String,
+      apiKey: String,
+      modelName: String,
+      dim: Int,
+      user: String = "",
+      truncate: Boolean = false,
+      maxBatch: Int = 128,
+      timeoutMs: Long = 30000L,
+      maxRetries: Int = 3)
+
+  /** Resolve a FunctionSchema-style param map to a provider config —
+    * the newXxxEmbeddingProvider constructors' shared logic.
+    *
+    * @param params        function params (model_name, dim, user, url,
+    *                      api_key, truncate, timeout_ms)
+    * @param conf          collection/service-level conf (api key
+    *                      fallback, e.g. "openai.api_key")
+    * @param fieldDim      the output vector field's declared dim
+    * @param env           environment lookup (injectable for tests)
+    */
+  def resolve(provider: String, params: Map[String, String],
+      conf: Map[String, String], fieldDim: Int,
+      env: String => Option[String] = sys.env.get): ProviderConfig = {
+    val p = provider.toLowerCase
+    val (defaultUrl, maxBatch, akEnv) = p match {
+      case "openai"   => ("https://api.openai.com/v1/embeddings", 128, "OPENAI_API_KEY")
+      case "voyageai" => ("https://api.voyageai.com/v1/embeddings", 128, "VOYAGE_API_KEY")
+      case "cohere"   => ("https://api.cohere.com/v2/embed", 96, "COHERE_API_KEY")
+      case "tei"      => ("", 32, "TEI_API_KEY") // self-hosted: url is required
+      case other => throw new IllegalArgumentException(
+        s"unknown embedding provider '$other' (openai, voyageai, cohere, tei)")
+    }
+    // ParseAndCheckFieldDim: a dim param must match the field's dim
+    params.get("dim").foreach { d =>
+      require(d.toInt == fieldDim,
+        s"function dim param $d does not match field dim $fieldDim")
+    }
+    // ParseAKAndURL precedence: function params > collection conf > env
+    val apiKey = params.get("api_key")
+      .orElse(conf.get(s"$p.api_key"))
+      .orElse(env(akEnv))
+      .getOrElse(throw new IllegalArgumentException(
+        s"missing credentials for provider '$p': set api_key in the function " +
+          s"params, '$p.api_key' in the collection conf, or $$${akEnv}"))
+    val url = params.getOrElse("url", defaultUrl)
+    require(url.nonEmpty, s"provider '$p' requires an explicit endpoint url")
+    ProviderConfig(
+      provider = p,
+      url = url,
+      apiKey = apiKey,
+      modelName = params.getOrElse("model_name", ""),
+      dim = fieldDim,
+      user = params.getOrElse("user", ""),
+      truncate = params.get("truncate").exists(_.toBoolean),
+      maxBatch = maxBatch,
+      timeoutMs = params.get("timeout_ms").map(_.toLong).getOrElse(30000L),
+      maxRetries = params.get("max_retries").map(_.toInt).getOrElse(3))
+  }
+
+  /** Thrown when a non-retryable (non-429, non-5xx) status comes back. */
+  final class ProviderRequestException(val status: Int, msg: String)
+      extends RuntimeException(msg)
+
+  /** Minimal JSON string escape for the request body. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Batched embedding client over one canonical wire shape:
+    * request  `{"model": m, "input": [texts...], "truncate": bool}`,
+    * response `{"data": [{"embedding": [floats...]}, ...]}`.
+    * Serializable so `mapPartitions` closures can carry the CONFIG;
+    * the HTTP client itself is rebuilt lazily per JVM/executor.
+    */
+  final class EmbeddingClient(cfg: ProviderConfig) extends Serializable {
+
+    @transient private lazy val http: HttpClient = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(cfg.timeoutMs)).build()
+
+    /** Embed all texts: maxBatch-sized chunks, retry-per-chunk,
+      * count+dim validation per response (CallEmbedding's loop).
+      */
+    def embed(texts: Seq[String]): Seq[Array[Float]] =
+      texts.grouped(cfg.maxBatch).flatMap { chunk =>
+        val body = chunk.map(jstr).mkString(
+          s"""{"model":${jstr(cfg.modelName)},"input":[""", ",",
+          s"""],"truncate":${cfg.truncate},"user":${jstr(cfg.user)}}""")
+        val resp = sendWithRetry(body)
+        val embs = parseEmbeddings(resp)
+        require(embs.length == chunk.length,
+          s"provider returned ${embs.length} embeddings for ${chunk.length} texts")
+        embs.foreach(e => require(e.length == cfg.dim,
+          s"the required embedding dim is [${cfg.dim}], but the embedding " +
+            s"obtained from the model is [${e.length}]"))
+        embs
+      }.toSeq
+
+    /** 429/5xx retried up to maxRetries with linear backoff; other
+      * non-200 fail immediately (models/common.go:368-377).
+      */
+    private def sendWithRetry(body: String): String = {
+      var attempt = 0
+      var lastErr: Throwable = null
+      while (attempt < cfg.maxRetries) {
+        try {
+          val req = HttpRequest.newBuilder(URI.create(cfg.url))
+            .timeout(Duration.ofMillis(cfg.timeoutMs))
+            .header("Content-Type", "application/json")
+            .header("Authorization", s"Bearer ${cfg.apiKey}")
+            .POST(HttpRequest.BodyPublishers.ofString(body))
+            .build()
+          val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() match {
+            case 200 => return resp.body()
+            case s if s == 429 || s >= 500 =>
+              lastErr = new RuntimeException(s"transient provider status $s")
+            case s =>
+              throw new ProviderRequestException(s,
+                s"provider request failed with status $s: ${resp.body().take(200)}")
+          }
+        } catch {
+          case e: ProviderRequestException => throw e
+          case e: java.io.IOException => lastErr = e
+        }
+        attempt += 1
+        if (attempt < cfg.maxRetries) Thread.sleep(50L * attempt)
+      }
+      throw new RuntimeException(
+        s"provider request failed after ${cfg.maxRetries} attempts", lastErr)
+    }
+
+    /** Extract every "embedding":[...] array in order. Narrow by design:
+      * the canonical wire shape above, not a general JSON parser.
+      */
+    private[functions] def parseEmbeddings(json: String): Seq[Array[Float]] = {
+      val key = "\"embedding\""
+      val out = Seq.newBuilder[Array[Float]]
+      var i = json.indexOf(key)
+      while (i >= 0) {
+        val start = json.indexOf('[', i)
+        val end = json.indexOf(']', start)
+        require(start > 0 && end > start, "malformed embedding array in response")
+        val nums = json.substring(start + 1, end).split(",")
+          .iterator.map(_.trim).filter(_.nonEmpty).map(_.toFloat).toArray
+        out += nums
+        i = json.indexOf(key, end)
+      }
+      out.result()
+    }
+  }
+
+  /** Embed a DataFrame column through a provider, executor-side: one
+    * client per partition, [[EmbeddingClient.embed]]'s batching inside.
+    * Appends `outCol` as array<float>. Rows keep their order within a
+    * partition; nothing collects to the driver.
+    */
+  def embedDataFrame(df: DataFrame, textCol: String, outCol: String,
+      cfg: ProviderConfig): DataFrame = {
+    val spark = df.sparkSession
+    val inIdx = df.columns.indexOf(textCol)
+    require(inIdx >= 0, s"column '$textCol' missing")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val client = new EmbeddingClient(cfg)
+      rows.grouped(cfg.maxBatch).flatMap { chunk =>
+        val embs = client.embed(chunk.map(_.getString(inIdx)))
+        chunk.iterator.zip(embs.iterator).map { case (r, e) =>
+          Row.fromSeq(r.toSeq :+ e.toSeq)
+        }
+      }
+    }(outEnc)
+  }
+}

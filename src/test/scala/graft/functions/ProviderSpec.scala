@@ -1,0 +1,185 @@
+package graft.functions
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Providers._
+
+/** The embedding-provider interface against an in-process HTTP stub:
+  * named-provider config resolution (key precedence, default URLs, dim
+  * validation), request batching, count/dim response validation, and
+  * the 429/5xx-retry vs 4xx-fail-fast contract — VERDICT r6 Next #5.
+  */
+class ProviderSpec extends SparkSpec {
+
+  /** Deterministic stub: embeds each input text as
+    * [len, len+1, ..., len+dim-1]; scriptable failure prefix.
+    */
+  private class Stub(dim: Int) {
+    val requests = new AtomicInteger(0)
+    @volatile var failFirst: Int = 0    // fail this many requests...
+    @volatile var failStatus: Int = 429 // ...with this status
+    @volatile var batchSizes: List[Int] = Nil
+    @volatile var lastBody: String = ""
+    @volatile var dropLast: Boolean = false // return one embedding too few
+
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/embed", (ex: HttpExchange) => {
+      val n = requests.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastBody = body
+      // count inputs = strings inside "input":[...]
+      val inputs = {
+        val s = body.indexOf("\"input\":[") + 9
+        val e = body.indexOf("]", s)
+        val seg = body.substring(s, e)
+        if (seg.trim.isEmpty) Nil
+        else seg.split("\",\"").toList
+          .map(_.stripPrefix("\"").stripSuffix("\""))
+      }
+      synchronized { batchSizes = batchSizes :+ inputs.length }
+      if (n <= failFirst) {
+        ex.sendResponseHeaders(failStatus, -1); ex.close()
+      } else {
+        val count = if (dropLast) inputs.length - 1 else inputs.length
+        val data = (0 until count).map { i =>
+          val len = inputs(i).replace("\\\"", "\"").length
+          (0 until dim).map(j => (len + j).toFloat).mkString(
+            "{\"embedding\":[", ",", "]}")
+        }.mkString("{\"data\":[", ",", "]}")
+        val bytes = data.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/embed"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def cfgFor(stub: Stub, dim: Int, provider: String = "openai",
+      extra: Map[String, String] = Map.empty): ProviderConfig =
+    Providers.resolve(provider,
+      Map("url" -> stub.url, "api_key" -> "sk-test", "model_name" -> "m1") ++ extra,
+      Map.empty, dim, env = _ => None)
+
+  test("config resolution: defaults, key precedence, dim check, unknown provider") {
+    // named defaults survive when no url override is given
+    val o = Providers.resolve("openai", Map("api_key" -> "k"), Map.empty, 8, _ => None)
+    assert(o.url == "https://api.openai.com/v1/embeddings" && o.maxBatch == 128)
+    val c = Providers.resolve("cohere", Map("api_key" -> "k"), Map.empty, 8, _ => None)
+    assert(c.url == "https://api.cohere.com/v2/embed" && c.maxBatch == 96)
+    // key precedence: params > conf > env
+    val viaConf = Providers.resolve("voyageai", Map.empty,
+      Map("voyageai.api_key" -> "conf-key"), 8, _ => Some("env-key"))
+    assert(viaConf.apiKey == "conf-key")
+    val viaEnv = Providers.resolve("voyageai", Map.empty, Map.empty, 8,
+      k => if (k == "VOYAGE_API_KEY") Some("env-key") else None)
+    assert(viaEnv.apiKey == "env-key")
+    // missing key anywhere → explicit error
+    val e = intercept[IllegalArgumentException](
+      Providers.resolve("openai", Map.empty, Map.empty, 8, _ => None))
+    assert(e.getMessage.contains("missing credentials"))
+    // tei has no default URL: url is required
+    intercept[IllegalArgumentException](
+      Providers.resolve("tei", Map("api_key" -> "k"), Map.empty, 8, _ => None))
+    // dim param must match the field dim
+    intercept[IllegalArgumentException](Providers.resolve("openai",
+      Map("api_key" -> "k", "dim" -> "16"), Map.empty, 8, _ => None))
+    // unknown provider rejects with the known list
+    intercept[IllegalArgumentException](
+      Providers.resolve("hal9000", Map("api_key" -> "k"), Map.empty, 8, _ => None))
+  }
+
+  test("voyageai truncate param reaches the request body") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "voyageai",
+        extra = Map("truncate" -> "true"))
+      new EmbeddingClient(cfg).embed(Seq("hello"))
+      assert(stub.lastBody.contains("\"truncate\":true"))
+    } finally stub.stop()
+  }
+
+  test("batching: maxBatch-sized chunks, all rows embedded in order") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4).copy(maxBatch = 4)
+      val texts = (1 to 10).map(i => "x" * i)
+      val embs = new EmbeddingClient(cfg).embed(texts)
+      assert(stub.batchSizes == List(4, 4, 2))
+      // stub embeds [len, len+1, ...]: order is preserved through chunks
+      assert(embs.map(_.head.toInt) == (1 to 10))
+    } finally stub.stop()
+  }
+
+  test("response with wrong embedding count fails the call") {
+    val stub = new Stub(4)
+    try {
+      stub.dropLast = true
+      val cfg = cfgFor(stub, 4)
+      val e = intercept[IllegalArgumentException](
+        new EmbeddingClient(cfg).embed(Seq("a", "bb")))
+      assert(e.getMessage.contains("embeddings for"))
+    } finally stub.stop()
+  }
+
+  test("response with wrong dim fails the call") {
+    val stub = new Stub(6) // serves 6 floats against a dim-4 field
+    try {
+      val cfg = cfgFor(stub, 4)
+      val e = intercept[IllegalArgumentException](
+        new EmbeddingClient(cfg).embed(Seq("a")))
+      assert(e.getMessage.contains("required embedding dim"))
+    } finally stub.stop()
+  }
+
+  test("429/5xx retry then succeed; other 4xx fail fast without retry") {
+    val stub = new Stub(4)
+    try {
+      stub.failFirst = 2; stub.failStatus = 429
+      val cfg = cfgFor(stub, 4)
+      assert(new EmbeddingClient(cfg).embed(Seq("abc")).head.head == 3.0f)
+      assert(stub.requests.get() == 3) // 2 transient failures + 1 success
+
+      stub.requests.set(0); stub.failFirst = 2; stub.failStatus = 503
+      assert(new EmbeddingClient(cfg).embed(Seq("abcd")).head.head == 4.0f)
+      assert(stub.requests.get() == 3)
+
+      // exhausting retries surfaces the transient failure
+      stub.requests.set(0); stub.failFirst = 99; stub.failStatus = 500
+      intercept[RuntimeException](new EmbeddingClient(cfg).embed(Seq("x")))
+      assert(stub.requests.get() == cfg.maxRetries)
+
+      // a 400 is the caller's bug: one attempt, immediate failure
+      stub.requests.set(0); stub.failFirst = 99; stub.failStatus = 400
+      val e = intercept[ProviderRequestException](
+        new EmbeddingClient(cfg).embed(Seq("x")))
+      assert(e.status == 400 && stub.requests.get() == 1)
+    } finally stub.stop()
+  }
+
+  test("embedDataFrame runs executor-side and appends the vector column") {
+    import spark.implicits._
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4).copy(maxBatch = 8)
+      val df = (1 to 20).map(i => (i.toLong, "t" * i)).toDF("id", "txt")
+        .repartition(3)
+      val out = Providers.embedDataFrame(df, "txt", "emb", cfg)
+      val got = out.select($"id", $"emb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(got.size == 20)
+      (1 to 20).foreach { i =>
+        assert(got(i.toLong) == Seq.tabulate(4)(j => (i + j).toFloat), s"row $i")
+      }
+    } finally stub.stop()
+  }
+}
