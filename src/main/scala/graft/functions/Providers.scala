@@ -149,6 +149,9 @@ object Providers {
         embs
       }.toSeq
 
+    /** Transport for sibling clients sharing the retry contract. */
+    private[functions] def sendRaw(body: String): String = sendWithRetry(body)
+
     /** 429/5xx retried up to maxRetries with linear backoff; other
       * non-200 fail immediately (models/common.go:368-377).
       */
@@ -200,6 +203,84 @@ object Providers {
         i = json.indexOf(key, end)
       }
       out.result()
+    }
+  }
+
+  /** Resolve a model-rerank provider config (reference: rerank provider
+    * constructors internal/util/function/rerank/{cohere,voyageai,tei}
+    * _rerank_provider.go — same key/url resolution as embedding, plus
+    * `max_client_batch_size` and a REQUIRED model name).
+    */
+  def resolveRerank(provider: String, params: Map[String, String],
+      conf: Map[String, String],
+      env: String => Option[String] = sys.env.get): ProviderConfig = {
+    val p = provider.toLowerCase
+    val (defaultUrl, akEnv) = p match {
+      case "cohere"   => ("https://api.cohere.com/v2/rerank", "COHERE_API_KEY")
+      case "voyageai" => ("https://api.voyageai.com/v1/rerank", "VOYAGE_API_KEY")
+      case "tei"      => ("", "TEI_API_KEY")
+      case other => throw new IllegalArgumentException(
+        s"unknown rerank provider '$other' (cohere, voyageai, tei)")
+    }
+    val apiKey = params.get("api_key")
+      .orElse(conf.get(s"$p.api_key"))
+      .orElse(env(akEnv))
+      .getOrElse(throw new IllegalArgumentException(
+        s"missing credentials for rerank provider '$p'"))
+    val url = params.getOrElse("url", defaultUrl)
+    require(url.nonEmpty, s"rerank provider '$p' requires an explicit endpoint url")
+    val modelName = params.getOrElse("model_name",
+      throw new IllegalArgumentException(s"$p rerank model name is required"))
+    ProviderConfig(
+      provider = p, url = url, apiKey = apiKey, modelName = modelName,
+      dim = 0, // no vector field on the rerank path
+      maxBatch = params.get("max_client_batch_size").map(_.toInt).getOrElse(128),
+      timeoutMs = params.get("timeout_ms").map(_.toLong).getOrElse(30000L),
+      maxRetries = params.get("max_retries").map(_.toInt).getOrElse(3))
+  }
+
+  /** Batched rerank client: request `{"model", "query", "documents"}`,
+    * response `{"results": [{"index": i, "relevance_score": s}, ...]}` —
+    * indexes map scores back within the chunk; every document must
+    * receive exactly one score. Same retry contract as embeddings.
+    */
+  final class RerankClient(cfg: ProviderConfig) extends Serializable {
+    private val inner = new EmbeddingClient(cfg) // reuse retry transport
+
+    def rerank(query: String, docs: Seq[String]): Seq[Float] =
+      docs.grouped(cfg.maxBatch).flatMap { chunk =>
+        val body = chunk.map(jstr).mkString(
+          s"""{"model":${jstr(cfg.modelName)},"query":${jstr(query)},"documents":[""",
+          ",", "]}")
+        val resp = inner.sendRaw(body)
+        val scores = parseScores(resp, chunk.length)
+        scores
+      }.toSeq
+
+    /** Parse results[{index, relevance_score}] into chunk order. */
+    private[functions] def parseScores(json: String, n: Int): Seq[Float] = {
+      val out = new Array[Float](n)
+      val seen = new Array[Boolean](n)
+      val idxKey = "\"index\""
+      var i = json.indexOf(idxKey)
+      var count = 0
+      while (i >= 0) {
+        val colonI = json.indexOf(':', i)
+        val commaI = json.indexWhere(c => c == ',' || c == '}', colonI)
+        val idx = json.substring(colonI + 1, commaI).trim.toInt
+        val scoreKey = json.indexOf("\"relevance_score\"", i)
+        require(scoreKey >= 0, "result entry missing relevance_score")
+        val colonS = json.indexOf(':', scoreKey)
+        val endS = json.indexWhere(c => c == ',' || c == '}', colonS)
+        val s = json.substring(colonS + 1, endS).trim.toFloat
+        require(idx >= 0 && idx < n, s"rerank index $idx out of range [0,$n)")
+        require(!seen(idx), s"duplicate rerank index $idx")
+        out(idx) = s; seen(idx) = true; count += 1
+        i = json.indexOf(idxKey, endS)
+      }
+      require(count == n,
+        s"provider returned $count scores for $n documents")
+      out.toSeq
     }
   }
 

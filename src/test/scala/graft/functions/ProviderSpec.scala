@@ -166,6 +166,70 @@ class ProviderSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  /** Rerank stub: scores each doc by its length, reports results in
+    * REVERSED index order (clients must map by index, not position).
+    */
+  private class RerankStub {
+    val requests = new AtomicInteger(0)
+    @volatile var batchSizes: List[Int] = Nil
+    @volatile var dropOne: Boolean = false
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rerank", (ex: HttpExchange) => {
+      requests.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val s = body.indexOf("\"documents\":[") + 13
+      val e = body.indexOf("]", s)
+      val seg = body.substring(s, e)
+      val docs = if (seg.trim.isEmpty) Nil
+        else seg.split("\",\"").toList.map(_.stripPrefix("\"").stripSuffix("\""))
+      synchronized { batchSizes = batchSizes :+ docs.length }
+      val n = if (dropOne) docs.length - 1 else docs.length
+      val results = (0 until n).reverse.map { i =>
+        s"""{"index":$i,"relevance_score":${docs(i).length}.5}"""
+      }.mkString("{\"results\":[", ",", "]}")
+      val bytes = results.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/rerank"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("rerank config: model name required, named defaults, unknown provider") {
+    val c = Providers.resolveRerank("cohere",
+      Map("api_key" -> "k", "model_name" -> "rerank-v3"), Map.empty, _ => None)
+    assert(c.url == "https://api.cohere.com/v2/rerank" && c.maxBatch == 128)
+    val mb = Providers.resolveRerank("voyageai",
+      Map("api_key" -> "k", "model_name" -> "m", "max_client_batch_size" -> "16"),
+      Map.empty, _ => None)
+    assert(mb.maxBatch == 16)
+    intercept[IllegalArgumentException](Providers.resolveRerank("cohere",
+      Map("api_key" -> "k"), Map.empty, _ => None)) // no model name
+    intercept[IllegalArgumentException](Providers.resolveRerank("openai",
+      Map("api_key" -> "k", "model_name" -> "m"), Map.empty, _ => None))
+  }
+
+  test("rerank: batched, scores mapped by index, count validated") {
+    val stub = new RerankStub
+    try {
+      val cfg = Providers.resolveRerank("cohere",
+        Map("api_key" -> "k", "model_name" -> "m", "url" -> stub.url,
+          "max_client_batch_size" -> "3"), Map.empty, _ => None)
+      val docs = Seq("a", "bb", "ccc", "dddd", "eeeee", "ffffff", "g")
+      val scores = new RerankClient(cfg).rerank("q", docs)
+      assert(stub.batchSizes == List(3, 3, 1))
+      // stub scores len + 0.5, reported in reversed order — mapping by
+      // index must still line scores up with their documents
+      assert(scores == docs.map(_.length + 0.5f))
+      // a missing score is a protocol violation, not a silent zero
+      stub.dropOne = true
+      val e = intercept[IllegalArgumentException](
+        new RerankClient(cfg).rerank("q", Seq("aa", "bbb")))
+      assert(e.getMessage.contains("scores for"))
+    } finally stub.stop()
+  }
+
   test("embedDataFrame runs executor-side and appends the vector column") {
     import spark.implicits._
     val stub = new Stub(4)
