@@ -54,13 +54,34 @@ object VamanaIndex {
 
   /** Build per-partition Vamana graphs. One shuffle (hash id → part). */
   def build(df: DataFrame, idCol: String, vecCol: String, numParts: Int,
-      r: Int = 32, l: Int = 64, alpha: Double = 1.2): DataFrame = {
-    val spark = df.sparkSession
+      r: Int = 32, l: Int = 64, alpha: Double = 1.2): DataFrame =
+    buildFrom(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .withColumn("part", pmod(xxhash64(col("id")), lit(numParts)).cast("int")),
+      numParts, r, l, alpha)
+
+  /** IVF-clustered Vamana: one graph per IVF cell instead of per id-hash
+    * partition. Hash partitioning scatters every neighborhood across all
+    * partitions so [[search]] must probe them all; centroid partitioning
+    * makes partitions spatially coherent and [[searchPruned]] probes only
+    * the `nprobe` nearest cells — the same two-level pruning the
+    * reference's DiskANN serving gets from delegator segment pruning in
+    * front of per-segment graphs (and the same device as
+    * [[HnswIndex.buildClustered]]).
+    */
+  def buildClustered(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, r: Int = 32, l: Int = 64,
+      alpha: Double = 1.2): DataFrame =
+    buildFrom(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .withColumn("part", IvfIndex.assign(model, col("vec")).cast("int")),
+      model.nlist, r, l, alpha)
+
+  private def buildFrom(withPart: DataFrame, numParts: Int, r: Int, l: Int,
+      alpha: Double): DataFrame = {
+    val spark = withPart.sparkSession
     import spark.implicits._
-    val parted = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("part", pmod(xxhash64(col("id")), lit(numParts)).cast("int"))
-      .repartition(numParts, col("part")).as[InRow]
+    val parted = withPart.repartition(numParts, col("part")).as[InRow]
     parted.mapPartitions { rows =>
       rows.toArray.groupBy(_.part).iterator.flatMap { case (part, group) =>
         val all = group.sortBy(_.id) // deterministic build order
@@ -202,6 +223,46 @@ object VamanaIndex {
       .mapPartitions { rows =>
         rows.toArray.groupBy(_.part).iterator.flatMap { case (_, nodes) =>
           searchPartition(nodes, qs, k, l)
+        }
+      }.toDF()
+    val scored = roundTo.map(d => hits.withColumn("_score", round(col("_score"), d)))
+      .getOrElse(hits)
+    VectorSearch.reduceTopK(scored, "id", "qid", Metric.L2, k, Seq("id"))
+  }
+
+  /** Probe-pruned search over a [[buildClustered]] index: each query
+    * visits only its `nprobe` nearest cells' graphs (ranked against the
+    * driver-local IVF centroids). Work drops from O(parts·nq·beam) to
+    * O(nprobe·nq·beam); recall follows the IVF pruning curve
+    * (VamanaIndexSpec). Exact when nprobe = nlist and l ≥ cell size.
+    */
+  def searchPruned(index: DataFrame, model: IvfIndex.Model,
+      queries: Seq[(Long, Array[Float])], k: Int, l: Int, nprobe: Int,
+      roundTo: Option[Int] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = (a(i) - b(i)).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val qsByPart: Map[Int, Array[(Long, Array[Float])]] = queries
+      .flatMap { case (qid, q) =>
+        model.centroids.indices
+          .sortBy(c => d2(q, model.centroids(c)))
+          .take(math.min(nprobe, model.nlist))
+          .map(c => c -> ((qid, q)))
+      }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toArray }
+    val hits = index.as[Node]
+      .repartition(col("part"))
+      .mapPartitions { rows =>
+        rows.toArray.groupBy(_.part).iterator.flatMap { case (part, nodes) =>
+          qsByPart.get(part) match {
+            case Some(qs) => searchPartition(nodes, qs, k, l)
+            case None     => Nil // cell pruned for every query
+          }
         }
       }.toDF()
     val scored = roundTo.map(d => hits.withColumn("_score", round(col("_score"), d)))

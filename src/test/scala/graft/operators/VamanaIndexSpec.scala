@@ -87,6 +87,28 @@ class VamanaIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("clustered build + pruned probe: exact at full probes, high recall pruned") {
+    val model = IvfIndex.trainLocal(emb, "embedding", nlist = 8,
+      maxTrainRows = 5000)
+    val idx = VamanaIndex.buildClustered(emb, "vec_id", "embedding", model,
+      r = 16, l = 32).cache()
+    // nprobe = nlist and beam >= corpus: exact — equals brute force
+    val exact = VamanaIndex.searchPruned(idx, model, queries, k = 10, l = n,
+        nprobe = 8)
+      .select(col("qid"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(exact == bruteTopK(10))
+    // pruned probes: recall follows the IVF curve but must stay useful
+    val pruned = VamanaIndex.searchPruned(idx, model, queries, k = 10, l = 64,
+        nprobe = 4)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteTopK(10).keySet
+    val recall = pruned.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.7, s"recall@10 at nprobe=4/8 = $recall")
+    idx.unpersist()
+  }
+
   test("alpha > 1 produces long-range edges (hop count shrinks)") {
     // sanity on the RNG property: with alpha 1.2 the medoid-to-anywhere
     // path should be short; assert search at tiny beam already finds
