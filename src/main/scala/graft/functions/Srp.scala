@@ -118,6 +118,23 @@ case class SrpBands(
     })
   }
 
+  // Array fields compare by REFERENCE under case-class equality, which
+  // breaks plan canonicalization: two submissions of the identical query
+  // build distinct plane arrays, sameResult() returns false, and the
+  // CacheManager registers a fresh cache entry per run instead of
+  // reusing the existing one — recomputing this expression's pass over
+  // the (AQE-coalesced, low-parallelism) cached child each time. Deep
+  // content equality restores cross-submission plan identity.
+  override def equals(o: Any): Boolean = o match {
+    case t: SrpBands => t.rowsPerBand == rowsPerBand && t.child == child &&
+      java.util.Arrays.deepEquals(
+        t.planes.asInstanceOf[Array[AnyRef]], planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(rowsPerBand),
+      Integer.valueOf(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -184,5 +184,16 @@ case class NearestBinaryCentroids(child: Expression, centroids: Array[Array[Long
     }
   }
 
+  // content equality over the centroid arrays (see SrpBands)
+  override def equals(o: Any): Boolean = o match {
+    case t: NearestBinaryCentroids => t.nprobe == nprobe && t.child == child &&
+      java.util.Arrays.deepEquals(
+        t.centroids.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nprobe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

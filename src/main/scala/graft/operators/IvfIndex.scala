@@ -64,6 +64,19 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
     }
   }
 
+  // content equality over the centroid arrays — reference equality would
+  // break sameResult/cache reuse across identical query submissions
+  // (see SrpBands for the failure mode)
+  override def equals(o: Any): Boolean = o match {
+    case t: NearestCentroids => t.nprobe == nprobe && t.child == child &&
+      java.util.Arrays.deepEquals(
+        t.centroids.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nprobe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -295,5 +295,16 @@ case class AnisotropicAssign(child: Expression, centroids: Array[Array[Float]],
     best
   }
 
+  // content equality over the centroid arrays (see SrpBands)
+  override def equals(o: Any): Boolean = o match {
+    case t: AnisotropicAssign => t.eta == eta && t.child == child &&
+      java.util.Arrays.deepEquals(
+        t.centroids.asInstanceOf[Array[AnyRef]], centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Double.valueOf(eta),
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -119,6 +119,19 @@ case class Sq8Codec(child: Expression, model: Sq8Index.Model, encode: Boolean)
       s"${ev.value} = graft.operators.Sq8Codec$$.MODULE$$.$fn($in, $minsRef, $diffsRef);")
   }
 
+  // content equality — Model holds Array fields, which compare by
+  // reference under case-class equality (see SrpBands)
+  override def equals(o: Any): Boolean = o match {
+    case t: Sq8Codec => t.encode == encode && t.child == child &&
+      java.util.Arrays.equals(t.model.mins, model.mins) &&
+      java.util.Arrays.equals(t.model.diffs, model.diffs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Boolean.valueOf(encode),
+      Integer.valueOf(java.util.Arrays.hashCode(model.mins)),
+      Integer.valueOf(java.util.Arrays.hashCode(model.diffs)))
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

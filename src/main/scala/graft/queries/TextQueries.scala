@@ -103,16 +103,20 @@ object TextQueries {
     * exact in-bucket verification — the scale path (the brute-force
     * crossJoin survives only as the row-capped
     * `embeddingCosinePairsExhaustive` ground-truth helper). Near-dups
-    * are planted deterministically (v + 0.02·rotate(v), ids +10000,
-    * cosine ≈ 0.9998) so the oracle's exact self-join must agree
-    * pair-for-pair at threshold 0.98.
+    * are planted deterministically (v + 0.02·rotate(v), ids shifted by
+    * max(vec_id)+1 — a DYNAMIC offset: this query plants a copy of the
+    * WHOLE corpus, so a fixed offset would collide with real ids at any
+    * larger scale, silently corrupting the pair joins — cosine ≈ 0.9998)
+    * so the oracle's exact self-join must agree pair-for-pair at
+    * threshold 0.98.
     */
   def embedCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val rotated = concat(slice(col("vec"), lit(2), size(col("vec")) - 1),
       slice(col("vec"), 1, 1))
-    val planted = e.select((col("vec_id") + 10000).as("vec_id"),
+    val planted = e.select((col("vec_id") + offset).as("vec_id"),
       zip_with(col("vec"), rotated, (a, b) => a + lit(0.02) * b).as("vec"))
     Dedup.srpNearDupPairs(e.unionByName(planted), "vec_id", "vec",
         threshold = 0.98, roundTo = Some(4))
@@ -980,7 +984,7 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_cosine_pairs" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planted AS (SELECT vec_id + 10000 AS vec_id,
+        |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
         |    [v[i] + 0.02 * (CASE WHEN i = len(v) THEN v[1] ELSE v[i+1] END)
         |     for i in generate_series(1, len(v))] AS v
         |  FROM base),

@@ -88,9 +88,18 @@ object MakeSf1 {
           col("lang"), col("source"), col("n_chars"))
       },
       "embeddings" -> replicated(t("embeddings")) { (d, c) =>
-        d.select(shifted(c, "vec_id", vecShift),
-          transform(col("embedding"),
-            x => x * (lit(1.0f) + lit(c.toFloat * 0.001f))).as("embedding"),
+        // rotate dimensions per copy: a SCALED copy keeps its direction
+        // (all copies would be exact cosine duplicates, multiplying the
+        // true near-dup pair count by copies² — a workload change, not a
+        // scale change); a dimension rotation decorrelates directions
+        // while preserving norms, so the cosine pair structure stays
+        // per-copy like the Caesar-shifted documents
+        val dim = 64
+        val rotated =
+          if (c == 0) col("embedding")
+          else concat(slice(col("embedding"), (c % dim) + 1, dim - (c % dim)),
+            slice(col("embedding"), 1, c % dim))
+        d.select(shifted(c, "vec_id", vecShift), rotated.as("embedding"),
           col("label"))
       })
 
