@@ -184,6 +184,43 @@ case class NearestBinaryCentroids(child: Expression, centroids: Array[Array[Long
     }
   }
 
+  /** Codegen for the hot nprobe=1 encode path (corpus-wide layout
+    * assignment); the nq-sized probe path keeps the fallback.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    if (nprobe != 1) return super.doGenCode(ctx, ev)
+    val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val ctr = ctx.freshName("ctr")
+      s"""
+         |int $best = 0;
+         |int $bestD = Integer.MAX_VALUE;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  long[] $ctr = $cRef[$c];
+         |  if ($v.numElements() != $ctr.length) {
+         |    throw new IllegalArgumentException(
+         |      "bin_ivf_assign: vector has " + $v.numElements() +
+         |      " words, centroid has " + $ctr.length);
+         |  }
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $ctr.length; $i++) {
+         |    $acc += java.lang.Long.bitCount($v.getLong($i) ^ $ctr[$i]);
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
   // content equality over the centroid arrays (see SrpBands)
   override def equals(o: Any): Boolean = o match {
     case t: NearestBinaryCentroids => t.nprobe == nprobe && t.child == child &&

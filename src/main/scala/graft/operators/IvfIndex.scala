@@ -64,6 +64,44 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
     }
   }
 
+  /** Codegen for the hot nprobe=1 ENCODE path (every corpus row passes
+    * through it when building an IVF layout); the nprobe>1 probe path is
+    * query-side (nq rows) and keeps the interpreted fallback.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    if (nprobe != 1) return super.doGenCode(ctx, ev)
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val get =
+      if (isFloat) (a: String, i: String) => s"(double)$a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $dim = java.lang.Math.min($v.numElements(), $cRef[0].length);
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $d = ${get(v, i)} - $cRef[$c][$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
   // content equality over the centroid arrays — reference equality would
   // break sameResult/cache reuse across identical query submissions
   // (see SrpBands for the failure mode)

@@ -295,6 +295,54 @@ case class AnisotropicAssign(child: Expression, centroids: Array[Array[Float]],
     best
   }
 
+  /** Codegen: the encode path runs on every corpus row. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val get =
+      if (isFloat) (a: String, i: String) => s"(double)$a.getFloat($i)"
+      else (a: String, i: String) => s"$a.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val xx = ctx.freshName("xx")
+      val best = ctx.freshName("best")
+      val bestL = ctx.freshName("bestL")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val rr = ctx.freshName("rr")
+      val rx = ctx.freshName("rx")
+      val x = ctx.freshName("x")
+      val r = ctx.freshName("r")
+      val l = ctx.freshName("l")
+      s"""
+         |int $dim = java.lang.Math.min($v.numElements(), $cRef[0].length);
+         |double $xx = 0.0;
+         |for (int $j = 0; $j < $dim; $j++) {
+         |  double $x = ${get(v, j)};
+         |  $xx += $x * $x;
+         |}
+         |int $best = 0;
+         |double $bestL = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  double $rr = 0.0;
+         |  double $rx = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $x = ${get(v, i)};
+         |    double $r = $x - $cRef[$c][$i];
+         |    $rr += $r * $r;
+         |    $rx += $r * $x;
+         |  }
+         |  double $l = ($xx == 0.0) ? $rr : $rr + ($eta - 1.0) * $rx * $rx / $xx;
+         |  if ($l < $bestL) { $bestL = $l; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
   // content equality over the centroid arrays (see SrpBands)
   override def equals(o: Any): Boolean = o match {
     case t: AnisotropicAssign => t.eta == eta && t.child == child &&

@@ -555,6 +555,41 @@ object LifecycleQueries {
     p1.unionByName(phase2).orderBy(col("phase"), col("event_type"))
   }
 
+  /** Credential lifecycle under oracle (reference impl.go
+    * CreateCredential / UpdateCredential / DeleteCredential /
+    * ListCredUsers; PBKDF2 digests in Rbac.Registry): every transition's
+    * observable outcome — verify true/false, update-requires-old,
+    * duplicate-create rejection, delete effect, ListCredUsers — emitted
+    * as deterministic marker rows and pinned against a VALUES oracle
+    * (the q_load_state pattern for pure-metadata RPCs).
+    */
+  def credentials(s: SparkSession, dir: String): DataFrame = {
+    import graft.Rbac
+    val reg = new Rbac.Registry
+    reg.createCredential("alice", "secret1")
+    reg.createCredential("bob", "hunter2")
+    reg.createCredential("carol", "pw3")
+    val dupRejected =
+      try { reg.createCredential("alice", "again"); "unexpected-allow" }
+      catch { case _: IllegalArgumentException => "rejected" }
+    val wrongOldRejected =
+      try { reg.updateCredential("bob", "wrong", "hunter3"); "unexpected-allow" }
+      catch { case _: IllegalArgumentException => "rejected" }
+    reg.updateCredential("bob", "hunter2", "hunter3")
+    reg.deleteCredential("carol")
+    import s.implicits._
+    Seq(
+      ("create_dup_alice", dupRejected),
+      ("delete_carol_verify", reg.verifyCredential("carol", "pw3").toString),
+      ("list_users", reg.listCredUsers.mkString(",")),
+      ("update_bob_wrong_old", wrongOldRejected),
+      ("verify_alice_bad", reg.verifyCredential("alice", "nope").toString),
+      ("verify_alice_good", reg.verifyCredential("alice", "secret1").toString),
+      ("verify_bob_new", reg.verifyCredential("bob", "hunter3").toString),
+      ("verify_bob_old", reg.verifyCredential("bob", "hunter2").toString))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   /** Named partitions end-to-end (reference `impl.go` CreatePartition /
     * DropPartition; Search/Query with partition_names): events split
     * into `hot` / `cold` partitions plus untagged default-partition
@@ -925,6 +960,7 @@ object LifecycleQueries {
     "q_binlog_import" -> (binlogImport _),
     "q_partition_names" -> (partitionNamesRead _),
     "q_rbac_read" -> (rbacRead _),
+    "q_credentials" -> (credentials _),
     "q_seal_policy" -> (sealPolicyRead _),
     "q_alias_swap" -> (aliasSwap _),
     "q_ttl_visibility" -> (ttlVisibility _),
@@ -1028,6 +1064,17 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000 AND value >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_credentials" ->
+      """SELECT * FROM (VALUES
+        |  ('create_dup_alice', 'rejected'),
+        |  ('delete_carol_verify', 'false'),
+        |  ('list_users', 'alice,bob'),
+        |  ('update_bob_wrong_old', 'rejected'),
+        |  ('verify_alice_bad', 'false'),
+        |  ('verify_alice_good', 'true'),
+        |  ('verify_bob_new', 'true'),
+        |  ('verify_bob_old', 'false')) AS t(step, result)
+        |ORDER BY step""".stripMargin,
     "q_rbac_read" ->
       """SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS cnt,
         |  round(sum(value), 2) AS sum_value
