@@ -438,6 +438,18 @@ final class Collection private (
   def compact(path: String): Unit = stateLock.synchronized {
     requirePriv("Compaction")
     require(growing.isEmpty, "flush the growing tail before compacting")
+    // fold mutable-column patches first (20260709-mutable-columns.md:
+    // compaction folds the patch overlay into the column files; vectors
+    // and untouched columns stream through, row timestamps are kept)
+    if (colPatches.nonEmpty) {
+      val folded = applyColumnPatches(sealedDf.getOrElse(
+        throw new IllegalStateException("nothing to compact — empty collection")),
+        lit(lastWriteTs))
+      val foldPath = s"$path/fold-${nextTs()}"
+      folded.write.parquet(foldPath)
+      sealedDf = Some(spark.read.parquet(foldPath))
+      colPatches = Map.empty
+    }
     val sealedData = sealedDf.getOrElse(
       throw new IllegalStateException("nothing to compact — empty collection"))
     tombs match {
@@ -486,6 +498,7 @@ final class Collection private (
     sealedDf = sealedDf.map(_.filter(col(schema.tsField) > horizon).cache())
     growing = growing.map(_.filter(col(schema.tsField) > horizon))
     tombs = None
+    colPatches = Map.empty // every patched row is cut at the horizon
     indexes.valuesIterator.foreach(releaseIndexState)
     indexes = Map.empty
     // the pre-truncate changelog no longer reproduces this collection's
@@ -663,6 +676,7 @@ final class Collection private (
     indexes.get(field).foreach { st => releaseIndexState(st); indexes -= field }
     droppedFields += field -> ts
     maskedFields -= field
+    colPatches -= field // pending patches die with the field
     lastWriteTs = ts
     invalidateFilterCache()
     ts
@@ -684,6 +698,76 @@ final class Collection private (
     lastWriteTs = ts
     invalidateFilterCache()
     ts
+  }
+
+  // ---- mutable columns (reference: 20260709-mutable-columns.md — a
+  // partial update is a PATCH on the pk, generalizing the delete path:
+  // tiny (pk, ts, value) rows down the delete-shaped write path, applied
+  // merge-on-read, folded at compaction; the row — vectors included — is
+  // never rewritten and no index is invalidated). Spark shape: one small
+  // patch-log DataFrame per field; the read overlay is a pk join against
+  // the latest visible patch (broadcast when small), so only (pk, value)
+  // pairs ever move — never the corpus.
+  @volatile private var colPatches: Map[String, DataFrame] = Map.empty
+
+  /** In-place partial update of one scalar field: `updates` = (pk,
+    * newValue) rows. LWW among patches and vs full-row versions: at read
+    * ts, the value is the latest visible patch IF its ts exceeds the
+    * surviving row version's ts (a later upsert supersedes older
+    * patches, exactly the design's ts-based MVCC). Vector fields refuse
+    * (the design's scope is scalars — vectors have indexes to keep
+    * valid); pk / MVCC ts / partition tag are immutable.
+    */
+  def setField(field: String, updates: DataFrame): Long = stateLock.synchronized {
+    requirePriv("Upsert")
+    require(field != schema.pkField && field != schema.tsField &&
+      field != Collection.PartitionCol, s"cannot patch system field '$field'")
+    require(!schema.vectorFields.contains(field),
+      s"mutable-column updates cover scalar fields, not vector field '$field'")
+    require(!droppedFields.contains(field), s"field '$field' is dropped")
+    require(updates.columns.toSet == Set(schema.pkField, field),
+      s"setField updates need exactly (${schema.pkField}, $field), " +
+        s"got ${updates.columns.mkString(", ")}")
+    val ts = nextTs()
+    val patch = updates
+      .select(col(schema.pkField), col(field).as(s"_patch_$field"))
+      .withColumn("_patch_ts", lit(ts))
+      .localCheckpoint(true) // pin: the caller's lineage may mutate later
+    colPatches += field -> colPatches.get(field)
+      .map(_.unionByName(patch)).getOrElse(patch)
+    logChange(s"patch:$field",
+      patch.select(col(schema.pkField), col("_patch_ts").as(schema.tsField),
+        col(s"_patch_$field")))
+    lastWriteTs = ts
+    invalidateFilterCache()
+    ts
+  }
+
+  /** Merge-on-read overlay: for each patched field, the latest patch
+    * with _patch_ts ≤ readTs overrides the column WHEN it is newer than
+    * the surviving row version. One small-side pk join per patched
+    * field; map-only otherwise.
+    */
+  private def applyColumnPatches(df: DataFrame, readTs: Column): DataFrame = {
+    val snapshot = colPatches
+    snapshot.foldLeft(df) { case (d, (field, patchLog)) =>
+      if (!d.columns.contains(field)) d
+      else {
+        val latest = patchLog
+          .filter(col("_patch_ts") <= readTs)
+          .groupBy(col(schema.pkField))
+          .agg(max_by(struct(col("_patch_ts"), col(s"_patch_$field")),
+            col("_patch_ts")).as("_p"))
+          .select(col(schema.pkField), col("_p._patch_ts").as("_patch_ts"),
+            col(s"_p._patch_$field").as("_patch_val"))
+        d.join(latest, Seq(schema.pkField), "left")
+          .withColumn(field,
+            when(col("_patch_ts").isNotNull &&
+              col("_patch_ts") > col(schema.tsField), col("_patch_val"))
+              .otherwise(col(field)))
+          .drop("_patch_ts", "_patch_val")
+      }
+    }
   }
 
   /** Read-side enforcement of the field DDLs: dropped columns are
@@ -731,8 +815,11 @@ final class Collection private (
     val base = preFilter.map(src.filter).getOrElse(src)
     val visible = Mvcc.visible(base, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
-    applyFieldDdl(
-      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField))
+    // patches overlay the SURVIVING row version (after LWW), before field
+    // DDL so a drop of a patched field still wins
+    applyFieldDdl(applyColumnPatches(
+      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField),
+      lit(readTs)))
   }
 
   // ---- compiled-filter result cache (reference: exec/expression/
@@ -1273,6 +1360,18 @@ final class Collection private (
     }
     if (!del.isEmpty)
       tombs = Some(tombs.map(_.unionByName(del)).getOrElse(del))
+    // mutable-column patch ops replicate like deletes: tiny (pk, ts,
+    // value) rows re-entering the patch log with their ORIGIN ts
+    val patchOps = pinned.filter(col("_op").startsWith("patch:"))
+      .select(col("_op")).distinct().collect().map(_.getString(0))
+    patchOps.foreach { op =>
+      val field = op.stripPrefix("patch:")
+      val patch = pinned.filter(col("_op") === op)
+        .select(col(schema.pkField), col(s"_patch_$field"),
+          col(schema.tsField).as("_patch_ts"))
+      colPatches += field -> colPatches.get(field)
+        .map(_.unionByName(patch)).getOrElse(patch)
+    }
     // append the applied feed to THIS collection's changelog (original
     // ops + timestamps), so chained replication (replica-of-replica)
     // reproduces the full state — a leaf-only replica would otherwise

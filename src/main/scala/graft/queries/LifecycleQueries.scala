@@ -555,6 +555,36 @@ object LifecycleQueries {
     p1.unionByName(phase2).orderBy(col("phase"), col("event_type"))
   }
 
+  /** Mutable columns under oracle (reference
+    * 20260709-mutable-columns.md — in-place partial update via
+    * merge-on-read patches): two overlapping value patches (LWW among
+    * patches), a second-field patch, and a later full-row upsert that
+    * supersedes older patches on its pks; the aggregate over the final
+    * view must equal DuckDB applying the same overlay as CASE
+    * expressions. Proves patch precedence (later patch > earlier patch;
+    * row version > older patch) end to end through the facade read path.
+    */
+  def mutableColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 3000)
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.insert(ev)
+    c.setField("value", ev.filter(col("event_id") < 1000)
+      .select(col("event_id"), lit(111.0).as("value")))
+    c.setField("value", ev.filter(col("event_id") < 250)
+      .select(col("event_id"), (col("event_id") * 0.5).as("value")))
+    c.setField("event_type",
+      ev.filter(col("event_id") >= 500 && col("event_id") < 1500)
+        .select(col("event_id"), lit("patched").as("event_type")))
+    c.upsert(ev.filter(col("event_id") < 100).withColumn("value", lit(-1.0)))
+    c.query("", Seq("event_type", "value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Credential lifecycle under oracle (reference impl.go
     * CreateCredential / UpdateCredential / DeleteCredential /
     * ListCredUsers; PBKDF2 digests in Rbac.Registry): every transition's
@@ -961,6 +991,7 @@ object LifecycleQueries {
     "q_partition_names" -> (partitionNamesRead _),
     "q_rbac_read" -> (rbacRead _),
     "q_credentials" -> (credentials _),
+    "q_mutable_column" -> (mutableColumn _),
     "q_seal_policy" -> (sealPolicyRead _),
     "q_alias_swap" -> (aliasSwap _),
     "q_ttl_visibility" -> (ttlVisibility _),
@@ -1064,6 +1095,19 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000 AND value >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mutable_column" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id < 3000),
+        |v AS (SELECT
+        |  CASE WHEN event_id < 100 THEN -1.0
+        |       WHEN event_id < 250 THEN event_id * 0.5
+        |       WHEN event_id < 1000 THEN 111.0
+        |       ELSE value END AS value,
+        |  CASE WHEN event_id >= 500 AND event_id < 1500 THEN 'patched'
+        |       ELSE event_type END AS event_type
+        |  FROM base)
+        |SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_credentials" ->
       """SELECT * FROM (VALUES
         |  ('create_dup_alice', 'rejected'),

@@ -851,6 +851,42 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("mutable columns: setField patches merge-on-read, LWW, fold, replicate") {
+    val c = fresh()
+    // patch grp for pk < 20, then re-patch pk < 5 (LWW among patches)
+    c.setField("grp", (0L until 20L).map(i => (i, 100L)).toDF("pk", "grp"))
+    c.setField("grp", (0L until 5L).map(i => (i, 200L)).toDF("pk", "grp"))
+    def grpOf(pk: Long): Long =
+      c.query(s"pk == $pk", Seq("grp")).select($"grp").as[Long].head()
+    assert(grpOf(0L) == 200L && grpOf(10L) == 100L && grpOf(30L) == 30L % 5)
+    // other columns untouched, no row rewrite visible to readers
+    assert(c.query("pk == 3", Seq("txt")).select($"txt").as[String].head() == "doc 3")
+    // a LATER full-row upsert supersedes older patches on that pk
+    c.upsert(mkRows(Seq(4L)))
+    assert(grpOf(4L) == 4L % 5 && grpOf(3L) == 200L)
+    // validations: system/vector/unknown-shape updates refuse
+    intercept[IllegalArgumentException] {
+      c.setField("pk", Seq((1L, 9L)).toDF("pk", "pk2"))
+    }
+    intercept[IllegalArgumentException] {
+      c.setField("emb", Seq((1L, vec(9))).toDF("pk", "emb"))
+    }
+    // deleted rows stay deleted regardless of patches
+    c.deletePks(Seq(7L))
+    assert(c.count("pk == 7") == 0)
+    // compaction folds patches into the column files and clears the log
+    val dir = "/tmp/graft_test_mutcol_" + System.nanoTime()
+    c.flush(s"$dir/seal")
+    c.compact(s"$dir/compact")
+    assert(grpOf(0L) == 200L && grpOf(10L) == 100L && grpOf(30L) == 30L % 5)
+    // CDC: patches replicate through the change feed with origin ts
+    val replica = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    replica.applyChanges(c.changesSince(0L))
+    assert(replica.query("pk == 0", Seq("grp")).select($"grp").as[Long].head() == 200L)
+    assert(replica.query("pk == 10", Seq("grp")).select($"grp").as[Long].head() == 100L)
+  }
+
   test("hasPartition, partitionStatistics, and listAliases metadata surfaces") {
     val c = fresh()
     c.createPartition("hot")
