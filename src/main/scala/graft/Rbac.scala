@@ -132,15 +132,23 @@ object Rbac {
         .generateSecret(spec).getEncoded
     }
 
-    def createCredential(user: String, password: String): Unit = lock.synchronized {
+    // user description (MEP 20260601-rbac-user-description.md: an
+    // optional human-readable note persisted with credential metadata,
+    // editable WITHOUT rotating the password, and survived BY rotation)
+    private var userDescriptions: Map[String, String] = Map.empty
+
+    def createCredential(user: String, password: String,
+        description: String = ""): Unit = lock.synchronized {
       require(!credentials.contains(user), s"credential for '$user' already exists")
       val salt = new Array[Byte](16)
       new java.security.SecureRandom().nextBytes(salt)
       credentials += user -> ((salt, digest(password, salt)))
+      if (description.nonEmpty) userDescriptions += user -> description
     }
 
     /** UpdateCredential: the old password must verify first (the
       * reference checks oldPassword before accepting newPassword).
+      * Rotation does NOT erase the description (MEP 20260601).
       */
     def updateCredential(user: String, oldPassword: String, newPassword: String): Unit =
       lock.synchronized {
@@ -150,6 +158,25 @@ object Rbac {
         credentials += user -> ((salt, digest(newPassword, salt)))
       }
 
+    /** Description-only update through the credential API — no password
+      * required or touched (MEP 20260601's UpdateCredential extension).
+      */
+    def updateUserDescription(user: String, description: String): Unit =
+      lock.synchronized {
+        require(credentials.contains(user), s"no credential for '$user'")
+        if (description.isEmpty) userDescriptions -= user
+        else userDescriptions += user -> description
+      }
+
+    /** DescribeUser: (roles, description) — description returned even
+      * when role information is not requested elsewhere.
+      */
+    def describeUser(user: String): (Set[String], String) = lock.synchronized {
+      require(credentials.contains(user), s"no credential for '$user'")
+      (userRoles.getOrElse(user, Set.empty),
+        userDescriptions.getOrElse(user, ""))
+    }
+
     def verifyCredential(user: String, password: String): Boolean = lock.synchronized {
       credentials.get(user).exists { case (salt, want) =>
         java.security.MessageDigest.isEqual(want, digest(password, salt))
@@ -158,6 +185,7 @@ object Rbac {
 
     def deleteCredential(user: String): Unit = lock.synchronized {
       credentials -= user
+      userDescriptions -= user
     }
 
     def listCredUsers: Seq[String] = lock.synchronized(credentials.keys.toSeq.sorted)

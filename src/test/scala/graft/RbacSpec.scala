@@ -87,4 +87,22 @@ class RbacSpec extends SparkSpec {
     reg.deleteCredential("bob")
     assert(reg.listCredUsers == Seq("alice"))
   }
+
+  test("user description: set at create, edited without password, survives rotation") {
+    val reg = new Rbac.Registry
+    reg.createCredential("svc", "pw1", description = "owned by data-platform")
+    reg.addUserToRole("svc", "public")
+    assert(reg.describeUser("svc") == (Set("public"), "owned by data-platform"))
+    // description-only update needs no password
+    reg.updateUserDescription("svc", "migrated to ingest team")
+    assert(reg.describeUser("svc")._2 == "migrated to ingest team")
+    assert(reg.verifyCredential("svc", "pw1")) // password untouched
+    // password rotation does not erase the description
+    reg.updateCredential("svc", "pw1", "pw2")
+    assert(reg.describeUser("svc")._2 == "migrated to ingest team")
+    // unknown user errors; delete clears the description
+    intercept[IllegalArgumentException](reg.updateUserDescription("ghost", "x"))
+    reg.deleteCredential("svc")
+    intercept[IllegalArgumentException](reg.describeUser("svc"))
+  }
 }
