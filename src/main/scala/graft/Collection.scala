@@ -1049,7 +1049,14 @@ final class Collection private (
       metric: Metric.Value = Metric.COSINE,
       filterExpr: String = "",
       weight: Double = 1.0,
-      k: Int = 100)
+      k: Int = 100,
+      // Element-level struct sub-search (reference:
+      // 20260602-struct_hybrid_search.md): when set, `vectorField` names
+      // the vector SUB-field inside this struct-array field's elements;
+      // hits are found per element and COLLAPSED to row level (best
+      // element's score per pk — the design's default row-collapse,
+      // configured per sub-search) before fusion with row-level lists.
+      structArrayField: Option[String] = None)
 
   /** Hybrid search (reference `HybridSearch`, task_search.go:489 +
     * rerank chain §2.4): run each sub-search, fuse the ranked lists with
@@ -1066,11 +1073,22 @@ final class Collection private (
     require(subs.nonEmpty, "hybrid search needs at least one sub-search")
     val corpus = readView(level)
     val results = subs.map { sub =>
-      require(schema.vectorFields.contains(sub.vectorField),
-        s"${sub.vectorField} is not a vector field")
       val filter = if (sub.filterExpr.isEmpty) None else Some(compiled(sub.filterExpr))
-      VectorSearch.topK(corpus, schema.pkField, sub.vectorField, sub.queries,
-        "qid", "qvec", sub.metric, sub.k, filter = filter)
+      sub.structArrayField match {
+        case Some(arr) =>
+          // element-level: row filter scopes the corpus, elements score
+          // individually, best-element-per-pk collapses to a row list
+          val scoped = filter.map(corpus.filter).getOrElse(corpus)
+          val hits = VectorSearch.elementSearch(scoped, schema.pkField, arr,
+            sub.vectorField, sub.queries, "qid", "qvec", sub.metric, sub.k)
+          VectorSearch.collapseElements(hits, schema.pkField, "qid",
+            sub.metric, sub.k)
+        case None =>
+          require(schema.vectorFields.contains(sub.vectorField),
+            s"${sub.vectorField} is not a vector field")
+          VectorSearch.topK(corpus, schema.pkField, sub.vectorField, sub.queries,
+            "qid", "qvec", sub.metric, sub.k, filter = filter)
+      }
     }
     val fused = ranker match {
       case "rrf" => graft.operators.Fusion.rrf(results, "qid", schema.pkField, k, rrfK)

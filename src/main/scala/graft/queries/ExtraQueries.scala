@@ -927,7 +927,40 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Struct element-level HYBRID search (reference
+    * 20260602-struct_hybrid_search.md): one row-level vector sub-search
+    * fused with one element-level struct sub-search whose hits collapse
+    * to row level (best element per pk) before RRF — the design's
+    * per-sub-request row-collapse end state, driven through the full
+    * Collection facade (insert → MVCC read → hybridSearch).
+    */
+  def structHybrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val emb = t(s, dir, "embeddings")
+    val rows = emb
+      .withColumn("parent_id", (col("vec_id") / 5).cast("long"))
+      .groupBy(col("parent_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("c0"))
+      .select(col("parent_id"),
+        element_at(col("c0"), 1).getField("embedding").as("row_vec"),
+        transform(col("c0"), c => struct(c.getField("vec_id").as("chunk_id"),
+          c.getField("embedding").as("vec"))).as("chunks"))
+    val c = Collection.create(s,
+      CollectionSchema(pkField = "parent_id", vectorFields = Map("row_vec" -> 64)))
+    c.insert(rows)
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    c.hybridSearch(Seq(
+        c.SubSearch("row_vec", qs, Metric.L2, k = 20),
+        c.SubSearch("vec", qs, Metric.L2, k = 20, structArrayField = Some("chunks"))),
+      k = 10, ranker = "rrf")
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"),
+        col("parent_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_struct_hybrid" -> (structHybrid _),
     "q_run_analyzer" -> (runAnalyzerQ _),
     "q_vamana_exhaustive" -> (vamanaExhaustive _),
     "q_scann_exhaustive" -> (scannExhaustive _),
@@ -1006,6 +1039,34 @@ object ExtraQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_struct_hybrid" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 2),
+        |rowd AS (SELECT q.qid, CAST(e.vec_id // 5 AS BIGINT) AS parent_id,
+        |           power(list_distance(q.qv, CAST(e.embedding AS DOUBLE[])), 2) AS score
+        |         FROM q CROSS JOIN embeddings e WHERE e.vec_id % 5 = 0),
+        |r1 AS (SELECT qid, parent_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score ASC, parent_id) AS rank
+        |       FROM rowd),
+        |eld AS (SELECT q.qid, e.vec_id, CAST(e.vec_id // 5 AS BIGINT) AS parent_id,
+        |          power(list_distance(q.qv, CAST(e.embedding AS DOUBLE[])), 2) AS score
+        |        FROM q CROSS JOIN embeddings e),
+        |etop AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS erank
+        |         FROM eld),
+        |coll AS (SELECT qid, parent_id, min(score) AS score
+        |         FROM etop WHERE erank <= 20 GROUP BY qid, parent_id),
+        |r2 AS (SELECT qid, parent_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score ASC, parent_id) AS rank
+        |       FROM coll),
+        |u AS (SELECT qid, parent_id, 1.0 / (60 + rank) AS part FROM r1 WHERE rank <= 20
+        |      UNION ALL
+        |      SELECT qid, parent_id, 1.0 / (60 + rank) AS part FROM r2),
+        |f AS (SELECT qid, parent_id, sum(part) AS s FROM u GROUP BY qid, parent_id),
+        |rr AS (SELECT qid, parent_id, s,
+        |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, parent_id) AS rank
+        |       FROM f)
+        |SELECT qid, rank, round(s, 6) AS score, parent_id
+        |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_scann_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
