@@ -1056,7 +1056,12 @@ final class Collection private (
       // hits are found per element and COLLAPSED to row level (best
       // element's score per pk — the design's default row-collapse,
       // configured per sub-search) before fusion with row-level lists.
-      structArrayField: Option[String] = None)
+      structArrayField: Option[String] = None,
+      // collapse=false keeps hits ELEMENT-level through fusion — hits
+      // are identified by (pk, element_index); valid only when EVERY
+      // sub-search is element-level on the same struct field (the
+      // design's element-level rerank compatibility rule).
+      collapseToRows: Boolean = true)
 
   /** Hybrid search (reference `HybridSearch`, task_search.go:489 +
     * rerank chain §2.4): run each sub-search, fuse the ranked lists with
@@ -1071,18 +1076,35 @@ final class Collection private (
       outputFields: Seq[String] = Nil,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
     require(subs.nonEmpty, "hybrid search needs at least one sub-search")
+    // element-level (no-collapse) fusion: every sub must be element-level
+    // on the SAME struct field (the design's compatibility rule), and
+    // hits stay identified by (pk, element_index) through fusion
+    val elementLevel = subs.exists(!_.collapseToRows)
+    if (elementLevel) {
+      require(subs.forall(s => s.structArrayField.isDefined && !s.collapseToRows),
+        "collapse=false requires EVERY sub-search to be element-level (no-collapse)")
+      require(subs.map(_.structArrayField).distinct.size == 1,
+        "element-level fusion requires all sub-searches on the same struct field")
+      require(outputFields.isEmpty,
+        "element-level hybrid output is (pk, element_index); requery is row-level")
+    }
     val corpus = readView(level)
+    val fuseKey = if (elementLevel) "_ekey" else schema.pkField
     val results = subs.map { sub =>
       val filter = if (sub.filterExpr.isEmpty) None else Some(compiled(sub.filterExpr))
       sub.structArrayField match {
         case Some(arr) =>
           // element-level: row filter scopes the corpus, elements score
-          // individually, best-element-per-pk collapses to a row list
+          // individually; then either best-element-per-pk collapses to a
+          // row list, or the (pk, element_index) identity carries through
           val scoped = filter.map(corpus.filter).getOrElse(corpus)
           val hits = VectorSearch.elementSearch(scoped, schema.pkField, arr,
             sub.vectorField, sub.queries, "qid", "qvec", sub.metric, sub.k)
-          VectorSearch.collapseElements(hits, schema.pkField, "qid",
-            sub.metric, sub.k)
+          if (sub.collapseToRows)
+            VectorSearch.collapseElements(hits, schema.pkField, "qid",
+              sub.metric, sub.k)
+          else hits.withColumn("_ekey",
+            struct(col(schema.pkField), col("element_index")))
         case None =>
           require(schema.vectorFields.contains(sub.vectorField),
             s"${sub.vectorField} is not a vector field")
@@ -1090,13 +1112,18 @@ final class Collection private (
             "qid", "qvec", sub.metric, sub.k, filter = filter)
       }
     }
-    val fused = ranker match {
-      case "rrf" => graft.operators.Fusion.rrf(results, "qid", schema.pkField, k, rrfK)
+    val fused0 = ranker match {
+      case "rrf" => graft.operators.Fusion.rrf(results, "qid", fuseKey, k, rrfK)
       case "weighted" => graft.operators.Fusion.weighted(results,
-        subs.map(_.metric), subs.map(_.weight), "qid", schema.pkField, k)
+        subs.map(_.metric), subs.map(_.weight), "qid", fuseKey, k)
       case other => throw new IllegalArgumentException(
         s"unknown ranker '$other' (rrf | weighted)")
     }
+    val fused =
+      if (!elementLevel) fused0
+      else fused0.select(col("qid"), col("rank"), col("_score"),
+        col(s"_ekey.${schema.pkField}").as(schema.pkField),
+        col("_ekey.element_index").as("element_index"))
     if (outputFields.isEmpty) fused
     else VectorSearch.requery(fused, corpus, schema.pkField,
       outputFields.filterNot(_ == schema.pkField))

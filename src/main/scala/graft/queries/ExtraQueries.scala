@@ -959,8 +959,39 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Struct hybrid in the design's OTHER mode (collapse=false): both
+    * sub-searches are element-level on the same struct field (L2 and
+    * IP lenses over the chunk vectors), and hits stay identified by
+    * (pk, element_index) through RRF — element-level rerank.
+    */
+  def structHybridElements(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val emb = t(s, dir, "embeddings")
+    val rows = emb
+      .withColumn("parent_id", (col("vec_id") / 5).cast("long"))
+      .groupBy(col("parent_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("c0"))
+      .select(col("parent_id"),
+        transform(col("c0"), c => struct(c.getField("vec_id").as("chunk_id"),
+          c.getField("embedding").as("vec"))).as("chunks"))
+    val c = Collection.create(s, CollectionSchema(pkField = "parent_id"))
+    c.insert(rows)
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    c.hybridSearch(Seq(
+        c.SubSearch("vec", qs, Metric.L2, k = 20,
+          structArrayField = Some("chunks"), collapseToRows = false),
+        c.SubSearch("vec", qs, Metric.IP, k = 20,
+          structArrayField = Some("chunks"), collapseToRows = false)),
+      k = 10, ranker = "rrf")
+      .select(col("qid"), col("rank"), round(col("_score"), 6).as("score"),
+        col("parent_id"), col("element_index"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_struct_hybrid" -> (structHybrid _),
+    "q_struct_hybrid_elements" -> (structHybridElements _),
     "q_run_analyzer" -> (runAnalyzerQ _),
     "q_vamana_exhaustive" -> (vamanaExhaustive _),
     "q_scann_exhaustive" -> (scannExhaustive _),
@@ -1039,6 +1070,31 @@ object ExtraQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_struct_hybrid_elements" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 2),
+        |e AS (SELECT q.qid, CAST(e.vec_id // 5 AS BIGINT) AS parent_id,
+        |        CAST(e.vec_id % 5 AS BIGINT) AS element_index,
+        |        power(list_distance(q.qv, CAST(e.embedding AS DOUBLE[])), 2) AS l2,
+        |        list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS ip
+        |      FROM q CROSS JOIN embeddings e),
+        |r1 AS (SELECT qid, parent_id, element_index,
+        |         row_number() OVER (PARTITION BY qid ORDER BY l2 ASC) AS rank FROM e),
+        |r2 AS (SELECT qid, parent_id, element_index,
+        |         row_number() OVER (PARTITION BY qid ORDER BY ip DESC) AS rank FROM e),
+        |u AS (SELECT qid, parent_id, element_index, 1.0 / (60 + rank) AS part
+        |      FROM r1 WHERE rank <= 20
+        |      UNION ALL
+        |      SELECT qid, parent_id, element_index, 1.0 / (60 + rank) AS part
+        |      FROM r2 WHERE rank <= 20),
+        |f AS (SELECT qid, parent_id, element_index, sum(part) AS s
+        |      FROM u GROUP BY qid, parent_id, element_index),
+        |rr AS (SELECT qid, parent_id, element_index, s,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY s DESC, parent_id, element_index) AS rank
+        |       FROM f)
+        |SELECT qid, rank, round(s, 6) AS score, parent_id, element_index
+        |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_struct_hybrid" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 2),
