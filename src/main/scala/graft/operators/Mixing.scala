@@ -40,4 +40,45 @@ object Mixing {
     }
     df.filter(pctHash(col(idCol)) < rate)
   }
+
+  /** Context-window sequence packing: assign documents to training packs
+    * of at most `budget` tokens by deterministic greedy fill — the
+    * standard pretraining batcher step (docs concatenated until the
+    * window is full, then a new pack starts; an oversized doc occupies
+    * its own pack).
+    *
+    * Determinism + scale: docs are sharded by `idCol % shards` and each
+    * shard packs INDEPENDENTLY in ascending id order — the sequential
+    * dependency of greedy packing is confined to a shard, so shards pack
+    * in parallel (`flatMapGroups`) and the result is a pure function of
+    * (ids, token counts, budget, shards), reproducible in plain SQL.
+    * Pack ids are (shard, pack_idx). Packing quality is within ~1 doc of
+    * global-sequential greedy per shard; corpus order carries no meaning
+    * in a shuffled training set, so sharding loses nothing.
+    *
+    * Output: (id, shard, pack_idx) — one row per input doc.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => ((id % shards) + shards) % shards }
+      .flatMapGroups { (shard: Long, rows: Iterator[(Long, Long)]) =>
+        val sorted = rows.toArray.sortBy(_._1)
+        var pack = 0L
+        var acc = 0L
+        var first = true
+        sorted.iterator.map { case (id, tokens) =>
+          if (first) { acc = tokens; first = false }
+          else if (acc + tokens > budget) { pack += 1L; acc = tokens }
+          else acc += tokens
+          (id, shard, pack)
+        }
+      }
+      .toDF(idCol, "shard", "pack_idx")
+  }
 }

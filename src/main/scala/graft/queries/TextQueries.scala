@@ -474,6 +474,21 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Context-window sequence packing (the pretraining batcher step):
+    * docs sharded by id, greedy-filled into 512-token packs in ascending
+    * id order; the oracle replicates the same greedy walk with a
+    * recursive CTE per shard (exactly the sequential semantics, bounded
+    * to a 300-doc subset so the recursion stays shallow).
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.operators.Mixing.packSequences(d, "doc_id", "n_tok",
+        budget = 512L, shards = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination (n-gram-overlap rule): documents sharing
     * a 5-token shingle with the "benchmark" (docs 0-19 + a planted
     * near-copy set) are flagged with their overlap count. Drop-side
@@ -609,6 +624,7 @@ object TextQueries {
     "q_decontaminate" -> (decontaminate _),
     "q_pii_scrub" -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_seq_pack" -> (seqPack _),
     "q_bm25" -> (bm25 _),
     "q_bm25_stream" -> (bm25Stream _),
     "q_bm25_multilang" -> (bm25Multilang _),
@@ -772,6 +788,21 @@ object TextQueries {
         |  + len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
         |  + len(regexp_extract_all(aug, '\+?[0-9][0-9 ()./-]{5,}[0-9]')) AS n_pii
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, len($sqlToks) AS n_tok,
+         |    doc_id % 4 AS shard,
+         |    row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id < 300),
+         |walk(shard, rn, doc_id, pack_idx, acc) AS (
+         |  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), n_tok
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id,
+         |    CASE WHEN w.acc + d.n_tok > 512 THEN w.pack_idx + 1 ELSE w.pack_idx END,
+         |    CASE WHEN w.acc + d.n_tok > 512 THEN d.n_tok ELSE w.acc + d.n_tok END
+         |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
+         |SELECT doc_id, shard, pack_idx FROM walk ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents

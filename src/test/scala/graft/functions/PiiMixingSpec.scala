@@ -48,4 +48,35 @@ class PiiMixingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixing.stratifiedSample(df, "lang", "id", Map("en" -> 101)))
   }
+
+  test("sequence packing: budget respected, greedy order, oversized isolated") {
+    val rnd = new scala.util.Random(5L)
+    val docs = (0L until 500L).map(i =>
+      (i, if (i == 123L) 900L else 1L + rnd.nextInt(200).toLong))
+      .toDF("id", "n_tok")
+    val packed = Mixing.packSequences(docs, "id", "n_tok", budget = 512L,
+        shards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(packed.length == 500 && packed.map(_._1).toSet == (0L until 500L).toSet)
+    val tok = docs.as[(Long, Long)].collect().toMap
+    // every pack's total fits the budget — except a pack holding one
+    // oversized doc alone
+    packed.groupBy(p => (p._2, p._3)).foreach { case (key, members) =>
+      val total = members.map(m => tok(m._1)).sum
+      assert(total <= 512L || members.length == 1,
+        s"pack $key overflows with ${members.length} docs, $total tokens")
+    }
+    // the oversized doc sits alone in its pack
+    val (oShard, oPack) = packed.find(_._1 == 123L).map(p => (p._2, p._3)).get
+    assert(packed.count(p => p._2 == oShard && p._3 == oPack) == 1)
+    // greedy within shard: pack ids are non-decreasing in ascending id order
+    packed.groupBy(_._2).values.foreach { ms =>
+      val byId = ms.sortBy(_._1).map(_._3)
+      assert(byId.zip(byId.drop(1)).forall { case (a, b) => b >= a })
+    }
+    // deterministic
+    val again = Mixing.packSequences(docs, "id", "n_tok", budget = 512L,
+      shards = 8).as[(Long, Long, Long)].collect()
+    assert(packed.toSet == again.toSet)
+  }
 }
