@@ -77,6 +77,8 @@ object BenchScale {
 
     import graft.functions.Metric
     import graft.operators.{IvfIndex, VectorSearch}
+    val queryPairs = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "topk_brute" -> (d => VectorSearch.topK(d, "vec_id", "embedding",
         queries, "qid", "qvec", Metric.COSINE, k = 10).count()),
@@ -85,6 +87,25 @@ object BenchScale {
         val layout = IvfIndex.layout(d, "embedding", model)
         IvfIndex.search(layout, "vec_id", "embedding", model,
           queries, "qid", "qvec", Metric.COSINE, k = 10, nprobe = 4).count()
+      },
+      // round-7 additions: graph build dominates Vamana (two robust-prune
+      // passes per partition — the per-partition sequential cost the
+      // segment-size choice bounds); SCANN is train + map-only encode +
+      // shortlist/refine
+      "vamana_build_q" -> { d =>
+        val parts = math.max(8, (d.count() / 4000L).toInt)
+        val idx = graft.operators.VamanaIndex.build(d, "vec_id", "embedding",
+          numParts = parts, r = 16, l = 32)
+        graft.operators.VamanaIndex.search(idx, queryPairs.take(16), k = 10,
+          l = 64).count()
+      },
+      "scann_build_q" -> { d =>
+        val model = graft.operators.ScannIndex.trainLocal(d, "embedding",
+          m = 8, k = 16, dim = 64)
+        val encoded = d.withColumn("_codes",
+          graft.operators.ScannIndex.encode(model, col("embedding")))
+        graft.operators.ScannIndex.searchRefined(encoded, "vec_id", "_codes",
+          "embedding", model, queryPairs.take(16), k = 10, shortlist = 100).count()
       })
 
     val scales = Seq(1, 5, 10)
