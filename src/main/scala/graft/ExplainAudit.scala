@@ -13,7 +13,10 @@ object ExplainAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_expr_range", "q_topk_cosine", "q_requery", "q_mvcc_visibility",
         "q_bm25", "q_minhash_lsh", "q_clustered_scan", "q_ngram_rule",
-        "q_partition_key", "q_lob_gc")
+        "q_partition_key", "q_lob_gc",
+        // round-7 additions
+        "q_vamana_exhaustive", "q_scann_exhaustive", "q_mutable_column",
+        "q_struct_hybrid", "q_seq_pack")
     val spark = GraftSession.local()
     names.foreach { n =>
       println(s"\n===== $n =====")
