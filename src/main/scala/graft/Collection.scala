@@ -511,6 +511,11 @@ final class Collection private (
     ts
   }
 
+  /** Whether an un-flushed growing tail exists (GetFlushState's
+    * observable: flushed ⇔ no growing rows).
+    */
+  def hasGrowing: Boolean = growing.isDefined
+
   /** Seal the growing tail to parquet (reference flush; datanode
     * write-buffer → binlog): ONLY the tail is written, into a fresh
     * segment directory `path/seg-N` — the incremental segment seal, not
@@ -1562,6 +1567,56 @@ object Collection {
     val colls = databases.get(db)
     if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
     colls.keySet().asScala.toSeq.sorted
+  }
+
+  /** RenameCollection (reference impl.go RenameCollection): the NAME
+    * moves; aliases keep pointing at the object (they bind the
+    * collection, not the name) and the target name must be free.
+    */
+  def renameCollection(oldName: String, newName: String,
+      db: String = "default"): Unit = {
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    val c = colls.get(oldName)
+    if (c == null) throw new NoSuchElementException(
+      s"collection '$db.$oldName' does not exist")
+    val prev = colls.putIfAbsent(newName, c)
+    require(prev == null, s"collection '$db.$newName' already exists")
+    colls.remove(oldName)
+  }
+
+  /** FlushAll (reference impl.go FlushAll): seal every registered
+    * collection's growing tail, each into `baseDir/<name>`. Collections
+    * with nothing growing are skipped. Returns the flushed names.
+    */
+  def flushAll(baseDir: String, db: String = "default"): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    colls.entrySet().asScala.toSeq.sortBy(_.getKey).flatMap { e =>
+      if (e.getValue.hasGrowing) {
+        e.getValue.flush(s"$baseDir/${e.getKey}")
+        Some(e.getKey)
+      } else None
+    }
+  }
+
+  /** CalcDistance (reference impl.go CalcDistance — the pairwise
+    * distance utility RPC): all left×right distances under `metric`.
+    * Request-sized inputs (both sides are literals riding in the plan);
+    * output (left_idx, right_idx, distance).
+    */
+  def calcDistance(spark: SparkSession, left: Seq[Array[Float]],
+      right: Seq[Array[Float]], metric: Metric.Value): DataFrame = {
+    import spark.implicits._
+    val l = left.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("left_idx", "_lv")
+    val r = right.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("right_idx", "_rv")
+    l.crossJoin(r) // nq×nq literal sides — never corpus data
+      .select(col("left_idx"), col("right_idx"),
+        graft.functions.VectorFunctions.distance(col("_lv"), col("_rv"), metric)
+          .as("distance"))
   }
 
   /** Drop a registered collection: unregister, drop aliases pointing at

@@ -44,6 +44,19 @@ object Rbac {
 
   final case class Grant(role: String, privilege: String, collection: String)
 
+  /** Full RBAC metadata snapshot (reference impl.go BackupRBAC /
+    * RestoreRBAC — RBACMeta: users with stored credentials, roles,
+    * grants, privilege groups). Credentials travel as their salted
+    * PBKDF2 digests — never plaintext, same as the reference's encrypted
+    * password backup.
+    */
+  final case class Backup(
+      roles: Set[String],
+      userRoles: Map[String, Set[String]],
+      grants: Set[Grant],
+      credentials: Map[String, (Array[Byte], Array[Byte])],
+      descriptions: Map[String, String])
+
   /** Mutable driver-side registry of roles, user-role bindings, and
     * grants — the rootcoord metastore analogue. Thread-safe: facade
     * checks may race admin mutations.
@@ -189,5 +202,23 @@ object Rbac {
     }
 
     def listCredUsers: Seq[String] = lock.synchronized(credentials.keys.toSeq.sorted)
+
+    /** BackupRBAC: a consistent snapshot of all RBAC metadata. */
+    def backup(): Backup = lock.synchronized(
+      Backup(roles, userRoles, grants,
+        credentials.map { case (u, (s, d)) => u -> ((s.clone, d.clone)) },
+        userDescriptions))
+
+    /** RestoreRBAC: replace this registry's state with a backup's
+      * (the reference restores into a CLEAN deployment; restoring over
+      * existing metadata replaces it wholesale — atomic under the lock).
+      */
+    def restore(b: Backup): Unit = lock.synchronized {
+      roles = b.roles ++ Set("admin", "public") // built-ins always exist
+      userRoles = b.userRoles
+      grants = b.grants
+      credentials = b.credentials.map { case (u, (s, d)) => u -> ((s.clone, d.clone)) }
+      userDescriptions = b.descriptions
+    }
   }
 }

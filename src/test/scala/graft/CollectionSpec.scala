@@ -851,6 +851,36 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("renameCollection, flushAll, and calcDistance utility RPCs") {
+    val db = s"renamedb_${System.nanoTime()}"
+    Collection.createDatabase(db)
+    val c1 = fresh()
+    val c2 = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c2.insert(mkRows(0L until 10L))
+    Collection.registerCollection("one", c1, db)
+    Collection.registerCollection("two", c2, db)
+    // rename moves the name; old name gone, same object under the new
+    Collection.renameCollection("one", "uno", db)
+    assert(!Collection.hasCollection("one", db) &&
+      (Collection.getCollection("uno", db) eq c1))
+    intercept[NoSuchElementException](Collection.renameCollection("one", "x", db))
+    intercept[IllegalArgumentException](Collection.renameCollection("uno", "two", db))
+    // flushAll seals every growing tail in the db, skipping flushed ones
+    val dir = "/tmp/graft_test_flushall_" + System.nanoTime()
+    assert(Collection.flushAll(dir, db) == Seq("two", "uno"))
+    assert(!c1.hasGrowing && !c2.hasGrowing)
+    assert(Collection.flushAll(dir, db).isEmpty) // nothing left to seal
+    assert(c1.count() == 50 && c2.count() == 10) // sealed reads intact
+    // calcDistance: request-sized pairwise distances
+    val d = Collection.calcDistance(spark,
+      Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)),
+      Seq(Array(1f, 0f, 0f, 0f)), Metric.L2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (l, r, v) => (l, r) -> v }.toMap
+    assert(d.size == 2 && d((0L, 0L)) == 0.0 && d((1L, 0L)) == 2.0)
+  }
+
   test("mutable columns: setField patches merge-on-read, LWW, fold, replicate") {
     val c = fresh()
     // patch grp for pk < 20, then re-patch pk < 5 (LWW among patches)

@@ -88,6 +88,28 @@ class RbacSpec extends SparkSpec {
     assert(reg.listCredUsers == Seq("alice"))
   }
 
+  test("backup/restore round-trips the full RBAC metadata") {
+    val reg = new Rbac.Registry
+    reg.createRole("reader")
+    reg.addUserToRole("alice", "reader")
+    reg.grant("reader", "CollectionReadOnly", "events")
+    reg.createCredential("alice", "pw1", description = "analyst")
+    val b = reg.backup()
+    // restore into a fresh registry: verification works against the
+    // restored DIGESTS (no plaintext travels), roles/grants/descriptions
+    // come back, built-ins survive
+    val fresh = new Rbac.Registry
+    fresh.restore(b)
+    assert(fresh.verifyCredential("alice", "pw1"))
+    assert(!fresh.verifyCredential("alice", "wrong"))
+    assert(fresh.describeUser("alice") == (Set("reader"), "analyst"))
+    assert(fresh.allowed("alice", "Query", "events"))
+    assert(!fresh.allowed("alice", "Insert", "events"))
+    // the snapshot is independent of later source mutations
+    reg.deleteCredential("alice")
+    assert(fresh.verifyCredential("alice", "pw1"))
+  }
+
   test("user description: set at create, edited without password, survives rotation") {
     val reg = new Rbac.Registry
     reg.createCredential("svc", "pw1", description = "owned by data-platform")
