@@ -265,12 +265,23 @@ final class Collection private (
       throw new IllegalArgumentException(
         s"field '$f' was dropped from the collection schema")
     }
+    // collection-attached ingest functions (reference: FunctionSchemas
+    // in the collection schema — the proxy runs every function on each
+    // insert/import batch before the data lands; Add/Drop RPCs below).
+    // A batch carrying a function's OUTPUT field is rejected — function
+    // outputs are engine-computed, never user-supplied.
+    ingestFunctions.map(_.outputField).find(tagged.columns.contains).foreach { f =>
+      throw new IllegalArgumentException(
+        s"field '$f' is the output of a collection function — it is " +
+          "computed at ingest and cannot be supplied")
+    }
+    val withFns = graft.functions.IngestFunctions.applyAll(tagged, ingestFunctions)
     // default_value fill (null_data contract): an omitted column
     // materializes as the default for every row; an explicit null is
     // coalesced to the default. Pure column expressions — map-only.
     // DDL-added fields (addCollectionField) fill the same way.
     val ddlDefaults = maskedFields.view.mapValues(_._2).toMap
-    val defaulted = (schema.fieldDefaults ++ ddlDefaults).foldLeft(tagged) {
+    val defaulted = (schema.fieldDefaults ++ ddlDefaults).foldLeft(withFns) {
       case (df, (f, v)) =>
         if (!df.columns.contains(f)) df.withColumn(f, lit(v))
         else df.withColumn(f, coalesce(col(f), lit(v)))
@@ -300,11 +311,14 @@ final class Collection private (
         spark.createDataFrame(rdd,
             struct_.add(org.apache.spark.sql.types.StructField(schema.pkField, LongType)))
       }
-    // schema evolution: once a field DDL has run, batches may differ in
-    // columns (a pre-DDL tail vs a post-DDL insert) — union by name with
-    // null fill, the mergeSchema analogue. Without DDL stay strict so a
-    // misspelled column fails loudly instead of null-filling.
-    val evolved = droppedFields.nonEmpty || maskedFields.nonEmpty
+    // schema evolution: once a field DDL has run — or a collection
+    // function was dropped, leaving its output on old rows only —
+    // batches may differ in columns (a pre-DDL tail vs a post-DDL
+    // insert) — union by name with null fill, the mergeSchema analogue.
+    // Without DDL stay strict so a misspelled column fails loudly
+    // instead of null-filling.
+    val evolved = droppedFields.nonEmpty || maskedFields.nonEmpty ||
+      functionsEverDropped
     growing = Some(growing
       .map(_.unionByName(withPk, allowMissingColumns = evolved)).getOrElse(withPk))
     logChange("insert", withPk)
@@ -704,6 +718,46 @@ final class Collection private (
     invalidateFilterCache()
     ts
   }
+
+  // ---- collection-attached ingest functions (reference: FunctionSchema
+  // list in the collection schema, function.go dispatch; RPCs
+  // AddCollectionFunction / DropCollectionFunction impl.go). Every
+  // insert/upsert/import batch runs them before landing, so derived
+  // fields (BM25 tf, minhash signatures, embeddings) exist on every row
+  // without the caller computing them.
+  @volatile private var ingestFunctions
+      : Seq[graft.functions.IngestFunctions.FunctionSchema] = Nil
+  @volatile private var functionsEverDropped: Boolean = false
+
+  /** AddCollectionFunction: future batches compute `fn.outputField`
+    * from `fn.inputField`. Rows inserted BEFORE the add serve null for
+    * the output (the addCollectionField-without-default evolution
+    * semantics); no backfill rewrite.
+    */
+  def addFunction(fn: graft.functions.IngestFunctions.FunctionSchema): Unit =
+    stateLock.synchronized {
+      requirePriv("AlterCollection")
+      require(!ingestFunctions.exists(_.outputField == fn.outputField),
+        s"a function already produces '${fn.outputField}'")
+      require(fn.outputField != schema.pkField && fn.outputField != schema.tsField &&
+        fn.outputField != Collection.PartitionCol,
+        s"function output cannot be the system field '${fn.outputField}'")
+      ingestFunctions :+= fn
+    }
+
+  /** DropCollectionFunction (by output field): stops computing; rows
+    * already carrying the output keep it.
+    */
+  def dropFunction(outputField: String): Unit = stateLock.synchronized {
+    requirePriv("AlterCollection")
+    require(ingestFunctions.exists(_.outputField == outputField),
+      s"no collection function produces '$outputField'")
+    ingestFunctions = ingestFunctions.filterNot(_.outputField == outputField)
+    functionsEverDropped = true // later batches lack the output column
+  }
+
+  def listFunctions: Seq[graft.functions.IngestFunctions.FunctionSchema] =
+    ingestFunctions
 
   // ---- mutable columns (reference: 20260709-mutable-columns.md — a
   // partial update is a PATCH on the pk, generalizing the delete path:

@@ -851,6 +851,37 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("collection-attached functions compute outputs at ingest") {
+    import graft.functions.IngestFunctions
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    c.addFunction(IngestFunctions.MinHashFunction("txt", "sig", numHashes = 16))
+    c.insert(Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("pk", "txt"))
+    // the signature exists on every row and matches a manual computation
+    val got = c.query("", Seq("pk", "sig"))
+      .select($"pk", $"sig").as[(Long, Seq[Long])].collect().toMap
+    val want = IngestFunctions.applyAll(
+        Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+          .toDF("pk", "txt"),
+        Seq(IngestFunctions.MinHashFunction("txt", "sig", numHashes = 16)))
+      .select($"pk", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(got == want)
+    // supplying the output field is rejected; duplicate producers refuse
+    intercept[IllegalArgumentException] {
+      c.insert(Seq((3L, "x", Seq(1L))).toDF("pk", "txt", "sig"))
+    }
+    intercept[IllegalArgumentException] {
+      c.addFunction(IngestFunctions.Bm25Function("txt", "sig"))
+    }
+    // drop stops computing for NEW rows; listFunctions reflects it
+    c.dropFunction("sig")
+    assert(c.listFunctions.isEmpty)
+    c.insert(Seq((3L, "iota kappa")).toDF("pk", "txt"))
+    assert(c.query("pk == 3", Seq("pk", "sig"))
+      .select($"sig").collect().head.isNullAt(0))
+    intercept[IllegalArgumentException](c.dropFunction("sig"))
+  }
+
   test("renameCollection, flushAll, and calcDistance utility RPCs") {
     val db = s"renamedb_${System.nanoTime()}"
     Collection.createDatabase(db)
