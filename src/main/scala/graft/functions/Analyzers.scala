@@ -385,11 +385,21 @@ object Analyzers {
           "bigrams, jieba via mixed uni+bigrams, lindera via script-run " +
           "segmentation, icu/thai via JDK UAX#29 word break)")
     }
+    // `<param>_resource` indirection (AddFileResource contract): the
+    // named registry entry's LINES splice in ahead of any inline value —
+    // resolved here at analyzer-build time, so the dictionary rides into
+    // the compiled expression as a literal
+    def withResource(inlineKey: String, resourceKey: String, sep: String): Seq[String] = {
+      val inline = params.getOrElse(inlineKey, "")
+        .split(sep).toSeq.map(_.trim).filter(_.nonEmpty)
+      val fromResource = params.get(resourceKey).toSeq.flatMap(name =>
+        FileResources.get(name).linesIterator.map(_.trim).filter(_.nonEmpty))
+      fromResource ++ inline
+    }
     val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil).map {
         case "lowercase"    => Lowercase
-        case "stop"         => Stop(params.getOrElse("stop_words", "")
-                                 .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case "stop"         => Stop(withResource("stop_words", "stop_words_resource", ","))
         case "max_length"   => MaxLength(params.getOrElse("max_token_length", "40").toInt)
         case "alphanumonly" => AlphaNumOnly
         case "arabic_normalization" => ArabicNormalization
@@ -402,14 +412,15 @@ object Analyzers {
         case "regex"        => RegexKeep(params.getOrElse("expr",
           throw new IllegalArgumentException("regex filter needs 'expr'")))
         // synonyms: "key:syn1|syn2;key2:syn" (the tantivy dict-file rows
-        // rendered into one param string)
-        case "synonym"      => Synonym(params.getOrElse("synonyms", "")
-          .split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+        // rendered into one param string); a synonyms_resource's LINES
+        // are the same rows, one per line
+        case "synonym"      => Synonym(
+          withResource("synonyms", "synonyms_resource", ";").map { e =>
             val Array(k, vs) = e.split(":", 2)
             k.trim -> vs.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
           }.toMap)
-        case "decompounder" => Decompounder(params.getOrElse("word_list", "")
-          .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        case "decompounder" => Decompounder(
+          withResource("word_list", "word_list_resource", ","))
         case "pinyin"       => Pinyin(
           keepOriginal = params.getOrElse("keep_original", "false").toBoolean,
           keepFullPinyin = params.getOrElse("keep_full_pinyin", "true").toBoolean,

@@ -233,4 +233,43 @@ class AnalyzersSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(viaParams2 == Seq("bei", "jing", "beijing", "ok"))
   }
+
+  test("file resources: analyzer params resolve dictionaries by resource name") {
+    val res = s"stop_${System.nanoTime()}"
+    FileResources.add(res, "the\nand\nof")
+    // idempotent re-add with identical content; different content errors
+    FileResources.add(res, "the\nand\nof")
+    intercept[IllegalArgumentException](FileResources.add(res, "different"))
+    assert(FileResources.list.contains(res))
+    val toks = Seq("The roof of the house and the tree").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "standard",
+        "filters" -> "stop", "stop_words_resource" -> res)).as("x"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("roof", "house", "tree"))
+    // resource lines merge AHEAD of any inline stop_words
+    val toks2 = Seq("the quick brown fox").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "standard",
+        "filters" -> "stop", "stop_words_resource" -> res,
+        "stop_words" -> "quick")).as("x"))
+      .as[Seq[String]].head()
+    assert(toks2 == Seq("brown", "fox"))
+    // synonym dictionary via resource: one row per line
+    val syn = s"syn_${System.nanoTime()}"
+    FileResources.add(syn, "happy:joyful|glad")
+    val toks3 = Seq("happy days").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), Map("tokenizer" -> "standard",
+        "filters" -> "synonym", "synonyms_resource" -> syn)).as("x"))
+      .as[Seq[String]].head()
+    assert(toks3 == Seq("happy", "joyful", "glad", "days"))
+    // unknown / removed resources error loudly
+    intercept[NoSuchElementException](FileResources.get("no_such_resource"))
+    FileResources.remove(res)
+    intercept[NoSuchElementException](FileResources.remove(res))
+    intercept[NoSuchElementException] {
+      Seq("x").toDF("t").select(Analyzers.analyzeWith(col("t"),
+        Map("tokenizer" -> "standard", "filters" -> "stop",
+          "stop_words_resource" -> res)).as("x")).as[Seq[String]].head()
+    }
+    FileResources.remove(syn)
+  }
 }
