@@ -275,17 +275,20 @@ final class Collection private (
         s"field '$f' is the output of a collection function — it is " +
           "computed at ingest and cannot be supplied")
     }
-    val withFns = graft.functions.IngestFunctions.applyAll(tagged, ingestFunctions)
     // default_value fill (null_data contract): an omitted column
     // materializes as the default for every row; an explicit null is
     // coalesced to the default. Pure column expressions — map-only.
     // DDL-added fields (addCollectionField) fill the same way.
+    // Runs BEFORE the attached functions so an omitted-but-defaulted
+    // function INPUT is materialized by its default first.
     val ddlDefaults = maskedFields.view.mapValues(_._2).toMap
-    val defaulted = (schema.fieldDefaults ++ ddlDefaults).foldLeft(withFns) {
+    val defaulted0 = (schema.fieldDefaults ++ ddlDefaults).foldLeft(tagged) {
       case (df, (f, v)) =>
         if (!df.columns.contains(f)) df.withColumn(f, lit(v))
         else df.withColumn(f, coalesce(col(f), lit(v)))
     }
+    val defaulted =
+      graft.functions.IngestFunctions.applyAll(defaulted0, ingestFunctions)
     // nullable=false without a default: reject nulls up front (the
     // reference validates row-wise in the proxy before the WAL append).
     // The existence check is one bounded limit(1) action per declared
@@ -318,7 +321,7 @@ final class Collection private (
     // Without DDL stay strict so a misspelled column fails loudly
     // instead of null-filling.
     val evolved = droppedFields.nonEmpty || maskedFields.nonEmpty ||
-      functionsEverDropped
+      functionsEverChanged
     growing = Some(growing
       .map(_.unionByName(withPk, allowMissingColumns = evolved)).getOrElse(withPk))
     logChange("insert", withPk)
@@ -677,13 +680,18 @@ final class Collection private (
     require(field != schema.pkField, s"cannot drop the primary key field '$field'")
     require(field != schema.tsField, s"cannot drop the MVCC ts field '$field'")
     require(field != Collection.PartitionCol, "cannot drop the partition tag")
-    // the field must exist in the EFFECTIVE schema (physical columns
-    // minus already-dropped plus re-added) — dropping a nonexistent
-    // field is an error, as in the reference's validateDropField
+    // the field must exist in the EFFECTIVE schema (physical columns ∪
+    // schema-declared fields, minus already-dropped, plus re-added) —
+    // dropping a nonexistent field is an error, as in the reference's
+    // validateDropField. Declared fields count even before any batch
+    // carries them (an empty collection's schema is still droppable).
     val physical =
       sealedDf.map(_.columns.toSet).getOrElse(Set.empty[String]) ++
         growing.map(_.columns.toSet).getOrElse(Set.empty[String])
-    val effective = (physical -- droppedFields.keySet) ++ maskedFields.keySet
+    val declared = schema.vectorFields.keySet ++ schema.fieldDefaults.keySet ++
+      schema.nonNullable ++ ingestFunctions.map(_.outputField)
+    val effective =
+      ((physical ++ declared) -- droppedFields.keySet) ++ maskedFields.keySet
     require(effective.contains(field), s"field '$field' not found")
     // last-vector-field check against the vector fields still LIVE —
     // with two vector fields, dropping both sequentially must fail on
@@ -727,7 +735,7 @@ final class Collection private (
   // without the caller computing them.
   @volatile private var ingestFunctions
       : Seq[graft.functions.IngestFunctions.FunctionSchema] = Nil
-  @volatile private var functionsEverDropped: Boolean = false
+  @volatile private var functionsEverChanged: Boolean = false
 
   /** AddCollectionFunction: future batches compute `fn.outputField`
     * from `fn.inputField`. Rows inserted BEFORE the add serve null for
@@ -743,6 +751,9 @@ final class Collection private (
         fn.outputField != Collection.PartitionCol,
         s"function output cannot be the system field '${fn.outputField}'")
       ingestFunctions :+= fn
+      // rows inserted BEFORE the add lack the output column — later
+      // batches must union with null fill (the evolution contract)
+      functionsEverChanged = true
     }
 
   /** DropCollectionFunction (by output field): stops computing; rows
@@ -753,7 +764,7 @@ final class Collection private (
     require(ingestFunctions.exists(_.outputField == outputField),
       s"no collection function produces '$outputField'")
     ingestFunctions = ingestFunctions.filterNot(_.outputField == outputField)
-    functionsEverDropped = true // later batches lack the output column
+    functionsEverChanged = true // later batches lack the output column
   }
 
   def listFunctions: Seq[graft.functions.IngestFunctions.FunctionSchema] =
@@ -784,6 +795,14 @@ final class Collection private (
     require(!schema.vectorFields.contains(field),
       s"mutable-column updates cover scalar fields, not vector field '$field'")
     require(!droppedFields.contains(field), s"field '$field' is dropped")
+    // the field must EXIST (physical or DDL-added) — a typo'd patch
+    // would otherwise be acknowledged, logged, and replicated but never
+    // applied (applyColumnPatches skips absent columns)
+    val patchable =
+      sealedDf.map(_.columns.toSet).getOrElse(Set.empty[String]) ++
+        growing.map(_.columns.toSet).getOrElse(Set.empty[String]) ++
+        maskedFields.keySet ++ schema.fieldDefaults.keySet ++ schema.nonNullable
+    require(patchable.contains(field), s"field '$field' not found")
     require(updates.columns.toSet == Set(schema.pkField, field),
       s"setField updates need exactly (${schema.pkField}, $field), " +
         s"got ${updates.columns.mkString(", ")}")
@@ -1172,9 +1191,14 @@ final class Collection private (
       }
     }
     val fused0 = ranker match {
-      case "rrf" => graft.operators.Fusion.rrf(results, "qid", fuseKey, k, rrfK)
+      // element-level fusion ranks ties by the composite key's natural
+      // (pk, element_index) order — reduceTopK's Long tie would hash the
+      // struct, an order no oracle can replicate
+      case "rrf" => graft.operators.Fusion.rrf(results, "qid", fuseKey, k, rrfK,
+        orderedTies = elementLevel)
       case "weighted" => graft.operators.Fusion.weighted(results,
-        subs.map(_.metric), subs.map(_.weight), "qid", fuseKey, k)
+        subs.map(_.metric), subs.map(_.weight), "qid", fuseKey, k,
+        orderedTies = elementLevel)
       case other => throw new IllegalArgumentException(
         s"unknown ranker '$other' (rrf | weighted)")
     }

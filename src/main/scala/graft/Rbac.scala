@@ -151,25 +151,39 @@ object Rbac {
     private var userDescriptions: Map[String, String] = Map.empty
 
     def createCredential(user: String, password: String,
-        description: String = ""): Unit = lock.synchronized {
-      require(!credentials.contains(user), s"credential for '$user' already exists")
+        description: String = ""): Unit = {
       val salt = new Array[Byte](16)
       new java.security.SecureRandom().nextBytes(salt)
-      credentials += user -> ((salt, digest(password, salt)))
-      if (description.nonEmpty) userDescriptions += user -> description
+      val d = digest(password, salt) // stretch outside the lock
+      lock.synchronized {
+        require(!credentials.contains(user), s"credential for '$user' already exists")
+        credentials += user -> ((salt, d))
+        if (description.nonEmpty) userDescriptions += user -> description
+      }
     }
 
     /** UpdateCredential: the old password must verify first (the
       * reference checks oldPassword before accepting newPassword).
-      * Rotation does NOT erase the description (MEP 20260601).
+      * Rotation does NOT erase the description (MEP 20260601). Both
+      * PBKDF2 stretches run outside the lock; the swap re-checks that
+      * the credential is unchanged since the verify (a concurrent
+      * rotation loses one of the two racers, never both silently).
       */
-    def updateCredential(user: String, oldPassword: String, newPassword: String): Unit =
-      lock.synchronized {
-        require(verifyCredential(user, oldPassword), "old password does not verify")
-        val salt = new Array[Byte](16)
-        new java.security.SecureRandom().nextBytes(salt)
-        credentials += user -> ((salt, digest(newPassword, salt)))
+    def updateCredential(user: String, oldPassword: String, newPassword: String): Unit = {
+      val before = lock.synchronized(credentials.get(user))
+      val verified = before.exists { case (salt, want) =>
+        java.security.MessageDigest.isEqual(want, digest(oldPassword, salt))
       }
+      require(verified, "old password does not verify")
+      val salt = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(salt)
+      val d = digest(newPassword, salt)
+      lock.synchronized {
+        require(credentials.get(user).exists(cur => before.exists(_ eq cur)),
+          "credential changed concurrently — retry")
+        credentials += user -> ((salt, d))
+      }
+    }
 
     /** Description-only update through the credential API — no password
       * required or touched (MEP 20260601's UpdateCredential extension).
@@ -190,8 +204,14 @@ object Rbac {
         userDescriptions.getOrElse(user, ""))
     }
 
-    def verifyCredential(user: String, password: String): Boolean = lock.synchronized {
-      credentials.get(user).exists { case (salt, want) =>
+    /** Key stretching runs OUTSIDE the registry lock: PBKDF2 at 210k
+      * iterations costs ~100 ms of CPU, and holding the lock for it
+      * would serialize every facade privilege check behind each auth.
+      * Only the (salt, digest) snapshot read is synchronized.
+      */
+    def verifyCredential(user: String, password: String): Boolean = {
+      val snap = lock.synchronized(credentials.get(user))
+      snap.exists { case (salt, want) =>
         java.security.MessageDigest.isEqual(want, digest(password, salt))
       }
     }

@@ -101,7 +101,11 @@ object Providers {
       truncate = params.get("truncate").exists(_.toBoolean),
       maxBatch = maxBatch,
       timeoutMs = params.get("timeout_ms").map(_.toLong).getOrElse(30000L),
-      maxRetries = params.get("max_retries").map(_.toInt).getOrElse(3))
+      maxRetries = {
+        val r = params.get("max_retries").map(_.toInt).getOrElse(3)
+        require(r >= 1, s"max_retries must be >= 1 (got $r)")
+        r
+      })
   }
 
   /** Thrown when a non-retryable (non-429, non-5xx) status comes back. */
@@ -234,9 +238,17 @@ object Providers {
     ProviderConfig(
       provider = p, url = url, apiKey = apiKey, modelName = modelName,
       dim = 0, // no vector field on the rerank path
-      maxBatch = params.get("max_client_batch_size").map(_.toInt).getOrElse(128),
+      maxBatch = {
+        val b = params.get("max_client_batch_size").map(_.toInt).getOrElse(128)
+        require(b >= 1, s"max_client_batch_size must be >= 1 (got $b)")
+        b
+      },
       timeoutMs = params.get("timeout_ms").map(_.toLong).getOrElse(30000L),
-      maxRetries = params.get("max_retries").map(_.toInt).getOrElse(3))
+      maxRetries = {
+        val r = params.get("max_retries").map(_.toInt).getOrElse(3)
+        require(r >= 1, s"max_retries must be >= 1 (got $r)")
+        r
+      })
   }
 
   /** Batched rerank client: request `{"model", "query", "documents"}`,
@@ -257,26 +269,45 @@ object Providers {
         scores
       }.toSeq
 
-    /** Parse results[{index, relevance_score}] into chunk order. */
+    /** Parse results[{index, relevance_score}] into chunk order. Walks
+      * result OBJECTS ({...} spans — the entries carry no nested
+      * objects) and reads both keys within each span, so member order
+      * inside an entry is irrelevant (JSON object order is unspecified).
+      */
     private[functions] def parseScores(json: String, n: Int): Seq[Float] = {
+      def numAfter(span: String, key: String): Option[String] = {
+        val k = span.indexOf(key)
+        if (k < 0) None
+        else {
+          val colon = span.indexOf(':', k)
+          val end0 = span.indexWhere(c => c == ',' || c == '}', colon)
+          val end = if (end0 < 0) span.length else end0
+          Some(span.substring(colon + 1, end).trim)
+        }
+      }
       val out = new Array[Float](n)
       val seen = new Array[Boolean](n)
-      val idxKey = "\"index\""
-      var i = json.indexOf(idxKey)
       var count = 0
-      while (i >= 0) {
-        val colonI = json.indexOf(':', i)
-        val commaI = json.indexWhere(c => c == ',' || c == '}', colonI)
-        val idx = json.substring(colonI + 1, commaI).trim.toInt
-        val scoreKey = json.indexOf("\"relevance_score\"", i)
-        require(scoreKey >= 0, "result entry missing relevance_score")
-        val colonS = json.indexOf(':', scoreKey)
-        val endS = json.indexWhere(c => c == ',' || c == '}', colonS)
-        val s = json.substring(colonS + 1, endS).trim.toFloat
-        require(idx >= 0 && idx < n, s"rerank index $idx out of range [0,$n)")
-        require(!seen(idx), s"duplicate rerank index $idx")
-        out(idx) = s; seen(idx) = true; count += 1
-        i = json.indexOf(idxKey, endS)
+      val start = json.indexOf('[')
+      var i = if (start < 0) json.length else start
+      while (i < json.length) {
+        val open = json.indexOf('{', i)
+        if (open < 0) i = json.length
+        else {
+          val close = json.indexOf('}', open)
+          require(close > open, "malformed result object in rerank response")
+          val span = json.substring(open, close + 1)
+          val idx = numAfter(span, "\"index\"")
+            .getOrElse(throw new IllegalArgumentException(
+              "result entry missing index")).toInt
+          val s = numAfter(span, "\"relevance_score\"")
+            .getOrElse(throw new IllegalArgumentException(
+              "result entry missing relevance_score")).toFloat
+          require(idx >= 0 && idx < n, s"rerank index $idx out of range [0,$n)")
+          require(!seen(idx), s"duplicate rerank index $idx")
+          out(idx) = s; seen(idx) = true; count += 1
+          i = close + 1
+        }
       }
       require(count == n,
         s"provider returned $count scores for $n documents")
@@ -300,9 +331,13 @@ object Providers {
     df.mapPartitions { rows =>
       val client = new EmbeddingClient(cfg)
       rows.grouped(cfg.maxBatch).flatMap { chunk =>
-        val embs = client.embed(chunk.map(_.getString(inIdx)))
-        chunk.iterator.zip(embs.iterator).map { case (r, e) =>
-          Row.fromSeq(r.toSeq :+ e.toSeq)
+        // null texts embed to null (the CharFreqEmbed nullSafeEval
+        // contract) — they neither reach the provider nor fail the task
+        val texts = chunk.map(r => if (r.isNullAt(inIdx)) null else r.getString(inIdx))
+        val embs = client.embed(texts.filter(_ != null))
+        val it = embs.iterator
+        chunk.iterator.zip(texts.iterator).map { case (r, t) =>
+          Row.fromSeq(r.toSeq :+ (if (t == null) null else it.next().toSeq))
         }
       }
     }(outEnc)

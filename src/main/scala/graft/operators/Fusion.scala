@@ -52,14 +52,15 @@ object Fusion {
       qidCol: String,
       idCol: String,
       topK: Int,
-      rrfK: Double = 60.0): DataFrame = {
+      rrfK: Double = 60.0,
+      orderedTies: Boolean = false): DataFrame = {
     val (reps, mapping) = dedupIdentical(results)
     val mult = mapping.groupBy(identity).view.mapValues(_.size).toMap
     val unioned = reps.zipWithIndex
       .map { case (df, i) => df.select(col(qidCol), col(idCol),
         (lit(mult(i).toDouble) / (lit(rrfK) + col("rank"))).as("_partial")) }
       .reduce(_ unionAll _)
-    fuseAndRank(unioned, qidCol, idCol, topK)
+    fuseAndRank(unioned, qidCol, idCol, topK, orderedTies)
   }
 
   /** Metric-aware score normalization to [0, 1], higher-is-better
@@ -88,7 +89,8 @@ object Fusion {
       qidCol: String,
       idCol: String,
       topK: Int,
-      normalize: Boolean = true): DataFrame = {
+      normalize: Boolean = true,
+      orderedTies: Boolean = false): DataFrame = {
     require(results.size == metrics.size && results.size == weights.size,
       "results, metrics and weights must align")
     val unioned = results.lazyZip(metrics).lazyZip(weights).map { (df, m, w) =>
@@ -96,21 +98,36 @@ object Fusion {
                  else directionConvert(col("_score"), m)
       df.select(col(qidCol), col(idCol), (lit(w) * norm).as("_partial"))
     }.reduce(_ unionAll _)
-    fuseAndRank(unioned, qidCol, idCol, topK)
+    fuseAndRank(unioned, qidCol, idCol, topK, orderedTies)
   }
 
   private def fuseAndRank(
       partials: DataFrame,
       qidCol: String,
       idCol: String,
-      topK: Int): DataFrame = {
+      topK: Int,
+      orderedTies: Boolean = false): DataFrame = {
     val fused = partials
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("_partial")).as("_score"))
-    // candidate set is already ≤ Σ nq·k rows: a partial-agg top-k keeps
-    // the final reduce shuffle-light
-    VectorSearch.reduceTopK(fused, idCol, qidCol, Metric.IP /* higher=better */,
-      topK, Seq(idCol))
+    if (orderedTies) {
+      // rank by (score desc, id asc) with the id's NATURAL order — for
+      // composite (struct) ids, whose Long tie in reduceTopK would fall
+      // to a hash no oracle can replicate. Exact RRF ties are structural
+      // (two ids each in one list at the same rank score identically),
+      // so the tie order is part of the output contract here. The
+      // candidate set is ≤ Σ nq·k rows, so a per-qid window is bounded.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(qidCol)).orderBy(col("_score").desc, col(idCol))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(col(qidCol), col("rank"), col("_score"), col(idCol))
+    } else {
+      // candidate set is already ≤ Σ nq·k rows: a partial-agg top-k keeps
+      // the final reduce shuffle-light
+      VectorSearch.reduceTopK(fused, idCol, qidCol, Metric.IP /* higher=better */,
+        topK, Seq(idCol))
+    }
   }
 
   /** Decay rescoring on a numeric/time field (reference:

@@ -851,6 +851,30 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("attached functions: pre-add tails, defaulted inputs, empty-schema drops") {
+    import graft.functions.IngestFunctions
+    // adding a function OVER an existing growing tail: old rows serve
+    // null for the output, new batches compute it (the evolution union)
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    c.insert(Seq((1L, "alpha beta")).toDF("pk", "txt"))
+    c.addFunction(IngestFunctions.MinHashFunction("txt", "sig", numHashes = 16))
+    c.insert(Seq((2L, "gamma delta")).toDF("pk", "txt"))
+    val sigs = c.query("", Seq("pk", "sig")).orderBy($"pk").collect()
+    assert(sigs(0).isNullAt(1) && !sigs(1).isNullAt(1))
+    // an omitted-but-DEFAULTED function input is materialized before the
+    // function runs — the insert succeeds and embeds the default text
+    val c2 = Collection.create(spark, CollectionSchema(pkField = "pk",
+      fieldDefaults = Map("txt" -> "fallback text")))
+    c2.addFunction(IngestFunctions.MinHashFunction("txt", "sig", numHashes = 16))
+    c2.insert(Seq(Tuple1(5L)).toDF("pk"))
+    assert(!c2.query("", Seq("sig")).collect().head.isNullAt(0))
+    // dropField works from the DECLARED schema even before any insert
+    val c3 = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("emb" -> 4, "emb2" -> 4)))
+    c3.dropField("emb2") // no batch ever carried it — still droppable
+    intercept[IllegalArgumentException](c3.dropField("emb")) // last vector
+  }
+
   test("collection-attached functions compute outputs at ingest") {
     import graft.functions.IngestFunctions
     val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
@@ -925,12 +949,16 @@ class CollectionSpec extends SparkSpec {
     // a LATER full-row upsert supersedes older patches on that pk
     c.upsert(mkRows(Seq(4L)))
     assert(grpOf(4L) == 4L % 5 && grpOf(3L) == 200L)
-    // validations: system/vector/unknown-shape updates refuse
+    // validations: system/vector/unknown-shape/nonexistent updates refuse
     intercept[IllegalArgumentException] {
       c.setField("pk", Seq((1L, 9L)).toDF("pk", "pk2"))
     }
     intercept[IllegalArgumentException] {
       c.setField("emb", Seq((1L, vec(9))).toDF("pk", "emb"))
+    }
+    // a typo'd field is an ERROR, not a silently-dropped patch
+    intercept[IllegalArgumentException] {
+      c.setField("grpp", Seq((1L, 9L)).toDF("pk", "grpp"))
     }
     // deleted rows stay deleted regardless of patches
     c.deletePks(Seq(7L))

@@ -173,6 +173,7 @@ class ProviderSpec extends SparkSpec {
     val requests = new AtomicInteger(0)
     @volatile var batchSizes: List[Int] = Nil
     @volatile var dropOne: Boolean = false
+    @volatile var scoreFirst: Boolean = false // relevance_score before index
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/rerank", (ex: HttpExchange) => {
       requests.incrementAndGet()
@@ -185,7 +186,8 @@ class ProviderSpec extends SparkSpec {
       synchronized { batchSizes = batchSizes :+ docs.length }
       val n = if (dropOne) docs.length - 1 else docs.length
       val results = (0 until n).reverse.map { i =>
-        s"""{"index":$i,"relevance_score":${docs(i).length}.5}"""
+        if (scoreFirst) s"""{"relevance_score":${docs(i).length}.5,"index":$i}"""
+        else s"""{"index":$i,"relevance_score":${docs(i).length}.5}"""
       }.mkString("{\"results\":[", ",", "]}")
       val bytes = results.getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(200, bytes.length)
@@ -222,11 +224,32 @@ class ProviderSpec extends SparkSpec {
       // stub scores len + 0.5, reported in reversed order — mapping by
       // index must still line scores up with their documents
       assert(scores == docs.map(_.length + 0.5f))
+      // JSON object member order is unspecified: relevance_score BEFORE
+      // index in each entry must parse identically
+      stub.scoreFirst = true
+      assert(new RerankClient(cfg).rerank("q", docs) == docs.map(_.length + 0.5f))
+      stub.scoreFirst = false
       // a missing score is a protocol violation, not a silent zero
       stub.dropOne = true
       val e = intercept[IllegalArgumentException](
         new RerankClient(cfg).rerank("q", Seq("aa", "bbb")))
       assert(e.getMessage.contains("scores for"))
+    } finally stub.stop()
+  }
+
+  test("embedDataFrame: null texts embed to null without provider calls") {
+    import spark.implicits._
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4).copy(maxBatch = 8)
+      val df = Seq((1L, "abc"), (2L, null: String), (3L, "defgh"))
+        .toDF("id", "txt").repartition(1)
+      val got = Providers.embedDataFrame(df, "txt", "emb", cfg)
+        .orderBy($"id").select($"emb").collect()
+      assert(got(0).getSeq[Float](0).head == 3.0f)
+      assert(got(1).isNullAt(0)) // null in, null out, no NPE
+      assert(got(2).getSeq[Float](0).head == 5.0f)
+      assert(stub.batchSizes.forall(_ <= 2)) // nulls never reached the wire
     } finally stub.stop()
   }
 
