@@ -1118,6 +1118,49 @@ final class Collection private (
       queries, "qid", "qvec", metric, batch, lastBound, filter, out, roundTo)
   }
 
+  /** Search-by-pk (reference: client `search(ids=...)`,
+    * test_milvus_client_search_by_pk.py): the query VECTORS are fetched
+    * from the collection itself by primary key — the caller names rows,
+    * not embeddings. An id whose stored vector is NULL contributes ZERO
+    * hits (the nullable-vector contract: empty result set for that
+    * query, not an error); an id absent from the collection errors. The
+    * pk fetch is an nq-sized pull through the MVCC view, so tombstones,
+    * TTL, and consistency levels all apply to which vector is "the"
+    * id's vector.
+    */
+  def searchByPk(
+      vectorField: String,
+      ids: Seq[Any],
+      k: Int,
+      metric: Metric.Value = Metric.COSINE,
+      filterExpr: String = "",
+      outputFields: Seq[String] = Nil,
+      roundTo: Option[Int] = None,
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
+    requirePriv("Search")
+    require(ids.nonEmpty, "searchByPk needs at least one id")
+    require(schema.vectorFields.contains(vectorField),
+      s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
+    val fetched = readView(level)
+      .filter(col(schema.pkField).isin(ids: _*))
+      .select(col(schema.pkField), col(vectorField))
+      .collect() // nq-sized: the ids are request parameters
+    val byId = fetched.map(r => r.get(0) -> r.get(1)).toMap
+    ids.find(!byId.contains(_)).foreach(id =>
+      throw new NoSuchElementException(s"pk $id not found in the collection"))
+    val live = ids.filter(byId(_) != null) // null vectors → zero hits
+    val viewSchema = readView(level).schema
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        viewSchema(schema.pkField).dataType),
+      org.apache.spark.sql.types.StructField("qvec",
+        viewSchema(vectorField).dataType)))
+    val qRows = live.map(id => org.apache.spark.sql.Row(id, byId(id)))
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows, 1), qSchema)
+    search(vectorField, qs, k, metric, filterExpr, outputFields, roundTo, level)
+  }
+
   /** One hybrid-search sub-request (reference `IsAdvanced` sub-search:
     * its own vector field, queries, metric, filter, and weight).
     */

@@ -989,7 +989,25 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Search-by-pk through the facade (reference client search(ids=...),
+    * test_milvus_client_search_by_pk.py): the query vectors are the
+    * named rows' own embeddings, fetched through the MVCC view — the
+    * oracle joins embeddings to itself by the query ids.
+    */
+  def searchByPkQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val emb = t(s, dir, "embeddings")
+    val c = Collection.create(s,
+      CollectionSchema(pkField = "vec_id", vectorFields = Map("embedding" -> 64)))
+    c.insert(emb.select(col("vec_id"), col("embedding"), col("label")))
+    c.searchByPk("embedding", Seq(3L, 4L, 5L), k = 10, metric = Metric.L2,
+        outputFields = Seq("vec_id"), roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_by_pk" -> (searchByPkQ _),
     "q_struct_hybrid" -> (structHybrid _),
     "q_struct_hybrid_elements" -> (structHybridElements _),
     "q_run_analyzer" -> (runAnalyzerQ _),
@@ -1070,6 +1088,16 @@ object ExtraQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_search_by_pk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id IN (3, 4, 5)),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_struct_hybrid_elements" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 2),

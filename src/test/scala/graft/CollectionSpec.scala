@@ -851,6 +851,30 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("searchByPk: vectors fetched by id, null vectors yield zero hits") {
+    val c = fresh()
+    // query by id must equal query by that id's own vector
+    val byPk = c.searchByPk("emb", Seq(7L), k = 3, metric = Metric.L2,
+        outputFields = Seq("pk"))
+      .select($"qid", $"rank", $"pk").as[(Long, Long, Long)].collect().toSet
+    val byVec = c.search("emb", Seq((7L, vec(7))).toDF("qid", "qvec"), k = 3,
+        metric = Metric.L2, outputFields = Seq("pk"))
+      .select($"qid", $"rank", $"pk").as[(Long, Long, Long)].collect().toSet
+    assert(byPk == byVec && byPk.nonEmpty)
+    // an absent id errors; MVCC applies (a deleted id is absent)
+    intercept[NoSuchElementException](c.searchByPk("emb", Seq(9999L), k = 3))
+    c.deletePks(Seq(7L))
+    intercept[NoSuchElementException](c.searchByPk("emb", Seq(7L), k = 3))
+    // a null stored vector contributes zero hits, not an error
+    val cn = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("emb" -> 4)))
+    cn.insert(Seq((1L, Option(Seq(1f, 0f, 0f, 0f))), (2L, Option.empty[Seq[Float]]),
+        (3L, Option(Seq(0f, 1f, 0f, 0f)))).toDF("pk", "emb"))
+    val mixed = cn.searchByPk("emb", Seq(1L, 2L, 3L), k = 2, metric = Metric.L2)
+      .select($"qid").as[Long].collect().toSet
+    assert(mixed == Set(1L, 3L)) // id 2 (null vector) returns no rows
+  }
+
   test("attached functions: pre-add tails, defaulted inputs, empty-schema drops") {
     import graft.functions.IngestFunctions
     // adding a function OVER an existing growing tail: old rows serve
