@@ -585,6 +585,43 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Three-valued logic through the compiled filter language (reference
+    * test_milvus_client_three_valued_logic.py — NULL propagation under
+    * NOT/AND/OR, De Morgan, double/triple negation, NOT(IS NOT NULL)):
+    * a nullable fixture inserted through the facade, one marker row per
+    * predicate with the matched id set; the oracle evaluates the SAME
+    * predicates in SQL over the same VALUES rows — pinning the expr
+    * compiler's 3VL to the SQL standard's.
+    */
+  def threeValued(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    import s.implicits._
+    val c = Collection.create(s, CollectionSchema(pkField = "pk"))
+    c.insert(Seq(
+      (1L, Option(10L), Option("x")),
+      (2L, Option.empty[Long], Option("y")),
+      (3L, Option(5L), Option.empty[String]),
+      (4L, Option.empty[Long], Option.empty[String]),
+      (5L, Option(7L), Option("x"))).toDF("pk", "a", "b"))
+    val predicates = Seq(
+      "a_is_null" -> "a is null",
+      "not_is_not_null" -> "not (a is not null)",
+      "double_not" -> "not (not (a is null))",
+      "gt" -> "a > 6",
+      "not_gt" -> "not (a > 6)",
+      "and_value" -> """a > 6 and b == "x"""",
+      "or_value" -> """a > 6 or b == "y"""",
+      "demorgan_not_and" -> """not (a > 6 and b == "x")""",
+      "demorgan_not_or" -> """not (a > 6 or b == "y")""",
+      "and_null_fields" -> "a is null and b is null",
+      "or_null_fields" -> "a is null or b is null")
+    predicates.map { case (label, expr) =>
+      val ids = c.query(expr, Seq("pk")).select(col("pk")).as[Long]
+        .collect().sorted.mkString(",")
+      (label, ids)
+    }.toDF("predicate", "ids").orderBy(col("predicate"))
+  }
+
   /** Credential lifecycle under oracle (reference impl.go
     * CreateCredential / UpdateCredential / DeleteCredential /
     * ListCredUsers; PBKDF2 digests in Rbac.Registry): every transition's
@@ -992,6 +1029,7 @@ object LifecycleQueries {
     "q_rbac_read" -> (rbacRead _),
     "q_credentials" -> (credentials _),
     "q_mutable_column" -> (mutableColumn _),
+    "q_three_valued" -> (threeValued _),
     "q_seal_policy" -> (sealPolicyRead _),
     "q_alias_swap" -> (aliasSwap _),
     "q_ttl_visibility" -> (ttlVisibility _),
@@ -1095,6 +1133,34 @@ object LifecycleQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_id < 4000 AND value >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_three_valued" ->
+      """WITH t(pk, a, b) AS (VALUES
+        |  (1, 10, 'x'), (2, NULL, 'y'), (3, 5, NULL),
+        |  (4, NULL, NULL), (5, 7, 'x')),
+        |preds(predicate, ids) AS (
+        |  SELECT 'a_is_null', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE a IS NULL
+        |  UNION ALL SELECT 'not_is_not_null', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE NOT (a IS NOT NULL)
+        |  UNION ALL SELECT 'double_not', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE NOT (NOT (a IS NULL))
+        |  UNION ALL SELECT 'gt', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE a > 6
+        |  UNION ALL SELECT 'not_gt', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE NOT (a > 6)
+        |  UNION ALL SELECT 'and_value', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE a > 6 AND b = 'x'
+        |  UNION ALL SELECT 'or_value', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE a > 6 OR b = 'y'
+        |  UNION ALL SELECT 'demorgan_not_and', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE NOT (a > 6 AND b = 'x')
+        |  UNION ALL SELECT 'demorgan_not_or', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE NOT (a > 6 OR b = 'y')
+        |  UNION ALL SELECT 'and_null_fields', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE a IS NULL AND b IS NULL
+        |  UNION ALL SELECT 'or_null_fields', coalesce(string_agg(pk, ',' ORDER BY pk), '')
+        |    FROM t WHERE a IS NULL OR b IS NULL)
+        |SELECT predicate, ids FROM preds ORDER BY predicate""".stripMargin,
     "q_mutable_column" ->
       """WITH base AS (
         |  SELECT event_id, event_type, value FROM events WHERE event_id < 3000),
