@@ -621,6 +621,32 @@ final class Collection private (
     * policies applied last (they compile to ordinary predicates and ride
     * the same pushdown as user filters).
     */
+  // ---- collection properties (reference AlterCollection with
+  // properties — test_milvus_client_alter.py: collection.ttl.seconds,
+  // mmap.enabled, …). Arbitrary key-value metadata; `collection.ttl`
+  // is WIRED: when set, every read without an explicit ttl applies it
+  // as the ts-domain expiry offset (ticks for created collections,
+  // nanos for opened epoch-ns tables — the session's ts domain).
+  @volatile private var collectionProperties: Map[String, String] = Map.empty
+
+  def alterCollection(props: Map[String, String]): Unit = stateLock.synchronized {
+    requirePriv("AlterCollection")
+    collectionProperties ++= props
+    invalidateFilterCache() // a ttl property change alters visibility
+  }
+
+  def dropCollectionProperties(keys: Seq[String]): Unit = stateLock.synchronized {
+    requirePriv("AlterCollection")
+    collectionProperties --= keys
+    invalidateFilterCache()
+  }
+
+  def describeCollectionProperties: Map[String, String] = collectionProperties
+
+  /** The collection-level TTL property as a read-path ttl column. */
+  private def propertyTtl: Option[Column] =
+    collectionProperties.get("collection.ttl").map(v => lit(v.toLong))
+
   def readView(
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       staleness: Long = 0L,
@@ -628,7 +654,8 @@ final class Collection private (
       ttl: Option[Column] = None,
       partitionNames: Seq[String] = Nil,
       ignoreGrowing: Boolean = false): DataFrame =
-    rlsFilter(readViewUnscoped(level, staleness, sessionTs, ttl,
+    rlsFilter(readViewUnscoped(level, staleness, sessionTs,
+      ttl.orElse(propertyTtl),
       partitionPredicate(partitionNames), ignoreGrowing))
 
   /** Export the current visible rows as v1 binlog segments (the

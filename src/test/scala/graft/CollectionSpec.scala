@@ -851,6 +851,25 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("alterCollection properties: metadata echoes, collection.ttl wires reads") {
+    val c = fresh() // 50 rows inserted at consecutive TSO ticks
+    // arbitrary metadata round-trips
+    c.alterCollection(Map("mmap.enabled" -> "true"))
+    assert(c.describeCollectionProperties("mmap.enabled") == "true")
+    val all = c.count()
+    // a huge ttl in the ts domain: everything survives
+    c.alterCollection(Map("collection.ttl" -> Long.MaxValue.toString))
+    assert(c.count() == all)
+    // ttl = 0: everything written at or before readTs is expired
+    c.alterCollection(Map("collection.ttl" -> "0"))
+    assert(c.count() == 0)
+    // an explicit read-time ttl still overrides the property
+    assert(c.readView(ttl = Some(lit(Long.MaxValue))).count() == all)
+    // dropping the property restores full visibility
+    c.dropCollectionProperties(Seq("collection.ttl"))
+    assert(c.count() == all)
+  }
+
   test("searchByPk: vectors fetched by id, null vectors yield zero hits") {
     val c = fresh()
     // query by id must equal query by that id's own vector
