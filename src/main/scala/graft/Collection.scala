@@ -562,6 +562,31 @@ final class Collection private (
       growing = None
       growingRows = 0L
       growingSinceTs = None
+      sealedSegments :+= segPath
+    }
+  }
+
+  // flushed segment directories, for introspection (compaction replaces
+  // the physical layout — its run dir becomes the single live segment)
+  @volatile private var sealedSegments: Vector[String] = Vector.empty
+
+  final case class SegmentInfo(path: String, rows: Long, bytes: Long)
+
+  /** GetPersistentSegmentInfo (reference impl.go): per flushed segment
+    * directory, its RAW row count and on-disk bytes. Raw = pre-MVCC
+    * (includes superseded row versions), exactly like the reference's
+    * per-binlog NumOfRows — the scheduling metric, not the visible
+    * count. Driver-side file-listing only; no data scan (row counts
+    * come from parquet footers via a count over the single segment).
+    */
+  def getPersistentSegmentInfo: Seq[SegmentInfo] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    sealedSegments.map { p =>
+      val rows = spark.read.parquet(p).count() // footer-only count scan
+      val fs = new Path(p).getFileSystem(conf)
+      val bytes = fs.getContentSummary(new Path(p)).getLength
+      SegmentInfo(p, rows, bytes)
     }
   }
 

@@ -851,6 +851,19 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c2.dropField("emb") }
   }
 
+  test("getPersistentSegmentInfo reports per-segment raw rows and bytes") {
+    val c = fresh()
+    val dir = "/tmp/graft_test_seginfo_" + System.nanoTime()
+    c.flush(dir)
+    c.insert(mkRows(100L until 130L))
+    c.flush(dir)
+    val infos = c.getPersistentSegmentInfo
+    assert(infos.size == 2)
+    assert(infos.map(_.rows) == Seq(50L, 30L))
+    assert(infos.forall(_.bytes > 0))
+    assert(infos.forall(_.path.startsWith(dir)))
+  }
+
   test("alterCollection properties: metadata echoes, collection.ttl wires reads") {
     val c = fresh() // 50 rows inserted at consecutive TSO ticks
     // arbitrary metadata round-trips
