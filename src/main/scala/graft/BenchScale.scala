@@ -45,6 +45,14 @@ object BenchScale {
     }
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "bm25_build_q" -> { d =>
+        // full-text build + 16 query strings: postings/IDF/avgdl are
+        // distributed aggregates; query cost ∝ postings of query terms
+        val idx = graft.operators.Bm25.build(d, "doc_id", "text")
+        val queries = (0 until 16).map(i => s"vector stream table $i")
+        queries.map(q =>
+          graft.operators.Bm25.search(idx, q, k = 10).count()).sum
+      },
       "minhash_lsh" -> (d => Dedup.minhashNearDupPairs(d, "doc_id", "text").count()),
       "simhash" -> (d => Dedup.simhashPairs(d, "doc_id", "text").count()),
       "winnow" -> (d => Dedup.winnowNearDupPairs(d, "doc_id", "text").count()),
