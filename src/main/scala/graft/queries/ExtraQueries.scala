@@ -894,12 +894,15 @@ object ExtraQueries {
   def vamanaExhaustive(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.VamanaIndex
     val emb = t(s, dir, "embeddings")
-    val index = VamanaIndex.build(emb, "vec_id", "embedding", numParts = 8,
-      r = 16, l = 32)
+    val n = emb.count().toInt
+    // segment-sized partitions: numParts grows with the corpus so the
+    // per-partition sequential build cost stays bounded (the class doc's
+    // segment-size contract) — exactness is partitioning-independent
+    val index = VamanaIndex.build(emb, "vec_id", "embedding",
+      numParts = math.max(8, n / 2500), r = 16, l = 32)
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    val n = emb.count().toInt
     VamanaIndex.search(index, qs, k = 10, l = n, roundTo = Some(4))
       .select(col("qid"), col("rank"), col("_score").as("score"), col("id").as("vec_id"))
       .orderBy(col("qid"), col("rank"))
