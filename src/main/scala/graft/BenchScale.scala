@@ -46,9 +46,17 @@ object BenchScale {
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "bm25_build_q" -> { d =>
-        // full-text build + 16 query strings: postings/IDF/avgdl are
-        // distributed aggregates; query cost ∝ postings of query terms
-        val idx = graft.operators.Bm25.build(d, "doc_id", "text")
+        // full-text build + 16 query strings. The build ARTIFACT is
+        // materialized (localCheckpoint) before querying — otherwise
+        // every search(...).count() re-runs the corpus tokenize/explode
+        // lineage and the benchmark measures 17 corpus scans, not
+        // build-once-query-many; with it, query cost ∝ the query
+        // terms' postings.
+        val raw = graft.operators.Bm25.build(d, "doc_id", "text")
+        val idx = raw.copy(
+          postings = raw.postings.localCheckpoint(true),
+          termStats = raw.termStats.localCheckpoint(true),
+          globals = raw.globals.localCheckpoint(true))
         val queries = (0 until 16).map(i => s"vector stream table $i")
         queries.map(q =>
           graft.operators.Bm25.search(idx, q, k = 10).count()).sum

@@ -465,6 +465,7 @@ final class Collection private (
       val foldPath = s"$path/fold-${nextTs()}"
       folded.write.parquet(foldPath)
       sealedDf = Some(spark.read.parquet(foldPath))
+      sealedSegments = Vector(foldPath)
       colPatches = Map.empty
     }
     val sealedData = sealedDf.getOrElse(
@@ -495,6 +496,7 @@ final class Collection private (
           sealedData, t, schema.pkField, schema.tsField,
           lit(lastWriteTs), runPath)
         sealedDf = Some(spark.read.parquet(s"$runPath/data"))
+        sealedSegments = Vector(s"$runPath/data") // the single live segment
         tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
     }
   }
@@ -566,9 +568,10 @@ final class Collection private (
     }
   }
 
-  // flushed segment directories, for introspection (compaction replaces
-  // the physical layout — its run dir becomes the single live segment)
-  @volatile private var sealedSegments: Vector[String] = Vector.empty
+  // flushed segment directories, for introspection (an opened layout is
+  // the first live segment; compaction replaces the list with its run
+  // dir; flush appends)
+  @volatile private var sealedSegments: Vector[String] = sealedPath.toVector
 
   final case class SegmentInfo(path: String, rows: Long, bytes: Long)
 
@@ -580,6 +583,7 @@ final class Collection private (
     * come from parquet footers via a count over the single segment).
     */
   def getPersistentSegmentInfo: Seq[SegmentInfo] = {
+    requirePriv("GetStatistics")
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     sealedSegments.map { p =>
@@ -656,6 +660,10 @@ final class Collection private (
 
   def alterCollection(props: Map[String, String]): Unit = stateLock.synchronized {
     requirePriv("AlterCollection")
+    props.get("collection.ttl").foreach { v =>
+      require(scala.util.Try(v.toLong).isSuccess,
+        s"collection.ttl must be a ts-domain integer offset, got '$v'")
+    }
     collectionProperties ++= props
     invalidateFilterCache() // a ttl property change alters visibility
   }
@@ -666,7 +674,10 @@ final class Collection private (
     invalidateFilterCache()
   }
 
-  def describeCollectionProperties: Map[String, String] = collectionProperties
+  def describeCollectionProperties: Map[String, String] = {
+    requirePriv("GetStatistics")
+    collectionProperties
+  }
 
   /** The collection-level TTL property as a read-path ttl column. */
   private def propertyTtl: Option[Column] =
@@ -1193,21 +1204,33 @@ final class Collection private (
     require(ids.nonEmpty, "searchByPk needs at least one id")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
-    val fetched = readView(level)
+    val view = readView(level)
+    val fetched = view
       .filter(col(schema.pkField).isin(ids: _*))
       .select(col(schema.pkField), col(vectorField))
       .collect() // nq-sized: the ids are request parameters
-    val byId = fetched.map(r => r.get(0) -> r.get(1)).toMap
-    ids.find(!byId.contains(_)).foreach(id =>
+    // integral pks normalize to Long so caller-side Int ids match the
+    // fetched java.lang.Long keys (boxed equality is type-exact)
+    def normKey(x: Any): Any = x match {
+      case n: Byte  => n.toLong
+      case n: Short => n.toLong
+      case n: Int   => n.toLong
+      case o        => o
+    }
+    val byId = fetched.map(r => normKey(r.get(0)) -> r.get(1)).toMap
+    // the COLUMN-typed key, for building query rows that match qSchema
+    val rawKey = fetched.map(r => normKey(r.get(0)) -> r.get(0)).toMap
+    val wanted = ids.map(normKey).distinct // duplicate ids query once
+    wanted.find(!byId.contains(_)).foreach(id =>
       throw new NoSuchElementException(s"pk $id not found in the collection"))
-    val live = ids.filter(byId(_) != null) // null vectors → zero hits
-    val viewSchema = readView(level).schema
+    val live = wanted.filter(byId(_) != null) // null vectors → zero hits
+    val viewSchema = view.schema
     val qSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("qid",
         viewSchema(schema.pkField).dataType),
       org.apache.spark.sql.types.StructField("qvec",
         viewSchema(vectorField).dataType)))
-    val qRows = live.map(id => org.apache.spark.sql.Row(id, byId(id)))
+    val qRows = live.map(id => org.apache.spark.sql.Row(rawKey(id), byId(id)))
     val qs = spark.createDataFrame(
       spark.sparkContext.parallelize(qRows, 1), qSchema)
     search(vectorField, qs, k, metric, filterExpr, outputFields, roundTo, level)
@@ -1483,9 +1506,16 @@ final class Collection private (
       .foldLeft(tail.select(col(schema.pkField)))(_ unionByName _)
     // rlsFilter here: the shared layout is unscoped, so the caller's
     // policies apply at query time (the tail side came through readView
-    // and is already scoped)
-    val indexSide = rlsFilter(
-      st.clustered.join(changed.distinct(), Seq(schema.pkField), "left_anti"))
+    // and is already scoped). The collection.ttl property must mask the
+    // indexed layout too — search/query/count apply it via readView, and
+    // the two paths must agree on visibility.
+    val indexSide0 =
+      st.clustered.join(changed.distinct(), Seq(schema.pkField), "left_anti")
+    val indexSideTtl = propertyTtl match {
+      case Some(t) => indexSide0.filter(col(schema.tsField) > lit(lastWriteTs) - t)
+      case None    => indexSide0
+    }
+    val indexSide = rlsFilter(indexSideTtl)
     val idxHits = IvfIndex.search(indexSide, schema.pkField, vectorField, st.model,
       queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
     // tail side: serve through the interim index when ingest built one

@@ -881,6 +881,16 @@ class CollectionSpec extends SparkSpec {
     // dropping the property restores full visibility
     c.dropCollectionProperties(Seq("collection.ttl"))
     assert(c.count() == all)
+    // a non-numeric ttl is rejected at ALTER time, not at first read
+    intercept[IllegalArgumentException](
+      c.alterCollection(Map("collection.ttl" -> "3600s")))
+    // the INDEXED search path agrees with the scan path on ttl expiry
+    c.createIndex("emb", nlist = 4, trainSample = 100)
+    c.alterCollection(Map("collection.ttl" -> "0"))
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    assert(c.searchIndexed("emb", qs, k = 3, nprobe = 4).isEmpty)
+    c.dropCollectionProperties(Seq("collection.ttl"))
+    assert(!c.searchIndexed("emb", qs, k = 3, nprobe = 4).isEmpty)
   }
 
   test("searchByPk: vectors fetched by id, null vectors yield zero hits") {
