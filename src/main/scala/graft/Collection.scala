@@ -459,14 +459,23 @@ final class Collection private (
     // compaction folds the patch overlay into the column files; vectors
     // and untouched columns stream through, row timestamps are kept)
     if (colPatches.nonEmpty) {
-      val folded = applyColumnPatches(sealedDf.getOrElse(
-        throw new IllegalStateException("nothing to compact — empty collection")),
-        lit(lastWriteTs))
-      val foldPath = s"$path/fold-${nextTs()}"
-      folded.write.parquet(foldPath)
-      sealedDf = Some(spark.read.parquet(foldPath))
-      sealedSegments = Vector(foldPath)
-      colPatches = Map.empty
+      val preFold = sealedDf.getOrElse(
+        throw new IllegalStateException("nothing to compact — empty collection"))
+      // fold only patches whose column physically exists in the sealed
+      // layout; a patch on a DDL-added (masked) field not yet carried by
+      // any batch stays in the log — clearing it here would erase the
+      // acknowledged write permanently (it keeps applying merge-on-read
+      // until a batch materializes the column)
+      val (foldable, deferred) =
+        colPatches.partition { case (f, _) => preFold.columns.contains(f) }
+      if (foldable.nonEmpty) {
+        val folded = applyColumnPatches(preFold, lit(lastWriteTs), foldable)
+        val foldPath = s"$path/fold-${nextTs()}"
+        folded.write.parquet(foldPath)
+        sealedDf = Some(spark.read.parquet(foldPath))
+        sealedSegments = Vector(foldPath)
+      }
+      colPatches = deferred
     }
     val sealedData = sealedDf.getOrElse(
       throw new IllegalStateException("nothing to compact — empty collection"))
@@ -889,8 +898,11 @@ final class Collection private (
     * the surviving row version. One small-side pk join per patched
     * field; map-only otherwise.
     */
-  private def applyColumnPatches(df: DataFrame, readTs: Column): DataFrame = {
-    val snapshot = colPatches
+  private def applyColumnPatches(df: DataFrame, readTs: Column): DataFrame =
+    applyColumnPatches(df, readTs, colPatches)
+
+  private def applyColumnPatches(df: DataFrame, readTs: Column,
+      snapshot: Map[String, DataFrame]): DataFrame = {
     snapshot.foldLeft(df) { case (d, (field, patchLog)) =>
       if (!d.columns.contains(field)) d
       else {
@@ -956,11 +968,15 @@ final class Collection private (
     val base = preFilter.map(src.filter).getOrElse(src)
     val visible = Mvcc.visible(base, schema.pkField, schema.tsField, lit(readTs),
       tombstones = tombs, ttl = ttl)
-    // patches overlay the SURVIVING row version (after LWW), before field
-    // DDL so a drop of a patched field still wins
-    applyFieldDdl(applyColumnPatches(
-      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField),
-      lit(readTs)))
+    // patches overlay the SURVIVING row version (after LWW). Field DDL
+    // runs FIRST so a patch on a DDL-added (masked) field lands on the
+    // materialized column — otherwise the default mask would clobber it
+    // for pre-addTs rows (and skip it entirely before any post-DDL batch
+    // carries the column). Drop still wins: dropField clears the
+    // field's patch log, so ordering cannot resurrect dropped patches.
+    applyColumnPatches(applyFieldDdl(
+      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)),
+      lit(readTs))
   }
 
   // ---- compiled-filter result cache (reference: exec/expression/
@@ -1515,7 +1531,13 @@ final class Collection private (
       case Some(t) => indexSide0.filter(col(schema.tsField) > lit(lastWriteTs) - t)
       case None    => indexSide0
     }
-    val indexSide = rlsFilter(indexSideTtl)
+    // mutable-column patches must overlay the indexed layout too: a
+    // patched row whose version ts predates buildTs sits in neither
+    // `tail` nor `changed`, so without the overlay searchIndexed would
+    // serve stale pre-patch scalars while query/search via readView
+    // serve patched ones (the same index-vs-view agreement contract as
+    // the collection.ttl mask above). No-op when no patches exist.
+    val indexSide = applyColumnPatches(rlsFilter(indexSideTtl), lit(lastWriteTs))
     val idxHits = IvfIndex.search(indexSide, schema.pkField, vectorField, st.model,
       queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
     // tail side: serve through the interim index when ingest built one
@@ -1524,9 +1546,9 @@ final class Collection private (
     // against the scoped visible tail applies MVCC + RLS in one pass.
     val tailHits = st.interim match {
       case Some(asg) =>
-        val visibleAsg = asg.join(
+        val visibleAsg = applyColumnPatches(asg.join(
           tail.select(col(schema.pkField), col(schema.tsField)),
-          Seq(schema.pkField, schema.tsField), "left_semi")
+          Seq(schema.pkField, schema.tsField), "left_semi"), lit(lastWriteTs))
         IvfIndex.search(visibleAsg, schema.pkField, vectorField, st.model,
           queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
       case None =>

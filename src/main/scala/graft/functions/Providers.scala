@@ -53,7 +53,13 @@ object Providers {
       truncate: Boolean = false,
       maxBatch: Int = 128,
       timeoutMs: Long = 30000L,
-      maxRetries: Int = 3)
+      maxRetries: Int = 3) {
+    // the case-class toString would print the credential; any log line,
+    // exception message, or debug dump of a config must not leak it
+    override def toString: String =
+      s"ProviderConfig($provider,$url,apiKey=***,$modelName,$dim,$user," +
+        s"$truncate,$maxBatch,$timeoutMs,$maxRetries)"
+  }
 
   /** Resolve a FunctionSchema-style param map to a provider config —
     * the newXxxEmbeddingProvider constructors' shared logic.

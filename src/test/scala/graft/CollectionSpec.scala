@@ -1042,6 +1042,62 @@ class CollectionSpec extends SparkSpec {
     assert(replica.query("pk == 10", Seq("grp")).select($"grp").as[Long].head() == 100L)
   }
 
+  test("setField on a DDL-added field is visible and survives compaction") {
+    val c = fresh()
+    // add a field with a default; NO batch has materialized it yet —
+    // the patch must still land on the masked column (overlay runs
+    // after field DDL), not be clobbered by the pre-addTs default mask
+    c.addCollectionField("tier", -1L)
+    c.setField("tier", Seq((3L, 7L)).toDF("pk", "tier"))
+    def tierOf(pk: Long): Long =
+      c.query(s"pk == $pk", Seq("tier")).select($"tier").as[Long].head()
+    assert(tierOf(3L) == 7L && tierOf(4L) == -1L)
+    // compaction must NOT erase the acknowledged patch: the column is
+    // absent from the sealed layout, so the patch log entry is deferred,
+    // not folded-and-cleared
+    val dir = "/tmp/graft_test_maskpatch_" + System.nanoTime()
+    c.flush(s"$dir/seal")
+    c.compact(s"$dir/compact")
+    assert(tierOf(3L) == 7L && tierOf(4L) == -1L)
+    // once a post-DDL batch materializes the column, a second compaction
+    // folds the physical-field patches for good
+    c.insert(Seq((60L, vec(60), "doc 60", 0L, 5L))
+      .toDF("pk", "emb", "txt", "grp", "tier"))
+    c.setField("tier", Seq((60L, 8L)).toDF("pk", "tier"))
+    assert(tierOf(60L) == 8L)
+    // dropping the patched field wins over the pending patch
+    c.dropField("tier")
+    assert(!c.query("pk == 3", Seq("pk")).columns.contains("tier"))
+  }
+
+  test("searchIndexed serves patched scalar values (index-vs-view agreement)") {
+    val c = fresh()
+    val dir = "/tmp/graft_test_idxpatch_" + System.nanoTime()
+    c.flush(s"$dir/seal")
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    // patch a row whose version predates the index build: it is in
+    // neither the post-build tail nor the changed-pk mask, so the value
+    // must come from the patch overlay on the clustered layout
+    c.setField("grp", Seq((7L, 999L)).toDF("pk", "grp"))
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    val idx = c.searchIndexed("emb", qs, k = 1, nprobe = 4, metric = Metric.L2,
+      outputFields = Seq("pk", "grp")).select($"pk", $"grp")
+      .as[(Long, Long)].head()
+    assert(idx == ((7L, 999L)))
+    // and a patched POST-build row served via the interim layout agrees
+    c.insert(mkRows(Seq(70L)))
+    c.setField("grp", Seq((70L, 888L)).toDF("pk", "grp"))
+    val qs2 = Seq((0L, vec(70))).toDF("qid", "qvec")
+    val tail = c.searchIndexed("emb", qs2, k = 1, nprobe = 4, metric = Metric.L2,
+      outputFields = Seq("pk", "grp")).select($"pk", $"grp")
+      .as[(Long, Long)].head()
+    assert(tail == ((70L, 888L)))
+    // brute-force search agrees with both (the contract under test)
+    val brute = c.search("emb", qs, k = 1, metric = Metric.L2,
+      outputFields = Seq("pk", "grp")).select($"grp").as[Long].head()
+    assert(brute == 999L)
+  }
+
   test("hasPartition, partitionStatistics, and listAliases metadata surfaces") {
     val c = fresh()
     c.createPartition("hot")

@@ -96,6 +96,9 @@ class ProviderSpec extends SparkSpec {
     // unknown provider rejects with the known list
     intercept[IllegalArgumentException](
       Providers.resolve("hal9000", Map("api_key" -> "k"), Map.empty, 8, _ => None))
+    // the config's toString never leaks the credential (log-line safety)
+    assert(!viaEnv.toString.contains("env-key") &&
+      viaEnv.toString.contains("apiKey=***"))
   }
 
   test("voyageai truncate param reaches the request body") {
