@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * (char_group_tokenizer.rs), ngram (ngram_tokenizer_with_chars.rs),
   * keyword — and filters lowercase / stop / length / alphanumonly).
   *
-  * jieba/lindera ship without their dictionary assets here, so they map
-  * to the standard dictionary-free fallbacks (mixed uni+bigrams /
-  * script-run segmentation); icu/thai map to the JDK's ICU-derived
-  * UAX#29 word break, which bundles the Thai break dictionary.
+  * jieba/lindera ship without their bundled dictionary assets here: a
+  * user-supplied dictionary (inline `dict` or a file-resource registry
+  * `dict_resource`) drives longest-match segmentation ([[CjkDict]]);
+  * without one they map to the standard dictionary-free fallbacks
+  * (mixed uni+bigrams / script-run segmentation); icu/thai map to the
+  * JDK's ICU-derived UAX#29 word break, which bundles the Thai break
+  * dictionary.
   *
   * Everything compiles to built-in codegen'd string/array functions —
   * an analyzer runs inside whole-stage codegen on the corpus scan, so
@@ -65,6 +68,25 @@ object Analyzers {
     * tokenizes as `standard`.
     */
   case object JaScriptRuns extends Tokenizer
+  /** Dictionary-backed CJK segmentation (reference: jieba_tokenizer.rs
+    * and lindera_tokenizer.rs consume user dictionaries; the
+    * file-resource registry supplies one here via the `dict_resource`
+    * analyzer param). Forward longest-match over each CJK run: at every
+    * position the longest dictionary word wins (`北京大学` beats a
+    * hypothetical `北京`; `大学生` beats `大学`), out-of-dictionary
+    * spans fall back to the dictionary-free treatment — uni+bigrams in
+    * jieba mode ([[CjkMixed]]), script-run segmentation in lindera mode
+    * ([[JaScriptRuns]]) — and non-CJK spans tokenize as `standard`.
+    * Tokens come out in reading order. Imperative per-string walk → a
+    * UDF like [[WordBreak]]: analyzer cost sits at ingest/index-build
+    * time, off the scan hot path; the dictionary rides into the closure
+    * as a broadcast-sized literal, so executors never read files.
+    */
+  final case class CjkDict(words: Seq[String], ja: Boolean) extends Tokenizer {
+    require(words.nonEmpty, "dictionary tokenizer needs at least one word")
+    require(words.forall(_.nonEmpty), "dictionary words must be non-empty")
+  }
+
   /** UAX#29 word segmentation via the JDK's BreakIterator (reference:
     * tokenizers/icu_tokenizer.rs wraps ICU's word-break; the JDK ships
     * the same ICU-derived break rules AND dictionaries — including the
@@ -193,6 +215,78 @@ object Analyzers {
           .otherwise(array().cast("array<string>")))))
       concat(latin, hanGrams, kanaRuns)
     case WordBreak(tag) => wordBreakUdf(c, lit(tag))
+    case CjkDict(ws, ja) => cjkDictUdf(ws, ja)(c)
+  }
+
+  /** Longest-match dictionary segmentation over the full string: CJK
+    * runs walk the dictionary, everything between tokenizes as
+    * `standard`. See [[CjkDict]].
+    */
+  private def cjkDictUdf(dictWords: Seq[String], ja: Boolean) = {
+    val words = dictWords.toSet
+    val maxLen = words.iterator.map(_.length).max
+    // lindera mode scopes to Japanese scripts (incl. U+30FC inside
+    // loanwords); jieba mode covers the full CJK class like cjkDispatch
+    val runRe =
+      if (ja) "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}ー]+"
+      else "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]+"
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        // OOV fallback = the dictionary-free treatment of that span
+        def grams(span: String): Unit = {
+          var i = 0
+          while (i < span.length) { out += span.substring(i, i + 1); i += 1 }
+          i = 0
+          while (i < span.length - 1) { out += span.substring(i, i + 2); i += 1 }
+        }
+        def fallback(span: String): Unit =
+          if (!ja) grams(span)
+          else {
+            // script runs: kana runs whole, Han runs as uni+bigrams
+            val m = java.util.regex.Pattern
+              .compile("[\\p{IsHiragana}]+|[\\p{IsKatakana}ー]+|[\\p{IsHan}]+")
+              .matcher(span)
+            while (m.find()) {
+              val r = m.group()
+              if (r.head.toString.matches("[\\p{IsHan}]")) grams(r) else out += r
+            }
+          }
+        def segRun(run: String): Unit = {
+          var i = 0
+          var oov = -1
+          while (i < run.length) {
+            var l = math.min(maxLen, run.length - i)
+            var hit = 0
+            while (l >= 1 && hit == 0) {
+              if (words.contains(run.substring(i, i + l))) hit = l
+              l -= 1
+            }
+            if (hit > 0) {
+              if (oov >= 0) { fallback(run.substring(oov, i)); oov = -1 }
+              out += run.substring(i, i + hit)
+              i += hit
+            } else {
+              if (oov < 0) oov = i
+              i += 1
+            }
+          }
+          if (oov >= 0) fallback(run.substring(oov))
+        }
+        val m = java.util.regex.Pattern.compile(runRe).matcher(s)
+        var last = 0
+        while (m.find()) {
+          if (m.start > last)
+            out ++= TextFunctions.tokenizeString(s.substring(last, m.start))
+          segRun(m.group())
+          last = m.end
+        }
+        if (last < s.length)
+          out ++= TextFunctions.tokenizeString(s.substring(last))
+        out.toSeq
+      }
+    }
   }
 
   /** BreakIterator word extraction: keeps segments containing at least
@@ -363,6 +457,21 @@ object Analyzers {
     * tokenizers fail fast.
     */
   def analyzeWith(c: Column, params: Map[String, String]): Column = {
+    // `<param>_resource` indirection (AddFileResource contract): the
+    // named registry entry's LINES splice in ahead of any inline value —
+    // resolved here at analyzer-build time, so the dictionary rides into
+    // the compiled expression as a literal
+    def withResource(inlineKey: String, resourceKey: String, sep: String): Seq[String] = {
+      val inline = params.getOrElse(inlineKey, "")
+        .split(sep).toSeq.map(_.trim).filter(_.nonEmpty)
+      val fromResource = params.get(resourceKey).toSeq.flatMap(name =>
+        FileResources.get(name).linesIterator.map(_.trim).filter(_.nonEmpty))
+      fromResource ++ inline
+    }
+    // jieba/lindera with a user dictionary (inline `dict` or a
+    // registry `dict_resource`) segment by longest match; without one
+    // they keep the documented dictionary-free fallbacks
+    def dictWords: Seq[String] = withResource("dict", "dict_resource", ",")
     val tok = params.getOrElse("tokenizer", "standard") match {
       case "standard"   => Standard
       case "whitespace" => Whitespace
@@ -376,25 +485,16 @@ object Analyzers {
       // emission; lindera without IPADIC = script-run boundaries;
       // icu/thai map to the JDK's ICU-derived UAX#29 word break (the
       // JDK bundles the Thai break dictionary)
-      case "jieba"      => CjkMixed
-      case "lindera"    => JaScriptRuns
+      case "jieba"      =>
+        val dw = dictWords; if (dw.nonEmpty) CjkDict(dw, ja = false) else CjkMixed
+      case "lindera"    =>
+        val dw = dictWords; if (dw.nonEmpty) CjkDict(dw, ja = true) else JaScriptRuns
       case "icu"        => WordBreak(params.getOrElse("locale", ""))
       case "thai"       => WordBreak(params.getOrElse("locale", "th"))
       case other        => throw new IllegalArgumentException(
         s"tokenizer '$other' not supported (lang_ident covers CJK via char " +
           "bigrams, jieba via mixed uni+bigrams, lindera via script-run " +
           "segmentation, icu/thai via JDK UAX#29 word break)")
-    }
-    // `<param>_resource` indirection (AddFileResource contract): the
-    // named registry entry's LINES splice in ahead of any inline value —
-    // resolved here at analyzer-build time, so the dictionary rides into
-    // the compiled expression as a literal
-    def withResource(inlineKey: String, resourceKey: String, sep: String): Seq[String] = {
-      val inline = params.getOrElse(inlineKey, "")
-        .split(sep).toSeq.map(_.trim).filter(_.nonEmpty)
-      val fromResource = params.get(resourceKey).toSeq.flatMap(name =>
-        FileResources.get(name).linesIterator.map(_.trim).filter(_.nonEmpty))
-      fromResource ++ inline
     }
     val filters = params.get("filters").map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil).map {

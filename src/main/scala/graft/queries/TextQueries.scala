@@ -289,6 +289,33 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term")).limit(25)
   }
 
+  /** Fixture for the dictionary-backed jieba tokenizer (reference:
+    * jieba_tokenizer.rs consumes a user dictionary; here it arrives
+    * through the file-resource registry via `dict_resource`). The
+    * expected tokens are derived BY HAND from the documented
+    * longest-match semantics — 北京大学 wins whole (4-char dict entry),
+    * 大学生 beats its prefix 大学 (longest match), OOV spans fall back
+    * to uni+bigrams, latin spans tokenize as standard — so the oracle
+    * pins intended behavior, not the implementation.
+    */
+  private val UserDictWords = Seq("中国", "大学", "大学生", "北京大学")
+  private val UserDictSentences = Seq(
+    "我在中国",          // OOV 我在 → grams; 中国 dict-whole
+    "北京大学的学生",    // 北京大学 whole; OOV 的学生 → grams
+    "大学生活",          // 大学生 beats 大学; OOV 活
+    "Hello 中国 world")  // latin spans as standard, reading order
+  private val UserDictTokens = Seq(
+    Seq("我", "在", "我在", "中国"),
+    Seq("北京大学", "的", "学", "生", "的学", "学生"),
+    Seq("大学生", "活"),
+    Seq("hello", "中国", "world"))
+
+  def analyzerUserdict(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FileResources.add("userdict_cjk_r8", UserDictWords.mkString("\n"))
+    sentenceCounts(s, dir, UserDictSentences,
+      Map("tokenizer" -> "jieba", "dict_resource" -> "userdict_cjk_r8"))
+  }
+
   def analyzerThai(s: SparkSession, dir: String): DataFrame =
     sentenceCounts(s, dir, ThaiSentences, Map("tokenizer" -> "thai"))
 
@@ -645,6 +672,7 @@ object TextQueries {
     "q_analyzer_cjk" -> (analyzerCjk _),
     "q_analyzer_pinyin" -> (analyzerPinyin _),
     "q_analyzer_ja" -> (analyzerJa _),
+    "q_analyzer_userdict" -> (analyzerUserdict _),
     "q_analyzer_thai" -> (analyzerThai _),
     "q_analyzer_icu" -> (analyzerIcu _),
     "q_analyzer_stem" -> (analyzerStem _)
@@ -725,6 +753,7 @@ object TextQueries {
          |ORDER BY cnt DESC, term LIMIT 30""".stripMargin
     },
     "q_analyzer_thai" -> sentenceOracle(ThaiTokens),
+    "q_analyzer_userdict" -> sentenceOracle(UserDictTokens),
     "q_analyzer_icu" -> sentenceOracle(IcuTokens),
     "q_analyzer_stem" -> sentenceOracle(StemTokens),
     "q_analyzer_ja" ->

@@ -272,4 +272,66 @@ class AnalyzersSpec extends SparkSpec {
     }
     FileResources.remove(syn)
   }
+
+  test("jieba with a user dictionary: longest match, OOV grams, latin order") {
+    val dict = Seq("中国", "大学", "大学生", "北京大学")
+    // longest match wins: 北京大学 whole, not 北京+大学 or grams
+    assert(run("北京大学的学生", CjkDict(dict, ja = false)) ==
+      Seq("北京大学", "的", "学", "生", "的学", "学生"))
+    // a longer dict word beats its own dict prefix (大学生 over 大学)
+    assert(run("大学生活", CjkDict(dict, ja = false)) == Seq("大学生", "活"))
+    // OOV spans before a dict hit fall back to uni+bigrams
+    assert(run("我在中国", CjkDict(dict, ja = false)) ==
+      Seq("我", "在", "我在", "中国"))
+    // latin spans tokenize as standard, tokens in reading order
+    assert(run("Hello 中国 world", CjkDict(dict, ja = false)) ==
+      Seq("hello", "中国", "world"))
+    // empty dictionary refuses at build time
+    intercept[IllegalArgumentException](CjkDict(Nil, ja = false))
+  }
+
+  test("lindera with a user dictionary: dict words cross scripts, OOV script runs") {
+    // dict entry spanning Han+kana (a real lindera-dictionary shape):
+    // the whole compound comes out as one token
+    val dict = Seq("東京タワー", "食べる")
+    assert(run("東京タワーを見た", CjkDict(dict, ja = true)) ==
+      Seq("東京タワー", "を", "見", "た"))
+    // OOV spans fall back to script-run segmentation: kana runs whole,
+    // Han runs as uni+bigrams
+    assert(run("日本語です", CjkDict(dict, ja = true)) ==
+      Seq("日", "本", "語", "日本", "本語", "です"))
+    // the prolonged sound mark stays inside a katakana loanword run;
+    // katakana and hiragana are distinct OOV runs (loanword vs particle)
+    assert(run("データを食べる", CjkDict(dict, ja = true)) ==
+      Seq("データ", "を", "食べる"))
+  }
+
+  test("dict_resource param routes jieba/lindera through the registry") {
+    val res = s"userdict_${System.nanoTime()}"
+    FileResources.add(res, "中国\n大学生")
+    val viaRes = Seq("大学生在中国").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"),
+        Map("tokenizer" -> "jieba", "dict_resource" -> res)).as("x"))
+      .as[Seq[String]].head()
+    assert(viaRes == Seq("大学生", "在", "中国"))
+    // inline dict words merge with (after) the resource lines
+    val merged = Seq("大学生在北京").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"),
+        Map("tokenizer" -> "jieba", "dict_resource" -> res,
+          "dict" -> "北京")).as("x"))
+      .as[Seq[String]].head()
+    assert(merged == Seq("大学生", "在", "北京"))
+    // without a dict the tokenizers keep their dictionary-free fallbacks
+    val noDict = Seq("中国").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"),
+        Map("tokenizer" -> "jieba")).as("x")).as[Seq[String]].head()
+    assert(noDict == Seq("中", "国", "中国"))
+    // lindera honors the same param
+    val ja = Seq("東京です").toDF("t")
+      .select(Analyzers.analyzeWith(col("t"),
+        Map("tokenizer" -> "lindera", "dict" -> "東京")).as("x"))
+      .as[Seq[String]].head()
+    assert(ja == Seq("東京", "です"))
+    FileResources.remove(res)
+  }
 }
