@@ -50,29 +50,39 @@ object Mixing {
     * Determinism + scale: docs are sharded by `idCol % shards` and each
     * shard packs INDEPENDENTLY in ascending id order — the sequential
     * dependency of greedy packing is confined to a shard, so shards pack
-    * in parallel (`flatMapGroups`) and the result is a pure function of
-    * (ids, token counts, budget, shards), reproducible in plain SQL.
-    * Pack ids are (shard, pack_idx). Packing quality is within ~1 doc of
+    * in parallel and the result is a pure function of (ids, token
+    * counts, budget, shards), reproducible in plain SQL. Pack ids are
+    * (shard, pack_idx). Packing quality is within ~1 doc of
     * global-sequential greedy per shard; corpus order carries no meaning
     * in a shuffled training set, so sharding loses nothing.
+    *
+    * Per-task memory is O(1): each shard STREAMS through
+    * `flatMapSortedGroups` (the sort rides the shuffle's spillable
+    * sorter), so a shard never materializes in a task — a 25B-doc
+    * corpus cannot OOM a task regardless of the shard count. `shards`
+    * therefore only sets parallelism; when omitted it scales with the
+    * corpus via [[autoShards]] (the Vamana numParts pattern) so the
+    * walk stays parallel at any scale without the caller tuning it.
     *
     * Output: (id, shard, pack_idx) — one row per input doc.
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, shards: Int = 64): DataFrame = {
+      budget: Long, shards: Int = AutoShards): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    require(shards > 0, s"shards must be positive, got $shards")
+    require(shards >= 0, s"shards must be positive (or AutoShards=0), got $shards")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
-      .as[(Long, Long)]
-      .groupByKey { case (id, _) => ((id % shards) + shards) % shards }
-      .flatMapGroups { (shard: Long, rows: Iterator[(Long, Long)]) =>
-        val sorted = rows.toArray.sortBy(_._1)
+    val slim = df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+    // auto mode pays one columnar count() of the (already pruned) input
+    // — cheap next to the pack shuffle it sizes
+    val nShards = if (shards > 0) shards else autoShards(slim.count())
+    slim.as[(Long, Long)]
+      .groupByKey { case (id, _) => ((id % nShards) + nShards) % nShards }
+      .flatMapSortedGroups(col(idCol)) { (shard: Long, rows: Iterator[(Long, Long)]) =>
         var pack = 0L
         var acc = 0L
         var first = true
-        sorted.iterator.map { case (id, tokens) =>
+        rows.map { case (id, tokens) =>
           if (first) { acc = tokens; first = false }
           else if (acc + tokens > budget) { pack += 1L; acc = tokens }
           else acc += tokens
@@ -81,4 +91,18 @@ object Mixing {
       }
       .toDF(idCol, "shard", "pack_idx")
   }
+
+  /** Sentinel for [[packSequences]]: pick the shard count from the
+    * corpus size.
+    */
+  val AutoShards = 0
+
+  /** One shard per ~8M docs, floor 64: at sf0.1 (60k docs) the floor
+    * keeps every core busy; at 25B docs (the 100 TB shape) this yields
+    * ~3k shards, so the per-shard sequential walk stays a minutes-scale
+    * task instead of one giant serial pass. Memory never constrains the
+    * choice — shards stream (see [[packSequences]]).
+    */
+  def autoShards(nDocs: Long): Int =
+    math.min(1 << 20, math.max(64L, nDocs / 8000000L + 1L)).toInt
 }

@@ -79,4 +79,22 @@ class PiiMixingSpec extends SparkSpec {
       shards = 8).as[(Long, Long, Long)].collect()
     assert(packed.toSet == again.toSet)
   }
+
+  test("sequence packing auto-scales shards with the corpus") {
+    // the formula: floor 64 at test scale, grows ~1 shard per 8M docs,
+    // capped — so a 100 TB corpus (~25B docs) gets ~3k parallel walks
+    // instead of 64 giant serial ones
+    assert(Mixing.autoShards(60000L) == 64)
+    assert(Mixing.autoShards(512000000L) == 65)
+    assert(Mixing.autoShards(25000000000L) == 3126)
+    assert(Mixing.autoShards(Long.MaxValue) == (1 << 20))
+    // default (AutoShards) packs correctly at the floor and matches an
+    // explicit shards=64 run — same pure function of (ids, toks, budget)
+    val docs = (0L until 300L).map(i => (i, 1L + i % 200L)).toDF("id", "n_tok")
+    val auto = Mixing.packSequences(docs, "id", "n_tok", budget = 512L)
+      .as[(Long, Long, Long)].collect()
+    val pinned = Mixing.packSequences(docs, "id", "n_tok", budget = 512L,
+      shards = 64).as[(Long, Long, Long)].collect()
+    assert(auto.toSet == pinned.toSet && auto.length == 300)
+  }
 }
