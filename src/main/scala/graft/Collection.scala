@@ -603,6 +603,81 @@ final class Collection private (
     }
   }
 
+  final case class QuerySegmentInfo(path: String, rows: Long, state: String,
+      indexedFields: Seq[String], residency: String)
+
+  /** GetQuerySegmentInfo (reference: impl.go GetQuerySegmentInfo — the
+    * querynode's LOADED view of segments, vs
+    * [[getPersistentSegmentInfo]]'s flushed datanode view): every
+    * sealed segment plus the growing tail, each with raw rows,
+    * residency (memory-pinned when the collection is loaded), and
+    * which vector indexes fully cover it — a segment is covered when
+    * its newest row version predates the index build; later rows are
+    * served through the interim/tail path instead. Footer/stats-only
+    * jobs per segment; no full data scan.
+    */
+  def getQuerySegmentInfo: Seq[QuerySegmentInfo] = {
+    requirePriv("GetStatistics")
+    val resident = if (loadedFlag) "Memory" else "Disk"
+    val idx = indexes
+    val sealedInfos = sealedSegments.map { p =>
+      val seg = spark.read.parquet(p)
+      val r = seg.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        max(col(schema.tsField)).as("m")).head()
+      val rows = r.getLong(0)
+      val maxTs = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val covering = idx.collect {
+        case (f, st) if st.buildTs >= maxTs => f
+      }.toSeq.sorted
+      QuerySegmentInfo(p, rows, "Sealed", covering, resident)
+    }
+    val tail = growing.map(g =>
+      QuerySegmentInfo("growing", g.count(), "Growing", Nil, "Memory"))
+    sealedInfos ++ tail
+  }
+
+  /** GetFlushState (reference: impl.go GetFlushState(flush_ts)): true
+    * when every row written at or before `ts` sits in a sealed
+    * segment — i.e. the growing tail holds nothing that old.
+    */
+  def getFlushState(ts: Long = Long.MaxValue): Boolean = {
+    requirePriv("GetStatistics")
+    growing.forall(g => g.filter(col(schema.tsField) <= ts).isEmpty)
+  }
+
+  final case class CompactionInfo(id: Long, ts: Long, state: String,
+      segmentsBefore: Int, segmentsAfter: Int)
+
+  // completed manual compactions, by id (reference: datacoord keeps the
+  // compaction plan registry GetCompactionState reads)
+  @volatile private var compactionHistory: Map[Long, CompactionInfo] = Map.empty
+
+  /** ManualCompaction (reference: impl.go ManualCompaction → a
+    * compaction id for [[getCompactionState]] polling). This engine
+    * compacts synchronously inside [[compact]], so the returned id is
+    * already Completed — the polling contract still holds, the
+    * Executing window is just zero-width.
+    */
+  def manualCompaction(path: String): Long = stateLock.synchronized {
+    val before = sealedSegments.size
+    compact(path) // privilege-gated (Compaction) inside
+    val id = nextTs()
+    compactionHistory +=
+      id -> CompactionInfo(id, id, "Completed", before, sealedSegments.size)
+    id
+  }
+
+  /** GetCompactionState (reference: impl.go GetCompactionState): the
+    * recorded state of a [[manualCompaction]] run; unknown ids error
+    * (the reference returns an error status for unknown compaction ids).
+    */
+  def getCompactionState(id: Long): CompactionInfo = {
+    requirePriv("GetStatistics")
+    compactionHistory.getOrElse(id, throw new NoSuchElementException(
+      s"no compaction with id $id"))
+  }
+
   // ---- row-level security (20250610-rls_design.md) ----
   private var rlsPolicies: Seq[String] = Nil
   private var currentUser: Option[Rls.UserContext] = None

@@ -864,6 +864,64 @@ class CollectionSpec extends SparkSpec {
     assert(infos.forall(_.path.startsWith(dir)))
   }
 
+  test("getQuerySegmentInfo: loaded view with residency and index coverage") {
+    val c = fresh()
+    val dir = "/tmp/graft_test_qseginfo_" + System.nanoTime()
+    c.flush(dir)
+    // no index yet, not loaded: one sealed segment on disk, no coverage
+    val before = c.getQuerySegmentInfo
+    assert(before.map(i => (i.state, i.rows, i.residency, i.indexedFields)) ==
+      Seq(("Sealed", 50L, "Disk", Nil)))
+    // index build covers the pre-build segment; post-build inserts form
+    // a growing entry the index does NOT cover (interim/tail serves it)
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    c.insert(mkRows(100L until 110L))
+    val after = c.getQuerySegmentInfo
+    assert(after.size == 2)
+    assert(after.head.state == "Sealed" && after.head.indexedFields == Seq("emb"))
+    assert(after(1) == c.QuerySegmentInfo("growing", 10L, "Growing", Nil, "Memory"))
+    // a second flush adds a segment NEWER than the build: not covered
+    c.flush(dir)
+    val twoSeg = c.getQuerySegmentInfo
+    assert(twoSeg.map(_.state) == Seq("Sealed", "Sealed"))
+    assert(twoSeg.map(_.indexedFields) == Seq(Seq("emb"), Nil))
+    // load pins residency to memory
+    c.load()
+    assert(c.getQuerySegmentInfo.forall(_.residency == "Memory"))
+  }
+
+  test("getFlushState and manualCompaction/getCompactionState RPCs") {
+    val c = fresh()
+    // growing tail present: not flushed overall, but a ts BEFORE the
+    // first write is (vacuously) flushed
+    assert(!c.getFlushState())
+    assert(c.getFlushState(ts = 0L))
+    val dir = "/tmp/graft_test_flushstate_" + System.nanoTime()
+    c.flush(s"$dir/seal")
+    assert(c.getFlushState())
+    c.insert(mkRows(200L until 205L))
+    assert(!c.getFlushState())
+    c.flush(s"$dir/seal2")
+    // manual compaction: synchronous fold, id immediately Completed
+    c.deletePks(Seq(1L, 2L))
+    val id = c.manualCompaction(s"$dir/compact")
+    val st = c.getCompactionState(id)
+    assert(st.state == "Completed" && st.id == id)
+    assert(st.segmentsBefore == 2 && st.segmentsAfter == 1)
+    assert(c.count() == 53) // 55 - 2 deleted, data intact post-compaction
+    intercept[NoSuchElementException](c.getCompactionState(id + 999L))
+    // privilege-gated like the other introspection RPCs
+    val reg = new Rbac.Registry
+    reg.createRole("nobody")
+    reg.addUserToRole("eve", "nobody")
+    c.enableRbac(reg, "col")
+    c.setUser(Rls.UserContext("eve"))
+    intercept[SecurityException](c.getQuerySegmentInfo)
+    intercept[SecurityException](c.getFlushState())
+    intercept[SecurityException](c.getCompactionState(id))
+    c.disableRbac()
+  }
+
   test("alterCollection properties: metadata echoes, collection.ttl wires reads") {
     val c = fresh() // 50 rows inserted at consecutive TSO ticks
     // arbitrary metadata round-trips
