@@ -28,10 +28,9 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType
   *    are transient and retried with linear backoff, any other non-200
   *    fails immediately (common.go:368-377).
   *
-  * Deliberate divergences, documented: one canonical JSON wire shape
-  * (the OpenAI one) is used for every provider — the per-provider wire
-  * dialects are auth/format trivia the in-process stub doesn't need to
-  * reproduce; and the default provider for oracle queries remains the
+  * Requests and responses speak each provider's documented public wire
+  * dialect (see [[EmbeddingClient]]), so the layer is drop-in against
+  * real endpoints; the default provider for oracle queries remains the
   * deterministic local [[IngestFunctions.CharFreqEmbedding]] (no egress
   * in any target environment).
   *
@@ -130,9 +129,18 @@ object Providers {
       case c => c.toString
     } + "\""
 
-  /** Batched embedding client over one canonical wire shape:
-    * request  `{"model": m, "input": [texts...], "truncate": bool}`,
-    * response `{"data": [{"embedding": [floats...]}, ...]}`.
+  /** Batched embedding client speaking each provider's documented wire
+    * dialect (the public API shapes):
+    *  - openai:   req `{"model", "input": [...], "user"}` →
+    *              resp `{"data": [{"embedding": [...]}, ...]}`
+    *  - voyageai: req `{"model", "input": [...], "truncation": bool}` →
+    *              resp `{"data": [{"embedding": [...]}, ...]}`
+    *  - cohere:   req `{"model", "texts": [...], "input_type":
+    *              "search_document", "embedding_types": ["float"],
+    *              "truncate": "END"|"NONE"}` (v2 embed) →
+    *              resp `{"embeddings": {"float": [[...], ...]}}`
+    *  - tei:      req `{"inputs": [...], "truncate": bool}` →
+    *              resp `[[...], ...]` (bare nested array)
     * Serializable so `mapPartitions` closures can carry the CONFIG;
     * the HTTP client itself is rebuilt lazily per JVM/executor.
     */
@@ -141,16 +149,32 @@ object Providers {
     @transient private lazy val http: HttpClient = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(cfg.timeoutMs)).build()
 
+    private[functions] def requestBody(chunk: Seq[String]): String = {
+      val arr = chunk.map(jstr).mkString("[", ",", "]")
+      cfg.provider match {
+        case "voyageai" =>
+          s"""{"model":${jstr(cfg.modelName)},"input":$arr,""" +
+            s""""truncation":${cfg.truncate}}"""
+        case "cohere" =>
+          val trunc = if (cfg.truncate) "END" else "NONE"
+          s"""{"model":${jstr(cfg.modelName)},"texts":$arr,""" +
+            s""""input_type":"search_document","embedding_types":["float"],""" +
+            s""""truncate":"$trunc"}"""
+        case "tei" =>
+          s"""{"inputs":$arr,"truncate":${cfg.truncate}}"""
+        case _ => // openai (and the default dialect)
+          s"""{"model":${jstr(cfg.modelName)},"input":$arr,""" +
+            s""""user":${jstr(cfg.user)}}"""
+      }
+    }
+
     /** Embed all texts: maxBatch-sized chunks, retry-per-chunk,
       * count+dim validation per response (CallEmbedding's loop).
       */
     def embed(texts: Seq[String]): Seq[Array[Float]] =
       texts.grouped(cfg.maxBatch).flatMap { chunk =>
-        val body = chunk.map(jstr).mkString(
-          s"""{"model":${jstr(cfg.modelName)},"input":[""", ",",
-          s"""],"truncate":${cfg.truncate},"user":${jstr(cfg.user)}}""")
-        val resp = sendWithRetry(body)
-        val embs = parseEmbeddings(resp)
+        val resp = sendWithRetry(requestBody(chunk))
+        val embs = parseResponse(resp)
         require(embs.length == chunk.length,
           s"provider returned ${embs.length} embeddings for ${chunk.length} texts")
         embs.foreach(e => require(e.length == cfg.dim,
@@ -196,8 +220,21 @@ object Providers {
         s"provider request failed after ${cfg.maxRetries} attempts", lastErr)
     }
 
-    /** Extract every "embedding":[...] array in order. Narrow by design:
-      * the canonical wire shape above, not a general JSON parser.
+    /** Dispatch to the provider's documented response shape. Narrow by
+      * design: the dialects above, not a general JSON parser.
+      */
+    private[functions] def parseResponse(json: String): Seq[Array[Float]] =
+      cfg.provider match {
+        case "cohere" =>
+          val k = json.indexOf("\"float\"")
+          require(k >= 0, "cohere response missing embeddings.float")
+          parseFloatArrays(json, json.indexOf('[', k))
+        case "tei" => parseFloatArrays(json, json.indexOf('['))
+        case _     => parseEmbeddings(json)
+      }
+
+    /** Extract every "embedding":[...] array in order (the OpenAI-shaped
+      * `data` list voyageai shares).
       */
     private[functions] def parseEmbeddings(json: String): Seq[Array[Float]] = {
       val key = "\"embedding\""
@@ -211,6 +248,26 @@ object Providers {
           .iterator.map(_.trim).filter(_.nonEmpty).map(_.toFloat).toArray
         out += nums
         i = json.indexOf(key, end)
+      }
+      out.result()
+    }
+
+    /** Parse a nested `[[...], [...], ...]` float matrix starting at the
+      * OUTER '[' at `start` (cohere's embeddings.float, tei's bare body).
+      */
+    private[functions] def parseFloatArrays(json: String, start: Int): Seq[Array[Float]] = {
+      require(start >= 0, "malformed nested embedding array in response")
+      val out = Seq.newBuilder[Array[Float]]
+      var j = json.indexOf('[', start + 1)
+      while (j > 0) {
+        val end = json.indexOf(']', j)
+        require(end > j, "malformed inner embedding array in response")
+        out += json.substring(j + 1, end).split(",")
+          .iterator.map(_.trim).filter(_.nonEmpty).map(_.toFloat).toArray
+        val nextOpen = json.indexOf('[', end)
+        val outerClose = json.indexOf(']', end + 1)
+        j = if (nextOpen >= 0 && (outerClose < 0 || nextOpen < outerClose)) nextOpen
+            else -1
       }
       out.result()
     }

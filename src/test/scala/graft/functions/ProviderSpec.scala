@@ -34,9 +34,14 @@ class ProviderSpec extends SparkSpec {
       val n = requests.incrementAndGet()
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       lastBody = body
-      // count inputs = strings inside "input":[...]
+      // the request dialect identifies the provider: openai/voyageai
+      // send "input", cohere sends "texts", tei sends "inputs"
+      val (key, dialect) =
+        if (body.contains("\"texts\":[")) ("\"texts\":[", "cohere")
+        else if (body.contains("\"inputs\":[")) ("\"inputs\":[", "tei")
+        else ("\"input\":[", "openai")
       val inputs = {
-        val s = body.indexOf("\"input\":[") + 9
+        val s = body.indexOf(key) + key.length
         val e = body.indexOf("]", s)
         val seg = body.substring(s, e)
         if (seg.trim.isEmpty) Nil
@@ -48,11 +53,18 @@ class ProviderSpec extends SparkSpec {
         ex.sendResponseHeaders(failStatus, -1); ex.close()
       } else {
         val count = if (dropLast) inputs.length - 1 else inputs.length
-        val data = (0 until count).map { i =>
+        def vecOf(i: Int): String = {
           val len = inputs(i).replace("\\\"", "\"").length
-          (0 until dim).map(j => (len + j).toFloat).mkString(
-            "{\"embedding\":[", ",", "]}")
-        }.mkString("{\"data\":[", ",", "]}")
+          (0 until dim).map(j => (len + j).toFloat).mkString("[", ",", "]")
+        }
+        // respond in the SAME provider's documented response shape
+        val data = dialect match {
+          case "cohere" => (0 until count).map(vecOf)
+            .mkString("{\"embeddings\":{\"float\":[", ",", "]}}")
+          case "tei" => (0 until count).map(vecOf).mkString("[", ",", "]")
+          case _ => (0 until count).map(i => s"""{"embedding":${vecOf(i)}}""")
+            .mkString("{\"data\":[", ",", "]}")
+        }
         val bytes = data.getBytes(StandardCharsets.UTF_8)
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
@@ -101,13 +113,45 @@ class ProviderSpec extends SparkSpec {
       viaEnv.toString.contains("apiKey=***"))
   }
 
-  test("voyageai truncate param reaches the request body") {
+  test("voyageai dialect: 'truncation' request key, OpenAI-shaped response") {
     val stub = new Stub(4)
     try {
       val cfg = cfgFor(stub, 4, provider = "voyageai",
         extra = Map("truncate" -> "true"))
-      new EmbeddingClient(cfg).embed(Seq("hello"))
-      assert(stub.lastBody.contains("\"truncate\":true"))
+      val embs = new EmbeddingClient(cfg).embed(Seq("hello"))
+      assert(stub.lastBody.contains("\"truncation\":true"))
+      assert(stub.lastBody.contains("\"input\":["))
+      assert(embs.head.toSeq == Seq(5f, 6f, 7f, 8f))
+    } finally stub.stop()
+  }
+
+  test("cohere v2 dialect: texts/input_type request, embeddings.float response") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "cohere",
+        extra = Map("truncate" -> "true"))
+      val embs = new EmbeddingClient(cfg).embed(Seq("ab", "cdef"))
+      assert(stub.lastBody.contains("\"texts\":[\"ab\",\"cdef\"]"))
+      assert(stub.lastBody.contains("\"input_type\":\"search_document\""))
+      assert(stub.lastBody.contains("\"embedding_types\":[\"float\"]"))
+      assert(stub.lastBody.contains("\"truncate\":\"END\""))
+      // the nested embeddings.float matrix parses in order
+      assert(embs.map(_.head) == Seq(2f, 4f))
+      // truncate=false renders the documented "NONE"
+      val cfg2 = cfgFor(stub, 4, provider = "cohere")
+      new EmbeddingClient(cfg2).embed(Seq("x"))
+      assert(stub.lastBody.contains("\"truncate\":\"NONE\""))
+    } finally stub.stop()
+  }
+
+  test("tei dialect: bare inputs request, bare nested-array response") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "tei")
+      val embs = new EmbeddingClient(cfg).embed(Seq("abc", "z"))
+      assert(stub.lastBody.contains("\"inputs\":[\"abc\",\"z\"]"))
+      assert(!stub.lastBody.contains("\"model\"")) // tei is model-less
+      assert(embs.map(_.head) == Seq(3f, 1f))
     } finally stub.stop()
   }
 
