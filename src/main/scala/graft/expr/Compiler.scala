@@ -195,6 +195,12 @@ object ExprCompiler {
       val t = compileInTarget(target, values, ctx)
       val membership = values match {
         case ArrayLit(items) if items.isEmpty => lit(false)
+        case ArrayLit(items) if isJsonPathNode(target, ctx) =>
+          // typed-union canonicalization (reference #51489: a JSON IN is
+          // EXACTLY the OR expansion of typed equalities — mixed-type
+          // lists match per literal kind, never coerced; homogeneous
+          // lists get the same expansion so IN ≡ OR always holds)
+          items.map(i => compileBinary(BinOp.Eq, target, i, ctx)).reduce(_ || _)
         case ArrayLit(items) =>
           t.isin(items.map(litValue(_, ctx)): _*)
         case TemplateVar(name) =>
@@ -329,8 +335,71 @@ object ExprCompiler {
     val c = compile(n, ctx)
     if (isJsonPathNode(n, ctx)) otherType match {
       case Some(StringType) | None => c
+      // the JSON number bucket: int and float literals both compare
+      // numerically (1 == 1.0 — #51568's same-bucket contract), so the
+      // extracted lexeme casts to DOUBLE, not the literal's exact type
+      // (a LONG cast would null out "1.0" against an int literal)
+      case Some(_: NumericType)    => tryCast(c, DoubleType)
       case Some(dt)                => tryCast(c, dt)
     } else c
+  }
+
+  /** The variant type name at a JSON path ("STRING", "BIGINT",
+    * "DECIMAL(p,s)", "BOOLEAN", … — null when missing), for the typed
+    * comparison buckets. `get_json_object` strips quotes, so the number
+    * 1 and the string "1" extract identically — but the reference's
+    * JSON comparison semantics are TYPED (the #51489/#51567 typed-union
+    * contract: bool/int/string literals match only values of their own
+    * JSON kind, never coerced). The raw kind is recovered from a
+    * variant re-parse of the document; only JSON-path comparisons pay
+    * it, and those never reach parquet pushdown anyway.
+    */
+  private def jsonKindOf(n: Node, ctx: Ctx): Option[Column] = n match {
+    case JsonPath(field, parts)
+        if isJsonPathNode(n, ctx) &&
+          !ctx.fieldType(field).exists(t =>
+            t.isInstanceOf[ArrayType] || t.isInstanceOf[StructType]) =>
+      val base = if (ctx.fieldType(field).isDefined) col(field)
+                 else ctx.metaColumn.map(col).getOrElse(col(field))
+      val prefix = if (ctx.fieldType(field).isDefined) "" else s".$field"
+      val path = "$" + prefix + jsonPathString(parts).drop(1)
+      Some(schema_of_variant(try_variant_get(try_parse_json(base), path, "variant")))
+    case Ident(name) if isJsonPathNode(n, ctx) && ctx.metaColumn.isDefined =>
+      Some(schema_of_variant(try_variant_get(
+        try_parse_json(col(ctx.metaColumn.get)), s"$$.$name", "variant")))
+    case _ => None
+  }
+
+  /** kind-bucket predicate for a literal: string literals need a STRING
+    * value, booleans a BOOLEAN, numerics any numeric kind (int and
+    * float share the JSON number bucket, per #51568).
+    */
+  private def kindMatches(kind: Column, literal: Node): Column = literal match {
+    case StringLit(_) => kind === "STRING"
+    case BoolLit(_)   => kind === "BOOLEAN"
+    case IntLit(_) | FloatLit(_) |
+         Unary(UnaryOp.Neg, IntLit(_)) | Unary(UnaryOp.Neg, FloatLit(_)) =>
+      kind.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT") ||
+        kind.startsWith("DECIMAL")
+    case _ => lit(true)
+  }
+
+  /** Comparison guard: when one side is a JSON path and the other a
+    * literal, require the path's JSON kind to match the literal's
+    * bucket. A missing path or a JSON null is UNKNOWN (NULL), not
+    * false — `not (p == 1)` over a null p must stay excluded under
+    * three-valued logic, while a genuine KIND mismatch is definitely
+    * false (so its negation is definitely true). Non-JSON or
+    * non-literal comparisons pass through.
+    */
+  private def typedJsonGuard(l: Node, r: Node, ctx: Ctx): Option[Column] = {
+    def side(pathNode: Node, litNode: Node): Option[Column] =
+      if (literalType(litNode, ctx).isDefined)
+        jsonKindOf(pathNode, ctx).map(kind =>
+          when(kind.isNull || kind === "VOID", lit(null).cast(BooleanType))
+            .otherwise(kindMatches(kind, litNode)))
+      else None
+    side(l, r).orElse(side(r, l))
   }
 
   /** IN target: JSON paths cast to element type of the value list. */
@@ -354,12 +423,18 @@ object ExprCompiler {
       case Lt | Le | Gt | Ge | Eq | Ne =>
         val lc = compileCmpSide(l, literalType(r, ctx), ctx)
         val rc = compileCmpSide(r, literalType(l, ctx), ctx)
-        op match {
+        val cmp = op match {
           case Lt => lc < rc; case Le => lc <= rc
           case Gt => lc > rc; case Ge => lc >= rc
           case Eq => lc === rc; case Ne => lc =!= rc
           case _  => throw new IllegalStateException
         }
+        // typed JSON buckets (reference #51489/#51567): a literal only
+        // matches a JSON value of its own kind — the string "1" is not
+        // the number 1. A kind mismatch (or a missing path) makes the
+        // comparison false, never an error, Ne included (the reference's
+        // type-mismatched-comparisons-are-false rule).
+        typedJsonGuard(l, r, ctx).map(_ && cmp).getOrElse(cmp)
       case _ =>
         val numType = Some(DoubleType).filter(_ =>
           literalType(l, ctx).contains(DoubleType) || literalType(r, ctx).contains(DoubleType))

@@ -36,6 +36,45 @@ class ExprCompilerSpec extends SparkSpec {
       s"diff=${(got diff want) ++ (want diff got)}")
   }
 
+  test("typed JSON buckets: literals match only their own JSON kind") {
+    // the classic blur: "1" (string), 1 (number), true (bool), 1.0
+    // (float) at the same path — get_json_object extracts all of them
+    // as "1"/"true", so only the variant-kind guard separates them
+    // (reference #51489/#51567 typed-union semantics)
+    val rows = Seq(
+      (0L, """{"p": 1}"""),          // number (int)
+      (1L, """{"p": "1"}"""),        // string that looks numeric
+      (2L, """{"p": true}"""),       // bool
+      (3L, """{"p": 1.0}"""),        // number (float)
+      (4L, """{"p": "x"}"""),        // plain string
+      (5L, """{"q": 9}"""),          // missing path
+      (6L, """{"p": null}""")        // json null
+    ).toDF("id", "js")
+    def ids(expr: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(expr, rows, jsonColumns = Set("js")))
+        .select("id").as[Long].collect().toSet
+    // int literal matches the number bucket only (int and float share it)
+    assert(ids("""js["p"] == 1""") == Set(0L, 3L))
+    // string literal matches strings only — NOT the number 1
+    assert(ids("""js["p"] == "1"""") == Set(1L))
+    // bool literal matches booleans only
+    assert(ids("""js["p"] == true""") == Set(2L))
+    // != is also typed: kind mismatch is false, not true
+    assert(ids("""js["p"] != 1""") == Set.empty[Long])
+    assert(ids("""js["p"] != "1"""") == Set(4L))
+    // mixed-type IN = the typed OR expansion (#51489)
+    assert(ids("""js["p"] in [1, "1"]""") == Set(0L, 1L, 3L))
+    assert(ids("""js["p"] in [true, 1]""") == Set(0L, 2L, 3L))
+    assert(ids("""js["p"] in ["x", "1"]""") == Set(1L, 4L))
+    // homogeneous IN agrees with its OR expansion (equivalence contract)
+    assert(ids("""js["p"] in [1, 2]""") ==
+      ids("""js["p"] == 1 or js["p"] == 2"""))
+    // ranges are typed too: the string "1" is not in numeric ranges
+    assert(ids("""js["p"] < 2""") == Set(0L, 3L))
+    // not-in over a missing path / json null excludes the row (3VL)
+    assert(ids("""js["p"] not in [1]""") == Set(1L, 2L, 4L))
+  }
+
   test("bloom_match keeps every true member and only false-positive extras") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
