@@ -27,7 +27,14 @@ final case class CollectionSchema(
     // nullable=false fields WITHOUT a default: inserts carrying a null
     // (or omitting the column entirely) are rejected, the reference's
     // proxy-side validation. Fields not listed here are nullable.
-    nonNullable: Set[String] = Set.empty)
+    nonNullable: Set[String] = Set.empty,
+    // per-field warmup policy (reference: the field-level `warmup` param,
+    // pkg/common WarmupKey family; test_milvus_client_alter_warmup.py):
+    // "sync" fields materialize eagerly at load() and block until
+    // resident, "async" kicks the materialization off without blocking,
+    // "disable" leaves the field to lazy first-touch. Validated at
+    // create (case-sensitive, per the reference's invalid-value tests).
+    fieldWarmup: Map[String, String] = Map.empty)
 
 /** Growing-segment seal policies (reference:
   * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
@@ -83,6 +90,27 @@ final class Collection private (
   @volatile private var growing: Option[DataFrame] = None
   @volatile private var tombs: Option[DataFrame] = None
 
+  // ---- per-field warmup policy (reference: pkg/common WarmupKey
+  // family + test_milvus_client_alter_warmup.py). Validated at create;
+  // alterable per field; honored by load().
+  schema.fieldWarmup.foreach { case (f, v) => Collection.requireWarmup(v, f) }
+  @volatile private var fieldWarmup: Map[String, String] = schema.fieldWarmup
+
+  /** AlterCollectionField (reference: alter_collection_field with
+    * field_params={"warmup": ...}): set or change a field's warmup
+    * policy; invalid policies are rejected with the reference's error.
+    */
+  def alterFieldWarmup(field: String, policy: String): Unit = stateLock.synchronized {
+    requirePriv("AlterCollection")
+    Collection.requireWarmup(policy, field)
+    fieldWarmup += field -> policy
+  }
+
+  /** The per-field warmup map DescribeCollection exposes (fields with
+    * no policy are simply absent, the reference's None).
+    */
+  def describeFieldWarmup: Map[String, String] = fieldWarmup
+
   // ---- seal policies (segment_allocation_policy.go) ----
   private var sealPolicy: Option[SealPolicy] = None
   private var growingRows: Long = 0L // tracked only while a policy is set
@@ -112,7 +140,21 @@ final class Collection private (
     requirePriv("Load")
     sealedDf = sealedDf.map(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    sealedDf.foreach(_.count()) // LoadCollection blocks until resident
+    // warmup policies (reference: field warmup sync/async/disable):
+    // sync — or no policy at all — blocks until resident (the
+    // LoadCollection contract); async kicks the materialization off
+    // without blocking; disable-only leaves residency to first touch.
+    val policies = fieldWarmup.values.toSet
+    if (fieldWarmup.isEmpty || policies.contains("sync"))
+      sealedDf.foreach(_.count())
+    else if (policies.contains("async"))
+      sealedDf.foreach { df =>
+        val t = new Thread(
+          () => { try df.count() catch { case _: Throwable => () }; () },
+          "graft-warmup")
+        t.setDaemon(true)
+        t.start()
+      }
     loadedFlag = true
   }
 
@@ -678,6 +720,84 @@ final class Collection private (
       s"no compaction with id $id"))
   }
 
+  /** Force-merge compaction (reference: compact(target_size) →
+    * datacoord/compaction_policy_forcemerge.go;
+    * test_milvus_client_force_merge.py): consolidate SMALL sealed
+    * segments into segments of up to `targetSizeMb`, leaving segments
+    * already at/above the target untouched — the many-small-segments
+    * cleanup, distinct from [[compact]]'s delete/patch fold. Validation
+    * per the reference: target must be positive and ≥ the configured
+    * segment max size (merging BELOW the natural segment size is
+    * refused with the same targetSize error). Rows, tombstones, and
+    * indexes are untouched — segments only concatenate, so every read
+    * path is unchanged by construction. Returns a compaction id for
+    * [[getCompactionState]].
+    *
+    * Spark shape: per merge group, one union + parquet rewrite sized by
+    * the on-disk bytes already in hand from the segment listing — at
+    * deployment scale each group is an independent job over only the
+    * small segments' bytes; big segments never rewrite.
+    */
+  def forceMerge(path: String, targetSizeMb: Long,
+      maxSizeMb: Long = 1024L): Long = stateLock.synchronized {
+    requirePriv("Compaction")
+    require(targetSizeMb > 0, s"target_size must be positive, got $targetSizeMb")
+    require(targetSizeMb >= maxSizeMb,
+      s"targetSize ${targetSizeMb}MB must be >= the segment max size ${maxSizeMb}MB")
+    val before = sealedSegments.size
+    if (before > 1) {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val targetBytes = targetSizeMb * 1024L * 1024L
+      val sized = sealedSegments.map { p =>
+        val fs = new Path(p).getFileSystem(conf)
+        p -> fs.getContentSummary(new Path(p)).getLength
+      }
+      // greedy fill in segment order; a group of one never rewrites
+      val groups = sized.foldLeft(Vector.empty[Vector[(String, Long)]]) {
+        case (acc, seg @ (_, bytes)) =>
+          acc.lastOption match {
+            case Some(g) if g.map(_._2).sum + bytes <= targetBytes =>
+              acc.init :+ (g :+ seg)
+            case _ => acc :+ Vector(seg)
+          }
+      }
+      sealedSegments = groups.zipWithIndex.map { case (g, i) =>
+        if (g.size == 1) g.head._1
+        else {
+          val merged = g.map(s => spark.read.parquet(s._1))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          val dst = s"$path/merge-${nextTs()}-$i"
+          merged.write.parquet(dst)
+          dst
+        }
+      }
+      sealedDf = Some(sealedSegments.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
+      if (loadedFlag) sealedDf = sealedDf.map(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    val id = nextTs()
+    compactionHistory +=
+      id -> CompactionInfo(id, id, "Completed", before, sealedSegments.size)
+    id
+  }
+
+  /** Optimize (reference: the client's optimize() sugar —
+    * test_milvus_client_optimize.py: wait indexes → force-merge
+    * compaction → wait → index rebuild → refresh load). Synchronous
+    * here: force-merge, rebuild every vector index over the merged
+    * layout, and re-pin the sealed layout if loaded (load() is
+    * idempotent). Returns the force-merge compaction id.
+    */
+  def optimize(path: String, targetSizeMb: Long = 2048L,
+      maxSizeMb: Long = 1024L): Long = {
+    val id = forceMerge(path, targetSizeMb, maxSizeMb)
+    indexes.foreach { case (f, st) => createIndex(f, st.model.nlist) }
+    if (loadState == "Loaded") load()
+    id
+  }
+
   // ---- row-level security (20250610-rls_design.md) ----
   private var rlsPolicies: Seq[String] = Nil
   private var currentUser: Option[Rls.UserContext] = None
@@ -747,6 +867,12 @@ final class Collection private (
     props.get("collection.ttl").foreach { v =>
       require(scala.util.Try(v.toLong).isSuccess,
         s"collection.ttl must be a ts-domain integer offset, got '$v'")
+    }
+    // collection-level warmup keys (reference: WarmupKey,
+    // Warmup{Scalar,Vector}{Field,Index}Key) carry the same policy values
+    props.foreach { case (k, v) =>
+      if (k == "warmup" || k.startsWith("warmup."))
+        Collection.requireWarmup(v, k)
     }
     collectionProperties ++= props
     invalidateFilterCache() // a ttl property change alters visibility
@@ -1792,6 +1918,13 @@ object Collection {
   val PartitionCol = "_partition"
 
   /** Create an empty collection (reference `CreateCollection`). */
+  /** Case-sensitive warmup policy validation (the reference rejects
+    * "Sync", "", and unknown values with "invalid warmup policy").
+    */
+  private[graft] def requireWarmup(v: String, where: String): Unit =
+    require(v == "sync" || v == "async" || v == "disable",
+      s"invalid warmup policy '$v' for '$where' (sync | async | disable)")
+
   def create(spark: SparkSession, schema: CollectionSchema): Collection =
     new Collection(spark, schema, None)
 

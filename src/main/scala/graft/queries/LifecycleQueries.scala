@@ -141,6 +141,84 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Partition-key isolation (reference: the partitionkey.isolation
+    * collection property — test_milvus_client_partition_key_isolation.py:
+    * with isolation ON every filter must pin the partition key with ONE
+    * top-level equality conjunct; missing keys, OR/NOT branches over
+    * the key, ranges, and IN lists are rejected at validation time).
+    * Accepted filters route to exactly the key's directory partition
+    * (the q_partition_key pruning) and return normal results; rejection
+    * markers pin the validator's decisions.
+    */
+  def partitionIsolation(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.ExprCompiler
+    val path = s"${scratchDir("partiso")}/data"
+    PartitionKey.write(
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      "event_type", numPartitions = 8, path)
+    def isolatedCount(filterExpr: String): Long = {
+      val valueNode = PartitionKey.isolationKeyEquality(filterExpr, "event_type")
+      val keyVal = ExprCompiler.compile(valueNode,
+        ExprCompiler.Ctx(s.read.parquet(path).schema)) // a literal: context-free
+      val routed = PartitionKey.readKeyEquals(s, path, "event_type", keyVal, 8)
+      routed.filter(ExprCompiler.compile(filterExpr, routed)).count()
+    }
+    def rejected(filterExpr: String): String =
+      try { isolatedCount(filterExpr); "unexpected-allow" }
+      catch { case _: IllegalArgumentException => "rejected" }
+    import s.implicits._
+    Seq(
+      ("eq_click", isolatedCount("event_type == \"click\"").toString),
+      ("eq_click_and_value",
+        isolatedCount("event_type == \"click\" and value > 50").toString),
+      ("in_on_key", rejected("event_type in [\"click\", \"view\"]")),
+      ("missing_key", rejected("value > 50")),
+      ("not_branch", rejected("not (event_type == \"click\")")),
+      ("or_branch", rejected("event_type == \"click\" or event_type == \"view\"")),
+      ("range_on_key", rejected("event_type == \"click\" and event_type > \"a\"")),
+      ("two_equalities", rejected(
+        "event_type == \"click\" and event_type == \"view\"")))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
+  /** Force-merge compaction end-to-end (reference: compact(target_size)
+    * → compaction_policy_forcemerge.go; test_milvus_client_force_merge.py):
+    * three small sealed segments consolidate into one under a 2 GB
+    * target, validations reject non-positive targets and targets below
+    * the segment max size, reads are unchanged by construction, and the
+    * compaction id reports Completed with the before/after counts.
+    */
+  def forceMergeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    val base = scratchDir("forcemerge")
+    // 3×300 rows, bounded under event_id 900 — present at every sf
+    (0 until 3).foreach { i =>
+      c.insert(ev.filter(col("event_id") >= i * 300 && col("event_id") < (i + 1) * 300))
+      c.flush(s"$base/seg$i")
+    }
+    val three = c.getQuerySegmentInfo.map(i => s"${i.state}:${i.rows}").mkString(",")
+    def rejected(target: Long): String =
+      try { c.forceMerge(s"$base/bad", target); "unexpected-allow" }
+      catch { case _: IllegalArgumentException => "rejected" }
+    val negative = rejected(-1L)
+    val belowMax = rejected(512L)
+    val id = c.forceMerge(s"$base/merge", targetSizeMb = 2048L)
+    val st = c.getCompactionState(id)
+    val after = c.getQuerySegmentInfo.map(i => s"${i.state}:${i.rows}").mkString(",")
+    import s.implicits._
+    Seq(
+      ("after_merge", after),
+      ("before_merge", three),
+      ("count_preserved", c.count().toString),
+      ("merge_state", s"${st.state}:${st.segmentsBefore}->${st.segmentsAfter}"),
+      ("target_below_max", belowMax),
+      ("target_negative", negative))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   /** Materialized-view partition-key-isolated ANN search (reference:
     * tests/integration/materialized_view/materialized_view_test.go —
     * with EnableMaterializedView, a search whose filter pins the
@@ -657,6 +735,66 @@ object LifecycleQueries {
       .toDF("step", "result").orderBy(col("step"))
   }
 
+  /** CalcDistance (reference: impl.go CalcDistance — pairwise distances
+    * between two request-sized vector sets, no collection involved).
+    * The vectors come from the embeddings table so the oracle recomputes
+    * the same squared-L2 matrix in SQL.
+    */
+  def calcDistanceQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.Collection
+    import graft.functions.Metric
+    val rows = t(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0)) // request-sized: 8 vectors
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    Collection.calcDistance(s, vecs.take(4).toSeq, vecs.drop(4).toSeq, Metric.L2)
+      .select(col("left_idx"), col("right_idx"),
+        round(col("distance"), 4).as("distance"))
+      .orderBy(col("left_idx"), col("right_idx"))
+  }
+
+  /** Segment/flush/compaction introspection end-to-end (reference:
+    * impl.go GetQuerySegmentInfo / GetFlushState / ManualCompaction /
+    * GetCompactionState): two flushed segments report their raw rows
+    * and states, the flush state flips with the growing tail, and a
+    * manual compaction folds tombstones into one segment with a
+    * Completed state record. Marker rows pin every step against a
+    * VALUES oracle (the q_credentials device).
+    */
+  def segmentIntrospection(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    // bounded to event_id < 1000 — present at EVERY scale factor, so
+    // the fixture (and its VALUES oracle) is sf-independent
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    val base = scratchDir("seginfo")
+    c.insert(ev.filter(col("event_id") < 500))
+    c.flush(s"$base/seg1")
+    val flushedAfterSeal = c.getFlushState()
+    c.insert(ev.filter(col("event_id") >= 500 && col("event_id") < 1000))
+    val flushStateGrowing = c.getFlushState()
+    val infoGrowing = c.getQuerySegmentInfo
+    c.flush(s"$base/seg2")
+    val two = c.getQuerySegmentInfo
+    c.deletePks((0L until 100L).map(_.asInstanceOf[Any]))
+    val compId = c.manualCompaction(s"$base/compact")
+    val st = c.getCompactionState(compId)
+    val after = c.getQuerySegmentInfo
+    val badId =
+      try { c.getCompactionState(compId + 999L); "unexpected-found" }
+      catch { case _: NoSuchElementException => "rejected" }
+    import s.implicits._
+    Seq(
+      ("compaction_state", s"${st.state}:${st.segmentsBefore}->${st.segmentsAfter}"),
+      ("compaction_unknown_id", badId),
+      ("flushstate_growing", flushStateGrowing.toString),
+      ("flushstate_sealed", flushedAfterSeal.toString),
+      ("growing_entry", infoGrowing.map(i => s"${i.state}:${i.rows}").mkString(",")),
+      ("postcompact", after.map(i => s"${i.state}:${i.rows}:${i.residency}").mkString(",")),
+      ("two_segments", two.map(i => s"${i.state}:${i.rows}").mkString(",")))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   /** Named partitions end-to-end (reference `impl.go` CreatePartition /
     * DropPartition; Search/Query with partition_names): events split
     * into `hot` / `cold` partitions plus untagged default-partition
@@ -1028,6 +1166,10 @@ object LifecycleQueries {
     "q_partition_names" -> (partitionNamesRead _),
     "q_rbac_read" -> (rbacRead _),
     "q_credentials" -> (credentials _),
+    "q_calc_distance" -> (calcDistanceQ _),
+    "q_segment_info" -> (segmentIntrospection _),
+    "q_force_merge" -> (forceMergeQ _),
+    "q_partition_isolation" -> (partitionIsolation _),
     "q_mutable_column" -> (mutableColumn _),
     "q_three_valued" -> (threeValued _),
     "q_seal_policy" -> (sealPolicyRead _),
@@ -1174,6 +1316,47 @@ object LifecycleQueries {
         |  FROM base)
         |SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_calc_distance" ->
+      """WITH l AS (SELECT vec_id AS left_idx, CAST(embedding AS DOUBLE[]) AS lv
+        |           FROM embeddings WHERE vec_id < 4),
+        |r AS (SELECT vec_id - 4 AS right_idx, CAST(embedding AS DOUBLE[]) AS rv
+        |      FROM embeddings WHERE vec_id >= 4 AND vec_id < 8)
+        |SELECT l.left_idx, r.right_idx,
+        |  round(power(list_distance(l.lv, r.rv), 2), 4) AS distance
+        |FROM l CROSS JOIN r ORDER BY left_idx, right_idx""".stripMargin,
+    "q_force_merge" ->
+      """SELECT * FROM (
+        |  SELECT 'after_merge' AS step, 'Sealed:900' AS result
+        |  UNION ALL SELECT 'before_merge', 'Sealed:300,Sealed:300,Sealed:300'
+        |  UNION ALL SELECT 'count_preserved',
+        |    CAST(count(*) AS VARCHAR) FROM events WHERE event_id < 900
+        |  UNION ALL SELECT 'merge_state', 'Completed:3->1'
+        |  UNION ALL SELECT 'target_below_max', 'rejected'
+        |  UNION ALL SELECT 'target_negative', 'rejected')
+        |ORDER BY step""".stripMargin,
+    "q_partition_isolation" ->
+      """SELECT * FROM (
+        |  SELECT 'eq_click' AS step, CAST(count(*) AS VARCHAR) AS result
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT 'eq_click_and_value', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_type = 'click' AND value > 50
+        |  UNION ALL SELECT 'in_on_key', 'rejected'
+        |  UNION ALL SELECT 'missing_key', 'rejected'
+        |  UNION ALL SELECT 'not_branch', 'rejected'
+        |  UNION ALL SELECT 'or_branch', 'rejected'
+        |  UNION ALL SELECT 'range_on_key', 'rejected'
+        |  UNION ALL SELECT 'two_equalities', 'rejected')
+        |ORDER BY step""".stripMargin,
+    "q_segment_info" ->
+      """SELECT * FROM (VALUES
+        |  ('compaction_state', 'Completed:2->1'),
+        |  ('compaction_unknown_id', 'rejected'),
+        |  ('flushstate_growing', 'false'),
+        |  ('flushstate_sealed', 'true'),
+        |  ('growing_entry', 'Sealed:500,Growing:500'),
+        |  ('postcompact', 'Sealed:900:Disk'),
+        |  ('two_segments', 'Sealed:500,Sealed:500')) AS t(step, result)
+        |ORDER BY step""".stripMargin,
     "q_credentials" ->
       """SELECT * FROM (VALUES
         |  ('create_dup_alice', 'rejected'),

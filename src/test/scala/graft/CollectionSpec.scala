@@ -922,6 +922,71 @@ class CollectionSpec extends SparkSpec {
     c.disableRbac()
   }
 
+  test("field warmup policies: validation, alter, describe, load behavior") {
+    // invalid values rejected at create (case-sensitive, like the reference)
+    intercept[IllegalArgumentException](Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4),
+        fieldWarmup = Map("emb" -> "Sync"))))
+    intercept[IllegalArgumentException](Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4),
+        fieldWarmup = Map("emb" -> ""))))
+    // schema-declared warmup is described; alter changes it per field
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4),
+        fieldWarmup = Map("emb" -> "sync", "txt" -> "disable")))
+    c.insert(mkRows(0L until 30L))
+    assert(c.describeFieldWarmup == Map("emb" -> "sync", "txt" -> "disable"))
+    c.alterFieldWarmup("emb", "disable")
+    c.alterFieldWarmup("grp", "async")
+    assert(c.describeFieldWarmup ==
+      Map("emb" -> "disable", "txt" -> "disable", "grp" -> "async"))
+    intercept[IllegalArgumentException](c.alterFieldWarmup("emb", "eager"))
+    // collection-level warmup properties share the validation
+    c.alterCollection(Map("warmup.vectorField" -> "async"))
+    assert(c.describeCollectionProperties("warmup.vectorField") == "async")
+    intercept[IllegalArgumentException](
+      c.alterCollection(Map("warmup" -> "Sync")))
+    // disable-only warmup: load() returns without blocking on a count,
+    // reads still work and loadState reports Loaded
+    c.alterFieldWarmup("grp", "disable")
+    val dir = "/tmp/graft_test_warmup_" + System.nanoTime()
+    c.flush(dir)
+    c.load()
+    assert(c.loadState == "Loaded" && c.count() == 30)
+    c.release()
+  }
+
+  test("forceMerge consolidates small segments; optimize rebuilds indexes") {
+    val c = fresh()
+    val dir = "/tmp/graft_test_optimize_" + System.nanoTime()
+    c.flush(s"$dir/seg1")
+    c.insert(mkRows(100L until 120L))
+    c.flush(s"$dir/seg2")
+    c.insert(mkRows(200L until 210L))
+    c.flush(s"$dir/seg3")
+    // validations per the reference: positive and >= segment max size
+    intercept[IllegalArgumentException](c.forceMerge(s"$dir/bad", -1L))
+    intercept[IllegalArgumentException](c.forceMerge(s"$dir/bad", 512L))
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    val preBuildTs = c.describeIndex("emb").indexedRows
+    // optimize: force-merge + index rebuild + (not loaded: no re-pin)
+    val id = c.optimize(s"$dir/opt")
+    val st = c.getCompactionState(id)
+    assert(st.state == "Completed" && st.segmentsBefore == 3 && st.segmentsAfter == 1)
+    assert(c.getQuerySegmentInfo.map(i => (i.state, i.rows)) == Seq(("Sealed", 80L)))
+    // the rebuilt index covers the merged segment (nothing pending)
+    assert(c.getQuerySegmentInfo.head.indexedFields == Seq("emb"))
+    assert(c.describeIndex("emb").indexedRows == preBuildTs) // same 80 rows
+    // reads unchanged by construction
+    assert(c.count() == 80)
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    assert(c.searchIndexed("emb", qs, k = 1, nprobe = 4, metric = Metric.L2)
+      .select($"pk").as[Long].head() == 7L)
+    // a single segment force-merges to a no-op but still records an id
+    val id2 = c.forceMerge(s"$dir/noop", 2048L)
+    assert(c.getCompactionState(id2).segmentsAfter == 1)
+  }
+
   test("alterCollection properties: metadata echoes, collection.ttl wires reads") {
     val c = fresh() // 50 rows inserted at consecutive TSO ticks
     // arbitrary metadata round-trips
