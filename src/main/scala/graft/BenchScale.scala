@@ -141,6 +141,61 @@ object BenchScale {
       println(f"$name%-12s $copies%7d ${nEmb * copies}%8d $n%9d $sec%8.2f")
       (name, copies, sec)
     }
+    // --- round-8 additions: the r7 collection surfaces with no prior
+    // scale-audit row — mutable-column overlay (patch-log join), struct
+    // element-level hybrid, searchByPk.
+
+    // mutable-column overlay: FIXED corpus, patch volume scaled — the
+    // read pays one pk join per patched field against the latest-visible
+    // patch aggregate, so time should grow sublinearly in log size
+    // (the corpus side dominates until the log rivals the corpus)
+    val patchScales = Seq(1, 20, 100)
+    val overlayResults = {
+      val corpus10 = replicateEmb(10).localCheckpoint(true) // ~10× rows
+      patchScales.map { scale =>
+        val c = Collection.create(spark,
+          CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 64)))
+        c.insert(corpus10.select(col("vec_id").as("pk"),
+          col("embedding").as("emb"), (col("vec_id") % 7).as("grp")))
+        val nRows = nEmb * 10
+        // patch log: `scale`×600 rows across 3 LWW generations
+        (0 until 3).foreach { gen =>
+          val patch = corpus10.filter(col("vec_id") % lit(nRows / (200L * scale) max 1L) === gen)
+            .select(col("vec_id").as("pk"), (col("vec_id") + gen).as("grp"))
+          c.setField("grp", patch)
+        }
+        val (sec, n) = time(c.query("grp >= 0", Seq("pk", "grp")).count())
+        println(f"${"mutcol_read"}%-12s $scale%7d $nRows%8d $n%9d $sec%8.2f")
+        ("mutcol_read", scale, sec)
+      }
+    }
+
+    // struct element hybrid + searchByPk: corpus scaled — element hits
+    // are nq·k-bounded, so the curve should track the element scan
+    val colScales = Seq(1, 5, 10)
+    val colResults = colScales.flatMap { copies =>
+      val corpus = replicateEmb(copies).localCheckpoint(true)
+      val c = Collection.create(spark,
+        CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 64)))
+      // two elements per row: the embedding and a deterministic twist
+      c.insert(corpus.select(col("vec_id").as("pk"), col("embedding").as("emb"),
+        array(
+          struct(col("embedding").as("cvec")),
+          struct(transform(col("embedding"), x => -x).as("cvec"))).as("chunks")))
+      val qs = queries.limit(16).localCheckpoint(true)
+      val (hSec, hN) = time(c.hybridSearch(Seq(
+        c.SubSearch("cvec", qs, Metric.COSINE, k = 10,
+          structArrayField = Some("chunks"), collapseToRows = false),
+        c.SubSearch("cvec", qs, Metric.IP, k = 10,
+          structArrayField = Some("chunks"), collapseToRows = false)),
+        k = 10).count())
+      println(f"${"struct_hyb"}%-12s $copies%7d ${nEmb * copies}%8d $hN%9d $hSec%8.2f")
+      val (pSec, pN) = time(c.searchByPk("emb", (0L until 16L), k = 10,
+        metric = Metric.COSINE, outputFields = Seq("pk")).count())
+      println(f"${"search_bypk"}%-12s $copies%7d ${nEmb * copies}%8d $pN%9d $pSec%8.2f")
+      Seq(("struct_hyb", copies, hSec), ("search_bypk", copies, pSec))
+    }
+
     // scaling exponent between the smallest and largest scale:
     // log(tMax/t1)/log(max); ≤ ~1.3 reads as linear-with-overhead,
     // ≥ ~2 as quadratic
@@ -154,6 +209,10 @@ object BenchScale {
     }
     vecOps.foreach { case (name, _) =>
       println(f"$name%-12s scaling exponent (1x→100x): ${exponent(vecResults, name, 100)}%.2f")
+    }
+    println(f"${"mutcol_read"}%-12s scaling exponent (1x→100x patches): ${exponent(overlayResults, "mutcol_read", 100)}%.2f")
+    Seq("struct_hyb", "search_bypk").foreach { name =>
+      println(f"$name%-12s scaling exponent (1x→10x): ${exponent(colResults, name, 10)}%.2f")
     }
     spark.stop()
   }
