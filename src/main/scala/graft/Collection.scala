@@ -155,17 +155,102 @@ final class Collection private (
         t.setDaemon(true)
         t.start()
       }
+    partialPin.foreach(_.unpersist())
+    partialPin = None
+    loadedPartitions = None // a full load supersedes any partial scope
     loadedFlag = true
   }
 
   def release(): Unit = stateLock.synchronized {
     requirePriv("Release")
     sealedDf.foreach(_.unpersist())
+    partialPin.foreach(_.unpersist())
+    partialPin = None
+    loadedPartitions = None
     loadedFlag = false
   }
 
   /** `Loaded` | `NotLoad` (GetLoadState). */
   def loadState: String = if (loadedFlag) "Loaded" else "NotLoad"
+
+  // ---- partition-scoped load (reference impl.go LoadPartitions /
+  // ReleasePartitions; test_milvus_client_partition.py): load only some
+  // named partitions — reads then serve the LOADED partitions only, and
+  // a partition_names-scoped read naming an unloaded partition is an
+  // error, the querycoord "partition not loaded" contract. None = no
+  // partial scope (whole-collection load/release governs). Residency
+  // follows the scope: the pinned view filters on `_partition`, which
+  // reaches the flushed hive layout as a PartitionFilter, so only the
+  // loaded partitions' bytes materialize.
+  @volatile private var loadedPartitions: Option[Set[String]] = None
+  @volatile private var partialPin: Option[DataFrame] = None
+
+  private def repinPartial(set: Set[String]): Unit = {
+    partialPin.foreach(_.unpersist())
+    partialPin =
+      if (set.isEmpty) None
+      else sealedDf.map(_.filter(col(Collection.PartitionCol).isin(set.toSeq: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    partialPin.foreach(_.count())
+  }
+
+  /** LoadPartitions: idempotent, additive; every name must exist (the
+    * reference errors on unknown partitions). A fully-loaded collection
+    * absorbs the call as a no-op, matching the reference's
+    * load-partition-after-load-collection tests.
+    */
+  def loadPartitions(names: Seq[String]): Unit = stateLock.synchronized {
+    requirePriv("Load")
+    require(names.nonEmpty, "partition name list must be non-empty")
+    val unknown = names.filterNot(partitionSet.contains)
+    require(unknown.isEmpty, s"no such partition(s): ${unknown.mkString(", ")}")
+    if (!(loadedFlag && loadedPartitions.isEmpty)) { // full load absorbs
+      val set = loadedPartitions.getOrElse(Set.empty) ++ names
+      loadedPartitions = Some(set)
+      repinPartial(set)
+      loadedFlag = true
+    }
+  }
+
+  /** ReleasePartitions: idempotent (releasing an unloaded partition, or
+    * releasing after the collection was released, succeeds); unknown
+    * partitions error. Releasing under a FULL load narrows it to a
+    * partial load of the remaining partitions; releasing the last
+    * loaded partition leaves the collection NotLoad.
+    */
+  def releasePartitions(names: Seq[String]): Unit = stateLock.synchronized {
+    requirePriv("Release")
+    require(names.nonEmpty, "partition name list must be non-empty")
+    val unknown = names.filterNot(partitionSet.contains)
+    require(unknown.isEmpty, s"no such partition(s): ${unknown.mkString(", ")}")
+    if (loadedFlag) {
+      val current = loadedPartitions.getOrElse(partitionSet)
+      val remaining = current -- names
+      if (remaining.isEmpty) {
+        sealedDf.foreach(_.unpersist())
+        partialPin.foreach(_.unpersist()); partialPin = None
+        loadedPartitions = None
+        loadedFlag = false
+      } else if (remaining != current || loadedPartitions.isEmpty) {
+        if (loadedPartitions.isEmpty) sealedDf.foreach(_.unpersist())
+        loadedPartitions = Some(remaining)
+        repinPartial(remaining)
+      }
+    }
+  }
+
+  /** GetLoadingProgress (reference impl.go): percent of the current
+    * load target resident. Loads here are synchronous (async warmup
+    * still reports loaded, like the reference's warmup policies), so
+    * the answer is 0 (NotLoad) or 100 (Loaded, full or partial).
+    */
+  def getLoadingProgress: Int = if (loadedFlag) 100 else 0
+
+  /** The partitions a partial load currently serves (None = no partial
+    * scope in effect).
+    */
+  def describeLoadedPartitions: Option[Seq[String]] =
+    loadedPartitions.map(_.toSeq.sorted)
 
   private[graft] def sealedStorageLevel =
     sealedDf.map(_.storageLevel)
@@ -188,8 +273,12 @@ final class Collection private (
   def partitionStatistics(name: String): Map[String, String] = {
     requirePriv("GetStatistics")
     require(partitionSet.contains(name), s"no such partition '$name'")
-    Map("row_count" ->
-      readView(partitionNames = Seq(name)).count().toString)
+    // datacoord-side stat (the reference serves it off segment metadata,
+    // not the query path), so it bypasses the partial-load gate
+    Map("row_count" -> rlsFilter(readViewUnscoped(
+      ttl = propertyTtl,
+      preFilter = Some(col(Collection.PartitionCol) === name)))
+      .count().toString)
   }
 
   def createPartition(name: String): Unit = stateLock.synchronized {
@@ -240,10 +329,20 @@ final class Collection private (
     * above the latest-by-pk aggregate.
     */
   private def partitionPredicate(names: Seq[String]): Option[Column] =
-    if (names.isEmpty) None
+    if (names.isEmpty)
+      // partial load in effect: an unscoped read serves the loaded
+      // partitions ONLY (querycoord semantics — released partitions'
+      // data is simply not served)
+      loadedPartitions.map(set =>
+        col(Collection.PartitionCol).isin(set.toSeq: _*))
     else {
       val unknown = names.filterNot(partitionSet.contains)
       require(unknown.isEmpty, s"no such partition(s): ${unknown.mkString(", ")}")
+      loadedPartitions.foreach { set =>
+        val unloaded = names.filterNot(set.contains)
+        require(unloaded.isEmpty,
+          s"partition(s) not loaded: ${unloaded.mkString(", ")}")
+      }
       Some(col(Collection.PartitionCol).isin(names: _*))
     }
 

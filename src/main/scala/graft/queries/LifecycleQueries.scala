@@ -219,6 +219,63 @@ object LifecycleQueries {
       .toDF("step", "result").orderBy(col("step"))
   }
 
+  /** Partition-scoped load/release end-to-end (reference: impl.go
+    * LoadPartitions / ReleasePartitions / GetLoadingProgress;
+    * test_milvus_client_partition.py): with only some partitions
+    * loaded, unscoped reads serve the loaded partitions ONLY; a
+    * partition_names read naming an unloaded partition is rejected
+    * ("partition not loaded"); loads are additive and idempotent;
+    * releasing under a full load narrows it; unknown names error; the
+    * count markers pin every visibility transition against an SQL
+    * recompute of the same modulo split.
+    */
+  def loadPartitionsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 3000) // present at every sf
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.createPartition("hot")
+    c.createPartition("cold")
+    c.insertInto("hot", ev.filter(col("event_id") % 3 === 0))
+    c.insertInto("cold", ev.filter(col("event_id") % 3 === 1))
+    c.insert(ev.filter(col("event_id") % 3 === 2)) // _default
+    def rejected(f: => Unit): String =
+      try { f; "unexpected-allow" }
+      catch { case _: IllegalArgumentException => "rejected" }
+    c.loadPartitions(Seq("hot"))
+    val hotOnly = c.count()
+    val coldUnloaded = rejected(
+      c.query("", Seq("event_id"), partitionNames = Seq("cold")).count())
+    c.loadPartitions(Seq("cold"))
+    c.loadPartitions(Seq("cold")) // idempotent
+    val hotCold = c.count()
+    c.load() // full load supersedes the partial scope
+    val full = c.count()
+    c.releasePartitions(Seq("hot")) // narrows the full load
+    val afterReleaseHot = c.count()
+    val loadUnknown = rejected(c.loadPartitions(Seq("nope")))
+    val releaseUnknown = rejected(c.releasePartitions(Seq("nope")))
+    c.releasePartitions(Seq("hot")) // releasing an unloaded partition: ok
+    val idempotent = c.count()
+    val state = s"${c.loadState}:${c.getLoadingProgress}"
+    c.releasePartitions(Seq("cold", Collection.DefaultPartition))
+    val released = s"${c.loadState}:${c.getLoadingProgress}"
+    import s.implicits._
+    Seq(
+      ("count_after_release_hot", afterReleaseHot.toString),
+      ("count_full", full.toString),
+      ("count_hot_cold", hotCold.toString),
+      ("count_hot_loaded", hotOnly.toString),
+      ("load_unknown", loadUnknown),
+      ("query_unloaded_cold", coldUnloaded),
+      ("release_idempotent", idempotent.toString),
+      ("release_unknown", releaseUnknown),
+      ("released_all_state", released),
+      ("state_partial", state))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   /** Materialized-view partition-key-isolated ANN search (reference:
     * tests/integration/materialized_view/materialized_view_test.go —
     * with EnableMaterializedView, a search whose filter pins the
@@ -1170,6 +1227,7 @@ object LifecycleQueries {
     "q_segment_info" -> (segmentIntrospection _),
     "q_force_merge" -> (forceMergeQ _),
     "q_partition_isolation" -> (partitionIsolation _),
+    "q_load_partitions" -> (loadPartitionsQ _),
     "q_mutable_column" -> (mutableColumn _),
     "q_three_valued" -> (threeValued _),
     "q_seal_policy" -> (sealPolicyRead _),
@@ -1346,6 +1404,24 @@ object LifecycleQueries {
         |  UNION ALL SELECT 'or_branch', 'rejected'
         |  UNION ALL SELECT 'range_on_key', 'rejected'
         |  UNION ALL SELECT 'two_equalities', 'rejected')
+        |ORDER BY step""".stripMargin,
+    "q_load_partitions" ->
+      """SELECT * FROM (
+        |  SELECT 'count_after_release_hot' AS step, CAST(count(*) AS VARCHAR) AS result
+        |  FROM events WHERE event_id < 3000 AND event_id % 3 >= 1
+        |  UNION ALL SELECT 'count_full', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_id < 3000
+        |  UNION ALL SELECT 'count_hot_cold', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_id < 3000 AND event_id % 3 <= 1
+        |  UNION ALL SELECT 'count_hot_loaded', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_id < 3000 AND event_id % 3 = 0
+        |  UNION ALL SELECT 'load_unknown', 'rejected'
+        |  UNION ALL SELECT 'query_unloaded_cold', 'rejected'
+        |  UNION ALL SELECT 'release_idempotent', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_id < 3000 AND event_id % 3 >= 1
+        |  UNION ALL SELECT 'release_unknown', 'rejected'
+        |  UNION ALL SELECT 'released_all_state', 'NotLoad:0'
+        |  UNION ALL SELECT 'state_partial', 'Loaded:100')
         |ORDER BY step""".stripMargin,
     "q_segment_info" ->
       """SELECT * FROM (VALUES

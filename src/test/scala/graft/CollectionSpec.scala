@@ -956,6 +956,52 @@ class CollectionSpec extends SparkSpec {
     c.release()
   }
 
+  test("loadPartitions/releasePartitions: scoped visibility, idempotency, state") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", mkRows(0L until 20L))
+    c.insertInto("p2", mkRows(20L until 50L))
+    c.insert(mkRows(50L until 60L)) // _default
+    // partial load: unscoped reads serve loaded partitions only
+    c.loadPartitions(Seq("p1"))
+    assert(c.loadState == "Loaded" && c.getLoadingProgress == 100)
+    assert(c.describeLoadedPartitions == Some(Seq("p1")))
+    assert(c.count() == 20)
+    // a scoped read naming an unloaded partition errors
+    intercept[IllegalArgumentException](
+      c.query("", Seq("pk"), partitionNames = Seq("p2")))
+    // search is gated the same way (it rides the same read view)
+    val qs = Seq((0L, vec(7))).toDF("qid", "qvec")
+    assert(c.search("emb", qs, k = 3, metric = Metric.L2,
+      outputFields = Seq("pk")).select($"pk").as[Long].collect().forall(_ < 20))
+    // additive + idempotent
+    c.loadPartitions(Seq("p2"))
+    c.loadPartitions(Seq("p2"))
+    assert(c.count() == 50)
+    // unknown names error on both verbs
+    intercept[IllegalArgumentException](c.loadPartitions(Seq("nope")))
+    intercept[IllegalArgumentException](c.releasePartitions(Seq("nope")))
+    // full load supersedes the partial scope
+    c.load()
+    assert(c.describeLoadedPartitions.isEmpty && c.count() == 60)
+    // releasing under a full load narrows it
+    c.releasePartitions(Seq("p1"))
+    assert(c.describeLoadedPartitions == Some(Seq("_default", "p2")))
+    assert(c.count() == 40)
+    // releasing an unloaded partition is an idempotent no-op
+    c.releasePartitions(Seq("p1"))
+    assert(c.count() == 40)
+    // partitionStatistics is a datacoord-side stat: not gated
+    assert(c.partitionStatistics("p1")("row_count") == "20")
+    // releasing the last loaded partitions leaves NotLoad; reads
+    // (residency-free in this engine) serve everything again
+    c.releasePartitions(Seq("p2", "_default"))
+    assert(c.loadState == "NotLoad" && c.getLoadingProgress == 0)
+    assert(c.count() == 60)
+  }
+
   test("forceMerge consolidates small segments; optimize rebuilds indexes") {
     val c = fresh()
     val dir = "/tmp/graft_test_optimize_" + System.nanoTime()
