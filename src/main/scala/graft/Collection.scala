@@ -365,6 +365,14 @@ final class Collection private (
     }).getOrElse(0L))
   private def nextTs(): Long = tso.incrementAndGet()
 
+  /** AllocTimestamp (reference impl.go → rootcoord TSO): hand out the
+    * next tick of this collection's timestamp oracle. Pure allocation —
+    * callers use it to pin externally-coordinated read/write points
+    * (e.g. a cross-system snapshot ts); it does not move `lastWriteTs`,
+    * so visibility is unaffected.
+    */
+  def allocTimestamp(): Long = nextTs()
+
   @volatile private var lastWriteTs: Long = tso.get()
 
   /** Rows visible to readers before MVCC (sealed ∪ growing). */
@@ -791,8 +799,10 @@ final class Collection private (
       segmentsBefore: Int, segmentsAfter: Int)
 
   // completed manual compactions, by id (reference: datacoord keeps the
-  // compaction plan registry GetCompactionState reads)
+  // compaction plan registry GetCompactionState reads); plans carry the
+  // post-compaction segment paths for GetCompactionStateWithPlans
   @volatile private var compactionHistory: Map[Long, CompactionInfo] = Map.empty
+  @volatile private var compactionPlans: Map[Long, Seq[String]] = Map.empty
 
   /** ManualCompaction (reference: impl.go ManualCompaction → a
     * compaction id for [[getCompactionState]] polling). This engine
@@ -806,8 +816,15 @@ final class Collection private (
     val id = nextTs()
     compactionHistory +=
       id -> CompactionInfo(id, id, "Completed", before, sealedSegments.size)
+    compactionPlans += id -> sealedSegments
     id
   }
+
+  /** GetCompactionStateWithPlans (reference impl.go): the recorded
+    * state plus the output segment paths the plan produced.
+    */
+  def getCompactionStateWithPlans(id: Long): (CompactionInfo, Seq[String]) =
+    (getCompactionState(id), compactionPlans.getOrElse(id, Nil))
 
   /** GetCompactionState (reference: impl.go GetCompactionState): the
     * recorded state of a [[manualCompaction]] run; unknown ids error
@@ -879,6 +896,7 @@ final class Collection private (
     val id = nextTs()
     compactionHistory +=
       id -> CompactionInfo(id, id, "Completed", before, sealedSegments.size)
+    compactionPlans += id -> sealedSegments
     id
   }
 
@@ -1683,6 +1701,7 @@ final class Collection private (
   def dropIndex(vectorField: String): Unit = stateLock.synchronized {
     indexes.get(vectorField).foreach(releaseIndexState)
     indexes -= vectorField
+    indexProps -= vectorField
   }
 
   /** Release every executor cache block this collection holds —
@@ -1747,6 +1766,42 @@ final class Collection private (
       totalRows = visible.count(),
       buildTs = st.buildTs)
   }
+
+  /** GetIndexState (reference impl.go GetIndexState): builds here are
+    * synchronous, so an existing index is `Finished` and a field with
+    * no index is `IndexStateNone` — the Unissued/InProgress window is
+    * zero-width, same contract as [[manualCompaction]]'s.
+    */
+  def getIndexState(vectorField: String): String =
+    if (indexes.contains(vectorField)) "Finished" else "IndexStateNone"
+
+  /** GetIndexBuildProgress (reference impl.go): (indexed, total) row
+    * counts — post-build writes show up as total > indexed until a
+    * rebuild, exactly DescribeIndex's pending-rows view.
+    */
+  def getIndexBuildProgress(vectorField: String): (Long, Long) = {
+    val d = describeIndex(vectorField)
+    (d.indexedRows, d.totalRows)
+  }
+
+  // AlterIndex (reference impl.go AlterIndex: mutable index properties
+  // like mmap.enabled — metadata the serving tier reads; validated,
+  // echoed by describeIndexProperties, cleared when the index drops)
+  @volatile private var indexProps: Map[String, Map[String, String]] = Map.empty
+
+  def alterIndex(vectorField: String, props: Map[String, String]): Unit =
+    stateLock.synchronized {
+      requirePriv("CreateIndex")
+      require(indexes.contains(vectorField),
+        s"no index on field '$vectorField'")
+      props.get("mmap.enabled").foreach(v =>
+        require(v == "true" || v == "false",
+          s"mmap.enabled must be true|false, got '$v'"))
+      indexProps += vectorField -> (indexProps.getOrElse(vectorField, Map.empty) ++ props)
+    }
+
+  def describeIndexProperties(vectorField: String): Map[String, String] =
+    indexProps.getOrElse(vectorField, Map.empty)
 
   /** CreateIndex (reference DDL → datacoord index build): train an IVF
     * codebook on the collection's visible view and persist the
@@ -2132,6 +2187,38 @@ object Collection {
       } else None
     }
   }
+
+  /** GetFlushAllState (reference impl.go): true once every collection
+    * in the database has an empty growing tail — the state FlushAll
+    * leaves behind.
+    */
+  def getFlushAllState(db: String = "default"): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    colls.values().asScala.forall(!_.hasGrowing)
+  }
+
+  /** DescribeAlias (reference impl.go): the (database, collection)
+    * registration the alias currently points at; an alias to an
+    * unregistered collection reports the binding without a name.
+    */
+  def describeAlias(alias: String): (String, Option[String]) = {
+    val target = resolve(alias) // errors on unknown alias
+    import scala.jdk.CollectionConverters._
+    val home = databases.entrySet().asScala.flatMap { db =>
+      db.getValue.entrySet().asScala
+        .find(_.getValue eq target).map(e => (db.getKey, e.getKey))
+    }.headOption
+    (home.map(_._1).getOrElse("default"), home.map(_._2))
+  }
+
+  /** GetVersion / CheckHealth (reference impl.go): static build info
+    * and a liveness check — a single in-process engine is healthy
+    * whenever it can answer.
+    */
+  val Version = "graft-0.8"
+  def checkHealth: Boolean = true
 
   /** CalcDistance (reference impl.go CalcDistance — the pairwise
     * distance utility RPC): all left×right distances under `metric`.

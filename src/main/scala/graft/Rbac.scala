@@ -55,7 +55,8 @@ object Rbac {
       userRoles: Map[String, Set[String]],
       grants: Set[Grant],
       credentials: Map[String, (Array[Byte], Array[Byte])],
-      descriptions: Map[String, String])
+      descriptions: Map[String, String],
+      privilegeGroups: Map[String, Set[String]] = Map.empty)
 
   /** Mutable driver-side registry of roles, user-role bindings, and
     * grants — the rootcoord metastore analogue. Thread-safe: facade
@@ -88,7 +89,61 @@ object Rbac {
       userRoles += user -> (userRoles.getOrElse(user, Set.empty) - role)
     }
 
-    /** Grant a privilege or a built-in group (reference
+    // ---- custom privilege groups (reference impl.go
+    // CreatePrivilegeGroup / DropPrivilegeGroup / ListPrivilegeGroups /
+    // OperatePrivilegeGroup; rbac v2): a named, mutable set of
+    // privileges grantable exactly like the built-in groups. Membership
+    // resolves at CHECK time, so adding/removing privileges takes
+    // effect on grants already in place — the reference's contract.
+    private var customGroups: Map[String, Set[String]] = Map.empty
+
+    /** CreatePrivilegeGroup: the name must not collide with a built-in
+      * group, a privilege name, or an existing custom group. Starts
+      * empty; populate with [[operatePrivilegeGroup]].
+      */
+    def createPrivilegeGroup(name: String): Unit = lock.synchronized {
+      require(name.nonEmpty, "privilege group name must be non-empty")
+      require(!Groups.contains(name) && !CollectionPrivileges.contains(name),
+        s"'$name' is a built-in group or privilege name")
+      require(!customGroups.contains(name),
+        s"privilege group '$name' already exists")
+      customGroups += name -> Set.empty
+    }
+
+    /** DropPrivilegeGroup: built-ins are permanent; a group still
+      * referenced by a grant cannot be dropped (the reference rejects
+      * the drop rather than silently stranding the grant).
+      */
+    def dropPrivilegeGroup(name: String): Unit = lock.synchronized {
+      require(!Groups.contains(name), s"cannot drop built-in group '$name'")
+      require(customGroups.contains(name), s"no such privilege group '$name'")
+      require(!grants.exists(_.privilege == name),
+        s"privilege group '$name' is referenced by a grant — revoke first")
+      customGroups -= name
+    }
+
+    /** OperatePrivilegeGroup: add or remove privileges. Only custom
+      * groups are mutable; every privilege must be a known collection
+      * privilege.
+      */
+    def operatePrivilegeGroup(name: String, privileges: Set[String],
+        add: Boolean): Unit = lock.synchronized {
+      require(customGroups.contains(name),
+        if (Groups.contains(name)) s"built-in group '$name' is immutable"
+        else s"no such privilege group '$name'")
+      val unknown = privileges.diff(CollectionPrivileges)
+      require(unknown.isEmpty, s"unknown privilege(s): ${unknown.mkString(", ")}")
+      customGroups += name -> (
+        if (add) customGroups(name) ++ privileges
+        else customGroups(name) -- privileges)
+    }
+
+    /** ListPrivilegeGroups: built-in + custom, with members, sorted. */
+    def listPrivilegeGroups: Seq[(String, Set[String])] = lock.synchronized {
+      (Groups ++ customGroups).toSeq.sortBy(_._1)
+    }
+
+    /** Grant a privilege or a group — built-in or custom (reference
       * OperatePrivilege(Grant) / V2 with groups). `collection` may be
       * `*` for any collection.
       */
@@ -96,6 +151,7 @@ object Rbac {
       lock.synchronized {
         require(roles.contains(role), s"no such role '$role'")
         require(Groups.contains(privilegeOrGroup) ||
+          customGroups.contains(privilegeOrGroup) ||
           CollectionPrivileges.contains(privilegeOrGroup),
           s"unknown privilege '$privilegeOrGroup'")
         grants += Grant(role, privilegeOrGroup, collection)
@@ -118,7 +174,8 @@ object Rbac {
           rs.contains(g.role) &&
           (g.collection == "*" || g.collection == collection) &&
           (g.privilege == privilege ||
-            Groups.get(g.privilege).exists(_.contains(privilege)))
+            Groups.get(g.privilege).exists(_.contains(privilege)) ||
+            customGroups.get(g.privilege).exists(_.contains(privilege)))
         }
       }
 
@@ -227,7 +284,7 @@ object Rbac {
     def backup(): Backup = lock.synchronized(
       Backup(roles, userRoles, grants,
         credentials.map { case (u, (s, d)) => u -> ((s.clone, d.clone)) },
-        userDescriptions))
+        userDescriptions, customGroups))
 
     /** RestoreRBAC: replace this registry's state with a backup's
       * (the reference restores into a CLEAN deployment; restoring over
@@ -239,6 +296,7 @@ object Rbac {
       grants = b.grants
       credentials = b.credentials.map { case (u, (s, d)) => u -> ((s.clone, d.clone)) }
       userDescriptions = b.descriptions
+      customGroups = b.privilegeGroups
     }
   }
 }

@@ -956,6 +956,57 @@ class CollectionSpec extends SparkSpec {
     c.release()
   }
 
+  test("utility RPCs: alloc ts, flush-all state, alias describe, index state/alter, plans") {
+    val c = fresh()
+    // AllocTimestamp: strictly increasing, no visibility side effects
+    val before = c.count()
+    val t1 = c.allocTimestamp(); val t2 = c.allocTimestamp()
+    assert(t2 > t1 && c.count() == before)
+    // GetIndexState / GetIndexBuildProgress / AlterIndex lifecycle
+    assert(c.getIndexState("emb") == "IndexStateNone")
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    assert(c.getIndexState("emb") == "Finished")
+    val (indexed, total) = c.getIndexBuildProgress("emb")
+    assert(indexed == 50 && total == 50)
+    c.insert(mkRows(50L until 60L))
+    assert(c.getIndexBuildProgress("emb") == ((50L, 60L)))
+    c.alterIndex("emb", Map("mmap.enabled" -> "true"))
+    assert(c.describeIndexProperties("emb") == Map("mmap.enabled" -> "true"))
+    intercept[IllegalArgumentException](
+      c.alterIndex("emb", Map("mmap.enabled" -> "yes")))
+    intercept[IllegalArgumentException](
+      c.alterIndex("txt", Map("mmap.enabled" -> "true"))) // no index there
+    c.dropIndex("emb")
+    assert(c.getIndexState("emb") == "IndexStateNone")
+    assert(c.describeIndexProperties("emb").isEmpty) // props die with the index
+    // CompactionStateWithPlans: the plan lists the output segments
+    val dir = "/tmp/graft_test_rpcs_" + System.nanoTime()
+    c.flush(s"$dir/seg1")
+    c.deletePks(Seq(1L.asInstanceOf[Any]))
+    val id = c.manualCompaction(s"$dir/compact")
+    val (st, plans) = c.getCompactionStateWithPlans(id)
+    assert(st.state == "Completed" && plans.nonEmpty &&
+      plans.forall(_.contains("compact")))
+    // registry-level: FlushAll state + alias describe + health/version
+    // (a dedicated database keeps the JVM-global registry deterministic)
+    val db = s"rpcsdb_${System.nanoTime()}"
+    val name = "rpcs"
+    Collection.createDatabase(db)
+    Collection.registerCollection(name, c, db)
+    c.insert(mkRows(100L until 110L)) // growing tail again
+    assert(!Collection.getFlushAllState(db))
+    Collection.flushAll(s"$dir/flushall", db)
+    assert(Collection.getFlushAllState(db))
+    val alias = s"alias_${System.nanoTime()}"
+    Collection.createAlias(alias, c)
+    assert(Collection.describeAlias(alias) == ((db, Some(name))))
+    Collection.dropAlias(alias)
+    intercept[NoSuchElementException](Collection.describeAlias(alias))
+    assert(Collection.checkHealth && Collection.Version.nonEmpty)
+    Collection.dropCollection(name, db)
+    Collection.dropDatabase(db)
+  }
+
   test("loadPartitions/releasePartitions: scoped visibility, idempotency, state") {
     val c = Collection.create(spark,
       CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))

@@ -35,6 +35,49 @@ class RbacSpec extends SparkSpec {
     intercept[IllegalArgumentException] { r.dropRole("admin") }
   }
 
+  test("custom privilege groups: lifecycle, live membership, drop guards") {
+    val r = new Rbac.Registry
+    r.createRole("analyst")
+    r.addUserToRole("bob", "analyst")
+    // create + populate + grant
+    r.createPrivilegeGroup("SearchAndStats")
+    r.operatePrivilegeGroup("SearchAndStats", Set("Search", "GetStatistics"), add = true)
+    r.grant("analyst", "SearchAndStats", "docs")
+    assert(r.allowed("bob", "Search", "docs"))
+    assert(r.allowed("bob", "GetStatistics", "docs"))
+    assert(!r.allowed("bob", "Query", "docs"))
+    // membership resolves at check time: mutating the group takes
+    // effect on the existing grant
+    r.operatePrivilegeGroup("SearchAndStats", Set("Query"), add = true)
+    assert(r.allowed("bob", "Query", "docs"))
+    r.operatePrivilegeGroup("SearchAndStats", Set("Search"), add = false)
+    assert(!r.allowed("bob", "Search", "docs"))
+    // listing shows built-ins + the custom group with current members
+    val listed = r.listPrivilegeGroups.toMap
+    assert(listed("SearchAndStats") == Set("GetStatistics", "Query"))
+    assert(listed.contains("CollectionReadOnly"))
+    // name collisions with built-ins/privileges rejected; built-ins immutable
+    intercept[IllegalArgumentException](r.createPrivilegeGroup("CollectionAdmin"))
+    intercept[IllegalArgumentException](r.createPrivilegeGroup("Search"))
+    intercept[IllegalArgumentException](
+      r.operatePrivilegeGroup("CollectionReadOnly", Set("Insert"), add = true))
+    intercept[IllegalArgumentException](
+      r.operatePrivilegeGroup("SearchAndStats", Set("Banana"), add = true))
+    // cannot drop while granted; revoke unblocks the drop
+    intercept[IllegalArgumentException](r.dropPrivilegeGroup("SearchAndStats"))
+    r.revoke("analyst", "SearchAndStats", "docs")
+    r.dropPrivilegeGroup("SearchAndStats")
+    assert(!r.allowed("bob", "Query", "docs"))
+    intercept[IllegalArgumentException](r.dropPrivilegeGroup("CollectionReadOnly"))
+    // backup/restore round-trips custom groups
+    r.createPrivilegeGroup("Ops")
+    r.operatePrivilegeGroup("Ops", Set("Flush", "Compaction"), add = true)
+    val b = r.backup()
+    val r2 = new Rbac.Registry
+    r2.restore(b)
+    assert(r2.listPrivilegeGroups.toMap.apply("Ops") == Set("Flush", "Compaction"))
+  }
+
   test("facade: RBAC gates operations by the caller's grants") {
     val reg = new Rbac.Registry
     reg.createRole("reader"); reg.createRole("writer")
