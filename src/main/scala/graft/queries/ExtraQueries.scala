@@ -1009,7 +1009,101 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Expression conformance matrix (reference:
+    * tests/python_client/milvus_client/expressions/
+    * filtering_case_matrix.py + coverage_matrix.md — the de-facto
+    * filter-language conformance suite): a curated battery of
+    * expressions over the events table, every case paired with the
+    * equivalent DuckDB SQL. Covers the matrix's families: comparison
+    * ops, two-sided ranges, IN/NOT IN (incl. the empty list), LIKE
+    * prefix/inner/suffix, arithmetic and bitwise compare, column-vs-
+    * column, the call registry, JSON typed comparisons, boolean fanout
+    * (AND/OR depth), De Morgan + double negation, operand-order
+    * insensitivity, same-field OR fanout vs IN, and distributivity —
+    * each algebraic identity appears as an `_a`/`_b` pair whose counts
+    * the oracle pins independently (equal SQL ⇒ equal counts ⇒ the
+    * engine honors the identity).
+    *
+    * Spark shape: ONE scan — every case compiles to a codegen'd
+    * conditional-sum aggregate over the same pass, so the matrix costs
+    * one job regardless of case count (no per-case scans to multiply
+    * at 100 TB).
+    */
+  private val MatrixCases: Seq[(String, String, String)] = Seq(
+    ("and3_fanout", """value > 20 and value <= 90 and event_type == "click"""",
+      "value > 20 AND value <= 90 AND event_type = 'click'"),
+    ("arith_mod", "(event_id % 7) == 3", "(event_id % 7) = 3"),
+    ("arith_mul_cmp", "(user_id * 2) < 500", "(user_id * 2) < 500"),
+    ("arith_plus_cmp", "(value + 10) >= 60", "(value + 10) >= 60"),
+    ("bit_and", "(event_id & 15) == 4", "(event_id & 15) = 4"),
+    ("bit_shift", "(event_id << 1) > 5000", "(event_id << 1) > 5000"),
+    ("call_empty", "not empty(event_type)", "length(trim(event_type)) > 0"),
+    ("call_starts_with", """starts_with(event_type, "cl")""",
+      "event_type LIKE 'cl%'"),
+    ("cmp_cols", "value > user_id", "value > user_id"),
+    ("cmp_lt", "value < 50", "value < 50"),
+    ("cmp_range_two_sided", "10 < value <= 90", "value > 10 AND value <= 90"),
+    ("demorgan_a", """not (value <= 10 or event_type == "view")""",
+      "NOT (value <= 10 OR event_type = 'view')"),
+    ("demorgan_b", """value > 10 and event_type != "view"""",
+      "value > 10 AND event_type <> 'view'"),
+    ("distributive_a",
+      """(value > 50 and event_type == "click") or (value > 50 and event_type == "view")""",
+      "(value > 50 AND event_type = 'click') OR (value > 50 AND event_type = 'view')"),
+    ("distributive_b",
+      """value > 50 and (event_type == "click" or event_type == "view")""",
+      "value > 50 AND (event_type = 'click' OR event_type = 'view')"),
+    ("double_negation", """not (not (event_type == "error"))""",
+      "event_type = 'error'"),
+    ("in_empty_list", "event_type in []", "1 = 0"),
+    ("in_list", """event_type in ["click", "view"]""",
+      "event_type IN ('click', 'view')"),
+    ("json_eq_typed", """props["k"] == 42""",
+      "TRY_CAST(props->>'$.k' AS DOUBLE) = 42"),
+    ("json_exists", """exists props["k"]""",
+      "(props->>'$.k') IS NOT NULL"),
+    ("json_in_or_a", """props["k"] == 1 or props["k"] == 3 or props["k"] == 5""",
+      "TRY_CAST(props->>'$.k' AS DOUBLE) IN (1, 3, 5)"),
+    ("json_in_or_b", """props["k"] in [1, 3, 5]""",
+      "TRY_CAST(props->>'$.k' AS DOUBLE) IN (1, 3, 5)"),
+    ("json_range", """props["k"] > 90""",
+      "TRY_CAST(props->>'$.k' AS DOUBLE) > 90"),
+    ("like_inner", """event_type like "%ic%"""", "event_type LIKE '%ic%'"),
+    ("like_prefix", """event_type like "cl%"""", "event_type LIKE 'cl%'"),
+    ("like_suffix", """event_type like "%up"""", "event_type LIKE '%up'"),
+    ("mixed_depth2",
+      """((value > 20 and value < 80) or event_type == "signup") and not (user_id < 10)""",
+      "((value > 20 AND value < 80) OR event_type = 'signup') AND NOT (user_id < 10)"),
+    ("not_in", """event_type not in ["click", "view"]""",
+      "event_type NOT IN ('click', 'view')"),
+    ("order_insensitive_a", """value > 50 and event_type == "click"""",
+      "value > 50 AND event_type = 'click'"),
+    ("order_insensitive_b", """event_type == "click" and value > 50""",
+      "event_type = 'click' AND value > 50"),
+    ("same_field_or_fanout",
+      """event_type == "click" or event_type == "view" or event_type == "error"""",
+      "event_type IN ('click', 'view', 'error')"))
+
+  def exprMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val counters = MatrixCases.map { case (id, mx, _) =>
+      sum(when(ExprCompiler.compile(mx, ev, jsonColumns = Set("props")),
+        1L).otherwise(0L)).as(id)
+    }
+    val row = ev.agg(counters.head, counters.tail: _*).head()
+    import s.implicits._
+    MatrixCases.map { case (id, _, _) =>
+      (id, row.getAs[Long](id))
+    }.toDF("case_id", "cnt").orderBy(col("case_id"))
+  }
+
+  private[graft] val exprMatrixOracle: String =
+    MatrixCases.map { case (id, _, sql) =>
+      s"SELECT '$id' AS case_id, count(*) AS cnt FROM events WHERE $sql"
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expr_matrix" -> (exprMatrix _),
     "q_search_by_pk" -> (searchByPkQ _),
     "q_struct_hybrid" -> (structHybrid _),
     "q_struct_hybrid_elements" -> (structHybridElements _),
@@ -1091,6 +1185,7 @@ object ExtraQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_expr_matrix" -> exprMatrixOracle,
     "q_search_by_pk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id IN (3, 4, 5)),
