@@ -1045,8 +1045,50 @@ final class Collection private (
     */
   def importBinlog(dir: String): Long = {
     requirePriv("Import")
-    insertImpl(graft.sources.Binlog.readSegments(spark, dir))
+    val ts = insertImpl(graft.sources.Binlog.readSegments(spark, dir))
+    recordImport("binlog", Seq(dir))
+    ts
   }
+
+  /** Bulk import through the facade (reference impl.go ImportV: one
+    * job per file set, any supported format — parquet/json/csv/npy/
+    * binlog readers in [[graft.sources.BulkImport]]); rows ride the
+    * normal insert path (ingest functions, seal policy, MVCC ts) and
+    * the task lands in the import registry for progress polling.
+    */
+  def bulkImport(format: String, path: String): Long = {
+    requirePriv("Import")
+    insertImpl(graft.sources.BulkImport.read(spark, format, path))
+    recordImport(format, Seq(path))
+  }
+
+  // ---- import-task introspection (reference impl.go ListImports /
+  // GetImportProgress / GetImportState: datacoord's import-task
+  // registry). Imports here run synchronously inside the insert, so a
+  // recorded task is always Completed at 100% — the polling contract
+  // holds with a zero-width ImportStarted window, same device as
+  // manualCompaction's.
+  final case class ImportTask(id: Long, format: String, files: Seq[String],
+      state: String, progress: Int)
+  @volatile private var importTasks: Map[Long, ImportTask] = Map.empty
+
+  private[graft] def recordImport(format: String, files: Seq[String]): Long =
+    stateLock.synchronized {
+      val id = nextTs()
+      importTasks += id -> ImportTask(id, format, files, "Completed", 100)
+      id
+    }
+
+  /** ListImports: recorded bulk-import tasks, newest first. */
+  def listImports: Seq[ImportTask] =
+    importTasks.values.toSeq.sortBy(-_.id)
+
+  /** GetImportProgress: state + percent for one task; unknown ids
+    * error (the reference's failed status for unknown job ids).
+    */
+  def getImportProgress(id: Long): ImportTask =
+    importTasks.getOrElse(id, throw new NoSuchElementException(
+      s"no import task with id $id"))
 
   // ---- field DDL state (reference 20260413-drop-collection-field-
   // design.md + 20230405-default_value.md): a dropped field maps to its
@@ -1093,6 +1135,7 @@ final class Collection private (
     indexes.get(field).foreach { st => releaseIndexState(st); indexes -= field }
     droppedFields += field -> ts
     maskedFields -= field
+    structFieldSchemas -= field // struct schema dies with the field
     colPatches -= field // pending patches die with the field
     lastWriteTs = ts
     invalidateFilterCache()
@@ -1115,6 +1158,56 @@ final class Collection private (
     lastWriteTs = ts
     invalidateFilterCache()
     ts
+  }
+
+  // ---- struct-array field DDL (reference impl.go
+  // AddCollectionStructField; test_milvus_client_struct_array_nullable
+  // §add_collection_struct_field): add a NULLABLE array-of-struct
+  // field post-create, its element schema (sub-field names, types,
+  // max_length/dim params, max_capacity) validated at DDL time and
+  // served by describe. Rows older than the DDL serve null (the
+  // addCollectionField evolution semantics); newer inserts carry the
+  // struct array and feed element-level search/filter.
+  @volatile private var structFieldSchemas
+      : Map[String, (Seq[Collection.StructSubField], Int)] = Map.empty
+
+  def addCollectionStructField(field: String,
+      subFields: Seq[Collection.StructSubField], maxCapacity: Int): Long = {
+    require(maxCapacity > 0, s"max_capacity must be positive, got $maxCapacity")
+    require(subFields.nonEmpty, "a struct field needs at least one sub-field")
+    require(subFields.map(_.name).distinct.size == subFields.size,
+      "sub-field names must be unique")
+    subFields.foreach { sf =>
+      require(sf.name.nonEmpty, "sub-field name must be non-empty")
+      require(Collection.StructSubFieldTypes.contains(sf.dataType),
+        s"unsupported sub-field type '${sf.dataType}' for '${sf.name}'")
+      def positiveParam(key: String): Unit = {
+        val v = sf.params.getOrElse(key, throw new IllegalArgumentException(
+          s"sub-field '${sf.name}' (${sf.dataType}) requires param '$key'"))
+        require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+          s"param '$key' of sub-field '${sf.name}' must be a positive int, got '$v'")
+      }
+      if (sf.dataType == "VarChar") positiveParam("max_length")
+      if (sf.dataType == "FloatVector") positiveParam("dim")
+    }
+    stateLock.synchronized {
+      require(!structFieldSchemas.contains(field) ||
+        droppedFields.contains(field),
+        s"struct field '$field' already exists")
+      val ts = addCollectionField(field, null) // null-fill for older rows
+      structFieldSchemas += field -> ((subFields, maxCapacity))
+      ts
+    }
+  }
+
+  /** The describe_collection view of a struct field: nullable
+    * Array(Struct) with max_capacity and the sub-field schema.
+    */
+  def describeStructField(field: String)
+      : (Boolean, Seq[Collection.StructSubField], Int) = {
+    val (subs, cap) = structFieldSchemas.getOrElse(field,
+      throw new NoSuchElementException(s"no struct field '$field'"))
+    (true, subs, cap) // always nullable, per the reference
   }
 
   // ---- collection-attached ingest functions (reference: FunctionSchema
@@ -2283,6 +2376,20 @@ object Collection {
     aliases.entrySet().asScala.filter(_.getValue eq target)
       .map(_.getKey).toSeq.sorted
   }
+
+  /** One sub-field of a struct-array field (reference: the struct
+    * schema inside AddCollectionStructFieldRequest — name, DataType,
+    * type params like max_length / dim).
+    */
+  final case class StructSubField(name: String, dataType: String,
+      params: Map[String, String] = Map.empty)
+
+  /** Sub-field DataTypes AddCollectionStructField accepts (the
+    * reference's struct element schema: scalars + float vectors).
+    */
+  val StructSubFieldTypes: Set[String] = Set(
+    "Bool", "Int8", "Int16", "Int32", "Int64", "Float", "Double",
+    "VarChar", "FloatVector")
 
   /** The DescribeIndex result (indexpb.IndexInfo stats subset). */
   final case class IndexDescription(

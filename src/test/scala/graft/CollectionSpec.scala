@@ -956,6 +956,69 @@ class CollectionSpec extends SparkSpec {
     c.release()
   }
 
+  test("addCollectionStructField: validation, describe, null-fill, element search") {
+    import Collection.StructSubField
+    val c = fresh() // 50 rows, no struct field yet
+    // validation: capacity, types, required params, duplicate names
+    intercept[IllegalArgumentException](c.addCollectionStructField("chunks",
+      Seq(StructSubField("v", "FloatVector", Map("dim" -> "4"))), maxCapacity = 0))
+    intercept[IllegalArgumentException](c.addCollectionStructField("chunks",
+      Seq(StructSubField("v", "Banana")), maxCapacity = 4))
+    intercept[IllegalArgumentException](c.addCollectionStructField("chunks",
+      Seq(StructSubField("v", "FloatVector")), maxCapacity = 4)) // dim missing
+    intercept[IllegalArgumentException](c.addCollectionStructField("chunks",
+      Seq(StructSubField("t", "VarChar")), maxCapacity = 4)) // max_length missing
+    intercept[IllegalArgumentException](c.addCollectionStructField("chunks",
+      Seq(StructSubField("v", "Int64"), StructSubField("v", "Int64")), maxCapacity = 4))
+    // the add: older rows serve null, describe reports the schema
+    c.addCollectionStructField("chunks", Seq(
+      StructSubField("rank", "Int64"),
+      StructSubField("tag", "VarChar", Map("max_length" -> "32")),
+      StructSubField("cvec", "FloatVector", Map("dim" -> "4"))), maxCapacity = 8)
+    val (nullable, subs, cap) = c.describeStructField("chunks")
+    assert(nullable && cap == 8 && subs.map(_.name) == Seq("rank", "tag", "cvec"))
+    intercept[IllegalArgumentException](c.addCollectionStructField("chunks",
+      Seq(StructSubField("rank", "Int64")), maxCapacity = 8)) // already exists
+    // post-DDL inserts carry the struct array; element search sees them
+    val withChunks = (100L until 110L).map { i =>
+      (i, vec(i), s"doc $i", i % 5,
+        Seq((i, s"t$i", vec(i)), (i + 1, s"u$i", vec(i + 1))))
+    }.toDF("pk", "emb", "txt", "grp", "chunks")
+    c.insert(withChunks)
+    val pre = c.query("pk == 7", Seq("pk", "chunks"))
+    assert(pre.select($"chunks").head().isNullAt(0), "pre-DDL rows serve null")
+    val post = c.query("pk == 105", Seq("pk", "chunks"))
+    assert(post.select(org.apache.spark.sql.functions.size($"chunks"))
+      .as[Int].head() == 2)
+    // drop clears the struct schema; re-add works
+    c.dropField("chunks")
+    intercept[NoSuchElementException](c.describeStructField("chunks"))
+    c.addCollectionStructField("chunks",
+      Seq(StructSubField("rank", "Int64")), maxCapacity = 2)
+    assert(c.describeStructField("chunks")._3 == 2)
+  }
+
+  test("bulk import records tasks; progress introspection polls them") {
+    val c = fresh()
+    val dir = "/tmp/graft_test_import_" + System.nanoTime()
+    // export a parquet fragment through spark, then facade-import it
+    mkRows(200L until 220L).write.parquet(s"$dir/pq")
+    val id = c.bulkImport("parquet", s"$dir/pq")
+    assert(c.count() == 70)
+    val task = c.getImportProgress(id)
+    assert(task.state == "Completed" && task.progress == 100 &&
+      task.format == "parquet" && task.files == Seq(s"$dir/pq"))
+    assert(c.listImports.map(_.id).contains(id))
+    intercept[NoSuchElementException](c.getImportProgress(id + 999L))
+    // binlog import records a task too
+    val c2 = fresh()
+    c2.exportBinlog(s"$dir/binlog", segments = 2)
+    val c3 = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c3.importBinlog(s"$dir/binlog")
+    assert(c3.listImports.size == 1 && c3.listImports.head.format == "binlog")
+  }
+
   test("utility RPCs: alloc ts, flush-all state, alias describe, index state/alter, plans") {
     val c = fresh()
     // AllocTimestamp: strictly increasing, no visibility side effects
