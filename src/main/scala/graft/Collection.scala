@@ -111,6 +111,33 @@ final class Collection private (
     */
   def describeFieldWarmup: Map[String, String] = fieldWarmup
 
+  // ---- AlterCollectionField, general params (reference impl.go
+  // AlterCollectionField with field_params: max_length for VarChar,
+  // max_capacity for arrays, mmap.enabled — validated on write, echoed
+  // by describe; warmup routes through the warmup validator).
+  @volatile private var fieldProps: Map[String, Map[String, String]] = Map.empty
+
+  def alterCollectionField(field: String, params: Map[String, String]): Unit =
+    stateLock.synchronized {
+      requirePriv("AlterCollection")
+      params.foreach { case (k, v) =>
+        k match {
+          case "max_length" | "max_capacity" =>
+            require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+              s"$k must be a positive integer, got '$v'")
+          case "mmap.enabled" =>
+            require(v == "true" || v == "false", s"$k must be true|false, got '$v'")
+          case "warmup" => Collection.requireWarmup(v, field)
+          case _ => // free-form keys stored as-is, like collection properties
+        }
+      }
+      params.get("warmup").foreach(w => fieldWarmup += field -> w)
+      fieldProps += field -> (fieldProps.getOrElse(field, Map.empty) ++ params)
+    }
+
+  def describeFieldProperties(field: String): Map[String, String] =
+    fieldProps.getOrElse(field, Map.empty)
+
   // ---- seal policies (segment_allocation_policy.go) ----
   private var sealPolicy: Option[SealPolicy] = None
   private var growingRows: Long = 0L // tracked only while a policy is set
@@ -2203,6 +2230,37 @@ object Collection {
     require(prev == null, s"database '$db' already exists")
   }
 
+  // ---- database properties (reference impl.go AlterDatabase /
+  // DescribeDatabase; key registry pkg/common: database.replica.number,
+  // database.diskQuota.mb, database.max.collections,
+  // database.force.deny.writing/reading). Metadata with one enforced
+  // contract in this engine: database.max.collections caps
+  // registerCollection, the rootcoord quota the reference enforces at
+  // create time. Replica/disk-quota keys are serving-infra metadata —
+  // stored and echoed, validated numeric.
+  private val databaseProps =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  def alterDatabase(db: String, props: Map[String, String]): Unit = {
+    if (!databases.containsKey(db))
+      throw new NoSuchElementException(s"database '$db' does not exist")
+    props.foreach { case (k, v) =>
+      if (k == "database.max.collections" || k == "database.diskQuota.mb" ||
+          k == "database.replica.number")
+        require(scala.util.Try(v.toLong).toOption.exists(_ >= 0),
+          s"$k must be a non-negative integer, got '$v'")
+      if (k == "database.force.deny.writing" || k == "database.force.deny.reading")
+        require(v == "true" || v == "false", s"$k must be true|false, got '$v'")
+    }
+    databaseProps.merge(db, props, (old, add) => old ++ add)
+  }
+
+  def describeDatabase(db: String): Map[String, String] = {
+    if (!databases.containsKey(db))
+      throw new NoSuchElementException(s"database '$db' does not exist")
+    databaseProps.getOrDefault(db, Map.empty)
+  }
+
   /** Drop an EMPTY database (the reference refuses to drop a database
     * that still holds collections; `default` is undroppable).
     */
@@ -2225,6 +2283,10 @@ object Collection {
   def registerCollection(name: String, coll: Collection, db: String = "default"): Unit = {
     val colls = databases.get(db)
     if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    // database.max.collections (rootcoord quota, enforced at create)
+    databaseProps.getOrDefault(db, Map.empty).get("database.max.collections")
+      .map(_.toLong).foreach(cap => require(colls.size < cap,
+        s"database '$db' is at its max.collections cap ($cap)"))
     val prev = colls.putIfAbsent(name, coll)
     require(prev == null, s"collection '$db.$name' already exists")
   }

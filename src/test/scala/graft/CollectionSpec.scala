@@ -956,6 +956,44 @@ class CollectionSpec extends SparkSpec {
     c.release()
   }
 
+  test("database properties: alter/describe, max.collections cap, field params") {
+    val db = s"dbprops_${System.nanoTime()}"
+    Collection.createDatabase(db)
+    // unknown db errors on both verbs
+    intercept[NoSuchElementException](Collection.alterDatabase("nope", Map()))
+    intercept[NoSuchElementException](Collection.describeDatabase("nope"))
+    // validated keys: numerics and booleans
+    intercept[IllegalArgumentException](
+      Collection.alterDatabase(db, Map("database.max.collections" -> "many")))
+    intercept[IllegalArgumentException](
+      Collection.alterDatabase(db, Map("database.force.deny.writing" -> "yes")))
+    Collection.alterDatabase(db, Map(
+      "database.replica.number" -> "2", "database.max.collections" -> "1"))
+    assert(Collection.describeDatabase(db)("database.replica.number") == "2")
+    // the cap is enforced at register time (rootcoord create-time quota)
+    val c1 = fresh(); val c2 = fresh()
+    Collection.registerCollection("one", c1, db)
+    intercept[IllegalArgumentException](
+      Collection.registerCollection("two", c2, db))
+    Collection.alterDatabase(db, Map("database.max.collections" -> "5"))
+    Collection.registerCollection("two", c2, db)
+    Collection.dropCollection("one", db)
+    Collection.dropCollection("two", db)
+    Collection.dropDatabase(db)
+    // AlterCollectionField general params on a live collection
+    val c = fresh()
+    intercept[IllegalArgumentException](
+      c.alterCollectionField("txt", Map("max_length" -> "-3")))
+    intercept[IllegalArgumentException](
+      c.alterCollectionField("emb", Map("mmap.enabled" -> "on")))
+    c.alterCollectionField("txt", Map("max_length" -> "128"))
+    c.alterCollectionField("txt", Map("mmap.enabled" -> "true"))
+    assert(c.describeFieldProperties("txt") ==
+      Map("max_length" -> "128", "mmap.enabled" -> "true"))
+    c.alterCollectionField("emb", Map("warmup" -> "async"))
+    assert(c.describeFieldWarmup("emb") == "async")
+  }
+
   test("addCollectionStructField: validation, describe, null-fill, element search") {
     import Collection.StructSubField
     val c = fresh() // 50 rows, no struct field yet
