@@ -970,13 +970,24 @@ final class Collection private (
     rbacCtx = Some((registry, collectionName))
   def disableRbac(): Unit = rbacCtx = None
 
-  private def requirePriv(privilege: String): Unit = rbacCtx.foreach {
-    case (reg, cname) =>
-      val user = currentUser.map(_.userName).getOrElse(throw new IllegalStateException(
-        "RBAC is enabled but no user context is set — call setUser first"))
-      if (!reg.allowed(user, privilege, cname))
-        throw new SecurityException(
-          s"user '$user' lacks privilege $privilege on collection '$cname'")
+  private def requirePriv(privilege: String): Unit = {
+    // database force-deny quota states (reference rootcoord
+    // quota_center: database.force.deny.writing/reading reject the
+    // operation with a quota error before any work happens). One check
+    // point for every facade verb; the home-db lookup is a driver-side
+    // scan over the registry, negligible next to any Spark job.
+    if (Collection.WritePrivileges.contains(privilege))
+      Collection.requireDbAllows(this, "database.force.deny.writing", "write")
+    else if (Collection.ReadPrivileges.contains(privilege))
+      Collection.requireDbAllows(this, "database.force.deny.reading", "read")
+    rbacCtx.foreach {
+      case (reg, cname) =>
+        val user = currentUser.map(_.userName).getOrElse(throw new IllegalStateException(
+          "RBAC is enabled but no user context is set — call setUser first"))
+        if (!reg.allowed(user, privilege, cname))
+          throw new SecurityException(
+            s"user '$user' lacks privilege $privilege on collection '$cname'")
+    }
   }
 
   private def rlsFilter(df: DataFrame): DataFrame =
@@ -1279,6 +1290,22 @@ final class Collection private (
 
   def listFunctions: Seq[graft.functions.IngestFunctions.FunctionSchema] =
     ingestFunctions
+
+  /** AlterCollectionFunction (reference impl.go): replace the function
+    * producing `outputField` in place — later batches compute with the
+    * new definition, rows already carrying the output keep their old
+    * values (no backfill rewrite, the add/drop evolution semantics).
+    * The replacement must produce the SAME output field — renaming is a
+    * drop + add.
+    */
+  def alterFunction(fn: graft.functions.IngestFunctions.FunctionSchema): Unit =
+    stateLock.synchronized {
+      requirePriv("AlterCollection")
+      require(ingestFunctions.exists(_.outputField == fn.outputField),
+        s"no collection function produces '${fn.outputField}'")
+      ingestFunctions = ingestFunctions.map(f =>
+        if (f.outputField == fn.outputField) fn else f)
+    }
 
   // ---- mutable columns (reference: 20260709-mutable-columns.md — a
   // partial update is a PATCH on the pk, generalizing the delete path:
@@ -2437,6 +2464,27 @@ object Collection {
     import scala.jdk.CollectionConverters._
     aliases.entrySet().asScala.filter(_.getValue eq target)
       .map(_.getKey).toSeq.sorted
+  }
+
+  private[graft] val WritePrivileges: Set[String] =
+    Set("Insert", "Delete", "Upsert", "Import")
+  private[graft] val ReadPrivileges: Set[String] =
+    Set("Query", "Search")
+
+  /** Enforce a database force-deny quota state for every database the
+    * collection is registered in (an unregistered collection has no
+    * database scope and is never denied).
+    */
+  private[graft] def requireDbAllows(c: Collection, key: String,
+      verb: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    databases.entrySet().asScala.foreach { db =>
+      if (db.getValue.containsValue(c) &&
+          databaseProps.getOrDefault(db.getKey, Map.empty).get(key)
+            .contains("true"))
+        throw new IllegalStateException(
+          s"quota exceeded: database '${db.getKey}' denies $verb ($key=true)")
+    }
   }
 
   /** One sub-field of a struct-array field (reference: the struct

@@ -994,6 +994,44 @@ class CollectionSpec extends SparkSpec {
     assert(c.describeFieldWarmup("emb") == "async")
   }
 
+  test("force-deny quota states gate writes and reads; alterFunction replaces in place") {
+    val db = s"deny_${System.nanoTime()}"
+    Collection.createDatabase(db)
+    val c = fresh()
+    Collection.registerCollection("c", c, db)
+    // deny writing: inserts/deletes rejected, reads fine
+    Collection.alterDatabase(db, Map("database.force.deny.writing" -> "true"))
+    intercept[IllegalStateException](c.insert(mkRows(900L until 910L)))
+    intercept[IllegalStateException](c.deletePks(Seq(1L.asInstanceOf[Any])))
+    assert(c.count() == 50)
+    // deny reading: queries rejected, writes restored
+    Collection.alterDatabase(db, Map(
+      "database.force.deny.writing" -> "false",
+      "database.force.deny.reading" -> "true"))
+    intercept[IllegalStateException](c.query("value >= 0", Seq("pk")))
+    intercept[IllegalStateException](c.count())
+    c.insert(mkRows(900L until 910L))
+    Collection.alterDatabase(db, Map("database.force.deny.reading" -> "false"))
+    assert(c.count() == 60)
+    Collection.dropCollection("c", db)
+    Collection.dropDatabase(db)
+    // alterFunction: replacement computes for NEW rows only
+    import graft.functions.IngestFunctions.MinHashFunction
+    val c2 = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c2.addFunction(MinHashFunction("txt", "sig", numHashes = 4))
+    intercept[IllegalArgumentException](c2.alterFunction(
+      MinHashFunction("txt", "other_out", numHashes = 8))) // unknown output
+    c2.insert(mkRows(0L until 5L))
+    c2.alterFunction(MinHashFunction("txt", "sig", numHashes = 8))
+    c2.insert(mkRows(10L until 15L))
+    val sizes = c2.query("", Seq("pk", "sig")).orderBy($"pk")
+      .select($"pk", org.apache.spark.sql.functions.size($"sig"))
+      .as[(Long, Int)].collect().toMap
+    assert(sizes(0L) == 4, "old rows keep the 4-hash signature")
+    assert(sizes(10L) == 8, "new rows compute with the replacement")
+  }
+
   test("addCollectionStructField: validation, describe, null-fill, element search") {
     import Collection.StructSubField
     val c = fresh() // 50 rows, no struct field yet
