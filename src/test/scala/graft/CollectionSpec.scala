@@ -595,6 +595,26 @@ class CollectionSpec extends SparkSpec {
       s"_partition not inside PartitionFilters:\n$plan")
   }
 
+  test("partial load prunes unloaded partitions' directories at the file source") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", mkRows(0L until 20L))
+    c.insertInto("p2", mkRows(20L until 40L))
+    val dir = "/tmp/graft_test_partload_" + System.nanoTime()
+    c.flush(dir)
+    c.loadPartitions(Seq("p1"))
+    // the implicit loaded-partitions scope must reach the flushed scan
+    // as a PARTITION filter — at deployment scale an unloaded
+    // partition's bytes are never read, not read-then-dropped
+    val plan = c.query("", Seq("pk")).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_partition".r.findFirstIn(plan).isDefined,
+      s"loaded-partition scope not inside PartitionFilters:\n$plan")
+    assert(c.count() == 20)
+    c.releasePartitions(Seq("p1"))
+  }
+
   test("binlog export/import round-trips the collection (migration path)") {
     val c = fresh()
     c.delete("grp == 3")
