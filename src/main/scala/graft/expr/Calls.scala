@@ -57,6 +57,20 @@ private[expr] object Calls {
           case other     => throw CompileError(s"phrase_match slop must be int, got $other")
         } else 0L
         phraseMatch(c, q, slop.toInt)
+      // MATCH_ALL/ANY/LEAST are overloaded in the reference grammar: a
+      // STRING second arg is token matching (MatchExpr.cpp), an element
+      // expression (`$[sub]` predicate) is the struct-array quantifier
+      // family (test_milvus_client_struct_array_element_query.py
+      // MATCH_ALL/MATCH_ANY/MATCH_LEAST). Dispatch on the arg shape.
+      case "match_all" if isElementQuantifier(args) =>
+        val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
+        forall(arr, pred) // empty array: vacuously true; null: excluded
+      case "match_any" if isElementQuantifier(args) =>
+        val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
+        exists(arr, pred)
+      case "match_least" if isElementQuantifier(args) =>
+        val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
+        size(filter(arr, pred)) >= intOpt("threshold", 1)
       case "match_all" =>
         val (_, c) = fieldArg(0)
         val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
@@ -148,26 +162,44 @@ private[expr] object Calls {
       // `exists(field, elem => pred)` — codegen'd, no shuffle, and the
       // whole predicate stays pushdown-eligible.
       case "element_filter" =>
-        if (ctx.element.isDefined)
-          throw CompileError("nested element_filter is not supported")
         if (args.length != 2)
           throw CompileError("element_filter(field, element_expr) takes exactly 2 args")
-        val fname = args(0) match {
-          case Ident(f) => f
-          case other    => throw CompileError(s"element_filter requires a field, got $other")
-        }
-        val elemSchema = ctx.fieldType(fname) match {
-          case Some(ArrayType(st: StructType, _)) => Some(st)
-          case Some(ArrayType(_, _))              => None
-          case other =>
-            throw CompileError(s"element_filter requires an ARRAY field, $fname is $other")
-        }
-        exists(col(fname), elem =>
-          ExprCompiler.compile(args(1), ctx.copy(element = Some((elem, elemSchema)))))
+        val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
+        exists(arr, pred)
 
       case other =>
         throw CompileError(s"unknown function: $other")
     }
+  }
+
+  /** A MATCH_* second arg that is NOT a string (or a template that
+    * would resolve to one) selects the struct-array element-quantifier
+    * overload instead of token matching.
+    */
+  private def isElementQuantifier(args: Seq[Node]): Boolean =
+    args.length == 2 && !args(1).isInstanceOf[StringLit] &&
+      !args(1).isInstanceOf[TemplateVar]
+
+  /** Shared element machinery for element_filter and the MATCH_*
+    * quantifiers: the array column plus the element-scoped predicate
+    * compiler (`$[sub]` resolves against the element).
+    */
+  private def elementPredicate(fieldNode: Node, predNode: Node, ctx: Ctx,
+      name: String): (Column, Column => Column) = {
+    if (ctx.element.isDefined)
+      throw CompileError(s"nested $name element expression is not supported")
+    val fname = fieldNode match {
+      case Ident(f) => f
+      case other    => throw CompileError(s"$name requires a field, got $other")
+    }
+    val elemSchema = ctx.fieldType(fname) match {
+      case Some(ArrayType(st: StructType, _)) => Some(st)
+      case Some(ArrayType(_, _))              => None
+      case other =>
+        throw CompileError(s"$name requires an ARRAY field, $fname is $other")
+    }
+    (col(fname), (elem: Column) =>
+      ExprCompiler.compile(predNode, ctx.copy(element = Some((elem, elemSchema)))))
   }
 
   /** Count of distinct query tokens present in the field's token set. */

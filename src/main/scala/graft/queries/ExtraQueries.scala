@@ -172,6 +172,32 @@ object ExtraQueries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** MATCH_ALL / MATCH_ANY / MATCH_LEAST element quantifiers over a
+    * struct array (reference:
+    * test_milvus_client_struct_array_element_query.py — the grammar's
+    * quantified variants of element_filter: ALL elements satisfy the
+    * `$[sub]` predicate, ANY does, or at least `threshold` do). One
+    * marker row per quantifier pins the matching-order count against a
+    * per-group SQL recompute.
+    */
+  def elementQuantifiers(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      .localCheckpoint(true) // three quantifiers share one build
+    def cnt(e: String): Long = items.filter(ExprCompiler.compile(e, items)).count()
+    import s.implicits._
+    Seq(
+      ("match_all_qty", cnt("match_all(items, $[l_quantity] > 5.0)").toString),
+      ("match_any_conj", cnt(
+        "match_any(items, $[l_quantity] > 45.0 and $[l_linenumber] <= 2)").toString),
+      ("match_least_2", cnt(
+        "match_least(items, $[l_quantity] > 30.0, threshold=2)").toString),
+      ("match_least_default", cnt("match_least(items, $[l_quantity] > 30.0)").toString))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   // ---- §1.2/§2.6 sparse vectors (SPARSE_INVERTED_INDEX / WAND) ----
 
   def sparseTopk(s: SparkSession, dir: String): DataFrame = {
@@ -1150,6 +1176,7 @@ object ExtraQueries {
     "q_geo_intersects" -> (geoIntersects _),
     "q_array_exists" -> (arrayExists _),
     "q_element_filter" -> (elementFilter _),
+    "q_element_quantifiers" -> (elementQuantifiers _),
     "q_sparse_topk" -> (sparseTopk _),
     "q_sparse_wand" -> (sparseWand _),
     "q_maxsim" -> (maxSim _),
@@ -1596,6 +1623,20 @@ object ExtraQueries {
         |SELECT l_orderkey, n_items FROM g
         |WHERE len(list_filter(items, e -> e.qty > 45.0 AND e.ln <= 2)) > 0
         |ORDER BY l_orderkey""".stripMargin,
+    "q_element_quantifiers" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list(struct_pack(ln := l_linenumber, qty := l_quantity)) AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'match_all_qty' AS step, CAST(count(*) AS VARCHAR) AS result
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 5.0)) = len(items)
+        |  UNION ALL SELECT 'match_any_conj', CAST(count(*) AS VARCHAR)
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 45.0 AND e.ln <= 2)) > 0
+        |  UNION ALL SELECT 'match_least_2', CAST(count(*) AS VARCHAR)
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 30.0)) >= 2
+        |  UNION ALL SELECT 'match_least_default', CAST(count(*) AS VARCHAR)
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 30.0)) >= 1)
+        |ORDER BY step""".stripMargin,
     "q_sparse_topk" ->
       """SELECT doc_id,
         |  2.0 * len(list_filter(string_split(text, ' '), t -> t = 'vector'))

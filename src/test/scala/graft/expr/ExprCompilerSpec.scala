@@ -256,6 +256,17 @@ class ExprCompilerSpec extends SparkSpec {
     intercept[ExprCompiler.CompileError] { ids("$[qty] > 45.0") }
     // arity errors surface as CompileError even with zero args
     intercept[ExprCompiler.CompileError] { ids("element_filter()") }
+    // MATCH_* element-quantifier overloads (second arg is an element
+    // expression, not a string): ALL / ANY / LEAST-with-threshold
+    assert(ids("match_any(items, $[qty] > 45.0 and $[ln] <= 1)") == Set(2L))
+    assert(ids("match_all(items, $[qty] > 5.0)") == Set(1L, 2L, 3L))
+    assert(ids("match_all(items, $[qty] > 20.0)") == Set(2L, 3L)) // id=1: qty 10 fails
+    assert(ids("match_least(items, $[qty] > 40.0, threshold=2)") == Set(2L))
+    assert(ids("match_least(items, $[qty] > 40.0)") == Set(1L, 2L, 3L))
+    // the STRING overload still routes to token matching (no regression)
+    val tdf = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "txt")
+    assert(tdf.filter(ExprCompiler.compile("""match_all(txt, "alpha beta")""", tdf))
+      .select("id").as[Long].collect().toSet == Set(1L))
     // StructIndexFieldIdentifier `f[0][sub]` (bare-identifier bracket)
     assert(ids("items[0][qty] > 45.0") == Set(2L, 3L))
     assert(ids("items[1][ln] == 2") == Set(1L))
