@@ -97,11 +97,15 @@ private[expr] object Calls {
         array_contains(arr, litCol(args(1), ctx))
       case "json_contains_all" | "array_contains_all" =>
         val arr = containerColumn(args(0), args(1), ctx)
-        val values = litArray(args(1), ctx)
-        size(array_except(values, arr)) === 0 && arr.isNotNull
+        if (isEmptyList(args(1), ctx)) arr.isNotNull // vacuously true (#51617)
+        else {
+          val values = litArray(args(1), ctx)
+          size(array_except(values, arr)) === 0 && arr.isNotNull
+        }
       case "json_contains_any" | "array_contains_any" =>
         val arr = containerColumn(args(0), args(1), ctx)
-        arrays_overlap(arr, litArray(args(1), ctx))
+        if (isEmptyList(args(1), ctx)) lit(false) // nothing to overlap (#51617)
+        else arrays_overlap(arr, litArray(args(1), ctx))
       case "array_length" =>
         args(0) match {
           case Ident(f) if ctx.fieldType(f).exists(_.isInstanceOf[ArrayType]) =>
@@ -289,9 +293,27 @@ private[expr] object Calls {
   private def litArray(n: Node, ctx: Ctx): Column = n match {
     case a: ArrayLit => ExprCompiler.compile(a, ctx)
     case TemplateVar(name) => ctx.params.get(name) match {
-      case Some(seq: Seq[_]) => lit(seq.toArray[Any](scala.reflect.ClassTag.Any))
+      // element-wise lits: a Seq[Any] materialized as Array[Object]
+      // would hit Spark's "Unsupported component type" on lit()
+      case Some(seq: Seq[_]) => array(seq.map(v => lit(v)): _*)
       case other             => throw CompileError(s"template must be list, got $other")
     }
     case other => throw CompileError(s"expected array literal, got $other")
+  }
+
+  /** Is this values node a statically-empty list (inline `[]` or a
+    * template resolving to one)? The reference pins the empty-list
+    * semantics (#51617): contains_all([]) is vacuously TRUE on any
+    * non-null container, contains_any([]) is FALSE — and an empty
+    * `array()` literal is NullType-typed in Spark, so the generic
+    * array_except/arrays_overlap forms would type-clash anyway.
+    */
+  private def isEmptyList(n: Node, ctx: Ctx): Boolean = n match {
+    case ArrayLit(items) => items.isEmpty
+    case TemplateVar(name) => ctx.params.get(name) match {
+      case Some(seq: Seq[_]) => seq.isEmpty
+      case _                 => false
+    }
+    case _ => false
   }
 }

@@ -204,6 +204,53 @@ class ExprCompilerSpec extends SparkSpec {
       $"ts" === to_timestamp(lit("2025-01-05 00:00:00")))
   }
 
+  test("empty-list containment: contains_all([]) is true, contains_any([]) is false") {
+    // the reference's #51617 pinned semantics, inline and via template
+    val rows = Seq(
+      (1L, Seq("a", "b"), """{"tags": [1, 2]}"""),
+      (2L, Seq.empty[String], """{"tags": []}""")
+    ).toDF("id", "tags", "meta")
+    def ids(e: String, params: Map[String, Any] = Map.empty): Set[Long] =
+      rows.filter(ExprCompiler.compile(Parser.parse(e),
+        ExprCompiler.Ctx(rows.schema, jsonColumns = Set("meta"), params = params)))
+        .select("id").as[Long].collect().toSet
+    assert(ids("array_contains_all(tags, [])") == Set(1L, 2L))
+    assert(ids("array_contains_any(tags, [])") == Set.empty[Long])
+    assert(ids("""json_contains_all(meta["tags"], [])""") == Set(1L, 2L))
+    assert(ids("""json_contains_any(meta["tags"], [])""") == Set.empty[Long])
+    // template-delivered empty list matches the inline literal
+    assert(ids("array_contains_all(tags, {values})",
+      Map("values" -> Seq.empty[Any])) == Set(1L, 2L))
+    assert(ids("array_contains_any(tags, {values})",
+      Map("values" -> Seq.empty[Any])) == Set.empty[Long])
+  }
+
+  test("tstz interval arithmetic over NULL timestamps stays UNKNOWN (3VL)") {
+    // the reference's #51538 regression class: a NULL ts under
+    // `ts ± INTERVAL OP iso` must stay NULL — excluded by the positive
+    // filter AND by its outer negation, on BOTH interval paths (fixed
+    // durations fold to a pushed literal, months take the calendar path)
+    val rows = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))),
+      (2L, Some(java.sql.Timestamp.valueOf("2025-01-02 00:00:00"))),
+      (5L, None)
+    ).toDF("id", "ev")
+    def ids(e: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(e, rows)).select("id").as[Long].collect().toSet
+    // non-null controls
+    assert(ids("ev + INTERVAL 'P1D' < iso'2025-01-03T00:00:00Z'") == Set(1L))
+    assert(ids("ev + INTERVAL 'P1M' < iso'2025-02-02T00:00:00Z'") == Set(1L))
+    // positive filter against an impossible bound: nothing (not the null row)
+    assert(ids("ev + INTERVAL 'P1D' < iso'2000-01-01T00:00:00Z'").isEmpty)
+    assert(ids("ev + INTERVAL 'P1M' < iso'2000-01-01T00:00:00Z'").isEmpty)
+    // outer NOT of an always-false bound: non-null rows only — a null
+    // ts must NOT resurface through the negation
+    assert(ids("not (ev + INTERVAL 'P1D' < iso'1900-01-01T00:00:00Z')") == Set(1L, 2L))
+    assert(ids("not (ev + INTERVAL 'P1M' < iso'1900-01-01T00:00:00Z')") == Set(1L, 2L))
+    // is-null predicates still see the row
+    assert(ids("ev is null") == Set(5L))
+  }
+
   test("template variables") {
     val got = df.filter(ExprCompiler.compile(
       Parser.parse("id > {low} and id in {ids}"),
