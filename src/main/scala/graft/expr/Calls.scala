@@ -70,7 +70,16 @@ private[expr] object Calls {
         exists(arr, pred)
       case "match_least" if isElementQuantifier(args) =>
         val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
-        size(filter(arr, pred)) >= intOpt("threshold", 1)
+        val n = intOpt("threshold", 1)
+        // reference: "count in MATCH_LEAST must be positive"
+        if (n <= 0) throw CompileError("count in MATCH_LEAST must be positive")
+        size(filter(arr, pred)) >= n
+      case "match_most" if isElementQuantifier(args) =>
+        val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
+        size(filter(arr, pred)) <= intOpt("threshold", 1)
+      case "match_exact" if isElementQuantifier(args) =>
+        val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
+        size(filter(arr, pred)) === intOpt("threshold", 1) // threshold=0 is legal
       case "match_all" =>
         val (_, c) = fieldArg(0)
         val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
@@ -270,6 +279,10 @@ private[expr] object Calls {
   private def containerColumn(target: Node, probe: Node, ctx: Ctx): Column = {
     target match {
       case Ident(f) if ctx.fieldType(f).exists(_.isInstanceOf[ArrayType]) => col(f)
+      // typed struct-array sub-field projection `f[sub]`: already an
+      // array column of the sub-field's values — no JSON re-parse
+      case jp: JsonPath if ctx.fieldType(jp.field).exists(_.isInstanceOf[ArrayType]) =>
+        ExprCompiler.compile(jp, ctx)
       case jp: JsonPath if jp.path.nonEmpty || ctx.isJson(jp.field) =>
         from_json(ExprCompiler.compile(jp, ctx), ArrayType(probeElementType(probe, ctx)))
       case Ident(f) if ctx.isJson(f) =>

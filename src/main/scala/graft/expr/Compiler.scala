@@ -157,8 +157,20 @@ object ExprCompiler {
               case other => throw CompileError(
                 s"$field[$idx][$key] needs an array of structs, $field is array<$other>")
             }
+            // sub-field PROJECTION `f[sub]` (reference: StructArray
+            // sub-field access — `events[tag]` is the ARRAY of that
+            // sub-field's values, fed to array_contains/_any/_all)
+            case Seq(Left(key)) => et match {
+              case st: StructType if st.fieldNames.contains(key) =>
+                transform(col(field), e => e.getField(key))
+              case st: StructType => throw CompileError(
+                s"struct array $field has no sub-field $key " +
+                  s"(available: ${st.fieldNames.mkString(", ")})")
+              case other => throw CompileError(
+                s"$field[$key] needs an array of structs, $field is array<$other>")
+            }
             case _ => throw CompileError(
-              s"array field $field supports [int] or [int][subField] access")
+              s"array field $field supports [int], [int][subField], or [subField] access")
           }
         case Some(StructType(_)) =>
           parts.foldLeft(col(field)) {

@@ -192,9 +192,15 @@ object ExtraQueries {
       ("match_all_qty", cnt("match_all(items, $[l_quantity] > 5.0)").toString),
       ("match_any_conj", cnt(
         "match_any(items, $[l_quantity] > 45.0 and $[l_linenumber] <= 2)").toString),
+      ("match_exact_1", cnt(
+        "match_exact(items, $[l_quantity] > 45.0, threshold=1)").toString),
       ("match_least_2", cnt(
         "match_least(items, $[l_quantity] > 30.0, threshold=2)").toString),
-      ("match_least_default", cnt("match_least(items, $[l_quantity] > 30.0)").toString))
+      ("match_least_default", cnt("match_least(items, $[l_quantity] > 30.0)").toString),
+      ("match_most_1", cnt(
+        "match_most(items, $[l_quantity] > 30.0, threshold=1)").toString),
+      ("subfield_projection", cnt(
+        "array_contains(items[l_linenumber], 7)").toString))
       .toDF("step", "result").orderBy(col("step"))
   }
 
@@ -1632,10 +1638,16 @@ object ExtraQueries {
         |  FROM g WHERE len(list_filter(items, e -> e.qty > 5.0)) = len(items)
         |  UNION ALL SELECT 'match_any_conj', CAST(count(*) AS VARCHAR)
         |  FROM g WHERE len(list_filter(items, e -> e.qty > 45.0 AND e.ln <= 2)) > 0
+        |  UNION ALL SELECT 'match_exact_1', CAST(count(*) AS VARCHAR)
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 45.0)) = 1
         |  UNION ALL SELECT 'match_least_2', CAST(count(*) AS VARCHAR)
         |  FROM g WHERE len(list_filter(items, e -> e.qty > 30.0)) >= 2
         |  UNION ALL SELECT 'match_least_default', CAST(count(*) AS VARCHAR)
-        |  FROM g WHERE len(list_filter(items, e -> e.qty > 30.0)) >= 1)
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 30.0)) >= 1
+        |  UNION ALL SELECT 'match_most_1', CAST(count(*) AS VARCHAR)
+        |  FROM g WHERE len(list_filter(items, e -> e.qty > 30.0)) <= 1
+        |  UNION ALL SELECT 'subfield_projection', CAST(count(*) AS VARCHAR)
+        |  FROM g WHERE len(list_filter(items, e -> e.ln = 7)) > 0)
         |ORDER BY step""".stripMargin,
     "q_sparse_topk" ->
       """SELECT doc_id,

@@ -310,6 +310,18 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("match_all(items, $[qty] > 20.0)") == Set(2L, 3L)) // id=1: qty 10 fails
     assert(ids("match_least(items, $[qty] > 40.0, threshold=2)") == Set(2L))
     assert(ids("match_least(items, $[qty] > 40.0)") == Set(1L, 2L, 3L))
+    // MATCH_MOST (≤ threshold) and MATCH_EXACT (== threshold, 0 legal)
+    assert(ids("match_most(items, $[qty] > 40.0, threshold=1)") == Set(1L, 3L))
+    assert(ids("match_exact(items, $[qty] > 40.0, threshold=2)") == Set(2L))
+    assert(ids("match_exact(items, $[qty] > 100.0, threshold=0)") == Set(1L, 2L, 3L))
+    // MATCH_LEAST rejects non-positive thresholds (reference error)
+    intercept[ExprCompiler.CompileError] {
+      ids("match_least(items, $[qty] > 1.0, threshold=0)")
+    }
+    // sub-field PROJECTION f[sub]: the array of that sub-field's values
+    assert(ids("array_contains(items[ln], 3)") == Set(2L))
+    assert(ids("array_contains_any(items[qty], [10.0, 99.0])") == Set(1L, 3L))
+    intercept[ExprCompiler.CompileError] { ids("array_contains(items[nope], 3)") }
     // the STRING overload still routes to token matching (no regression)
     val tdf = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "txt")
     assert(tdf.filter(ExprCompiler.compile("""match_all(txt, "alpha beta")""", tdf))
