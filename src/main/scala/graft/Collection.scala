@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.expr.ExprCompiler
@@ -1536,8 +1536,37 @@ final class Collection private (
     requirePriv("Query")
     val scoped = readView(level, partitionNames = partitionNames,
       ignoreGrowing = ignoreGrowing)
-    val base = (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
-      .select(expandFields(outputFields, scoped.columns).map(col): _*)
+    // an element_filter ROOT expands to per-ELEMENT rows with `offset`
+    // (reference: query on element_filter returns one row per matching
+    // element, duplicate pks with offsets; MATCH_ANY stays row-level —
+    // test_element_filter_returns_matching_element_offsets...)
+    val elementRoot: Option[(String, graft.expr.Node)] =
+      if (filterExpr.isEmpty) None
+      else graft.expr.Parser.parse(filterExpr) match {
+        case graft.expr.Call("element_filter",
+            Seq(graft.expr.Ident(f), pred), _) => Some((f, pred))
+        case _ => None
+      }
+    val base = elementRoot match {
+      case Some((f, pred)) =>
+        // row-level pre-filter keeps the explode to matching rows only
+        val matching = scoped.filter(compiled(filterExpr))
+        val elemSchema = matching.schema(f).dataType match {
+          case ArrayType(st: StructType, _) => Some(st)
+          case _                            => None
+        }
+        val exploded = matching.select(
+          (matching.columns.map(col) :+
+            posexplode(col(f)).as(Seq("offset", "_elem"))): _*)
+        val perElem = exploded.filter(ExprCompiler.compile(pred,
+          ExprCompiler.Ctx(exprSchema, metaColumn = schema.metaField,
+            strictColumns = true, element = Some((col("_elem"), elemSchema)))))
+        perElem.select((expandFields(outputFields, scoped.columns).map(col) :+
+          col("offset")): _*)
+      case None =>
+        (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
+          .select(expandFields(outputFields, scoped.columns).map(col): _*)
+    }
     val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
     if (limit > 0) sorted.limit(limit) else sorted
   }

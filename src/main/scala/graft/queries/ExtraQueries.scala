@@ -204,6 +204,28 @@ object ExtraQueries {
       .toDF("step", "result").orderBy(col("step"))
   }
 
+  /** element_filter as a QUERY root returns per-ELEMENT rows with the
+    * matching element's `offset` (reference:
+    * test_element_filter_returns_matching_element_offsets... — rows
+    * with several matching elements repeat with distinct offsets,
+    * while MATCH_ANY stays row-level). Routed through the live facade
+    * so the implicit expansion is what's pinned.
+    */
+  def elementOffsets(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+    val c = Collection.create(s, CollectionSchema(pkField = "l_orderkey"))
+    c.insert(items)
+    c.query("element_filter(items, $[l_quantity] > 45.0 and $[l_linenumber] <= 2)",
+        Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("offset").cast("long").as("offset"))
+      .orderBy(col("l_orderkey"), col("offset"))
+  }
+
   // ---- §1.2/§2.6 sparse vectors (SPARSE_INVERTED_INDEX / WAND) ----
 
   def sparseTopk(s: SparkSession, dir: String): DataFrame = {
@@ -1183,6 +1205,7 @@ object ExtraQueries {
     "q_array_exists" -> (arrayExists _),
     "q_element_filter" -> (elementFilter _),
     "q_element_quantifiers" -> (elementQuantifiers _),
+    "q_element_offsets" -> (elementOffsets _),
     "q_sparse_topk" -> (sparseTopk _),
     "q_sparse_wand" -> (sparseWand _),
     "q_maxsim" -> (maxSim _),
@@ -1629,6 +1652,16 @@ object ExtraQueries {
         |SELECT l_orderkey, n_items FROM g
         |WHERE len(list_filter(items, e -> e.qty > 45.0 AND e.ln <= 2)) > 0
         |ORDER BY l_orderkey""".stripMargin,
+    "q_element_offsets" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list(struct_pack(ln := l_linenumber, qty := l_quantity)
+        |         ORDER BY l_linenumber, l_quantity) AS items
+        |  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey),
+        |u AS (SELECT l_orderkey, unnest(items) AS e,
+        |    generate_subscripts(items, 1) - 1 AS off FROM g)
+        |SELECT l_orderkey, off AS offset FROM u
+        |WHERE e.qty > 45.0 AND e.ln <= 2
+        |ORDER BY l_orderkey, off""".stripMargin,
     "q_element_quantifiers" ->
       """WITH g AS (SELECT l_orderkey,
         |    list(struct_pack(ln := l_linenumber, qty := l_quantity)) AS items

@@ -976,6 +976,32 @@ class CollectionSpec extends SparkSpec {
     c.release()
   }
 
+  test("query with element_filter root expands per-element rows with offsets") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(Seq(
+      (1L, vec(1), Seq((10L, "qa"), (5L, "dev"))),
+      (2L, vec(2), Seq((12L, "qa"), (11L, "qa"))),
+      (3L, vec(3), Seq((1L, "ops"))))
+      .toDF("pk", "emb", "events")
+      .select($"pk", $"emb", transform($"events", e =>
+        struct(e.getField("_1").as("rank"), e.getField("_2").as("tag"))).as("events")))
+    // element_filter ROOT: one row per MATCHING element, offset carried
+    val rows = c.query("""element_filter(events, $[rank] >= 10 and $[tag] == "qa")""",
+      Seq("pk")).select($"pk", $"offset").as[(Long, Int)].collect().sorted
+    assert(rows.toSeq == Seq((1L, 0), (2L, 0), (2L, 1)))
+    // MATCH_ANY stays row-level: unique pks, no offset column
+    val any = c.query("""match_any(events, $[rank] >= 10 and $[tag] == "qa")""",
+      Seq("pk"))
+    assert(!any.columns.contains("offset"))
+    assert(any.select($"pk").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // element_filter under a conjunction is NOT a root: row-level too
+    val conj = c.query("""pk <= 2 and element_filter(events, $[rank] >= 10)""",
+      Seq("pk"))
+    assert(!conj.columns.contains("offset"))
+    assert(conj.select($"pk").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("database properties: alter/describe, max.collections cap, field params") {
     val db = s"dbprops_${System.nanoTime()}"
     Collection.createDatabase(db)
