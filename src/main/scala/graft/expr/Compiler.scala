@@ -64,6 +64,50 @@ object ExprCompiler {
   }
 
   /** Static type of a literal-ish node, for JSON-path cast targets. */
+  /** The static Spark type of a TYPED column reference (never a JSON
+    * path — those take the typed-bucket semantics instead): a plain
+    * field, an element sub-field inside an element expression, or a
+    * `f[idx][sub]` struct-array access.
+    */
+  private def typedColumnType(n: Node, ctx: Ctx): Option[DataType] = n match {
+    case Ident(f) if !isJsonPathNode(n, ctx) => ctx.fieldType(f)
+    case StructSubField(name) =>
+      ctx.element.flatMap(_._2).flatMap(st =>
+        st.fields.find(_.name == name).map(_.dataType))
+    case JsonPath(f, parts) if !isJsonPathNode(n, ctx) =>
+      ctx.fieldType(f).flatMap { t =>
+        parts.foldLeft(Option(t)) {
+          case (Some(ArrayType(et, _)), Right(_))  => Some(et)
+          case (Some(st: StructType), Left(key))   =>
+            st.fields.find(_.name == key).map(_.dataType)
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
+  /** Reject a typed column compared against a literal of the wrong
+    * KIND (numeric/bool column vs string literal, string column vs
+    * numeric/bool literal) at compile time with the reference's error
+    * shape, instead of surfacing an ANSI cast failure mid-query.
+    */
+  private def strictLiteralClash(colNode: Node, litNode: Node, ctx: Ctx): Unit =
+    typedColumnType(colNode, ctx).foreach { t =>
+      def fail(litKind: String): Nothing = throw CompileError(
+        s"comparisons between ${t.simpleString} and $litKind are not supported")
+      litNode match {
+        case StringLit(_)
+            if t.isInstanceOf[NumericType] || t == BooleanType ||
+              t == TimestampType => fail("VarChar")
+        case IntLit(_) | FloatLit(_) |
+             Unary(UnaryOp.Neg, IntLit(_)) | Unary(UnaryOp.Neg, FloatLit(_))
+            if t == StringType || t == BooleanType => fail("numeric")
+        case BoolLit(_) if t.isInstanceOf[NumericType] || t == StringType =>
+          fail("Bool")
+        case _ => ()
+      }
+    }
+
   private def literalType(n: Node, ctx: Ctx): Option[DataType] = n match {
     case IntLit(_)    => Some(LongType)
     case FloatLit(_)  => Some(DoubleType)
@@ -433,6 +477,13 @@ object ExprCompiler {
       case And => boolish(l, compile(l, ctx), ctx) && boolish(r, compile(r, ctx), ctx)
       case Or  => boolish(l, compile(l, ctx), ctx) || boolish(r, compile(r, ctx), ctx)
       case Lt | Le | Gt | Ge | Eq | Ne =>
+        // strict typed-field vs literal check (reference planparserv2:
+        // "comparisons between Int64 and VarChar are not supported" —
+        // a TYPED column against a literal of the wrong kind is a
+        // compile error, not a runtime cast failure aborting the query;
+        // JSON paths are exempt: their typed buckets make a kind
+        // mismatch FALSE instead)
+        strictLiteralClash(l, r, ctx); strictLiteralClash(r, l, ctx)
         val lc = compileCmpSide(l, literalType(r, ctx), ctx)
         val rc = compileCmpSide(r, literalType(l, ctx), ctx)
         val cmp = op match {

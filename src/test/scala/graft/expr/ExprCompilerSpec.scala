@@ -204,6 +204,31 @@ class ExprCompilerSpec extends SparkSpec {
       $"ts" === to_timestamp(lit("2025-01-05 00:00:00")))
   }
 
+  test("typed-field vs wrong-kind literal is a compile error, not a runtime cast") {
+    // reference planparserv2: "comparisons between Int64 and VarChar
+    // are not supported" — typed columns reject kind-mismatched
+    // literals at COMPILE time; JSON paths instead take the typed
+    // buckets (mismatch = false), never an error
+    val rows = Seq((1L, 5L, "a", """{"p": 1}""")).toDF("id", "rank", "tag", "js")
+    def c(e: String) = rows.filter(ExprCompiler.compile(Parser.parse(e),
+      ExprCompiler.Ctx(rows.schema, jsonColumns = Set("js")))).count()
+    intercept[ExprCompiler.CompileError] { c("""rank == "bad"""") }
+    intercept[ExprCompiler.CompileError] { c("""rank != "bad"""") }
+    intercept[ExprCompiler.CompileError] { c("tag == 5") }
+    intercept[ExprCompiler.CompileError] { c("tag > 1.5") }
+    intercept[ExprCompiler.CompileError] { c("rank == true") }
+    // numeric widths interconvert; JSON paths stay bucket-false
+    assert(c("rank == 5.0") == 1)
+    assert(c("""js["p"] == "1"""") == 0) // kind mismatch: false, not error
+    // element sub-fields get the same strictness
+    val sdf = Seq((1L, Seq((10L, "qa")))).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), e =>
+        struct(e.getField("_1").as("rank"), e.getField("_2").as("tag"))).as("events"))
+    intercept[ExprCompiler.CompileError] {
+      sdf.filter(ExprCompiler.compile("""element_filter(events, $[rank] == "bad")""", sdf)).count()
+    }
+  }
+
   test("empty-list containment: contains_all([]) is true, contains_any([]) is false") {
     // the reference's #51617 pinned semantics, inline and via template
     val rows = Seq(
