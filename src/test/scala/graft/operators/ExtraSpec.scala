@@ -63,6 +63,31 @@ class ExtraSpec extends SparkSpec {
     assert(ids("a", "zzz") == Seq()) // missing term → empty intersection
   }
 
+  test("struct sub-field inverted index agrees with the plain element filter") {
+    // the reference's struct_array_subfield_index_consistency contract:
+    // an INVERTED index built over the projected sub-field arrays must
+    // answer exactly like the unindexed element predicate
+    val df = Seq(
+      (1L, Seq((10L, "qa"), (5L, "dev"))),
+      (2L, Seq((12L, "ops"))),
+      (3L, Seq((1L, "qa"), (2L, "qa"))),
+      (4L, Seq.empty[(Long, String)]))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), e =>
+        struct(e.getField("_1").as("rank"), e.getField("_2").as("tag"))).as("events"))
+    // the index column IS the grammar's projection events[tag]
+    val proj = ExprCompiler.compile("events[tag]", df)
+    val idx = InvertedIndex.buildTokenIndex(df, "id", proj)
+    for (term <- Seq("qa", "ops", "missing")) {
+      val viaIdx = InvertedIndex.lookupAll(idx, Seq(term))
+        .as[Long].collect().sorted.toSeq
+      val plain = df.filter(ExprCompiler.compile(
+          s"""match_any(events, $$[tag] == "$term")""", df))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaIdx == plain, s"index/plain divergence on '$term'")
+    }
+  }
+
   test("pair-table index answers identically to the postings-array index") {
     val df = Seq((1L, "a b c b"), (2L, "a c"), (3L, "b"), (4L, "a b"))
       .toDF("id", "text")
