@@ -1090,6 +1090,42 @@ object LifecycleQueries {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** External-table function outputs (reference:
+    * 20260521-external-table-function-output.md — BM25/MinHash/
+    * TextEmbedding output fields on external collections: source
+    * columns referenced in place, derived columns engine-computed, new
+    * fragments pick the functions up on refresh). The BM25 tf map's
+    * SIZE equals the document's distinct-token count, which the oracle
+    * recomputes from the raw text — pinning that the function ran over
+    * the mapped external column on every fragment, including the
+    * post-refresh one.
+    */
+  def externalFunction(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IngestFunctions.{Bm25Function, MinHashFunction}
+    import graft.sources.ExternalTable
+    val base = scratchDir("extfn")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    docs.filter(col("id") < 200).write.mode("overwrite").parquet(s"$base/frag1")
+    val et = ExternalTable.create(s, "parquet", base,
+      Map("doc_id" -> "id", "text" -> "body"),
+      functions = Seq(Bm25Function("text", "tf"),
+        MinHashFunction("text", "sig", numHashes = 16)))
+    docs.filter(col("id") >= 200 && col("id") < 300)
+      .write.mode("overwrite").parquet(s"$base/frag2")
+    val p1 = et.read()
+      .select(col("doc_id"), size(map_keys(col("tf"))).cast("long").as("n_terms"),
+        size(col("sig")).cast("long").as("sig_len"))
+      .withColumn("phase", lit(1L))
+      .localCheckpoint(true) // pre-refresh snapshot
+    et.refresh()
+    val p2 = et.read()
+      .select(col("doc_id"), size(map_keys(col("tf"))).cast("long").as("n_terms"),
+        size(col("sig")).cast("long").as("sig_len"))
+      .withColumn("phase", lit(2L))
+    p1.unionByName(p2).orderBy(col("phase"), col("doc_id"))
+  }
+
   /** Custom per-key streaming state end-to-end
     * (KeyValueGroupedDataset.mapGroupsWithState — the extension point
     * the reference lacks natively, SURVEY §2.7): per-user running event
@@ -1228,6 +1264,7 @@ object LifecycleQueries {
     "q_force_merge" -> (forceMergeQ _),
     "q_partition_isolation" -> (partitionIsolation _),
     "q_load_partitions" -> (loadPartitionsQ _),
+    "q_external_function" -> (externalFunction _),
     "q_mutable_column" -> (mutableColumn _),
     "q_three_valued" -> (threeValued _),
     "q_seal_policy" -> (sealPolicyRead _),
@@ -1405,6 +1442,19 @@ object LifecycleQueries {
         |  UNION ALL SELECT 'range_on_key', 'rejected'
         |  UNION ALL SELECT 'two_equalities', 'rejected')
         |ORDER BY step""".stripMargin,
+    "q_external_function" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+        |    AS BIGINT) AS n_terms,
+        |    CAST(16 AS BIGINT) AS sig_len
+        |  FROM documents)
+        |SELECT doc_id, n_terms, sig_len, CAST(1 AS BIGINT) AS phase
+        |FROM toks WHERE doc_id < 200
+        |UNION ALL
+        |SELECT doc_id, n_terms, sig_len, CAST(2 AS BIGINT) AS phase
+        |FROM toks WHERE doc_id < 300
+        |ORDER BY phase, doc_id""".stripMargin,
     "q_load_partitions" ->
       """SELECT * FROM (
         |  SELECT 'count_after_release_hot' AS step, CAST(count(*) AS VARCHAR) AS result

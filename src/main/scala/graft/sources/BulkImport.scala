@@ -78,7 +78,9 @@ final class ExternalTable private (
     spark: SparkSession,
     format: String,
     dir: String,
-    private var mapping: Map[String, String]) {
+    private var mapping: Map[String, String],
+    private var functions: Seq[graft.functions.IngestFunctions.FunctionSchema] =
+      Nil) {
 
   final case class RefreshStats(kept: Int, added: Int, removed: Int)
 
@@ -116,7 +118,15 @@ final class ExternalTable private (
       case other => throw new IllegalArgumentException(
         s"external table format '$other' not supported")
     }
-    BulkImport.project(raw, map, dir)
+    // function output fields (reference: 20260521-external-table-
+    // function-output.md — BM25/MinHash/TextEmbedding outputs over
+    // external text fields; source columns stay referenced in place,
+    // only the DERIVED columns are engine-computed). Spark-first the
+    // derivation is a column expression evaluated at read — the same
+    // lazy stance as the projection; persist()/cache covers re-reads
+    // where the reference materializes packed column groups.
+    graft.functions.IngestFunctions.applyAll(
+      BulkImport.project(raw, map, dir), functions)
   }
 
   /** Read the SNAPSHOT fragments under the current mapping. */
@@ -150,10 +160,22 @@ final class ExternalTable private (
 }
 
 object ExternalTable {
-  /** Create over `dir`, snapshotting its current fragments. */
+  /** Create over `dir`, snapshotting its current fragments; `functions`
+    * are engine-computed output fields over the MAPPED columns
+    * (reference: external-table function outputs — each function's
+    * input must be a mapped collection field, validated here).
+    */
   def create(spark: SparkSession, format: String, dir: String,
-      fieldMapping: Map[String, String]): ExternalTable = {
-    val et = new ExternalTable(spark, format, dir, fieldMapping)
+      fieldMapping: Map[String, String],
+      functions: Seq[graft.functions.IngestFunctions.FunctionSchema] = Nil)
+      : ExternalTable = {
+    functions.foreach { fn =>
+      require(fieldMapping.contains(fn.inputField),
+        s"function input '${fn.inputField}' is not a mapped field")
+      require(!fieldMapping.contains(fn.outputField),
+        s"function output '${fn.outputField}' collides with a mapped field")
+    }
+    val et = new ExternalTable(spark, format, dir, fieldMapping, functions)
     et.refresh()
     et
   }
