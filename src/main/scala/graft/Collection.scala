@@ -1263,7 +1263,8 @@ final class Collection private (
     * the output (the addCollectionField-without-default evolution
     * semantics); no backfill rewrite.
     */
-  def addFunction(fn: graft.functions.IngestFunctions.FunctionSchema): Unit =
+  def addFunction(fn: graft.functions.IngestFunctions.FunctionSchema,
+      backfill: Boolean = false): Unit =
     stateLock.synchronized {
       requirePriv("AlterCollection")
       require(!ingestFunctions.exists(_.outputField == fn.outputField),
@@ -1273,8 +1274,25 @@ final class Collection private (
         s"function output cannot be the system field '${fn.outputField}'")
       ingestFunctions :+= fn
       // rows inserted BEFORE the add lack the output column — later
-      // batches must union with null fill (the evolution contract)
+      // batches must union with null fill (the evolution contract).
+      // With backfill=true (20260715-online-schema-evolution.md: add
+      // function field runs a historical backfill before publication),
+      // historical rows serve the COMPUTED output instead: the backfill
+      // is a lazy coalesce expression on the read view — no segment
+      // rewrite, and the next flush/compaction materializes it.
+      if (backfill) backfillFunctions :+= fn
       functionsEverChanged = true
+    }
+
+  @volatile private var backfillFunctions
+      : Seq[graft.functions.IngestFunctions.FunctionSchema] = Nil
+
+  private[graft] def applyFunctionBackfill(df: DataFrame): DataFrame =
+    backfillFunctions.foldLeft(df) { (d, fn) =>
+      val out = graft.functions.IngestFunctions.outputColumn(fn)
+      if (d.columns.contains(fn.outputField))
+        d.withColumn(fn.outputField, coalesce(col(fn.outputField), out))
+      else d.withColumn(fn.outputField, out)
     }
 
   /** DropCollectionFunction (by output field): stops computing; rows
@@ -1285,6 +1303,7 @@ final class Collection private (
     require(ingestFunctions.exists(_.outputField == outputField),
       s"no collection function produces '$outputField'")
     ingestFunctions = ingestFunctions.filterNot(_.outputField == outputField)
+    backfillFunctions = backfillFunctions.filterNot(_.outputField == outputField)
     functionsEverChanged = true // later batches lack the output column
   }
 
@@ -1439,9 +1458,9 @@ final class Collection private (
     // for pre-addTs rows (and skip it entirely before any post-DDL batch
     // carries the column). Drop still wins: dropField clears the
     // field's patch log, so ordering cannot resurrect dropped patches.
-    applyColumnPatches(applyFieldDdl(
+    applyFunctionBackfill(applyColumnPatches(applyFieldDdl(
       Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)),
-      lit(readTs))
+      lit(readTs)))
   }
 
   // ---- compiled-filter result cache (reference: exec/expression/

@@ -976,6 +976,38 @@ class CollectionSpec extends SparkSpec {
     c.release()
   }
 
+  test("addFunction with backfill computes outputs for historical rows") {
+    import graft.functions.IngestFunctions.MinHashFunction
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 10L)) // pre-add rows
+    // default (no backfill): pre-add rows serve null once a post-add
+    // batch materializes the column
+    c.addFunction(MinHashFunction("txt", "sig_plain", numHashes = 4))
+    c.insert(mkRows(50L until 55L))
+    assert(c.query("pk == 3", Seq("sig_plain")).head().isNullAt(0))
+    // backfill: pre-add rows serve the COMPUTED output — a lazy
+    // expression on the read view, no segment rewrite
+    c.addFunction(MinHashFunction("txt", "sig_bf", numHashes = 4), backfill = true)
+    val pre = c.query("pk == 3", Seq("sig_bf"))
+      .select(org.apache.spark.sql.functions.size($"sig_bf")).as[Int].head()
+    assert(pre == 4, "historical row must carry the backfilled signature")
+    // post-add inserts compute on the write path; backfill must NOT
+    // overwrite them (coalesce keeps the stored value)
+    c.insert(mkRows(100L until 105L))
+    assert(c.query("pk == 100", Seq("sig_bf"))
+      .select(org.apache.spark.sql.functions.size($"sig_bf")).as[Int].head() == 4)
+    // flush materializes; the backfilled column survives the sealed read
+    val dir = "/tmp/graft_test_backfill_" + System.nanoTime()
+    c.flush(dir)
+    assert(c.query("pk == 3", Seq("sig_bf"))
+      .select(org.apache.spark.sql.functions.size($"sig_bf")).as[Int].head() == 4)
+    // drop removes the backfill too
+    c.dropFunction("sig_bf")
+    assert(!c.query("", Seq("*")).columns.contains("sig_bf") ||
+      c.query("pk == 3", Seq("pk")).count() == 1) // field gone or ignored
+  }
+
   test("query with element_filter root expands per-element rows with offsets") {
     val c = Collection.create(spark,
       CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
