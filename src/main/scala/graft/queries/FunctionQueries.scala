@@ -82,9 +82,35 @@ object FunctionQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Add-function-with-BACKFILL (reference:
+    * 20260715-online-schema-evolution.md — an added function field
+    * backfills historical data before publication): the rows are
+    * inserted BEFORE the function exists, the add carries
+    * backfill=true, and the search must score them exactly as if the
+    * outputs had been ingest-computed — the same oracle as
+    * q_collection_functions, with the DDL order inverted.
+    */
+  def functionBackfill(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      vectorFields = Map("emb" -> EmbedDim)))
+    c.insert(docs) // BEFORE the function exists
+    c.addFunction(
+      IngestFunctions.TextEmbeddingFunction("text", "emb", EmbedDim),
+      backfill = true)
+    val qvec = IngestFunctions.CharFreqEmbedding.embed(lit(QueryText), EmbedDim)
+    val qs = s.range(1).select(lit(0L).as("qid"), qvec.as("qvec"))
+    c.search("emb", qs, k = 20, metric = Metric.IP, outputFields = Seq("doc_id"),
+        roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("doc_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_ingest" -> (embedIngest _),
-    "q_collection_functions" -> (collectionFunctions _)
+    "q_collection_functions" -> (collectionFunctions _),
+    "q_function_backfill" -> (functionBackfill _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,6 +126,17 @@ object FunctionQueries {
          |SELECT CAST(0 AS BIGINT) AS qid, rank, score, doc_id
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_collection_functions" ->
+      s"""WITH de AS (SELECT doc_id, ${charFreqSql("text")} AS ev FROM documents),
+         |qe AS (SELECT ${charFreqSql(s"'$QueryText'")} AS ev),
+         |d AS (SELECT de.doc_id,
+         |        round(list_inner_product(de.ev, qe.ev), 4) AS score
+         |      FROM de CROSS JOIN qe),
+         |r AS (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |      FROM d)
+         |SELECT CAST(0 AS BIGINT) AS qid, rank, score, doc_id
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q_function_backfill" ->
       s"""WITH de AS (SELECT doc_id, ${charFreqSql("text")} AS ev FROM documents),
          |qe AS (SELECT ${charFreqSql(s"'$QueryText'")} AS ev),
          |d AS (SELECT de.doc_id,
