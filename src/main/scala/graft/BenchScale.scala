@@ -158,9 +158,14 @@ object BenchScale {
         c.insert(corpus10.select(col("vec_id").as("pk"),
           col("embedding").as("emb"), (col("vec_id") % 7).as("grp")))
         val nRows = nEmb * 10
-        // patch log: `scale`×600 rows across 3 LWW generations
+        // patch log: `scale`×600 rows across 3 LWW generations; gen is
+        // taken MOD the stride so every generation patches rows even at
+        // stride 1 (the every-row-patched top scale — a plain `=== gen`
+        // would leave generations 1..2 empty there and measure a third
+        // of the intended log with no LWW contention)
+        val stride = (nRows / (200L * scale)) max 1L
         (0 until 3).foreach { gen =>
-          val patch = corpus10.filter(col("vec_id") % lit(nRows / (200L * scale) max 1L) === gen)
+          val patch = corpus10.filter(col("vec_id") % lit(stride) === (gen % stride))
             .select(col("vec_id").as("pk"), (col("vec_id") + gen).as("grp"))
           c.setField("grp", patch)
         }

@@ -915,10 +915,16 @@ final class Collection private (
           dst
         }
       }
+      sealedDf.foreach(_.unpersist()) // drop the pre-merge pinned blocks
       sealedDf = Some(sealedSegments.map(spark.read.parquet(_))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
-      if (loadedFlag) sealedDf = sealedDf.map(
-        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      if (loadedFlag) loadedPartitions match {
+        // a partial load re-pins its SCOPE over the merged layout —
+        // never the full layout (that would pin unloaded partitions)
+        case Some(set) => repinPartial(set)
+        case None => sealedDf = sealedDf.map(
+          _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
     }
     val id = nextTs()
     compactionHistory +=
@@ -938,7 +944,9 @@ final class Collection private (
       maxSizeMb: Long = 1024L): Long = {
     val id = forceMerge(path, targetSizeMb, maxSizeMb)
     indexes.foreach { case (f, st) => createIndex(f, st.model.nlist) }
-    if (loadState == "Loaded") load()
+    // refresh the load WITHOUT widening its scope: a partial load was
+    // already re-pinned by forceMerge; only a full load re-runs load()
+    if (loadState == "Loaded" && loadedPartitions.isEmpty) load()
     id
   }
 
@@ -1081,11 +1089,13 @@ final class Collection private (
     * fixture writer) as one insert batch — the
     * `importutilv2/binlog` migration-in path.
     */
+  /** Returns the import TASK id (poll with [[getImportProgress]]),
+    * matching [[bulkImport]]'s contract.
+    */
   def importBinlog(dir: String): Long = {
     requirePriv("Import")
-    val ts = insertImpl(graft.sources.Binlog.readSegments(spark, dir))
+    insertImpl(graft.sources.Binlog.readSegments(spark, dir))
     recordImport("binlog", Seq(dir))
-    ts
   }
 
   /** Bulk import through the facade (reference impl.go ImportV: one
@@ -1175,6 +1185,12 @@ final class Collection private (
     maskedFields -= field
     structFieldSchemas -= field // struct schema dies with the field
     colPatches -= field // pending patches die with the field
+    // a dropped function-output field must stop computing AND stop
+    // backfilling — otherwise applyFunctionBackfill (outermost in the
+    // read view) would resurrect the dropped column with fresh values
+    ingestFunctions = ingestFunctions.filterNot(_.outputField == field)
+    backfillFunctions = backfillFunctions.filterNot(_.outputField == field)
+    functionsEverChanged = true
     lastWriteTs = ts
     invalidateFilterCache()
     ts
@@ -1495,7 +1511,10 @@ final class Collection private (
       limit: Int = -1,
       orderBy: Seq[Column] = Nil): DataFrame = {
     val base = stateLock.synchronized {
-      val scope = rlsPolicies.mkString(";") + "|" + currentUser.toString
+      // the partial-load scope is part of visibility: a cached view
+      // baked under one loaded-partition set must not serve another
+      val scope = rlsPolicies.mkString(";") + "|" + currentUser.toString +
+        "|" + loadedPartitions.map(_.toSeq.sorted.mkString(",")).getOrElse("*")
       val key = (filterExpr, lastWriteTs, scope)
       filterCache.get(key) match {
         case Some(df) => filterHits += 1; df
@@ -2081,13 +2100,23 @@ final class Collection private (
       case Some(t) => indexSide0.filter(col(schema.tsField) > lit(lastWriteTs) - t)
       case None    => indexSide0
     }
+    // the partial-load scope gates the indexed layout too (the tail
+    // side rides readView and is already gated): with only some
+    // partitions loaded, indexed hits from unloaded partitions would
+    // make the two read paths disagree on visibility
+    val indexSideLoaded = loadedPartitions match {
+      case Some(set) if indexSideTtl.columns.contains(Collection.PartitionCol) =>
+        indexSideTtl.filter(
+          col(Collection.PartitionCol).isin(set.toSeq: _*))
+      case _ => indexSideTtl
+    }
     // mutable-column patches must overlay the indexed layout too: a
     // patched row whose version ts predates buildTs sits in neither
     // `tail` nor `changed`, so without the overlay searchIndexed would
     // serve stale pre-patch scalars while query/search via readView
     // serve patched ones (the same index-vs-view agreement contract as
     // the collection.ttl mask above). No-op when no patches exist.
-    val indexSide = applyColumnPatches(rlsFilter(indexSideTtl), lit(lastWriteTs))
+    val indexSide = applyColumnPatches(rlsFilter(indexSideLoaded), lit(lastWriteTs))
     val idxHits = IvfIndex.search(indexSide, schema.pkField, vectorField, st.model,
       queries, "qid", "qvec", metric, k, nprobe, outputCols = out, roundTo = roundTo)
     // tail side: serve through the interim index when ingest built one

@@ -132,6 +132,23 @@ object ExprCompiler {
     case _ => None
   }
 
+  /** A runtime template value as the literal node it would have been
+    * inline — so template-delivered lists share the inline compile
+    * paths (typed JSON unions, strictness) instead of diverging.
+    */
+  private def valueToLiteralNode(v: Any, templateName: String): Node = v match {
+    case i: Int     => IntLit(i.toLong)
+    case l: Long    => IntLit(l)
+    case s: Short   => IntLit(s.toLong)
+    case b: Byte    => IntLit(b.toLong)
+    case d: Double  => FloatLit(d)
+    case f: Float   => FloatLit(f.toDouble)
+    case b: Boolean => BoolLit(b)
+    case s: String  => StringLit(s)
+    case other => throw CompileError(
+      s"template {$templateName} holds unsupported element $other")
+  }
+
   private def isJsonPathNode(n: Node, ctx: Ctx): Boolean = n match {
     case JsonPath(f, _) => ctx.isJson(f) || ctx.fieldType(f).isEmpty
     case Ident(name)    => ctx.fieldType(name).isEmpty && ctx.metaColumn.isDefined
@@ -262,6 +279,12 @@ object ExprCompiler {
         case TemplateVar(name) =>
           ctx.params.get(name) match {
             case Some(seq: Seq[_]) if seq.isEmpty => lit(false)
+            case Some(seq: Seq[_]) if isJsonPathNode(target, ctx) =>
+              // template lists take the SAME typed-union expansion as
+              // inline lists — delivery mechanism must not change which
+              // rows a JSON IN matches (#51489/#51617 parity)
+              seq.map(v => compileBinary(BinOp.Eq, target,
+                valueToLiteralNode(v, name), ctx)).reduce(_ || _)
             case Some(seq: Seq[_])                => t.isin(seq: _*)
             case other => throw CompileError(s"template {$name} must be a list, got $other")
           }
@@ -393,9 +416,12 @@ object ExprCompiler {
       case Some(StringType) | None => c
       // the JSON number bucket: int and float literals both compare
       // numerically (1 == 1.0 — #51568's same-bucket contract), so the
-      // extracted lexeme casts to DOUBLE, not the literal's exact type
-      // (a LONG cast would null out "1.0" against an int literal)
-      case Some(_: NumericType)    => tryCast(c, DoubleType)
+      // extracted lexeme casts to a NUMERIC type wider than the literal
+      // (a LONG cast would null out "1.0" against an int literal).
+      // DECIMAL(38,10), not DOUBLE: int64 values above 2^53 must
+      // compare exactly against integral literals (snowflake ids) —
+      // a double cast would round both sides and match off-by-one ids.
+      case Some(_: NumericType)    => tryCast(c, DecimalType(38, 10))
       case Some(dt)                => tryCast(c, dt)
     } else c
   }

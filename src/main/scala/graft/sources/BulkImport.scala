@@ -175,6 +175,9 @@ object ExternalTable {
       require(!fieldMapping.contains(fn.outputField),
         s"function output '${fn.outputField}' collides with a mapped field")
     }
+    val dupOutputs = functions.groupBy(_.outputField).filter(_._2.size > 1).keys
+    require(dupOutputs.isEmpty, // two functions must not share an output
+      s"duplicate function output(s): ${dupOutputs.mkString(", ")}")
     val et = new ExternalTable(spark, format, dir, fieldMapping, functions)
     et.refresh()
     et

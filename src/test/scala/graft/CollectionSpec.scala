@@ -1006,6 +1006,46 @@ class CollectionSpec extends SparkSpec {
     c.dropFunction("sig_bf")
     assert(!c.query("", Seq("*")).columns.contains("sig_bf") ||
       c.query("pk == 3", Seq("pk")).count() == 1) // field gone or ignored
+    // dropFIELD on a backfilled output must not resurrect the column
+    // through the backfill expression (it runs outermost in the view)
+    c.addFunction(MinHashFunction("txt", "sig_bf2", numHashes = 4), backfill = true)
+    assert(c.query("pk == 3", Seq("sig_bf2")).count() == 1)
+    c.dropField("sig_bf2")
+    assert(!c.query("", Seq("*")).columns.contains("sig_bf2"),
+      "dropped backfilled output resurfaced in the read view")
+  }
+
+  test("partial load scopes the cached-filter and indexed-search paths too") {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", mkRows(0L until 20L))
+    c.insertInto("p2", mkRows(20L until 50L))
+    c.createIndex("emb", nlist = 4, trainSample = 1000)
+    // queryCached: the scope is part of the cache key — narrowing the
+    // load must not serve a view cached under the wider scope
+    c.loadPartitions(Seq("p1", "p2"))
+    assert(c.queryCached("grp >= 0", Seq("pk")).count() == 50)
+    c.releasePartitions(Seq("p2"))
+    assert(c.queryCached("grp >= 0", Seq("pk")).count() == 20,
+      "cache served released partitions' rows")
+    // searchIndexed: indexed hits must come from loaded partitions only
+    val qs = Seq((0L, vec(30))).toDF("qid", "qvec")
+    val hits = c.searchIndexed("emb", qs, k = 10, nprobe = 4,
+      metric = Metric.L2).select($"pk").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(_ < 20L),
+      s"indexed search leaked unloaded-partition hits: ${hits.mkString(",")}")
+    // optimize must refresh WITHOUT widening the partial scope
+    val dir = "/tmp/graft_test_partopt_" + System.nanoTime()
+    c.flush(s"$dir/seg1")
+    c.insert(mkRows(100L until 110L)) // _default, unloaded
+    c.flush(s"$dir/seg2")
+    c.optimize(s"$dir/opt")
+    assert(c.describeLoadedPartitions == Some(Seq("p1")),
+      "optimize widened the partial load")
+    assert(c.count() == 20)
+    c.release()
   }
 
   test("query with element_filter root expands per-element rows with offsets") {

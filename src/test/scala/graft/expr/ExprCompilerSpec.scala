@@ -73,6 +73,31 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("""js["p"] < 2""") == Set(0L, 3L))
     // not-in over a missing path / json null excludes the row (3VL)
     assert(ids("""js["p"] not in [1]""") == Set(1L, 2L, 4L))
+    // template-delivered lists take the SAME typed union as inline ones
+    def tids(expr: String, params: Map[String, Any]): Set[Long] =
+      rows.filter(ExprCompiler.compile(Parser.parse(expr),
+        ExprCompiler.Ctx(rows.schema, jsonColumns = Set("js"), params = params)))
+        .select("id").as[Long].collect().toSet
+    assert(tids("""js["p"] in {vals}""", Map("vals" -> Seq(1))) == Set(0L, 3L))
+    assert(tids("""js["p"] in {vals}""", Map("vals" -> Seq(1, "1"))) == Set(0L, 1L, 3L))
+    assert(tids("""js["p"] in {vals}""", Map("vals" -> Seq(true, 1))) == Set(0L, 2L, 3L))
+  }
+
+  test("JSON int64 comparisons above 2^53 stay exact (no double rounding)") {
+    val rows = Seq(
+      (0L, """{"p": 9007199254740993}"""), // 2^53 + 1
+      (1L, """{"p": 9007199254740992}"""), // 2^53
+      (2L, """{"p": 1.5}""")
+    ).toDF("id", "js")
+    def ids(expr: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(expr, rows, jsonColumns = Set("js")))
+        .select("id").as[Long].collect().toSet
+    // a DOUBLE cast would round both ids to the same value and match both
+    assert(ids("""js["p"] == 9007199254740992""") == Set(1L))
+    assert(ids("""js["p"] == 9007199254740993""") == Set(0L))
+    assert(ids("""js["p"] > 9007199254740992""") == Set(0L))
+    // fractional values still land in the shared number bucket
+    assert(ids("""js["p"] == 1.5""") == Set(2L))
   }
 
   test("bloom_match keeps every true member and only false-positive extras") {
