@@ -1075,7 +1075,11 @@ final class Collection private (
     * tombstone-free by construction).
     */
   def exportBinlog(dir: String, segments: Int = 4): Unit = {
-    val view = readView()
+    // migration-out reads storage, not the query path: a partial load
+    // in effect must NOT drop unloaded partitions from the backup (a
+    // round-trip import would silently lose them) — so skip the
+    // loaded-partitions scope that readView() carries
+    val view = rlsFilter(readViewUnscoped(ttl = propertyTtl))
     val n = math.max(segments, 1)
     (0 until n).foreach { i =>
       graft.sources.Binlog.writeSegment(
@@ -1626,11 +1630,15 @@ final class Collection private (
   }
 
   /** GetCollectionStatistics (reference impl.go): row count of the
-    * current visible view.
+    * current visible data. Like [[partitionStatistics]] this is a
+    * datacoord-side stat served off segment metadata in the reference,
+    * so it bypasses the partial-load gate — loadPartitions(Seq("p1"))
+    * must not shrink the COLLECTION row count.
     */
   def statistics: Map[String, String] = {
     requirePriv("GetStatistics")
-    Map("row_count" -> readView().count().toString)
+    Map("row_count" ->
+      rlsFilter(readViewUnscoped(ttl = propertyTtl)).count().toString)
   }
 
   /** `output_fields = ["*"]` means every field (reference wildcard). */
@@ -2387,12 +2395,16 @@ object Collection {
   def registerCollection(name: String, coll: Collection, db: String = "default"): Unit = {
     val colls = databases.get(db)
     if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
-    // database.max.collections (rootcoord quota, enforced at create)
-    databaseProps.getOrDefault(db, Map.empty).get("database.max.collections")
-      .map(_.toLong).foreach(cap => require(colls.size < cap,
-        s"database '$db' is at its max.collections cap ($cap)"))
-    val prev = colls.putIfAbsent(name, coll)
-    require(prev == null, s"collection '$db.$name' already exists")
+    // cap check + insert under the db map's lock: two concurrent
+    // registers at cap-1 must not both pass the size read
+    colls.synchronized {
+      // database.max.collections (rootcoord quota, enforced at create)
+      databaseProps.getOrDefault(db, Map.empty).get("database.max.collections")
+        .map(_.toLong).foreach(cap => require(colls.size < cap,
+          s"database '$db' is at its max.collections cap ($cap)"))
+      val prev = colls.putIfAbsent(name, coll)
+      require(prev == null, s"collection '$db.$name' already exists")
+    }
   }
 
   def getCollection(name: String, db: String = "default"): Collection = {

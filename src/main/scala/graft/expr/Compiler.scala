@@ -269,11 +269,7 @@ object ExprCompiler {
       val membership = values match {
         case ArrayLit(items) if items.isEmpty => lit(false)
         case ArrayLit(items) if isJsonPathNode(target, ctx) =>
-          // typed-union canonicalization (reference #51489: a JSON IN is
-          // EXACTLY the OR expansion of typed equalities — mixed-type
-          // lists match per literal kind, never coerced; homogeneous
-          // lists get the same expansion so IN ≡ OR always holds)
-          items.map(i => compileBinary(BinOp.Eq, target, i, ctx)).reduce(_ || _)
+          compileJsonInUnion(target, items, ctx)
         case ArrayLit(items) =>
           t.isin(items.map(litValue(_, ctx)): _*)
         case TemplateVar(name) =>
@@ -283,8 +279,8 @@ object ExprCompiler {
               // template lists take the SAME typed-union expansion as
               // inline lists — delivery mechanism must not change which
               // rows a JSON IN matches (#51489/#51617 parity)
-              seq.map(v => compileBinary(BinOp.Eq, target,
-                valueToLiteralNode(v, name), ctx)).reduce(_ || _)
+              compileJsonInUnion(target,
+                seq.map(valueToLiteralNode(_, name)), ctx)
             case Some(seq: Seq[_])                => t.isin(seq: _*)
             case other => throw CompileError(s"template {$name} must be a list, got $other")
           }
@@ -482,6 +478,53 @@ object ExprCompiler {
             .otherwise(kindMatches(kind, litNode)))
       else None
     side(l, r).orElse(side(r, l))
+  }
+
+  /** Typed-union canonicalization for a JSON-path IN (reference #51625/
+    * #51489: a JSON IN is EXACTLY the OR expansion of typed equalities —
+    * mixed-type lists match per literal kind, never coerced; homogeneous
+    * lists get the same expansion so IN ≡ OR always holds). The list is
+    * partitioned by CONCRETE literal kind and each bucket compiles to
+    * ONE guarded membership test, so an N-element IN pays one variant
+    * kind-derivation and one cast per bucket (≤4) instead of per
+    * element. Int and float literals keep separate buckets: the int
+    * bucket compares in DECIMAL(38,10) (snowflake-id exactness above
+    * 2^53), the float bucket in the double domain — the same pairwise
+    * semantics the per-element expansion had.
+    */
+  private def compileJsonInUnion(target: Node, items: Seq[Node], ctx: Ctx): Column = {
+    val kindOpt = jsonKindOf(target, ctx)
+    // UNKNOWN propagation matches typedJsonGuard: missing path / JSON
+    // null is NULL (3VL), a genuine kind mismatch is definitely false
+    def bucket(sample: Node, values: Seq[Node]): Column = {
+      val c = compileCmpSide(target, literalType(sample, ctx), ctx)
+      val m =
+        if (values.lengthCompare(1) == 0) c === lit(litValue(values.head, ctx))
+        else c.isin(values.map(litValue(_, ctx)): _*)
+      kindOpt.map(kind =>
+        when(kind.isNull || kind === "VOID", lit(null).cast(BooleanType))
+          .otherwise(kindMatches(kind, sample)) && m).getOrElse(m)
+    }
+    def isIntish(n: Node) = n match {
+      case IntLit(_) | Unary(UnaryOp.Neg, IntLit(_)) => true
+      case _ => false
+    }
+    def isFloatish(n: Node) = n match {
+      case FloatLit(_) | Unary(UnaryOp.Neg, FloatLit(_)) => true
+      case _ => false
+    }
+    def isSimple(n: Node) = isIntish(n) || isFloatish(n) ||
+      n.isInstanceOf[BoolLit] || n.isInstanceOf[StringLit]
+    val (simple, complex) = items.partition(isSimple)
+    val buckets = Seq(
+      simple.filter(isIntish), simple.filter(isFloatish),
+      simple.filter(_.isInstanceOf[StringLit]),
+      simple.filter(_.isInstanceOf[BoolLit]))
+      .filter(_.nonEmpty).map(vs => bucket(vs.head, vs))
+    // non-scalar elements (array literals, …) keep the per-element
+    // equality path — they have no kind bucket
+    val rest = complex.map(i => compileBinary(BinOp.Eq, target, i, ctx))
+    (buckets ++ rest).reduce(_ || _)
   }
 
   /** IN target: JSON paths cast to element type of the value list. */

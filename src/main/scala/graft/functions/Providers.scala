@@ -52,12 +52,17 @@ object Providers {
       truncate: Boolean = false,
       maxBatch: Int = 128,
       timeoutMs: Long = 30000L,
-      maxRetries: Int = 3) {
+      maxRetries: Int = 3,
+      /** "document" on the ingest path, "query" when embedding search
+        * text — cohere's input_type switches on it (the reference's
+        * cohere_embedding_provider.go getInputType).
+        */
+      mode: String = "document") {
     // the case-class toString would print the credential; any log line,
     // exception message, or debug dump of a config must not leak it
     override def toString: String =
       s"ProviderConfig($provider,$url,apiKey=***,$modelName,$dim,$user," +
-        s"$truncate,$maxBatch,$timeoutMs,$maxRetries)"
+        s"$truncate,$maxBatch,$timeoutMs,$maxRetries,$mode)"
   }
 
   /** Resolve a FunctionSchema-style param map to a provider config —
@@ -72,7 +77,10 @@ object Providers {
     */
   def resolve(provider: String, params: Map[String, String],
       conf: Map[String, String], fieldDim: Int,
-      env: String => Option[String] = sys.env.get): ProviderConfig = {
+      env: String => Option[String] = sys.env.get,
+      mode: String = "document"): ProviderConfig = {
+    require(mode == "document" || mode == "query",
+      s"embedding mode must be 'document' or 'query' (got '$mode')")
     val p = provider.toLowerCase
     val (defaultUrl, maxBatch, akEnv) = p match {
       case "openai"   => ("https://api.openai.com/v1/embeddings", 128, "OPENAI_API_KEY")
@@ -110,7 +118,8 @@ object Providers {
         val r = params.get("max_retries").map(_.toInt).getOrElse(3)
         require(r >= 1, s"max_retries must be >= 1 (got $r)")
         r
-      })
+      },
+      mode = mode)
   }
 
   /** Thrown when a non-retryable (non-429, non-5xx) status comes back. */
@@ -157,8 +166,10 @@ object Providers {
             s""""truncation":${cfg.truncate}}"""
         case "cohere" =>
           val trunc = if (cfg.truncate) "END" else "NONE"
+          val inputType =
+            if (cfg.mode == "query") "search_query" else "search_document"
           s"""{"model":${jstr(cfg.modelName)},"texts":$arr,""" +
-            s""""input_type":"search_document","embedding_types":["float"],""" +
+            s""""input_type":"$inputType","embedding_types":["float"],""" +
             s""""truncate":"$trunc"}"""
         case "tei" =>
           s"""{"inputs":$arr,"truncate":${cfg.truncate}}"""

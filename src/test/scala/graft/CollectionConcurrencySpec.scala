@@ -163,4 +163,35 @@ class CollectionConcurrencySpec extends SparkSpec {
     assert(c.readView().select(col("grp")).distinct()
       .collect().map(_.getLong(0)).toSet == Set(-1L))
   }
+
+  test("registerCollection enforces max.collections atomically under racing registers") {
+    val db = "conc_cap_db_" + System.nanoTime()
+    Collection.createDatabase(db)
+    Collection.alterDatabase(db, Map("database.max.collections" -> "3"))
+    try {
+      val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+      val pool = Executors.newFixedThreadPool(8)
+      val start = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fs = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try { Collection.registerCollection(s"c$i", c, db); wins.incrementAndGet() }
+            catch { case _: IllegalArgumentException => () }
+          }
+        })
+      }
+      start.countDown()
+      fs.foreach(_.get(30, TimeUnit.SECONDS))
+      pool.shutdown()
+      // the cap check and the insert are atomic: exactly cap registers
+      // win, never cap+1 (two racers at cap-1 must not both pass)
+      assert(wins.get() == 3, s"expected exactly 3 registers to win, got ${wins.get()}")
+      assert(Collection.listCollections(db).size == 3)
+    } finally {
+      Collection.listCollections(db).foreach(Collection.dropCollection(_, db))
+      Collection.dropDatabase(db)
+    }
+  }
 }

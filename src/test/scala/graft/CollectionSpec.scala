@@ -1303,6 +1303,17 @@ class CollectionSpec extends SparkSpec {
     assert(c.count() == 40)
     // partitionStatistics is a datacoord-side stat: not gated
     assert(c.partitionStatistics("p1")("row_count") == "20")
+    // collection statistics likewise serve segment metadata, so the
+    // partial scope (p2-only right now) must not shrink row_count
+    assert(c.statistics("row_count") == "60")
+    // binlog export is the migration-out path: it reads storage, so a
+    // partial load must not drop unloaded partitions from the backup
+    val exDir = "/tmp/graft_test_export_scope_" + System.nanoTime()
+    c.exportBinlog(exDir, segments = 2)
+    val c2 = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c2.importBinlog(exDir)
+    assert(c2.count() == 60)
     // releasing the last loaded partitions leaves NotLoad; reads
     // (residency-free in this engine) serve everything again
     c.releasePartitions(Seq("p2", "_default"))

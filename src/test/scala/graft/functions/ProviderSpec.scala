@@ -141,6 +141,14 @@ class ProviderSpec extends SparkSpec {
       val cfg2 = cfgFor(stub, 4, provider = "cohere")
       new EmbeddingClient(cfg2).embed(Seq("x"))
       assert(stub.lastBody.contains("\"truncate\":\"NONE\""))
+      // query mode switches input_type (cohere getInputType): the same
+      // provider embeds search text as search_query, never coerced to
+      // the ingest-side document type
+      new EmbeddingClient(cfg2.copy(mode = "query")).embed(Seq("x"))
+      assert(stub.lastBody.contains("\"input_type\":\"search_query\""))
+      intercept[IllegalArgumentException](
+        Providers.resolve("cohere", Map("api_key" -> "k"), Map.empty, 4,
+          _ => None, mode = "banana"))
     } finally stub.stop()
   }
 
