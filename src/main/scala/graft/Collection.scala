@@ -34,7 +34,13 @@ final case class CollectionSchema(
     // resident, "async" kicks the materialization off without blocking,
     // "disable" leaves the field to lazy first-touch. Validated at
     // create (case-sensitive, per the reference's invalid-value tests).
-    fieldWarmup: Map[String, String] = Map.empty)
+    fieldWarmup: Map[String, String] = Map.empty,
+    // Declared JSON-typed fields (reference DataType.JSON, schema.proto):
+    // StringType columns holding JSON documents. Filters over their
+    // paths take the typed-kind bucket semantics (#51489/#51567/#51568)
+    // — without the declaration a StringType field's paths would extract
+    // untyped, silently diverging from the direct-compile path.
+    jsonFields: Set[String] = Set.empty)
 
 /** Growing-segment seal policies (reference:
   * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
@@ -1561,7 +1567,8 @@ final class Collection private (
 
   private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
     ExprCompiler.compile(filterExpr,
-      ExprCompiler.Ctx(exprSchema, metaColumn = schema.metaField, params = params,
+      ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
+        metaColumn = schema.metaField, params = params,
         strictColumns = true))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
@@ -1601,8 +1608,9 @@ final class Collection private (
           (matching.columns.map(col) :+
             posexplode(col(f)).as(Seq("offset", "_elem"))): _*)
         val perElem = exploded.filter(ExprCompiler.compile(pred,
-          ExprCompiler.Ctx(exprSchema, metaColumn = schema.metaField,
-            strictColumns = true, element = Some((col("_elem"), elemSchema)))))
+          ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
+            metaColumn = schema.metaField, strictColumns = true,
+            element = Some((col("_elem"), elemSchema)))))
         perElem.select((expandFields(outputFields, scoped.columns).map(col) :+
           col("offset")): _*)
       case None =>

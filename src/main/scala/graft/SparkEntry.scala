@@ -28,7 +28,7 @@ object SparkEntry {
     Queries.all ++ graft.queries.SearchQueries.all ++
       graft.queries.TextQueries.all ++ graft.queries.WriteQueries.all ++
       graft.queries.ExtraQueries.all ++ graft.queries.LifecycleQueries.all ++
-      graft.queries.FunctionQueries.all
+      graft.queries.FunctionQueries.all ++ graft.queries.MatrixQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,7 +36,7 @@ object SparkEntry {
     Queries.oracles ++ graft.queries.SearchQueries.oracles ++
       graft.queries.TextQueries.oracles ++ graft.queries.WriteQueries.oracles ++
       graft.queries.ExtraQueries.oracles ++ graft.queries.LifecycleQueries.oracles ++
-      graft.queries.FunctionQueries.oracles
+      graft.queries.FunctionQueries.oracles ++ graft.queries.MatrixQueries.oracles
 }
 
 /** The operator-coverage query suite (grows with SURVEY.md §2). */

@@ -1,0 +1,507 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.GraftSession
+import graft.expr.ExprCompiler
+
+/** Conformance-matrix batteries mirroring the reference's systematic
+  * filtering case families (reference:
+  * tests/python_client/milvus_client/expressions/filtering_case_matrix.py —
+  * NUMERIC_SCALAR_FIELDS sweep :283-341, ARRAY_FILTER_CASES :420-466,
+  * JSON mixed-type issue buckets #51568/#51489/#51567 :100-238,
+  * NULL/UNKNOWN families :359-394, BITWISE_PENDING_50964 :276).
+  *
+  * Design: each battery derives a typed fixture from the `events` table
+  * with IDENTICAL arithmetic on the Spark side and inside the DuckDB
+  * oracle SQL (casts + CASE sentinels), then evaluates every case as a
+  * conditional count in ONE single-scan aggregate — N cases cost one
+  * codegen'd pass over the table, the same harness q_expr_matrix uses.
+  * The oracle recomputes each count independently with DuckDB's own
+  * typed/JSON machinery (json_type kind gates mirror the engine's
+  * variant-kind buckets), so the two sides share no evaluation path.
+  */
+object MatrixQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** One matrix case: engine filter-language expr + independent DuckDB
+    * predicate over the same derived fixture.
+    */
+  final case class MCase(id: String, engine: String, duck: String)
+
+  /** Single-scan harness: every case becomes a conditional-sum
+    * aggregate over the derived fixture — one pass, no shuffle beyond
+    * the final 1-row reduce.
+    */
+  private def battery(s: SparkSession, base: DataFrame, cases: Seq[MCase],
+      jsonCols: Set[String] = Set.empty): DataFrame = {
+    val counters = cases.map { c =>
+      sum(when(ExprCompiler.compile(c.engine, base, jsonColumns = jsonCols),
+        1L).otherwise(0L)).as(c.id)
+    }
+    val row = base.agg(counters.head, counters.tail: _*).head()
+    import s.implicits._
+    cases.map(c => (c.id, row.getAs[Long](c.id)))
+      .toDF("case_id", "cnt").orderBy(col("case_id"))
+  }
+
+  private def oracleFor(cases: Seq[MCase], derivSql: String): String =
+    cases.map(c =>
+      s"SELECT '${c.id}' AS case_id, count(*) AS cnt FROM ($derivSql) WHERE ${c.duck}")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+
+  // =================================================================
+  // Battery 1 — typed numeric scalar sweep (six widths + sentinels)
+  // reference filtering_case_matrix.py NUMERIC_SCALAR_FIELDS :283-341,
+  // NUMERIC_DISTINCT :343, BITWISE :269-280, ARITHMETIC_EXTENDED :396
+  // =================================================================
+
+  /** The reference's value formula: ((row + shift - 1) % 10) + 1 per
+    * width, with width-extreme sentinels at rows 11/12.
+    */
+  private[graft] def typedDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val id = col("event_id")
+    def cyc(shift: Int): Column = ((id + lit(shift)) % 10) + 1
+    ev.select(
+      id.as("id"),
+      when(id === 11, 127).when(id === 12, -128)
+        .otherwise(cyc(0)).cast("tinyint").as("i8"),
+      when(id === 11, 32767).when(id === 12, -32768)
+        .otherwise(cyc(1)).cast("smallint").as("i16"),
+      when(id === 11, 2147483647L).when(id === 12, -2147483648L)
+        .otherwise(cyc(2)).cast("int").as("i32"),
+      when(id === 11, Long.MaxValue).when(id === 12, Long.MinValue)
+        .otherwise(cyc(9)).cast("bigint").as("i64"),
+      when(id === 11, 127.5).when(id === 12, -127.5)
+        .otherwise(cyc(3).cast("double")).cast("float").as("f"),
+      when(id === 11, 1000000000000.25).when(id === 12, -1000000000000.25)
+        .otherwise(cyc(4).cast("double")).as("d"),
+      (id % 8).as("flags"),
+      (id % 2 === 0).as("active"),
+      when(id % 10 === 0, concat(lit("system_"), id.cast("string")))
+        .otherwise(concat(lit("user_"), (id % 10).cast("string"))).as("name"))
+  }
+
+  private val typedSql: String =
+    """SELECT event_id AS id,
+      |  CAST(CASE WHEN event_id = 11 THEN 127 WHEN event_id = 12 THEN -128
+      |    ELSE ((event_id + 0) % 10) + 1 END AS TINYINT) AS i8,
+      |  CAST(CASE WHEN event_id = 11 THEN 32767 WHEN event_id = 12 THEN -32768
+      |    ELSE ((event_id + 1) % 10) + 1 END AS SMALLINT) AS i16,
+      |  CAST(CASE WHEN event_id = 11 THEN 2147483647 WHEN event_id = 12 THEN -2147483648
+      |    ELSE ((event_id + 2) % 10) + 1 END AS INTEGER) AS i32,
+      |  CAST(CASE WHEN event_id = 11 THEN 9223372036854775807 WHEN event_id = 12 THEN -9223372036854775808
+      |    ELSE ((event_id + 9) % 10) + 1 END AS BIGINT) AS i64,
+      |  CAST(CASE WHEN event_id = 11 THEN 127.5 WHEN event_id = 12 THEN -127.5
+      |    ELSE ((event_id + 3) % 10) + 1 END AS FLOAT) AS f,
+      |  CAST(CASE WHEN event_id = 11 THEN 1000000000000.25 WHEN event_id = 12 THEN -1000000000000.25
+      |    ELSE ((event_id + 4) % 10) + 1 END AS DOUBLE) AS d,
+      |  event_id % 8 AS flags,
+      |  (event_id % 2) = 0 AS active,
+      |  CASE WHEN event_id % 10 = 0 THEN 'system_' || CAST(event_id AS VARCHAR)
+      |    ELSE 'user_' || CAST(event_id % 10 AS VARCHAR) END AS name
+      |FROM events""".stripMargin
+
+  private val numericFields = Seq("i8", "i16", "i32", "i64", "f", "d")
+
+  private[graft] val TypedCases: Seq[MCase] = {
+    val sweep = numericFields.flatMap { fld =>
+      Seq(
+        MCase(s"${fld}_eq_3", s"$fld == 3", s"$fld = 3"),
+        MCase(s"${fld}_range_3_6", s"$fld > 3 and $fld <= 6",
+          s"$fld > 3 AND $fld <= 6"),
+        MCase(s"${fld}_in_odd", s"$fld in [1, 3, 5]", s"$fld IN (1, 3, 5)"),
+        MCase(s"${fld}_not_in_odd", s"$fld not in [1, 3, 5]",
+          s"$fld NOT IN (1, 3, 5)"))
+    }
+    val sentinels = Seq(
+      MCase("i8_max", "i8 == 127", "i8 = 127"),
+      MCase("i8_min", "i8 == -128", "i8 = -128"),
+      MCase("i16_max", "i16 == 32767", "i16 = 32767"),
+      MCase("i32_min", "i32 == -2147483648", "i32 = -2147483648"),
+      MCase("i64_max", "i64 == 9223372036854775807",
+        "i64 = 9223372036854775807"),
+      MCase("f_fraction", "f > 127.4 and f < 127.6", "f > 127.4 AND f < 127.6"),
+      MCase("d_fraction", "d > 1000000000000.2 and d < 1000000000000.3",
+        "d > 1000000000000.2 AND d < 1000000000000.3"))
+    // bitwise control + the issue-50964 pending family (shift/NOT),
+    // over a sentinel-free column so neither side can overflow
+    val bitwise = Seq(
+      MCase("bit_and_ctl", "(flags & 1) == 1", "(flags & 1) = 1"),
+      MCase("bit_or_ctl", "(flags | 1) == 1", "(flags | 1) = 1"),
+      MCase("bit_xor_ctl", "(flags ^ 1) == 0", "(flags ^ 1) = 0"),
+      MCase("shl_50964", "(flags << 1) == 4", "(flags << 1) = 4"),
+      MCase("shr_50964", "(flags >> 2) == 1", "(flags >> 2) = 1"),
+      MCase("bnot_50964", "~flags == -1", "~flags = -1"))
+    val arith = Seq(
+      MCase("arith_mod_div_pow",
+        "(i64 % 2 == 0 and i64 / 2 >= 2) or (2 ** 3 == 8 and i64 == 3)",
+        "(i64 % 2 = 0 AND i64 / 2 >= 2) OR (power(2, 3) = 8 AND i64 = 3)"),
+      MCase("arith_pow_false_ctl",
+        "(2 ** 3 == 7 and i64 == 3) or i64 == 4",
+        "(power(2, 3) = 7 AND i64 = 3) OR i64 = 4"))
+    val other = Seq(
+      // reference LIKE honors only '%' — '_' is literal (pattern_match
+      // .go), so the oracle escapes it for SQL LIKE
+      MCase("varchar_like_prefix", """name like "user_%"""",
+        "name LIKE 'user$_%' ESCAPE '$'"),
+      MCase("varchar_in", """name in ["user_1", "user_3"]""",
+        "name IN ('user_1', 'user_3')"),
+      MCase("bool_true", "active == true", "active = true"),
+      MCase("bool_false", "active == false", "active = false"),
+      MCase("i16_between_two_sided", "3 < i16 <= 6", "i16 > 3 AND i16 <= 6"),
+      MCase("cross_width_cmp", "i8 <= i16", "i8 <= i16"))
+    sweep ++ sentinels ++ bitwise ++ arith ++ other
+  }
+
+  def typedMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, typedDf(s, dir), TypedCases)
+
+  private[graft] val typedMatrixOracle: String = oracleFor(TypedCases, typedSql)
+
+  // =================================================================
+  // Battery 2 — array families (typed arrays, lengths, null/empty)
+  // reference ARRAY_FILTER_CASES :420, ARRAY_LENGTH :432,
+  // ARRAY_OTHER_TYPE :442, ARRAY_NULL_EMPTY :449, order pairs :460
+  // =================================================================
+
+  private[graft] def arrayDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val withM = ev.select(col("event_id").as("id"),
+      (col("event_id") % 10).as("m"))
+    val m = col("m")
+    def strs(xs: String*): Column = array(xs.map(lit): _*)
+    def dbls(xs: Double*): Column = array(xs.map(lit): _*)
+    withM.select(
+      col("id"), m,
+      when(m === 0, array(lit(10L))).otherwise(array(m - 2, m - 1, m))
+        .as("arr_i64"),
+      when(m === 1, strs("green", "red", "amber"))
+        .when(m === 2, strs("green", "blue", "amber"))
+        .when(m === 3, strs("red")).when(m === 4, strs("blue"))
+        .when(m === 5, strs("green")).when(m === 6, strs("green"))
+        .when(m === 7, strs("yellow")).when(m === 8, strs("yellow"))
+        .when(m === 9, strs("black")).otherwise(strs("white"))
+        .as("arr_varchar"),
+      when(m === 3, dbls(30.0, 3.5, 31.0)).when(m === 4, dbls(3.0, 40.5))
+        .otherwise(array(m.cast("double"), m.cast("double") + 0.5))
+        .cast("array<float>").as("arr_float"),
+      when(m === 2, dbls(20.0, 2.25, 21.0)).when(m === 3, dbls(2.0, 30.25))
+        .when(m === 9, dbls(90.0, 9.25, 91.0)).when(m === 0, dbls(9.0, 100.25))
+        .otherwise(array(m.cast("double"), m.cast("double") + 0.25))
+        .as("arr_double"),
+      when(m === 1, array(lit(true), lit(true)))
+        .when(m === 2, array(lit(false), lit(false)))
+        .when(m === 8, array(lit(false), lit(true), lit(false)))
+        .when(m === 9, array(lit(true), lit(false), lit(true)))
+        .otherwise(array(m % 2 === 0)).as("arr_bool"),
+      when(m === 6, lit(null).cast("array<bigint>"))
+        .when(m === 0, array().cast("array<bigint>"))
+        .otherwise(array(m)).as("nullable_arr_i64"),
+      (col("id") % 2 === 0).as("active"))
+  }
+
+  private val arraySql: String =
+    """SELECT id, m,
+      |  CASE WHEN m = 0 THEN [CAST(10 AS BIGINT)] ELSE [m - 2, m - 1, m] END AS arr_i64,
+      |  CASE m WHEN 1 THEN ['green', 'red', 'amber'] WHEN 2 THEN ['green', 'blue', 'amber']
+      |    WHEN 3 THEN ['red'] WHEN 4 THEN ['blue'] WHEN 5 THEN ['green'] WHEN 6 THEN ['green']
+      |    WHEN 7 THEN ['yellow'] WHEN 8 THEN ['yellow'] WHEN 9 THEN ['black']
+      |    ELSE ['white'] END AS arr_varchar,
+      |  CAST(CASE WHEN m = 3 THEN [30.0, 3.5, 31.0] WHEN m = 4 THEN [3.0, 40.5]
+      |    ELSE [m + 0.0, m + 0.5] END AS FLOAT[]) AS arr_float,
+      |  CAST(CASE WHEN m = 2 THEN [20.0, 2.25, 21.0] WHEN m = 3 THEN [2.0, 30.25]
+      |    WHEN m = 9 THEN [90.0, 9.25, 91.0] WHEN m = 0 THEN [9.0, 100.25]
+      |    ELSE [m + 0.0, m + 0.25] END AS DOUBLE[]) AS arr_double,
+      |  CASE WHEN m = 1 THEN [true, true] WHEN m = 2 THEN [false, false]
+      |    WHEN m = 8 THEN [false, true, false] WHEN m = 9 THEN [true, false, true]
+      |    ELSE [m % 2 = 0] END AS arr_bool,
+      |  CASE WHEN m = 6 THEN NULL WHEN m = 0 THEN CAST([] AS BIGINT[])
+      |    ELSE [m] END AS nullable_arr_i64,
+      |  (id % 2) = 0 AS active
+      |FROM (SELECT event_id AS id, event_id % 10 AS m FROM events)""".stripMargin
+
+  private[graft] val ArrayCases: Seq[MCase] = Seq(
+    MCase("arr_i64_contains_3", "array_contains(arr_i64, 3)",
+      "list_contains(arr_i64, 3)"),
+    MCase("arr_i64_contains_any", "array_contains_any(arr_i64, [3, 7])",
+      "list_has_any(arr_i64, [3, 7])"),
+    MCase("arr_i64_contains_all", "array_contains_all(arr_i64, [3, 4])",
+      "list_has_all(arr_i64, [3, 4])"),
+    MCase("arr_varchar_contains_red", """array_contains(arr_varchar, "red")""",
+      "list_contains(arr_varchar, 'red')"),
+    MCase("arr_varchar_contains_any",
+      """array_contains_any(arr_varchar, ["red", "blue"])""",
+      "list_has_any(arr_varchar, ['red', 'blue'])"),
+    MCase("arr_i64_length_3", "array_length(arr_i64) == 3",
+      "len(arr_i64) = 3"),
+    MCase("nullable_arr_length_0", "array_length(nullable_arr_i64) == 0",
+      "len(nullable_arr_i64) = 0"),
+    MCase("nullable_arr_length_1", "array_length(nullable_arr_i64) == 1",
+      "len(nullable_arr_i64) = 1"),
+    MCase("arr_float_contains_3_5", "array_contains(arr_float, 3.5)",
+      "list_contains(arr_float, 3.5)"),
+    MCase("arr_double_contains_any",
+      "array_contains_any(arr_double, [2.25, 9.25])",
+      "list_has_any(arr_double, [2.25, 9.25])"),
+    MCase("arr_bool_contains_true", "array_contains(arr_bool, true)",
+      "list_contains(arr_bool, true)"),
+    MCase("arr_bool_contains_false", "array_contains(arr_bool, false)",
+      "list_contains(arr_bool, false)"),
+    MCase("nullable_arr_is_null", "nullable_arr_i64 is null",
+      "nullable_arr_i64 IS NULL"),
+    MCase("nullable_arr_is_not_null", "nullable_arr_i64 is not null",
+      "nullable_arr_i64 IS NOT NULL"),
+    MCase("nullable_arr_contains_ctl", "array_contains(nullable_arr_i64, 5)",
+      "list_contains(nullable_arr_i64, 5)"),
+    // 3VL: NULL array → UNKNOWN → excluded; [] → contains false → kept
+    MCase("nullable_arr_not_contains",
+      "not array_contains(nullable_arr_i64, 10)",
+      "NOT list_contains(nullable_arr_i64, 10)"),
+    // #51617 empty-list contracts: any([]) = false, all([]) = vacuous
+    MCase("empty_contains_any", "array_contains_any(arr_i64, [])", "1 = 0"),
+    MCase("empty_contains_all", "array_contains_all(arr_i64, [])",
+      "arr_i64 IS NOT NULL"),
+    // operand-order pair (ORDER_ARRAY_FUNCTION_EXPRESSIONS :460)
+    MCase("arr_and_scalar_a", "array_contains(arr_i64, 3) and active == true",
+      "list_contains(arr_i64, 3) AND active = true"),
+    MCase("arr_and_scalar_b", "active == true and array_contains(arr_i64, 3)",
+      "active = true AND list_contains(arr_i64, 3)"))
+
+  def arrayMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, arrayDf(s, dir), ArrayCases)
+
+  private[graft] val arrayMatrixOracle: String = oracleFor(ArrayCases, arraySql)
+
+  // =================================================================
+  // Battery 3 — NULL / UNKNOWN composition families
+  // reference NULL_FILTER_CASES :359, JSON_KEY_NULL :372,
+  // UNKNOWN_BOOLEAN_COMPOSITION :384, UNARY_NOT :353
+  // =================================================================
+
+  private[graft] def nullDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val withM = ev.select(col("event_id").as("id"),
+      (col("event_id") % 12).as("m12"))
+    val m12 = col("m12")
+    withM.select(
+      col("id"), m12,
+      when(m12.isin(3, 4, 7), lit(null)).otherwise(col("id"))
+        .cast("bigint").as("nullable_i64"),
+      when(m12.isin(4, 8), lit(null))
+        .otherwise(concat(lit("nullable_"), m12.cast("string")))
+        .cast("string").as("nullable_varchar"),
+      when(m12 === 5, lit(null)).otherwise(col("id") % 2 === 0)
+        .cast("boolean").as("nullable_bool"),
+      when(m12 === 2,
+        concat(lit("{\"rank\": "), m12.cast("string"),
+          lit(", \"maybe_null\": null}")))
+        .otherwise(concat(lit("{\"rank\": "), m12.cast("string"),
+          lit(", \"maybe_null\": "), m12.cast("string"), lit("}")))
+        .as("j"))
+  }
+
+  private val nullSql: String =
+    """SELECT id, m12,
+      |  CASE WHEN m12 IN (3, 4, 7) THEN NULL ELSE id END AS nullable_i64,
+      |  CASE WHEN m12 IN (4, 8) THEN NULL
+      |    ELSE 'nullable_' || CAST(m12 AS VARCHAR) END AS nullable_varchar,
+      |  CASE WHEN m12 = 5 THEN NULL ELSE (id % 2) = 0 END AS nullable_bool,
+      |  CASE WHEN m12 = 2 THEN '{"rank": ' || CAST(m12 AS VARCHAR) || ', "maybe_null": null}'
+      |    ELSE '{"rank": ' || CAST(m12 AS VARCHAR) || ', "maybe_null": ' || CAST(m12 AS VARCHAR) || '}'
+      |  END AS j
+      |FROM (SELECT event_id AS id, event_id % 12 AS m12 FROM events)""".stripMargin
+
+  /** The engine's typed-bucket guard, mirrored in DuckDB: missing path
+    * or JSON null → UNKNOWN (NULL); kind mismatch → definitely false.
+    */
+  private def jGuard(path: String, kindPred: String, cmp: String): String = {
+    val jt = s"json_type(j, '$path')"
+    s"(CASE WHEN $jt IS NULL OR $jt = 'NULL' THEN NULL ELSE ($kindPred AND $cmp) END)"
+  }
+  private[graft] val NullCases: Seq[MCase] = Seq(
+    MCase("nullable_i64_is_null", "nullable_i64 is null",
+      "nullable_i64 IS NULL"),
+    MCase("nullable_i64_is_not_null", "nullable_i64 is not null",
+      "nullable_i64 IS NOT NULL"),
+    MCase("nullable_varchar_is_null", "nullable_varchar is null",
+      "nullable_varchar IS NULL"),
+    MCase("nullable_varchar_is_not_null", "nullable_varchar is not null",
+      "nullable_varchar IS NOT NULL"),
+    MCase("nullable_bool_is_null", "nullable_bool is null",
+      "nullable_bool IS NULL"),
+    MCase("nullable_bool_is_not_null", "nullable_bool is not null",
+      "nullable_bool IS NOT NULL"),
+    MCase("json_present_null_is_null", """j["maybe_null"] is null""",
+      "json_extract_string(j, '$.maybe_null') IS NULL"),
+    MCase("json_present_null_is_not_null", """j["maybe_null"] is not null""",
+      "json_extract_string(j, '$.maybe_null') IS NOT NULL"),
+    MCase("json_missing_key_is_null", """j["missing_key"] is null""",
+      "json_extract_string(j, '$.missing_key') IS NULL"),
+    MCase("json_missing_key_is_not_null", """j["missing_key"] is not null""",
+      "json_extract_string(j, '$.missing_key') IS NOT NULL"),
+    // UNKNOWN stays UNKNOWN under NOT: zero rows, not "all rows"
+    MCase("json_missing_outer_not_eq", """not (j["missing_key"] == 1)""",
+      "NOT (CASE WHEN json_type(j, '$.missing_key') IS NULL THEN NULL " +
+        "ELSE TRY_CAST(json_extract_string(j, '$.missing_key') AS DECIMAL(38,10)) = 1 END)"),
+    MCase("unknown_or_true", """j["missing_key"] == 1 or id in [1, 2]""",
+      "(CASE WHEN json_type(j, '$.missing_key') IS NULL THEN NULL " +
+        "ELSE TRY_CAST(json_extract_string(j, '$.missing_key') AS DECIMAL(38,10)) = 1 END) " +
+        "OR id IN (1, 2)"),
+    MCase("unknown_and_true", """j["missing_key"] == 1 and id in [1, 2]""",
+      "(CASE WHEN json_type(j, '$.missing_key') IS NULL THEN NULL " +
+        "ELSE TRY_CAST(json_extract_string(j, '$.missing_key') AS DECIMAL(38,10)) = 1 END) " +
+        "AND id IN (1, 2)"),
+    MCase("not_unknown_or_true", """not ((j["missing_key"] == 1) or id == 1)""",
+      "NOT ((CASE WHEN json_type(j, '$.missing_key') IS NULL THEN NULL " +
+        "ELSE TRY_CAST(json_extract_string(j, '$.missing_key') AS DECIMAL(38,10)) = 1 END) " +
+        "OR id = 1)"),
+    MCase("is_null_then_not_eq_unknown",
+      """j["missing_key"] is null and not (j["missing_key"] == 1)""",
+      "json_extract_string(j, '$.missing_key') IS NULL AND " +
+        "NOT (CASE WHEN json_type(j, '$.missing_key') IS NULL THEN NULL " +
+        "ELSE TRY_CAST(json_extract_string(j, '$.missing_key') AS DECIMAL(38,10)) = 1 END)"),
+    MCase("not_json_key_is_null", """not (j["maybe_null"] is null)""",
+      "NOT (json_extract_string(j, '$.maybe_null') IS NULL)"),
+    MCase("not_nullable_bool_true", "not (nullable_bool == true)",
+      "NOT (nullable_bool = true)"),
+    MCase("not_json_rank_ge_3", """not (j["rank"] >= 3)""",
+      "NOT (TRY_CAST(json_extract_string(j, '$.rank') AS DECIMAL(38,10)) >= 3)"),
+    MCase("nullable_cmp_3vl", "nullable_i64 >= 5", "nullable_i64 >= 5"),
+    // NULL rows stay excluded from BOTH a comparison and its negation
+    MCase("nullable_cmp_3vl_not", "not (nullable_i64 >= 5)",
+      "NOT (nullable_i64 >= 5)"),
+    MCase("nullable_varchar_like", """nullable_varchar like "nullable_%"""",
+      "nullable_varchar LIKE 'nullable$_%' ESCAPE '$'"))
+
+  def nullMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, nullDf(s, dir), NullCases, jsonCols = Set("j"))
+
+  private[graft] val nullMatrixOracle: String = oracleFor(NullCases, nullSql)
+
+  // =================================================================
+  // Battery 4 — JSON typed-kind buckets (mixed-type IN / OR / bool)
+  // reference issue families #51568 :100, #51489 :161, #51567 :184-236
+  // =================================================================
+
+  /** Six JSON kinds cycling by row: int, float, string-number, array,
+    * missing key, json null — every typed-bucket transition in one
+    * derived column pair (p for value kinds, b for bool/int/string).
+    */
+  private[graft] def jsonKindDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val withM = ev.select(col("event_id").as("id"),
+      (col("event_id") % 6).as("m6"))
+    val m6 = col("m6")
+    val idS = col("id").cast("string")
+    withM.select(
+      col("id"), m6,
+      when(m6 === 0, concat(lit("{\"p\": "), idS, lit(", \"b\": true}")))
+        .when(m6 === 1, concat(lit("{\"p\": "), idS, lit(".5, \"b\": false}")))
+        .when(m6 === 2, concat(lit("{\"p\": \""), idS, lit("\", \"b\": 1}")))
+        .when(m6 === 3, concat(lit("{\"p\": ["), idS, lit("], \"b\": 0}")))
+        .when(m6 === 4, lit("{\"b\": \"yes\"}"))
+        .otherwise(lit("{\"p\": null, \"b\": \"no\"}"))
+        .as("j"))
+  }
+
+  private val jsonKindSql: String =
+    """SELECT id, m6,
+      |  CASE m6
+      |    WHEN 0 THEN '{"p": ' || CAST(id AS VARCHAR) || ', "b": true}'
+      |    WHEN 1 THEN '{"p": ' || CAST(id AS VARCHAR) || '.5, "b": false}'
+      |    WHEN 2 THEN '{"p": "' || CAST(id AS VARCHAR) || '", "b": 1}'
+      |    WHEN 3 THEN '{"p": [' || CAST(id AS VARCHAR) || '], "b": 0}'
+      |    WHEN 4 THEN '{"b": "yes"}'
+      |    ELSE '{"p": null, "b": "no"}'
+      |  END AS j
+      |FROM (SELECT event_id AS id, event_id % 6 AS m6 FROM events)""".stripMargin
+
+  private def num(path: String, cmp: String): String =
+    jGuard(path, s"json_type(j, '$path') IN ('UBIGINT', 'BIGINT', 'DOUBLE')",
+      s"TRY_CAST(json_extract_string(j, '$path') AS DECIMAL(38,10)) $cmp")
+  private def str(path: String, cmp: String): String =
+    jGuard(path, s"json_type(j, '$path') = 'VARCHAR'",
+      s"json_extract_string(j, '$path') $cmp")
+  private def bool(path: String, cmp: String): String =
+    jGuard(path, s"json_type(j, '$path') = 'BOOLEAN'",
+      s"TRY_CAST(json_extract_string(j, '$path') AS BOOLEAN) $cmp")
+
+  private[graft] val JsonKindCases: Seq[MCase] = Seq(
+    // #51568 same-number-bucket: ints and floats compare numerically
+    MCase("pure_int_in_ctl", """j["p"] in [12, 24, 36]""",
+      num("$.p", "IN (12, 24, 36)")),
+    MCase("int_or_expansion_ctl",
+      """j["p"] == 12 or j["p"] == 24 or j["p"] == 36""",
+      s"${num("$.p", "= 12")} OR ${num("$.p", "= 24")} OR ${num("$.p", "= 36")}"),
+    MCase("mixed_numeric_in", """j["p"] in [12.0, 24, 36]""",
+      num("$.p", "IN (12.0, 24, 36)")),
+    MCase("float_frac_eq", """j["p"] == 13.5""", num("$.p", "= 13.5")),
+    MCase("int_eq_on_float_row_ctl", """j["p"] == 13""", num("$.p", "= 13")),
+    // #51489 typed union: string literals match only VARCHAR values
+    MCase("str_eq", """j["p"] == "14"""", str("$.p", "= '14'")),
+    MCase("str_no_coerce_ctl", """j["p"] == "12"""", str("$.p", "= '12'")),
+    MCase("int_no_coerce_ctl", """j["p"] == 14""", num("$.p", "= 14")),
+    MCase("mixed_in_int_string", """j["p"] in [12, "14"]""",
+      s"${num("$.p", "= 12")} OR ${str("$.p", "= '14'")}"),
+    MCase("mixed_or_int_string", """j["p"] == 12 or j["p"] == "14"""",
+      s"${num("$.p", "= 12")} OR ${str("$.p", "= '14'")}"),
+    MCase("in_with_missing_str", """j["p"] in [12, "missing"]""",
+      s"${num("$.p", "= 12")} OR ${str("$.p", "= 'missing'")}"),
+    MCase("not_in_3vl", """not (j["p"] in [12, "14"])""",
+      s"NOT (${num("$.p", "= 12")} OR ${str("$.p", "= '14'")})"),
+    // #51567 bool bucket: true ≠ 1, false ≠ 0, never coerced
+    MCase("b_true", """j["b"] == true""", bool("$.b", "= true")),
+    MCase("b_int1", """j["b"] == 1""", num("$.b", "= 1")),
+    MCase("b_int0", """j["b"] == 0""", num("$.b", "= 0")),
+    MCase("b_in_true_1", """j["b"] in [true, 1]""",
+      s"${bool("$.b", "= true")} OR ${num("$.b", "= 1")}"),
+    MCase("b_in_false_1", """j["b"] in [false, 1]""",
+      s"${bool("$.b", "= false")} OR ${num("$.b", "= 1")}"),
+    MCase("b_str_yes", """j["b"] in [true, "yes"]""",
+      s"${bool("$.b", "= true")} OR ${str("$.b", "= 'yes'")}"),
+    MCase("b_mixed_3", """j["b"] in [true, 1, "true"]""",
+      s"${bool("$.b", "= true")} OR ${num("$.b", "= 1")} OR ${str("$.b", "= 'true'")}"),
+    MCase("b_or_order", """(j["b"] == 1) or (j["b"] == 0) or (j["b"] == true)""",
+      s"${num("$.b", "= 1")} OR ${num("$.b", "= 0")} OR ${bool("$.b", "= true")}"),
+    MCase("b_bool_only_in_ctl", """j["b"] in [true, false]""",
+      s"${bool("$.b", "= true")} OR ${bool("$.b", "= false")}"),
+    MCase("b_int_only_in_ctl", """j["b"] in [0, 1]""",
+      num("$.b", "IN (0, 1)")),
+    // array-subscript paths (#51489 json_array_subscript_mixed_in)
+    MCase("arr_subscript_eq", """j["p"][0] == 15""", num("$.p[0]", "= 15")),
+    MCase("arr_subscript_mixed_in", """j["p"][0] in [15, "21"]""",
+      s"${num("$.p[0]", "= 15")} OR ${str("$.p[0]", "= '21'")}"),
+    // containment + length on the JSON array kind
+    MCase("json_contains_arr", """json_contains(j["p"], 15)""",
+      "json_type(j, '$.p') = 'ARRAY' AND " +
+        "list_contains(TRY_CAST(j->'$.p' AS BIGINT[]), 15)"),
+    MCase("json_arr_len", """array_length(j["p"]) == 1""",
+      "json_type(j, '$.p') = 'ARRAY' AND json_array_length(j, '$.p') = 1"),
+    MCase("exists_p", """exists j["p"]""",
+      "json_extract_string(j, '$.p') IS NOT NULL"))
+
+  def jsonKindMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, jsonKindDf(s, dir), JsonKindCases, jsonCols = Set("j"))
+
+  private[graft] val jsonKindMatrixOracle: String =
+    oracleFor(JsonKindCases, jsonKindSql)
+
+  // =================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_typed_matrix" -> (typedMatrix _),
+    "q_array_matrix" -> (arrayMatrix _),
+    "q_null_matrix" -> (nullMatrix _),
+    "q_json_kind_matrix" -> (jsonKindMatrix _))
+
+  val oracles: Map[String, String] = Map(
+    "q_typed_matrix" -> typedMatrixOracle,
+    "q_array_matrix" -> arrayMatrixOracle,
+    "q_null_matrix" -> nullMatrixOracle,
+    "q_json_kind_matrix" -> jsonKindMatrixOracle)
+}
