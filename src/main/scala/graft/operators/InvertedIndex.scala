@@ -147,6 +147,23 @@ object InvertedIndex {
     index.filter(col(valueCol) >= lit(lo) && col(valueCol) <= lit(hi))
       .select(explode(col("postings")).as("id"))
 
+  /** Evaluate an ARBITRARY single-field filter expression over the
+    * index DICTIONARY instead of the base table (reference: scalar
+    * indexes run the predicate per distinct value over the dictionary
+    * and union the matching postings — ScalarIndex Query/Range paths,
+    * index/InvertedIndexTantivy.cpp). The expression compiles with the
+    * SAME compiler the scan path uses, but touches cardinality-many
+    * rows; NOT / arithmetic / IN all work because the dictionary holds
+    * every live value, and a NULL dictionary entry fails the predicate
+    * under 3VL exactly as its rows would on the scan.
+    */
+  def lookupExpr(index: DataFrame, valueCol: String, fieldName: String,
+      filterExpr: String, jsonColumns: Set[String] = Set.empty): DataFrame = {
+    val dict = index.withColumnRenamed(valueCol, fieldName)
+    dict.filter(graft.expr.ExprCompiler.compile(filterExpr, dict, jsonColumns))
+      .select(explode(col("postings")).as("id"))
+  }
+
   /** JSON-path index (reference: index/JsonFlatIndex.cpp + json_stats/):
     * a value index over one extracted JSON path, so path-equality
     * filters become index lookups instead of per-row JSON parsing.

@@ -492,16 +492,127 @@ object MatrixQueries {
     oracleFor(JsonKindCases, jsonKindSql)
 
   // =================================================================
+  // Battery 5 — scalar index consistency sweep
+  // reference expressions/test_filtering_index_consistency.py: the same
+  // filter family through each scalar index type must equal the plain
+  // unindexed scan. Each case runs BOTH paths in the engine and emits
+  // (kind, case_id, n_indexed, n_scan, n_diff); the oracle pins
+  // n_indexed = n_scan = the DuckDB truth and n_diff = 0, so a
+  // divergence in either count OR membership breaks the row hash.
+  // =================================================================
+
+  private def consistencyRow(s: SparkSession, kind: String, caseId: String,
+      idxIds: DataFrame, scanIds: DataFrame): DataFrame = {
+    val a = idxIds.select(col("id").as("ia"))
+    val b = scanIds.select(col("id").as("ib"))
+    a.join(b, a("ia") === b("ib"), "full_outer").agg(
+      count(col("ia")).as("n_indexed"),
+      count(col("ib")).as("n_scan"),
+      sum(when(col("ia").isNull || col("ib").isNull, 1L).otherwise(0L))
+        .as("n_diff"))
+      .select(lit(kind).as("kind"), lit(caseId).as("case_id"),
+        col("n_indexed"), col("n_scan"), coalesce(col("n_diff"), lit(0L)).as("n_diff"))
+  }
+
+  def indexConsistency(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{InvertedIndex, NgramIndex}
+    val cust = t(s, dir, "customer")
+    val docs = t(s, dir, "documents")
+    val part = t(s, dir, "part")
+    val ev = t(s, dir, "events")
+    def scan(base: DataFrame, idCol: String, filter: String,
+        json: Set[String] = Set.empty): DataFrame =
+      base.filter(ExprCompiler.compile(filter, base, jsonColumns = json))
+        .select(col(idCol).as("id"))
+
+    // dictionaries are tiny (cardinality-many rows) — reuse per table
+    val natIdx = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_nationkey")
+    val langIdx = InvertedIndex.buildValueIndex(docs, "doc_id", "lang")
+    val brandIdx = InvertedIndex.buildValueIndex(part, "p_partkey", "p_brand")
+    val ncharsIdx = InvertedIndex.buildHybridIndex(docs, "doc_id", "n_chars")._2
+    val jsonIdx = InvertedIndex.buildJsonPathIndexTyped(
+      ev, "event_id", "props", "$.k",
+      org.apache.spark.sql.types.LongType, "STL_SORT")._2
+    val ngramIdx = NgramIndex.build(docs, "doc_id", "text", n = 3)
+
+    val rows = Seq(
+      consistencyRow(s, "INVERTED", "nationkey_in",
+        InvertedIndex.lookupValues(natIdx, "c_nationkey", Seq(5, 7)),
+        scan(cust, "c_custkey", "c_nationkey in [5, 7]")),
+      // arithmetic through the dictionary (reference
+      // int64_inverted_arithmetic): the index evaluates the SAME
+      // compiled expression over distinct values
+      consistencyRow(s, "INVERTED", "nationkey_arith",
+        InvertedIndex.lookupExpr(natIdx, "c_nationkey", "c_nationkey",
+          "(c_nationkey + 5) >= 10 and (c_nationkey + 5) <= 15"),
+        scan(cust, "c_custkey",
+          "(c_nationkey + 5) >= 10 and (c_nationkey + 5) <= 15")),
+      consistencyRow(s, "BITMAP", "lang_in",
+        InvertedIndex.lookupValues(langIdx, "lang", Seq("en", "de")),
+        scan(docs, "doc_id", """lang in ["en", "de"]""")),
+      // NOT over the dictionary: complete value enumeration makes
+      // negation index-serviceable
+      consistencyRow(s, "BITMAP", "lang_not_in",
+        InvertedIndex.lookupExpr(langIdx, "lang", "lang",
+          """lang not in ["en", "zh"]"""),
+        scan(docs, "doc_id", """lang not in ["en", "zh"]""")),
+      consistencyRow(s, "TRIE", "brand_prefix",
+        InvertedIndex.lookupPrefix(brandIdx, "p_brand", "Brand#1"),
+        scan(part, "p_partkey", """p_brand like "Brand#1%"""")),
+      consistencyRow(s, "STL_SORT", "nationkey_range",
+        InvertedIndex.lookupRange(natIdx, "c_nationkey", 5, 10),
+        scan(cust, "c_custkey", "c_nationkey >= 5 and c_nationkey <= 10")),
+      consistencyRow(s, "NGRAM", "multi_like",
+        NgramIndex.likeSearch(docs, "doc_id", "text", ngramIdx,
+          patterns = Seq("ecto", "tream"), n = 3)
+          .select(col("doc_id").as("id")),
+        scan(docs, "doc_id", """text like "%ecto%" and text like "%tream%"""")),
+      consistencyRow(s, "JSON_TYPED", "props_k_range",
+        InvertedIndex.lookupRange(jsonIdx, "value", 40L, 50L),
+        scan(ev, "event_id", """props["k"] >= 40 and props["k"] <= 50""",
+          json = Set("props"))),
+      consistencyRow(s, "HYBRID", "nchars_range",
+        InvertedIndex.lookupRange(ncharsIdx, "n_chars", 100, 200),
+        scan(docs, "doc_id", "n_chars >= 100 and n_chars <= 200")))
+    rows.reduce(_ unionAll _).orderBy(col("kind"), col("case_id"))
+  }
+
+  private val indexConsistencyOracle: String = {
+    val cases = Seq(
+      ("INVERTED", "nationkey_in", "customer", "c_nationkey IN (5, 7)"),
+      ("INVERTED", "nationkey_arith", "customer",
+        "(c_nationkey + 5) >= 10 AND (c_nationkey + 5) <= 15"),
+      ("BITMAP", "lang_in", "documents", "lang IN ('en', 'de')"),
+      ("BITMAP", "lang_not_in", "documents", "lang NOT IN ('en', 'zh')"),
+      ("TRIE", "brand_prefix", "part", "p_brand LIKE 'Brand#1%'"),
+      ("STL_SORT", "nationkey_range", "customer",
+        "c_nationkey >= 5 AND c_nationkey <= 10"),
+      ("NGRAM", "multi_like", "documents",
+        "text LIKE '%ecto%' AND text LIKE '%tream%'"),
+      ("JSON_TYPED", "props_k_range", "events",
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
+          "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 50"),
+      ("HYBRID", "nchars_range", "documents",
+        "n_chars >= 100 AND n_chars <= 200"))
+    cases.map { case (kind, cid, table, pred) =>
+      s"SELECT '$kind' AS kind, '$cid' AS case_id, count(*) AS n_indexed, " +
+        s"count(*) AS n_scan, CAST(0 AS BIGINT) AS n_diff FROM $table WHERE $pred"
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY kind, case_id")
+  }
+
+  // =================================================================
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typed_matrix" -> (typedMatrix _),
     "q_array_matrix" -> (arrayMatrix _),
     "q_null_matrix" -> (nullMatrix _),
-    "q_json_kind_matrix" -> (jsonKindMatrix _))
+    "q_json_kind_matrix" -> (jsonKindMatrix _),
+    "q_index_consistency" -> (indexConsistency _))
 
   val oracles: Map[String, String] = Map(
     "q_typed_matrix" -> typedMatrixOracle,
     "q_array_matrix" -> arrayMatrixOracle,
     "q_null_matrix" -> nullMatrixOracle,
-    "q_json_kind_matrix" -> jsonKindMatrixOracle)
+    "q_json_kind_matrix" -> jsonKindMatrixOracle,
+    "q_index_consistency" -> indexConsistencyOracle)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.ExprCompiler
+
+/** Index-vs-scan consistency invariants beyond the oracle counts
+  * (reference: expressions/test_filtering_index_consistency.py): the
+  * dictionary-expression lookup must return the SAME id set as the
+  * compiled scan for every predicate shape, including NULL dictionary
+  * entries and empty results.
+  */
+class IndexConsistencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq[(Long, Option[Long], String)](
+    (1L, Some(10L), "alpha"), (2L, Some(20L), "beta"),
+    (3L, None, "alpha"), (4L, Some(20L), "gamma"),
+    (5L, Some(30L), "beta"), (6L, None, "delta"))
+    .toDF("id", "v", "s")
+
+  private def scanIds(filter: String): Set[Long] =
+    df.filter(ExprCompiler.compile(filter, df))
+      .select($"id").as[Long].collect().toSet
+
+  private def idxIds(valueCol: String, filter: String): Set[Long] = {
+    val idx = InvertedIndex.buildValueIndex(df, "id", valueCol)
+    InvertedIndex.lookupExpr(idx, valueCol, valueCol, filter)
+      .as[Long].collect().toSet
+  }
+
+  test("dictionary-expression lookup equals the scan across predicate shapes") {
+    for (f <- Seq("v == 20", "v >= 20", "v in [10, 30]", "v not in [10, 30]",
+        "(v + 5) >= 25", "v % 20 == 0", """s == "alpha"""",
+        """s like "b%"""", """s not in ["alpha"]""")) {
+      val (i, sc) = (idxIds(if (f.startsWith("s")) "s" else "v", f),
+        scanIds(f))
+      assert(i == sc, s"filter `$f`: index=$i scan=$sc")
+    }
+  }
+
+  test("NULL dictionary entries fail predicates exactly like their rows") {
+    // rows 3 and 6 hold NULL v: excluded from both paths, including
+    // under negation (3VL — NOT(NULL cmp) stays UNKNOWN)
+    assert(idxIds("v", "v != 20") == scanIds("v != 20"))
+    assert(!idxIds("v", "not (v == 20)").contains(3L))
+    assert(idxIds("v", "not (v == 20)") == scanIds("not (v == 20)"))
+  }
+
+  test("empty index results match empty scans") {
+    assert(idxIds("v", "v == 999").isEmpty)
+    assert(scanIds("v == 999").isEmpty)
+  }
+}
