@@ -764,6 +764,84 @@ final class Collection private (
   // dir; flush appends)
   @volatile private var sealedSegments: Vector[String] = sealedPath.toVector
 
+  // ---- file-level pk segment pruning (reference MEP
+  // 20260324-segment_filter_pk_predicate_pruning.md: the delegator
+  // drops segments from the dispatch list via pk min/max before any
+  // kernel runs). Per-segment pk [min,max], computed lazily on first
+  // pk-anchored read with a pk-column-only scan and cached forever —
+  // a sealed segment directory is immutable (flush/compact/force-merge
+  // always seal into FRESH paths), so the cache never invalidates.
+  private val segPkStats =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Any, Any)]]()
+
+  private def segmentPkRange(p: String): Option[(Any, Any)] =
+    segPkStats.computeIfAbsent(p, { path =>
+      val r = spark.read.parquet(path)
+        .agg(min(col(schema.pkField)), max(col(schema.pkField))).head()
+      if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+    })
+
+  /** The sealed source pruned to segments whose pk range can hold rows
+    * of `d` — None when pruning removes nothing (the caller keeps the
+    * possibly memory-pinned full union). Every surviving pk's row
+    * versions, tombstone keys, and patch matches live inside retained
+    * segments by the min/max containment argument in [[PkPruning]].
+    */
+  private def prunedSealed(d: graft.operators.PkPruning.Domain): Option[DataFrame] = {
+    val segs = sealedSegments
+    if (segs.size <= 1 || sealedDf.isEmpty) None
+    else {
+      val keep = segs.filter(p => segmentPkRange(p) match {
+        case Some((mn, mx)) => graft.operators.PkPruning.overlaps(d, mn, mx)
+        case None           => false // an empty segment holds no pk
+      })
+      if (keep.size == segs.size) None
+      else {
+        val fullDf = sealedDf.get
+        val base =
+          if (keep.isEmpty) fullDf.filter(lit(false))
+          else {
+            val unioned = keep
+              .map(p => GraftSession.normalizeTs(
+                spark.read.parquet(p), Set(schema.tsField)))
+              .reduce(_.unionByName(_, allowMissingColumns = true))
+            // align to the full sealed schema — a pruned subset may
+            // miss columns later segments introduced
+            val cols = fullDf.schema.fields.map { f =>
+              if (unioned.columns.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }
+            unioned.select(cols.toIndexedSeq: _*)
+          }
+        // a truncate is a ts-horizon cut applied to sealedDf, not to
+        // the files — re-apply it on the rebuilt scan
+        val horizon = truncateHorizon
+        Some(if (horizon > 0L) base.filter(col(schema.tsField) > horizon)
+             else base)
+      }
+    }
+  }
+
+  /** Which sealed segment paths a filter would dispatch to — the
+    * pruning decision made observable for tests/introspection (the
+    * reference's delegator exposes the same through segment pruning
+    * metrics).
+    */
+  private[graft] def plannedSegments(filterExpr: String): Seq[String] = {
+    val segs = sealedSegments
+    val dom =
+      if (filterExpr.isEmpty) None
+      else scala.util.Try(graft.operators.PkPruning.domainOf(
+        graft.expr.Parser.parse(filterExpr), schema.pkField)).toOption.flatten
+    dom match {
+      case None => segs
+      case Some(d) => segs.filter(p => segmentPkRange(p) match {
+        case Some((mn, mx)) => graft.operators.PkPruning.overlaps(d, mn, mx)
+        case None           => false
+      })
+    }
+  }
+
   final case class SegmentInfo(path: String, rows: Long, bytes: Long)
 
   /** GetPersistentSegmentInfo (reference impl.go): per flushed segment
@@ -817,6 +895,81 @@ final class Collection private (
     val tail = growing.map(g =>
       QuerySegmentInfo("growing", g.count(), "Growing", Nil, "Memory"))
     sealedInfos ++ tail
+  }
+
+  final case class SegmentDetail(id: Long, path: String, rows: Long,
+      bytes: Long, numFiles: Int, state: String, level: String)
+
+  /** GetSegmentsInfo (reference: impl.go GetSegmentsInfo:4241 — the
+    * datacoord detail view behind the lighter
+    * [[getPersistentSegmentInfo]]): per sealed segment its id (a stable
+    * hash of the path — paths are immutable once sealed), raw rows,
+    * on-disk bytes, file count, and compaction LEVEL — L1 for
+    * flush-sealed segments, L2 for compaction outputs (fold/run/merge
+    * paths), the reference's L0/L1/L2 ladder with L0 absent because
+    * delete-deltas fold synchronously inside [[compact]]. Footer-only
+    * row counts; no data scan.
+    */
+  def getSegmentsInfo: Seq[SegmentDetail] = {
+    requirePriv("GetStatistics")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    sealedSegments.map { p =>
+      val rows = spark.read.parquet(p).count() // footer-only count scan
+      val fs = new Path(p).getFileSystem(conf)
+      val summary = fs.getContentSummary(new Path(p))
+      // compaction outputs seal under fold-*/run-*/merge-* directories
+      // (compact()/forceMerge() path conventions); flush seals seg-*
+      val level =
+        if (Seq("/fold-", "/run-", "/merge-").exists(p.contains)) "L2"
+        else "L1"
+      SegmentDetail(
+        id = java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8"))
+          .getMostSignificantBits.abs,
+        path = p, rows = rows, bytes = summary.getLength,
+        numFiles = summary.getFileCount.toInt, state = "Flushed",
+        level = level)
+    }
+  }
+
+  /** Newest row version inside one sealed segment — the coverage
+    * horizon a per-segment index comparison needs.
+    */
+  private def segmentMaxTs(p: String): Long = {
+    val r = spark.read.parquet(p).agg(max(col(schema.tsField))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** ListIndexedSegment (reference: impl.go ListIndexedSegment:6207,
+    * the feder introspection API): the sealed segments FULLY COVERED by
+    * `field`'s index — every row version in the segment predates the
+    * build, so the indexed path serves it without the interim/tail
+    * fallback. Same coverage rule [[getQuerySegmentInfo]] reports
+    * per-segment.
+    */
+  def listIndexedSegment(field: String): Seq[String] = {
+    requirePriv("IndexDetail")
+    val st = indexes.getOrElse(field, throw new NoSuchElementException(
+      s"no index on field '$field'"))
+    sealedSegments.filter(p => st.buildTs >= segmentMaxTs(p))
+  }
+
+  final case class SegmentIndexData(path: String, field: String,
+      indexType: String, nlist: Int, buildTs: Long, rows: Long)
+
+  /** DescribeSegmentIndexData (reference: impl.go
+    * DescribeSegmentIndexData:6213): per covered segment, the index
+    * artifact's description — type, train params, build ts, and the
+    * segment's raw rows the artifact spans.
+    */
+  def describeSegmentIndexData(field: String): Seq[SegmentIndexData] = {
+    requirePriv("IndexDetail")
+    val st = indexes.getOrElse(field, throw new NoSuchElementException(
+      s"no index on field '$field'"))
+    listIndexedSegment(field).map { p =>
+      SegmentIndexData(p, field, "IVF_FLAT", st.model.nlist, st.buildTs,
+        spark.read.parquet(p).count())
+    }
   }
 
   /** GetFlushState (reference: impl.go GetFlushState(flush_ts)): true
@@ -1068,10 +1221,11 @@ final class Collection private (
       sessionTs: Long = 0L,
       ttl: Option[Column] = None,
       partitionNames: Seq[String] = Nil,
-      ignoreGrowing: Boolean = false): DataFrame =
+      ignoreGrowing: Boolean = false,
+      pkDomain: Option[graft.operators.PkPruning.Domain] = None): DataFrame =
     rlsFilter(readViewUnscoped(level, staleness, sessionTs,
       ttl.orElse(propertyTtl),
-      partitionPredicate(partitionNames), ignoreGrowing))
+      partitionPredicate(partitionNames), ignoreGrowing, pkDomain))
 
   /** Export the current visible rows as v1 binlog segments (the
     * migration-out path; reference `internal/storage/binlog_writer.go`
@@ -1464,14 +1618,25 @@ final class Collection private (
       sessionTs: Long = 0L,
       ttl: Option[Column] = None,
       preFilter: Option[Column] = None,
-      ignoreGrowing: Boolean = false): DataFrame = {
+      ignoreGrowing: Boolean = false,
+      pkDomain: Option[graft.operators.PkPruning.Domain] = None): DataFrame = {
     val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
+    // a pk-anchored filter prunes the sealed FILE list before any scan
+    // (MEP 20260324); the growing tail always rides along — it has no
+    // file stats and is small by the seal policy
+    val sealedSrc: Option[DataFrame] =
+      pkDomain.flatMap(prunedSealed).orElse(sealedDf)
     // ignore_growing (reference search/query param): serve SEALED
     // segments only — the un-flushed tail is skipped entirely, trading
     // freshness for not touching the in-memory segment
     val src =
-      if (!ignoreGrowing) raw
-      else sealedDf.getOrElse(growing.map(_.filter(lit(false))).getOrElse(raw))
+      if (!ignoreGrowing) (sealedSrc, growing) match {
+        case (Some(s), Some(g)) => s.unionByName(g, allowMissingColumns = true)
+        case (Some(s), None)    => s
+        case (None, Some(g))    => g
+        case (None, None)       => raw // throws the empty-collection error
+      }
+      else sealedSrc.getOrElse(growing.map(_.filter(lit(false))).getOrElse(raw))
     // partition scope lands UNDER the MVCC aggregate so it reaches the
     // scan (PartitionFilters on a flushed hive layout); rows missing
     // the tag (pre-partition sealed data) are never scope-visible
@@ -1565,6 +1730,15 @@ final class Collection private (
     StructType(kept ++ extra)
   }
 
+  /** Pk domain of a filter for segment pruning — only worth computing
+    * when more than one sealed segment exists. Parse failures (the
+    * filter will error in [[compiled]] anyway) mean no pruning.
+    */
+  private def pkDomainOf(filterExpr: String): Option[graft.operators.PkPruning.Domain] =
+    if (filterExpr.isEmpty || sealedSegments.size <= 1) None
+    else scala.util.Try(graft.operators.PkPruning.domainOf(
+      graft.expr.Parser.parse(filterExpr), schema.pkField)).toOption.flatten
+
   private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
     ExprCompiler.compile(filterExpr,
       ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
@@ -1584,7 +1758,7 @@ final class Collection private (
       ignoreGrowing: Boolean = false): DataFrame = {
     requirePriv("Query")
     val scoped = readView(level, partitionNames = partitionNames,
-      ignoreGrowing = ignoreGrowing)
+      ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
     // an element_filter ROOT expands to per-ELEMENT rows with `offset`
     // (reference: query on element_filter returns one row per matching
     // element, duplicate pks with offsets; MATCH_ANY stays row-level —
@@ -1626,14 +1800,22 @@ final class Collection private (
       ignoreGrowing: Boolean = false): Long = {
     requirePriv("Query")
     val v = readView(level, partitionNames = partitionNames,
-      ignoreGrowing = ignoreGrowing)
+      ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
     (if (filterExpr.isEmpty) v else v.filter(compiled(filterExpr))).count()
   }
 
-  /** Get by primary keys (reference `Get`/requery path). */
+  /** Get by primary keys (reference `Get`/requery path): the pk list IS
+    * the prune domain — at scale a point get opens one segment's files,
+    * not the collection's.
+    */
   def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame = {
     requirePriv("Query")
-    val v = readView().filter(col(schema.pkField).isin(pks: _*))
+    val dom = graft.operators.PkPruning.Points(pks.map {
+      case i: Int => i.toLong // the pk literal space is int64/varchar
+      case x      => x
+    })
+    val v = readView(pkDomain = Some(dom))
+      .filter(col(schema.pkField).isin(pks: _*))
     v.select(expandFields(outputFields, v.columns).map(col): _*)
   }
 
@@ -1995,6 +2177,21 @@ final class Collection private (
       pendingRows = visible.filter(col(schema.tsField) > st.buildTs).count(),
       totalRows = visible.count(),
       buildTs = st.buildTs)
+  }
+
+  final case class IndexStatistics(field: String, indexType: String,
+      state: String, indexedRows: Long, totalRows: Long, pendingRows: Long)
+
+  /** GetIndexStatistics (reference: impl.go GetIndexStatistics:2199 —
+    * DescribeIndex's info plus the serving-state counters in one call):
+    * state, indexed/total/pending rows. Pending = rows written after
+    * the build, served through the interim/tail path until a rebuild.
+    */
+  def getIndexStatistics(field: String): IndexStatistics = {
+    requirePriv("IndexDetail")
+    val d = describeIndex(field) // throws for unknown fields, like the reference
+    IndexStatistics(field, d.indexType, getIndexState(field),
+      d.indexedRows, d.totalRows, d.pendingRows)
   }
 
   /** GetIndexState (reference impl.go GetIndexState): builds here are
@@ -2421,6 +2618,18 @@ object Collection {
     val c = colls.get(name)
     if (c == null) throw new NoSuchElementException(s"collection '$db.$name' does not exist")
     c
+  }
+
+  /** BatchDescribeCollection (reference: impl.go
+    * BatchDescribeCollection:864): describe several collections in one
+    * call — a missing name yields a PER-ENTRY failure while the batch
+    * itself succeeds (the reference packs an error status into that
+    * entry's response), and an empty name list is rejected up front.
+    */
+  def batchDescribeCollection(names: Seq[String], db: String = "default")
+      : Seq[(String, scala.util.Try[CollectionSchema])] = {
+    require(names.nonEmpty, "collection names cannot be empty")
+    names.map(n => n -> scala.util.Try(getCollection(n, db).schema))
   }
 
   def hasCollection(name: String, db: String = "default"): Boolean = {

@@ -276,6 +276,66 @@ object LifecycleQueries {
       .toDF("step", "result").orderBy(col("step"))
   }
 
+  /** File-level pk segment pruning (reference MEP
+    * 20260324-segment_filter_pk_predicate_pruning.md: the delegator
+    * drops whole segments from the dispatch list via pk min/max before
+    * any kernel runs). A pk-anchored filter over a three-segment
+    * collection dispatches to the overlapping segment FILES only —
+    * engine-fact dispatch counts are pinned as marker rows; the data
+    * answers (including a cross-segment upsert and a tombstone) match
+    * the DuckDB truth. At 100 TB a point get opens one segment's
+    * footers instead of every footer in the collection.
+    */
+  def pkPrunedLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 900) // present at every sf
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    val path = s"/tmp/graft_q_pkprune_${System.nanoTime()}"
+    Seq((0L, 300L), (300L, 600L), (600L, 900L)).foreach { case (lo, hi) =>
+      c.insert(ev.filter(col("event_id") >= lo && col("event_id") < hi))
+      c.flush(path)
+    }
+    val dispatchFull = c.plannedSegments("").size
+    val dispatchPoint = c.plannedSegments("event_id == 450").size
+    val dispatchIn = c.plannedSegments("event_id in [10, 800]").size
+    val dispatchRange = c.plannedSegments("300 <= event_id < 420").size
+    val dispatchMiss = c.plannedSegments("event_id == 5000").size
+    val dispatchNonPk = c.plannedSegments("event_type == \"click\"").size
+    val pointType = c.query("event_id == 450", Seq("event_type"))
+      .head().getString(0)
+    val countIn = c.count("event_id in [10, 800]")
+    val countRange = c.count("300 <= event_id < 420")
+    // a newer version of pk 450 seals into a FOURTH segment whose pk
+    // range covers it: the point lookup dispatches to both holders and
+    // LWW serves the new row
+    import s.implicits._
+    c.upsert(Seq((450L, "patched", 0.0))
+      .toDF("event_id", "event_type", "value"))
+    c.flush(path)
+    val dispatchAfter = c.plannedSegments("event_id == 450").size
+    val typeAfter = c.query("event_id == 450", Seq("event_type"))
+      .head().getString(0)
+    // tombstones live OUTSIDE segments — a pruned read still applies them
+    c.delete("event_id == 10")
+    val countInAfter = c.count("event_id in [10, 800]")
+    Seq(
+      ("count_in", countIn.toString),
+      ("count_in_after_delete", countInAfter.toString),
+      ("count_range", countRange.toString),
+      ("dispatch_full", dispatchFull.toString),
+      ("dispatch_in", dispatchIn.toString),
+      ("dispatch_miss", dispatchMiss.toString),
+      ("dispatch_nonpk", dispatchNonPk.toString),
+      ("dispatch_point", dispatchPoint.toString),
+      ("dispatch_point_after_upsert", dispatchAfter.toString),
+      ("dispatch_range", dispatchRange.toString),
+      ("point_type", pointType),
+      ("point_type_after_upsert", typeAfter))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   /** Materialized-view partition-key-isolated ANN search (reference:
     * tests/integration/materialized_view/materialized_view_test.go —
     * with EnableMaterializedView, a search whose filter pins the
@@ -1264,6 +1324,7 @@ object LifecycleQueries {
     "q_force_merge" -> (forceMergeQ _),
     "q_partition_isolation" -> (partitionIsolation _),
     "q_load_partitions" -> (loadPartitionsQ _),
+    "q_pk_pruned_lookup" -> (pkPrunedLookup _),
     "q_external_function" -> (externalFunction _),
     "q_mutable_column" -> (mutableColumn _),
     "q_three_valued" -> (threeValued _),
@@ -1472,6 +1533,25 @@ object LifecycleQueries {
         |  UNION ALL SELECT 'release_unknown', 'rejected'
         |  UNION ALL SELECT 'released_all_state', 'NotLoad:0'
         |  UNION ALL SELECT 'state_partial', 'Loaded:100')
+        |ORDER BY step""".stripMargin,
+    "q_pk_pruned_lookup" ->
+      """SELECT * FROM (
+        |  SELECT 'count_in' AS step, CAST(count(*) AS VARCHAR) AS result
+        |  FROM events WHERE event_id IN (10, 800)
+        |  UNION ALL SELECT 'count_in_after_delete', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_id = 800
+        |  UNION ALL SELECT 'count_range', CAST(count(*) AS VARCHAR)
+        |  FROM events WHERE event_id >= 300 AND event_id < 420
+        |  UNION ALL SELECT 'dispatch_full', '3'
+        |  UNION ALL SELECT 'dispatch_in', '2'
+        |  UNION ALL SELECT 'dispatch_miss', '0'
+        |  UNION ALL SELECT 'dispatch_nonpk', '3'
+        |  UNION ALL SELECT 'dispatch_point', '1'
+        |  UNION ALL SELECT 'dispatch_point_after_upsert', '2'
+        |  UNION ALL SELECT 'dispatch_range', '1'
+        |  UNION ALL SELECT 'point_type',
+        |    (SELECT event_type FROM events WHERE event_id = 450)
+        |  UNION ALL SELECT 'point_type_after_upsert', 'patched')
         |ORDER BY step""".stripMargin,
     "q_segment_info" ->
       """SELECT * FROM (VALUES

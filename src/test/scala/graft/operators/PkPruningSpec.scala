@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Collection, CollectionSchema, SparkSpec}
+import graft.expr.Parser
+import graft.operators.PkPruning._
+
+/** File-level pk segment pruning (MEP 20260324): domain extraction,
+  * overlap decisions, and the facade path — a pk point lookup over a
+  * multi-segment collection must dispatch to ONE segment's files while
+  * answering exactly like the full scan (MVCC, tombstones, upserts).
+  */
+class PkPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dom(e: String): Option[Domain] =
+    PkPruning.domainOf(Parser.parse(e), "pk")
+
+  test("domain extraction: point, IN, ranges, conjuncts") {
+    assert(dom("pk == 7") == Some(Points(Seq(7L))))
+    assert(dom("7 == pk") == Some(Points(Seq(7L))))
+    assert(dom("pk in [1, 2, 3]") == Some(Points(Seq(1L, 2L, 3L))))
+    assert(dom("pk > 10") == Some(Interval(Some((10L, false)), None)))
+    assert(dom("10 > pk") == Some(Interval(None, Some((10L, false)))))
+    assert(dom("pk <= 10") == Some(Interval(None, Some((10L, true)))))
+    assert(dom("1 <= pk < 9") ==
+      Some(Interval(Some((1L, true)), Some((9L, false)))))
+    // conjuncts intersect; a single pk conjunct among others suffices
+    assert(dom("pk >= 5 and pk < 8") ==
+      Some(Interval(Some((5L, true)), Some((8L, false)))))
+    assert(dom("pk == 7 and grp > 2") == Some(Points(Seq(7L))))
+    assert(dom("grp > 2 and pk in [4, 5]") == Some(Points(Seq(4L, 5L))))
+    assert(dom("pk in [4, 5] and pk >= 5") == Some(Points(Seq(5L))))
+  }
+
+  test("domain extraction is conservative: OR / NOT / non-pk / non-literal") {
+    assert(dom("pk == 7 or grp == 1").isEmpty)
+    assert(dom("not (pk == 7)").isEmpty)
+    assert(dom("grp == 7").isEmpty)
+    assert(dom("pk not in [1, 2]").isEmpty)
+    assert(dom("pk == grp").isEmpty)
+    assert(dom("pk != 7").isEmpty)
+    // a non-pk disjunction under a pk conjunct still yields the pk side
+    assert(dom("pk == 7 and (grp == 1 or grp == 2)") == Some(Points(Seq(7L))))
+  }
+
+  test("overlap decisions against segment ranges") {
+    assert(PkPruning.overlaps(Points(Seq(5L)), 1L, 9L))
+    assert(!PkPruning.overlaps(Points(Seq(15L)), 1L, 9L))
+    assert(!PkPruning.overlaps(Points(Nil), 1L, 9L))
+    assert(PkPruning.overlaps(Interval(Some((9L, true)), None), 1L, 9L))
+    assert(!PkPruning.overlaps(Interval(Some((9L, false)), None), 1L, 9L))
+    assert(PkPruning.overlaps(Interval(None, Some((1L, true))), 1L, 9L))
+    assert(!PkPruning.overlaps(Interval(None, Some((1L, false))), 1L, 9L))
+    // string pks compare lexicographically
+    assert(PkPruning.overlaps(Points(Seq("m")), "a", "z"))
+    assert(!PkPruning.overlaps(Points(Seq("zz")), "a", "z"))
+    // incomparable values never prune
+    assert(PkPruning.overlaps(Points(Seq("x")), 1L, 9L))
+  }
+
+  private def multiSeg(): (Collection, String) = {
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk"))
+    val path = "/tmp/graft_test_pkprune_" + System.nanoTime()
+    // three sealed segments with disjoint pk ranges
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      c.insert(r.map(i => (i, i % 7, s"v$i")).toDF("pk", "grp", "s"))
+      c.flush(path)
+    }
+    (c, path)
+  }
+
+  test("a point lookup dispatches to one segment and answers exactly") {
+    val (c, _) = multiSeg()
+    assert(c.plannedSegments("").size == 3)
+    assert(c.plannedSegments("pk == 150").size == 1)
+    assert(c.plannedSegments("pk in [5, 250]").size == 2)
+    assert(c.plannedSegments("pk >= 250").size == 1)
+    assert(c.plannedSegments("100 <= pk < 200").size == 1)
+    assert(c.plannedSegments("pk == 999").isEmpty)
+    assert(c.plannedSegments("grp == 3").size == 3) // not pk-anchored
+    // the physical scan reads only the kept segment's files
+    val files = c.query("pk == 150", Seq("pk", "s")).inputFiles
+    assert(files.nonEmpty)
+    val planned = c.plannedSegments("pk == 150")
+    assert(files.forall(f => planned.exists(p => f.contains(p))))
+    // and the answers match the un-anchored full scan
+    assert(c.query("pk == 150", Seq("pk", "s")).as[(Long, String)].collect()
+      .toList == List((150L, "v150")))
+    assert(c.count("pk in [5, 250]") == 2L)
+    assert(c.count("pk == 999") == 0L)
+    assert(c.count("pk >= 250 and grp == 3") ==
+      (250L until 300L).count(_ % 7 == 3).toLong)
+  }
+
+  test("pruned reads keep MVCC semantics: upsert across segments, deletes") {
+    val (c, path) = multiSeg()
+    // a newer version of pk=50 seals into a FOURTH segment whose range
+    // covers 50 — both holders are retained, LWW picks the new row
+    c.upsert(Seq((50L, 99L, "new")).toDF("pk", "grp", "s"))
+    c.flush(path)
+    assert(c.plannedSegments("pk == 50").size == 2)
+    assert(c.query("pk == 50", Seq("s")).as[String].collect().toList
+      == List("new"))
+    // tombstones live outside segments: a pruned read still applies them
+    c.delete("pk == 150")
+    assert(c.count("pk == 150") == 0L)
+    assert(c.count("pk in [150, 151]") == 1L)
+    // the growing tail always rides along with a pruned sealed scan
+    c.insert(Seq((400L, 1L, "tail")).toDF("pk", "grp", "s"))
+    assert(c.query("pk == 400", Seq("s")).as[String].collect().toList
+      == List("tail"))
+    // get() prunes through the same registry
+    assert(c.get(Seq(250L), Seq("pk", "s")).as[(Long, String)].collect()
+      .toList == List((250L, "v250")))
+  }
+
+  test("truncate and compact stay correct under pruning") {
+    val (c, path) = multiSeg()
+    c.truncate()
+    // files still exist, but the horizon cut hides every row — a pruned
+    // rebuild must re-apply the cut, not resurrect from disk
+    assert(c.count("pk == 150") == 0L)
+    c.insert(Seq((150L, 1L, "post")).toDF("pk", "grp", "s"))
+    c.flush(path)
+    assert(c.query("pk == 150", Seq("s")).as[String].collect().toList
+      == List("post"))
+  }
+}
