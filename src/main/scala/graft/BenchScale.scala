@@ -201,6 +201,59 @@ object BenchScale {
       Seq(("struct_hyb", copies, hSec), ("search_bypk", copies, pSec))
     }
 
+    // --- round-9 additions: the r8 oracle-gated surfaces with no scale
+    // row — element quantifiers/offsets over replicated struct arrays,
+    // external-table function-output reads across a refresh, and the
+    // function-backfill lazy-coalesce read.
+    val r9Scales = Seq(1, 5, 10)
+    val r9Results = r9Scales.flatMap { copies =>
+      val emb = replicateEmb(copies).localCheckpoint(true)
+
+      // element quantifiers: 4 struct elements per row — match_any is a
+      // codegen'd exists over the array column (map-only); the
+      // element_filter ROOT explodes only filter-surviving rows
+      val ec = Collection.create(spark, CollectionSchema(pkField = "pk"))
+      ec.insert(emb.select(col("vec_id").as("pk"),
+        array((0 until 4).map(i =>
+          struct(((col("vec_id") + i) % 97).cast("double").as("score"),
+            lit(i.toLong).as("ord"))): _*).as("chunks")))
+      val (qSec, qN) = time(ec.count("match_any(chunks, $[score] > 90.0)"))
+      println(f"${"elem_quant"}%-12s $copies%7d ${nEmb * copies}%8d $qN%9d $qSec%8.2f")
+      val (oSec, oN) = time(ec.query(
+        "element_filter(chunks, $[score] > 90.0)", Seq("pk")).count())
+      println(f"${"elem_offsets"}%-12s $copies%7d ${nEmb * copies}%8d $oN%9d $oSec%8.2f")
+
+      // external-table function outputs across a refresh: two fragments
+      // of `copies`× documents each; the read computes the MinHash
+      // output over the mapped column inside the fragment scan
+      val docs = replicate(copies).localCheckpoint(true)
+      val extDir = s"/tmp/graft_bscale_ext_${copies}_${System.nanoTime()}"
+      docs.write.parquet(s"$extDir/frag0")
+      val et = graft.sources.ExternalTable.create(spark, "parquet", extDir,
+        Map("doc_id" -> "doc_id", "text" -> "text"),
+        Seq(graft.functions.IngestFunctions.MinHashFunction(
+          "text", "sig", numHashes = 16)))
+      docs.select((col("doc_id") + lit(nBase * copies)).as("doc_id"), col("text"))
+        .write.parquet(s"$extDir/frag1")
+      et.refresh()
+      val (eSec, eN) = time(
+        et.read().agg(sum(size(col("sig")))).head().getLong(0))
+      println(f"${"ext_fn_read"}%-12s $copies%7d ${2 * nBase * copies}%8d $eN%9d $eSec%8.2f")
+
+      // backfill read: historical rows serve the COMPUTED output via the
+      // lazy coalesce — cost rides the corpus scan, no segment rewrite
+      val bc = Collection.create(spark, CollectionSchema(pkField = "doc_id"))
+      bc.insert(docs)
+      bc.addFunction(graft.functions.IngestFunctions.MinHashFunction(
+        "text", "sig", numHashes = 16), backfill = true)
+      val (bSec, bN) = time(
+        bc.query("", Seq("doc_id", "sig"))
+          .agg(sum(size(col("sig")))).head().getLong(0))
+      println(f"${"backfill_read"}%-12s $copies%7d ${nBase * copies}%8d $bN%9d $bSec%8.2f")
+      Seq(("elem_quant", copies, qSec), ("elem_offsets", copies, oSec),
+        ("ext_fn_read", copies, eSec), ("backfill_read", copies, bSec))
+    }
+
     // scaling exponent between the smallest and largest scale:
     // log(tMax/t1)/log(max); ≤ ~1.3 reads as linear-with-overhead,
     // ≥ ~2 as quadratic
@@ -218,6 +271,9 @@ object BenchScale {
     println(f"${"mutcol_read"}%-12s scaling exponent (1x→100x patches): ${exponent(overlayResults, "mutcol_read", 100)}%.2f")
     Seq("struct_hyb", "search_bypk").foreach { name =>
       println(f"$name%-12s scaling exponent (1x→10x): ${exponent(colResults, name, 10)}%.2f")
+    }
+    Seq("elem_quant", "elem_offsets", "ext_fn_read", "backfill_read").foreach { name =>
+      println(f"$name%-12s scaling exponent (1x→10x): ${exponent(r9Results, name, 10)}%.2f")
     }
     spark.stop()
   }

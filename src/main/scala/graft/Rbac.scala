@@ -44,6 +44,10 @@ object Rbac {
 
   final case class Grant(role: String, privilege: String, collection: String)
 
+  /** A db-scoped grant (rbac v2 — reference OperatePrivilegeV2). */
+  final case class GrantV2(role: String, privilege: String, db: String,
+      collection: String)
+
   /** Full RBAC metadata snapshot (reference impl.go BackupRBAC /
     * RestoreRBAC — RBACMeta: users with stored credentials, roles,
     * grants, privilege groups). Credentials travel as their salted
@@ -56,7 +60,9 @@ object Rbac {
       grants: Set[Grant],
       credentials: Map[String, (Array[Byte], Array[Byte])],
       descriptions: Map[String, String],
-      privilegeGroups: Map[String, Set[String]] = Map.empty)
+      privilegeGroups: Map[String, Set[String]] = Map.empty,
+      grantsV2: Set[GrantV2] = Set.empty,
+      roleDescriptions: Map[String, String] = Map.empty)
 
   /** Mutable driver-side registry of roles, user-role bindings, and
     * grants — the rootcoord metastore analogue. Thread-safe: facade
@@ -77,7 +83,30 @@ object Rbac {
       require(!Set("admin", "public").contains(role), s"cannot drop built-in role '$role'")
       roles -= role
       grants = grants.filterNot(_.role == role)
+      grantsV2 = grantsV2.filterNot(_.role == role)
+      roleDescriptions -= role
       userRoles = userRoles.view.mapValues(_ - role).toMap
+    }
+
+    // role descriptions (reference impl.go AlterRole:5252 — mutate a
+    // role's description; the default roles admin/public are immutable,
+    // rejected with the reference's not-permitted error)
+    private var roleDescriptions: Map[String, String] = Map.empty
+
+    /** AlterRole: set or clear a role's description. */
+    def alterRole(role: String, description: String): Unit = lock.synchronized {
+      require(roles.contains(role), s"no such role '$role'")
+      require(!Set("admin", "public").contains(role),
+        s"the role '$role' is a default role, which can't be altered")
+      if (description.isEmpty) roleDescriptions -= role
+      else roleDescriptions += role -> description
+    }
+
+    /** SelectRole's description + grant view for one role. */
+    def describeRole(role: String): (String, Seq[Grant]) = lock.synchronized {
+      require(roles.contains(role), s"no such role '$role'")
+      (roleDescriptions.getOrElse(role, ""),
+        grants.filter(_.role == role).toSeq.sortBy(g => (g.collection, g.privilege)))
     }
 
     def addUserToRole(user: String, role: String): Unit = lock.synchronized {
@@ -117,7 +146,8 @@ object Rbac {
     def dropPrivilegeGroup(name: String): Unit = lock.synchronized {
       require(!Groups.contains(name), s"cannot drop built-in group '$name'")
       require(customGroups.contains(name), s"no such privilege group '$name'")
-      require(!grants.exists(_.privilege == name),
+      require(!grants.exists(_.privilege == name) &&
+        !grantsV2.exists(_.privilege == name),
         s"privilege group '$name' is referenced by a grant — revoke first")
       customGroups -= name
     }
@@ -163,19 +193,66 @@ object Rbac {
     def revoke(role: String, privilegeOrGroup: String, collection: String): Unit =
       lock.synchronized { grants -= Grant(role, privilegeOrGroup, collection) }
 
+    // ---- rbac v2 (reference impl.go OperatePrivilegeV2:5459): grants
+    // carry an explicit DATABASE scope alongside the collection, and
+    // `*` wildcards on either level — the db-wide and cluster-wide
+    // grant shapes v1 cannot express.
+    private var grantsV2: Set[GrantV2] = Set.empty
+
+    /** OperatePrivilegeV2(Grant): validated like [[grant]], plus the db
+      * scope. `db` and `collection` each accept `*`.
+      */
+    def grantV2(role: String, privilegeOrGroup: String, db: String,
+        collection: String): Unit = lock.synchronized {
+      require(roles.contains(role), s"no such role '$role'")
+      require(db.nonEmpty && collection.nonEmpty,
+        "db and collection must be non-empty ('*' for any)")
+      require(Groups.contains(privilegeOrGroup) ||
+        customGroups.contains(privilegeOrGroup) ||
+        CollectionPrivileges.contains(privilegeOrGroup),
+        s"unknown privilege '$privilegeOrGroup'")
+      grantsV2 += GrantV2(role, privilegeOrGroup, db, collection)
+    }
+
+    /** OperatePrivilegeV2(Revoke): exact-match removal, like v1. */
+    def revokeV2(role: String, privilegeOrGroup: String, db: String,
+        collection: String): Unit = lock.synchronized {
+      grantsV2 -= GrantV2(role, privilegeOrGroup, db, collection)
+    }
+
+    def listGrantsV2(role: String): Seq[GrantV2] = lock.synchronized(
+      grantsV2.filter(_.role == role).toSeq
+        .sortBy(g => (g.db, g.collection, g.privilege)))
+
     /** Does `user` hold `privilege` on `collection`? The built-in
       * `admin` role passes everything (reference root/admin semantics).
+      * v1 grants are db-agnostic; the db-scoped overload also consults
+      * v2 grants.
       */
     def allowed(user: String, privilege: String, collection: String): Boolean =
+      allowed(user, privilege, "default", collection)
+
+    /** Db-scoped check (rbac v2): v1 grants match any db (they carry no
+      * db scope); v2 grants match on (db, collection) with wildcards.
+      */
+    def allowed(user: String, privilege: String, db: String,
+        collection: String): Boolean =
       lock.synchronized {
         val rs = userRoles.getOrElse(user, Set.empty) + "public"
         if (rs.contains("admin")) return true
+        def carries(grantedPriv: String): Boolean =
+          grantedPriv == privilege ||
+            Groups.get(grantedPriv).exists(_.contains(privilege)) ||
+            customGroups.get(grantedPriv).exists(_.contains(privilege))
         grants.exists { g =>
           rs.contains(g.role) &&
           (g.collection == "*" || g.collection == collection) &&
-          (g.privilege == privilege ||
-            Groups.get(g.privilege).exists(_.contains(privilege)) ||
-            customGroups.get(g.privilege).exists(_.contains(privilege)))
+          carries(g.privilege)
+        } || grantsV2.exists { g =>
+          rs.contains(g.role) &&
+          (g.db == "*" || g.db == db) &&
+          (g.collection == "*" || g.collection == collection) &&
+          carries(g.privilege)
         }
       }
 
@@ -284,7 +361,7 @@ object Rbac {
     def backup(): Backup = lock.synchronized(
       Backup(roles, userRoles, grants,
         credentials.map { case (u, (s, d)) => u -> ((s.clone, d.clone)) },
-        userDescriptions, customGroups))
+        userDescriptions, customGroups, grantsV2, roleDescriptions))
 
     /** RestoreRBAC: replace this registry's state with a backup's
       * (the reference restores into a CLEAN deployment; restoring over
@@ -297,6 +374,8 @@ object Rbac {
       credentials = b.credentials.map { case (u, (s, d)) => u -> ((s.clone, d.clone)) }
       userDescriptions = b.descriptions
       customGroups = b.privilegeGroups
+      grantsV2 = b.grantsV2
+      roleDescriptions = b.roleDescriptions
     }
   }
 }

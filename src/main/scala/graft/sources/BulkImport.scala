@@ -84,6 +84,31 @@ final class ExternalTable private (
 
   final case class RefreshStats(kept: Int, added: Int, removed: Int)
 
+  /** One recorded refresh (reference: impl.go
+    * ListRefreshExternalCollectionJobs:7464 /
+    * GetRefreshExternalCollectionProgress:7416 — datacoord's refresh-job
+    * registry). Refreshes run synchronously inside [[refresh]], so a
+    * recorded job is always Completed at 100% — the polling contract
+    * holds with a zero-width Executing window, the same device as the
+    * import and compaction registries.
+    */
+  final case class RefreshJob(id: Long, state: String, progress: Int,
+      kept: Int, added: Int, removed: Int)
+
+  private var refreshJobs: Vector[RefreshJob] = Vector.empty
+  private val jobIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ListRefreshExternalCollectionJobs: recorded jobs, newest first. */
+  def listRefreshJobs: Seq[RefreshJob] = refreshJobs.reverse
+
+  /** GetRefreshExternalCollectionProgress: one job's state + percent;
+    * unknown ids error (the reference's failed status for unknown job
+    * ids).
+    */
+  def getRefreshProgress(id: Long): RefreshJob =
+    refreshJobs.find(_.id == id).getOrElse(
+      throw new NoSuchElementException(s"no refresh job with id $id"))
+
   private var fragments: Vector[String] = Vector.empty
 
   /** Lists via the Hadoop FileSystem API so hdfs:// / s3a:// / any
@@ -155,6 +180,8 @@ final class ExternalTable private (
       removed = fragments.count(f => !now.contains(f)))
     mapping = candidate
     fragments = now
+    refreshJobs :+= RefreshJob(jobIds.incrementAndGet(), "Completed", 100,
+      stats.kept, stats.added, stats.removed)
     stats
   }
 }

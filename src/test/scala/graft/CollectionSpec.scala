@@ -1632,4 +1632,85 @@ class CollectionSpec extends SparkSpec {
     val flags = c.readView().select($"flag").as[String].collect()
     assert(flags.nonEmpty && flags.forall(_ == "new"))
   }
+
+  test("getSegmentsInfo: ids, levels, and file counts per sealed segment") {
+    val c = fresh()
+    val path = "/tmp/graft_test_seginfo_" + System.nanoTime()
+    c.flush(path)
+    c.insert(mkRows(100L until 120L))
+    c.flush(path)
+    val infos = c.getSegmentsInfo
+    assert(infos.size == 2)
+    assert(infos.map(_.rows).sorted == Seq(20L, 50L))
+    assert(infos.forall(_.level == "L1"))
+    assert(infos.forall(_.state == "Flushed"))
+    assert(infos.forall(i => i.bytes > 0 && i.numFiles > 0))
+    assert(infos.map(_.id).distinct.size == 2, "ids are distinct and stable")
+    assert(infos.map(_.id) == c.getSegmentsInfo.map(_.id))
+    // a compaction output reports as L2 (the reference's level ladder)
+    c.delete("pk == 3")
+    c.compact(path + "/compacted")
+    val after = c.getSegmentsInfo
+    assert(after.size == 1 && after.head.level == "L2")
+    assert(after.head.rows == 69L)
+  }
+
+  test("listIndexedSegment and describeSegmentIndexData report coverage") {
+    val c = fresh()
+    val path = "/tmp/graft_test_idxseg_" + System.nanoTime()
+    c.flush(path)
+    c.createIndex("emb", nlist = 4)
+    // the pre-build segment is fully covered
+    assert(c.listIndexedSegment("emb").size == 1)
+    val d = c.describeSegmentIndexData("emb")
+    assert(d.size == 1 && d.head.indexType == "IVF_FLAT" &&
+      d.head.nlist == 4 && d.head.rows == 50L)
+    // a post-build segment is NOT covered (served via the interim path)
+    c.insert(mkRows(200L until 210L))
+    c.flush(path)
+    assert(c.getSegmentsInfo.size == 2)
+    assert(c.listIndexedSegment("emb").size == 1)
+    intercept[NoSuchElementException](c.listIndexedSegment("nope"))
+    // getIndexStatistics composes state + row counters
+    val st = c.getIndexStatistics("emb")
+    assert(st.state == "Finished" && st.indexType == "IVF_FLAT")
+    assert(st.indexedRows == 50L && st.totalRows == 60L &&
+      st.pendingRows == 10L)
+    intercept[NoSuchElementException](c.getIndexStatistics("nope"))
+  }
+
+  test("batchDescribeCollection: per-entry failures, batch succeeds") {
+    val db = "batchdesc_" + System.nanoTime()
+    Collection.createDatabase(db)
+    val c = fresh()
+    Collection.registerCollection("one", c, db)
+    val res = Collection.batchDescribeCollection(Seq("one", "ghost"), db)
+    assert(res.size == 2)
+    assert(res(0)._1 == "one" && res(0)._2.isSuccess &&
+      res(0)._2.get.pkField == "pk")
+    assert(res(1)._1 == "ghost" && res(1)._2.isFailure)
+    intercept[IllegalArgumentException](
+      Collection.batchDescribeCollection(Nil, db))
+  }
+
+  test("external-table refresh jobs are recorded and pollable") {
+    import graft.sources.ExternalTable
+    val base = "/tmp/graft_test_refreshjobs_" + System.nanoTime()
+    mkRows(0L until 10L).drop("emb").write.parquet(s"$base/frag1")
+    val et = ExternalTable.create(spark, "parquet", base,
+      Map("pk" -> "pk", "txt" -> "txt"))
+    // create() snapshots via an initial refresh — one recorded job
+    assert(et.listRefreshJobs.size == 1)
+    mkRows(10L until 15L).drop("emb").write.parquet(s"$base/frag2")
+    val stats = et.refresh()
+    assert(stats.added == 1 && stats.kept == 1)
+    val jobs = et.listRefreshJobs
+    assert(jobs.size == 2)
+    assert(jobs.head.id > jobs(1).id, "newest first")
+    assert(jobs.forall(j => j.state == "Completed" && j.progress == 100))
+    assert(jobs.head.added == 1 && jobs.head.kept == 1 &&
+      jobs.head.removed == 0)
+    assert(et.getRefreshProgress(jobs.head.id).state == "Completed")
+    intercept[NoSuchElementException](et.getRefreshProgress(999L))
+  }
 }

@@ -170,4 +170,83 @@ class RbacSpec extends SparkSpec {
     reg.deleteCredential("svc")
     intercept[IllegalArgumentException](reg.describeUser("svc"))
   }
+
+  test("alterRole: descriptions mutate, default roles immutable") {
+    val reg = new Rbac.Registry
+    reg.createRole("ops")
+    assert(reg.describeRole("ops") == (("", Nil)))
+    reg.alterRole("ops", "on-call operators")
+    assert(reg.describeRole("ops")._1 == "on-call operators")
+    reg.alterRole("ops", "") // clear
+    assert(reg.describeRole("ops")._1 == "")
+    // the reference rejects altering admin/public (default roles)
+    intercept[IllegalArgumentException](reg.alterRole("admin", "x"))
+    intercept[IllegalArgumentException](reg.alterRole("public", "x"))
+    intercept[IllegalArgumentException](reg.alterRole("ghost", "x"))
+    // describeRole also lists the role's grants
+    reg.grant("ops", "Flush", "events")
+    assert(reg.describeRole("ops")._2 ==
+      Seq(Rbac.Grant("ops", "Flush", "events")))
+  }
+
+  test("operatePrivilegeV2: db-scoped grants with wildcards") {
+    val reg = new Rbac.Registry
+    reg.createRole("analyst")
+    reg.addUserToRole("ana", "analyst")
+    // collection-wildcard grant scoped to ONE database
+    reg.grantV2("analyst", "CollectionReadOnly", "prod", "*")
+    assert(reg.allowed("ana", "Query", "prod", "events"))
+    assert(reg.allowed("ana", "Search", "prod", "anything"))
+    assert(!reg.allowed("ana", "Query", "staging", "events"),
+      "v2 grant is per database")
+    assert(!reg.allowed("ana", "Insert", "prod", "events"),
+      "ReadOnly excludes writes")
+    // db-wildcard grant: one privilege everywhere
+    reg.grantV2("analyst", "Flush", "*", "logs")
+    assert(reg.allowed("ana", "Flush", "prod", "logs"))
+    assert(reg.allowed("ana", "Flush", "staging", "logs"))
+    assert(!reg.allowed("ana", "Flush", "prod", "other"))
+    // exact-match revoke
+    reg.revokeV2("analyst", "CollectionReadOnly", "prod", "*")
+    assert(!reg.allowed("ana", "Query", "prod", "events"))
+    assert(reg.listGrantsV2("analyst") ==
+      Seq(Rbac.GrantV2("analyst", "Flush", "*", "logs")))
+    // validation mirrors v1
+    intercept[IllegalArgumentException](
+      reg.grantV2("ghost", "Query", "*", "*"))
+    intercept[IllegalArgumentException](
+      reg.grantV2("analyst", "NotAPrivilege", "*", "*"))
+    intercept[IllegalArgumentException](
+      reg.grantV2("analyst", "Query", "", "*"))
+    // v1 grants stay db-agnostic through the db-scoped check
+    reg.grant("analyst", "Compaction", "events")
+    assert(reg.allowed("ana", "Compaction", "whatever-db", "events"))
+  }
+
+  test("v2 grants guard group drops and ride backup/restore") {
+    val reg = new Rbac.Registry
+    reg.createRole("ops")
+    reg.addUserToRole("o1", "ops")
+    reg.createPrivilegeGroup("SegmentOps")
+    reg.operatePrivilegeGroup("SegmentOps", Set("Flush", "Compaction"), add = true)
+    reg.grantV2("ops", "SegmentOps", "prod", "*")
+    assert(reg.allowed("o1", "Compaction", "prod", "events"),
+      "custom group membership resolves through a v2 grant")
+    // a group referenced by a v2 grant cannot drop
+    intercept[IllegalArgumentException](reg.dropPrivilegeGroup("SegmentOps"))
+    reg.alterRole("ops", "segment operators")
+    val b = reg.backup()
+    val fresh = new Rbac.Registry
+    fresh.restore(b)
+    assert(fresh.allowed("o1", "Flush", "prod", "x"))
+    assert(!fresh.allowed("o1", "Flush", "staging", "x"))
+    assert(fresh.describeRole("ops")._1 == "segment operators")
+    assert(fresh.listGrantsV2("ops") ==
+      Seq(Rbac.GrantV2("ops", "SegmentOps", "prod", "*")))
+    // dropRole clears v2 grants and the description
+    reg.revokeV2("ops", "SegmentOps", "prod", "*")
+    reg.dropRole("ops")
+    assert(reg.listGrantsV2("ops").isEmpty)
+    reg.dropPrivilegeGroup("SegmentOps") // now unreferenced — drops fine
+  }
 }
