@@ -539,7 +539,10 @@ final class Collection private (
     // the pk (reference delete-by-expr runs against visible entities).
     // Materialize NOW (localCheckpoint): a lazy plan would re-evaluate
     // against rows inserted later and delete them retroactively.
-    val victims = readView().filter(compiled(filterExpr))
+    // A pk-anchored delete (the reference's delete-by-pk shape) prunes
+    // the sealed file list like any other pk read (MEP 20260324).
+    val victims = readView(pkDomain = pkDomainOf(filterExpr))
+      .filter(compiled(filterExpr))
       .select(col(schema.pkField), lit(ts).as(schema.tsField))
       .localCheckpoint(true)
     tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))
@@ -746,6 +749,16 @@ final class Collection private (
         g.write.partitionBy(Collection.PartitionCol).parquet(segPath)
       else g.write.parquet(segPath)
       val seg = spark.read.parquet(segPath)
+      // writer-side publish (MEP 20260602): the summary aggregates are
+      // extracted at the point of data generation — the tail is still
+      // in memory — never re-derived by a later consumer scan
+      locally {
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(segPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val bytes = fs.getContentSummary(new Path(segPath)).getLength
+        segStatsReg.put(segPath, computeSegStats(g, bytes))
+      }
       sealedDf = Some(sealedDf
         .map(_.unionByName(seg, allowMissingColumns = true)).getOrElse(seg))
       // a loaded collection stays loaded across flushes (the reference
@@ -763,6 +776,109 @@ final class Collection private (
   // the first live segment; compaction replaces the list with its run
   // dir; flush appends)
   @volatile private var sealedSegments: Vector[String] = sealedPath.toVector
+
+  // ---- per-segment summary statistics (reference MEP
+  // 20260602-segment_summary_metadata.md: aggregate metrics extracted
+  // once at the point of data generation and persisted as first-class
+  // fields, so scheduling/introspection reads consume scalars instead
+  // of re-scanning). Collected EAGERLY at flush (the tail is in memory
+  // — the writer-side publish); compaction outputs and opened layouts
+  // back-fill LAZILY on first consumer read (the MEP's opportunistic
+  // migration — an eager post-write scan would double the rewrite
+  // cost for a value nobody may ask for). Sealed paths are immutable,
+  // so entries never invalidate.
+  final case class SegmentStats(rows: Long, bytes: Long, tsFrom: Long,
+      tsTo: Long, tsQuantiles: Seq[Long], nullCounts: Map[String, Long])
+
+  private val segStatsReg =
+    new java.util.concurrent.ConcurrentHashMap[String, SegmentStats]()
+
+  /** One-pass summary of a sealed frame: row count, ts range, the five
+    * 20/40/60/80/100 ts percentiles (the compaction trigger's expiry
+    * quantiles), and per-field null counts — zero-included for every
+    * column the segment physically carries; a MISSING key means the
+    * field has no data in the segment (added by DDL after the seal)
+    * and consumers must treat every row as null for it, exactly the
+    * MEP's NullCounts presence contract.
+    */
+  private def computeSegStats(df: DataFrame, bytes: Long): SegmentStats = {
+    val dataCols = df.columns.filterNot(c =>
+      c == schema.tsField || c == Collection.PartitionCol)
+    val aggs = Seq(
+      org.apache.spark.sql.functions.count(lit(1)).as("_n"),
+      min(col(schema.tsField)).as("_f"),
+      max(col(schema.tsField)).as("_t"),
+      percentile_approx(col(schema.tsField),
+        array(lit(0.2), lit(0.4), lit(0.6), lit(0.8), lit(1.0)),
+        lit(1000)).as("_q")) ++
+      dataCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nc_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getLong(0)
+    if (rows == 0L) SegmentStats(0L, bytes, 0L, 0L, Nil, Map.empty)
+    else SegmentStats(rows, bytes, r.getLong(1), r.getLong(2),
+      r.getSeq[Long](3),
+      dataCols.map(c => c -> r.getAs[Long](s"_nc_$c")).toMap)
+  }
+
+  /** The registry read with lazy back-fill for paths sealed before this
+    * session (opened layouts) or by compaction rewrites.
+    */
+  private def statsFor(p: String): SegmentStats =
+    segStatsReg.computeIfAbsent(p, { path =>
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      val bytes = fs.getContentSummary(new Path(path)).getLength
+      computeSegStats(GraftSession.normalizeTs(
+        spark.read.parquet(path), Set(schema.tsField)), bytes)
+    })
+
+  /** The per-segment summaries, keyed by segment path (GetSegmentsInfo's
+    * Statistics view — rows/bytes/ts-range/quantiles/null-counts).
+    */
+  def segmentStatistics: Map[String, SegmentStats] = {
+    requirePriv("GetStatistics")
+    sealedSegments.map(p => p -> statsFor(p)).toMap
+  }
+
+  /** Effective (non-null) sealed rows for one field — the MEP's
+    * index-task derivation: a field missing from a segment's null-count
+    * map has NO data there (post-seal DDL add) and counts fully null.
+    */
+  def effectiveRows(field: String): Long =
+    sealedSegments.map { p =>
+      val st = statsFor(p)
+      st.rows - st.nullCounts.getOrElse(field, st.rows)
+    }.sum
+
+  /** Fraction of sealed rows older than `nowTs - ttlTicks`, derived
+    * from the flush-time ts quantiles (reference: compaction trigger
+    * ShouldDoSingleCompaction's quantile-based expiry check). Reports
+    * ONE BUCKET DOWN from the first qualifying percentile — a strict
+    * lower bound, so a TTL compaction never over-triggers on segments
+    * whose actual expired footprint is below threshold.
+    */
+  def expiredFraction(nowTs: Long, ttlTicks: Long): Double = {
+    val cutoff = nowTs - ttlTicks
+    val weighted = sealedSegments.map { p =>
+      val st = statsFor(p)
+      val pcts = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
+      val qualifying = st.tsQuantiles.zip(pcts).takeWhile(_._1 <= cutoff)
+      // one bucket down: the fraction BELOW the last qualifying quantile
+      val frac = if (qualifying.isEmpty) 0.0
+        else if (qualifying.size == pcts.size) 1.0
+        else pcts(qualifying.size - 1)
+      frac * st.rows
+    }.sum
+    val total = sealedSegments.map(statsFor(_).rows).sum
+    if (total == 0L) 0.0 else weighted / total
+  }
+
+  /** TTL-compaction trigger: compact when at least `threshold` of the
+    * sealed rows are expired (per [[expiredFraction]]'s lower bound).
+    */
+  def shouldCompactForTtl(nowTs: Long, ttlTicks: Long,
+      threshold: Double = 0.2): Boolean =
+    expiredFraction(nowTs, ttlTicks) >= threshold
 
   // ---- file-level pk segment pruning (reference MEP
   // 20260324-segment_filter_pk_predicate_pruning.md: the delegator
@@ -787,14 +903,26 @@ final class Collection private (
     * versions, tombstone keys, and patch matches live inside retained
     * segments by the min/max containment argument in [[PkPruning]].
     */
-  private def prunedSealed(d: graft.operators.PkPruning.Domain): Option[DataFrame] = {
+  private def prunedSealed(d: Option[graft.operators.PkPruning.Domain],
+      tsBound: Option[Long]): Option[DataFrame] = {
     val segs = sealedSegments
-    if (segs.size <= 1 || sealedDf.isEmpty) None
+    if (segs.size <= 1 || sealedDf.isEmpty ||
+        (d.isEmpty && tsBound.isEmpty)) None
     else {
-      val keep = segs.filter(p => segmentPkRange(p) match {
-        case Some((mn, mx)) => graft.operators.PkPruning.overlaps(d, mn, mx)
-        case None           => false // an empty segment holds no pk
-      })
+      val keep = segs.filter { p =>
+        val pkOk = d.forall(dom => segmentPkRange(p) match {
+          case Some((mn, mx)) => graft.operators.PkPruning.overlaps(dom, mn, mx)
+          case None           => false // an empty segment holds no pk
+        })
+        // ts-range prune (MEP 20260602 consumers): a time-travel read
+        // skips segments sealed entirely AFTER the read ts — every row
+        // in them is invisible at readTs by the MVCC cut anyway
+        val tsOk = tsBound.forall { bound =>
+          val st = statsFor(p)
+          st.rows > 0L && st.tsFrom <= bound
+        }
+        pkOk && tsOk
+      }
       if (keep.size == segs.size) None
       else {
         val fullDf = sealedDf.get
@@ -853,13 +981,11 @@ final class Collection private (
     */
   def getPersistentSegmentInfo: Seq[SegmentInfo] = {
     requirePriv("GetStatistics")
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
+    // served from the summary registry (MEP 20260602) — scheduling
+    // reads consume persisted scalars, no per-call segment scan
     sealedSegments.map { p =>
-      val rows = spark.read.parquet(p).count() // footer-only count scan
-      val fs = new Path(p).getFileSystem(conf)
-      val bytes = fs.getContentSummary(new Path(p)).getLength
-      SegmentInfo(p, rows, bytes)
+      val st = statsFor(p)
+      SegmentInfo(p, st.rows, st.bytes)
     }
   }
 
@@ -881,16 +1007,13 @@ final class Collection private (
     val resident = if (loadedFlag) "Memory" else "Disk"
     val idx = indexes
     val sealedInfos = sealedSegments.map { p =>
-      val seg = spark.read.parquet(p)
-      val r = seg.agg(
-        org.apache.spark.sql.functions.count(lit(1)).as("n"),
-        max(col(schema.tsField)).as("m")).head()
-      val rows = r.getLong(0)
-      val maxTs = if (r.isNullAt(1)) 0L else r.getLong(1)
+      // summary registry (MEP 20260602): rows and the coverage horizon
+      // (newest row version = tsTo) are persisted scalars, no re-scan
+      val st = statsFor(p)
       val covering = idx.collect {
-        case (f, st) if st.buildTs >= maxTs => f
+        case (f, ist) if ist.buildTs >= st.tsTo => f
       }.toSeq.sorted
-      QuerySegmentInfo(p, rows, "Sealed", covering, resident)
+      QuerySegmentInfo(p, st.rows, "Sealed", covering, resident)
     }
     val tail = growing.map(g =>
       QuerySegmentInfo("growing", g.count(), "Growing", Nil, "Memory"))
@@ -915,9 +1038,9 @@ final class Collection private (
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     sealedSegments.map { p =>
-      val rows = spark.read.parquet(p).count() // footer-only count scan
+      val st = statsFor(p) // summary registry (MEP 20260602), no re-scan
       val fs = new Path(p).getFileSystem(conf)
-      val summary = fs.getContentSummary(new Path(p))
+      val numFiles = fs.getContentSummary(new Path(p)).getFileCount.toInt
       // compaction outputs seal under fold-*/run-*/merge-* directories
       // (compact()/forceMerge() path conventions); flush seals seg-*
       val level =
@@ -926,19 +1049,17 @@ final class Collection private (
       SegmentDetail(
         id = java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8"))
           .getMostSignificantBits.abs,
-        path = p, rows = rows, bytes = summary.getLength,
-        numFiles = summary.getFileCount.toInt, state = "Flushed",
+        path = p, rows = st.rows, bytes = st.bytes,
+        numFiles = numFiles, state = "Flushed",
         level = level)
     }
   }
 
   /** Newest row version inside one sealed segment — the coverage
-    * horizon a per-segment index comparison needs.
+    * horizon a per-segment index comparison needs. Served from the
+    * summary registry (MEP 20260602).
     */
-  private def segmentMaxTs(p: String): Long = {
-    val r = spark.read.parquet(p).agg(max(col(schema.tsField))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+  private def segmentMaxTs(p: String): Long = statsFor(p).tsTo
 
   /** ListIndexedSegment (reference: impl.go ListIndexedSegment:6207,
     * the feder introspection API): the sealed segments FULLY COVERED by
@@ -968,7 +1089,7 @@ final class Collection private (
       s"no index on field '$field'"))
     listIndexedSegment(field).map { p =>
       SegmentIndexData(p, field, "IVF_FLAT", st.model.nlist, st.buildTs,
-        spark.read.parquet(p).count())
+        statsFor(p).rows) // summary registry, no re-scan
     }
   }
 
@@ -1622,10 +1743,13 @@ final class Collection private (
       pkDomain: Option[graft.operators.PkPruning.Domain] = None): DataFrame = {
     val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
     // a pk-anchored filter prunes the sealed FILE list before any scan
-    // (MEP 20260324); the growing tail always rides along — it has no
-    // file stats and is small by the seal policy
+    // (MEP 20260324), and a time-travel read additionally skips
+    // segments sealed entirely after the read ts (MEP 20260602 ts
+    // range); the growing tail always rides along — it has no file
+    // stats and is small by the seal policy
+    val tsBound = if (readTs < lastWriteTs) Some(readTs) else None
     val sealedSrc: Option[DataFrame] =
-      pkDomain.flatMap(prunedSealed).orElse(sealedDf)
+      prunedSealed(pkDomain, tsBound).orElse(sealedDf)
     // ignore_growing (reference search/query param): serve SEALED
     // segments only — the un-flushed tail is skipped entirely, trading
     // freshness for not touching the in-memory segment
@@ -1854,9 +1978,10 @@ final class Collection private (
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
     // partition scope prunes BEFORE any distance work — at scale this
-    // is the reference's partition-level segment pruning
+    // is the reference's partition-level segment pruning; a pk-anchored
+    // filter additionally prunes the sealed FILE list (MEP 20260324)
     val corpus = readView(level, partitionNames = partitionNames,
-      ignoreGrowing = ignoreGrowing)
+      ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     val hits = VectorSearch.topK(corpus, schema.pkField, vectorField, queries,
@@ -2242,6 +2367,15 @@ final class Collection private (
   def createIndex(vectorField: String, nlist: Int, trainSample: Int = 10000): Unit = {
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field")
+    // effective-row gate (MEP 20260602's null_counts consumer: the
+    // index task derives the effective row count for nullable vector
+    // fields and skips builds with zero valid vectors — a field missing
+    // from every segment's null-count map was DDL-added after the data
+    // and counts fully null)
+    if (growing.isEmpty && sealedSegments.nonEmpty &&
+        effectiveRows(vectorField) == 0L)
+      throw new IllegalStateException(
+        s"field '$vectorField' has no non-null vectors to index")
     import graft.operators.IvfIndex
     // build over the UNSCOPED view: the index is a shared physical
     // artifact — baking the building caller's RLS scope in would serve
@@ -2468,7 +2602,20 @@ final class Collection private (
       outputFields: Seq[String],
       batch: Int,
       lastPk: Option[Any] = None): DataFrame = {
-    val base = readView().filter(
+    // the pk cursor IS a pk lower bound: segments whose pk max sits at
+    // or under the cursor fall off the file list as the iterator
+    // advances (MEP 20260324's range shape) — intersected with any
+    // pk domain the filter itself pins
+    val cursorDom = lastPk.map { p =>
+      val v: Any = p match { case i: Int => i.toLong; case x => x }
+      graft.operators.PkPruning.Interval(Some((v, false)), None)
+    }
+    val dom = (pkDomainOf(filterExpr), cursorDom) match {
+      case (Some(a), Some(b)) =>
+        Some(graft.operators.PkPruning.intersectDomains(a, b).getOrElse(b))
+      case (a, b) => b.orElse(a)
+    }
+    val base = readView(pkDomain = dom).filter(
       if (filterExpr.isEmpty) lit(true) else compiled(filterExpr))
     val cursored = lastPk match {
       case Some(p) => base.filter(col(schema.pkField) > lit(p))

@@ -105,6 +105,11 @@ object PkPruning {
     }
   }
 
+  /** Public intersection for callers composing domains (e.g. a filter
+    * domain with an iterator cursor bound).
+    */
+  def intersectDomains(a: Domain, b: Domain): Option[Domain] = intersect(a, b)
+
   /** Intersect two domains when their value types compare; None keeps
     * the caller on the wider of the two (still sound).
     */

@@ -336,6 +336,65 @@ object LifecycleQueries {
       .toDF("step", "result").orderBy(col("step"))
   }
 
+  /** Segment summary statistics (reference MEP
+    * 20260602-segment_summary_metadata.md: per-segment aggregates
+    * extracted at data generation, consumed by scheduling and
+    * introspection with no re-scan). Three range-sealed segments with
+    * deterministic nulls; the oracle recomputes row/null counters from
+    * the raw table, while engine facts (ts-prune dispatch width, the
+    * quantile expiry lower bound) pin as marker rows. Also pins the
+    * MEP's ts-range consumer: a time-travel read at the first seal's
+    * ts answers from ONE segment's files.
+    */
+  def segmentStatsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    import graft.operators.ConsistencyLevel
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") < 900)
+      .select(col("event_id"), col("event_type"),
+        // every 10th row carries a NULL value — the null-count fixture
+        when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value"))
+          .as("value"))
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    val path = s"/tmp/graft_q_segstats_${System.nanoTime()}"
+    val sealTs = Seq((0L, 300L), (300L, 600L), (600L, 900L)).map { case (lo, hi) =>
+      val ts = c.insert(ev.filter(col("event_id") >= lo && col("event_id") < hi))
+      c.flush(path)
+      ts
+    }
+    val stats = c.segmentStatistics
+    val rowsSorted = stats.values.map(_.rows).toSeq.sorted
+    val nullValue = stats.values.map(_.nullCounts.getOrElse("value", -1L)).sum
+    val quantOk = stats.values.forall(_.tsQuantiles.size == 5)
+    // time-travel read at the FIRST seal's ts: only segment 1 is on the
+    // file list (MEP ts-range prune) and only its rows are visible
+    val tt = c.readView(ConsistencyLevel.BoundedStaleness,
+      staleness = sealTs.last - sealTs.head)
+    val ttCount = tt.count()
+    val ttDirs = tt.inputFiles
+      .map(_.replaceAll(".*/(seg-[0-9]+)/.*", "$1")).distinct.length
+    // quantile expiry fractions (one-bucket-down lower bound)
+    val now = c.allocTimestamp()
+    val expNone = c.expiredFraction(sealTs.head, ttlTicks = sealTs.head)
+    val expAll = c.expiredFraction(now + 1000L, ttlTicks = 0L)
+    val expOne = c.expiredFraction(sealTs(1),
+      ttlTicks = sealTs(1) - sealTs.head - 1)
+    import s.implicits._
+    Seq(
+      ("effective_value_rows", c.effectiveRows("value").toString),
+      ("expired_all", f"$expAll%.3f"),
+      ("expired_none", f"$expNone%.3f"),
+      ("expired_one_segment", f"$expOne%.3f"),
+      ("null_value_rows", nullValue.toString),
+      ("quantiles_five", quantOk.toString),
+      ("rows_max", rowsSorted.last.toString),
+      ("rows_min", rowsSorted.head.toString),
+      ("rows_total", rowsSorted.sum.toString),
+      ("tt_count", ttCount.toString),
+      ("tt_dispatch_dirs", ttDirs.toString))
+      .toDF("step", "result").orderBy(col("step"))
+  }
+
   /** Materialized-view partition-key-isolated ANN search (reference:
     * tests/integration/materialized_view/materialized_view_test.go —
     * with EnableMaterializedView, a search whose filter pins the
@@ -1325,6 +1384,7 @@ object LifecycleQueries {
     "q_partition_isolation" -> (partitionIsolation _),
     "q_load_partitions" -> (loadPartitionsQ _),
     "q_pk_pruned_lookup" -> (pkPrunedLookup _),
+    "q_segment_stats" -> (segmentStatsQ _),
     "q_external_function" -> (externalFunction _),
     "q_mutable_column" -> (mutableColumn _),
     "q_three_valued" -> (threeValued _),
@@ -1552,6 +1612,29 @@ object LifecycleQueries {
         |  UNION ALL SELECT 'point_type',
         |    (SELECT event_type FROM events WHERE event_id = 450)
         |  UNION ALL SELECT 'point_type_after_upsert', 'patched')
+        |ORDER BY step""".stripMargin,
+    "q_segment_stats" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+        |  FROM events WHERE event_id < 900)
+        |SELECT * FROM (
+        |  SELECT 'effective_value_rows' AS step,
+        |    CAST(count(value) AS VARCHAR) AS result FROM ev
+        |  UNION ALL SELECT 'expired_all', '1.000'
+        |  UNION ALL SELECT 'expired_none', '0.000'
+        |  UNION ALL SELECT 'expired_one_segment', '0.333'
+        |  UNION ALL SELECT 'null_value_rows',
+        |    CAST(count(*) - count(value) AS VARCHAR) FROM ev
+        |  UNION ALL SELECT 'quantiles_five', 'true'
+        |  UNION ALL SELECT 'rows_max', CAST(count(*) AS VARCHAR)
+        |  FROM ev WHERE event_id < 300
+        |  UNION ALL SELECT 'rows_min', CAST(count(*) AS VARCHAR)
+        |  FROM ev WHERE event_id >= 600
+        |  UNION ALL SELECT 'rows_total', CAST(count(*) AS VARCHAR) FROM ev
+        |  UNION ALL SELECT 'tt_count', CAST(count(*) AS VARCHAR)
+        |  FROM ev WHERE event_id < 300
+        |  UNION ALL SELECT 'tt_dispatch_dirs', '1')
         |ORDER BY step""".stripMargin,
     "q_segment_info" ->
       """SELECT * FROM (VALUES

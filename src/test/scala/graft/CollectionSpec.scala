@@ -1693,6 +1693,85 @@ class CollectionSpec extends SparkSpec {
       Collection.batchDescribeCollection(Nil, db))
   }
 
+  test("segment summary statistics: flush-time publish, lazy back-fill") {
+    val c = fresh()
+    val path = "/tmp/graft_test_segstats_" + System.nanoTime()
+    c.flush(path)
+    c.insert(mkRows(100L until 110L))
+    c.flush(path)
+    val stats = c.segmentStatistics
+    assert(stats.size == 2)
+    assert(stats.values.map(_.rows).toSeq.sorted == Seq(10L, 50L))
+    assert(stats.values.forall(s => s.bytes > 0 && s.tsFrom <= s.tsTo))
+    // segments seal in ts order: the second's range sits above the first's
+    val Seq(s1, s2) = stats.toSeq.sortBy(_._2.tsFrom).map(_._2)
+    assert(s2.tsFrom > s1.tsTo)
+    assert(stats.values.forall(_.tsQuantiles.size == 5))
+    // zero-included null counts for every physically present column
+    assert(stats.values.forall(_.nullCounts.get("txt").contains(0L)))
+    assert(c.effectiveRows("emb") == 60L)
+    // compaction outputs back-fill lazily on first consumer read
+    c.delete("pk == 3")
+    c.compact(path + "/fold")
+    val after = c.segmentStatistics
+    assert(after.size == 1 && after.head._2.rows == 59L)
+    assert(c.getPersistentSegmentInfo.map(_.rows) == Seq(59L))
+  }
+
+  test("all-null vector fields refuse an index build (effective rows)") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("emb" -> 4, "v2" -> 4)))
+    c.insert((0L until 20L).map(i =>
+      (i, vec(i), null: Seq[Float])).toDF("pk", "emb", "v2"))
+    val path = "/tmp/graft_test_nullvec_" + System.nanoTime()
+    c.flush(path)
+    val e = intercept[IllegalStateException](c.createIndex("v2", nlist = 2))
+    assert(e.getMessage.contains("no non-null vectors"))
+    c.createIndex("emb", nlist = 2) // the populated field builds fine
+    assert(c.getIndexState("emb") == "Finished")
+  }
+
+  test("time-travel reads prune segments sealed after the read ts") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    val path = "/tmp/graft_test_tsprune_" + System.nanoTime()
+    val t1 = c.insert((0L until 30L).map(i => (i, s"a$i")).toDF("pk", "s"))
+    c.flush(path)
+    c.insert((100L until 130L).map(i => (i, s"b$i")).toDF("pk", "s"))
+    c.flush(path)
+    val t3 = c.insert((200L until 230L).map(i => (i, s"c$i")).toDF("pk", "s"))
+    c.flush(path)
+    // readTs = lastWriteTs - staleness = t1: only the first segment can
+    // hold visible rows — the other two prune off the FILE list
+    val tt = c.readView(ConsistencyLevel.BoundedStaleness,
+      staleness = t3 - t1)
+    assert(tt.count() == 30L)
+    val files = tt.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/seg-")))
+    val segDirs = files.map(_.replaceAll("/seg-([0-9]+)/.*", "/seg-$1")).distinct
+    assert(segDirs.size == 1, s"expected one segment dir, got: ${segDirs.toList}")
+    // a strong read still serves everything
+    assert(c.count() == 90L)
+  }
+
+  test("expiredFraction lower-bounds TTL expiry from seal quantiles") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    val path = "/tmp/graft_test_expfrac_" + System.nanoTime()
+    val t1 = c.insert((0L until 50L).map(i => (i, i)).toDF("pk", "v"))
+    c.flush(path)
+    val t2 = c.insert((100L until 150L).map(i => (i, i)).toDF("pk", "v"))
+    c.flush(path)
+    // nothing expired: cutoff below every row ts
+    assert(c.expiredFraction(nowTs = t1, ttlTicks = t1) == 0.0)
+    // everything expired: cutoff above every row ts → fraction 1
+    assert(c.expiredFraction(nowTs = t2 + 1000L, ttlTicks = 0L) == 1.0)
+    // half expired (first segment only): the lower-bound contract keeps
+    // the reported fraction at or under the true 0.5, above 0
+    val half = c.expiredFraction(nowTs = t2, ttlTicks = t2 - t1 - 1)
+    assert(half > 0.0 && half <= 0.5, s"got $half")
+    assert(c.shouldCompactForTtl(nowTs = t2 + 1000L, ttlTicks = 0L))
+    assert(!c.shouldCompactForTtl(nowTs = t1, ttlTicks = t1))
+  }
+
   test("external-table refresh jobs are recorded and pollable") {
     import graft.sources.ExternalTable
     val base = "/tmp/graft_test_refreshjobs_" + System.nanoTime()

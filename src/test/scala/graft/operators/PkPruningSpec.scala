@@ -117,6 +117,49 @@ class PkPruningSpec extends SparkSpec {
       .toList == List((250L, "v250")))
   }
 
+  test("iterator cursor, delete-by-pk, and search prune the file list") {
+    val (c, _) = multiSeg()
+    // the pk cursor is a lower bound: a page past segment 2's max pk
+    // reads only segment 3's files
+    val page = c.queryIterator("", Seq("pk", "s"), batch = 5,
+      lastPk = Some(199L))
+    assert(page.select("pk").as[Long].collect().toList ==
+      (200L until 205L).toList)
+    assert(page.inputFiles.nonEmpty &&
+      page.inputFiles.forall(_.contains(
+        c.plannedSegments("pk > 199").head)))
+    // a cursor AND a filter domain intersect
+    val page2 = c.queryIterator("pk < 250", Seq("pk"), batch = 3,
+      lastPk = Some(205L))
+    assert(page2.select("pk").as[Long].collect().toList ==
+      (206L until 209L).toList)
+    // delete by pk stays correct through the pruned victim scan
+    c.delete("pk == 250")
+    assert(c.count("pk == 250") == 0L)
+    assert(c.count() == 299L)
+  }
+
+  test("an ANN search with a pk-anchored filter prunes the corpus scan") {
+    val c = graft.Collection.create(spark, graft.CollectionSchema(
+      pkField = "pk", vectorFields = Map("emb" -> 4)))
+    val path = "/tmp/graft_test_pkprune_vec_" + System.nanoTime()
+    def v(i: Long): Seq[Float] =
+      (0 until 4).map(d => ((i * (d + 3)) % 97).toFloat / 97f)
+    Seq(0L until 50L, 100L until 150L).foreach { r =>
+      c.insert(r.map(i => (i, v(i))).toDF("pk", "emb"))
+      c.flush(path)
+    }
+    val qs = Seq((0L, v(120L))).toDF("qid", "qvec")
+    val hits = c.search("emb", qs, k = 3,
+      metric = graft.functions.Metric.L2, filterExpr = "pk >= 100",
+      outputFields = Seq("pk"))
+    val got = hits.select("pk").as[Long].collect()
+    assert(got.contains(120L) && got.forall(_ >= 100L))
+    assert(hits.inputFiles.nonEmpty &&
+      hits.inputFiles.forall(_.contains(
+        c.plannedSegments("pk >= 100").head)))
+  }
+
   test("truncate and compact stay correct under pruning") {
     val (c, path) = multiSeg()
     c.truncate()
