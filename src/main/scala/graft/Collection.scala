@@ -897,6 +897,52 @@ final class Collection private (
       if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
     })
 
+  // per-segment pk BLOOM (the other half of the reference's
+  // pkoracle.Candidate — MEP 20260324: "bloom filter plus min/max
+  // range can prove a segment cannot contain the target PKs"): point
+  // and IN domains consult it AFTER the range check, pruning
+  // interleaved pk layouts whose [min,max] overlap every segment.
+  // False positives only (a kept-but-empty segment), never false
+  // negatives — Spark's sketch is deterministic, so decisions
+  // reproduce across runs. Built lazily per immutable path.
+  private val segPkBloom = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def pkBloomFor(p: String): org.apache.spark.util.sketch.BloomFilter =
+    segPkBloom.computeIfAbsent(p, { path =>
+      spark.read.parquet(path).stat.bloomFilter(
+        schema.pkField, math.max(statsFor(path).rows, 1L), 0.001)
+    })
+
+  /** A pk literal is bloom-checkable only when its runtime type matches
+    * the pk column's (a mismatched probe would answer an arbitrary
+    * false — a forbidden false negative).
+    */
+  private def pkLiteralMatches(v: Any): Boolean =
+    (raw.schema(schema.pkField).dataType, v) match {
+      case (org.apache.spark.sql.types.LongType, _: Long)     => true
+      case (org.apache.spark.sql.types.StringType, _: String) => true
+      case _                                                  => false
+    }
+
+  /** Could segment `p` hold any row of domain `d`? Range check first
+    * (exact), then the bloom for point sets — the reference's
+    * pkFilterTermExpr evaluation order.
+    */
+  private def segmentMayContain(p: String, d: graft.operators.PkPruning.Domain)
+      : Boolean =
+    segmentPkRange(p) match {
+      case None => false // an empty segment holds no pk
+      case Some((mn, mx)) =>
+        graft.operators.PkPruning.overlaps(d, mn, mx) && (d match {
+          case graft.operators.PkPruning.Points(vs)
+              if vs.nonEmpty && vs.size <= 1024 && vs.forall(pkLiteralMatches) =>
+            val bloom = pkBloomFor(p)
+            vs.exists(bloom.mightContain)
+          case _ => true // intervals / oversized lists: range check only
+        })
+    }
+
   /** The sealed source pruned to segments whose pk range can hold rows
     * of `d` — None when pruning removes nothing (the caller keeps the
     * possibly memory-pinned full union). Every surviving pk's row
@@ -910,10 +956,7 @@ final class Collection private (
         (d.isEmpty && tsBound.isEmpty)) None
     else {
       val keep = segs.filter { p =>
-        val pkOk = d.forall(dom => segmentPkRange(p) match {
-          case Some((mn, mx)) => graft.operators.PkPruning.overlaps(dom, mn, mx)
-          case None           => false // an empty segment holds no pk
-        })
+        val pkOk = d.forall(segmentMayContain(p, _))
         // ts-range prune (MEP 20260602 consumers): a time-travel read
         // skips segments sealed entirely AFTER the read ts — every row
         // in them is invisible at readTs by the MVCC cut anyway
@@ -962,11 +1005,8 @@ final class Collection private (
       else scala.util.Try(graft.operators.PkPruning.domainOf(
         graft.expr.Parser.parse(filterExpr), schema.pkField)).toOption.flatten
     dom match {
-      case None => segs
-      case Some(d) => segs.filter(p => segmentPkRange(p) match {
-        case Some((mn, mx)) => graft.operators.PkPruning.overlaps(d, mn, mx)
-        case None           => false
-      })
+      case None    => segs
+      case Some(d) => segs.filter(segmentMayContain(_, d))
     }
   }
 

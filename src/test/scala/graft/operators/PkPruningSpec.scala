@@ -160,6 +160,28 @@ class PkPruningSpec extends SparkSpec {
         c.plannedSegments("pk >= 100").head)))
   }
 
+  test("the pk bloom prunes interleaved ranges min/max cannot") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    val path = "/tmp/graft_test_pkbloom_" + System.nanoTime()
+    // both segments span [0..199] — range stats overlap everywhere,
+    // only the bloom can tell them apart (the reference's pkoracle)
+    c.insert((0L until 200L by 2).map(i => (i, s"e$i")).toDF("pk", "s"))
+    c.flush(path)
+    c.insert((1L until 200L by 2).map(i => (i, s"o$i")).toDF("pk", "s"))
+    c.flush(path)
+    assert(c.plannedSegments("pk == 42").size == 1)
+    assert(c.plannedSegments("pk == 43").size == 1)
+    assert(c.plannedSegments("pk in [42, 43]").size == 2)
+    // interval domains stay range-checked only — no bloom consult
+    assert(c.plannedSegments("42 <= pk <= 43").size == 2)
+    // answers are exact through the bloom-pruned file list
+    assert(c.query("pk == 42", Seq("s")).as[String].collect().toList
+      == List("e42"))
+    assert(c.count("pk in [41, 44, 999]") == 2L)
+    assert(c.get(Seq(43L), Seq("s")).as[String].collect().toList
+      == List("o43"))
+  }
+
   test("truncate and compact stay correct under pruning") {
     val (c, path) = multiSeg()
     c.truncate()
