@@ -750,14 +750,18 @@ final class Collection private (
       else g.write.parquet(segPath)
       val seg = spark.read.parquet(segPath)
       // writer-side publish (MEP 20260602): the summary aggregates are
-      // extracted at the point of data generation — the tail is still
-      // in memory — never re-derived by a later consumer scan
+      // extracted at seal time, never re-derived by a later consumer
+      // scan. Aggregated over the READ-BACK files, not the growing
+      // plan: `g` may carry un-checkpointed caller lineage (attached
+      // ingest functions, autoId zipWithIndex) that a second evaluation
+      // would re-run — and could diverge from the bytes just written;
+      // the fresh columnar files are both cheaper and authoritative.
       locally {
         import org.apache.hadoop.fs.Path
         val fs = new Path(segPath)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val bytes = fs.getContentSummary(new Path(segPath)).getLength
-        segStatsReg.put(segPath, computeSegStats(g, bytes))
+        segStatsReg.put(segPath, computeSegStats(seg, bytes))
       }
       sealedDf = Some(sealedDf
         .map(_.unionByName(seg, allowMissingColumns = true)).getOrElse(seg))
@@ -819,6 +823,26 @@ final class Collection private (
       r.getSeq[Long](3),
       dataCols.map(c => c -> r.getAs[Long](s"_nc_$c")).toMap)
   }
+
+  // light ts-from probe for the READ-path ts prune: a ts-column-only
+  // min scan (or a free read of an already-published summary), NOT the
+  // full summary back-fill — a first time-travel read over an opened
+  // layout must not pay per-column null counts and quantiles just to
+  // plan. None = empty segment.
+  private val segTsFrom =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  private def segmentTsFrom(p: String): Option[Long] =
+    segTsFrom.computeIfAbsent(p, { path =>
+      Option(segStatsReg.get(path)) match {
+        case Some(st) => if (st.rows == 0L) None else Some(st.tsFrom)
+        case None =>
+          val r = GraftSession.normalizeTs(
+            spark.read.parquet(path), Set(schema.tsField))
+            .agg(min(col(schema.tsField))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    })
 
   /** The registry read with lazy back-fill for paths sealed before this
     * session (opened layouts) or by compaction rewrites.
@@ -936,7 +960,8 @@ final class Collection private (
       case Some((mn, mx)) =>
         graft.operators.PkPruning.overlaps(d, mn, mx) && (d match {
           case graft.operators.PkPruning.Points(vs)
-              if vs.nonEmpty && vs.size <= 1024 && vs.forall(pkLiteralMatches) =>
+              if vs.nonEmpty && vs.size <= graft.operators.PkPruning.MaxPoints &&
+                vs.forall(pkLiteralMatches) =>
             val bloom = pkBloomFor(p)
             vs.exists(bloom.mightContain)
           case _ => true // intervals / oversized lists: range check only
@@ -960,10 +985,8 @@ final class Collection private (
         // ts-range prune (MEP 20260602 consumers): a time-travel read
         // skips segments sealed entirely AFTER the read ts — every row
         // in them is invisible at readTs by the MVCC cut anyway
-        val tsOk = tsBound.forall { bound =>
-          val st = statsFor(p)
-          st.rows > 0L && st.tsFrom <= bound
-        }
+        val tsOk = tsBound.forall(bound =>
+          segmentTsFrom(p).exists(_ <= bound))
         pkOk && tsOk
       }
       if (keep.size == segs.size) None
@@ -1000,11 +1023,10 @@ final class Collection private (
     */
   private[graft] def plannedSegments(filterExpr: String): Seq[String] = {
     val segs = sealedSegments
-    val dom =
-      if (filterExpr.isEmpty) None
-      else scala.util.Try(graft.operators.PkPruning.domainOf(
-        graft.expr.Parser.parse(filterExpr), schema.pkField)).toOption.flatten
-    dom match {
+    // pkDomainOf is the SAME gate the read path uses (including its
+    // single-segment short-circuit), so this view can never disagree
+    // with the dispatch it observes
+    pkDomainOf(filterExpr) match {
       case None    => segs
       case Some(d) => segs.filter(segmentMayContain(_, d))
     }
@@ -1288,14 +1310,18 @@ final class Collection private (
   // ---- operation-level security (reference OperatePrivilege; see
   // [[Rbac]]). RLS scopes WHICH ROWS a principal sees; RBAC gates
   // WHICH OPERATIONS it may invoke at all.
-  @volatile private var rbacCtx: Option[(Rbac.Registry, String)] = None
+  @volatile private var rbacCtx: Option[(Rbac.Registry, String, String)] = None
 
   /** Enforce RBAC on this collection: every facade operation checks the
     * caller's privilege (identity from [[setUser]]) in `registry`
     * against `collectionName` before building a plan.
     */
-  def enableRbac(registry: Rbac.Registry, collectionName: String): Unit =
-    rbacCtx = Some((registry, collectionName))
+  /** `db` is the database scope checks present to the registry — rbac
+    * v2 grants match on it (v1 grants are db-agnostic).
+    */
+  def enableRbac(registry: Rbac.Registry, collectionName: String,
+      db: String = "default"): Unit =
+    rbacCtx = Some((registry, collectionName, db))
   def disableRbac(): Unit = rbacCtx = None
 
   private def requirePriv(privilege: String): Unit = {
@@ -1309,12 +1335,12 @@ final class Collection private (
     else if (Collection.ReadPrivileges.contains(privilege))
       Collection.requireDbAllows(this, "database.force.deny.reading", "read")
     rbacCtx.foreach {
-      case (reg, cname) =>
+      case (reg, cname, db) =>
         val user = currentUser.map(_.userName).getOrElse(throw new IllegalStateException(
           "RBAC is enabled but no user context is set — call setUser first"))
-        if (!reg.allowed(user, privilege, cname))
+        if (!reg.allowed(user, privilege, db, cname))
           throw new SecurityException(
-            s"user '$user' lacks privilege $privilege on collection '$cname'")
+            s"user '$user' lacks privilege $privilege on collection '$db.$cname'")
     }
   }
 
@@ -1974,11 +2000,11 @@ final class Collection private (
     */
   def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame = {
     requirePriv("Query")
-    val dom = graft.operators.PkPruning.Points(pks.map {
+    val dom = graft.operators.PkPruning.points(pks.map {
       case i: Int => i.toLong // the pk literal space is int64/varchar
       case x      => x
     })
-    val v = readView(pkDomain = Some(dom))
+    val v = readView(pkDomain = dom)
       .filter(col(schema.pkField).isin(pks: _*))
     v.select(expandFields(outputFields, v.columns).map(col): _*)
   }
@@ -2411,8 +2437,12 @@ final class Collection private (
     // index task derives the effective row count for nullable vector
     // fields and skips builds with zero valid vectors — a field missing
     // from every segment's null-count map was DDL-added after the data
-    // and counts fully null)
-    if (growing.isEmpty && sealedSegments.nonEmpty &&
+    // and counts fully null). The growing tail counts too: an all-null
+    // sealed side plus an all-null tail must not slip past the gate.
+    val tailHasVectors = growing.exists(g =>
+      g.columns.contains(vectorField) &&
+        !g.filter(col(vectorField).isNotNull).isEmpty)
+    if (!tailHasVectors && sealedSegments.nonEmpty &&
         effectiveRows(vectorField) == 0L)
       throw new IllegalStateException(
         s"field '$vectorField' has no non-null vectors to index")

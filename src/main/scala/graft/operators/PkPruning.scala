@@ -33,11 +33,26 @@ object PkPruning {
   final case class Interval(lo: Option[(Any, Boolean)],
       hi: Option[(Any, Boolean)]) extends Domain
 
-  /** Above this many IN-list points the per-segment membership test is
-    * collapsed to the points' [min,max] envelope — pruning power decays
-    * gracefully instead of the driver walking a huge list per segment.
+  /** Above this many IN-list points a point set is collapsed AT
+    * CONSTRUCTION to the points' [min,max] envelope interval — pruning
+    * power decays gracefully instead of the driver walking a huge list
+    * per segment. Public: [[graft.Collection]] uses the same cap to
+    * bound its per-segment bloom consult.
     */
-  private val MaxPoints = 1024
+  val MaxPoints = 1024
+
+  /** Normalizing Points constructor: oversized sets collapse to their
+    * envelope (one interval-overlap test per segment instead of
+    * O(points)); a set with incomparable members yields no domain.
+    */
+  def points(vs: Seq[Any]): Option[Domain] =
+    if (vs.isEmpty) Some(Points(Nil))
+    else if (vs.size <= MaxPoints) Some(Points(vs))
+    else {
+      val sorted = scala.util.Try(vs.sortWith((a, b) =>
+        cmp(a, b).getOrElse(throw new IllegalArgumentException) < 0)).toOption
+      sorted.map(s => Interval(Some((s.head, true)), Some((s.last, true))))
+    }
 
   private def litValue(n: Node): Option[Any] = n match {
     case IntLit(v)    => Some(v)
@@ -72,7 +87,7 @@ object PkPruning {
       litValue(v).map(x => Points(Seq(x)))
     case In(Ident(f), ArrayLit(items), false) if f == pkField =>
       val vs = items.map(litValue)
-      if (vs.nonEmpty && vs.forall(_.isDefined)) Some(Points(vs.flatten))
+      if (vs.nonEmpty && vs.forall(_.isDefined)) points(vs.flatten)
       else None
     case Binary(op, Ident(f), v) if f == pkField =>
       litValue(v).flatMap(x => oneSided(op, x, flipped = false))
@@ -159,17 +174,13 @@ object PkPruning {
     */
   def overlaps(d: Domain, mn: Any, mx: Any): Boolean = d match {
     case Points(vs) if vs.isEmpty => false
-    case Points(vs) if vs.size <= MaxPoints =>
+    case Points(vs) => // ≤ MaxPoints by construction; short-circuits
       vs.exists { v =>
         (cmp(v, mn), cmp(v, mx)) match {
           case (Some(a), Some(b)) => a >= 0 && b <= 0
           case _                  => true
         }
       }
-    case Points(vs) => // envelope fallback for huge IN lists
-      val within = vs.flatMap(v => cmp(v, mn).zip(cmp(v, mx)))
-      within.isEmpty || within.exists { case (a, b) => a >= 0 && b <= 0 } ||
-        within.size < vs.size // any incomparable value → keep
     case Interval(lo, hi) =>
       val loOk = lo.forall { case (b, inc) =>
         cmp(mx, b) match { // segment max must reach the lower bound

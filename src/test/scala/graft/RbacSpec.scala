@@ -223,6 +223,28 @@ class RbacSpec extends SparkSpec {
     assert(reg.allowed("ana", "Compaction", "whatever-db", "events"))
   }
 
+  test("facade: the v2 db scope is enforced at the operation gate") {
+    val reg = new Rbac.Registry
+    reg.createRole("reader")
+    reg.addUserToRole("dana", "reader")
+    reg.grantV2("reader", "CollectionReadOnly", "prod", "*")
+    val c = Collection.create(spark,
+      CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 4)))
+    c.insert(mkRows(0L until 10L))
+    c.setUser(Rls.UserContext("dana"))
+    // the collection's home db is part of the check: the prod-scoped
+    // grant opens reads there...
+    c.enableRbac(reg, "docs", db = "prod")
+    assert(c.count() == 10)
+    intercept[SecurityException] { c.insert(mkRows(Seq(50L))) }
+    // ...and does NOT leak into another database
+    c.enableRbac(reg, "docs", db = "staging")
+    intercept[SecurityException] { c.count() }
+    // a v1 grant stays db-agnostic (it carries no db scope)
+    reg.grant("reader", "GetStatistics", "docs")
+    assert(c.statistics("row_count") == "10")
+  }
+
   test("v2 grants guard group drops and ride backup/restore") {
     val reg = new Rbac.Registry
     reg.createRole("ops")

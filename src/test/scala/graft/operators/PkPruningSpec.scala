@@ -32,6 +32,12 @@ class PkPruningSpec extends SparkSpec {
     assert(dom("pk == 7 and grp > 2") == Some(Points(Seq(7L))))
     assert(dom("grp > 2 and pk in [4, 5]") == Some(Points(Seq(4L, 5L))))
     assert(dom("pk in [4, 5] and pk >= 5") == Some(Points(Seq(5L))))
+    // oversized point sets collapse to their envelope AT CONSTRUCTION —
+    // one interval test per segment instead of O(points)
+    assert(PkPruning.points((1L to 2000L).map(x => x: Any)) ==
+      Some(Interval(Some((1L, true)), Some((2000L, true)))))
+    // an oversized set with incomparable members yields no domain
+    assert(PkPruning.points((1L to 2000L).map(x => x: Any) :+ "x").isEmpty)
   }
 
   test("domain extraction is conservative: OR / NOT / non-pk / non-literal") {
