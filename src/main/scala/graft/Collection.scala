@@ -531,7 +531,12 @@ final class Collection private (
     * appends (pk, ts) tombstones; nothing is rewritten until
     * [[compact]]. Returns the delete ts.
     */
-  def delete(filterExpr: String): Long = stateLock.synchronized {
+  /** `params` are template variables (the client's filter_params) — an
+    * empty template list deletes nothing, it does not error (the
+    * reference's #51617 delete contract).
+    */
+  def delete(filterExpr: String,
+      params: Map[String, Any] = Map.empty): Long = stateLock.synchronized {
     requirePriv("Delete")
     val ts = nextTs()
     // evaluate on the CURRENT VISIBLE VIEW, not raw versions: a predicate
@@ -542,7 +547,7 @@ final class Collection private (
     // A pk-anchored delete (the reference's delete-by-pk shape) prunes
     // the sealed file list like any other pk read (MEP 20260324).
     val victims = readView(pkDomain = pkDomainOf(filterExpr))
-      .filter(compiled(filterExpr))
+      .filter(compiled(filterExpr, params))
       .select(col(schema.pkField), lit(ts).as(schema.tsField))
       .localCheckpoint(true)
     tombs = Some(tombs.map(_.unionByName(victims)).getOrElse(victims))
@@ -1945,7 +1950,8 @@ final class Collection private (
       orderBy: Seq[Column] = Nil,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil,
-      ignoreGrowing: Boolean = false): DataFrame = {
+      ignoreGrowing: Boolean = false,
+      params: Map[String, Any] = Map.empty): DataFrame = {
     requirePriv("Query")
     val scoped = readView(level, partitionNames = partitionNames,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
@@ -1963,7 +1969,7 @@ final class Collection private (
     val base = elementRoot match {
       case Some((f, pred)) =>
         // row-level pre-filter keeps the explode to matching rows only
-        val matching = scoped.filter(compiled(filterExpr))
+        val matching = scoped.filter(compiled(filterExpr, params))
         val elemSchema = matching.schema(f).dataType match {
           case ArrayType(st: StructType, _) => Some(st)
           case _                            => None
@@ -1978,7 +1984,8 @@ final class Collection private (
         perElem.select((expandFields(outputFields, scoped.columns).map(col) :+
           col("offset")): _*)
       case None =>
-        (if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr)))
+        (if (filterExpr.isEmpty) scoped
+         else scoped.filter(compiled(filterExpr, params)))
           .select(expandFields(outputFields, scoped.columns).map(col): _*)
     }
     val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
@@ -1987,11 +1994,13 @@ final class Collection private (
 
   def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil,
-      ignoreGrowing: Boolean = false): Long = {
+      ignoreGrowing: Boolean = false,
+      params: Map[String, Any] = Map.empty): Long = {
     requirePriv("Query")
     val v = readView(level, partitionNames = partitionNames,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
-    (if (filterExpr.isEmpty) v else v.filter(compiled(filterExpr))).count()
+    (if (filterExpr.isEmpty) v
+     else v.filter(compiled(filterExpr, params))).count()
   }
 
   /** Get by primary keys (reference `Get`/requery path): the pk list IS

@@ -572,13 +572,40 @@ object ExprCompiler {
           literalType(l, ctx).contains(DoubleType) || literalType(r, ctx).contains(DoubleType))
         val lc = compileCmpSide(l, numType.orElse(Some(LongType)), ctx)
         val rc = compileCmpSide(r, numType.orElse(Some(LongType)), ctx)
+        // exact integer arithmetic (reference #48440,
+        // test_filter_expression_issue_mining.py: `i64 + 33 <= 19974`
+        // over INT64_MAX must compare by the TRUE arithmetic value —
+        // neither wrapping nor aborting the scan on ANSI overflow).
+        // DECIMAL(38,0) holds any int64 +,−,× result exactly
+        // (|a×b| ≤ 2^126 < 10^38); only provably-integral operand
+        // trees take this path, so double/JSON arithmetic is untouched.
+        def integralNode(n: Node): Boolean = n match {
+          case Ident(f) => ctx.fieldType(f).exists {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _                                             => false
+          }
+          case IntLit(_)                        => true
+          case Unary(UnaryOp.Neg | UnaryOp.Pos, c) => integralNode(c)
+          case Binary(Add | Sub | Mul | Mod, a, b) =>
+            integralNode(a) && integralNode(b)
+          case _ => false
+        }
+        val exact = (op == Add || op == Sub || op == Mul) &&
+          integralNode(l) && integralNode(r)
+        def dec(c: Column): Column = c.cast(DecimalType(38, 0))
         op match {
-          case Add => lc + rc
-          case Sub => lc - rc
-          case Mul => lc * rc
+          case Add => if (exact) dec(lc) + dec(rc) else lc + rc
+          case Sub => if (exact) dec(lc) - dec(rc) else lc - rc
+          case Mul => if (exact) dec(lc) * dec(rc) else lc * rc
           case Div => lc / rc
           case Mod => lc % rc
-          case Pow => pow(lc, rc)
+          case Pow =>
+            // reference planparserv2 VisitPower (parser_visitor.go:2076):
+            // `**` folds constants only — a field operand is a compile
+            // error, it never reaches an arithmetic kernel
+            if (literalType(l, ctx).isEmpty || literalType(r, ctx).isEmpty)
+              throw CompileError(s"power can only apply on constants")
+            pow(lc, rc)
           case Shl => r match {
             case IntLit(v) => shiftleft(lc, v.toInt)
             case _         => throw CompileError("<< requires integer literal shift")

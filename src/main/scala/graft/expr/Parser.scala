@@ -237,6 +237,14 @@ object Parser {
           case _ => Ident(name)
         }
 
+      case TKeyword("null") =>
+        // reference #50882 (test_filter_expression_issue_mining.py:649):
+        // a NULL literal in operand position — `id in [1, NULL, 2]` —
+        // gets a MEANINGFUL rejection naming the construct, never a
+        // confusing field-resolution error for a column called "null"
+        throw ParseError(
+          "NULL literal is not supported in expressions — use `is null` / `is not null`")
+
       case other => throw ParseError(s"unexpected token $other")
     }
 

@@ -137,6 +137,27 @@ object MatrixQueries {
       MCase("shl_50964", "(flags << 1) == 4", "(flags << 1) = 4"),
       MCase("shr_50964", "(flags >> 2) == 1", "(flags >> 2) = 1"),
       MCase("bnot_50964", "~flags == -1", "~flags = -1"))
+    // exact integer arithmetic at the width boundaries (reference
+    // #48440, test_filter_expression_issue_mining.py
+    // INT64_OVERFLOW_CASES + NARROW_INTEGER_ARITHMETIC_CASES): the
+    // sentinel rows hold i64 MAX/MIN (and i32/i16/i8 extremes), so
+    // `i64 + 33` must compare by its TRUE value — DuckDB mirrors with
+    // HUGEINT casts, the engine with DECIMAL(38,0) internal math
+    val exactArith = Seq(
+      MCase("ovf_add_48440", "i64 + 33 <= 19974",
+        "CAST(i64 AS HUGEINT) + 33 <= 19974"),
+      MCase("ovf_sub_48440", "i64 - 1 >= 0",
+        "CAST(i64 AS HUGEINT) - 1 >= 0"),
+      MCase("ovf_mul_48440", "i64 * 2 > 1",
+        "CAST(i64 AS HUGEINT) * 2 > 1"),
+      MCase("ovf_i32_add", "i32 + 33 <= 19974",
+        "CAST(i32 AS HUGEINT) + 33 <= 19974"),
+      MCase("ovf_i32_mul", "i32 * 2 > 1",
+        "CAST(i32 AS HUGEINT) * 2 > 1"),
+      MCase("ovf_i16_add", "i16 + 2 > 0",
+        "CAST(i16 AS HUGEINT) + 2 > 0"),
+      MCase("ovf_i8_add", "i8 + 2 > 0",
+        "CAST(i8 AS HUGEINT) + 2 > 0"))
     val arith = Seq(
       MCase("arith_mod_div_pow",
         "(i64 % 2 == 0 and i64 / 2 >= 2) or (2 ** 3 == 8 and i64 == 3)",
@@ -155,7 +176,7 @@ object MatrixQueries {
       MCase("bool_false", "active == false", "active = false"),
       MCase("i16_between_two_sided", "3 < i16 <= 6", "i16 > 3 AND i16 <= 6"),
       MCase("cross_width_cmp", "i8 <= i16", "i8 <= i16"))
-    sweep ++ sentinels ++ bitwise ++ arith ++ other
+    sweep ++ sentinels ++ bitwise ++ exactArith ++ arith ++ other
   }
 
   def typedMatrix(s: SparkSession, dir: String): DataFrame =

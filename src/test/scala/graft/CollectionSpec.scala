@@ -1772,6 +1772,23 @@ class CollectionSpec extends SparkSpec {
     assert(!c.shouldCompactForTtl(nowTs = t1, ttlTicks = t1))
   }
 
+  test("template filter_params flow through query/count/delete (#51617)") {
+    val c = fresh()
+    // inline and template delivery answer identically
+    assert(c.count("pk in {ids}", params = Map("ids" -> Seq(1L, 2L, 3L))) == 3L)
+    assert(c.query("pk in {ids}", Seq("pk"),
+      params = Map("ids" -> Seq(5L, 7L))).count() == 2L)
+    // an EMPTY template list matches nothing — and a delete with one is
+    // a noop, not an error (the reference's #51617 delete contract)
+    assert(c.count("pk in {ids}", params = Map("ids" -> Nil)) == 0L)
+    val before = c.count()
+    c.delete("pk in {ids}", params = Map("ids" -> Seq.empty[Long]))
+    assert(c.count() == before)
+    // the positive control really deletes
+    c.delete("pk in {ids}", params = Map("ids" -> Seq(1L, 2L)))
+    assert(c.count() == before - 2)
+  }
+
   test("external-table refresh jobs are recorded and pollable") {
     import graft.sources.ExternalTable
     val base = "/tmp/graft_test_refreshjobs_" + System.nanoTime()

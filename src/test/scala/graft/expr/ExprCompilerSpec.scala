@@ -127,7 +127,8 @@ class ExprCompilerSpec extends SparkSpec {
     check("30 >= id > 20", $"id" <= 30 && $"id" > 20)
     check("(id % 3) == 0", $"id" % 3 === 0)
     check("id * 2 + 1 > 100", $"id" * 2 + 1 > 100)
-    check("id ** 2 < 100", pow($"id", 2) < 100)
+    // `id ** 2` is rejected — VisitPower folds constants only (see the
+    // dedicated #48440/pow test below)
     check("-id >= -10", negate($"id") >= -10)
     check("f / 2 > 10.0", $"f" / 2 > 10.0)
   }
@@ -443,5 +444,38 @@ class ExprCompilerSpec extends SparkSpec {
     intercept[Parser.ParseError](Parser.parse("id >"))
     intercept[Parser.ParseError](Parser.parse("id in (1,2)"))
     intercept[Lexer.LexError](Parser.parse("id == 'unterminated"))
+  }
+
+  test("NULL literal in operand position is meaningfully rejected (#50882)") {
+    val e = intercept[Parser.ParseError](Parser.parse("id in [1, NULL, 2]"))
+    assert(e.getMessage.contains("NULL literal is not supported"))
+    val e2 = intercept[Parser.ParseError](Parser.parse("id == null"))
+    assert(e2.getMessage.contains("NULL literal is not supported"))
+    // `is null` / `is not null` remain the supported forms
+    Parser.parse("id is null"); Parser.parse("id is not null")
+  }
+
+  test("integer arithmetic at int64 boundaries uses exact math (#48440)") {
+    val rows = Seq(
+      (0L, Long.MaxValue - 1), (1L, 100L), (2L, Long.MinValue), (3L, -1L),
+      (4L, 0L), (5L, 1L), (6L, Long.MaxValue), (7L, Long.MinValue + 1),
+      (8L, 20000L), (9L, 19950L)).toDF("id", "v")
+    def ids(e: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(e, rows)).select("id").as[Long]
+        .collect().toSet
+    // exact-math truths computed with arbitrary precision (the
+    // reference's predicate side): MAX + 33 is ABOVE 19974, not a
+    // wrapped negative and not an ANSI abort
+    assert(ids("v + 33 <= 19974") == Set(1L, 2L, 3L, 4L, 5L, 7L))
+    assert(ids("v - 1 >= 0") == Set(0L, 1L, 5L, 6L, 8L, 9L))
+    assert(ids("v * 2 > 1") == Set(0L, 1L, 5L, 6L, 8L, 9L))
+    // mixed float arithmetic keeps its double path
+    assert(ids("v * 2.0 > 1.0").contains(1L))
+    // `**` folds constants only (reference parser_visitor.go:2076) — a
+    // field operand is rejected at compile, matching VisitPower
+    val e = intercept[ExprCompiler.CompileError](
+      rows.filter(ExprCompiler.compile("v ** 2 == 100", rows)).count())
+    assert(e.getMessage.contains("power can only apply on constants"))
+    assert(ids("2 ** 3 == 8") == (0L to 9L).toSet) // constant fold fine
   }
 }
