@@ -594,7 +594,32 @@ object MatrixQueries {
           json = Set("props"))),
       consistencyRow(s, "HYBRID", "nchars_range",
         InvertedIndex.lookupRange(ncharsIdx, "n_chars", 100, 200),
-        scan(docs, "doc_id", "n_chars >= 100 and n_chars <= 200")))
+        scan(docs, "doc_id", "n_chars >= 100 and n_chars <= 200")),
+      // RTREE (reference test_filtering_special_types geometry index
+      // cases; gis_filter_coarse_refine_split_fusion.md): the
+      // bbox-materialized coarse→refine path must equal the
+      // refine-only scan over raw WKT
+      locally {
+        val evPts = ev.withColumn("geom", concat(lit("POINT("),
+          col("value").cast("string"), lit(" "),
+          (col("user_id") % 100).cast("string"), lit(")")))
+        val evGeo = graft.functions.GeoFunctions.prepareGeometry(evPts, "geom")
+        val pred =
+          "st_within(geom, 'POLYGON((10 10, 90 10, 90 60, 10 60, 10 10))')"
+        consistencyRow(s, "RTREE", "point_within",
+          scan(evGeo, "event_id", pred), scan(evPts, "event_id", pred))
+      },
+      // TIMESTAMPTZ (reference test_filtering_special_types
+      // timestamptz index consistency): the interval compare through a
+      // sorted ts dictionary equals the plain scan — the TsDomainRewrite
+      // fold applies identically on both sides
+      locally {
+        val tsIdx = InvertedIndex.buildValueIndex(ev, "event_id", "ts")
+        val pred = "ts + INTERVAL 'P3D' > iso'2024-01-25T00:00:00Z'"
+        consistencyRow(s, "TIMESTAMPTZ", "interval_cmp",
+          InvertedIndex.lookupExpr(tsIdx, "ts", "ts", pred),
+          scan(ev, "event_id", pred))
+      })
     rows.reduce(_ unionAll _).orderBy(col("kind"), col("case_id"))
   }
 
@@ -614,7 +639,11 @@ object MatrixQueries {
         "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
           "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 50"),
       ("HYBRID", "nchars_range", "documents",
-        "n_chars >= 100 AND n_chars <= 200"))
+        "n_chars >= 100 AND n_chars <= 200"),
+      ("RTREE", "point_within", "events",
+        "value > 10 AND value < 90 AND (user_id % 100) > 10 AND (user_id % 100) < 60"),
+      ("TIMESTAMPTZ", "interval_cmp", "events",
+        "ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'"))
     cases.map { case (kind, cid, table, pred) =>
       s"SELECT '$kind' AS kind, '$cid' AS case_id, count(*) AS n_indexed, " +
         s"count(*) AS n_scan, CAST(0 AS BIGINT) AS n_diff FROM $table WHERE $pred"
