@@ -40,7 +40,12 @@ final case class CollectionSchema(
     // paths take the typed-kind bucket semantics (#51489/#51567/#51568)
     // — without the declaration a StringType field's paths would extract
     // untyped, silently diverging from the direct-compile path.
-    jsonFields: Set[String] = Set.empty)
+    jsonFields: Set[String] = Set.empty,
+    // is_partition_key / is_clustering_key declarations (schema.proto):
+    // field-partial load validates the key fields are in the load list
+    // (test_field_partial_load.py:369,393).
+    partitionKeyField: Option[String] = None,
+    clusteringKeyField: Option[String] = None)
 
 /** Growing-segment seal policies (reference:
   * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
@@ -169,8 +174,43 @@ final class Collection private (
   // construction, exactly like the reference's growing segment.
   @volatile private var loadedFlag: Boolean = false
 
-  def load(): Unit = stateLock.synchronized {
+  // field-partial load scope (reference: load_fields +
+  // skip_load_dynamic_field — testcases/test_field_partial_load.py):
+  // None = every field loaded. Enforcement is a projection on the read
+  // view (an unloaded column never reaches any derived plan — parquet
+  // being columnar, its bytes are never read) plus compile-time
+  // rejection of filters/outputs naming unloaded fields.
+  @volatile private var loadedFields: Option[Set[String]] = None
+  @volatile private var skipDynamic: Boolean = false
+
+  /** LoadCollection. `loadFields` non-empty = field-partial load: the
+    * list must carry the pk, at least one vector field, and any
+    * declared partition/clustering key (the reference's validations);
+    * dynamic fields cannot be listed — `skipLoadDynamicField` is the
+    * switch that unloads `$meta`. A reload replaces the previous list.
+    */
+  def load(loadFields: Seq[String] = Nil,
+      skipLoadDynamicField: Boolean = false): Unit = stateLock.synchronized {
     requirePriv("Load")
+    if (loadFields.nonEmpty) {
+      val fs = loadFields.toSet
+      val known = exprSchema.fieldNames.toSet + schema.pkField
+      val unknown = fs.diff(known)
+      require(unknown.isEmpty,
+        s"load field list names unknown field(s): ${unknown.mkString(", ")} " +
+          "(dynamic fields cannot be listed — use skip_load_dynamic_field)")
+      require(fs.contains(schema.pkField),
+        s"load field list does not contain primary key field ${schema.pkField}")
+      if (schema.vectorFields.nonEmpty)
+        require(schema.vectorFields.keys.exists(fs.contains),
+          "load field list does not contain vector field")
+      schema.partitionKeyField.foreach(k => require(fs.contains(k),
+        s"load field list does not contain partition key field $k"))
+      schema.clusteringKeyField.foreach(k => require(fs.contains(k),
+        s"load field list does not contain clustering key field $k"))
+      loadedFields = Some(fs)
+    } else loadedFields = None
+    skipDynamic = skipLoadDynamicField
     sealedDf = sealedDf.map(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // warmup policies (reference: field warmup sync/async/disable):
@@ -200,8 +240,15 @@ final class Collection private (
     partialPin.foreach(_.unpersist())
     partialPin = None
     loadedPartitions = None
+    loadedFields = None
+    skipDynamic = false
     loadedFlag = false
   }
+
+  /** The field-partial load list in effect, if any (DescribeCollection's
+    * load_fields echo).
+    */
+  def describeLoadedFields: Option[Set[String]] = loadedFields
 
   /** `Loaded` | `NotLoad` (GetLoadState). */
   def loadState: String = if (loadedFlag) "Loaded" else "NotLoad"
@@ -1844,9 +1891,24 @@ final class Collection private (
     // for pre-addTs rows (and skip it entirely before any post-DDL batch
     // carries the column). Drop still wins: dropField clears the
     // field's patch log, so ordering cannot resurrect dropped patches.
-    applyFunctionBackfill(applyColumnPatches(applyFieldDdl(
+    val full = applyFunctionBackfill(applyColumnPatches(applyFieldDdl(
       Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)),
       lit(readTs)))
+    // field-partial load: unloaded columns leave the view HERE, so no
+    // derived plan (search payloads, projections, the `*` wildcard) can
+    // touch them and — parquet being columnar — their bytes are never
+    // read; system columns always ride (MVCC ts, partition tag)
+    val dropMeta = skipDynamic
+    loadedFields match {
+      case Some(fs) =>
+        val keep = full.columns.filter(c =>
+          fs.contains(c) || c == schema.tsField ||
+            c == Collection.PartitionCol ||
+            (schema.metaField.contains(c) && !dropMeta))
+        full.select(keep.map(col).toIndexedSeq: _*)
+      case None =>
+        if (dropMeta) full.drop(schema.metaField.toSeq: _*) else full
+    }
   }
 
   // ---- compiled-filter result cache (reference: exec/expression/
@@ -2150,7 +2212,13 @@ final class Collection private (
     require(ids.nonEmpty, "searchByPk needs at least one id")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
-    val view = readView(level)
+    // the anchor-id fetch is a point get — prune its file list like
+    // get()'s (MEP 20260324)
+    val dom = graft.operators.PkPruning.points(ids.map {
+      case i: Int => i.toLong
+      case x      => x
+    })
+    val view = readView(level, pkDomain = dom)
     val fetched = view
       .filter(col(schema.pkField).isin(ids: _*))
       .select(col(schema.pkField), col(vectorField))
