@@ -194,7 +194,11 @@ final class Collection private (
     requirePriv("Load")
     if (loadFields.nonEmpty) {
       val fs = loadFields.toSet
-      val known = exprSchema.fieldNames.toSet + schema.pkField
+      // the dynamic-field catch-all is NOT a listable field (reference
+      // load_field validation): listing `$meta` would let the keep-set
+      // override skipLoadDynamicField below and keep the column loaded
+      val known =
+        exprSchema.fieldNames.toSet + schema.pkField -- schema.metaField
       val unknown = fs.diff(known)
       require(unknown.isEmpty,
         s"load field list names unknown field(s): ${unknown.mkString(", ")} " +
@@ -2519,8 +2523,11 @@ final class Collection private (
     val tailHasVectors = growing.exists(g =>
       g.columns.contains(vectorField) &&
         !g.filter(col(vectorField).isNotNull).isEmpty)
-    if (!tailHasVectors && sealedSegments.nonEmpty &&
-        effectiveRows(vectorField) == 0L)
+    // the gate applies whenever the collection HAS rows (sealed or
+    // growing-only) — an empty collection builds an empty index like the
+    // reference; a populated one with zero valid vectors must not
+    val hasAnyRows = sealedSegments.nonEmpty || growing.exists(g => !g.isEmpty)
+    if (!tailHasVectors && hasAnyRows && effectiveRows(vectorField) == 0L)
       throw new IllegalStateException(
         s"field '$vectorField' has no non-null vectors to index")
     import graft.operators.IvfIndex

@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Like => CatalystLike, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add => CatalystAdd, Cast, EvalMode, Expression => CatalystExpr, Like => CatalystLike, Literal, Multiply => CatalystMultiply, Subtract => CatalystSubtract}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -39,7 +39,15 @@ object ExprCompiler {
         * projection, so a filter on a schema-dropped field would
         * otherwise silently read the masked physical column.
         */
-      strictColumns: Boolean = false) {
+      strictColumns: Boolean = false,
+      /** Set while compiling the operands of an integral arithmetic
+        * tree that cannot be proven to fit DECIMAL(38,0): the whole
+        * tree must then evaluate in plain int64 (wrap on overflow, the
+        * reference's native kernel behavior) — a fitting SUBTREE going
+        * decimal under a non-fitting parent would overflow decimal into
+        * non-ANSI nulls and silently drop rows.
+        */
+      forcePlainArith: Boolean = false) {
 
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
@@ -115,13 +123,18 @@ object ExprCompiler {
     case StringLit(_) => Some(StringType)
     case IsoLit(_)    => Some(TimestampType)
     case Unary(UnaryOp.Neg | UnaryOp.Pos, c) => literalType(c, ctx)
-    case Binary(BinOp.Add | BinOp.Sub | BinOp.Mul | BinOp.Pow, l, r) =>
+    case Binary(BinOp.Add | BinOp.Sub | BinOp.Mul | BinOp.Mod | BinOp.Pow, l, r) =>
       (literalType(l, ctx), literalType(r, ctx)) match {
         case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
         case (Some(LongType), Some(LongType))              => Some(LongType)
         case _                                             => None
       }
-    case Binary(BinOp.Div, _, _) => Some(DoubleType)
+    case Binary(BinOp.Div, l, r) =>
+      // Div yields Double, but only when BOTH operands are themselves
+      // constants — `(field / 2)` must not claim a literal type
+      if (literalType(l, ctx).isDefined && literalType(r, ctx).isDefined)
+        Some(DoubleType)
+      else None
     case TemplateVar(name) => ctx.params.get(name).map {
       case _: Long | _: Int => LongType
       case _: Double | _: Float => DoubleType
@@ -289,11 +302,7 @@ object ExprCompiler {
       if (negated) !membership else membership
 
     case Like(target, pattern) =>
-      // reference LIKE honors only '%' (pattern_match.go); escape SQL '_'
-      val escaped = pattern.replace("\\", "\\\\").replace("_", "\\_")
-      val t = compileCmpSide(target, Some(StringType), ctx)
-      ColumnBridge.column(CatalystLike(
-        ColumnBridge.expression(t), Literal(escaped), '\\'))
+      compileLike(compileCmpSide(target, Some(StringType), ctx), pattern)
 
     case RegexMatch(target, pattern, negated) =>
       val t = compileCmpSide(target, Some(StringType), ctx)
@@ -375,6 +384,78 @@ object ExprCompiler {
     case ArrayLit(items) => array(items.map(compile(_, ctx)): _*)
 
     case c: Call => Calls.compileCall(c, ctx)
+  }
+
+  /** One logical char of a LIKE pattern after escape processing:
+    * `wildcard` is true only for an UNescaped `%` or `_`.
+    */
+  private[graft] final case class LikeToken(c: Char, wildcard: Boolean)
+
+  /** Tokenizes a LIKE pattern with the reference's canonical escape
+    * model (reference: planparserv2/pattern_match.go:39-61
+    * scanLikePattern, kept in lock-step with
+    * core/src/common/RegexQuery.cpp translate_pattern_match_to_regex):
+    * a backslash escapes the NEXT char — whatever it is — so the
+    * backslash is consumed and the following char becomes a literal
+    * (`\%` → `%`, `\\` → `\`, `\a` → `a`); an unescaped `%` or `_` is a
+    * wildcard; a lone trailing backslash has nothing to escape and is
+    * ExprInvalid (RegexQuery.cpp raises; we raise at compile).
+    */
+  private[graft] def scanLikePattern(pattern: String): Vector[LikeToken] = {
+    val out = Vector.newBuilder[LikeToken]
+    var escapeMode = false
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (escapeMode) { out += LikeToken(c, wildcard = false); escapeMode = false }
+      else if (c == '\\') escapeMode = true
+      else out += LikeToken(c, wildcard = c == '%' || c == '_')
+      i += 1
+    }
+    if (escapeMode)
+      throw CompileError(
+        "Invalid LIKE pattern: trailing backslash with nothing to escape")
+    out.result()
+  }
+
+  /** Lowers a LIKE to the cheapest equivalent operator, mirroring the
+    * reference's optimizeLikePattern (pattern_match.go:86-135): when the
+    * only wildcards are leading/trailing `%` runs the pattern becomes
+    * Equal / Prefix / Postfix / Inner (codegen'd `===`/startsWith/
+    * endsWith/contains that Parquet pushdown + the NGRAM rewrite rule
+    * understand); anything with a `_` or an interior `%` keeps the
+    * generic match path — Catalyst's `Like` kernel with the pattern
+    * re-emitted in canonical `\`-escaped form (literal `%`/`_`/`\`
+    * escaped, wildcards bare), whose `_`/`%` semantics equal the
+    * reference's translate_pattern_match_to_regex (`(?s)` dotall, one
+    * char / any run).
+    */
+  private def compileLike(t: Column, pattern: String): Column = {
+    val tokens = scanLikePattern(pattern)
+    val leading = tokens.takeWhile(tk => tk.wildcard && tk.c == '%').size
+    if (tokens.isEmpty) return t === lit("")
+    // the whole pattern is '%'s → every non-null value matches
+    if (leading == tokens.size) return t.startsWith(lit(""))
+    val trailing =
+      tokens.reverseIterator.takeWhile(tk => tk.wildcard && tk.c == '%').size
+    val core = tokens.slice(leading, tokens.size - trailing)
+    if (!core.exists(_.wildcard)) {
+      val operand = core.map(_.c).mkString
+      (leading > 0, trailing > 0) match {
+        case (true, true)   => t.contains(operand)
+        case (true, false)  => t.endsWith(operand)
+        case (false, true)  => t.startsWith(operand)
+        case (false, false) => t === lit(operand)
+      }
+    } else {
+      val canonical = tokens.iterator.map {
+        case LikeToken(c, true)                  => c.toString
+        case LikeToken(c @ ('%' | '_' | '\\'), _) => s"\\$c"
+        case LikeToken(c, _)                     => c.toString
+      }.mkString
+      ColumnBridge.column(CatalystLike(
+        ColumnBridge.expression(t), Literal(canonical), '\\'))
+    }
   }
 
   /** ISO-8601 duration → (months, days, microseconds). */
@@ -570,33 +651,66 @@ object ExprCompiler {
       case _ =>
         val numType = Some(DoubleType).filter(_ =>
           literalType(l, ctx).contains(DoubleType) || literalType(r, ctx).contains(DoubleType))
-        val lc = compileCmpSide(l, numType.orElse(Some(LongType)), ctx)
-        val rc = compileCmpSide(r, numType.orElse(Some(LongType)), ctx)
         // exact integer arithmetic (reference #48440,
         // test_filter_expression_issue_mining.py: `i64 + 33 <= 19974`
         // over INT64_MAX must compare by the TRUE arithmetic value —
         // neither wrapping nor aborting the scan on ANSI overflow).
-        // DECIMAL(38,0) holds any int64 +,−,× result exactly
-        // (|a×b| ≤ 2^126 < 10^38); only provably-integral operand
-        // trees take this path, so double/JSON arithmetic is untouched.
-        def integralNode(n: Node): Boolean = n match {
-          case Ident(f) => ctx.fieldType(f).exists {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _                                             => false
+        // The exact path goes through DECIMAL(38,0), so it only fires
+        // when a conservative magnitude bound PROVES the whole subtree
+        // fits (a single int64 +,−,× always does: |a×b| ≤ 2^126 < 10^38;
+        // a three-way int64 product reaches 2^189 and does NOT). A tree
+        // past the bound — or any tree nested under one — evaluates in
+        // plain int64 end-to-end via forcePlainArith, keeping overflow
+        // behavior consistent (wrap, never decimal-overflow nulls).
+        // The bound is max-monotone (includes child bounds), so a parent
+        // that fits proves every child fits too.
+        def bound(n: Node): Option[BigInt] = n match {
+          case Ident(f) => ctx.fieldType(f).collect {
+            case ByteType    => BigInt(1) << 7
+            case ShortType   => BigInt(1) << 15
+            case IntegerType => BigInt(1) << 31
+            case LongType    => BigInt(1) << 63
           }
-          case IntLit(_)                        => true
-          case Unary(UnaryOp.Neg | UnaryOp.Pos, c) => integralNode(c)
-          case Binary(Add | Sub | Mul | Mod, a, b) =>
-            integralNode(a) && integralNode(b)
-          case _ => false
+          case IntLit(v)                           => Some(BigInt(v).abs)
+          case Unary(UnaryOp.Neg | UnaryOp.Pos, c) => bound(c)
+          case Binary(Add | Sub, a, b) =>
+            for { x <- bound(a); y <- bound(b) } yield (x + y).max(x).max(y)
+          case Binary(Mul, a, b) =>
+            for { x <- bound(a); y <- bound(b) } yield (x * y).max(x).max(y)
+          case Binary(Mod, a, b) =>
+            for { x <- bound(a); y <- bound(b) } yield x.max(y)
+          case _ => None
         }
-        val exact = (op == Add || op == Sub || op == Mul) &&
-          integralNode(l) && integralNode(r)
+        val maxDec = BigInt(10).pow(38)
+        val treeBound =
+          if (op == Add || op == Sub || op == Mul) bound(Binary(op, l, r))
+          else None
+        val exact = !ctx.forcePlainArith && treeBound.exists(_ < maxDec)
+        val childCtx =
+          if (!exact && treeBound.isDefined && !ctx.forcePlainArith)
+            ctx.copy(forcePlainArith = true)
+          else ctx
+        val lc = compileCmpSide(l, numType.orElse(Some(LongType)), childCtx)
+        val rc = compileCmpSide(r, numType.orElse(Some(LongType)), childCtx)
         def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+        // integral but past the decimal bound: evaluate with LEGACY
+        // (wrapping) kernels — ANSI long ops would ABORT the scan on the
+        // first overflowing row, and the reference's native int64
+        // kernels wrap, never error
+        val wrapInts = !exact && treeBound.isDefined
+        def legacy(f: (CatalystExpr, CatalystExpr, EvalMode.Value) => CatalystExpr): Column =
+          ColumnBridge.column(f(ColumnBridge.expression(lc),
+            ColumnBridge.expression(rc), EvalMode.LEGACY))
         op match {
-          case Add => if (exact) dec(lc) + dec(rc) else lc + rc
-          case Sub => if (exact) dec(lc) - dec(rc) else lc - rc
-          case Mul => if (exact) dec(lc) * dec(rc) else lc * rc
+          case Add =>
+            if (exact) dec(lc) + dec(rc)
+            else if (wrapInts) legacy(CatalystAdd.apply) else lc + rc
+          case Sub =>
+            if (exact) dec(lc) - dec(rc)
+            else if (wrapInts) legacy(CatalystSubtract.apply) else lc - rc
+          case Mul =>
+            if (exact) dec(lc) * dec(rc)
+            else if (wrapInts) legacy(CatalystMultiply.apply) else lc * rc
           case Div => lc / rc
           case Mod => lc % rc
           case Pow =>

@@ -73,7 +73,14 @@ object Lexer {
               while (i < n && i - st < 3 &&
                 input.charAt(i) >= '0' && input.charAt(i) <= '7') i += 1
               sb += Integer.parseInt(input.substring(st, i), 8).toChar
-            case other => sb += other; i += 1 // \\ \' \" \? and passthrough
+            case '\\' | '\'' | '"' => sb += esc; i += 1
+            case other =>
+              // reference parity: convertEscapeSingle funnels the literal
+              // through Go strconv.Unquote (planparserv2/utils.go:622-661),
+              // which rejects unknown escapes — `"\%"` is a parse error
+              // there (write `"\\%"` or a raw string to reach the LIKE
+              // escape layer), so it must be one here too
+              throw LexError(s"invalid escape sequence \\$other in string", i)
           }
         } else if (ch == '\\' && raw) {
           sb += ch

@@ -166,10 +166,12 @@ object MatrixQueries {
         "(2 ** 3 == 7 and i64 == 3) or i64 == 4",
         "(power(2, 3) = 7 AND i64 = 3) OR i64 = 4"))
     val other = Seq(
-      // reference LIKE honors only '%' — '_' is literal (pattern_match
-      // .go), so the oracle escapes it for SQL LIKE
+      // reference LIKE = SQL LIKE ('%' any-run, '_' one char,
+      // '\'-escape; pattern_match.go:9-61) — DuckDB's native semantics
       MCase("varchar_like_prefix", """name like "user_%"""",
-        "name LIKE 'user$_%' ESCAPE '$'"),
+        "name LIKE 'user_%'"),
+      MCase("varchar_like_esc_underscore", """name like "user\\_%"""",
+        raw"name LIKE 'user\_%' ESCAPE '\'"),
       MCase("varchar_in", """name in ["user_1", "user_3"]""",
         "name IN ('user_1', 'user_3')"),
       MCase("bool_true", "active == true", "active = true"),
@@ -397,7 +399,7 @@ object MatrixQueries {
     MCase("nullable_cmp_3vl_not", "not (nullable_i64 >= 5)",
       "NOT (nullable_i64 >= 5)"),
     MCase("nullable_varchar_like", """nullable_varchar like "nullable_%"""",
-      "nullable_varchar LIKE 'nullable$_%' ESCAPE '$'"))
+      "nullable_varchar LIKE 'nullable_%'"))
 
   def nullMatrix(s: SparkSession, dir: String): DataFrame =
     battery(s, nullDf(s, dir), NullCases, jsonCols = Set("j"))
@@ -652,11 +654,90 @@ object MatrixQueries {
 
   // =================================================================
 
+  // =================================================================
+  // Battery 5 — LIKE wildcard/escape conformance
+  // reference pattern_match.go:9-61 scanLikePattern + RegexQuery.cpp
+  // translate_pattern_match_to_regex; regression families
+  // test_milvus_client_scalar_filtering.py:1133,1183 (#43864):
+  // '_' one-char wildcard with literal decoys, '\%'/'\_' escaped
+  // literals with wildcard decoys, '\\' collapse, raw strings. DuckDB
+  // shares the SQL LIKE model natively (ESCAPE '\' where escapes
+  // appear), so the two sides evaluate the pattern independently.
+  // =================================================================
+
+  /** Decoy-rich fixture: for every case there is a row only the
+    * wildcard reading admits AND a row only the literal reading admits.
+    */
+  private[graft] def likeDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val m = col("event_id") % 12
+    ev.select(col("event_id").as("id"), m.as("m"),
+      when(m === 0, "user_1").when(m === 1, "userX1")
+        .when(m === 2, "user%1").when(m === 3, "user\\1")
+        .when(m === 4, "user1").when(m === 5, "a%b")
+        .when(m === 6, "a_b").when(m === 7, "ab").when(m === 8, "axb")
+        .when(m === 9, "prefix_mid_suffix")
+        .when(m === 10, "prefixXmidXsuffix")
+        .otherwise(lit(null).cast("string")).as("s"))
+  }
+
+  private val likeSql: String =
+    """SELECT event_id AS id, event_id % 12 AS m,
+      |  CASE event_id % 12
+      |    WHEN 0 THEN 'user_1' WHEN 1 THEN 'userX1'
+      |    WHEN 2 THEN 'user%1' WHEN 3 THEN 'user\1'
+      |    WHEN 4 THEN 'user1' WHEN 5 THEN 'a%b'
+      |    WHEN 6 THEN 'a_b' WHEN 7 THEN 'ab' WHEN 8 THEN 'axb'
+      |    WHEN 9 THEN 'prefix_mid_suffix'
+      |    WHEN 10 THEN 'prefixXmidXsuffix'
+      |    ELSE NULL
+      |  END AS s
+      |FROM events""".stripMargin
+
+  private[graft] val LikeCases: Seq[MCase] = Seq(
+    // unescaped '_' matches exactly one char (userX1/user%1/user\1 in,
+    // user1 out)
+    MCase("wild_underscore_eq", """s like "user_1"""", "s LIKE 'user_1'"),
+    MCase("wild_underscore_one", """s like "a_b"""", "s LIKE 'a_b'"),
+    // escaped '_' / '%' are the literal chars; the string-literal layer
+    // halves '\\' first (convertEscapeSingle), LIKE's layer unescapes
+    MCase("esc_underscore_eq", """s like "user\\_1"""",
+      raw"s LIKE 'user\_1' ESCAPE '\'"),
+    MCase("esc_percent_eq", """s like "a\\%b"""",
+      raw"s LIKE 'a\%b' ESCAPE '\'"),
+    // raw strings skip the string-literal escape layer (VisitRawString)
+    MCase("raw_esc_percent", """s like r"a\%b"""",
+      raw"s LIKE 'a\%b' ESCAPE '\'"),
+    // inner wildcard vs escaped-literal inner
+    MCase("wild_underscore_inner", """s like "%mid_s%"""",
+      "s LIKE '%mid_s%'"),
+    MCase("esc_underscore_inner", """s like "%mid\\_s%"""",
+      raw"s LIKE '%mid\_s%' ESCAPE '\'"),
+    // '\\' collapses to one literal backslash (escape-next, any byte)
+    MCase("esc_backslash_eq", """s like "user\\\\1"""",
+      raw"s LIKE 'user\\1' ESCAPE '\'"),
+    // plain wildcard families over the decoys
+    MCase("pct_any", """s like "a%b"""", "s LIKE 'a%b'"),
+    MCase("wild_prefix", """s like "user_%"""", "s LIKE 'user_%'"),
+    MCase("all_pct", """s like "%%"""", "s LIKE '%%'"),
+    MCase("postfix_esc_pct", """s like "%\\%1"""",
+      raw"s LIKE '%\%1' ESCAPE '\'"),
+    MCase("prefix_esc_pct", """s like "user\\%%"""",
+      raw"s LIKE 'user\%%' ESCAPE '\'"),
+    // NULL rows match neither a LIKE nor its negation (3VL)
+    MCase("not_like_pct", """not (s like "a%b")""", "NOT (s LIKE 'a%b')"))
+
+  def likeMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, likeDf(s, dir), LikeCases)
+
+  private[graft] val likeMatrixOracle: String = oracleFor(LikeCases, likeSql)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typed_matrix" -> (typedMatrix _),
     "q_array_matrix" -> (arrayMatrix _),
     "q_null_matrix" -> (nullMatrix _),
     "q_json_kind_matrix" -> (jsonKindMatrix _),
+    "q_like_matrix" -> (likeMatrix _),
     "q_index_consistency" -> (indexConsistency _))
 
   val oracles: Map[String, String] = Map(
@@ -664,5 +745,6 @@ object MatrixQueries {
     "q_array_matrix" -> arrayMatrixOracle,
     "q_null_matrix" -> nullMatrixOracle,
     "q_json_kind_matrix" -> jsonKindMatrixOracle,
+    "q_like_matrix" -> likeMatrixOracle,
     "q_index_consistency" -> indexConsistencyOracle)
 }

@@ -1731,6 +1731,33 @@ class CollectionSpec extends SparkSpec {
     assert(c.getIndexState("emb") == "Finished")
   }
 
+  test("all-null gate also covers a growing-only (never flushed) tail") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("emb" -> 4, "v2" -> 4)))
+    c.insert((0L until 20L).map(i =>
+      (i, vec(i), null: Seq[Float])).toDF("pk", "emb", "v2"))
+    // no flush: sealedSegments is empty, yet the populated tail must not
+    // let the all-null field slip past the effective-rows gate
+    val e = intercept[IllegalStateException](c.createIndex("v2", nlist = 2))
+    assert(e.getMessage.contains("no non-null vectors"))
+    c.createIndex("emb", nlist = 2)
+    assert(c.getIndexState("emb") == "Finished")
+  }
+
+  test("load field list rejects the dynamic meta column") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("emb" -> 4), metaField = Some("$meta")))
+    c.insert((0L until 10L).map(i =>
+      (i, vec(i), s"""{"k": $i}""")).toDF("pk", "emb", "$meta"))
+    // the catch-all is not a listable field (reference load_fields
+    // validation); listing it must not override skipLoadDynamicField
+    val e = intercept[IllegalArgumentException](
+      c.load(Seq("pk", "emb", "$meta"), skipLoadDynamicField = true))
+    assert(e.getMessage.contains("dynamic"))
+    c.load(Seq("pk", "emb"), skipLoadDynamicField = true) // valid list loads
+    c.load() // restore full load
+  }
+
   test("time-travel reads prune segments sealed after the read ts") {
     val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
     val path = "/tmp/graft_test_tsprune_" + System.nanoTime()

@@ -138,11 +138,58 @@ class ExprCompilerSpec extends SparkSpec {
     check("s != 'name_7'", $"s" =!= "name_7")
     check("id in [1, 2, 3]", $"id".isin(1, 2, 3))
     check("id not in [1, 2, 3]", !$"id".isin(1, 2, 3))
-    check("s like 'name_1%'", $"s".startsWith("name_1"))
-    check("s like '%_x'", $"s".endsWith("_x"))
-    check("s like '%me_1%'", $"s".contains("me_1"))
+    // '_' is a one-char wildcard (pattern_match.go:9-12) — Spark SQL
+    // LIKE shares the model, so Column.like is a fair oracle here
+    check("s like 'name_1%'", $"s".like("name_1%"))
+    check("s like '%_x'", $"s".like("%_x"))
+    check("s like '%me_1%'", $"s".like("%me_1%"))
+    // escaped '_' is the literal char (RegexQuery.cpp escape-next model)
+    check("""s like 'name\\_1%'""", $"s".startsWith("name_1"))
+    check("""s like '%\\_x'""", $"s".endsWith("_x"))
     check("s =~ 'name_[0-9]_x'", $"s".rlike("name_[0-9]_x"))
     check("s !~ 'name_[0-9]_x'", !$"s".rlike("name_[0-9]_x"))
+  }
+
+  test("LIKE wildcard/escape model matches pattern_match.go") {
+    // decoy-rich fixture: every case has both a positive the OTHER
+    // interpretation would miss and a decoy it would wrongly admit
+    // (mirrors test_milvus_client_scalar_filtering.py:1133,1183)
+    val rows = Seq(
+      (0L, "user_1"), (1L, "userX1"), (2L, "user%1"), (3L, "user\\1"),
+      (4L, "user1"), (5L, "a%b"), (6L, "a_b"), (7L, "ab"), (8L, "axb"),
+      (9L, ""), (10L, null)
+    ).toDF("id", "s")
+    def ids(expr: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(expr, rows))
+        .select("id").as[Long].collect().toSet
+    // unescaped '_' matches exactly one char
+    assert(ids("""s like "user_1"""") == Set(0L, 1L, 2L, 3L))
+    assert(ids("""s like "a_b"""") == Set(5L, 6L, 8L))
+    // '\_' / '\%' are the literal chars; string layer halves '\\' first
+    assert(ids("""s like "user\\_1"""") == Set(0L))
+    assert(ids("""s like "a\\%b"""") == Set(5L))
+    // raw strings skip the string-literal escape layer (VisitRawString)
+    assert(ids("""s like r"a\%b"""") == Set(5L))
+    assert(ids("""s like r"user\_1"""") == Set(0L))
+    // '\\' collapses to one literal backslash (escape-next, any byte)
+    assert(ids("""s like "user\\\\1"""") == Set(3L))
+    assert(ids("""s like r"user\\1"""") == Set(3L))
+    // '%' spans any run; empty pattern is Equal("")
+    assert(ids("""s like "a%b"""") == Set(5L, 6L, 7L, 8L))
+    assert(ids("""s like "%"""") == (0L to 9L).toSet) // null never matches
+    assert(ids("""s like """"") == Set(9L))
+    // postfix with an escaped '%' literal
+    assert(ids("""s like "%\\%1"""") == Set(2L))
+    // a backslash escapes ANY next byte: "\a" -> literal 'a'
+    assert(ids("""s like r"\a\b"""") == Set(7L))
+    // dangling trailing backslash is ExprInvalid (RegexQuery.cpp:40-67);
+    // in a RAW string a backslash before the delimiter prevents
+    // termination (grammar DoubleRChar), so that spelling is a lex error
+    intercept[ExprCompiler.CompileError](ids("""s like "abc\\""""))
+    intercept[Lexer.LexError](ids("""s like r"abc\""""))
+    // unknown escape at the STRING layer is a parse error (strconv
+    // .Unquote parity): write "\\%" or a raw string to reach LIKE's layer
+    intercept[Lexer.LexError](ids("""s like "a\%b""""))
   }
 
   test("boolean algebra and precedence") {
@@ -476,6 +523,32 @@ class ExprCompilerSpec extends SparkSpec {
     val e = intercept[ExprCompiler.CompileError](
       rows.filter(ExprCompiler.compile("v ** 2 == 100", rows)).count())
     assert(e.getMessage.contains("power can only apply on constants"))
+    // a field hiding under a Div no longer sneaks past the constant
+    // check (literalType used to claim Some(Double) for any Div)
+    val e2 = intercept[ExprCompiler.CompileError](
+      rows.filter(ExprCompiler.compile("(v / 2) ** 2 == 100", rows)).count())
+    assert(e2.getMessage.contains("power can only apply on constants"))
     assert(ids("2 ** 3 == 8") == (0L to 9L).toSet) // constant fold fine
+    assert(ids("(4 / 2) ** 2 == 4.0") == (0L to 9L).toSet)
+  }
+
+  test("integral trees past DECIMAL(38,0) evaluate plain int64, no null drop") {
+    val rows = Seq(
+      (0L, Long.MaxValue), (1L, 3L), (2L, -2L), (3L, 0L)).toDF("id", "v")
+    def ids(e: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(e, rows)).select("id").as[Long]
+        .collect().toSet
+    // a three-way int64 product can reach 2^189 — past decimal(38,0).
+    // The whole tree must evaluate in plain int64 (wrap), matching what
+    // Spark's own long arithmetic does, and never decimal-overflow to
+    // null (which would silently drop rows from BOTH branches).
+    val wrapped = Long.MaxValue * Long.MaxValue * Long.MaxValue // JVM wrap
+    assert(ids(s"v * v * v == $wrapped") == Set(0L))
+    // every row answers the predicate (no null-dropped rows): the
+    // disjunction of == and != must cover all of them
+    assert(ids(s"v * v * v == $wrapped") ++
+      ids(s"v * v * v != $wrapped") == (0L to 3L).toSet)
+    // a single product still takes the exact path (true-value compare)
+    assert(ids("v * v >= 0") == (0L to 3L).toSet) // squares: exact, all ≥ 0
   }
 }
