@@ -164,6 +164,42 @@ object InvertedIndex {
       .select(explode(col("postings")).as("id"))
   }
 
+  /** Element index over a typed ARRAY field (reference: the array
+    * element path of the inverted index, index/InvertedIndexTantivy.cpp
+    * — every array element enters the dictionary, so `array_contains`
+    * answers from postings; swept against the plain scan by
+    * test_milvus_client_scalar_filtering.py:1479). (id, element) pairs
+    * dedupe BEFORE posting-building: an id repeating an element must
+    * not enter its postings list twice, or contains-all counting and
+    * the consistency join would both overcount.
+    */
+  def buildElementIndex(df: DataFrame, idCol: String, arrCol: String): DataFrame =
+    buildValueIndex(
+      df.select(col(idCol), explode(col(arrCol)).as("element")).distinct(),
+      idCol, "element")
+
+  /** `array_contains(arr, v)` / `array_contains_any(arr, vs)` through
+    * the element index: union of the values' postings. Distinct is
+    * required — unlike a scalar value index, one id can sit under
+    * SEVERAL of the probed element values.
+    */
+  def lookupElementsAny(index: DataFrame, values: Seq[Any]): DataFrame =
+    lookupValues(index, "element", values).distinct()
+
+  /** `array_contains_all(arr, vs)`: ids whose element set covers every
+    * probed value. Postings are per-(distinct id, element), so a plain
+    * count over the probed buckets IS the coverage count.
+    */
+  def lookupElementsAll(index: DataFrame, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "need at least one value")
+    val vs = values.distinct
+    index.filter(col("element").isin(vs: _*))
+      .select(explode(col("postings")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") === vs.size)
+      .select(col("id"))
+  }
+
   /** JSON-path index (reference: index/JsonFlatIndex.cpp + json_stats/):
     * a value index over one extracted JSON path, so path-equality
     * filters become index lookups instead of per-row JSON parsing.

@@ -621,7 +621,27 @@ object MatrixQueries {
         consistencyRow(s, "TIMESTAMPTZ", "interval_cmp",
           InvertedIndex.lookupExpr(tsIdx, "ts", "ts", pred),
           scan(ev, "event_id", pred))
-      })
+      }) ++
+      // ARRAY element index (reference test_array_index_consistency,
+      // test_milvus_client_scalar_filtering.py:1479): contains /
+      // contains_any / contains_all through the element dictionary
+      // must equal the plain array scan
+      locally {
+        val evArr = ev.select(col("event_id"),
+          array(col("user_id") % 10, (col("user_id") + 3) % 10,
+            col("user_id") % 7).as("tags"))
+        val elemIdx = InvertedIndex.buildElementIndex(evArr, "event_id", "tags")
+        Seq(
+          consistencyRow(s, "ARRAY", "contains",
+            InvertedIndex.lookupElementsAny(elemIdx, Seq(4L)),
+            scan(evArr, "event_id", "array_contains(tags, 4)")),
+          consistencyRow(s, "ARRAY", "contains_any",
+            InvertedIndex.lookupElementsAny(elemIdx, Seq(4L, 8L)),
+            scan(evArr, "event_id", "array_contains_any(tags, [4, 8])")),
+          consistencyRow(s, "ARRAY", "contains_all",
+            InvertedIndex.lookupElementsAll(elemIdx, Seq(4L, 8L)),
+            scan(evArr, "event_id", "array_contains_all(tags, [4, 8])")))
+      }
     rows.reduce(_ unionAll _).orderBy(col("kind"), col("case_id"))
   }
 
@@ -645,7 +665,13 @@ object MatrixQueries {
       ("RTREE", "point_within", "events",
         "value > 10 AND value < 90 AND (user_id % 100) > 10 AND (user_id % 100) < 60"),
       ("TIMESTAMPTZ", "interval_cmp", "events",
-        "ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'"))
+        "ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'"),
+      ("ARRAY", "contains", "events",
+        "list_contains([user_id % 10, (user_id + 3) % 10, user_id % 7], 4)"),
+      ("ARRAY", "contains_any", "events",
+        "list_has_any([user_id % 10, (user_id + 3) % 10, user_id % 7], [4, 8])"),
+      ("ARRAY", "contains_all", "events",
+        "list_has_all([user_id % 10, (user_id + 3) % 10, user_id % 7], [4, 8])"))
     cases.map { case (kind, cid, table, pred) =>
       s"SELECT '$kind' AS kind, '$cid' AS case_id, count(*) AS n_indexed, " +
         s"count(*) AS n_scan, CAST(0 AS BIGINT) AS n_diff FROM $table WHERE $pred"

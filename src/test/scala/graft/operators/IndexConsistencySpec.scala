@@ -52,4 +52,27 @@ class IndexConsistencySpec extends SparkSpec {
     assert(idxIds("v", "v == 999").isEmpty)
     assert(scanIds("v == 999").isEmpty)
   }
+
+  test("element index answers contains/_any/_all like the array scan") {
+    // duplicate elements within a row (id 1: two 4s) and across probed
+    // values (id 2 holds BOTH 4 and 8) — the dedup + distinct paths
+    // must not double-count either
+    val arr = Seq(
+      (1L, Seq(4L, 4L, 1L)), (2L, Seq(4L, 8L)), (3L, Seq(8L)),
+      (4L, Seq(2L, 3L)), (5L, Seq.empty[Long]))
+      .toDF("id", "tags")
+    val idx = InvertedIndex.buildElementIndex(arr, "id", "tags")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.as[Long].collect().toSet
+    def scan(f: String): Set[Long] =
+      arr.filter(ExprCompiler.compile(f, arr)).select($"id")
+        .as[Long].collect().toSet
+    assert(ids(InvertedIndex.lookupElementsAny(idx, Seq(4L))) ==
+      scan("array_contains(tags, 4)"))
+    assert(ids(InvertedIndex.lookupElementsAny(idx, Seq(4L, 8L))) ==
+      scan("array_contains_any(tags, [4, 8])"))
+    assert(ids(InvertedIndex.lookupElementsAll(idx, Seq(4L, 8L))) ==
+      scan("array_contains_all(tags, [4, 8])"))
+    assert(ids(InvertedIndex.lookupElementsAll(idx, Seq(4L, 8L))) == Set(2L))
+  }
 }
