@@ -395,6 +395,45 @@ object LifecycleQueries {
       .toDF("step", "result").orderBy(col("step"))
   }
 
+  /** Segment-mode order permutation (reference
+    * test_filter_regressions.py:1070 test_segment_mode_order_permutation
+    * + insert_by_segment_mode): the SAME rows laid out sealed-only,
+    * growing-only, and mixed (half flushed, half tail) must answer an
+    * order-sensitive expression pair identically — flushed-vs-unflushed
+    * parity in one oracle query. The fixture is the reference's
+    * build_order_rows table (shared with q_regression_matrix); DuckDB
+    * recomputes the single truth, which every (mode, side) row must hit.
+    */
+  def segmentModeParity(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    import s.implicits._
+    val rows = MatrixQueries.RegressionRows.filter(_._6 == "multi")
+      .map { case (id, age, score, active, tag, _, _) =>
+        (id, age, score, active, tag)
+      }
+    val exprs = Seq(
+      ("expr_l", "age > 10 and score <= 90"),
+      ("expr_r", "score <= 90 and age > 10"))
+    val out = Seq("growing", "mixed", "sealed").flatMap { mode =>
+      val c = Collection.create(s, CollectionSchema(pkField = "id"))
+      val path = s"/tmp/graft_q_segmode_${mode}_${System.nanoTime()}"
+      val df = rows.toDF("id", "age", "score", "active", "tag")
+      mode match {
+        case "sealed"  => c.insert(df); c.flush(path)
+        case "growing" => c.insert(df)
+        case "mixed" =>
+          c.insert(df.filter(col("id") <= 5)); c.flush(path)
+          c.insert(df.filter(col("id") > 5))
+      }
+      exprs.map { case (side, e) =>
+        val ids = c.query(e, Seq("id")).as[Long].collect()
+        (mode, side, ids.length.toLong, ids.sum)
+      }
+    }
+    out.toDF("mode", "side", "cnt", "id_sum")
+      .orderBy(col("mode"), col("side"))
+  }
+
   /** Materialized-view partition-key-isolated ANN search (reference:
     * tests/integration/materialized_view/materialized_view_test.go —
     * with EnableMaterializedView, a search whose filter pins the
@@ -1384,6 +1423,7 @@ object LifecycleQueries {
     "q_partition_isolation" -> (partitionIsolation _),
     "q_load_partitions" -> (loadPartitionsQ _),
     "q_pk_pruned_lookup" -> (pkPrunedLookup _),
+    "q_segment_mode_parity" -> (segmentModeParity _),
     "q_segment_stats" -> (segmentStatsQ _),
     "q_external_function" -> (externalFunction _),
     "q_mutable_column" -> (mutableColumn _),
@@ -1613,6 +1653,16 @@ object LifecycleQueries {
         |    (SELECT event_type FROM events WHERE event_id = 450)
         |  UNION ALL SELECT 'point_type_after_upsert', 'patched')
         |ORDER BY step""".stripMargin,
+    "q_segment_mode_parity" ->
+      s"""SELECT m.mode, sd.side, x.cnt, x.id_sum
+         |FROM (VALUES ('growing'), ('mixed'), ('sealed')) AS m(mode)
+         |CROSS JOIN (VALUES ('expr_l'), ('expr_r')) AS sd(side)
+         |CROSS JOIN (
+         |  SELECT count(*) AS cnt,
+         |    CAST(COALESCE(sum(id), 0) AS BIGINT) AS id_sum
+         |  FROM (${MatrixQueries.regressionSql})
+         |  WHERE tbl = 'multi' AND age > 10 AND score <= 90) AS x
+         |ORDER BY mode, side""".stripMargin,
     "q_segment_stats" ->
       """WITH ev AS (
         |  SELECT event_id,

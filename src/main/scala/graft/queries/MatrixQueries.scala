@@ -758,12 +758,195 @@ object MatrixQueries {
 
   private[graft] val likeMatrixOracle: String = oracleFor(LikeCases, likeSql)
 
+  // =================================================================
+  // Battery 6 — order/fanout/equivalence regression families
+  // reference test_filter_regressions.py: boolean-fanout generalized
+  // counts (:961-996), expression order permutations + algebraic
+  // equivalences (:996-1020, filtering_case_matrix.py:9-53), one-doc
+  // negative + empty-collection controls for the JSON mixed-type
+  // families (:907-940, #51568). The fixture is the reference's
+  // build_order_rows 14-row table VERBATIM (:456-570) plus a one-doc
+  // control row, so the reference's pinned expected_ids apply directly
+  // (RegressionMatrixSpec asserts them as exact id sets). Each case
+  // emits cnt AND id_sum — membership divergence breaks the row even
+  // when counts collide.
+  // =================================================================
+
+  /** (id, age, score, active, tag, tbl, meta) — rows 1-14 are the
+    * reference's order/fanout fixture; row 15 is the #51568 one-doc
+    * control ({"p": 1}), scoped via tbl.
+    */
+  private[graft] val RegressionRows: Seq[(Long, Long, Double, Boolean,
+      String, String, String)] = Seq(
+    (1L, 8L, 85.0, true, "qa", "multi", """{"group": "qa", "rank": 1, "p": 1}"""),
+    (2L, 12L, 91.0, true, "qa", "multi", """{"group": "qa", "rank": 1, "p": 2}"""),
+    (3L, 13L, 89.0, false, "dev", "multi", """{"group": "dev", "rank": 3, "p": 3}"""),
+    (4L, 14L, 80.0, true, "qa", "multi", """{"group": "qa", "rank": 2, "p": 4}"""),
+    (5L, 15L, 91.0, false, "ops", "multi", """{"group": "ops", "rank": 5, "p": 5}"""),
+    (6L, 16L, 70.0, false, "ops", "multi", """{"group": "ops", "rank": 6, "p": 6}"""),
+    (7L, 17L, 75.0, false, "dev", "multi", """{"group": "dev", "rank": 7, "p": 7}"""),
+    (8L, 18L, 76.0, false, "dev", "multi", """{"group": "dev", "rank": 8, "p": 8}"""),
+    (9L, 19L, 77.0, false, "dev", "multi", """{"group": "dev", "rank": 9, "p": 9}"""),
+    (10L, 20L, 78.0, false, "dev", "multi", """{"group": "dev", "rank": 10, "p": 10}"""),
+    (11L, 12L, 80.0, false, "dev", "multi", """{"group": "control", "rank": 1, "p": 11}"""),
+    (12L, 8L, 80.0, false, "dev", "multi", """{"group": "control", "rank": 3, "p": 12}"""),
+    (13L, 12L, 95.0, false, "dev", "multi", """{"group": "control", "rank": 3, "p": 13}"""),
+    (14L, 12L, 80.0, true, "dev", "multi", """{"group": "control", "rank": 3, "p": 14}"""),
+    (15L, 0L, 0.0, false, "x", "onedoc", """{"p": 1}"""))
+
+  private[graft] def regressionDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RegressionRows.toDF("id", "age", "score", "active", "tag", "tbl", "meta")
+  }
+
+  private[graft] val regressionSql: String = {
+    val values = RegressionRows.map { case (id, age, score, active, tag, tbl, meta) =>
+      s"($id, $age, $score, $active, '$tag', '$tbl', '$meta')"
+    }.mkString(",\n    ")
+    s"SELECT * FROM (VALUES\n    $values\n) AS t(id, age, score, active, tag, tbl, meta)"
+  }
+
+  // DuckDB-side JSON accessors over the fixture's known kinds
+  private def rNum(path: String, cmp: String): String =
+    s"TRY_CAST(json_extract_string(meta, '$path') AS DECIMAL(38,10)) $cmp"
+  private def rStr(path: String, cmp: String): String =
+    s"json_extract_string(meta, '$path') $cmp"
+
+  private[graft] val RegressionCases: Seq[MCase] = {
+    val multi = "tbl == \"multi\""
+    val multiD = "tbl = 'multi'"
+    def m(id: String, engine: String, duck: String) =
+      MCase(id, s"$multi and ($engine)", s"$multiD AND ($duck)")
+    // order permutations: each pair must answer identically, pinned by
+    // emitting BOTH sides (filtering_case_matrix.py ORDER_SENSITIVE)
+    val order = Seq(
+      m("ord1_l", "age > 10 and score <= 90", "age > 10 AND score <= 90"),
+      m("ord1_r", "score <= 90 and age > 10", "score <= 90 AND age > 10"),
+      m("ord2_l", """age > 10 and meta["group"] == "qa"""",
+        s"age > 10 AND ${rStr("$.group", "= 'qa'")}"),
+      m("ord2_r", """meta["group"] == "qa" and age > 10""",
+        s"${rStr("$.group", "= 'qa'")} AND age > 10"),
+      m("ord3_l", """tag == "ops" or active == true""",
+        "tag = 'ops' OR active = true"),
+      m("ord3_r", """active == true or tag == "ops"""",
+        "active = true OR tag = 'ops'"),
+      m("ord4_l", """(age > 10 and meta["rank"] in [1, 3]) or active == true""",
+        s"(age > 10 AND ${rNum("$.rank", "IN (1, 3)")}) OR active = true"),
+      m("ord4_r", """active == true or (meta["rank"] in [1, 3] and age > 10)""",
+        s"active = true OR (${rNum("$.rank", "IN (1, 3)")} AND age > 10)"))
+    // algebraic equivalences (EQUIVALENT_EXPRESSION_CASES)
+    val equiv = Seq(
+      m("eq_or_vs_in_l",
+        """meta["p"] == 1 or meta["p"] == 3 or meta["p"] == 5""",
+        s"${rNum("$.p", "= 1")} OR ${rNum("$.p", "= 3")} OR ${rNum("$.p", "= 5")}"),
+      m("eq_or_vs_in_r", """meta["p"] in [1, 3, 5]""",
+        rNum("$.p", "IN (1, 3, 5)")),
+      m("eq_demorgan_l", "not (age <= 10 or active == false)",
+        "NOT (age <= 10 OR active = false)"),
+      m("eq_demorgan_r", "age > 10 and active == true",
+        "age > 10 AND active = true"),
+      m("eq_distrib_l",
+        """(age > 10 and active == true) or (age > 10 and tag == "ops")""",
+        "(age > 10 AND active = true) OR (age > 10 AND tag = 'ops')"),
+      m("eq_distrib_r", """age > 10 and (active == true or tag == "ops")""",
+        "age > 10 AND (active = true OR tag = 'ops')"))
+    // boolean-fanout generalized counts (BOOLEAN_FANOUT_*_L2)
+    val fanout = Seq(
+      m("fan_1", "age > 10", "age > 10"),
+      m("fan_and2", "age > 10 and score <= 90", "age > 10 AND score <= 90"),
+      m("fan_and3", "age > 10 and score <= 90 and active == true",
+        "age > 10 AND score <= 90 AND active = true"),
+      m("fan_and5",
+        """age > 10 and score <= 90 and active == false and tag != "ops" and meta["rank"] >= 3""",
+        "age > 10 AND score <= 90 AND active = false AND tag <> 'ops' AND " +
+          rNum("$.rank", ">= 3")),
+      m("fan_or2", """meta["p"] == 1 or meta["p"] == 2""",
+        s"${rNum("$.p", "= 1")} OR ${rNum("$.p", "= 2")}"),
+      m("fan_or5",
+        (1 to 5).map(i => s"""meta["p"] == $i""").mkString(" or "),
+        (1 to 5).map(i => rNum("$.p", s"= $i")).mkString(" OR ")),
+      m("fan_or10",
+        (1 to 10).map(i => s"""meta["p"] == $i""").mkString(" or "),
+        (1 to 10).map(i => rNum("$.p", s"= $i")).mkString(" OR ")))
+    // #51568 one-doc negative / later-int positive / empty controls:
+    // float and int literals share the numeric bucket, and an absent
+    // match set yields ZERO rows, never an error value
+    val controls = Seq(
+      MCase("onedoc_negative",
+        """tbl == "onedoc" and (meta["p"] == 2.0 or meta["p"] == 3 or meta["p"] == 4 or meta["p"] == 5)""",
+        s"tbl = 'onedoc' AND (${rNum("$.p", "= 2.0")} OR ${rNum("$.p", "= 3")} OR ${rNum("$.p", "= 4")} OR ${rNum("$.p", "= 5")})"),
+      MCase("onedoc_positive",
+        """tbl == "onedoc" and (meta["p"] == 2.0 or meta["p"] == 1 or meta["p"] == 3 or meta["p"] == 4)""",
+        s"tbl = 'onedoc' AND (${rNum("$.p", "= 2.0")} OR ${rNum("$.p", "= 1")} OR ${rNum("$.p", "= 3")} OR ${rNum("$.p", "= 4")})"),
+      MCase("empty_control",
+        """tbl == "none" and (meta["p"] == 1.0 or meta["p"] == 2 or meta["p"] == 3 or meta["p"] == 4)""",
+        s"tbl = 'none' AND (${rNum("$.p", "= 1.0")} OR ${rNum("$.p", "= 2")} OR ${rNum("$.p", "= 3")} OR ${rNum("$.p", "= 4")})"))
+    order ++ equiv ++ fanout ++ controls
+  }
+
+  /** The reference's pinned expected_ids per case (expression lists in
+    * filtering_case_matrix.py / test_filter_regressions.py) — asserted
+    * as exact sets by RegressionMatrixSpec.
+    */
+  private[graft] val RegressionExpected: Map[String, Set[Long]] = {
+    val ord1 = Set(3L, 4L, 6L, 7L, 8L, 9L, 10L, 11L, 14L)
+    val ord4 = Set(1L, 2L, 3L, 4L, 11L, 13L, 14L)
+    Map(
+      "ord1_l" -> ord1, "ord1_r" -> ord1,
+      "ord2_l" -> Set(2L, 4L), "ord2_r" -> Set(2L, 4L),
+      "ord3_l" -> Set(1L, 2L, 4L, 5L, 6L, 14L),
+      "ord3_r" -> Set(1L, 2L, 4L, 5L, 6L, 14L),
+      "ord4_l" -> ord4, "ord4_r" -> ord4,
+      "eq_or_vs_in_l" -> Set(1L, 3L, 5L), "eq_or_vs_in_r" -> Set(1L, 3L, 5L),
+      "eq_demorgan_l" -> Set(2L, 4L, 14L), "eq_demorgan_r" -> Set(2L, 4L, 14L),
+      "eq_distrib_l" -> Set(2L, 4L, 5L, 6L, 14L),
+      "eq_distrib_r" -> Set(2L, 4L, 5L, 6L, 14L),
+      "fan_1" -> Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 14L),
+      "fan_and2" -> ord1,
+      "fan_and3" -> Set(4L, 14L),
+      "fan_and5" -> Set(3L, 7L, 8L, 9L, 10L),
+      "fan_or2" -> Set(1L, 2L),
+      "fan_or5" -> Set(1L, 2L, 3L, 4L, 5L),
+      "fan_or10" -> (1L to 10L).toSet,
+      "onedoc_negative" -> Set.empty[Long],
+      "onedoc_positive" -> Set(15L),
+      "empty_control" -> Set.empty[Long])
+  }
+
+  /** cnt + id_sum per case: identical counts with different members
+    * still break the row.
+    */
+  private def batteryWithIdSum(s: SparkSession, base: DataFrame,
+      cases: Seq[MCase], jsonCols: Set[String]): DataFrame = {
+    val counters = cases.flatMap { c =>
+      val cond = ExprCompiler.compile(c.engine, base, jsonColumns = jsonCols)
+      Seq(sum(when(cond, 1L).otherwise(0L)).as(c.id + "_cnt"),
+        sum(when(cond, col("id")).otherwise(0L)).as(c.id + "_sum"))
+    }
+    val row = base.agg(counters.head, counters.tail: _*).head()
+    import s.implicits._
+    cases.map(c => (c.id, row.getAs[Long](c.id + "_cnt"),
+        row.getAs[Long](c.id + "_sum")))
+      .toDF("case_id", "cnt", "id_sum").orderBy(col("case_id"))
+  }
+
+  def regressionMatrix(s: SparkSession, dir: String): DataFrame =
+    batteryWithIdSum(s, regressionDf(s), RegressionCases, Set("meta"))
+
+  private[graft] val regressionMatrixOracle: String =
+    RegressionCases.map(c =>
+      s"SELECT '${c.id}' AS case_id, count(*) AS cnt, " +
+        s"CAST(COALESCE(sum(id), 0) AS BIGINT) AS id_sum " +
+        s"FROM ($regressionSql) WHERE ${c.duck}")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typed_matrix" -> (typedMatrix _),
     "q_array_matrix" -> (arrayMatrix _),
     "q_null_matrix" -> (nullMatrix _),
     "q_json_kind_matrix" -> (jsonKindMatrix _),
     "q_like_matrix" -> (likeMatrix _),
+    "q_regression_matrix" -> (regressionMatrix _),
     "q_index_consistency" -> (indexConsistency _))
 
   val oracles: Map[String, String] = Map(
@@ -772,5 +955,6 @@ object MatrixQueries {
     "q_null_matrix" -> nullMatrixOracle,
     "q_json_kind_matrix" -> jsonKindMatrixOracle,
     "q_like_matrix" -> likeMatrixOracle,
+    "q_regression_matrix" -> regressionMatrixOracle,
     "q_index_consistency" -> indexConsistencyOracle)
 }
