@@ -55,9 +55,20 @@ object Providers {
       maxRetries: Int = 3,
       /** "document" on the ingest path, "query" when embedding search
         * text — cohere's input_type switches on it (the reference's
-        * cohere_embedding_provider.go getInputType).
+        * cohere_embedding_provider.go getInputType), gemini/vertexai
+        * derive RETRIEVAL_DOCUMENT vs RETRIEVAL_QUERY from it.
         */
-      mode: String = "document") {
+      mode: String = "document",
+      /** User task override: gemini `task_type` param; vertexai `task`
+        * (DOC_RETRIEVAL / CODE_RETRIEVAL / STS) — mapped per mode by
+        * the dialect (vertexai_embedding_provider.go getTaskType).
+        */
+      taskType: String = "",
+      /** The user's explicit dim PARAM (0 when absent): gemini/vertexai
+        * forward it as outputDimensionality only when given, like the
+        * reference's embedDimParam.
+        */
+      dimParam: Int = 0) {
     // the case-class toString would print the credential; any log line,
     // exception message, or debug dump of a config must not leak it
     override def toString: String =
@@ -82,13 +93,33 @@ object Providers {
     require(mode == "document" || mode == "query",
       s"embedding mode must be 'document' or 'query' (got '$mode')")
     val p = provider.toLowerCase
+    val modelName = params.getOrElse("model_name", "")
     val (defaultUrl, maxBatch, akEnv) = p match {
       case "openai"   => ("https://api.openai.com/v1/embeddings", 128, "OPENAI_API_KEY")
       case "voyageai" => ("https://api.voyageai.com/v1/embeddings", 128, "VOYAGE_API_KEY")
       case "cohere"   => ("https://api.cohere.com/v2/embed", 96, "COHERE_API_KEY")
       case "tei"      => ("", 32, "TEI_API_KEY") // self-hosted: url is required
+      case "gemini" =>
+        // gemini_embedding_provider.go:92 — per-model batch endpoint
+        (s"https://generativelanguage.googleapis.com/v1beta/models/" +
+          s"$modelName:batchEmbedContents", 32, "GEMINI_API_KEY")
+      case "vertexai" =>
+        // vertexai_embedding_provider.go:165-182: url derives from
+        // location (default us-central1) + project_id + model; an
+        // explicit url param overrides, otherwise project_id is required
+        val location = params.getOrElse("location", "us-central1")
+        val url = params.get("url").getOrElse {
+          val project = params.getOrElse("project_id",
+            throw new IllegalArgumentException(
+              "vertexai requires project_id (or an explicit url)"))
+          s"https://$location-aiplatform.googleapis.com/v1/projects/" +
+            s"$project/locations/$location/publishers/google/models/" +
+            s"$modelName:predict"
+        }
+        (url, 128, "VERTEXAI_API_KEY")
       case other => throw new IllegalArgumentException(
-        s"unknown embedding provider '$other' (openai, voyageai, cohere, tei)")
+        s"unknown embedding provider '$other' " +
+          "(openai, voyageai, cohere, tei, gemini, vertexai)")
     }
     // ParseAndCheckFieldDim: a dim param must match the field's dim
     params.get("dim").foreach { d =>
@@ -108,7 +139,7 @@ object Providers {
       provider = p,
       url = url,
       apiKey = apiKey,
-      modelName = params.getOrElse("model_name", ""),
+      modelName = modelName,
       dim = fieldDim,
       user = params.getOrElse("user", ""),
       truncate = params.get("truncate").exists(_.toBoolean),
@@ -119,7 +150,10 @@ object Providers {
         require(r >= 1, s"max_retries must be >= 1 (got $r)")
         r
       },
-      mode = mode)
+      mode = mode,
+      taskType = params.getOrElse("task_type",
+        params.getOrElse("task", if (p == "vertexai") "DOC_RETRIEVAL" else "")),
+      dimParam = params.get("dim").map(_.toInt).getOrElse(0))
   }
 
   /** Thrown when a non-retryable (non-429, non-5xx) status comes back. */
@@ -173,10 +207,57 @@ object Providers {
             s""""truncate":"$trunc"}"""
         case "tei" =>
           s"""{"inputs":$arr,"truncate":${cfg.truncate}}"""
+        case "gemini" =>
+          // gemini_client.go:46-70 batchEmbedContents: one request per
+          // text; taskType and outputDimensionality only when set
+          val task = effectiveTaskType
+          val taskField = if (task.isEmpty) "" else s""","taskType":${jstr(task)}"""
+          val dimField =
+            if (cfg.dimParam > 0) s""","outputDimensionality":${cfg.dimParam}"""
+            else ""
+          val model = "models/" + cfg.modelName.stripPrefix("models/")
+          val reqs = chunk.map(t =>
+            s"""{"model":${jstr(model)},"content":{"parts":[{"text":${jstr(t)}}]}""" +
+              taskField + dimField + "}").mkString("[", ",", "]")
+          s"""{"requests":$reqs}"""
+        case "vertexai" =>
+          // vertexai_client.go:29-41 predict: instances carry task_type
+          // + content, parameters carry outputDimensionality
+          val task = effectiveTaskType
+          val taskField =
+            if (task.isEmpty) "" else s""""task_type":${jstr(task)},"""
+          val insts = chunk.map(t =>
+            s"""{$taskField"content":${jstr(t)}}""").mkString("[", ",", "]")
+          val paramsField =
+            if (cfg.dimParam > 0)
+              s""","parameters":{"outputDimensionality":${cfg.dimParam}}"""
+            else ""
+          s"""{"instances":$insts$paramsField}"""
         case _ => // openai (and the default dialect)
           s"""{"model":${jstr(cfg.modelName)},"input":$arr,""" +
             s""""user":${jstr(cfg.user)}}"""
       }
+    }
+
+    /** Mode × task mapping (gemini_embedding_provider.go getTaskType /
+      * vertexai_embedding_provider.go getTaskType): queries retrieve,
+      * documents index; a user task narrows or overrides.
+      */
+    private[functions] def effectiveTaskType: String = cfg.provider match {
+      case "gemini" =>
+        if (cfg.taskType.nonEmpty) cfg.taskType
+        else if (cfg.mode == "query") "RETRIEVAL_QUERY"
+        else "RETRIEVAL_DOCUMENT"
+      case "vertexai" => (cfg.taskType, cfg.mode) match {
+        case ("DOC_RETRIEVAL", "query")   => "RETRIEVAL_QUERY"
+        case ("DOC_RETRIEVAL", _)         => "RETRIEVAL_DOCUMENT"
+        case ("CODE_RETRIEVAL", "query")  => "CODE_RETRIEVAL_QUERY"
+        // inserting does not distinguish doc vs code (reference comment)
+        case ("CODE_RETRIEVAL", _)        => "RETRIEVAL_DOCUMENT"
+        case ("STS", _)                   => "SEMANTIC_SIMILARITY"
+        case _                            => ""
+      }
+      case _ => ""
     }
 
     /** Embed all texts: maxBatch-sized chunks, retry-per-chunk,
@@ -205,10 +286,15 @@ object Providers {
       var lastErr: Throwable = null
       while (attempt < cfg.maxRetries) {
         try {
+          // gemini authenticates via x-goog-api-key (gemini_client.go:39-44);
+          // everyone else speaks Authorization: Bearer
+          val (authHeader, authValue) =
+            if (cfg.provider == "gemini") ("x-goog-api-key", cfg.apiKey)
+            else ("Authorization", s"Bearer ${cfg.apiKey}")
           val req = HttpRequest.newBuilder(URI.create(cfg.url))
             .timeout(Duration.ofMillis(cfg.timeoutMs))
             .header("Content-Type", "application/json")
-            .header("Authorization", s"Bearer ${cfg.apiKey}")
+            .header(authHeader, authValue)
             .POST(HttpRequest.BodyPublishers.ofString(body))
             .build()
           val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
@@ -241,8 +327,28 @@ object Providers {
           require(k >= 0, "cohere response missing embeddings.float")
           parseFloatArrays(json, json.indexOf('[', k))
         case "tei" => parseFloatArrays(json, json.indexOf('['))
+        // gemini `{"embeddings":[{"values":[...]},...]}` and vertexai
+        // `{"predictions":[{"embeddings":{"values":[...]}},...]}` both
+        // carry one "values" array per input, in order
+        case "gemini" | "vertexai" => parseKeyedArrays(json, "\"values\"")
         case _     => parseEmbeddings(json)
       }
+
+    /** Extract every `<key>:[...]` float array in request order. */
+    private[functions] def parseKeyedArrays(json: String, key: String)
+        : Seq[Array[Float]] = {
+      val out = Seq.newBuilder[Array[Float]]
+      var i = json.indexOf(key)
+      while (i >= 0) {
+        val start = json.indexOf('[', i)
+        val end = json.indexOf(']', start)
+        require(start > 0 && end > start, s"malformed $key array in response")
+        out += json.substring(start + 1, end).split(",")
+          .iterator.map(_.trim).filter(_.nonEmpty).map(_.toFloat).toArray
+        i = json.indexOf(key, end)
+      }
+      out.result()
+    }
 
     /** Extract every "embedding":[...] array in order (the OpenAI-shaped
       * `data` list voyageai shares).

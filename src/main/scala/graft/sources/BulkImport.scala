@@ -111,6 +111,46 @@ final class ExternalTable private (
 
   private var fragments: Vector[String] = Vector.empty
 
+  // per-fragment manifest versions (reference BatchUpdateManifest:
+  // proxy/impl.go:7265 → datacoord/services.go:2287 →
+  // ddl_callbacks_batch_update_manifest.go — one batched commit bumps
+  // each segment's manifest pointer; the storage-v3 sibling of the
+  // refresh path's whole-snapshot advance). Creation/refresh admits
+  // fragments at version 0; removed fragments drop their entries.
+  private var manifests: Map[String, Long] = Map.empty
+
+  /** Current (fragment, manifestVersion) view — the GetSegmentsInfo-
+    * style consumer of the batch commit.
+    */
+  def fragmentManifests: Seq[(String, Long)] =
+    fragments.map(f => f -> manifests.getOrElse(f, 0L))
+
+  /** BatchUpdateManifest: commit per-fragment manifest-version bumps in
+    * ONE batch call. Per-entry outcomes (batchDescribeCollection's
+    * shape): an unknown fragment or a non-advancing version fails its
+    * OWN entry while every valid entry still commits — the reference's
+    * ack callback applies the valid operators and warns-and-skips the
+    * rest instead of failing the batch
+    * (ddl_callbacks_batch_update_manifest.go:26-60); an empty item list
+    * is rejected up front (task_batch_update_manifest.go PreExecute).
+    */
+  def batchUpdateManifest(items: Seq[(String, Long)])
+      : Seq[(String, scala.util.Try[Long])] = {
+    require(items.nonEmpty, "items is empty")
+    items.map { case (frag, ver) =>
+      frag -> scala.util.Try {
+        if (!fragments.contains(frag))
+          throw new NoSuchElementException(s"unknown fragment: $frag")
+        val cur = manifests.getOrElse(frag, 0L)
+        if (ver <= cur)
+          throw new IllegalArgumentException(
+            s"manifest version $ver does not advance current $cur for $frag")
+        manifests += frag -> ver
+        ver
+      }
+    }
+  }
+
   /** Lists via the Hadoop FileSystem API so hdfs:// / s3a:// / any
     * Hadoop-FS URI works, not just local paths (the class is a catalog
     * manifest over whatever store the cluster reads).
@@ -180,6 +220,8 @@ final class ExternalTable private (
       removed = fragments.count(f => !now.contains(f)))
     mapping = candidate
     fragments = now
+    // manifest entries follow the snapshot: removed fragments drop out
+    manifests = manifests.filter { case (f, _) => now.contains(f) }
     refreshJobs :+= RefreshJob(jobIds.incrementAndGet(), "Completed", 100,
       stats.kept, stats.added, stats.removed)
     stats

@@ -35,18 +35,26 @@ class ProviderSpec extends SparkSpec {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       lastBody = body
       // the request dialect identifies the provider: openai/voyageai
-      // send "input", cohere sends "texts", tei sends "inputs"
+      // send "input", cohere "texts", tei "inputs", gemini a "requests"
+      // list of per-text contents, vertexai an "instances" list
       val (key, dialect) =
         if (body.contains("\"texts\":[")) ("\"texts\":[", "cohere")
         else if (body.contains("\"inputs\":[")) ("\"inputs\":[", "tei")
+        else if (body.contains("\"requests\":[")) ("\"text\":", "gemini")
+        else if (body.contains("\"instances\":[")) ("\"content\":", "vertexai")
         else ("\"input\":[", "openai")
-      val inputs = {
-        val s = body.indexOf(key) + key.length
-        val e = body.indexOf("]", s)
-        val seg = body.substring(s, e)
-        if (seg.trim.isEmpty) Nil
-        else seg.split("\",\"").toList
-          .map(_.stripPrefix("\"").stripSuffix("\""))
+      val inputs = dialect match {
+        case "gemini" | "vertexai" =>
+          val k = if (dialect == "gemini") "text" else "content"
+          ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+            .findAllMatchIn(body).map(_.group(1)).toList
+        case _ =>
+          val s = body.indexOf(key) + key.length
+          val e = body.indexOf("]", s)
+          val seg = body.substring(s, e)
+          if (seg.trim.isEmpty) Nil
+          else seg.split("\",\"").toList
+            .map(_.stripPrefix("\"").stripSuffix("\""))
       }
       synchronized { batchSizes = batchSizes :+ inputs.length }
       if (n <= failFirst) {
@@ -62,6 +70,13 @@ class ProviderSpec extends SparkSpec {
           case "cohere" => (0 until count).map(vecOf)
             .mkString("{\"embeddings\":{\"float\":[", ",", "]}}")
           case "tei" => (0 until count).map(vecOf).mkString("[", ",", "]")
+          case "gemini" => (0 until count)
+            .map(i => s"""{"values":${vecOf(i)}}""")
+            .mkString("{\"embeddings\":[", ",", "]}")
+          case "vertexai" => (0 until count)
+            .map(i => "{\"embeddings\":{\"statistics\":{\"truncated\":false," +
+              s""""token_count":2},"values":${vecOf(i)}}}""")
+            .mkString("{\"predictions\":[", ",", "]}")
           case _ => (0 until count).map(i => s"""{"embedding":${vecOf(i)}}""")
             .mkString("{\"data\":[", ",", "]}")
         }
@@ -161,6 +176,74 @@ class ProviderSpec extends SparkSpec {
       assert(!stub.lastBody.contains("\"model\"")) // tei is model-less
       assert(embs.map(_.head) == Seq(3f, 1f))
     } finally stub.stop()
+  }
+
+  test("gemini dialect: batchEmbedContents request, values response, goog header") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "gemini",
+        extra = Map("dim" -> "4"))
+      val embs = new EmbeddingClient(cfg).embed(Seq("ab", "cdef"))
+      // one per-text request object, model name models/-prefixed,
+      // document-mode task, dim forwarded as outputDimensionality
+      assert(stub.lastBody.contains("\"requests\":["))
+      assert(stub.lastBody.contains("\"model\":\"models/m1\""))
+      assert(stub.lastBody.contains("\"parts\":[{\"text\":\"ab\"}]"))
+      assert(stub.lastBody.contains("\"taskType\":\"RETRIEVAL_DOCUMENT\""))
+      assert(stub.lastBody.contains("\"outputDimensionality\":4"))
+      assert(embs.map(_.head) == Seq(2f, 4f))
+      // query mode flips the task (gemini getTaskType)
+      new EmbeddingClient(cfg.copy(mode = "query")).embed(Seq("q"))
+      assert(stub.lastBody.contains("\"taskType\":\"RETRIEVAL_QUERY\""))
+      // a user task_type param overrides both modes
+      new EmbeddingClient(cfg.copy(taskType = "CLASSIFICATION")).embed(Seq("q"))
+      assert(stub.lastBody.contains("\"taskType\":\"CLASSIFICATION\""))
+    } finally stub.stop()
+  }
+
+  test("vertexai dialect: instances/predict request, predictions response") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "vertexai",
+        extra = Map("project_id" -> "p1"))
+      val embs = new EmbeddingClient(cfg).embed(Seq("abc", "z"))
+      assert(stub.lastBody.contains("\"instances\":["))
+      assert(stub.lastBody.contains("\"content\":\"abc\""))
+      // default task DOC_RETRIEVAL maps to RETRIEVAL_DOCUMENT on ingest
+      assert(stub.lastBody.contains("\"task_type\":\"RETRIEVAL_DOCUMENT\""))
+      assert(embs.map(_.head) == Seq(3f, 1f))
+      // ...and to RETRIEVAL_QUERY in query mode; CODE_RETRIEVAL inserts
+      // as RETRIEVAL_DOCUMENT but queries as CODE_RETRIEVAL_QUERY
+      new EmbeddingClient(cfg.copy(mode = "query")).embed(Seq("q"))
+      assert(stub.lastBody.contains("\"task_type\":\"RETRIEVAL_QUERY\""))
+      new EmbeddingClient(cfg.copy(taskType = "CODE_RETRIEVAL")).embed(Seq("c"))
+      assert(stub.lastBody.contains("\"task_type\":\"RETRIEVAL_DOCUMENT\""))
+      new EmbeddingClient(cfg.copy(taskType = "CODE_RETRIEVAL", mode = "query"))
+        .embed(Seq("c"))
+      assert(stub.lastBody.contains("\"task_type\":\"CODE_RETRIEVAL_QUERY\""))
+    } finally stub.stop()
+  }
+
+  test("gemini/vertexai config resolution: default urls, required params") {
+    // gemini default url is the model's batchEmbedContents endpoint
+    val g = Providers.resolve("gemini",
+      Map("model_name" -> "text-embedding-004", "api_key" -> "k"),
+      Map.empty, 4)
+    assert(g.url == "https://generativelanguage.googleapis.com/v1beta/" +
+      "models/text-embedding-004:batchEmbedContents")
+    assert(g.maxBatch == 32)
+    // vertexai derives its predict url from location + project + model
+    val v = Providers.resolve("vertexai",
+      Map("model_name" -> "text-embedding-005", "api_key" -> "k",
+        "project_id" -> "proj", "location" -> "eu-west1"),
+      Map.empty, 4)
+    assert(v.url == "https://eu-west1-aiplatform.googleapis.com/v1/projects/" +
+      "proj/locations/eu-west1/publishers/google/models/" +
+      "text-embedding-005:predict")
+    assert(v.taskType == "DOC_RETRIEVAL")
+    // without an explicit url, project_id is required
+    intercept[IllegalArgumentException](Providers.resolve("vertexai",
+      Map("model_name" -> "m", "api_key" -> "k"), Map.empty, 4))
   }
 
   test("batching: maxBatch-sized chunks, all rows embedded in order") {

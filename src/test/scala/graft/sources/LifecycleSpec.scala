@@ -135,6 +135,36 @@ class LifecycleSpec extends SparkSpec {
     assert(et.read().count() == 1) // still readable after the failed refresh
   }
 
+  test("batchUpdateManifest commits per-fragment versions with per-entry failures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_extman").toString
+    Seq((1L, "a")).toDF("ext_id", "ext_name").write.parquet(s"$dir/f1")
+    Seq((2L, "b")).toDF("ext_id", "ext_name").write.parquet(s"$dir/f2")
+    val et = ExternalTable.create(spark, "parquet", dir, Map("id" -> "ext_id"))
+    val Seq(f1, f2) = et.fragmentPaths.sorted
+    assert(et.fragmentManifests.toMap == Map(f1 -> 0L, f2 -> 0L))
+    // one batch: two valid bumps + an unknown fragment — the bad entry
+    // fails alone, the valid ones commit (warn-and-skip, not batch-fail)
+    val res = et.batchUpdateManifest(
+      Seq(f1 -> 3L, f2 -> 1L, s"$dir/ghost" -> 9L)).toMap
+    assert(res(f1).isSuccess && res(f2).isSuccess)
+    assert(res(s"$dir/ghost").isFailure)
+    assert(et.fragmentManifests.toMap == Map(f1 -> 3L, f2 -> 1L))
+    // versions must advance: an equal or lower version fails its entry
+    // without disturbing the committed state
+    val res2 = et.batchUpdateManifest(Seq(f1 -> 3L, f2 -> 2L)).toMap
+    assert(res2(f1).isFailure && res2(f2).isSuccess)
+    assert(et.fragmentManifests.toMap == Map(f1 -> 3L, f2 -> 2L))
+    // empty batches are rejected up front; refresh drops removed
+    // fragments' manifest entries and admits new ones at version 0
+    intercept[IllegalArgumentException](et.batchUpdateManifest(Nil))
+    deleteRec(new java.io.File(new java.net.URI(f1).getPath))
+    Seq((3L, "c")).toDF("ext_id", "ext_name").write.parquet(s"$dir/f3")
+    et.refresh()
+    val after = et.fragmentManifests.toMap
+    assert(!after.contains(f1) && after(f2) == 2L)
+    assert(after.exists { case (p, v) => p.endsWith("f3") && v == 0L })
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
     f.delete()
