@@ -254,6 +254,53 @@ object BenchScale {
         ("ext_fn_read", copies, eSec), ("backfill_read", copies, bSec))
     }
 
+    // --- round-10 additions: flush-time summary-stats publish cost vs
+    // segment count (constant corpus — the per-seal aggregate must cost
+    // per-segment overhead, not corpus-proportional re-work), and the
+    // conformance-battery cost vs case count (N conditional sums share
+    // ONE codegen'd scan, so the curve must be flat).
+    val segScales = Seq(1, 4, 16)
+    val statsResults = {
+      val corpus = replicateEmb(10)
+        .select(col("vec_id").as("pk"), col("embedding").as("emb"))
+        .localCheckpoint(true)
+      val nRows = nEmb * 10
+      segScales.map { segs =>
+        val c = Collection.create(spark,
+          CollectionSchema(pkField = "pk", vectorFields = Map("emb" -> 64)))
+        val path = s"/tmp/graft_bscale_stats_${segs}_${System.nanoTime()}"
+        val per = nRows / segs
+        val (sec, _) = time {
+          (0 until segs).foreach { i =>
+            val lo = i * per
+            val hi = if (i == segs - 1) nRows else (i + 1) * per
+            c.insert(corpus.filter(col("pk") >= lo && col("pk") < hi))
+            c.flush(path)
+          }
+          c.segmentStatistics.values.map(_.rows).sum
+        }
+        println(f"${"stats_publish"}%-12s $segs%7d $nRows%8d ${segs}%9d $sec%8.2f")
+        ("stats_publish", segs, sec)
+      }
+    }
+    val caseScales = Seq(1, 2, 4) // ×13 cases: 13 / 26 / 52
+    val matrixResults = {
+      val typed = graft.queries.MatrixQueries.typedDf(spark, sfDir)
+        .localCheckpoint(true)
+      val allCases = graft.queries.MatrixQueries.TypedCases
+      caseScales.map { k =>
+        val cases = allCases.take(13 * k)
+        val counters = cases.map(c =>
+          sum(when(graft.expr.ExprCompiler.compile(c.engine, typed),
+            1L).otherwise(0L)).as(c.id))
+        val (sec, _) = time {
+          typed.agg(counters.head, counters.tail: _*).head(); cases.size.toLong
+        }
+        println(f"${"matrix_cases"}%-12s $k%7d ${cases.size}%8d ${cases.size}%9d $sec%8.2f")
+        ("matrix_cases", k, sec)
+      }
+    }
+
     // scaling exponent between the smallest and largest scale:
     // log(tMax/t1)/log(max); ≤ ~1.3 reads as linear-with-overhead,
     // ≥ ~2 as quadratic
@@ -275,6 +322,8 @@ object BenchScale {
     Seq("elem_quant", "elem_offsets", "ext_fn_read", "backfill_read").foreach { name =>
       println(f"$name%-12s scaling exponent (1x→10x): ${exponent(r9Results, name, 10)}%.2f")
     }
+    println(f"${"stats_publish"}%-12s scaling exponent (1→16 segments): ${exponent(statsResults, "stats_publish", 16)}%.2f")
+    println(f"${"matrix_cases"}%-12s scaling exponent (13→52 cases): ${exponent(matrixResults, "matrix_cases", 4)}%.2f")
     spark.stop()
   }
 }

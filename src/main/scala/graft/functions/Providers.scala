@@ -117,9 +117,29 @@ object Providers {
             s"$modelName:predict"
         }
         (url, 128, "VERTEXAI_API_KEY")
+      case "ali" =>
+        // ali_embedding_provider.go:52 dashscope text-embedding endpoint
+        ("https://dashscope.aliyuncs.com/api/v1/services/embeddings/" +
+          "text-embedding/text-embedding", 25, "DASHSCOPE_API_KEY")
+      case "siliconflow" =>
+        ("https://api.siliconflow.cn/v1/embeddings", 32, "SILICONFLOW_API_KEY")
+      case "huggingface" =>
+        // huggingface_client.go buildPipelineURL: router + hf_provider
+        // (only hf-inference is supported) + model + pipeline task
+        val hfp = params.getOrElse("hf_provider", "hf-inference")
+        require(hfp == "hf-inference",
+          "Hugging Face hf_provider only supports hf-inference")
+        (s"https://router.huggingface.co/$hfp/models/$modelName/" +
+          "pipeline/feature-extraction", 128, "HUGGINGFACE_API_KEY")
+      case "yc" =>
+        // yc_embedding_provider.go:34; model name is REQUIRED (it is the
+        // modelUri the request carries)
+        require(modelName.nonEmpty, "yc embedding model name is required")
+        ("https://llm.api.cloud.yandex.net/foundationModels/v1/textEmbedding",
+          128, "YC_API_KEY")
       case other => throw new IllegalArgumentException(
-        s"unknown embedding provider '$other' " +
-          "(openai, voyageai, cohere, tei, gemini, vertexai)")
+        s"unknown embedding provider '$other' (openai, voyageai, cohere, " +
+          "tei, gemini, vertexai, ali, siliconflow, huggingface, yc)")
     }
     // ParseAndCheckFieldDim: a dim param must match the field's dim
     params.get("dim").foreach { d =>
@@ -233,6 +253,31 @@ object Providers {
               s""","parameters":{"outputDimensionality":${cfg.dimParam}}"""
             else ""
           s"""{"instances":$insts$paramsField}"""
+        case "ali" =>
+          // ali_dashscope_client.go:27-44: nested input.texts, text_type
+          // document|query, dimension only when the user gave a dim param
+          val textType = if (cfg.mode == "query") "query" else "document"
+          val dimField =
+            if (cfg.dimParam > 0) s""","dimension":${cfg.dimParam}""" else ""
+          s"""{"model":${jstr(cfg.modelName)},"input":{"texts":$arr},""" +
+            s""""parameters":{"text_type":"$textType"$dimField}}"""
+        case "siliconflow" =>
+          // siliconflow_client.go:58-70: OpenAI-shaped with
+          // encoding_format + optional dimensions
+          val dimField =
+            if (cfg.dimParam > 0) s""","dimensions":${cfg.dimParam}""" else ""
+          s"""{"model":${jstr(cfg.modelName)},"input":$arr,""" +
+            s""""encoding_format":"float"$dimField}"""
+        case "huggingface" =>
+          // feature-extraction pipeline: bare inputs (the model lives in
+          // the URL), huggingface_client.go:81-91
+          s"""{"inputs":$arr}"""
+        case "yc" =>
+          // yc_embedding_provider.go:37-41 + CallEmbedding: a singleton
+          // chunk sends "text", a batch sends "texts"
+          if (chunk.size == 1)
+            s"""{"modelUri":${jstr(cfg.modelName)},"text":${jstr(chunk.head)}}"""
+          else s"""{"modelUri":${jstr(cfg.modelName)},"texts":$arr}"""
         case _ => // openai (and the default dialect)
           s"""{"model":${jstr(cfg.modelName)},"input":$arr,""" +
             s""""user":${jstr(cfg.user)}}"""
@@ -286,11 +331,14 @@ object Providers {
       var lastErr: Throwable = null
       while (attempt < cfg.maxRetries) {
         try {
-          // gemini authenticates via x-goog-api-key (gemini_client.go:39-44);
-          // everyone else speaks Authorization: Bearer
-          val (authHeader, authValue) =
-            if (cfg.provider == "gemini") ("x-goog-api-key", cfg.apiKey)
-            else ("Authorization", s"Bearer ${cfg.apiKey}")
+          // gemini authenticates via x-goog-api-key (gemini_client.go:39-44),
+          // yc via Api-Key (yc_embedding_provider.go:118); everyone else
+          // speaks Authorization: Bearer
+          val (authHeader, authValue) = cfg.provider match {
+            case "gemini" => ("x-goog-api-key", cfg.apiKey)
+            case "yc"     => ("Authorization", s"Api-Key ${cfg.apiKey}")
+            case _        => ("Authorization", s"Bearer ${cfg.apiKey}")
+          }
           val req = HttpRequest.newBuilder(URI.create(cfg.url))
             .timeout(Duration.ofMillis(cfg.timeoutMs))
             .header("Content-Type", "application/json")
@@ -326,11 +374,21 @@ object Providers {
           val k = json.indexOf("\"float\"")
           require(k >= 0, "cohere response missing embeddings.float")
           parseFloatArrays(json, json.indexOf('[', k))
-        case "tei" => parseFloatArrays(json, json.indexOf('['))
+        // huggingface feature-extraction returns the tei-shaped bare
+        // nested array
+        case "tei" | "huggingface" => parseFloatArrays(json, json.indexOf('['))
         // gemini `{"embeddings":[{"values":[...]},...]}` and vertexai
         // `{"predictions":[{"embeddings":{"values":[...]}},...]}` both
         // carry one "values" array per input, in order
         case "gemini" | "vertexai" => parseKeyedArrays(json, "\"values\"")
+        case "yc" =>
+          // batch responses carry "embeddings": [[...],...]; singletons
+          // carry one "embedding": [...] (extractYCEmbeddings)
+          val k = json.indexOf("\"embeddings\"")
+          if (k >= 0) parseFloatArrays(json, json.indexOf('[', k))
+          else parseEmbeddings(json)
+        // ali nests OpenAI-style {"embedding": [...]} objects under
+        // output.embeddings; siliconflow is OpenAI-shaped data[]
         case _     => parseEmbeddings(json)
       }
 

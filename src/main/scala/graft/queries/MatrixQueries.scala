@@ -868,6 +868,13 @@ object MatrixQueries {
       m("fan_or10",
         (1 to 10).map(i => s"""meta["p"] == $i""").mkString(" or "),
         (1 to 10).map(i => rNum("$.p", s"= $i")).mkString(" OR ")))
+    // bool literal in logical position (#48443: `true or (f > v)` must
+    // parse AND answer correctly, in both operand orders)
+    val boolLit = Seq(
+      m("bool_lit_or_true", "true or (age > 10)", "true OR age > 10"),
+      m("bool_lit_or_right", "(age > 10) or true", "age > 10 OR true"),
+      m("bool_lit_and_true", "true and (age > 10)", "true AND age > 10"),
+      m("bool_lit_or_false", "false or (age > 10)", "false OR age > 10"))
     // #51568 one-doc negative / later-int positive / empty controls:
     // float and int literals share the numeric bucket, and an absent
     // match set yields ZERO rows, never an error value
@@ -881,7 +888,7 @@ object MatrixQueries {
       MCase("empty_control",
         """tbl == "none" and (meta["p"] == 1.0 or meta["p"] == 2 or meta["p"] == 3 or meta["p"] == 4)""",
         s"tbl = 'none' AND (${rNum("$.p", "= 1.0")} OR ${rNum("$.p", "= 2")} OR ${rNum("$.p", "= 3")} OR ${rNum("$.p", "= 4")})"))
-    order ++ equiv ++ fanout ++ controls
+    order ++ equiv ++ fanout ++ boolLit ++ controls
   }
 
   /** The reference's pinned expected_ids per case (expression lists in
@@ -908,6 +915,12 @@ object MatrixQueries {
       "fan_or2" -> Set(1L, 2L),
       "fan_or5" -> Set(1L, 2L, 3L, 4L, 5L),
       "fan_or10" -> (1L to 10L).toSet,
+      "bool_lit_or_true" -> (1L to 14L).toSet,
+      "bool_lit_or_right" -> (1L to 14L).toSet,
+      "bool_lit_and_true" ->
+        Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 14L),
+      "bool_lit_or_false" ->
+        Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 14L),
       "onedoc_negative" -> Set.empty[Long],
       "onedoc_positive" -> Set(15L),
       "empty_control" -> Set.empty[Long])

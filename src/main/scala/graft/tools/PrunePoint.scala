@@ -17,6 +17,10 @@ import graft.{Collection, CollectionSchema, GraftSession}
 object PrunePoint {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // dispatch overhead vs segment count: r9 measured 64; pass 256 to
+    // show the prune win GROWS with segment count (the pruned side stays
+    // one-segment flat while the control opens every footer)
+    val segments = args.lift(1).map(_.toInt).getOrElse(64)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -24,7 +28,6 @@ object PrunePoint {
     val emb = GraftSession.table(spark, dir, "events")
       .select(col("event_id").as("pk"), col("event_type"), col("value"))
     val n = emb.count()
-    val segments = 64
     val per = math.max(n / segments, 1L)
     val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
     val path = s"/tmp/graft_prunepoint_${System.nanoTime()}"
@@ -65,7 +68,7 @@ object PrunePoint {
     val cursor = n - per // last segment only
     val iterPruned = timeMedian(
       c.queryIterator("", Seq("pk"), batch = 100, lastPk = Some(cursor)).count())
-    println(f"[prunepoint] iterator tail page (cursor past ${segments - 1}/64): " +
+    println(f"[prunepoint] iterator tail page (cursor past ${segments - 1}/$segments): " +
       f"$iterPruned%.3f s (dispatch ${c.plannedSegments(s"pk > $cursor").size})")
     spark.stop()
   }

@@ -51,6 +51,16 @@ class MatrixFacadeSpec extends SparkSpec {
       MatrixQueries.jsonKindDf(spark, sfDir), Set("j"))
   }
 
+  test("LIKE matrix answers identically through the facade") {
+    runBattery("like", MatrixQueries.LikeCases,
+      MatrixQueries.likeDf(spark, sfDir), Set.empty)
+  }
+
+  test("regression matrix answers identically through the facade") {
+    runBattery("regression", MatrixQueries.RegressionCases,
+      MatrixQueries.regressionDf(spark), Set("meta"))
+  }
+
   test("undeclared json field diverges from declared (kind buckets are schema-driven)") {
     // Guard the jsonFields declaration itself: without it a StringType
     // field's paths extract untyped — the string "14" would compare

@@ -27,6 +27,7 @@ class ProviderSpec extends SparkSpec {
     @volatile var failStatus: Int = 429 // ...with this status
     @volatile var batchSizes: List[Int] = Nil
     @volatile var lastBody: String = ""
+    @volatile var lastAuth: Map[String, String] = Map.empty
     @volatile var dropLast: Boolean = false // return one embedding too few
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -34,27 +35,40 @@ class ProviderSpec extends SparkSpec {
       val n = requests.incrementAndGet()
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       lastBody = body
-      // the request dialect identifies the provider: openai/voyageai
-      // send "input", cohere "texts", tei "inputs", gemini a "requests"
-      // list of per-text contents, vertexai an "instances" list
-      val (key, dialect) =
-        if (body.contains("\"texts\":[")) ("\"texts\":[", "cohere")
-        else if (body.contains("\"inputs\":[")) ("\"inputs\":[", "tei")
-        else if (body.contains("\"requests\":[")) ("\"text\":", "gemini")
-        else if (body.contains("\"instances\":[")) ("\"content\":", "vertexai")
-        else ("\"input\":[", "openai")
+      lastAuth = Seq("Authorization", "x-goog-api-key").flatMap(h =>
+        Option(ex.getRequestHeaders.getFirst(h)).map(h -> _)).toMap
+      // the request dialect identifies the provider: openai/voyageai/
+      // siliconflow send "input", cohere/ali/yc "texts" (ali nested
+      // under "input", yc tagged by "modelUri"), tei/huggingface
+      // "inputs", gemini a "requests" list, vertexai an "instances" list
+      val dialect =
+        if (body.contains("\"modelUri\"")) "yc"
+        else if (body.contains("\"input\":{\"texts\":[")) "ali"
+        else if (body.contains("\"texts\":[")) "cohere"
+        else if (body.contains("\"inputs\":[")) "tei"
+        else if (body.contains("\"requests\":[")) "gemini"
+        else if (body.contains("\"instances\":[")) "vertexai"
+        else "openai"
+      def arrayAt(key: String): List[String] = {
+        val s = body.indexOf(key) + key.length
+        val e = body.indexOf("]", s)
+        val seg = body.substring(s, e)
+        if (seg.trim.isEmpty) Nil
+        else seg.split("\",\"").toList
+          .map(_.stripPrefix("\"").stripSuffix("\""))
+      }
+      def byKey(k: String): List[String] =
+        ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+          .findAllMatchIn(body).map(_.group(1)).toList
       val inputs = dialect match {
-        case "gemini" | "vertexai" =>
-          val k = if (dialect == "gemini") "text" else "content"
-          ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
-            .findAllMatchIn(body).map(_.group(1)).toList
-        case _ =>
-          val s = body.indexOf(key) + key.length
-          val e = body.indexOf("]", s)
-          val seg = body.substring(s, e)
-          if (seg.trim.isEmpty) Nil
-          else seg.split("\",\"").toList
-            .map(_.stripPrefix("\"").stripSuffix("\""))
+        case "gemini"         => byKey("text")
+        case "vertexai"       => byKey("content")
+        case "yc" =>
+          if (body.contains("\"texts\":[")) arrayAt("\"texts\":[")
+          else byKey("text")
+        case "ali" | "cohere" => arrayAt("\"texts\":[")
+        case "tei"            => arrayAt("\"inputs\":[")
+        case _                => arrayAt("\"input\":[")
       }
       synchronized { batchSizes = batchSizes :+ inputs.length }
       if (n <= failFirst) {
@@ -77,6 +91,14 @@ class ProviderSpec extends SparkSpec {
             .map(i => "{\"embeddings\":{\"statistics\":{\"truncated\":false," +
               s""""token_count":2},"values":${vecOf(i)}}}""")
             .mkString("{\"predictions\":[", ",", "]}")
+          case "ali" => (0 until count)
+            .map(i => s"""{"text_index":$i,"embedding":${vecOf(i)}}""")
+            .mkString("{\"output\":{\"embeddings\":[", ",",
+              "]},\"usage\":{\"total_tokens\":3}}")
+          case "yc" =>
+            if (count == 1) s"""{"embedding":${vecOf(0)}}"""
+            else (0 until count).map(vecOf)
+              .mkString("{\"embeddings\":[", ",", "]}")
           case _ => (0 until count).map(i => s"""{"embedding":${vecOf(i)}}""")
             .mkString("{\"data\":[", ",", "]}")
         }
@@ -191,6 +213,7 @@ class ProviderSpec extends SparkSpec {
       assert(stub.lastBody.contains("\"parts\":[{\"text\":\"ab\"}]"))
       assert(stub.lastBody.contains("\"taskType\":\"RETRIEVAL_DOCUMENT\""))
       assert(stub.lastBody.contains("\"outputDimensionality\":4"))
+      assert(stub.lastAuth == Map("x-goog-api-key" -> "sk-test"))
       assert(embs.map(_.head) == Seq(2f, 4f))
       // query mode flips the task (gemini getTaskType)
       new EmbeddingClient(cfg.copy(mode = "query")).embed(Seq("q"))
@@ -221,6 +244,75 @@ class ProviderSpec extends SparkSpec {
       new EmbeddingClient(cfg.copy(taskType = "CODE_RETRIEVAL", mode = "query"))
         .embed(Seq("c"))
       assert(stub.lastBody.contains("\"task_type\":\"CODE_RETRIEVAL_QUERY\""))
+    } finally stub.stop()
+  }
+
+  test("ali dashscope dialect: nested input.texts, text_type, output.embeddings") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "ali", extra = Map("dim" -> "4"))
+      val embs = new EmbeddingClient(cfg).embed(Seq("ab", "cdef"))
+      assert(stub.lastBody.contains("\"input\":{\"texts\":[\"ab\",\"cdef\"]}"))
+      assert(stub.lastBody.contains("\"text_type\":\"document\""))
+      assert(stub.lastBody.contains("\"dimension\":4"))
+      assert(embs.map(_.head) == Seq(2f, 4f))
+      new EmbeddingClient(cfg.copy(mode = "query")).embed(Seq("q"))
+      assert(stub.lastBody.contains("\"text_type\":\"query\""))
+    } finally stub.stop()
+  }
+
+  test("siliconflow dialect: OpenAI-shaped with encoding_format/dimensions") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "siliconflow",
+        extra = Map("dim" -> "4"))
+      val embs = new EmbeddingClient(cfg).embed(Seq("abc"))
+      assert(stub.lastBody.contains("\"input\":[\"abc\"]"))
+      assert(stub.lastBody.contains("\"encoding_format\":\"float\""))
+      assert(stub.lastBody.contains("\"dimensions\":4"))
+      assert(embs.head.head == 3f)
+      assert(Providers.resolve("siliconflow",
+        Map("api_key" -> "k"), Map.empty, 4).maxBatch == 32)
+    } finally stub.stop()
+  }
+
+  test("huggingface dialect: pipeline url, bare inputs, nested-array response") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "huggingface")
+      val embs = new EmbeddingClient(cfg).embed(Seq("ab", "z"))
+      assert(stub.lastBody == """{"inputs":["ab","z"]}""")
+      assert(embs.map(_.head) == Seq(2f, 1f))
+      // default url is the router's feature-extraction pipeline path
+      val r = Providers.resolve("huggingface",
+        Map("model_name" -> "org/model-x", "api_key" -> "k"), Map.empty, 4)
+      assert(r.url == "https://router.huggingface.co/hf-inference/models/" +
+        "org/model-x/pipeline/feature-extraction")
+      // only the hf-inference provider is supported (buildPipelineURL)
+      intercept[IllegalArgumentException](Providers.resolve("huggingface",
+        Map("model_name" -> "m", "api_key" -> "k", "hf_provider" -> "other"),
+        Map.empty, 4))
+    } finally stub.stop()
+  }
+
+  test("yc dialect: modelUri, singleton text vs batch texts, Api-Key auth") {
+    val stub = new Stub(4)
+    try {
+      val cfg = cfgFor(stub, 4, provider = "yc")
+      // batch request carries "texts" and gets the plural response
+      val embs = new EmbeddingClient(cfg).embed(Seq("ab", "cdef"))
+      assert(stub.lastBody.contains("\"modelUri\":\"m1\""))
+      assert(stub.lastBody.contains("\"texts\":[\"ab\",\"cdef\"]"))
+      assert(stub.lastAuth == Map("Authorization" -> "Api-Key sk-test"))
+      assert(embs.map(_.head) == Seq(2f, 4f))
+      // a singleton chunk sends "text" and parses the singular response
+      val one = new EmbeddingClient(cfg).embed(Seq("abc"))
+      assert(stub.lastBody.contains("\"text\":\"abc\""))
+      assert(!stub.lastBody.contains("\"texts\""))
+      assert(one.head.head == 3f)
+      // model name is required (it IS the modelUri)
+      intercept[IllegalArgumentException](Providers.resolve("yc",
+        Map("api_key" -> "k"), Map.empty, 4))
     } finally stub.stop()
   }
 
