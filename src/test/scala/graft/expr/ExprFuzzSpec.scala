@@ -129,4 +129,58 @@ class ExprFuzzSpec extends SparkSpec {
         s"#$i mismatch (${viaCompiler.size} vs ${viaSql.size}):\n  expr: $eStr\n  sql:  $sql")
     }
   }
+
+  // ---- LIKE pattern fuzz vs an INDEPENDENT token-model matcher ----
+  // (the pattern_match.go escape model re-derived as a direct recursive
+  // interpreter here — it shares NO code with the compile's
+  // classification or with Catalyst's Like kernel)
+
+  test("200 random LIKE patterns match an independent token-model matcher") {
+    val lrnd = new scala.util.Random(20260815L)
+    val alphabet = "ab%_\\"
+    def randStr(maxLen: Int): String =
+      (0 until lrnd.nextInt(maxLen + 1))
+        .map(_ => alphabet(lrnd.nextInt(alphabet.length))).mkString
+    val values = (0 until 60).map(i => (i.toLong, randStr(6))) :+
+      ((60L, null: String))
+    val df = values.toDF("id", "s").cache()
+    def tokens(p: String): Option[List[(Char, Boolean)]] = {
+      var esc = false; val out = List.newBuilder[(Char, Boolean)]
+      p.foreach { c =>
+        if (esc) { out += ((c, false)); esc = false }
+        else if (c == '\\') esc = true
+        else out += ((c, c == '%' || c == '_'))
+      }
+      if (esc) None else Some(out.result())
+    }
+    def matches(ts: List[(Char, Boolean)], s: String): Boolean = ts match {
+      case Nil                  => s.isEmpty
+      case ('%', true) :: rest  =>
+        (0 to s.length).exists(k => matches(rest, s.substring(k)))
+      case ('_', true) :: rest  => s.nonEmpty && matches(rest, s.tail)
+      case (c, _) :: rest       => s.nonEmpty && s.head == c && matches(rest, s.tail)
+    }
+    var errors = 0
+    for (i <- 0 until 200) {
+      val pat = randStr(5)
+      // deliver through the full string-literal + LIKE pipeline: double
+      // every backslash for the lexer, so the LIKE layer sees `pat`
+      val eStr = s"""s like "${pat.replace("\\", "\\\\")}""""
+      tokens(pat) match {
+        case None =>
+          intercept[ExprCompiler.CompileError](
+            df.filter(ExprCompiler.compile(eStr, df)).count())
+          errors += 1
+        case Some(ts) =>
+          val got = df.filter(ExprCompiler.compile(eStr, df))
+            .select($"id").as[Long].collect().toSet
+          val want = values.collect {
+            case (id, s) if s != null && matches(ts, s) => id
+          }.toSet
+          assert(got == want,
+            s"#$i pattern [$pat]: engine=$got oracle=$want")
+      }
+    }
+    assert(errors > 0, "generator never produced a dangling escape")
+  }
 }
