@@ -302,7 +302,9 @@ object ExprCompiler {
       if (negated) !membership else membership
 
     case Like(target, pattern) =>
-      compileLike(compileCmpSide(target, Some(StringType), ctx), pattern)
+      val matched =
+        compileLike(compileCmpSide(target, Some(StringType), ctx), pattern)
+      stringKindGuarded(target, matched, ctx)
 
     case RegexMatch(target, pattern, negated) =>
       val t = compileCmpSide(target, Some(StringType), ctx)
@@ -310,7 +312,8 @@ object ExprCompiler {
         case StringLit(s) => t.rlike(s)
         case _            => regexp_like(t, compile(pattern, ctx))
       }
-      if (negated) !matched else matched
+      val guarded = stringKindGuarded(target, matched, ctx)
+      if (negated) !guarded else guarded
 
     case IsNull(target, negated) =>
       val t = compile(target, ctx)
@@ -385,6 +388,21 @@ object ExprCompiler {
 
     case c: Call => Calls.compileCall(c, ctx)
   }
+
+  /** LIKE / regex over a JSON path run the STRING kernel only
+    * (reference UnaryExpr.cpp: a kStringVal pattern dispatches
+    * ExecRangeVisitorImplJson<std::string>, and GetValueFromJson fails
+    * for non-string kinds): the number 1 at a path must NOT match
+    * `like "1%"` even though get_json_object extracts both as "1". A
+    * missing path / JSON null stays UNKNOWN under 3VL, a kind mismatch
+    * is definitely false — the same contract as typedJsonGuard.
+    * Non-JSON targets pass through untouched.
+    */
+  private def stringKindGuarded(target: Node, matched: Column,
+      ctx: Ctx): Column =
+    jsonKindOf(target, ctx).map(kind =>
+      when(kind.isNull || kind === "VOID", lit(null).cast(BooleanType))
+        .otherwise(kind === "STRING" && matched)).getOrElse(matched)
 
   /** One logical char of a LIKE pattern after escape processing:
     * `wildcard` is true only for an UNescaped `%` or `_`.

@@ -506,7 +506,17 @@ object MatrixQueries {
     MCase("json_arr_len", """array_length(j["p"]) == 1""",
       "json_type(j, '$.p') = 'ARRAY' AND json_array_length(j, '$.p') = 1"),
     MCase("exists_p", """exists j["p"]""",
-      "json_extract_string(j, '$.p') IS NOT NULL"))
+      "json_extract_string(j, '$.p') IS NOT NULL"),
+    // LIKE / regex over a JSON path run the STRING kernel only
+    // (UnaryExpr.cpp kStringVal dispatch): the NUMBER 1x at m6=0/1 must
+    // NOT match like "1%" even though it extracts as the same text the
+    // string "1x" does at m6=2
+    MCase("str_like_kind", """j["p"] like "1%"""",
+      str("$.p", "LIKE '1%'")),
+    MCase("str_like_kind_not", """not (j["p"] like "1%")""",
+      s"NOT (${str("$.p", "LIKE '1%'")})"),
+    MCase("str_regex_kind", """j["p"] =~ "^1.*"""",
+      str("$.p", "SIMILAR TO '1.*'")))
 
   def jsonKindMatrix(s: SparkSession, dir: String): DataFrame =
     battery(s, jsonKindDf(s, dir), JsonKindCases, jsonCols = Set("j"))

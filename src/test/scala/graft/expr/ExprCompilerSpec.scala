@@ -53,6 +53,13 @@ class ExprCompilerSpec extends SparkSpec {
     def ids(expr: String): Set[Long] =
       rows.filter(ExprCompiler.compile(expr, rows, jsonColumns = Set("js")))
         .select("id").as[Long].collect().toSet
+    // LIKE/regex over a JSON path hit the STRING kernel only: the
+    // number 1 and float 1.0 extract as "1"/"1.0" but must not match
+    assert(ids("""js["p"] like "1%"""") == Set(1L))
+    assert(ids("""js["p"] =~ "^1.*"""") == Set(1L))
+    // kind mismatch is definitely-false: its negation INCLUDES the
+    // numbers, while missing/json-null paths stay excluded (3VL)
+    assert(ids("""not (js["p"] like "1%")""") == Set(0L, 2L, 3L, 4L))
     // int literal matches the number bucket only (int and float share it)
     assert(ids("""js["p"] == 1""") == Set(0L, 3L))
     // string literal matches strings only — NOT the number 1
