@@ -200,9 +200,12 @@ final class Collection private (
       val known =
         exprSchema.fieldNames.toSet + schema.pkField -- schema.metaField
       val unknown = fs.diff(known)
+      val hint =
+        if (unknown.exists(schema.metaField.contains))
+          " (dynamic fields cannot be listed — use skip_load_dynamic_field)"
+        else ""
       require(unknown.isEmpty,
-        s"load field list names unknown field(s): ${unknown.mkString(", ")} " +
-          "(dynamic fields cannot be listed — use skip_load_dynamic_field)")
+        s"load field list names unknown field(s): ${unknown.mkString(", ")}$hint")
       require(fs.contains(schema.pkField),
         s"load field list does not contain primary key field ${schema.pkField}")
       if (schema.vectorFields.nonEmpty)

@@ -471,8 +471,16 @@ object ExprCompiler {
         case LikeToken(c @ ('%' | '_' | '\\'), _) => s"\\$c"
         case LikeToken(c, _)                     => c.toString
       }.mkString
-      ColumnBridge.column(CatalystLike(
+      val generic = ColumnBridge.column(CatalystLike(
         ColumnBridge.expression(t), Literal(canonical), '\\'))
+      // the generic Like pushes NO source filter; a fixed literal prefix
+      // (chars before the first wildcard — the reference's
+      // extract_fixed_prefix_from_pattern, RegexQuery.cpp:69-95) is
+      // implied by the pattern, so conjoin a StartsWith the parquet scan
+      // CAN push — `user_%` keeps row-group min/max pruning on "user"
+      val fixedPrefix = tokens.takeWhile(!_.wildcard).map(_.c).mkString
+      if (fixedPrefix.nonEmpty) t.startsWith(fixedPrefix) && generic
+      else generic
     }
   }
 

@@ -100,7 +100,9 @@ object Providers {
       case "cohere"   => ("https://api.cohere.com/v2/embed", 96, "COHERE_API_KEY")
       case "tei"      => ("", 32, "TEI_API_KEY") // self-hosted: url is required
       case "gemini" =>
-        // gemini_embedding_provider.go:92 — per-model batch endpoint
+        // gemini_embedding_provider.go:82,92 — model name required (it
+        // names the batch endpoint's path)
+        require(modelName.nonEmpty, "gemini embedding model name is required")
         (s"https://generativelanguage.googleapis.com/v1beta/models/" +
           s"$modelName:batchEmbedContents", 32, "GEMINI_API_KEY")
       case "vertexai" =>
@@ -126,6 +128,8 @@ object Providers {
       case "huggingface" =>
         // huggingface_client.go buildPipelineURL: router + hf_provider
         // (only hf-inference is supported) + model + pipeline task
+        require(modelName.nonEmpty,
+          "huggingface embedding model name is required") // :101
         val hfp = params.getOrElse("hf_provider", "hf-inference")
         require(hfp == "hf-inference",
           "Hugging Face hf_provider only supports hf-inference")

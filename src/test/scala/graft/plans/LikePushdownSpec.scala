@@ -40,4 +40,14 @@ class LikePushdownSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters:[^\\]]*EqualTo\\(s,name%42.*"),
       s"escaped-literal LIKE not pushed as EqualTo:\n$plan")
   }
+
+  test("generic wildcard LIKE still pushes its fixed literal prefix") {
+    // '_' forces the generic Like kernel, but the chars before the
+    // first wildcard are implied — the conjoined StartsWith must reach
+    // the scan so row groups keep pruning (extract_fixed_prefix_from_
+    // pattern's job in the reference)
+    val plan = plannedWith("""s like "user_1%"""")
+    assert(plan.matches("(?s).*PushedFilters:[^\\]]*StringStartsWith\\(s,user\\).*"),
+      s"fixed prefix of a wildcard LIKE not pushed:\n$plan")
+  }
 }
