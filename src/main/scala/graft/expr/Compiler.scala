@@ -309,8 +309,12 @@ object ExprCompiler {
     case RegexMatch(target, pattern, negated) =>
       val t = compileCmpSide(target, Some(StringType), ctx)
       val matched = pattern match {
-        case StringLit(s) => t.rlike(s)
-        case _            => regexp_like(t, compile(pattern, ctx))
+        case StringLit(s) => t.rlike(re2ToJava(s))
+        case _ =>
+          // dynamic pattern: the dot-nl default still applies; the
+          // dialect shims below need the literal text, so they are
+          // literal-only (the reference's patterns are always literals)
+          regexp_like(t, concat(lit("(?s)"), compile(pattern, ctx)))
       }
       val guarded = stringKindGuarded(target, matched, ctx)
       if (negated) !guarded else guarded
@@ -387,6 +391,31 @@ object ExprCompiler {
     case ArrayLit(items) => array(items.map(compile(_, ctx)): _*)
 
     case c: Call => Calls.compileCall(c, ctx)
+  }
+
+  /** RE2 → Java regex dialect shims. The reference's `=~` kernel is RE2
+    * with dot_nl=true (test_milvus_client_regex_filter.py:409-424:
+    * `c.d` matches across a newline unless the pattern carries an
+    * inline `(?-s)`), bare Unicode SCRIPT classes (`\p{Han}`; Java
+    * spells them `\p{IsHan}`), and `(?P<name>...)` named groups (the
+    * RE2-20230301 spelling; Java only knows `(?<name>...)`). Substring
+    * (find) semantics are shared by RE2 PartialMatch and Spark's RLike,
+    * so only these three dialect points need translation. Residual
+    * difference: Java backtracks where RE2 runs linear-time, so a
+    * pathological nested quantifier is slower here — run time, never
+    * membership.
+    */
+  private[graft] def re2ToJava(pattern: String): String = {
+    val script = """\\([pP])\{(\w+)\}""".r
+    val shimmed = script.replaceAllIn(pattern, m => {
+      val name = m.group(2)
+      val isScript =
+        try { Character.UnicodeScript.forName(name); true }
+        catch { case _: Exception => false } // category/POSIX names pass through
+      java.util.regex.Matcher.quoteReplacement(
+        if (isScript) s"\\${m.group(1)}{Is$name}" else m.matched)
+    }).replace("(?P<", "(?<")
+    "(?s)" + shimmed
   }
 
   /** LIKE / regex over a JSON path run the STRING kernel only

@@ -53,6 +53,17 @@ object Parser {
     def expectEof(): Unit =
       if (cur != TEof) throw ParseError(s"trailing input at token $cur")
 
+    /** A regex operand: string literals take the TOLERANT extraction
+      * (reference extractRegexPattern — `\d`/`\.`/`\p{...}` pass
+      * through un-mangled, unlike the strict plain-string rules);
+      * anything else (template vars, parenthesized exprs) parses
+      * normally.
+      */
+    private def regexOperand(): Node = cur match {
+      case t: Lexer.TString => advance(); StringLit(t.regexValue)
+      case _                => parseExpr(TERM + 1)
+    }
+
     def parseExpr(minBp: Int): Node = {
       var left = parsePrefix()
       var continue = true
@@ -86,9 +97,9 @@ object Parser {
               case other         => throw ParseError(s"LIKE requires string pattern, got $other")
             }
           case TOp("=~") if TERM >= minBp =>
-            advance(); left = RegexMatch(left, parseExpr(TERM + 1), negated = false)
+            advance(); left = RegexMatch(left, regexOperand(), negated = false)
           case TOp("!~") if TERM >= minBp =>
-            advance(); left = RegexMatch(left, parseExpr(TERM + 1), negated = true)
+            advance(); left = RegexMatch(left, regexOperand(), negated = true)
 
           case TOp("<") | TOp("<=") if REL >= minBp =>
             val op1 = advance().asInstanceOf[TOp].text

@@ -936,6 +936,91 @@ object MatrixQueries {
       "empty_control" -> Set.empty[Long])
   }
 
+  // =================================================================
+  // Battery 7 — regex dialect conformance (RE2 semantics)
+  // reference test_milvus_client_regex_filter.py: the `=~` kernel is
+  // RE2 with dot_nl=true (`c.d` spans a newline unless inline (?-s)),
+  // substring (PartialMatch) semantics, bare script classes \p{Han},
+  // (?i) inline flags, empty-pattern-matches-all, and the tolerant
+  // regex-operand string extraction (`\.`/`\p` pass through where a
+  // plain string literal would reject them). DuckDB's regexp_matches
+  // IS RE2, so the oracle runs the same engine family natively (option
+  // 's' supplies the dot_nl default the engine bakes in).
+  // =================================================================
+
+  /** The reference's regex fixture verbatim (rows :38-167): newline and
+    * tab payloads, CJK, emoji, empty string, a NULL email, a
+    * case-different GMAIL.
+    */
+  private[graft] val RegexRows: Seq[(Long, String, String)] = Seq(
+    (1L, "ERROR E1001: connection timeout", "alice@gmail.com"),
+    (2L, "WARN W2002: retry later", "bob@example.com"),
+    (3L, "DEBUG cache hit", "carol@GMAIL.com"),
+    (4L, "中文日志 error code 555-1234", null),
+    (5L, "multi\nline c\nd pattern", "dave@gmail.com"),
+    (6L, "", "empty@gmail.com"),
+    (7L, "status OK ✅ deploy success 🚀", "emo@dev.io"),
+    (8L, "line1\ttabbed", "a@test.com"),
+    (9L, "line1\nline2", "b@test.com"))
+
+  private[graft] def regexDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RegexRows.toDF("id", "txt", "email")
+  }
+
+  private val regexSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'ERROR E1001: connection timeout', 'alice@gmail.com'),
+      |  (2, 'WARN W2002: retry later', 'bob@example.com'),
+      |  (3, 'DEBUG cache hit', 'carol@GMAIL.com'),
+      |  (4, '中文日志 error code 555-1234', NULL),
+      |  (5, 'multi' || chr(10) || 'line c' || chr(10) || 'd pattern', 'dave@gmail.com'),
+      |  (6, '', 'empty@gmail.com'),
+      |  (7, 'status OK ✅ deploy success 🚀', 'emo@dev.io'),
+      |  (8, 'line1' || chr(9) || 'tabbed', 'a@test.com'),
+      |  (9, 'line1' || chr(10) || 'line2', 'b@test.com')
+      |) AS t(id, txt, email)""".stripMargin
+
+  private def re2(col: String, pat: String): String =
+    s"regexp_matches($col, '$pat', 's')"
+
+  private[graft] val RegexCases: Seq[MCase] = Seq(
+    // substring (PartialMatch) semantics + anchors
+    MCase("substr", """txt =~ "timeout"""", re2("txt", "timeout")),
+    MCase("anchor_start", """txt =~ "^ERROR"""", re2("txt", "^ERROR")),
+    MCase("anchor_end", """txt =~ "hit$"""", re2("txt", "hit$")),
+    MCase("full_anchor", """txt =~ "^DEBUG cache hit$"""",
+      re2("txt", "^DEBUG cache hit$")),
+    // classes/quantifiers; the escaped dot survives the regex-operand
+    // extraction (extractRegexPattern) un-halved
+    MCase("classes", """txt =~ "E[0-9]{4}:"""", re2("txt", "E[0-9]{4}:")),
+    MCase("quant", """txt =~ "[0-9]{3}-[0-9]{4}"""",
+      re2("txt", "[0-9]{3}-[0-9]{4}")),
+    MCase("ci_flag", """email =~ "(?i)gmail\.com$"""",
+      re2("email", raw"(?i)gmail\.com$$")),
+    // dot_nl=true by default; inline (?-s) disables it
+    MCase("dot_nl_default", """txt =~ "c.d"""", re2("txt", "c.d")),
+    MCase("dot_nl_off", """txt =~ "(?-s)c.d"""", re2("txt", "(?-s)c.d")),
+    // RE2 script class + emoji literal + control chars in data
+    MCase("unicode_han", """txt =~ "\p{Han}+"""", re2("txt", raw"\p{Han}+")),
+    MCase("emoji", """txt =~ "✅"""", re2("txt", "✅")),
+    MCase("tab_escape", """txt =~ "\t"""", re2("txt", raw"\t")),
+    MCase("nl_escape", """txt =~ "\n"""", re2("txt", raw"\n")),
+    // RE2-20230301 named groups ((?P<name>...), not Java's (?<name>...))
+    MCase("named_group", """txt =~ "(?P<level>ERROR|WARN)"""",
+      re2("txt", "(?P<level>ERROR|WARN)")),
+    // empty pattern matches every non-NULL value; 3VL on NULL email
+    MCase("empty_pattern", """txt =~ """"", re2("txt", "")),
+    MCase("null_value", """email =~ "gmail"""", re2("email", "gmail")),
+    MCase("negated", """txt !~ "^DEBUG"""", s"NOT ${re2("txt", "^DEBUG")}"),
+    MCase("raw_string_class", """txt =~ r"E\d{4}"""", re2("txt", raw"E\d{4}")))
+
+  def regexMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, regexDf(s), RegexCases)
+
+  private[graft] val regexMatrixOracle: String =
+    oracleFor(RegexCases, regexSql)
+
   /** cnt + id_sum per case: identical counts with different members
     * still break the row.
     */
@@ -970,6 +1055,7 @@ object MatrixQueries {
     "q_json_kind_matrix" -> (jsonKindMatrix _),
     "q_like_matrix" -> (likeMatrix _),
     "q_regression_matrix" -> (regressionMatrix _),
+    "q_regex_matrix" -> (regexMatrix _),
     "q_index_consistency" -> (indexConsistency _))
 
   val oracles: Map[String, String] = Map(
@@ -979,5 +1065,6 @@ object MatrixQueries {
     "q_json_kind_matrix" -> jsonKindMatrixOracle,
     "q_like_matrix" -> likeMatrixOracle,
     "q_regression_matrix" -> regressionMatrixOracle,
+    "q_regex_matrix" -> regexMatrixOracle,
     "q_index_consistency" -> indexConsistencyOracle)
 }

@@ -61,6 +61,11 @@ class MatrixFacadeSpec extends SparkSpec {
       MatrixQueries.regressionDf(spark), Set("meta"))
   }
 
+  test("regex matrix answers identically through the facade") {
+    runBattery("regex", MatrixQueries.RegexCases,
+      MatrixQueries.regexDf(spark), Set.empty)
+  }
+
   test("undeclared json field diverges from declared (kind buckets are schema-driven)") {
     // Guard the jsonFields declaration itself: without it a StringType
     // field's paths extract untyped — the string "14" would compare
