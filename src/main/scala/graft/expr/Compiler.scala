@@ -302,21 +302,19 @@ object ExprCompiler {
       if (negated) !membership else membership
 
     case Like(target, pattern) =>
-      val matched =
-        compileLike(compileCmpSide(target, Some(StringType), ctx), pattern)
-      stringKindGuarded(target, matched, ctx)
+      stringKindGuarded(target, ctx)(t => compileLike(t, pattern))
 
     case RegexMatch(target, pattern, negated) =>
-      val t = compileCmpSide(target, Some(StringType), ctx)
-      val matched = pattern match {
-        case StringLit(s) => t.rlike(re2ToJava(s))
-        case _ =>
-          // dynamic pattern: the dot-nl default still applies; the
-          // dialect shims below need the literal text, so they are
-          // literal-only (the reference's patterns are always literals)
-          regexp_like(t, concat(lit("(?s)"), compile(pattern, ctx)))
+      val guarded = stringKindGuarded(target, ctx) { t =>
+        pattern match {
+          case StringLit(s) => t.rlike(re2ToJava(s))
+          case _ =>
+            // dynamic pattern: the dot-nl default still applies; the
+            // dialect shims need the literal text, so they are
+            // literal-only (the reference's patterns are always literals)
+            regexp_like(t, concat(lit("(?s)"), compile(pattern, ctx)))
+        }
       }
-      val guarded = stringKindGuarded(target, matched, ctx)
       if (negated) !guarded else guarded
 
     case IsNull(target, negated) =>
@@ -427,11 +425,28 @@ object ExprCompiler {
     * is definitely false — the same contract as typedJsonGuard.
     * Non-JSON targets pass through untouched.
     */
-  private def stringKindGuarded(target: Node, matched: Column,
-      ctx: Ctx): Column =
-    jsonKindOf(target, ctx).map(kind =>
+  private def stringKindGuarded(target: Node, ctx: Ctx)
+      (mk: Column => Column): Column = target match {
+    // a bare ARRAY field never pattern-matches implicitly — the
+    // reference rejects it at plan time (test_milvus_client_regex_filter
+    // .py:690-707); element access (`tags[0] =~ ...`) stays fine
+    case Ident(name) if ctx.fieldType(name).exists(_.isInstanceOf[ArrayType]) =>
+      throw CompileError("can not comparisons array fields directly")
+    // the ROOT of a declared JSON column gets the same per-row kind
+    // gate as a path: an object/number document never matches, a
+    // string-typed document matches on its UNQUOTED value, and the
+    // design is NO error — other rows may hold a matching kind
+    // (:710-726)
+    case Ident(name) if ctx.isJson(name) && ctx.fieldType(name).isDefined =>
+      val kind = schema_of_variant(try_parse_json(col(name)))
       when(kind.isNull || kind === "VOID", lit(null).cast(BooleanType))
-        .otherwise(kind === "STRING" && matched)).getOrElse(matched)
+        .otherwise(kind === "STRING" && mk(get_json_object(col(name), "$")))
+    case _ =>
+      val matched = mk(compileCmpSide(target, Some(StringType), ctx))
+      jsonKindOf(target, ctx).map(kind =>
+        when(kind.isNull || kind === "VOID", lit(null).cast(BooleanType))
+          .otherwise(kind === "STRING" && matched)).getOrElse(matched)
+  }
 
   /** One logical char of a LIKE pattern after escape processing:
     * `wildcard` is true only for an UNescaped `%` or `_`.

@@ -952,34 +952,46 @@ object MatrixQueries {
     * tab payloads, CJK, emoji, empty string, a NULL email, a
     * case-different GMAIL.
     */
-  private[graft] val RegexRows: Seq[(Long, String, String)] = Seq(
-    (1L, "ERROR E1001: connection timeout", "alice@gmail.com"),
-    (2L, "WARN W2002: retry later", "bob@example.com"),
-    (3L, "DEBUG cache hit", "carol@GMAIL.com"),
-    (4L, "中文日志 error code 555-1234", null),
-    (5L, "multi\nline c\nd pattern", "dave@gmail.com"),
-    (6L, "", "empty@gmail.com"),
-    (7L, "status OK ✅ deploy success 🚀", "emo@dev.io"),
-    (8L, "line1\ttabbed", "a@test.com"),
-    (9L, "line1\nline2", "b@test.com"))
+  private[graft] val RegexRows: Seq[(Long, String, String, Seq[String], String)] = Seq(
+    (1L, "ERROR E1001: connection timeout", "alice@gmail.com",
+      Seq("release-v1", "prod"), """{"level": "ERROR"}"""),
+    (2L, "WARN W2002: retry later", "bob@example.com",
+      Seq("release-v2", "staging"), """{"level": "WARN"}"""),
+    (3L, "DEBUG cache hit", "carol@GMAIL.com",
+      Seq("debug", "dev"), """{"level": "DEBUG"}"""),
+    (4L, "中文日志 error code 555-1234", null,
+      Seq("cn", "release-alpha"), """{"level": "INFO"}"""),
+    (5L, "multi\nline c\nd pattern", "dave@gmail.com",
+      Seq("release-v1-hotfix", "prod"), """{"level": "ERROR"}"""),
+    (6L, "", "empty@gmail.com", Seq("", "empty"), """{"level": ""}"""),
+    (7L, "status OK ✅ deploy success 🚀", "emo@dev.io",
+      Seq("emoji", "dev"), """{"level": "INFO"}"""),
+    (8L, "line1\ttabbed", "a@test.com", Seq.empty, "{}"),
+    (9L, "line1\nline2", "b@test.com", Seq.empty, "{}"))
 
   private[graft] def regexDf(s: SparkSession): DataFrame = {
     import s.implicits._
-    RegexRows.toDF("id", "txt", "email")
+    RegexRows.toDF("id", "txt", "email", "tags", "meta")
   }
 
   private val regexSql: String =
     """SELECT * FROM (VALUES
-      |  (1, 'ERROR E1001: connection timeout', 'alice@gmail.com'),
-      |  (2, 'WARN W2002: retry later', 'bob@example.com'),
-      |  (3, 'DEBUG cache hit', 'carol@GMAIL.com'),
-      |  (4, '中文日志 error code 555-1234', NULL),
-      |  (5, 'multi' || chr(10) || 'line c' || chr(10) || 'd pattern', 'dave@gmail.com'),
-      |  (6, '', 'empty@gmail.com'),
-      |  (7, 'status OK ✅ deploy success 🚀', 'emo@dev.io'),
-      |  (8, 'line1' || chr(9) || 'tabbed', 'a@test.com'),
-      |  (9, 'line1' || chr(10) || 'line2', 'b@test.com')
-      |) AS t(id, txt, email)""".stripMargin
+      |  (1, 'ERROR E1001: connection timeout', 'alice@gmail.com',
+      |    ['release-v1', 'prod'], '{"level": "ERROR"}'),
+      |  (2, 'WARN W2002: retry later', 'bob@example.com',
+      |    ['release-v2', 'staging'], '{"level": "WARN"}'),
+      |  (3, 'DEBUG cache hit', 'carol@GMAIL.com',
+      |    ['debug', 'dev'], '{"level": "DEBUG"}'),
+      |  (4, '中文日志 error code 555-1234', NULL,
+      |    ['cn', 'release-alpha'], '{"level": "INFO"}'),
+      |  (5, 'multi' || chr(10) || 'line c' || chr(10) || 'd pattern', 'dave@gmail.com',
+      |    ['release-v1-hotfix', 'prod'], '{"level": "ERROR"}'),
+      |  (6, '', 'empty@gmail.com', ['', 'empty'], '{"level": ""}'),
+      |  (7, 'status OK ✅ deploy success 🚀', 'emo@dev.io',
+      |    ['emoji', 'dev'], '{"level": "INFO"}'),
+      |  (8, 'line1' || chr(9) || 'tabbed', 'a@test.com', CAST([] AS VARCHAR[]), '{}'),
+      |  (9, 'line1' || chr(10) || 'line2', 'b@test.com', CAST([] AS VARCHAR[]), '{}')
+      |) AS t(id, txt, email, tags, meta)""".stripMargin
 
   private def re2(col: String, pat: String): String =
     s"regexp_matches($col, '$pat', 's')"
@@ -1013,10 +1025,27 @@ object MatrixQueries {
     MCase("empty_pattern", """txt =~ """"", re2("txt", "")),
     MCase("null_value", """email =~ "gmail"""", re2("email", "gmail")),
     MCase("negated", """txt !~ "^DEBUG"""", s"NOT ${re2("txt", "^DEBUG")}"),
-    MCase("raw_string_class", """txt =~ r"E\d{4}"""", re2("txt", raw"E\d{4}")))
+    MCase("raw_string_class", """txt =~ r"E\d{4}"""", re2("txt", raw"E\d{4}")),
+    // NULL composes with !~ under 3VL; `or is null` re-admits the row
+    MCase("neg_or_isnull", """email !~ "gmail" or email is null""",
+      s"(NOT ${re2("email", "gmail")}) OR email IS NULL"),
+    // array ELEMENT access regexes fine; an out-of-range index is a
+    // quiet empty result, never an error (:679-688)
+    MCase("arr_elem", """tags[0] =~ "^release-v[0-9]+"""",
+      re2("tags[1]", "^release-v[0-9]+")),
+    MCase("arr_elem_empty", """tags[0] =~ "^$"""", re2("tags[1]", "^$")),
+    MCase("arr_oob", """tags[10] =~ ".*"""", re2("tags[11]", ".*")),
+    // a JSON ROOT object never matches (per-row kind gate, no error —
+    // :710-726); the path under it does
+    MCase("json_root", """meta =~ "ERROR"""",
+      "json_type(CAST(meta AS JSON)) = 'VARCHAR' AND " +
+        re2("json_extract_string(meta, '$')", "ERROR")),
+    MCase("json_path_regex", """meta["level"] =~ "ERROR"""",
+      "json_type(CAST(meta AS JSON), '$.level') = 'VARCHAR' AND " +
+        re2("json_extract_string(meta, '$.level')", "ERROR")))
 
   def regexMatrix(s: SparkSession, dir: String): DataFrame =
-    battery(s, regexDf(s), RegexCases)
+    battery(s, regexDf(s), RegexCases, jsonCols = Set("meta"))
 
   private[graft] val regexMatrixOracle: String =
     oracleFor(RegexCases, regexSql)

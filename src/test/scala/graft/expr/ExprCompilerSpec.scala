@@ -155,6 +155,16 @@ class ExprCompilerSpec extends SparkSpec {
     check("""s like '%\\_x'""", $"s".endsWith("_x"))
     check("s =~ 'name_[0-9]_x'", $"s".rlike("name_[0-9]_x"))
     check("s !~ 'name_[0-9]_x'", !$"s".rlike("name_[0-9]_x"))
+    // a bare ARRAY field never pattern-matches implicitly (plan-time
+    // rejection, test_milvus_client_regex_filter.py:690-707)
+    val e = intercept[ExprCompiler.CompileError](
+      ExprCompiler.compile("""sarr =~ "common"""", df))
+    assert(e.getMessage.contains("array fields directly"))
+    intercept[ExprCompiler.CompileError](
+      ExprCompiler.compile("""sarr like "common%"""", df))
+    // ...but element access is fine, and OOB indexes quietly miss
+    check("""sarr[1] =~ "^common$"""", lit(true))
+    check("""sarr[9] =~ ".*"""", lit(false))
   }
 
   test("LIKE wildcard/escape model matches pattern_match.go") {
