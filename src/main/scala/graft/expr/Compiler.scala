@@ -307,7 +307,12 @@ object ExprCompiler {
     case RegexMatch(target, pattern, negated) =>
       val guarded = stringKindGuarded(target, ctx) { t =>
         pattern match {
-          case StringLit(s) => t.rlike(re2ToJava(s))
+          case StringLit(s) => regexToLike(s) match {
+            case Some(("eq", l))      => t === lit(l)
+            case Some(("prefix", l))  => t.startsWith(l)
+            case Some(("postfix", l)) => t.endsWith(l)
+            case _                    => t.rlike(re2ToJava(s))
+          }
           case _ =>
             // dynamic pattern: the dot-nl default still applies; the
             // dialect shims need the literal text, so they are
@@ -389,6 +394,48 @@ object ExprCompiler {
     case ArrayLit(items) => array(items.map(compile(_, ctx)): _*)
 
     case c: Call => Calls.compileCall(c, ctx)
+  }
+
+  /** Anchored PURE-LITERAL regexes lower to Equal/Prefix/Postfix
+    * (reference tryOptimizeRegexToLike, parser_visitor.go:714-790) —
+    * pushable codegen'd operators instead of the regex kernel, and
+    * exactly RE2's strict `$` (end-of-text; Java's find would also
+    * accept a trailing newline). Escaped metacharacters count as
+    * literal; shorthand classes (`\d`, `\w`, …) and any unescaped
+    * metacharacter keep the regex path; unanchored literals stay regex
+    * too (the reference keeps RE2's literal PartialMatch there).
+    */
+  private[graft] def regexToLike(pattern: String): Option[(String, String)] = {
+    if (pattern.isEmpty) return None
+    var inner = pattern
+    var hasStart = false
+    var hasEnd = false
+    if (inner.startsWith("^")) { hasStart = true; inner = inner.drop(1) }
+    if (inner.endsWith("$") &&
+        (inner.length < 2 || inner.charAt(inner.length - 2) != '\\')) {
+      hasEnd = true; inner = inner.dropRight(1)
+    }
+    val metas = ".+*?{}()|[]^$"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (c == '\\' && i + 1 < inner.length) {
+        val next = inner.charAt(i + 1)
+        if (metas.indexOf(next.toInt) >= 0 || next == '\\') { sb += next; i += 2 }
+        else return None // \d, \w, \s, … — not purely literal
+      } else if (metas.indexOf(c.toInt) >= 0) return None
+      else { sb += c; i += 1 }
+    }
+    val l = sb.toString
+    if (l.isEmpty) {
+      if (hasStart && hasEnd) Some(("eq", "")) else None
+    } else (hasStart, hasEnd) match {
+      case (true, true)  => Some(("eq", l))
+      case (true, false) => Some(("prefix", l))
+      case (false, true) => Some(("postfix", l))
+      case _             => None
+    }
   }
 
   /** RE2 → Java regex dialect shims. The reference's `=~` kernel is RE2

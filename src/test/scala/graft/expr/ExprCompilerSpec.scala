@@ -165,6 +165,19 @@ class ExprCompilerSpec extends SparkSpec {
     // ...but element access is fine, and OOB indexes quietly miss
     check("""sarr[1] =~ "^common$"""", lit(true))
     check("""sarr[9] =~ ".*"""", lit(false))
+    // anchored pure-literal regex lowers to Equal/Prefix/Postfix
+    // (tryOptimizeRegexToLike); escaped metas count as literal,
+    // shorthand classes and unanchored literals stay regex
+    assert(ExprCompiler.regexToLike("^abc$") == Some(("eq", "abc")))
+    assert(ExprCompiler.regexToLike("^abc") == Some(("prefix", "abc")))
+    assert(ExprCompiler.regexToLike("abc$") == Some(("postfix", "abc")))
+    assert(ExprCompiler.regexToLike("""^a\.b$""") == Some(("eq", "a.b")))
+    assert(ExprCompiler.regexToLike("^$") == Some(("eq", "")))
+    assert(ExprCompiler.regexToLike("abc").isEmpty)      // unanchored
+    assert(ExprCompiler.regexToLike("""^a\d$""").isEmpty) // shorthand class
+    // an escaped trailing $ is a LITERAL char, not an end anchor
+    assert(ExprCompiler.regexToLike("""^ab\$""") == Some(("prefix", "ab$")))
+    assert(ExprCompiler.regexToLike("^a.c$").isEmpty)    // unescaped meta
   }
 
   test("LIKE wildcard/escape model matches pattern_match.go") {

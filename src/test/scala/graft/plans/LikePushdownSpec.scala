@@ -41,6 +41,12 @@ class LikePushdownSpec extends SparkSpec {
       s"escaped-literal LIKE not pushed as EqualTo:\n$plan")
   }
 
+  test("anchored literal regex lowers to pushed StartsWith (regexToLike)") {
+    val plan = plannedWith("""s =~ "^user"""")
+    assert(plan.matches("(?s).*PushedFilters:[^\\]]*StringStartsWith\\(s,user\\).*"),
+      s"anchored-literal regex not pushed as StartsWith:\n$plan")
+  }
+
   test("generic wildcard LIKE still pushes its fixed literal prefix") {
     // '_' forces the generic Like kernel, but the chars before the
     // first wildcard are implied — the conjoined StartsWith must reach
