@@ -1441,6 +1441,7 @@ final class Collection private (
     props.foreach { case (k, v) =>
       if (k == "warmup" || k.startsWith("warmup."))
         Collection.requireWarmup(v, k)
+      if (k == "timezone") Collection.requireTimezone(v)
     }
     collectionProperties ++= props
     invalidateFilterCache() // a ttl property change alters visibility
@@ -2003,11 +2004,19 @@ final class Collection private (
     else scala.util.Try(graft.operators.PkPruning.domainOf(
       graft.expr.Parser.parse(filterExpr), schema.pkField)).toOption.flatten
 
+  /** Naive timestamptz literals parse in the collection's `timezone`
+    * property, falling back to the owning database's, then UTC
+    * (reference TimezoneKey precedence, proxy/task.go:614).
+    */
+  private[graft] def resolvedTimezone: String =
+    collectionProperties.getOrElse("timezone",
+      Collection.databaseTimezoneOf(this).getOrElse("UTC"))
+
   private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
     ExprCompiler.compile(filterExpr,
       ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
         metaColumn = schema.metaField, params = params,
-        strictColumns = true))
+        strictColumns = true, timezone = resolvedTimezone))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.
@@ -2872,8 +2881,25 @@ object Collection {
           s"$k must be a non-negative integer, got '$v'")
       if (k == "database.force.deny.writing" || k == "database.force.deny.reading")
         require(v == "true" || v == "false", s"$k must be true|false, got '$v'")
+      if (k == "timezone") requireTimezone(v)
     }
     databaseProps.merge(db, props, (old, add) => old ++ add)
+  }
+
+  private[graft] def requireTimezone(v: String): Unit =
+    require(scala.util.Try(java.time.ZoneId.of(v)).isSuccess,
+      s"invalid timezone string '$v'")
+
+  /** The database-level `timezone` property of the database holding
+    * `c`, if any (the collection property overrides it; reference:
+    * TimezoneKey resolution proxy/task.go:614).
+    */
+  private[graft] def databaseTimezoneOf(c: Collection): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    databases.asScala.collectFirst {
+      case (db, colls) if colls.values().asScala.exists(_ eq c) =>
+        databaseProps.getOrDefault(db, Map.empty).get("timezone")
+    }.flatten
   }
 
   def describeDatabase(db: String): Map[String, String] = {

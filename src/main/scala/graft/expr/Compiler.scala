@@ -40,6 +40,12 @@ object ExprCompiler {
         * otherwise silently read the masked physical column.
         */
       strictColumns: Boolean = false,
+      /** IANA timezone for NAIVE timestamptz literals (reference: the
+        * `timezone` collection/database property, pkg/util/timestamptz
+        * ParseTimeTz — TZ-aware strings keep their offset, naive ones
+        * are interpreted here; default UTC).
+        */
+      timezone: String = "UTC",
       /** Set while compiling the operands of an integral arithmetic
         * tree that cannot be proven to fit DECIMAL(38,0): the whole
         * tree must then evaluate in plain int64 (wrap on overflow, the
@@ -351,10 +357,7 @@ object ExprCompiler {
       // business-time columns stay timestamp-typed. Dispatch on the
       // column's actual type.
       if (ctx.fieldType(field).contains(LongType)) {
-        val litNs = java.time.LocalDateTime
-          .parse(iso.stripSuffix("Z"))
-          .toInstant(java.time.ZoneOffset.UTC)
-          .toEpochMilli * 1000000L
+        val litNs = parseTsMicros(iso, ctx.timezone) * 1000L
         if (months == 0) {
           // fixed-duration interval: fold the shift into the literal so
           // the predicate stays `ts <op> constant` — a plain range
@@ -383,13 +386,13 @@ object ExprCompiler {
           if (months == 0 && days == 0 && micros == 0L) base
           else base + expr(
             s"make_interval(0, $months, 0, $days, 0, 0, ${micros / 1000000.0})")
-        val tsLit = to_timestamp(lit(iso.replace("T", " ").stripSuffix("Z")))
+        val tsLit = timestamp_micros(lit(parseTsMicros(iso, ctx.timezone)))
         val (l, r) = if (reversed) (tsLit, shifted) else (shifted, tsLit)
         cmp(l, r)
       }
 
     case IsoLit(v) =>
-      to_timestamp(lit(v.replace("T", " ").stripSuffix("Z")))
+      timestamp_micros(lit(parseTsMicros(v, ctx.timezone)))
 
     case ArrayLit(items) => array(items.map(compile(_, ctx)): _*)
 
@@ -573,6 +576,42 @@ object ExprCompiler {
       if (fixedPrefix.nonEmpty) t.startsWith(fixedPrefix) && generic
       else generic
     }
+  }
+
+  /** A timestamptz literal → epoch MICROseconds (reference ParseTimeTz,
+    * pkg/util/timestamptz/timestamptz.go:50-100): TZ-aware strings
+    * (RFC3339 `T` or the PostgreSQL space variant) keep their offset,
+    * which must lie in [-12:00, +14:00]; NAIVE strings are interpreted
+    * in the configured timezone (the `timezone` collection/database
+    * property, default UTC).
+    */
+  private[graft] def parseTsMicros(s: String, timezone: String): Long = {
+    import java.time._
+    val norm = s.trim
+    def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def bounded(o: OffsetDateTime): Long = {
+      val sec = o.getOffset.getTotalSeconds
+      if (sec > 14 * 3600 || sec < -12 * 3600)
+        throw CompileError(s"UTC offset hour ${sec / 3600} is out of the " +
+          "valid range [-12, 14]")
+      micros(o.toInstant)
+    }
+    Seq(norm, norm.replaceFirst(" ", "T")).distinct.foreach { c =>
+      try return bounded(OffsetDateTime.parse(c))
+      catch { case _: DateTimeException => () }
+    }
+    val zone =
+      try ZoneId.of(timezone)
+      catch { case _: DateTimeException =>
+        throw CompileError(s"invalid timezone string '$timezone'") }
+    val naive = norm.replaceFirst(" ", "T")
+    val ldt =
+      try {
+        if (naive.contains("T")) LocalDateTime.parse(naive)
+        else LocalDate.parse(naive).atStartOfDay()
+      } catch { case _: DateTimeException => throw CompileError(
+        s"invalid timestamp string: '$s'. Does not match any known format") }
+    micros(ldt.atZone(zone).toInstant)
   }
 
   /** ISO-8601 duration → (months, days, microseconds). */

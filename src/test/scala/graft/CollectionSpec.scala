@@ -1744,6 +1744,40 @@ class CollectionSpec extends SparkSpec {
     assert(c.getIndexState("emb") == "Finished")
   }
 
+  test("timezone property: naive tstz literals shift, offsets still win") {
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-01-10 11:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2025-01-10 13:00:00")))
+      .toDF("pk", "t")
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    c.insert(rows)
+    // default UTC: the naive 12:00 literal splits the two rows
+    assert(c.count("t > iso'2025-01-10T12:00:00'") == 1)
+    // collection property: 07:00 New York IS 12:00 UTC in January;
+    // 12:00 New York is 17:00 UTC — above both rows
+    c.alterCollection(Map("timezone" -> "America/New_York"))
+    assert(c.count("t > iso'2025-01-10T07:00:00'") == 1)
+    assert(c.count("t > iso'2025-01-10T12:00:00'") == 0)
+    // an explicit offset is never reinterpreted
+    assert(c.count("t > iso'2025-01-10T12:00:00Z'") == 1)
+    // invalid timezones are rejected at alter time
+    intercept[IllegalArgumentException](
+      c.alterCollection(Map("timezone" -> "Nope/Zone")))
+    // database-level property applies when the collection has none and
+    // yields to the collection's own (TimezoneKey precedence)
+    val d = Collection.create(spark, CollectionSchema(pkField = "pk"))
+    d.insert(rows)
+    Collection.createDatabase("tzdb")
+    Collection.registerCollection("tz_c", d, "tzdb")
+    Collection.alterDatabase("tzdb", Map("timezone" -> "Asia/Shanghai"))
+    // 20:00 Shanghai (UTC+8) is 12:00 UTC
+    assert(d.count("t > iso'2025-01-10T20:00:00'") == 1)
+    d.alterCollection(Map("timezone" -> "UTC"))
+    assert(d.count("t > iso'2025-01-10T12:00:00'") == 1)
+    Collection.dropCollection("tz_c", "tzdb")
+    Collection.dropDatabase("tzdb")
+  }
+
   test("load field list rejects the dynamic meta column") {
     val c = Collection.create(spark, CollectionSchema(pkField = "pk",
       vectorFields = Map("emb" -> 4), metaField = Some("$meta")))

@@ -564,6 +564,25 @@ class ExprCompilerSpec extends SparkSpec {
     assert(ids("(4 / 2) ** 2 == 4.0") == (0L to 9L).toSet)
   }
 
+  test("timestamptz literals: offsets honored and bounded, naive uses timezone") {
+    import ExprCompiler.parseTsMicros
+    val utc = parseTsMicros("2025-01-10T12:00:00", "UTC")
+    // an explicit offset wins regardless of the configured timezone
+    assert(parseTsMicros("2025-01-10T12:00:00+00:00", "America/New_York") == utc)
+    assert(parseTsMicros("2025-01-10T07:00:00-05:00", "UTC") == utc)
+    // the PostgreSQL space variant parses too (ParseTimeTz layouts)
+    assert(parseTsMicros("2025-01-10 12:00:00Z", "Asia/Shanghai") == utc)
+    // a naive literal is interpreted in the zone (NY = UTC-5 in January)
+    assert(parseTsMicros("2025-01-10T07:00:00", "America/New_York") == utc)
+    assert(parseTsMicros("2025-01-10 20:00:00", "Asia/Shanghai") == utc)
+    // offsets outside [-12:00, +14:00] and junk inputs are rejected
+    intercept[ExprCompiler.CompileError](
+      parseTsMicros("2025-01-10T12:00:00+15:00", "UTC"))
+    intercept[ExprCompiler.CompileError](
+      parseTsMicros("2025-01-10T00:00:00", "Not/AZone"))
+    intercept[ExprCompiler.CompileError](parseTsMicros("not-a-time", "UTC"))
+  }
+
   test("integral trees past DECIMAL(38,0) evaluate plain int64, no null drop") {
     val rows = Seq(
       (0L, Long.MaxValue), (1L, 3L), (2L, -2L), (3L, 0L)).toDF("id", "v")
