@@ -130,6 +130,53 @@ class ExprFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- deep 3VL composition fuzz over NULLABLE fields (#46972's
+  // false-or-false class: UNKNOWN must compose correctly through
+  // arbitrarily nested AND/OR/NOT, never collapsing to TRUE) ----
+
+  private lazy val ndf = (0L until 300L).map { i =>
+    def opt[T](v: T, mod: Int): Option[T] = if (i % mod == 0) None else Some(v)
+    (i, opt(i % 50, 3), opt((i % 40).toDouble / 2.0, 4),
+      opt(if (i % 2 == 0) "even" else "odd", 5), opt(i % 2 == 0, 6))
+  }.toDF("id", "nv", "nf", "ns", "nb").cache()
+
+  private def nullLeaf(): (String, String) = rnd.nextInt(7) match {
+    case 0 => val v = rnd.nextInt(50); (s"nv > $v", s"nv > $v")
+    case 1 => val v = rnd.nextInt(50); (s"nv <= $v", s"nv <= $v")
+    case 2 => val v = rnd.nextInt(20); (s"nf >= $v.0", s"nf >= $v.0")
+    case 3 => (s"""ns == "even"""", "ns = 'even'")
+    case 4 => ("nb == true", "nb = true")
+    case 5 => ("nv is null", "nv IS NULL")
+    case 6 => ("ns is not null", "ns IS NOT NULL")
+  }
+
+  private def nullTree(depth: Int): (String, String) =
+    if (depth == 0) nullLeaf()
+    else rnd.nextInt(4) match {
+      case 0 =>
+        val (le, ls) = nullTree(depth - 1); val (re, rs) = nullTree(depth - 1)
+        (s"($le) and ($re)", s"($ls) AND ($rs)")
+      case 1 =>
+        val (le, ls) = nullTree(depth - 1); val (re, rs) = nullTree(depth - 1)
+        (s"($le) or ($re)", s"($ls) OR ($rs)")
+      case 2 =>
+        val (ce, cs) = nullTree(depth - 1)
+        (s"not ($ce)", s"NOT ($cs)")
+      case _ => nullTree(depth - 1)
+    }
+
+  test("200 deep nullable predicate trees compose UNKNOWN correctly") {
+    for (i <- 0 until 200) {
+      val (eStr, sql) = nullTree(3 + rnd.nextInt(2))
+      val viaCompiler = ndf.filter(ExprCompiler.compile(eStr, ndf))
+        .select($"id").as[Long].collect().toSet
+      val viaSql = ndf.filter(expr(sql)).select($"id").as[Long].collect().toSet
+      assert(viaCompiler == viaSql,
+        s"#$i 3VL mismatch (${viaCompiler.size} vs ${viaSql.size}):\n" +
+          s"  expr: $eStr\n  sql:  $sql")
+    }
+  }
+
   // ---- LIKE pattern fuzz vs an INDEPENDENT token-model matcher ----
   // (the pattern_match.go escape model re-derived as a direct recursive
   // interpreter here — it shares NO code with the compile's
