@@ -52,56 +52,122 @@ object Lexer {
 
   case class LexError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")
 
-  /** Strict escape cooking for a NORMAL string's raw inner text
-    * (strconv.Unquote parity via convertEscapeSingle,
-    * planparserv2/utils.go:622-661 — unknown escapes like `\%` or `\d`
-    * are errors; write `\\%` or a raw string). Raw strings are verbatim
-    * (VisitRawString).
+  /** Strict escape cooking for a NORMAL string's raw inner text.
+    * The reference's arbiter is Go's strconv.Unquote, reached through a
+    * quote-normalization pre-pass (convertEscapeSingle,
+    * planparserv2/utils.go:622-661): bare `"` gains an escape, `\'`
+    * drops its backslash, then the whole thing is unquoted as a Go
+    * double-quoted literal. Phase 1 here mirrors that pre-pass
+    * character-for-character (the escapeChCount parity walk); phase 2
+    * ([[unquoteGo]]) ports strconv.UnquoteChar's exact rules. Raw
+    * strings are verbatim (VisitRawString).
     */
   private[expr] def cookString(inner: String, isRaw: Boolean): String = {
     if (isRaw) return inner
-    val sb = new StringBuilder
+    val norm = new StringBuilder
+    var bs = 0
+    var k = 0
+    while (k < inner.length) {
+      val c = inner.charAt(k)
+      if (c == '\\') { bs += 1; norm += c }
+      else {
+        if (c == '"' && bs % 2 == 0) { norm += '\\'; norm += '"' }
+        else if (c == '\'' && bs % 2 != 0) {
+          norm.setLength(norm.length - 1); norm += '\''
+        } else norm += c
+        bs = 0
+      }
+      k += 1
+    }
+    unquoteGo(norm.toString)
+  }
+
+  /** Byte-exact port of Go strconv.Unquote for the inner text of a
+    * double-quoted literal (Go strconv/quote.go, unquoteChar with
+    * quote='"'): `\x` takes EXACTLY 2 hex digits and emits a raw BYTE
+    * (so `"\x41B"` is "AB", and two `\x` escapes can compose one UTF-8
+    * code point); octal takes EXACTLY 3 digits with value ≤ 255 and
+    * also emits a byte (`"\10"` is a syntax error); `\u`/`\U` take
+    * exactly 4/8 hex digits and reject surrogate halves and
+    * > 0x10FFFF (utf8.ValidRune); a raw newline is rejected (Unquote's
+    * contains(s, '\n') pre-check); unknown escapes (`\%`, `\d`, `\?`)
+    * are errors. Output accumulates as UTF-8 bytes and decodes at the
+    * end, reproducing Go's byte-string composition.
+    */
+  private def unquoteGo(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    def hex(c: Char, at: Int): Int = {
+      val v = Character.digit(c, 16)
+      if (v < 0) throw LexError(s"invalid hex digit '$c' in escape", at)
+      v
+    }
+    def putRune(cp: Int): Unit = {
+      val bytes = new String(Character.toChars(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.write(bytes, 0, bytes.length)
+    }
     var i = 0
-    val n = inner.length
+    val n = s.length
     while (i < n) {
-      val ch = inner.charAt(i)
-      if (ch == '\\') {
-        i += 1
-        val esc = inner.charAt(i) // lexString guarantees a next char
-        esc match {
-          case 'n' => sb += '\n'; i += 1
-          case 't' => sb += '\t'; i += 1
-          case 'r' => sb += '\r'; i += 1
-          case 'b' => sb += '\b'; i += 1
-          case 'f' => sb += '\f'; i += 1
-          case 'a' => sb += 7.toChar; i += 1
-          case 'v' => sb += 11.toChar; i += 1
-          case 'x' => // \xHH.. hex escape (grammar EscapeSequence)
-            i += 1
-            val st = i
-            while (i < n && i - st < 8 &&
-              "0123456789abcdefABCDEF".indexOf(inner.charAt(i).toInt) >= 0) i += 1
-            if (i == st) throw LexError("empty \\x escape", i)
-            sb += Integer.parseInt(inner.substring(st, i), 16).toChar
-          case 'u' | 'U' => // \uHHHH / \UHHHHHHHH universal char
-            val quads = if (esc == 'u') 4 else 8
-            i += 1
-            if (i + quads > n) throw LexError("short unicode escape", i)
-            val cp = Integer.parseInt(inner.substring(i, i + quads), 16)
-            sb ++= Character.toChars(cp)
-            i += quads
-          case d if d >= '0' && d <= '7' => // octal, 1-3 digits
-            val st = i
-            while (i < n && i - st < 3 &&
-              inner.charAt(i) >= '0' && inner.charAt(i) <= '7') i += 1
-            sb += Integer.parseInt(inner.substring(st, i), 8).toChar
-          case '\\' | '\'' | '"' => sb += esc; i += 1
+      val c = s.charAt(i)
+      if (c == '\n' || c == '\r')
+        throw LexError("raw newline in string literal", i)
+      if (c != '\\') {
+        val cp = s.codePointAt(i)
+        putRune(cp)
+        i += Character.charCount(cp)
+      } else {
+        if (i + 1 >= n) throw LexError("trailing backslash in string", i)
+        val e = s.charAt(i + 1)
+        i += 2
+        e match {
+          case 'a'  => out.write(7)
+          case 'b'  => out.write(8)
+          case 'f'  => out.write(12)
+          case 'n'  => out.write(10)
+          case 'r'  => out.write(13)
+          case 't'  => out.write(9)
+          case 'v'  => out.write(11)
+          case '\\' => out.write('\\'.toInt)
+          case '"'  => out.write('"'.toInt)
+          case 'x' =>
+            if (i + 2 > n)
+              throw LexError("short \\x escape (need exactly 2 hex digits)", i)
+            out.write((hex(s.charAt(i), i) << 4) | hex(s.charAt(i + 1), i + 1))
+            i += 2
+          case 'u' | 'U' =>
+            val nd = if (e == 'u') 4 else 8
+            if (i + nd > n)
+              throw LexError(s"short \\$e escape (need exactly $nd hex digits)", i)
+            var v = 0L
+            var j = 0
+            while (j < nd) { v = (v << 4) | hex(s.charAt(i + j), i + j); j += 1 }
+            i += nd
+            if (v > 0x10FFFFL || (v >= 0xD800L && v <= 0xDFFFL))
+              throw LexError(f"invalid unicode code point U+$v%X in escape", i)
+            putRune(v.toInt)
+          case d if d >= '0' && d <= '7' =>
+            if (i + 2 > n)
+              throw LexError("short octal escape (need exactly 3 digits)", i)
+            var v = d - '0'
+            var j = 0
+            while (j < 2) {
+              val oc = s.charAt(i + j)
+              if (oc < '0' || oc > '7')
+                throw LexError(s"invalid octal digit '$oc' in escape", i + j)
+              v = v * 8 + (oc - '0')
+              j += 1
+            }
+            i += 2
+            if (v > 255)
+              throw LexError(s"octal escape value $v exceeds 255", i)
+            out.write(v)
           case other =>
             throw LexError(s"invalid escape sequence \\$other in string", i)
         }
-      } else { sb += ch; i += 1 }
+      }
     }
-    sb.toString
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Regex-operand extraction (reference extractRegexPattern,

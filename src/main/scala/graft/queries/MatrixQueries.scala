@@ -769,6 +769,89 @@ object MatrixQueries {
   private[graft] val likeMatrixOracle: String = oracleFor(LikeCases, likeSql)
 
   // =================================================================
+  // Battery 5b — string-literal escape layer (convertEscapeSingle →
+  // strconv.Unquote, planparserv2/utils.go:622-661 + Go strconv
+  // unquoteChar). The engine side goes through the full lexer → cook →
+  // compile pipeline; the DuckDB side pins every expected string with
+  // chr()/'' doubling, so the escape decode is evaluated independently
+  // on both sides. Decoys both directions: the fixture holds BOTH
+  // "AB" (the byte-exact reading of "\x41B") and U+041B (the old
+  // greedy-hex reading), both "café" byte-composed and plain "é".
+  // =================================================================
+
+  /** m = id % 12 selects one of 12 strings, several reachable only
+    * through a specific escape reading.
+    */
+  private[graft] def escapeDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val m = col("event_id") % 12
+    ev.select(col("event_id").as("id"), m.as("m"),
+      when(m === 0, "AB")
+        .when(m === 1, "Л")          // greedy-hex decoy for \x41B
+        .when(m === 2, "A\tB")
+        .when(m === 3, "it's")
+        .when(m === 4, "say \"hi\"")
+        .when(m === 5, "back\\slash")
+        .when(m === 6, "é")
+        .when(m === 7, "café")
+        .when(m === 8, "bell")
+        .when(m === 9, new String(Character.toChars(0x1F600)))
+        .when(m === 10, "A")
+        .otherwise(lit(null).cast("string")).as("s"))
+  }
+
+  private val escapeSql: String =
+    """SELECT event_id AS id, event_id % 12 AS m,
+      |  CASE event_id % 12
+      |    WHEN 0 THEN 'AB' WHEN 1 THEN chr(1051)
+      |    WHEN 2 THEN 'A' || chr(9) || 'B' WHEN 3 THEN 'it''s'
+      |    WHEN 4 THEN 'say "hi"' WHEN 5 THEN 'back' || chr(92) || 'slash'
+      |    WHEN 6 THEN chr(233) WHEN 7 THEN 'caf' || chr(233)
+      |    WHEN 8 THEN chr(7) || 'bell' WHEN 9 THEN chr(128512)
+      |    WHEN 10 THEN 'A'
+      |    ELSE NULL
+      |  END AS s
+      |FROM events""".stripMargin
+
+  private[graft] val EscapeCases: Seq[MCase] = Seq(
+    // \x consumes EXACTLY 2 hex digits; 'B' stays literal → "AB",
+    // NOT U+041B (the fixture holds both readings)
+    MCase("x_two_digits", """s == "\x41B"""", "s = 'AB'"),
+    MCase("x_pair", """s == "\x41\x42"""", "s = 'AB'"),
+    // \u is exactly 4 hex digits → the greedy decoy row (the engine
+    // text is built by splicing so scalac's own \u pre-processing
+    // can't eat the escape before the lexer sees it)
+    MCase("u_four_digits", "s == \"" + "\\" + "u041b\"", "s = chr(1051)"),
+    MCase("u_then_literal", """s == "AB"""", "s = 'AB'"),
+    MCase("cap_u_eight", """s == "\U0001F600"""", "s = chr(128512)"),
+    // byte semantics: two \x / octal escapes compose one UTF-8 point
+    MCase("x_utf8_compose", """s == "\xC3\xA9"""", "s = chr(233)"),
+    MCase("octal_utf8_compose", """s == "caf\303\251"""",
+      "s = 'caf' || chr(233)"),
+    // octal is exactly 3 digits
+    MCase("octal_three", """s == "\101"""", "s = 'A'"),
+    // named single-char escapes
+    MCase("tab", """s == "A\tB"""", "s = 'A' || chr(9) || 'B'"),
+    MCase("bell", """s == "\abell"""", "s = chr(7) || 'bell'"),
+    // quote handling (convertEscapeSingle's two rewrite rules)
+    MCase("squote_escaped", """s == "it\'s"""", "s = 'it''s'"),
+    MCase("squote_bare_in_dq", """s == "it's"""", "s = 'it''s'"),
+    MCase("dquote_in_sq", """s == 'say "hi"'""", "s = 'say \"hi\"'"),
+    MCase("backslash_pair", """s == "back\\slash"""",
+      "s = 'back' || chr(92) || 'slash'"),
+    // raw strings skip the escape layer entirely (VisitRawString)
+    MCase("raw_verbatim", """s == r"back\slash"""",
+      "s = 'back' || chr(92) || 'slash'"),
+    // escape decode feeds LIKE before its own wildcard layer runs
+    MCase("x_in_like_prefix", """s like "\x41%"""", "s LIKE 'A%'"))
+
+  def escapeMatrix(s: SparkSession, dir: String): DataFrame =
+    battery(s, escapeDf(s, dir), EscapeCases)
+
+  private[graft] val escapeMatrixOracle: String =
+    oracleFor(EscapeCases, escapeSql)
+
+  // =================================================================
   // Battery 6 — order/fanout/equivalence regression families
   // reference test_filter_regressions.py: boolean-fanout generalized
   // counts (:961-996), expression order permutations + algebraic
@@ -1083,6 +1166,7 @@ object MatrixQueries {
     "q_null_matrix" -> (nullMatrix _),
     "q_json_kind_matrix" -> (jsonKindMatrix _),
     "q_like_matrix" -> (likeMatrix _),
+    "q_escape_matrix" -> (escapeMatrix _),
     "q_regression_matrix" -> (regressionMatrix _),
     "q_regex_matrix" -> (regexMatrix _),
     "q_index_consistency" -> (indexConsistency _))
@@ -1093,6 +1177,7 @@ object MatrixQueries {
     "q_null_matrix" -> nullMatrixOracle,
     "q_json_kind_matrix" -> jsonKindMatrixOracle,
     "q_like_matrix" -> likeMatrixOracle,
+    "q_escape_matrix" -> escapeMatrixOracle,
     "q_regression_matrix" -> regressionMatrixOracle,
     "q_regex_matrix" -> regexMatrixOracle,
     "q_index_consistency" -> indexConsistencyOracle)

@@ -483,8 +483,8 @@ class ExprCompilerSpec extends SparkSpec {
     check("~id == -21", $"id" === 20) // ~x = -x-1
     // raw strings keep backslashes verbatim (RawStringLiteral)
     check("""s =~ r'name_\d_x'""", $"s".rlike("name_\\d_x"))
-    // escape decoding per grammar EscapeSequence: \x (greedy hex, as the
-    // reference's HexadecimalDigitSequence), \uHHHH, octal (max 3 digits)
+    // escape decoding per strconv.Unquote: \x exactly 2 hex digits,
+    // octal exactly 3 digits
     assert(Lexer.tokenize("""'\x41 B\102'""") match {
       case Vector(s: Lexer.TString, Lexer.TEof) => s.v == "A BB"
       case _                                    => false
@@ -497,6 +497,82 @@ class ExprCompilerSpec extends SparkSpec {
     // encoding prefixes (grammar EncodingPrefix: u8 | u | U | L)
     check("""s == u8'name_7'""", $"s" === "name_7")
     check("""s == L"name_7"""", $"s" === "name_7")
+  }
+
+  test("string escapes: convertEscapeSingle + strconv.Unquote parity") {
+    def cook(src: String): String = Lexer.tokenize(src) match {
+      case Vector(s: Lexer.TString, Lexer.TEof) => s.v
+      case other => fail(s"unexpected tokens for $src: $other")
+    }
+    def bad(src: String): Unit =
+      assertThrows[Lexer.LexError](cook(src))
+
+    // the reference's own vectors, verbatim (utils_test.go:184-201)
+    val goVectors = Seq(
+      "\"\\'\"" -> "'",
+      "\"\\\\'\"" -> "\\'",
+      "\"\\\\\\'\"" -> "\\'",
+      "\"\\\\\\\\'\"" -> "\\\\'",
+      "\"\\\\\\\\\\'\"" -> "\\\\'",
+      "'\"'" -> "\"",
+      "'\"\"'" -> "\"\"",
+      "'\"\"\"'" -> "\"\"\"",
+      "'\"\\\"\"'" -> "\"\"\"",
+      "'a\"b\\\"c\\\\\"d'" -> "a\"b\"c\\\"d",
+      "\"a\\\"b\\\"c\\\\\\\"d\"" -> "a\"b\"c\\\"d",
+      "'A \"test\"'" -> "A \"test\"",
+      "\"A \\\"test\\\"\"" -> "A \"test\"",
+      "'\\\"'" -> "\"",
+      "'\\\\\"'" -> "\\\"",
+      "'\\\\\\\"'" -> "\\\"",
+      "'\\\\\\\\\"'" -> "\\\\\"",
+      "'\\\\\\\\\\\"'" -> "\\\\\"")
+    for ((in, want) <- goVectors)
+      assert(cook(in) == want, s"convertEscapeSingle($in)")
+    // and its error vectors: octal > 255, bad octal digit
+    bad("\"\\423\"")
+    bad("'\\378'")
+
+    // \x takes EXACTLY 2 hex digits; following hex chars stay literal
+    assert(cook("'\\x41B'") == "AB")
+    assert(cook("'\\x41\\x42'") == "AB")
+    // two \x bytes compose one UTF-8 code point, as Go byte strings do
+    assert(cook("'\\xC3\\xA9'") == "\u00e9")
+    // a lone invalid UTF-8 byte decodes to U+FFFD (Go keeps the raw
+    // byte; both sides never match any valid-UTF-8 stored string)
+    assert(cook("'\\xff'") == "\ufffd")
+    bad("'\\x4'")    // short hex
+    bad("'\\xG1'")   // non-hex digit
+    bad("'\\x'")     // empty
+
+    // octal: exactly 3 digits, ≤ 255, byte semantics
+    assert(cook("'\\101'") == "A")
+    assert(cook("'\\000'") == "\u0000")
+    assert(cook("'\\303\\251'") == "\u00e9")
+    bad("'\\10'")    // 2 digits — reference parse error
+    bad("'\\7'")     // 1 digit
+
+    // \u / \U: exactly 4/8 hex digits; surrogates and > 0x10FFFF error
+    assert(cook("'\\u00e9'") == "\u00e9")
+    assert(cook("'\\U0001F600'") == new String(Character.toChars(0x1F600)))
+    bad("'\\uD800'")
+    bad("'\\uDFFF'")
+    bad("'\\U00110000'")
+    bad("'\\u00e'")
+
+    // unknown escapes are errors (write \\% or a raw string)
+    bad("'\\%'")
+    bad("'\\d'")
+    bad("'\\?'")
+    bad("'\\ '")
+
+    // end-to-end through the compiler: membership must follow byte rules
+    val d = Seq("AB", "\u041b", "A", "it's").toDF("s")
+    def hits(e: String): Long =
+      d.filter(ExprCompiler.compile(e, d)).count()
+    assert(hits("s == \"\\x41B\"") == 1)     // "AB", NOT U+041B
+    assert(hits("s == '\\u041b'") == 1)
+    assert(hits("""s == "it\'s"""") == 1)
   }
 
   test("three-valued logic over nullable fields (reference 3VL suite)") {
