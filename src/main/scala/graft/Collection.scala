@@ -1442,6 +1442,15 @@ final class Collection private (
       if (k == "warmup" || k.startsWith("warmup."))
         Collection.requireWarmup(v, k)
       if (k == "timezone") Collection.requireTimezone(v)
+      // ValidateQueryMode (common.go:577-591): only "large_topk" is a
+      // valid value, and a case-variant KEY is an error rather than a
+      // silently ignored property
+      if (k == Collection.QueryModeKey)
+        require(v == Collection.QueryModeLargeTopK,
+          s"""invalid query_mode value "$v", valid values: [${Collection.QueryModeLargeTopK}]""")
+      else if (k.equalsIgnoreCase(Collection.QueryModeKey))
+        throw new IllegalArgumentException(
+          s"""invalid property key "$k", did you mean "${Collection.QueryModeKey}"?""")
     }
     collectionProperties ++= props
     invalidateFilterCache() // a ttl property change alters visibility
@@ -1461,6 +1470,55 @@ final class Collection private (
   /** The collection-level TTL property as a read-path ttl column. */
   private def propertyTtl: Option[Column] =
     collectionProperties.get("collection.ttl").map(v => lit(v.toLong))
+
+  // ---- request-limit validation (reference proxy/util.go:182-218
+  // validateLimit / validateNQLimit / validateMaxQueryResultWindow;
+  // quota defaults quota_param.go:1445-1494). A collection with the
+  // query_mode=large_topk property trades the 16384 caps for the
+  // large-mode ones (task_search.go:193).
+
+  private def largeTopKEnabled: Boolean =
+    collectionProperties.get(Collection.QueryModeKey)
+      .contains(Collection.QueryModeLargeTopK)
+
+  /** topk / offset / batch cap ∈ [1, topKLimit]. `what` names the
+    * offending parameter in the error, as the proxy's wrapper does.
+    */
+  private def validateTopK(limit: Long, what: String): Unit = {
+    val cap =
+      if (largeTopKEnabled) Collection.LargeTopKLimit else Collection.TopKLimit
+    require(limit >= 1 && limit <= cap,
+      s"$what [$limit] is invalid, it should be in range [1, $cap], but got $limit")
+  }
+
+  private def validateNq(nq: Long): Unit =
+    require(nq >= 1 && nq <= Collection.NQLimit,
+      "nq (number of search vector per search request) should be in range " +
+        s"[1, ${Collection.NQLimit}], but got $nq")
+
+  /** Query pagination depth: offset ≥ 0, limit > 0, offset+limit within
+    * the result window.
+    */
+  private def validateResultWindow(offset: Long, limit: Long): Unit = {
+    require(offset >= 0, s"offset [$offset] is invalid, should be gte than 0")
+    require(limit > 0, s"limit [$limit] is invalid, should be greater than 0")
+    val window =
+      if (largeTopKEnabled) Collection.LargeMaxQueryResultWindow
+      else Collection.MaxQueryResultWindow
+    val depth = offset + limit
+    require(depth >= 1 && depth <= window,
+      s"(offset+limit) should be in range [1, $window], but got $depth")
+  }
+
+  /** nq without a Spark job when the query vectors are driver-local
+    * (the common case — the reference receives them in the RPC body).
+    */
+  private def nqOf(queries: DataFrame): Long =
+    queries.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.length.toLong
+      case _ => queries.count()
+    }
 
   def readView(
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
@@ -2031,6 +2089,9 @@ final class Collection private (
       ignoreGrowing: Boolean = false,
       params: Map[String, Any] = Map.empty): DataFrame = {
     requirePriv("Query")
+    // window validation runs only when a limit is requested, matching
+    // task_query.go:388-402 (an unlimited query has no window to check)
+    if (limit != -1) validateResultWindow(0L, limit.toLong)
     val scoped = readView(level, partitionNames = partitionNames,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
     // an element_filter ROOT expands to per-ELEMENT rows with `offset`
@@ -2130,6 +2191,8 @@ final class Collection private (
     requirePriv("Search")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
+    validateTopK(k, "topk")
+    validateNq(nqOf(queries))
     // partition scope prunes BEFORE any distance work — at scale this
     // is the reference's partition-level segment pruning; a pk-anchored
     // filter additionally prunes the sealed FILE list (MEP 20260324)
@@ -2159,6 +2222,8 @@ final class Collection private (
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
       roundTo: Option[Int] = None): DataFrame = {
+    if (k != 0) validateTopK(k, "topk")
+    validateNq(nqOf(queries))
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     VectorSearch.rangeSearch(readView(), schema.pkField, vectorField,
@@ -2199,6 +2264,11 @@ final class Collection private (
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
       roundTo: Option[Int] = None): DataFrame = {
+    // iterator batchSize takes the same cap, as an ERROR (search_util
+    // .go:433); an over-cap plain topk on an iterator request CLAMPS
+    // instead (:487-500), which is the iterator driver's concern
+    validateTopK(batch, "batchSize")
+    validateNq(nqOf(queries))
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     VectorSearch.searchIterator(readView(), schema.pkField, vectorField,
@@ -2226,6 +2296,8 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
     requirePriv("Search")
     require(ids.nonEmpty, "searchByPk needs at least one id")
+    validateTopK(k, "topk")
+    validateNq(ids.size.toLong)
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
     // the anchor-id fetch is a point get — prune its file list like
@@ -2302,6 +2374,11 @@ final class Collection private (
       outputFields: Seq[String] = Nil,
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
     require(subs.nonEmpty, "hybrid search needs at least one sub-search")
+    validateTopK(k, "limit")
+    subs.foreach { sub =>
+      validateTopK(sub.k, "topk")
+      validateNq(nqOf(sub.queries))
+    }
     // element-level (no-collapse) fusion: every sub must be element-level
     // on the SAME struct field (the design's compatibility rule), and
     // hits stay identified by (pk, element_index) through fusion
@@ -2570,6 +2647,8 @@ final class Collection private (
       outputFields: Seq[String] = Nil,
       roundTo: Option[Int] = None): DataFrame = {
     import graft.operators.IvfIndex
+    validateTopK(k, "topk")
+    validateNq(nqOf(queries))
     val st = indexes.getOrElse(vectorField,
       throw new IllegalStateException(s"no index on $vectorField — createIndex first"))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
@@ -2768,6 +2847,7 @@ final class Collection private (
       outputFields: Seq[String],
       batch: Int,
       lastPk: Option[Any] = None): DataFrame = {
+    validateResultWindow(0L, batch.toLong)
     // the pk cursor IS a pk lower bound: segments whose pk max sits at
     // or under the cursor fall off the file list as the iterator
     // advances (MEP 20260324's range shape) — intersected with any
@@ -2798,6 +2878,16 @@ object Collection {
     * the `_default` partition every collection is born with).
     */
   val DefaultPartition = "_default"
+
+  // quota defaults (quota_param.go:1445-1494) and the query_mode
+  // collection property that switches to the large caps (common.go:353)
+  val TopKLimit = 16384L                 // quotaAndLimits.limits.topK
+  val LargeTopKLimit = 1000000L          // quotaAndLimits.limits.largeTopK
+  val NQLimit = 16384L                   // quotaAndLimits.limits.nq
+  val MaxQueryResultWindow = 16384L      // quotaAndLimits.limits.maxQueryResultWindow
+  val LargeMaxQueryResultWindow = 1000000L
+  val QueryModeKey = "query_mode"
+  val QueryModeLargeTopK = "large_topk"
 
   /** RunAnalyzer RPC (reference `Proxy.RunAnalyzer` impl.go:6629):
     * tokenize ad-hoc texts under explicit analyzer params — the

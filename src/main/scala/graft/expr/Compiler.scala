@@ -313,7 +313,9 @@ object ExprCompiler {
     case RegexMatch(target, pattern, negated) =>
       val guarded = stringKindGuarded(target, ctx) { t =>
         pattern match {
-          case StringLit(s) => regexToLike(s) match {
+          case StringLit(s) =>
+            validateRe2(s)
+            regexToLike(s) match {
             case Some(("eq", l))      => t === lit(l)
             case Some(("prefix", l))  => t.startsWith(l)
             case Some(("postfix", l)) => t.endsWith(l)
@@ -463,7 +465,114 @@ object ExprCompiler {
       java.util.regex.Matcher.quoteReplacement(
         if (isScript) s"\\${m.group(1)}{Is$name}" else m.matched)
     }).replace("(?P<", "(?<")
-    "(?s)" + shimmed
+    "(?s)" + escapeLiteralBraces(shimmed)
+  }
+
+  /** A `{` that does not open a numeric repetition is a LITERAL in RE2
+    * (`a{,5}`, `a{}`, `a{x}` all match those characters) while Java
+    * throws "Illegal repetition" — escape it for the Java engine.
+    */
+  private val numericBrace = """^\{\d+(,\d*)?\}""".r
+  private def escapeLiteralBraces(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) {
+        val e = p.charAt(i + 1)
+        sb += c += e; i += 2
+        // the brace after \p / \P / \x belongs to the escape
+        if ((e == 'p' || e == 'P' || e == 'x') &&
+          i < p.length && p.charAt(i) == '{') {
+          while (i < p.length && p.charAt(i) != '}') { sb += p.charAt(i); i += 1 }
+          if (i < p.length) { sb += '}'; i += 1 }
+        }
+      } else if (inClass) {
+        if (c == ']') inClass = false
+        sb += c; i += 1
+      } else if (c == '[') { inClass = true; sb += c; i += 1 }
+      else if (c == '{') {
+        numericBrace.findFirstIn(p.substring(i)) match {
+          case Some(rep) => sb ++= rep; i += rep.length
+          case None      => sb ++= "\\{"; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RE2 compile-error contract (reference RegexQuery.h:58-63: the
+    * pattern is compiled by RE2 at plan time and a failure raises
+    * "Failed to compile regex pattern: <re2 error>"). Java's engine
+    * ACCEPTS several constructs RE2 rejects — backreferences,
+    * lookarounds, atomic groups, possessive quantifiers, \Z/\G/\K,
+    * repetition counts past kMaxRepeat=1000 — so membership would
+    * silently diverge from accept-vs-error without this scan. The
+    * Pattern.compile backstop at the end catches Java-invalid shapes
+    * with the same contract.
+    */
+  private[graft] def validateRe2(p: String): Unit = {
+    def fail(msg: String): Nothing =
+      throw CompileError(s"Failed to compile regex pattern: $msg")
+    var i = 0
+    val n = p.length
+    var prevQuant = false
+    while (i < n) {
+      p.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= n) fail("trailing backslash")
+          val e = p.charAt(i + 1)
+          if (e >= '1' && e <= '9') fail(s"invalid escape sequence: \\$e")
+          if (e == 'k' || e == 'K' || e == 'Z' || e == 'G')
+            fail(s"invalid escape sequence: \\$e")
+          prevQuant = false
+          i += 2
+        case '[' =>
+          i += 1
+          if (i < n && p.charAt(i) == '^') i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (p.charAt(i) == '\\') i += 2
+            else if (p.charAt(i) == ']') { closed = true; i += 1 }
+            else i += 1
+          }
+          prevQuant = false
+        case '(' if i + 1 < n && p.charAt(i + 1) == '?' =>
+          val rest = p.substring(i + 2)
+          if (rest.startsWith("=")) fail("invalid perl operator: (?=")
+          if (rest.startsWith("!")) fail("invalid perl operator: (?!")
+          if (rest.startsWith("<=")) fail("invalid perl operator: (?<=")
+          if (rest.startsWith("<!")) fail("invalid perl operator: (?<!")
+          if (rest.startsWith(">")) fail("invalid perl operator: (?>")
+          if (rest.startsWith("P=")) fail("invalid named capture: (?P=")
+          if (rest.startsWith("(")) fail("invalid perl operator: (?(")
+          prevQuant = false
+          i += 2
+        case c @ ('*' | '+' | '?') =>
+          if (prevQuant && c == '+') fail("bad repetition operator")
+          prevQuant = true
+          i += 1
+        case '{' =>
+          numericBrace.findFirstIn(p.substring(i)) match {
+            case Some(rep) =>
+              val bounds = rep.substring(1, rep.length - 1).split(",", -1)
+              if (bounds.exists(b => b.nonEmpty && (b.length > 4 || b.toInt > 1000)))
+                fail("invalid repetition size: " + rep)
+              prevQuant = true
+              i += rep.length
+            case None => prevQuant = false; i += 1 // literal brace
+          }
+        case _ =>
+          prevQuant = false
+          i += 1
+      }
+    }
+    try java.util.regex.Pattern.compile(re2ToJava(p))
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        fail(e.getMessage.linesIterator.next())
+    }
   }
 
   /** LIKE / regex over a JSON path run the STRING kernel only

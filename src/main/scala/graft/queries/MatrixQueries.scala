@@ -1127,11 +1127,42 @@ object MatrixQueries {
       "json_type(CAST(meta AS JSON), '$.level') = 'VARCHAR' AND " +
         re2("json_extract_string(meta, '$.level')", "ERROR")))
 
-  def regexMatrix(s: SparkSession, dir: String): DataFrame =
-    battery(s, regexDf(s), RegexCases, jsonCols = Set("meta"))
+  /** RE2-invalid constructs Java's engine would happily accept: the
+    * reference errors at plan time ("Failed to compile regex pattern",
+    * RegexQuery.h:58-63). Pinned as cnt = -1 rows: the ENGINE must
+    * throw CompileError to earn the -1 (a silent accept surfaces the
+    * real row count and hash-mismatches the oracle's pinned -1), and
+    * the ORACLE pin of -1 encodes "DuckDB's own RE2 rejects this too".
+    */
+  private[graft] val RegexErrorCases: Seq[(String, String)] = Seq(
+    ("err_backref", """txt =~ "(a)\1""""),
+    ("err_lookahead", """txt =~ "foo(?=bar)""""),
+    ("err_lookbehind", """txt =~ "(?<=foo)bar""""),
+    ("err_possessive", """txt =~ "ab*+""""),
+    ("err_atomic_group", """txt =~ "(?>ab)c""""),
+    ("err_huge_repeat", """txt =~ "a{1001}""""))
+
+  def regexMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = battery(s, regexDf(s), RegexCases, jsonCols = Set("meta"))
+    val errRows = RegexErrorCases.map { case (id, expr) =>
+      val cnt =
+        try {
+          val df = regexDf(s)
+          df.filter(ExprCompiler.compile(expr, df, jsonColumns = Set("meta")))
+            .count()
+        } catch { case _: ExprCompiler.CompileError => -1L }
+      (id, cnt)
+    }.toDF("case_id", "cnt")
+    base.unionByName(errRows).orderBy(col("case_id"))
+  }
 
   private[graft] val regexMatrixOracle: String =
-    oracleFor(RegexCases, regexSql)
+    (RegexCases.map(c =>
+      s"SELECT '${c.id}' AS case_id, count(*) AS cnt FROM ($regexSql) WHERE ${c.duck}") ++
+      RegexErrorCases.map { case (id, _) =>
+        s"SELECT '$id' AS case_id, CAST(-1 AS BIGINT) AS cnt" })
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
 
   /** cnt + id_sum per case: identical counts with different members
     * still break the row.

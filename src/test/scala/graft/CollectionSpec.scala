@@ -1870,4 +1870,60 @@ class CollectionSpec extends SparkSpec {
     assert(et.getRefreshProgress(jobs.head.id).state == "Completed")
     intercept[NoSuchElementException](et.getRefreshProgress(999L))
   }
+
+  test("request limits: topk/nq/window caps with the large_topk switch") {
+    // reference proxy/util.go:182-218 + testcases/test_large_topk.py:
+    // accepted AT the bound, a named error one past it, and the
+    // query_mode=large_topk property flips the caps
+    val c = fresh()
+    val qs = Seq((0L, vec(1))).toDF("qid", "qvec")
+    def searchK(k: Int) = c.search("emb", qs, k = k).count()
+
+    // topk bound: 16384 in, 16385 out, 0 out
+    assert(searchK(16384) == 50)
+    val over = intercept[IllegalArgumentException](searchK(16385))
+    assert(over.getMessage.contains("[1, 16384]"), over.getMessage)
+    intercept[IllegalArgumentException](searchK(0))
+
+    // nq cap rides the query-vector count (local fast path, no job)
+    val manyQ = (0 until 16385).map(i => (i.toLong, vec(i))).toDF("qid", "qvec")
+    val nqErr = intercept[IllegalArgumentException](c.search("emb", manyQ, k = 1))
+    assert(nqErr.getMessage.contains("nq (number of search vector"), nqErr.getMessage)
+
+    // query window: offset+limit <= 16384; batch iterators share it
+    assert(c.query("pk >= 0", Seq("pk"), limit = 16384).count() == 50)
+    val win = intercept[IllegalArgumentException](
+      c.query("pk >= 0", Seq("pk"), limit = 16385))
+    assert(win.getMessage.contains("(offset+limit) should be in range [1, 16384]"),
+      win.getMessage)
+    intercept[IllegalArgumentException](c.query("pk >= 0", Seq("pk"), limit = 0))
+    intercept[IllegalArgumentException](
+      c.queryIterator("pk >= 0", Seq("pk"), batch = 16385))
+    assert(c.queryIterator("pk >= 0", Seq("pk"), batch = 16384).count() == 50)
+
+    // iterator batchSize shares the topk cap as an ERROR (search_util.go:433)
+    intercept[IllegalArgumentException](
+      c.searchIterator("emb", qs, batch = 16385))
+
+    // hybrid: final limit and every sub-k validated
+    val sub = c.SubSearch("emb", qs, Metric.L2, k = 16385)
+    intercept[IllegalArgumentException](c.hybridSearch(Seq(sub), k = 5))
+    intercept[IllegalArgumentException](
+      c.hybridSearch(Seq(sub.copy(k = 10)), k = 16385))
+
+    // query_mode=large_topk flips the caps to 1,000,000
+    c.alterCollection(Map("query_mode" -> "large_topk"))
+    assert(searchK(16385) == 50)
+    assert(c.query("pk >= 0", Seq("pk"), limit = 1000000).count() == 50)
+    val lOver = intercept[IllegalArgumentException](searchK(1000001))
+    assert(lOver.getMessage.contains("[1, 1000000]"), lOver.getMessage)
+
+    // property validation: bad value, case-variant key (common.go:577-591)
+    val bad = intercept[IllegalArgumentException](
+      c.alterCollection(Map("query_mode" -> "turbo")))
+    assert(bad.getMessage.contains("invalid query_mode value"), bad.getMessage)
+    val ci = intercept[IllegalArgumentException](
+      c.alterCollection(Map("QUERY_MODE" -> "large_topk")))
+    assert(ci.getMessage.contains("did you mean"), ci.getMessage)
+  }
 }

@@ -575,6 +575,52 @@ class ExprCompilerSpec extends SparkSpec {
     assert(hits("""s == "it\'s"""") == 1)
   }
 
+  test("RE2 compile-error contract: Java-only constructs are rejected") {
+    val d = Seq("aa", "foobar", "abc").toDF("s")
+    def run(e: String): Long =
+      d.filter(ExprCompiler.compile(e, d)).count()
+    def rejected(e: String): Unit = {
+      val err = intercept[ExprCompiler.CompileError](run(e))
+      assert(err.getMessage.contains("Failed to compile regex pattern"),
+        s"wrong message for $e: ${err.getMessage}")
+    }
+    // RE2 rejects at compile; Java would accept every one of these
+    rejected("""s =~ "(a)\1"""")        // backreference
+    rejected("""s =~ "foo(?=bar)"""")   // lookahead
+    rejected("""s =~ "foo(?!bar)"""")   // negative lookahead
+    rejected("""s =~ "(?<=foo)bar"""")  // lookbehind
+    rejected("""s =~ "(?<!foo)bar"""")  // negative lookbehind
+    rejected("""s =~ "ab*+"""")         // possessive quantifiers
+    rejected("""s =~ "ab++"""")
+    rejected("""s =~ "ab?+"""")
+    rejected("""s =~ "a{2}+"""")
+    rejected("""s =~ "(?>ab)c"""")      // atomic group
+    rejected("""s =~ "a{1001}"""")      // kMaxRepeat = 1000
+    rejected("""s =~ "a\Z"""")          // \Z / \G / \k are not RE2
+    rejected("""s =~ "\Ga"""")
+    rejected("""s =~ "(a)\k<g>"""")
+    // Java-invalid shapes hit the backstop with the same contract
+    rejected("""s =~ "(unclosed"""")
+    rejected("""s =~ "a{2,1}"""")
+    // valid RE2 still compiles: named groups, escaped metachars,
+    // lazy quantifiers, repetition at the bound, classes
+    assert(run("""s =~ "(?P<g>a)a"""") == 1)
+    assert(run("""s =~ "a\+?b"""") == 1) // optional literal plus: "abc"
+    assert(run("""s =~ "a+?"""") == 3)
+    assert(run("""s =~ "a{1,2}"""") == 3)
+    assert(run("""s =~ "[+*?]"""") == 0)
+    assert(run("""s =~ "a{1000}"""") == 0)
+    // a `{` that opens no numeric repetition is an RE2 LITERAL;
+    // Java alone would throw "Illegal repetition"
+    val e = Seq("a{,5}", "a{}x", "{x}").toDF("s")
+    def hits(expr: String): Long =
+      e.filter(ExprCompiler.compile(expr, e)).count()
+    assert(hits("""s =~ "a\{,5\}"""") == 1)
+    assert(hits("""s =~ "a{,5}"""") == 1)
+    assert(hits("""s =~ "a{}"""") == 1)
+    assert(hits("""s =~ "^\{x\}$"""") == 1)
+  }
+
   test("three-valued logic over nullable fields (reference 3VL suite)") {
     // nullable long column: null rows must behave per SQL 3VL — a null
     // comparison is UNKNOWN, filters keep only TRUE, NOT(UNKNOWN) stays

@@ -230,4 +230,67 @@ class ExprFuzzSpec extends SparkSpec {
     }
     assert(errors > 0, "generator never produced a dangling escape")
   }
+
+  test("150 LIKE patterns delivered through randomized escape encodings") {
+    // same token-model oracle as above, but every pattern char reaches
+    // the lexer through a randomly chosen string-literal escape
+    // spelling (\xHH, 3-digit octal, \uHHHH, or plain). Pins that the
+    // Unquote layer runs BEFORE wildcard classification: an
+    // escape-encoded '%' (\x25) is still a WILDCARD, because the LIKE
+    // layer only ever sees the cooked string (reference order:
+    // convertEscapeSingle, then scanLikePattern).
+    val lrnd = new scala.util.Random(20260816L)
+    val alphabet = "ab%_\\"
+    def randStr(maxLen: Int): String =
+      (0 until lrnd.nextInt(maxLen + 1))
+        .map(_ => alphabet(lrnd.nextInt(alphabet.length))).mkString
+    val values = (0 until 60).map(i => (i.toLong, randStr(6)))
+    val df = values.toDF("id", "s").cache()
+    def tokens(p: String): Option[List[(Char, Boolean)]] = {
+      var esc = false; val out = List.newBuilder[(Char, Boolean)]
+      p.foreach { c =>
+        if (esc) { out += ((c, false)); esc = false }
+        else if (c == '\\') esc = true
+        else out += ((c, c == '%' || c == '_'))
+      }
+      if (esc) None else Some(out.result())
+    }
+    def matches(ts: List[(Char, Boolean)], s: String): Boolean = ts match {
+      case Nil                 => s.isEmpty
+      case ('%', true) :: rest =>
+        (0 to s.length).exists(k => matches(rest, s.substring(k)))
+      case ('_', true) :: rest => s.nonEmpty && matches(rest, s.tail)
+      case (c, _) :: rest      => s.nonEmpty && s.head == c && matches(rest, s.tail)
+    }
+    // spell one target char as raw lexer text (spliced "\\"+"u..." so
+    // scalac's own \u pass can't pre-cook the test input)
+    def spell(c: Char): String = c match {
+      case 'a'  => Seq("a", "\\x61", "\\141", "\\" + "u0061")(lrnd.nextInt(4))
+      case 'b'  => Seq("b", "\\x62", "\\142")(lrnd.nextInt(3))
+      case '%'  => Seq("%", "\\x25", "\\045")(lrnd.nextInt(3))
+      case '_'  => Seq("_", "\\x5F", "\\137")(lrnd.nextInt(3))
+      case '\\' => Seq("\\\\", "\\x5C", "\\134")(lrnd.nextInt(3))
+      case o    => o.toString
+    }
+    var errors = 0
+    for (i <- 0 until 150) {
+      val pat = randStr(5)
+      val eStr = "s like \"" + pat.flatMap(spell) + "\""
+      tokens(pat) match {
+        case None =>
+          intercept[ExprCompiler.CompileError](
+            df.filter(ExprCompiler.compile(eStr, df)).count())
+          errors += 1
+        case Some(ts) =>
+          val got = df.filter(ExprCompiler.compile(eStr, df))
+            .select($"id").as[Long].collect().toSet
+          val want = values.collect {
+            case (id, s) if matches(ts, s) => id
+          }.toSet
+          assert(got == want,
+            s"#$i pattern [$pat] as [$eStr]: engine=$got oracle=$want")
+      }
+    }
+    assert(errors > 0, "generator never produced a dangling escape")
+  }
 }
