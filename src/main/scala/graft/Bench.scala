@@ -22,6 +22,15 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // box-contention sentinel: a loaded host inflates every sample the
+    // same way (the r10 driver bench read 37% hot purely from load), so
+    // the canonical line carries the 1-minute system load at start and
+    // end — a reader can tell "regression" from "busy box" without a
+    // re-run
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -108,7 +117,8 @@ object Bench {
         val xs = samples.map(_.toMap.apply(k))
         "\"" + k + f"""\":[$v%.3f,${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
       }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"slowest":$slow,"slowest_note":"[median,p25,p75] for slowest 25 of ${results.size}; full maps on the total_detail line","sf":"$sfDir","runs":$runs}""")
+    val ncpu = Runtime.getRuntime.availableProcessors
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"slowest":$slow,"slowest_note":"[median,p25,p75] for slowest 25 of ${results.size}; full maps on the total_detail line","loadavg":[$loadStart%.2f,$loadAvg%.2f],"ncpu":$ncpu,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

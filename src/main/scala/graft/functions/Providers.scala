@@ -66,11 +66,19 @@ object Providers {
       taskType: String = "",
       /** The user's explicit dim PARAM (0 when absent): gemini/vertexai
         * forward it as outputDimensionality only when given, like the
-        * reference's embedDimParam.
+        * reference's embedDimParam; bedrock forwards it as `dimensions`.
         */
-      dimParam: Int = 0) {
-    // the case-class toString would print the credential; any log line,
-    // exception message, or debug dump of a config must not leak it
+      dimParam: Int = 0,
+      /** bedrock only: the SigV4 secret half (apiKey carries the access
+        * key id), the AWS region the endpoint and signature scope use,
+        * and the titan `normalize` flag (default true,
+        * bedrock_embedding_provider.go:123).
+        */
+      secretKey: String = "",
+      region: String = "",
+      normalize: Boolean = true) {
+    // the case-class toString would print the credentials; any log line,
+    // exception message, or debug dump of a config must not leak them
     override def toString: String =
       s"ProviderConfig($provider,$url,apiKey=***,$modelName,$dim,$user," +
         s"$truncate,$maxBatch,$timeoutMs,$maxRetries,$mode)"
@@ -93,6 +101,8 @@ object Providers {
     require(mode == "document" || mode == "query",
       s"embedding mode must be 'document' or 'query' (got '$mode')")
     val p = provider.toLowerCase
+    if (p == "bedrock")
+      return resolveBedrock(params, conf, fieldDim, env, mode)
     val modelName = params.getOrElse("model_name", "")
     val (defaultUrl, maxBatch, akEnv) = p match {
       case "openai"   => ("https://api.openai.com/v1/embeddings", 128, "OPENAI_API_KEY")
@@ -143,7 +153,7 @@ object Providers {
           128, "YC_API_KEY")
       case other => throw new IllegalArgumentException(
         s"unknown embedding provider '$other' (openai, voyageai, cohere, " +
-          "tei, gemini, vertexai, ali, siliconflow, huggingface, yc)")
+          "tei, gemini, vertexai, ali, siliconflow, huggingface, yc, bedrock)")
     }
     // ParseAndCheckFieldDim: a dim param must match the field's dim
     params.get("dim").foreach { d =>
@@ -178,6 +188,62 @@ object Providers {
       taskType = params.getOrElse("task_type",
         params.getOrElse("task", if (p == "vertexai") "DOC_RETRIEVAL" else "")),
       dimParam = params.get("dim").map(_.toInt).getOrElse(0))
+  }
+
+  /** Bedrock config (embedding/bedrock_embedding_provider.go:116-176):
+    * TWO static credentials (access key id + secret) with the
+    * params > conf > env precedence of parseAKSKInfo (:80-114, env names
+    * common.go:95-96), a REQUIRED region (the endpoint host and the
+    * SigV4 scope both derive from it, :65-67), a validated `normalize`
+    * flag (:136-144), and maxBatch 1 — the titan API embeds one text per
+    * InvokeModel call (:172,179 "does not support batches").
+    */
+  private def resolveBedrock(params: Map[String, String],
+      conf: Map[String, String], fieldDim: Int,
+      env: String => Option[String], mode: String): ProviderConfig = {
+    val modelName = params.getOrElse("model_name", "")
+    require(modelName.nonEmpty, "bedrock embedding model name is required")
+    def cred(paramKey: String, envKey: String): String =
+      params.get(paramKey)
+        .orElse(conf.get(s"bedrock.$paramKey"))
+        .orElse(env(envKey))
+        .getOrElse(throw new IllegalArgumentException(
+          "missing credentials config or configure the " +
+            s"$envKey environment variable in the service"))
+    val accessKey = cred("aws_access_key_id", "MILVUS_BEDROCK_ACCESS_KEY_ID")
+    val secretKey = cred("aws_secret_access_key", "MILVUS_BEDROCK_SECRET_ACCESS_KEY")
+    val region = params.getOrElse("region",
+      throw new IllegalArgumentException(
+        "missing AWS Service region. Please pass `region` param"))
+    val normalize = params.get("normalize").map(_.toLowerCase) match {
+      case None | Some("true") => true
+      case Some("false")       => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"illegal [normalize:$v] param")
+    }
+    params.get("dim").foreach { d =>
+      require(d.toInt == fieldDim,
+        s"function dim param $d does not match field dim $fieldDim")
+    }
+    // public InvokeModel REST shape: POST
+    // https://bedrock-runtime.{region}.amazonaws.com/model/{modelId}/invoke
+    // — the model id percent-encodes into the path (titan ids carry ':')
+    val url = params.getOrElse("url",
+      s"https://bedrock-runtime.$region.amazonaws.com/model/" +
+        s"${SigV4.encodeSegment(modelName)}/invoke")
+    ProviderConfig(
+      provider = "bedrock", url = url, apiKey = accessKey,
+      modelName = modelName, dim = fieldDim,
+      maxBatch = 1,
+      timeoutMs = params.get("timeout_ms").map(_.toLong).getOrElse(30000L),
+      maxRetries = {
+        val r = params.get("max_retries").map(_.toInt).getOrElse(3)
+        require(r >= 1, s"max_retries must be >= 1 (got $r)")
+        r
+      },
+      mode = mode,
+      dimParam = params.get("dim").map(_.toInt).getOrElse(0),
+      secretKey = secretKey, region = region, normalize = normalize)
   }
 
   /** Thrown when a non-retryable (non-429, non-5xx) status comes back. */
@@ -282,6 +348,15 @@ object Providers {
           if (chunk.size == 1)
             s"""{"modelUri":${jstr(cfg.modelName)},"text":${jstr(chunk.head)}}"""
           else s"""{"modelUri":${jstr(cfg.modelName)},"texts":$arr}"""
+        case "bedrock" =>
+          // BedRockRequest (bedrock_embedding_provider.go:229-233): one
+          // inputText per call; Go's omitempty drops dimensions=0 and
+          // normalize=false from the wire
+          require(chunk.size == 1, "bedrock embeds one text per request")
+          val dimField =
+            if (cfg.dimParam > 0) s""","dimensions":${cfg.dimParam}""" else ""
+          val normField = if (cfg.normalize) ""","normalize":true""" else ""
+          s"""{"inputText":${jstr(chunk.head)}$dimField$normField}"""
         case _ => // openai (and the default dialect)
           s"""{"model":${jstr(cfg.modelName)},"input":$arr,""" +
             s""""user":${jstr(cfg.user)}}"""
@@ -336,17 +411,28 @@ object Providers {
       while (attempt < cfg.maxRetries) {
         try {
           // gemini authenticates via x-goog-api-key (gemini_client.go:39-44),
-          // yc via Api-Key (yc_embedding_provider.go:118); everyone else
-          // speaks Authorization: Bearer
-          val (authHeader, authValue) = cfg.provider match {
-            case "gemini" => ("x-goog-api-key", cfg.apiKey)
-            case "yc"     => ("Authorization", s"Api-Key ${cfg.apiKey}")
-            case _        => ("Authorization", s"Bearer ${cfg.apiKey}")
+          // yc via Api-Key (yc_embedding_provider.go:118), bedrock signs
+          // the whole request SigV4 (the AWS SDK's signing the reference
+          // client performs implicitly — service name "bedrock", scope
+          // from the config region, content-type in the signed set);
+          // everyone else speaks Authorization: Bearer
+          val authHeaders: Seq[(String, String)] = cfg.provider match {
+            case "gemini" => Seq("x-goog-api-key" -> cfg.apiKey)
+            case "yc"     => Seq("Authorization" -> s"Api-Key ${cfg.apiKey}")
+            case "bedrock" =>
+              SigV4.sign("POST", cfg.url, service = "bedrock",
+                region = cfg.region, accessKey = cfg.apiKey,
+                secretKey = cfg.secretKey,
+                payload = body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                amzDate = SigV4.nowAmzDate(),
+                extraHeaders = Seq("content-type" -> "application/json"))
+            case _        => Seq("Authorization" -> s"Bearer ${cfg.apiKey}")
           }
-          val req = HttpRequest.newBuilder(URI.create(cfg.url))
+          val builder = HttpRequest.newBuilder(URI.create(cfg.url))
             .timeout(Duration.ofMillis(cfg.timeoutMs))
             .header("Content-Type", "application/json")
-            .header(authHeader, authValue)
+          authHeaders.foreach { case (k, v) => builder.header(k, v) }
+          val req = builder
             .POST(HttpRequest.BodyPublishers.ofString(body))
             .build()
           val resp = http.send(req, HttpResponse.BodyHandlers.ofString())

@@ -35,14 +35,16 @@ class ProviderSpec extends SparkSpec {
       val n = requests.incrementAndGet()
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       lastBody = body
-      lastAuth = Seq("Authorization", "x-goog-api-key").flatMap(h =>
-        Option(ex.getRequestHeaders.getFirst(h)).map(h -> _)).toMap
+      lastAuth = Seq("Authorization", "x-goog-api-key", "x-amz-date")
+        .flatMap(h =>
+          Option(ex.getRequestHeaders.getFirst(h)).map(h -> _)).toMap
       // the request dialect identifies the provider: openai/voyageai/
       // siliconflow send "input", cohere/ali/yc "texts" (ali nested
       // under "input", yc tagged by "modelUri"), tei/huggingface
       // "inputs", gemini a "requests" list, vertexai an "instances" list
       val dialect =
-        if (body.contains("\"modelUri\"")) "yc"
+        if (body.contains("\"inputText\"")) "bedrock"
+        else if (body.contains("\"modelUri\"")) "yc"
         else if (body.contains("\"input\":{\"texts\":[")) "ali"
         else if (body.contains("\"texts\":[")) "cohere"
         else if (body.contains("\"inputs\":[")) "tei"
@@ -61,6 +63,7 @@ class ProviderSpec extends SparkSpec {
         ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
           .findAllMatchIn(body).map(_.group(1)).toList
       val inputs = dialect match {
+        case "bedrock"        => byKey("inputText")
         case "gemini"         => byKey("text")
         case "vertexai"       => byKey("content")
         case "yc" =>
@@ -99,6 +102,8 @@ class ProviderSpec extends SparkSpec {
             if (count == 1) s"""{"embedding":${vecOf(0)}}"""
             else (0 until count).map(vecOf)
               .mkString("{\"embeddings\":[", ",", "]}")
+          case "bedrock" =>
+            s"""{"embedding":${vecOf(0)},"inputTextTokenCount":7}"""
           case _ => (0 until count).map(i => s"""{"embedding":${vecOf(i)}}""")
             .mkString("{\"data\":[", ",", "]}")
         }
@@ -314,6 +319,86 @@ class ProviderSpec extends SparkSpec {
       intercept[IllegalArgumentException](Providers.resolve("yc",
         Map("api_key" -> "k"), Map.empty, 4))
     } finally stub.stop()
+  }
+
+  test("bedrock dialect: titan request, SigV4-signed headers, one text per call") {
+    val stub = new Stub(4)
+    try {
+      val cfg = Providers.resolve("bedrock",
+        Map("url" -> stub.url, "model_name" -> "amazon.titan-embed-text-v2:0",
+          "region" -> "us-east-1", "aws_access_key_id" -> "AKIDEXAMPLE",
+          "aws_secret_access_key" -> "sk-secret", "dim" -> "4"),
+        Map.empty, 4, env = _ => None)
+      assert(cfg.maxBatch == 1) // titan embeds one text per InvokeModel
+      val embs = new EmbeddingClient(cfg).embed(Seq("hello", "worlds!"))
+      // BedRockRequest: inputText + dimensions (dim param given) +
+      // normalize (default true); omitempty drops nothing here
+      assert(stub.lastBody ==
+        """{"inputText":"worlds!","dimensions":4,"normalize":true}""")
+      assert(stub.batchSizes == List(1, 1)) // a text per request
+      assert(embs.map(_.head) == Seq(5f, 7f))
+      // the Authorization header is a full SigV4 signature over THIS
+      // request: recompute server-side from the captured x-amz-date and
+      // the known secret — byte-equality is the same check AWS performs
+      val amzDate = stub.lastAuth("x-amz-date")
+      assert(amzDate.matches("""\d{8}T\d{6}Z"""), amzDate)
+      val expected = SigV4.sign("POST", stub.url, "bedrock", "us-east-1",
+        "AKIDEXAMPLE", "sk-secret", stub.lastBody.getBytes("UTF-8"), amzDate,
+        extraHeaders = Seq("content-type" -> "application/json"))
+        .toMap.apply("Authorization")
+      assert(stub.lastAuth("Authorization") == expected)
+      assert(stub.lastAuth("Authorization").matches(
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/\\d{8}/us-east-1/bedrock/" +
+          "aws4_request, SignedHeaders=content-type;host;x-amz-date, " +
+          "Signature=[0-9a-f]{64}"))
+
+      // normalize=false drops from the wire (Go omitempty); no dim param
+      // drops dimensions
+      val cfg2 = Providers.resolve("bedrock",
+        Map("url" -> stub.url, "model_name" -> "m", "region" -> "us-east-1",
+          "aws_access_key_id" -> "ak", "aws_secret_access_key" -> "sk",
+          "normalize" -> "false"),
+        Map.empty, 4, env = _ => None)
+      new EmbeddingClient(cfg2).embed(Seq("abc"))
+      assert(stub.lastBody == """{"inputText":"abc"}""")
+    } finally stub.stop()
+  }
+
+  test("bedrock config: region/credentials required, env fallback, default url") {
+    def res(params: Map[String, String],
+        env: String => Option[String] = _ => None) =
+      Providers.resolve("bedrock",
+        Map("model_name" -> "amazon.titan-embed-text-v2:0") ++ params,
+        Map.empty, 4, env = env)
+    // default endpoint derives from region, model id ':' percent-encodes
+    val c = res(Map("region" -> "eu-west-2", "aws_access_key_id" -> "ak",
+      "aws_secret_access_key" -> "sk"))
+    assert(c.url == "https://bedrock-runtime.eu-west-2.amazonaws.com/" +
+      "model/amazon.titan-embed-text-v2%3A0/invoke")
+    assert(c.normalize) // default true
+    // parseAKSKInfo env fallback (common.go:95-96 names)
+    val viaEnv = res(Map("region" -> "us-east-1"), env = {
+      case "MILVUS_BEDROCK_ACCESS_KEY_ID"     => Some("eak")
+      case "MILVUS_BEDROCK_SECRET_ACCESS_KEY" => Some("esk")
+      case _                                  => None
+    })
+    assert(viaEnv.apiKey == "eak" && viaEnv.secretKey == "esk")
+    // named errors: missing access key, missing secret, missing region,
+    // bad normalize value (bedrock_embedding_provider.go:59-67,143)
+    val noAk = intercept[IllegalArgumentException](res(Map("region" -> "r")))
+    assert(noAk.getMessage.contains("MILVUS_BEDROCK_ACCESS_KEY_ID"))
+    val noSk = intercept[IllegalArgumentException](
+      res(Map("region" -> "r", "aws_access_key_id" -> "ak")))
+    assert(noSk.getMessage.contains("MILVUS_BEDROCK_SECRET_ACCESS_KEY"))
+    val noRegion = intercept[IllegalArgumentException](
+      res(Map("aws_access_key_id" -> "ak", "aws_secret_access_key" -> "sk")))
+    assert(noRegion.getMessage.contains("missing AWS Service region"))
+    val badNorm = intercept[IllegalArgumentException](
+      res(Map("region" -> "r", "aws_access_key_id" -> "ak",
+        "aws_secret_access_key" -> "sk", "normalize" -> "banana")))
+    assert(badNorm.getMessage.contains("illegal [normalize:banana] param"))
+    // credentials never leak through the config's toString
+    assert(!c.toString.contains("sk"))
   }
 
   test("gemini/vertexai config resolution: default urls, required params") {
