@@ -102,9 +102,14 @@ private[expr] object Calls {
 
       // ---- json / array containment (reference: JsonContainsExpr.cpp) ----
       case "json_contains" | "array_contains" =>
+        checkContainsElements(args(0), "Contains", args(1),
+          strictCast = true, ctx)
         val arr = containerColumn(args(0), args(1), ctx)
         array_contains(arr, litCol(args(1), ctx))
       case "json_contains_all" | "array_contains_all" =>
+        requireListElement("ContainsAll", args(1), ctx)
+        checkContainsElements(args(0), "ContainsAll", args(1),
+          strictCast = false, ctx)
         val arr = containerColumn(args(0), args(1), ctx)
         if (isEmptyList(args(1), ctx)) arr.isNotNull // vacuously true (#51617)
         else {
@@ -112,6 +117,9 @@ private[expr] object Calls {
           size(array_except(values, arr)) === 0 && arr.isNotNull
         }
       case "json_contains_any" | "array_contains_any" =>
+        requireListElement("ContainsAny", args(1), ctx)
+        checkContainsElements(args(0), "ContainsAny", args(1),
+          strictCast = false, ctx)
         val arr = containerColumn(args(0), args(1), ctx)
         if (isEmptyList(args(1), ctx)) lit(false) // nothing to overlap (#51617)
         else arrays_overlap(arr, litArray(args(1), ctx))
@@ -276,6 +284,77 @@ private[expr] object Calls {
   /** The array being probed: an ARRAY column, or a JSON path decoded via
     * from_json with element type inferred from the probe value.
     */
+  /** checkContainsElement's FIRST rule (planparserv2/utils.go:789-791):
+    * the _any/_all operand must itself be a list — a scalar raises the
+    * named "element must be an array" error, never a silent wrap.
+    */
+  private def requireListElement(op: String, values: Node, ctx: Ctx): Unit =
+    values match {
+      case ArrayLit(_) => ()
+      case TemplateVar(name) if ctx.params.get(name).exists(_.isInstanceOf[Seq[_]]) => ()
+      case _ => throw CompileError(s"$op operation element must be an array")
+    }
+
+  /** checkContainsElement's TYPED rule (planparserv2/utils.go:793-814,
+    * pinned by test_mix_scenes.py
+    * test_bitmap_index_query_with_invalid_array_params): when the
+    * container is a typed ARRAY field, every probe literal must be
+    * comparable to the array's element type — and for the singular
+    * `contains`, CASTABLE to it (castValue: an int array takes no float
+    * probe). A nested list probe on a scalar-element array is the
+    * reference's "can't compare between array element type" error.
+    * JSON containers stay exempt (kind-union semantics own those).
+    */
+  private def checkContainsElements(target: Node, op: String, values: Node,
+      strictCast: Boolean, ctx: Ctx): Unit = {
+    val elemType: Option[DataType] = target match {
+      case Ident(f) => ctx.fieldType(f) match {
+        case Some(ArrayType(et, _)) => Some(et)
+        case _                      => None
+      }
+      case jp: JsonPath => ctx.fieldType(jp.field) match {
+        case Some(ArrayType(st: StructType, _)) => jp.path match {
+          case Seq(Left(sub)) => st.fields.find(_.name == sub).map(_.dataType)
+          case _              => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    def kindOf(n: Node): String = n match {
+      case IntLit(_)                           => "int"
+      case FloatLit(_)                         => "float"
+      case BoolLit(_)                          => "bool"
+      case StringLit(_)                        => "string"
+      case ArrayLit(_)                         => "array"
+      case Unary(UnaryOp.Neg | UnaryOp.Pos, c) => kindOf(c)
+      case _                                   => "expr"
+    }
+    elemType.foreach { et =>
+      val items: Seq[Node] = values match {
+        case ArrayLit(is) => is
+        case v            => Seq(v) // singular contains probe
+      }
+      items.foreach { item =>
+        val kind = kindOf(item)
+        if (kind != "expr") {
+          val ok = et match {
+            case StringType  => kind == "string"
+            case BooleanType => kind == "bool"
+            case LongType | IntegerType | ShortType | ByteType =>
+              if (strictCast) kind == "int" else kind == "int" || kind == "float"
+            case FloatType | DoubleType | _: DecimalType =>
+              kind == "int" || kind == "float"
+            case _ => false
+          }
+          if (!ok) throw CompileError(
+            s"$op operation can't compare between array element type: " +
+              s"${et.simpleString} and $kind")
+        }
+      }
+    }
+  }
+
   private def containerColumn(target: Node, probe: Node, ctx: Ctx): Column = {
     target match {
       case Ident(f) if ctx.fieldType(f).exists(_.isInstanceOf[ArrayType]) => col(f)

@@ -284,6 +284,34 @@ object ExprCompiler {
       lower && upper
 
     case In(target, values, negated) =>
+      // VisitTerm's target contract (parser_visitor.go:1154-1180): a
+      // constant anchors no term, and the target must be a SINGLE FIELD
+      // (plain, path-qualified, or an element sub-field) — `x % 13 in
+      // [...]` is a named parse error in the reference
+      // (test_mix_scenes.py test_no_index_query_with_invalid_expr), not
+      // an evaluated expression
+      target match {
+        case ArrayLit(_) =>
+          throw CompileError(
+            s"'term' can only be used on non-const expression, but got: $target")
+        case _ if literalType(target, ctx).isDefined =>
+          throw CompileError(
+            s"'term' can only be used on non-const expression, but got: $target")
+        case Ident(_) | JsonPath(_, _) | StructSubField(_) => ()
+        case other =>
+          throw CompileError(
+            s"'term' can only be used on single field, but got: $other")
+      }
+      // castValue parity (utils.go:264-305 via VisitTerm:1196-1211): a
+      // list element that cannot cast to the column's type is a named
+      // error — int lists take no floats/strings, string columns take
+      // only strings; JSON paths stay exempt (castValue passes JSON
+      // through; the typed-union machinery owns those semantics)
+      (termTargetType(target, ctx), values) match {
+        case (Some(dt), ArrayLit(items)) =>
+          items.foreach(termCastCheck(dt, _))
+        case _ => ()
+      }
       val t = compileInTarget(target, values, ctx)
       val membership = values match {
         case ArrayLit(items) if items.isEmpty => lit(false)
@@ -874,6 +902,53 @@ object ExprCompiler {
   }
 
   /** IN target: JSON paths cast to element type of the value list. */
+  /** The concrete column type a term list must cast against — None for
+    * JSON paths (castValue passes JSON through), element sub-fields
+    * (typed downstream by the element compiler), and anything not
+    * statically resolvable.
+    */
+  private def termTargetType(target: Node, ctx: Ctx): Option[DataType] =
+    if (isJsonPathNode(target, ctx)) None
+    else target match {
+      case Ident(f) => ctx.fieldType(f)
+      case JsonPath(f, parts) => ctx.fieldType(f) match {
+        // arr[i] compares as the ELEMENT type (VisitTerm:1172-1175)
+        case Some(ArrayType(et, _)) if parts.forall(_.isRight) => Some(et)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** castValue's accept matrix (utils.go:264-305): string↔string,
+    * bool↔bool, int→int, int/float→float; a mismatch is the named
+    * "cannot be casted" error. Timestamps pass through (tstz literals
+    * carry their own parse validation).
+    */
+  private def termCastCheck(dt: DataType, item: Node): Unit = {
+    def kindOf(n: Node): String = n match {
+      case IntLit(_)                              => "int"
+      case FloatLit(_)                            => "float"
+      case BoolLit(_)                             => "bool"
+      case StringLit(_)                           => "string"
+      case IsoLit(_)                              => "ts"
+      case Unary(UnaryOp.Neg | UnaryOp.Pos, c)    => kindOf(c)
+      case _                                      => "expr"
+    }
+    val kind = kindOf(item)
+    if (kind == "expr") return // non-literal elements error downstream
+    val ok = dt match {
+      case StringType                             => kind == "string"
+      case BooleanType                            => kind == "bool"
+      case LongType | IntegerType | ShortType | ByteType => kind == "int"
+      case FloatType | DoubleType | _: DecimalType =>
+        kind == "int" || kind == "float"
+      case TimestampType                          => true
+      case _                                      => false
+    }
+    if (!ok) throw CompileError(
+      s"value '$item' in list cannot be casted to ${dt.simpleString}")
+  }
+
   private def compileInTarget(target: Node, values: Node, ctx: Ctx): Column = {
     val elemType = values match {
       case ArrayLit(items) if items.nonEmpty => literalType(items.head, ctx)

@@ -706,7 +706,7 @@ object MatrixQueries {
     */
   private[graft] def likeDf(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val m = col("event_id") % 12
+    val m = col("event_id") % 16
     ev.select(col("event_id").as("id"), m.as("m"),
       when(m === 0, "user_1").when(m === 1, "userX1")
         .when(m === 2, "user%1").when(m === 3, "user\\1")
@@ -714,18 +714,28 @@ object MatrixQueries {
         .when(m === 6, "a_b").when(m === 7, "ab").when(m === 8, "axb")
         .when(m === 9, "prefix_mid_suffix")
         .when(m === 10, "prefixXmidXsuffix")
+        // unicode values (gen_varchar_unicode_expression,
+        // test_mix_scenes.py TestIndexUnicodeString)
+        .when(m === 11, "国abc").when(m === 12, "abc中")
+        // a value whose MIDDLE is a newline: wildcards must span it
+        .when(m === 13, "multi\nline")
+        // issue 32294's JSON-looking VARCHAR (LIKE over '{', '?', '"')
+        .when(m === 14, """{"Header 1": "Foo1?", "type": "passage"}""")
         .otherwise(lit(null).cast("string")).as("s"))
   }
 
   private val likeSql: String =
-    """SELECT event_id AS id, event_id % 12 AS m,
-      |  CASE event_id % 12
+    """SELECT event_id AS id, event_id % 16 AS m,
+      |  CASE event_id % 16
       |    WHEN 0 THEN 'user_1' WHEN 1 THEN 'userX1'
       |    WHEN 2 THEN 'user%1' WHEN 3 THEN 'user\1'
       |    WHEN 4 THEN 'user1' WHEN 5 THEN 'a%b'
       |    WHEN 6 THEN 'a_b' WHEN 7 THEN 'ab' WHEN 8 THEN 'axb'
       |    WHEN 9 THEN 'prefix_mid_suffix'
       |    WHEN 10 THEN 'prefixXmidXsuffix'
+      |    WHEN 11 THEN '国abc' WHEN 12 THEN 'abc中'
+      |    WHEN 13 THEN 'multi' || chr(10) || 'line'
+      |    WHEN 14 THEN '{"Header 1": "Foo1?", "type": "passage"}'
       |    ELSE NULL
       |  END AS s
       |FROM events""".stripMargin
@@ -761,7 +771,26 @@ object MatrixQueries {
     MCase("prefix_esc_pct", """s like "user\\%%"""",
       raw"s LIKE 'user\%%' ESCAPE '\'"),
     // NULL rows match neither a LIKE nor its negation (3VL)
-    MCase("not_like_pct", """not (s like "a%b")""", "NOT (s LIKE 'a%b')"))
+    MCase("not_like_pct", """not (s like "a%b")""", "NOT (s LIKE 'a%b')"),
+    // unicode wildcards (reference gen_varchar_unicode_expression:
+    // CJK prefix/postfix/inner behave exactly like ASCII)
+    MCase("unicode_prefix", """s like "国%"""", "s LIKE '国%'"),
+    MCase("unicode_postfix", """s like "%中"""", "s LIKE '%中'"),
+    MCase("unicode_inner", """s like "%国%"""", "s LIKE '%国%'"),
+    // '%' and '_' both span/match a NEWLINE inside the value — a
+    // regex-backed LIKE without dot-nl would silently drop m=13
+    MCase("newline_pct_span", """s like "multi%ne"""", "s LIKE 'multi%ne'"),
+    MCase("newline_underscore", """s like "multi_line"""",
+      "s LIKE 'multi_line'"),
+    MCase("newline_generic_mix", """s like "m_lti%l_ne"""",
+      "s LIKE 'm_lti%l_ne'"),
+    // issue #32294's shape: inner LIKE over a JSON-looking VARCHAR —
+    // '{', '"', '?' are plain literals to the LIKE layer
+    MCase("json_varchar_inner", """s like "%passage%"""",
+      "s LIKE '%passage%'"),
+    MCase("qmark_literal", """s like "%Foo1?%"""", "s LIKE '%Foo1?%'"),
+    MCase("brace_prefix", """s like "{\"Header%"""",
+      """s LIKE '{"Header%'"""))
 
   def likeMatrix(s: SparkSession, dir: String): DataFrame =
     battery(s, likeDf(s, dir), LikeCases)
@@ -1200,6 +1229,7 @@ object MatrixQueries {
     "q_escape_matrix" -> (escapeMatrix _),
     "q_regression_matrix" -> (regressionMatrix _),
     "q_regex_matrix" -> (regexMatrix _),
+    "q_term_matrix" -> (termMatrix _),
     "q_index_consistency" -> (indexConsistency _))
 
   val oracles: Map[String, String] = Map(
@@ -1211,5 +1241,104 @@ object MatrixQueries {
     "q_escape_matrix" -> escapeMatrixOracle,
     "q_regression_matrix" -> regressionMatrixOracle,
     "q_regex_matrix" -> regexMatrixOracle,
+    "q_term_matrix" -> termMatrixOracle,
     "q_index_consistency" -> indexConsistencyOracle)
+
+  // =================================================================
+  // Battery 9 — TermExpr / containment operand contracts
+  // reference parser_visitor.go VisitTerm:1154-1211 (single-field
+  // target, non-const target, castValue per list element) +
+  // planparserv2/utils.go checkContainsElement:788-816, pinned by
+  // test_mix_scenes.py test_no_index_query_with_invalid_expr and
+  // test_bitmap_index_query_with_invalid_array_params
+  // =================================================================
+
+  private[graft] def termDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, 20L, 2.5, "ann", true, Seq("a", "b"), Seq(1L, 2L, 3L)),
+      (2L, 30L, 1.0, "bob", false, Seq("c"), Seq(3L, 7L)),
+      (3L, -5L, 1.5, "中文名", true, Seq("a"), Seq(10L)),
+      (4L, 25L, 0.5, "dave", false, Seq.empty[String], Seq(7L)))
+      .toDF("id", "age", "score", "name", "flag", "tags", "nums")
+  }
+
+  private val termSql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 20, 2.5, 'ann', true, ['a','b'], [1,2,3]),
+      |  (2, 30, 1.0, 'bob', false, ['c'], [3,7]),
+      |  (3, -5, 1.5, '中文名', true, ['a'], [10]),
+      |  (4, 25, 0.5, 'dave', false, CAST([] AS VARCHAR[]), [7])
+      |) AS t(id, age, score, name, flag, tags, nums)""".stripMargin
+
+  /** Valid term shapes — the accept side of the contract. */
+  private[graft] val TermCases: Seq[MCase] = Seq(
+    MCase("t_int_in", "age in [20, 30]", "age IN (20, 30)"),
+    MCase("t_int_not_in", "age not in [20]", "age NOT IN (20)"),
+    MCase("t_neg_in", "age in [-5, 99]", "age IN (-5, 99)"),
+    // castValue widens int literals into a float column (utils.go:291-298)
+    MCase("t_float_in_ints", "score in [1, 2.5]", "score IN (1, 2.5)"),
+    MCase("t_str_in", """name in ["ann", "中文名"]""",
+      "name IN ('ann', '中文名')"),
+    MCase("t_bool_in", "flag in [true]", "flag IN (true)"),
+    // array SUBSCRIPT compares as the element type (VisitTerm:1172-1175)
+    MCase("t_elem_in", "nums[0] in [1, 7]", "nums[1] IN (1, 7)"),
+    // _any/_all comparability is LOOSE across numerics
+    // (canBeComparedDataType: arithmetic↔arithmetic)
+    MCase("t_contains_any_loose", "array_contains_any(nums, [3, 7.0])",
+      "list_has_any(nums, [3, 7.0])"))
+
+  /** Reject side: each must raise the engine's named compile error to
+    * earn the pinned -1 (a silent accept surfaces its real count and
+    * hash-mismatches the oracle).
+    */
+  private[graft] val TermErrorCases: Seq[(String, String)] = Seq(
+    // 'term' can only be used on single field
+    ("e_mod_lhs", "age % 13 in [0, 1, 2]"),
+    ("e_arith_lhs", "age + 1 in [21]"),
+    // 'term' can only be used on non-const expression
+    ("e_const_lhs", "5 in [1, 5]"),
+    // castValue: list element not castable to the column type
+    ("e_float_into_int", "age in [20, 1.5]"),
+    ("e_str_into_int", """age in [20, "x"]"""),
+    ("e_bool_into_int", "age in [true]"),
+    ("e_int_into_str", """name in ["ann", 5]"""),
+    ("e_int_into_bool", "flag in [1]"),
+    ("e_str_into_float", """score in [2.5, "x"]"""),
+    // right-hand side must be a list
+    ("e_scalar_rhs", "age in 20"),
+    // checkContainsElement: _any/_all operand must be an array; every
+    // element must be comparable to the array's element type
+    ("e_nested_list_any", """array_contains_any(tags, [["a", "b"]])"""),
+    ("e_int_probe_str_any", "array_contains_any(tags, [1])"),
+    ("e_scalar_any", """array_contains_any(tags, "a")"""),
+    ("e_scalar_all", "array_contains_all(nums, 3)"),
+    // singular contains takes castValue's STRICT rules (no float→int)
+    ("e_float_contains_int", "array_contains(nums, 3.5)"),
+    ("e_str_contains_int", """array_contains(nums, "a")"""))
+
+  def termMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = battery(s, termDf(s), TermCases)
+    val errRows = TermErrorCases.map { case (id, expr) =>
+      val cnt =
+        try {
+          val df = termDf(s)
+          df.filter(ExprCompiler.compile(expr, df)).count()
+        } catch {
+          case _: ExprCompiler.CompileError => -1L
+          case _: graft.expr.Parser.ParseError => -1L
+        }
+      (id, cnt)
+    }.toDF("case_id", "cnt")
+    base.unionByName(errRows).orderBy(col("case_id"))
+  }
+
+  // lazy: referenced by the `oracles` map textually above this section
+  private[graft] lazy val termMatrixOracle: String =
+    (TermCases.map(c =>
+      s"SELECT '${c.id}' AS case_id, count(*) AS cnt FROM ($termSql) WHERE ${c.duck}") ++
+      TermErrorCases.map { case (id, _) =>
+        s"SELECT '$id' AS case_id, CAST(-1 AS BIGINT) AS cnt" })
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
 }

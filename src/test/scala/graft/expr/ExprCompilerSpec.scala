@@ -256,6 +256,65 @@ class ExprCompilerSpec extends SparkSpec {
     check("sarr[0] == 't5'", element_at($"sarr", 1) === "t5")
   }
 
+  test("term target contract: single non-const field, castable list elements") {
+    // VisitTerm (parser_visitor.go:1154-1211): arithmetic or constant
+    // LHS is a named parse error (test_mix_scenes.py
+    // test_no_index_query_with_invalid_expr), and list elements must
+    // cast to the column type (castValue utils.go:264-305)
+    def rejected(e: String, fragment: String): Unit = {
+      val err = intercept[ExprCompiler.CompileError](
+        df.filter(ExprCompiler.compile(e, df)).count())
+      assert(err.getMessage.contains(fragment),
+        s"wrong message for [$e]: ${err.getMessage}")
+    }
+    rejected("id % 13 in [0, 1, 2]", "single field")
+    rejected("id + 1 in [21]", "single field")
+    rejected("-id in [5]", "single field")
+    rejected("5 in [1, 5]", "non-const expression")
+    rejected("(3 + 4) in [7]", "non-const expression")
+    rejected("""id in [1, 2.5]""", "cannot be casted")
+    rejected("""id in [1, "x"]""", "cannot be casted")
+    rejected("id in [true]", "cannot be casted")
+    rejected("""s in ["name_1", 5]""", "cannot be casted")
+    rejected("b in [1]", "cannot be casted")
+    rejected("""f in [0.5, "x"]""", "cannot be casted")
+    // whole-array target: scalar elements cannot cast to the array type
+    rejected("arr in [1, 2]", "cannot be casted")
+    // accept side: plain fields, negatives, int widening into float,
+    // subscripted elements, bool lists
+    assert(df.filter(ExprCompiler.compile("id in [1, 2]", df)).count() == 2)
+    assert(df.filter(ExprCompiler.compile("f in [1, 2.5]", df)).count() == 2)
+    assert(df.filter(ExprCompiler.compile("b in [true]", df)).count() == 50)
+    assert(df.filter(ExprCompiler.compile("arr[0] in [3, 5]", df)).count() == 2)
+    assert(df.filter(ExprCompiler.compile("(id) in [1]", df)).count() == 1)
+  }
+
+  test("containment element contract: list operand, comparable elements") {
+    // checkContainsElement (utils.go:788-816), pinned by
+    // test_bitmap_index_query_with_invalid_array_params: nested lists
+    // and type-mismatched probes are named errors, not silent falses
+    def rejected(e: String, fragment: String): Unit = {
+      val err = intercept[ExprCompiler.CompileError](
+        df.filter(ExprCompiler.compile(e, df)).count())
+      assert(err.getMessage.contains(fragment),
+        s"wrong message for [$e]: ${err.getMessage}")
+    }
+    rejected("""array_contains_any(sarr, [["a", "b"]])""", "can't compare")
+    rejected("""array_contains_all(sarr, [["a"]])""", "can't compare")
+    rejected("array_contains_any(sarr, [1])", "can't compare")
+    rejected("""array_contains_any(arr, ["x"])""", "can't compare")
+    rejected("""array_contains_any(sarr, "a")""", "must be an array")
+    rejected("array_contains_all(arr, 3)", "must be an array")
+    // singular contains: STRICT castValue — no float probe on int array
+    rejected("array_contains(arr, 3.5)", "can't compare")
+    rejected("""array_contains(arr, "a")""", "can't compare")
+    // loose _any/_all comparability: float probes on int arrays pass
+    assert(df.filter(ExprCompiler.compile(
+      "array_contains_any(arr, [3, 200.0])", df)).count() == 3)
+    assert(df.filter(ExprCompiler.compile(
+      """array_contains(sarr, "common")""", df)).count() == 100)
+  }
+
   test("json path access") {
     check("""js["a"] > 50""", get_json_object($"js", "$.a").cast("long") > 50)
     check("""js["b"] == "v7"""", get_json_object($"js", "$.b") === "v7")
