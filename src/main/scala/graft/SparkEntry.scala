@@ -226,7 +226,7 @@ object Queries {
     "q_expr_compare_cols" -> (exprCompareCols _)
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_expr_null" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE (props->>'$.k') IS NULL AND event_type = 'view'

@@ -1156,7 +1156,7 @@ object ExtraQueries {
       s"SELECT '$id' AS case_id, count(*) AS cnt FROM events WHERE $sql"
     }.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_expr_matrix" -> (exprMatrix _),
     "q_search_by_pk" -> (searchByPkQ _),
     "q_struct_hybrid" -> (structHybrid _),
@@ -1240,7 +1240,7 @@ object ExtraQueries {
     } yield s"('$cfg', $ti, $pos, '$tok')").mkString(",\n        |  ")
   }
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_expr_matrix" -> exprMatrixOracle,
     "q_search_by_pk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -107,13 +107,13 @@ object FunctionQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_ingest" -> (embedIngest _),
     "q_collection_functions" -> (collectionFunctions _),
     "q_function_backfill" -> (functionBackfill _)
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_embed_ingest" ->
       s"""WITH de AS (SELECT doc_id, ${charFreqSql("text")} AS ev FROM documents),
          |qe AS (SELECT ${charFreqSql(s"'$QueryText'")} AS ev),

@@ -1403,7 +1403,7 @@ object LifecycleQueries {
     p1.unionByName(p2).unionByName(p3).orderBy(col("phase"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_load_state" -> (loadStateRead _),
     "q_import_formats" -> (importFormats _),
     "q_stream_union" -> (streamUnion _),
@@ -1450,7 +1450,7 @@ object LifecycleQueries {
     "q_lob_gc" -> (lobGc _)
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_load_state" ->
       """WITH n AS (SELECT count(*) AS cnt FROM events WHERE event_id < 2000)
         |SELECT CAST(1 AS BIGINT) AS phase, 'NotLoad' AS state, cnt FROM n

@@ -1220,7 +1220,7 @@ object MatrixQueries {
         s"FROM ($regressionSql) WHERE ${c.duck}")
       .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typed_matrix" -> (typedMatrix _),
     "q_array_matrix" -> (arrayMatrix _),
     "q_null_matrix" -> (nullMatrix _),
@@ -1232,7 +1232,10 @@ object MatrixQueries {
     "q_term_matrix" -> (termMatrix _),
     "q_index_consistency" -> (indexConsistency _))
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: oracle bodies reference case/sql vals declared later
+  // in the file; a strict map would force them during <clinit> while
+  // they are still null (the round-11 harness crash).
+  def oracles: Map[String, String] = Map(
     "q_typed_matrix" -> typedMatrixOracle,
     "q_array_matrix" -> arrayMatrixOracle,
     "q_null_matrix" -> nullMatrixOracle,
@@ -1263,7 +1266,7 @@ object MatrixQueries {
       .toDF("id", "age", "score", "name", "flag", "tags", "nums")
   }
 
-  private val termSql: String =
+  private lazy val termSql: String =
     """SELECT * FROM (VALUES
       |  (1, 20, 2.5, 'ann', true, ['a','b'], [1,2,3]),
       |  (2, 30, 1.0, 'bob', false, ['c'], [3,7]),
@@ -1272,7 +1275,7 @@ object MatrixQueries {
       |) AS t(id, age, score, name, flag, tags, nums)""".stripMargin
 
   /** Valid term shapes — the accept side of the contract. */
-  private[graft] val TermCases: Seq[MCase] = Seq(
+  private[graft] lazy val TermCases: Seq[MCase] = Seq(
     MCase("t_int_in", "age in [20, 30]", "age IN (20, 30)"),
     MCase("t_int_not_in", "age not in [20]", "age NOT IN (20)"),
     MCase("t_neg_in", "age in [-5, 99]", "age IN (-5, 99)"),
@@ -1292,7 +1295,7 @@ object MatrixQueries {
     * earn the pinned -1 (a silent accept surfaces its real count and
     * hash-mismatches the oracle).
     */
-  private[graft] val TermErrorCases: Seq[(String, String)] = Seq(
+  private[graft] lazy val TermErrorCases: Seq[(String, String)] = Seq(
     // 'term' can only be used on single field
     ("e_mod_lhs", "age % 13 in [0, 1, 2]"),
     ("e_arith_lhs", "age + 1 in [21]"),

@@ -296,7 +296,7 @@ object SearchQueries {
       .orderBy(col("qid"), col("rank"), col("pos"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_getvector" -> (searchGetVector _),
     "q_fp16_search" -> (fp16Search _),
     "q_int8_search" -> (int8Search _),
@@ -316,7 +316,7 @@ object SearchQueries {
     "q_rerank_chain" -> (rerankChain _)
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_search_getvector" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 5),

@@ -643,7 +643,7 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (repetition _),
     "q_doc_chunk" -> (docChunk _),
     "q_stream_dedup" -> (streamDedup _),
@@ -690,7 +690,7 @@ object TextQueries {
     case (lang, words) => s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
   }.mkString(", ")
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |g AS (

@@ -175,7 +175,7 @@ object WriteQueries {
       .orderBy(col("level"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compact_fold" -> (compactFold _),
     "q_consistency_levels" -> (consistencyLevels _),
     "q_mvcc_visibility" -> (mvccVisibility _),
@@ -187,7 +187,7 @@ object WriteQueries {
     "q_sample_mod" -> (sampleMod _)
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_compact_fold" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | round(o_totalprice, 2) AS o_totalprice, o_orderdate
