@@ -1512,12 +1512,15 @@ final class Collection private (
 
   /** nq without a Spark job when the query vectors are driver-local
     * (the common case — the reference receives them in the RPC body).
+    * The distributed fallback only needs "≤ NQLimit or not", so the
+    * scan is capped at NQLimit+1 rows instead of counting an arbitrary
+    * upstream plan in full; a capped result of NQLimit+1 means "over".
     */
   private def nqOf(queries: DataFrame): Long =
     queries.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         lr.data.length.toLong
-      case _ => queries.count()
+      case _ => queries.limit(Collection.NQLimit.toInt + 1).count()
     }
 
   def readView(

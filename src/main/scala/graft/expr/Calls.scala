@@ -332,8 +332,12 @@ private[expr] object Calls {
     }
     elemType.foreach { et =>
       val items: Seq[Node] = values match {
-        case ArrayLit(is) => is
-        case v            => Seq(v) // singular contains probe
+        // _any/_all operate element-wise over their list operand; the
+        // singular contains probe is ONE element — a list probe there is
+        // kind "array" and must raise the named error (castValue has no
+        // array→scalar cast), not flatten into its elements.
+        case ArrayLit(is) if !strictCast => is
+        case v                           => Seq(v)
       }
       items.foreach { item =>
         val kind = kindOf(item)

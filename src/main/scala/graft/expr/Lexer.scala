@@ -110,7 +110,10 @@ object Lexer {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\n' || c == '\r')
+      // strconv.Unquote pre-checks only '\n' (contains(s, '\n')); a bare
+      // carriage return inside a quoted literal is legal and passes
+      // through as its byte.
+      if (c == '\n')
         throw LexError("raw newline in string literal", i)
       if (c != '\\') {
         val cp = s.codePointAt(i)

@@ -43,17 +43,51 @@ object SigV4 {
       if (unreserved) c.toString else f"%%${b & 0xff}%02X"
     }.mkString
 
-  /** Canonical request per the spec: method, canonical URI (the path as
-    * sent, "/" when empty), canonical query (sorted), canonical headers
-    * (lowercased names, trimmed values, name-sorted, trailing \n each),
-    * signed-header list, hex(sha256(payload)).
+  /** Decode %XX escapes only ('+' stays literal — SigV4 canonicalizes
+    * spaces as %20, never '+').
+    */
+  private def percentDecode(s: String): String = {
+    def hex(c: Char): Int = Character.digit(c, 16)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        out.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2))); i += 3
+      } else {
+        val bytes = c.toString.getBytes(StandardCharsets.UTF_8)
+        out.write(bytes, 0, bytes.length); i += 1
+      }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  /** Canonical request per the spec: method, canonical URI (each
+    * already-encoded path segment URI-encoded ONCE MORE — AWS requires
+    * double-encoding for every service except S3, so bedrock's
+    * "/model/...%3A0/invoke" canonicalizes as "%253A"), canonical query
+    * (pairs normalized to key=value, decoded then re-encoded per SigV4,
+    * sorted by key then value), canonical headers (lowercased names,
+    * trimmed values, name-sorted, trailing \n each), signed-header list,
+    * hex(sha256(payload)).
     */
   def canonicalRequest(method: String, uri: URI,
       headers: Seq[(String, String)], payload: Array[Byte]): String = {
-    val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val rawPath = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    // double-encode: re-encode the as-sent (single-encoded) segments,
+    // keeping '/' separators; '%' itself becomes %25
+    val path = rawPath.split("/", -1).map(encodeSegment).mkString("/")
     val query = Option(uri.getRawQuery).getOrElse("") match {
       case "" => ""
-      case q  => q.split("&").sorted.mkString("&")
+      case q =>
+        q.split("&").filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf('=')
+          val (k, v) =
+            if (i < 0) (pair, "") // bare key normalizes to "key="
+            else (pair.substring(0, i), pair.substring(i + 1))
+          (encodeSegment(percentDecode(k)), encodeSegment(percentDecode(v)))
+        }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
     }
     val canon = headers
       .map { case (k, v) => (k.toLowerCase, v.trim.replaceAll("\\s+", " ")) }

@@ -826,6 +826,7 @@ object MatrixQueries {
         .when(m === 8, "bell")
         .when(m === 9, new String(Character.toChars(0x1F600)))
         .when(m === 10, "A")
+        .when(m === 11, "CR\rX") // bare carriage return: legal in-literal
         .otherwise(lit(null).cast("string")).as("s"))
   }
 
@@ -838,6 +839,7 @@ object MatrixQueries {
       |    WHEN 6 THEN chr(233) WHEN 7 THEN 'caf' || chr(233)
       |    WHEN 8 THEN chr(7) || 'bell' WHEN 9 THEN chr(128512)
       |    WHEN 10 THEN 'A'
+      |    WHEN 11 THEN 'CR' || chr(13) || 'X'
       |    ELSE NULL
       |  END AS s
       |FROM events""".stripMargin
@@ -872,7 +874,12 @@ object MatrixQueries {
     MCase("raw_verbatim", """s == r"back\slash"""",
       "s = 'back' || chr(92) || 'slash'"),
     // escape decode feeds LIKE before its own wildcard layer runs
-    MCase("x_in_like_prefix", """s like "\x41%"""", "s LIKE 'A%'"))
+    MCase("x_in_like_prefix", """s like "\x41%"""", "s LIKE 'A%'"),
+    // strconv.Unquote rejects only a raw '\n'; a bare carriage return
+    // inside a quoted literal passes through as its byte (the Scala
+    // "\r" below compiles to an actual CR in the expression text)
+    MCase("raw_cr_in_literal", "s == \"CR\rX\"",
+      "s = 'CR' || chr(13) || 'X'"))
 
   def escapeMatrix(s: SparkSession, dir: String): DataFrame =
     battery(s, escapeDf(s, dir), EscapeCases)
@@ -1318,7 +1325,12 @@ object MatrixQueries {
     ("e_scalar_all", "array_contains_all(nums, 3)"),
     // singular contains takes castValue's STRICT rules (no float→int)
     ("e_float_contains_int", "array_contains(nums, 3.5)"),
-    ("e_str_contains_int", """array_contains(nums, "a")"""))
+    ("e_str_contains_int", """array_contains(nums, "a")"""),
+    // a LIST probe to singular contains is one element of kind array —
+    // castValue has no array→scalar cast, so this is the named
+    // "can't compare between array element type" error, never a flatten
+    ("e_list_contains_int", "array_contains(nums, [1, 2])"),
+    ("e_list_contains_str", """array_contains(tags, ["a", "b"])"""))
 
   def termMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -783,4 +783,30 @@ class ExprCompilerSpec extends SparkSpec {
     // a single product still takes the exact path (true-value compare)
     assert(ids("v * v >= 0") == (0L to 3L).toSet) // squares: exact, all ≥ 0
   }
+
+  test("raw CR in a string literal passes; raw LF rejects (strconv.Unquote)") {
+    val rows = Seq((1L, "CR\rX"), (2L, "plain")).toDF("id", "s")
+    def ids(e: String): Set[Long] =
+      rows.filter(ExprCompiler.compile(e, rows)).select("id").as[Long]
+        .collect().toSet
+    // Go's Unquote pre-checks contains(s, '\n') ONLY — a bare carriage
+    // return inside the quotes is accepted and passes through as 0x0D
+    assert(ids("s == \"CR\rX\"") == Set(1L))
+    // a bare line feed is the one rejected raw control char
+    val lfErr = intercept[Exception](
+      rows.filter(ExprCompiler.compile("s == \"CR\nX\"", rows)).count())
+    assert(lfErr.getMessage.toLowerCase.contains("newline") ||
+      lfErr.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("singular array_contains with a list probe raises the named error") {
+    val rows = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(7L))).toDF("id", "nums")
+    val e = intercept[ExprCompiler.CompileError](
+      ExprCompiler.compile("array_contains(nums, [1, 2])", rows))
+    assert(e.getMessage.contains("can't compare between array element type"))
+    // _any still flattens its list operand element-wise
+    assert(rows.filter(
+      ExprCompiler.compile("array_contains_any(nums, [1, 7])", rows))
+      .count() == 2L)
+  }
 }

@@ -71,6 +71,32 @@ class SigV4Spec extends AnyFunSuite {
     assert(c3.linesIterator.toSeq(1) == "/")
   }
 
+  test("canonical URI double-encodes the as-sent path (non-S3 rule)") {
+    // the bedrock invoke path as resolveBedrock builds it: the model id's
+    // ':' is sent single-encoded (%3A); the canonical form re-encodes the
+    // sent bytes once more -> %253A (AWS double-encoding for non-S3)
+    val u = URI.create("https://bedrock-runtime.us-east-1.amazonaws.com" +
+      "/model/amazon.titan-embed-text-v2%3A0/invoke")
+    val c = SigV4.canonicalRequest("POST", u,
+      Seq("host" -> u.getAuthority), "{}".getBytes("UTF-8"))
+    assert(c.linesIterator.toSeq(1) ==
+      "/model/amazon.titan-embed-text-v2%253A0/invoke")
+    // unencoded specials in a sent path also encode (space -> %20)
+    val u2 = URI.create("https://h.example.com/a%20b/c")
+    val c2 = SigV4.canonicalRequest("GET", u2,
+      Seq("host" -> "h.example.com"), Array.empty)
+    assert(c2.linesIterator.toSeq(1) == "/a%2520b/c")
+  }
+
+  test("canonical query: bare keys normalize to key=, values re-encode") {
+    val u = URI.create("https://h.example.com/p?flag&z=a%2Fb&y=c+d")
+    val c = SigV4.canonicalRequest("GET", u,
+      Seq("host" -> "h.example.com"), Array.empty)
+    // bare 'flag' -> 'flag='; %2F decodes then re-encodes to %2F (stable);
+    // '+' is literal in SigV4 query canonicalization -> %2B
+    assert(c.linesIterator.toSeq(2) == "flag=&y=c%2Bd&z=a%2Fb")
+  }
+
   test("segment encoding: unreserved pass, ':' and unicode percent-encode") {
     assert(SigV4.encodeSegment("amazon.titan-embed-text-v2:0") ==
       "amazon.titan-embed-text-v2%3A0")
