@@ -2134,6 +2134,45 @@ final class Collection private (
     if (limit > 0) sorted.limit(limit) else sorted
   }
 
+  /** Aggregation retrieve (the reference's query-aggregation RPC:
+    * Proxy.Query with group_by_fields / order_by_fields / aggregate
+    * output fields — task_query.go:560-604,834-836 + internal/agg).
+    * `outputFields` mixes aggregation expressions (count(*) / count(f) /
+    * sum(f) / avg(f) / min(f) / max(f), case-insensitive) with group-by
+    * columns; everything else raises the proxy's named parameter error.
+    * Aggregation results are bounded (one row globally, one per group
+    * with GROUP BY), so an empty filter needs no limit here — and
+    * count(*) without GROUP BY rejects pagination outright.
+    */
+  def queryAgg(
+      filterExpr: String = "",
+      outputFields: Seq[String] = Nil,
+      groupByFields: Seq[String] = Nil,
+      orderByFields: Seq[String] = Nil,
+      limit: Int = -1,
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      partitionNames: Seq[String] = Nil,
+      ignoreGrowing: Boolean = false,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    requirePriv("Query")
+    if (limit != -1) validateResultWindow(0L, limit.toLong)
+    // count(*) without GROUP BY is a single-value result — pagination is
+    // meaningless (task_query.go:834-836); with GROUP BY a limit bounds
+    // the number of groups and stays legal
+    val hasCountStar = outputFields.exists(o =>
+      graft.operators.QueryAgg.matchAgg(o.trim)
+        .exists { case (op, p) => op == "count" && p == "*" })
+    require(!(hasCountStar && limit != -1 && groupByFields.isEmpty),
+      "count entities with pagination is not allowed")
+    val scoped = readView(level, partitionNames = partitionNames,
+      ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
+    val base =
+      if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr, params))
+    graft.operators.QueryAgg.run(base, outputFields, groupByFields,
+      orderByFields, limit, jsonFields = schema.jsonFields,
+      excluded = Set(schema.tsField))
+  }
+
   def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil,
       ignoreGrowing: Boolean = false,

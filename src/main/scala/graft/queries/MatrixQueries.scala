@@ -1237,6 +1237,7 @@ object MatrixQueries {
     "q_regression_matrix" -> (regressionMatrix _),
     "q_regex_matrix" -> (regexMatrix _),
     "q_term_matrix" -> (termMatrix _),
+    "q_agg_matrix" -> (aggMatrix _),
     "q_index_consistency" -> (indexConsistency _))
 
   // def, not val: oracle bodies reference case/sql vals declared later
@@ -1252,6 +1253,7 @@ object MatrixQueries {
     "q_regression_matrix" -> regressionMatrixOracle,
     "q_regex_matrix" -> regexMatrixOracle,
     "q_term_matrix" -> termMatrixOracle,
+    "q_agg_matrix" -> aggMatrixOracle,
     "q_index_consistency" -> indexConsistencyOracle)
 
   // =================================================================
@@ -1356,4 +1358,221 @@ object MatrixQueries {
       TermErrorCases.map { case (id, _) =>
         s"SELECT '$id' AS case_id, CAST(-1 AS BIGINT) AS cnt" })
       .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+
+  // =================================================================
+  // Battery 10 — query-aggregation contract (the aggregation RPC:
+  // proxy/task_query.go:560-604,834-836 + internal/agg/{aggregate,
+  // type_check,aggregate_util}.go + reduce/orderby/types.go), pinned by
+  // test_query_aggregation.py: count(*) vs count(field) null semantics,
+  // typed sum/avg returns, varchar min/max, nullable group keys (NULL
+  // is a group), group-by/order-by type & membership restrictions,
+  // count(*) pagination rejection. Accept cases reduce each queryAgg
+  // result to ONE double; reject cases pin the named parameter error
+  // as -1. The oracle recomputes every reduction in DuckDB SQL.
+  // =================================================================
+
+  /** Typed fixture from `orders`: c2 nullable int16, c3 int32,
+    * c4 double, c5 varchar (3 values), c6 nullable int64 (3 values + a
+    * NULL group). Engine-only columns exercise the reject matrix:
+    * gbool/gfloat/js/arr are unsupported group-by / aggregate targets.
+    */
+  private[graft] def aggFixture(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(
+      col("o_orderkey").as("id"),
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 100).cast("smallint").as("c2"),
+      (col("o_orderkey") % 1000).cast("int").as("c3"),
+      col("o_totalprice").as("c4"),
+      col("o_orderstatus").as("c5"),
+      when(col("o_orderkey") % 11 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 3).cast("bigint").as("c6"))
+      .withColumn("gbool", col("c3") % 2 === 0)
+      .withColumn("gfloat", col("c4").cast("float"))
+      .withColumn("js", to_json(struct(col("c3").as("k"))))
+      .withColumn("arr", array(col("c3").cast("long")))
+  }
+
+  private lazy val aggFixtureSql: String =
+    """SELECT o_orderkey AS id,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE CAST(o_orderkey % 100 AS SMALLINT) END AS c2,
+      |  CAST(o_orderkey % 1000 AS INTEGER) AS c3,
+      |  o_totalprice AS c4,
+      |  o_orderstatus AS c5,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey % 3 END AS c6
+      |FROM orders""".stripMargin
+
+  /** Accept side: (case id, engine reduction over queryAgg, oracle SQL
+    * scalar over the same fixture). Engine reductions round with
+    * HALF_UP to match DuckDB's round().
+    */
+  private def round3(x: Double): Double =
+    BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def aggMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val c = Collection.create(s, CollectionSchema(pkField = "id",
+      jsonFields = Set("js")))
+    c.insert(aggFixture(s, dir))
+
+    def one(df: DataFrame): org.apache.spark.sql.Row = df.head()
+
+    val accept: Seq[(String, () => Double)] = Seq(
+      "a_count_star" -> (() =>
+        one(c.queryAgg(outputFields = Seq("count(*)"))).getLong(0).toDouble),
+      "a_count_field" -> (() =>
+        one(c.queryAgg(outputFields = Seq("count(c2)"))).getLong(0).toDouble),
+      // count(*) and count(nullable) TOGETHER (reference issue #47509):
+      // the difference is exactly the null count
+      "a_star_vs_field" -> (() => {
+        val r = one(c.queryAgg(outputFields = Seq("count(*)", "count(c2)")))
+        (r.getLong(0) - r.getLong(1)).toDouble
+      }),
+      "a_sum_int" -> (() =>
+        one(c.queryAgg(outputFields = Seq("sum(c3)"))).getLong(0).toDouble),
+      "a_sum_double" -> (() => round3(
+        one(c.queryAgg(outputFields = Seq("sum(c4)"))).getDouble(0) / 1e6)),
+      "a_avg_double" -> (() => round3(
+        one(c.queryAgg(outputFields = Seq("avg(c4)"))).getDouble(0))),
+      "a_case_insensitive" -> (() => {
+        val r = one(c.queryAgg(outputFields = Seq("COUNT(c3)", "SUM(c3)")))
+        (r.getLong(0) + r.getLong(1)).toDouble
+      }),
+      "a_filtered" -> (() => {
+        val r = one(c.queryAgg("c2 >= 50",
+          outputFields = Seq("count(c2)", "sum(c3)")))
+        (r.getLong(0) + r.getLong(1)).toDouble
+      }),
+      "a_minmax_varchar" -> (() => {
+        val r = one(c.queryAgg(outputFields = Seq("min(c5)", "max(c5)")))
+        (r.getString(0).charAt(0).toInt + r.getString(1).charAt(0).toInt).toDouble
+      }),
+      // spread of per-group sums pins every group's aggregate at once
+      "g_group_sums" -> (() => {
+        val sums = c.queryAgg(outputFields = Seq("c5", "sum(c3)"),
+          groupByFields = Seq("c5")).collect().map(_.getLong(1))
+        (sums.max - sums.min).toDouble
+      }),
+      // NULL is its own group (test_group_by_nullable_*)
+      "g_null_group" -> (() => {
+        val rows = c.queryAgg(outputFields = Seq("c6", "count(*)"),
+          groupByFields = Seq("c6")).collect()
+        (rows.length * 100000L +
+          rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)).toDouble
+      }),
+      "g_limit" -> (() =>
+        c.queryAgg(outputFields = Seq("c5", "count(c3)"),
+          groupByFields = Seq("c5"), limit = 2).collect().length.toDouble),
+      "g_orderby_desc" -> (() =>
+        one(c.queryAgg(outputFields = Seq("c5", "count(*)"),
+          groupByFields = Seq("c5"), orderByFields = Seq("c5:desc")))
+          .getString(0).charAt(0).toInt.toDouble),
+      // group key sorts even when NOT an output field
+      // (test_group_by_field_not_required_in_output_fields)
+      "g_orderby_key_not_output" -> (() =>
+        one(c.queryAgg(outputFields = Seq("count(*)"),
+          groupByFields = Seq("c5"), orderByFields = Seq("c5:desc")))
+          .getLong(0).toDouble),
+      // group keys only = one row per group
+      "g_keys_only" -> (() =>
+        c.queryAgg(outputFields = Seq("c5"), groupByFields = Seq("c5"))
+          .collect().length.toDouble),
+      "g_empty_result" -> (() =>
+        c.queryAgg("c3 > 100000", outputFields = Seq("c5", "count(*)"),
+          groupByFields = Seq("c5")).collect().length.toDouble))
+
+    require(accept.map(_._1) == aggMatrixOracleAccept.map(_._1),
+      "agg battery accept/oracle case ids out of sync")
+
+    // Reject side: each must raise the proxy's named parameter error
+    val reject: Seq[(String, () => DataFrame)] = Seq(
+      "e_gb_bool" -> (() => c.queryAgg(outputFields = Seq("count(*)"),
+        groupByFields = Seq("gbool"))),
+      "e_gb_float" -> (() => c.queryAgg(outputFields = Seq("count(*)"),
+        groupByFields = Seq("gfloat"))),
+      "e_gb_double" -> (() => c.queryAgg(outputFields = Seq("count(*)"),
+        groupByFields = Seq("c4"))),
+      "e_gb_json" -> (() => c.queryAgg(outputFields = Seq("count(*)"),
+        groupByFields = Seq("js"))),
+      "e_gb_array" -> (() => c.queryAgg(outputFields = Seq("count(*)"),
+        groupByFields = Seq("arr"))),
+      "e_gb_missing" -> (() => c.queryAgg(outputFields = Seq("count(*)"),
+        groupByFields = Seq("nope"))),
+      "e_sum_varchar" -> (() => c.queryAgg(outputFields = Seq("sum(c5)"))),
+      "e_avg_bool" -> (() => c.queryAgg(outputFields = Seq("avg(gbool)"))),
+      "e_min_json" -> (() => c.queryAgg(outputFields = Seq("min(js)"))),
+      "e_star_sum" -> (() => c.queryAgg(outputFields = Seq("sum(*)"))),
+      "e_agg_missing" -> (() => c.queryAgg(outputFields = Seq("sum(nope)"))),
+      "e_mixed_grouped" -> (() => c.queryAgg(outputFields = Seq("c5", "c3"),
+        groupByFields = Seq("c5"))),
+      "e_mixed_global" -> (() =>
+        c.queryAgg(outputFields = Seq("count(*)", "c3"))),
+      "e_orderby_agg" -> (() => c.queryAgg(
+        outputFields = Seq("c5", "count(*)"), groupByFields = Seq("c5"),
+        orderByFields = Seq("count(*)"))),
+      "e_orderby_nongroup" -> (() => c.queryAgg(outputFields = Seq("c5"),
+        groupByFields = Seq("c5"), orderByFields = Seq("c3"))),
+      "e_orderby_dir" -> (() => c.queryAgg(outputFields = Seq("c5"),
+        groupByFields = Seq("c5"), orderByFields = Seq("c5:sideways"))),
+      "e_orderby_nulls" -> (() => c.queryAgg(outputFields = Seq("c5"),
+        groupByFields = Seq("c5"), orderByFields = Seq("c5:asc:nulls_center"))),
+      "e_countstar_limit" -> (() =>
+        c.queryAgg(outputFields = Seq("count(*)"), limit = 10)),
+      "e_bad_fn" -> (() => c.queryAgg(outputFields = Seq("median(c3)"))))
+
+    val rows =
+      accept.map { case (id, f) => (id, f()) } ++
+        reject.map { case (id, f) =>
+          val v =
+            try { f().collect(); Double.NaN } // a silent accept mismatches
+            catch { case _: IllegalArgumentException => -1.0 }
+          (id, v)
+        }
+    rows.toDF("case_id", "val").orderBy(col("case_id"))
+  }
+
+  private[graft] lazy val aggMatrixOracle: String = {
+    val acceptSelects = aggMatrixOracleAccept.map { case (id, sql) =>
+      s"SELECT '$id' AS case_id, CAST(($sql) AS DOUBLE) AS val"
+    } // each sql is a scalar subquery over the CTE fixture
+    val rejectIds = Seq("e_gb_bool", "e_gb_float", "e_gb_double", "e_gb_json",
+      "e_gb_array", "e_gb_missing", "e_sum_varchar", "e_avg_bool",
+      "e_min_json", "e_star_sum", "e_agg_missing", "e_mixed_grouped",
+      "e_mixed_global", "e_orderby_agg", "e_orderby_nongroup",
+      "e_orderby_dir", "e_orderby_nulls", "e_countstar_limit", "e_bad_fn")
+    val rejectSelects = rejectIds.map(id =>
+      s"SELECT '$id' AS case_id, CAST(-1 AS DOUBLE) AS val")
+    s"WITH f AS ($aggFixtureSql)\nSELECT * FROM (\n" +
+      (acceptSelects ++ rejectSelects).mkString("\nUNION ALL ") +
+      "\n) ORDER BY case_id"
+  }
+
+  /** Oracle scalar per accept case — kept beside the engine reductions
+    * in [[aggMatrix]]; duplicated here for the lazy oracle builder.
+    */
+  private lazy val aggMatrixOracleAccept: Seq[(String, String)] = Seq(
+    "a_count_star" -> "SELECT count(*) FROM f",
+    "a_count_field" -> "SELECT count(c2) FROM f",
+    "a_star_vs_field" -> "SELECT count(*) - count(c2) FROM f",
+    "a_sum_int" -> "SELECT sum(c3) FROM f",
+    "a_sum_double" -> "SELECT round(sum(c4) / 1e6, 3) FROM f",
+    "a_avg_double" -> "SELECT round(avg(c4), 3) FROM f",
+    "a_case_insensitive" -> "SELECT count(c3) + sum(c3) FROM f",
+    "a_filtered" -> "SELECT count(c2) + sum(c3) FROM f WHERE c2 >= 50",
+    "a_minmax_varchar" -> "SELECT ascii(min(c5)) + ascii(max(c5)) FROM f",
+    "g_group_sums" ->
+      "SELECT max(s) - min(s) FROM (SELECT sum(c3) AS s FROM f GROUP BY c5)",
+    "g_null_group" ->
+      ("SELECT (SELECT count(*) FROM (SELECT c6 FROM f GROUP BY c6)) * 100000" +
+        " + (SELECT count(*) FROM f WHERE c6 IS NULL)"),
+    "g_limit" ->
+      "SELECT count(*) FROM (SELECT c5 FROM f GROUP BY c5 LIMIT 2)",
+    "g_orderby_desc" -> "SELECT ascii(max(c5)) FROM f",
+    "g_orderby_key_not_output" ->
+      "SELECT count(*) FROM f WHERE c5 = (SELECT max(c5) FROM f)",
+    "g_keys_only" -> "SELECT count(DISTINCT c5) FROM f",
+    "g_empty_result" ->
+      "SELECT count(*) FROM (SELECT c5 FROM f WHERE c3 > 100000 GROUP BY c5)")
 }
