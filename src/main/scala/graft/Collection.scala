@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.expr.ExprCompiler
@@ -45,7 +45,14 @@ final case class CollectionSchema(
     // field-partial load validates the key fields are in the load list
     // (test_field_partial_load.py:369,393).
     partitionKeyField: Option[String] = None,
-    clusteringKeyField: Option[String] = None)
+    clusteringKeyField: Option[String] = None,
+    // Multi-tenant namespaces (schema.proto enable_namespace +
+    // common.go:62-67; shard-split design 20260610): every write/read
+    // MUST carry a namespace (CheckNamespace is strict both ways). The
+    // `namespace.mode` collection property picks the isolation carrier —
+    // "partition_key" (default): a hidden `$namespace_id` VarChar column;
+    // "partition": the namespace IS a named partition.
+    enableNamespace: Boolean = false)
 
 /** Growing-segment seal policies (reference:
   * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
@@ -399,6 +406,56 @@ final class Collection private (
     ts
   }
 
+  // ---- multi-tenant namespaces (20260610 shard-split prerequisite:
+  // handleNamespaceField in rootcoord/create_collection_task.go + the
+  // proxy's CheckNamespace/resolveNamespacePartitionNames plumbing,
+  // proxy/util.go:2826-2870). Spark-first: partition_key mode scopes
+  // reads with a `$namespace_id == ns` equality that Catalyst pushes
+  // through the MVCC filters to the scan (zone-map pruning; directory
+  // pruning once flushed partition-sorted); partition mode reuses the
+  // named-partition machinery (directory-level PartitionFilters). At
+  // 100 TB a tenant read touches the tenant's files, never the corpus.
+
+  private def namespaceMode: String =
+    collectionProperties.getOrElse(Collection.NamespaceModeKey,
+      Collection.NamespaceModePartitionKey)
+
+  /** CheckNamespace (common.go:961-971): the namespace argument must be
+    * present EXACTLY when the collection enables namespaces.
+    */
+  private def checkNamespace(ns: Option[String]): Unit =
+    if (schema.enableNamespace != ns.isDefined) {
+      if (ns.isDefined) throw new IllegalArgumentException(
+        "namespace data is set but namespace disabled")
+      else throw new IllegalArgumentException(
+        "namespace data is not set but namespace enabled")
+    }
+
+  /** Read-side scope (resolveNamespacePartitionNames util.go:2844-2863 +
+    * namespaceForPlan :2865): partition mode maps the namespace to its
+    * partition (a caller-supplied partition list must match); key mode
+    * keeps partitions and filters on the hidden column downstream.
+    * Returns (effectivePartitionNames, keyModePredicateNamespace).
+    */
+  private def namespaceScope(ns: Option[String],
+      partitionNames: Seq[String]): (Seq[String], Option[String]) = {
+    checkNamespace(ns)
+    ns match {
+      case None => (partitionNames, None)
+      case Some(n) =>
+        if (namespaceMode == Collection.NamespaceModePartition) {
+          if (partitionNames.nonEmpty &&
+              partitionNames != Seq(n)) throw new IllegalArgumentException(
+            s"""partition names ${partitionNames.mkString("[", ", ", "]")} """ +
+              s"""mismatch namespace "$n"""")
+          (Seq(n), None)
+        } else (partitionNames, Some(n))
+    }
+  }
+
+  private def namespacePredicate(keyNs: Option[String]): Option[Column] =
+    keyNs.map(n => col("`" + Collection.NamespaceField + "`") === lit(n))
+
   /** Insert into a NAMED partition (reference Insert with
     * partition_name): rows are tagged and ride the normal write path.
     */
@@ -484,9 +541,31 @@ final class Collection private (
     */
   private val idAlloc = new AtomicLong(1L << 40)
 
-  def insert(rows: DataFrame): Long = {
+  def insert(rows: DataFrame, namespace: Option[String] = None): Long = {
     requirePriv("Insert")
-    insertImpl(rows)
+    checkNamespace(namespace)
+    namespace match {
+      case None => insertImpl(rows)
+      case Some(ns) if namespaceMode == Collection.NamespaceModePartition =>
+        // the namespace IS a partition (resolveNamespacePartitionName
+        // util.go:2826-2842); tenants appear dynamically — create on
+        // first write
+        stateLock.synchronized { if (!hasPartition(ns)) createPartition(ns) }
+        insertImpl(rows.withColumn(Collection.PartitionCol, lit(ns)))
+      case Some(ns) =>
+        // key mode: stamp the hidden column (addNamespaceData
+        // util.go:2872+); caller-supplied values must MATCH, not be
+        // silently overwritten
+        if (rows.columns.contains(Collection.NamespaceField)) {
+          val bad = rows.filter(
+            namespacePredicate(Some(ns)).get.isNull ||
+              !namespacePredicate(Some(ns)).get).limit(1).count()
+          require(bad == 0,
+            s"""namespace field data mismatches namespace "$ns"""")
+          insertImpl(rows)
+        } else insertImpl(
+          rows.withColumn(Collection.NamespaceField, lit(ns)))
+    }
   }
 
   private[graft] def insertImpl(rows: DataFrame): Long = stateLock.synchronized {
@@ -590,8 +669,11 @@ final class Collection private (
     * reference's #51617 delete contract).
     */
   def delete(filterExpr: String,
-      params: Map[String, Any] = Map.empty): Long = stateLock.synchronized {
+      params: Map[String, Any] = Map.empty,
+      namespace: Option[String] = None): Long = stateLock.synchronized {
     requirePriv("Delete")
+    // task_delete.go:138 — deletes are namespace-checked and -scoped too
+    val (delParts, delKeyNs) = namespaceScope(namespace, Nil)
     val ts = nextTs()
     // evaluate on the CURRENT VISIBLE VIEW, not raw versions: a predicate
     // matching only a superseded (upserted-over) version must not delete
@@ -600,7 +682,10 @@ final class Collection private (
     // against rows inserted later and delete them retroactively.
     // A pk-anchored delete (the reference's delete-by-pk shape) prunes
     // the sealed file list like any other pk read (MEP 20260324).
-    val victims = readView(pkDomain = pkDomainOf(filterExpr))
+    val view0 = readView(partitionNames = delParts,
+      pkDomain = pkDomainOf(filterExpr))
+    val view = namespacePredicate(delKeyNs).map(view0.filter).getOrElse(view0)
+    val victims = view
       .filter(compiled(filterExpr, params))
       .select(col(schema.pkField), lit(ts).as(schema.tsField))
       .localCheckpoint(true)
@@ -1451,6 +1536,16 @@ final class Collection private (
       else if (k.equalsIgnoreCase(Collection.QueryModeKey))
         throw new IllegalArgumentException(
           s"""invalid property key "$k", did you mean "${Collection.QueryModeKey}"?""")
+      // ValidateNamespaceMode (common.go:710-723): only the two modes
+      // are valid, and a case-variant KEY is an error
+      if (k == Collection.NamespaceModeKey)
+        require(v == Collection.NamespaceModePartitionKey ||
+            v == Collection.NamespaceModePartition,
+          s"""invalid namespace.mode value "$v", valid values: """ +
+            s"[${Collection.NamespaceModePartitionKey}, ${Collection.NamespaceModePartition}]")
+      else if (k.equalsIgnoreCase(Collection.NamespaceModeKey))
+        throw new IllegalArgumentException(
+          s"""invalid property key "$k", did you mean "${Collection.NamespaceModeKey}"?""")
     }
     collectionProperties ++= props
     invalidateFilterCache() // a ttl property change alters visibility
@@ -2073,6 +2168,63 @@ final class Collection private (
     collectionProperties.getOrElse("timezone",
       Collection.databaseTimezoneOf(this).getOrElse("UTC"))
 
+  /** `time_fields` result extraction (proxy/util.go:3405-3483,
+    * TimefieldsKey task.go:80; pinned by
+    * test_milvus_client_timestamptz.py:536): every TIMESTAMPTZ output
+    * column is replaced by an array<int64> of the requested components
+    * (year/month/day/hour/minute/second/microsecond, case-insensitive),
+    * evaluated as wall-clock in the request timezone (request param >
+    * collection > database > UTC, task_query.go:107). Map-only column
+    * math — the extraction rides the projection, no extra pass.
+    */
+  private val TimeComponents = Set("year", "month", "day", "hour",
+    "minute", "second", "microsecond")
+
+  private def applyTimeFields(df: DataFrame, timeFields: Seq[String],
+      requestTz: Option[String]): DataFrame = {
+    if (timeFields.isEmpty) df
+    else {
+      val tz = requestTz.getOrElse(resolvedTimezone)
+      require(scala.util.Try(java.time.ZoneId.of(tz)).isSuccess,
+        s"got invalid timezone: $tz")
+      val comps = timeFields.map(_.trim).filter(_.nonEmpty).map(_.toLowerCase)
+      comps.foreach(cmp => require(TimeComponents(cmp),
+        s"unsupported field for extraction: $cmp, " +
+          "fields should be separated by ',' or ' '"))
+      val cols = df.schema.fields.map { f =>
+        // TIMESTAMPTZ appears two ways: as a TimestampType column, or as
+        // the engine's canonical epoch-nanos int64 domain (the
+        // GraftSession.normalizeTs load boundary — Types.h:70-102 int64
+        // carry). The MVCC system column is never user-facing.
+        val asTimestamp: Option[Column] =
+          if (f.name == schema.tsField) None
+          else if (f.dataType == TimestampType) Some(col(f.name))
+          else if (f.dataType == LongType && GraftSession.tsDomainCols(f.name))
+            // integer `div`: nanos → micros without a double round-trip
+            Some(timestamp_micros(expr(s"`${f.name}` div 1000")))
+          else None
+        asTimestamp match {
+          case Some(ts) =>
+            val local = from_utc_timestamp(ts, tz)
+            array(comps.map {
+              case "year"   => year(local).cast("long")
+              case "month"  => month(local).cast("long")
+              case "day"    => dayofmonth(local).cast("long")
+              case "hour"   => hour(local).cast("long")
+              case "minute" => minute(local).cast("long")
+              case "second" => second(local).cast("long")
+              // tz offsets are whole minutes: the sub-second part is
+              // invariant under the shift, read it off the UTC instant
+              case "microsecond" =>
+                pmod(unix_micros(ts), lit(1000000L))
+            }: _*).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      df.select(cols.toSeq: _*)
+    }
+  }
+
   private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
     ExprCompiler.compile(filterExpr,
       ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
@@ -2090,13 +2242,26 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil,
       ignoreGrowing: Boolean = false,
-      params: Map[String, Any] = Map.empty): DataFrame = {
+      params: Map[String, Any] = Map.empty,
+      timeFields: Seq[String] = Nil,
+      timezone: Option[String] = None,
+      namespace: Option[String] = None): DataFrame = {
     requirePriv("Query")
     // window validation runs only when a limit is requested, matching
     // task_query.go:388-402 (an unlimited query has no window to check)
     if (limit != -1) validateResultWindow(0L, limit.toLong)
-    val scoped = readView(level, partitionNames = partitionNames,
+    val (effParts, keyNs) = namespaceScope(namespace, partitionNames)
+    val unscoped = readView(level, partitionNames = effParts,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
+    val scoped0 =
+      namespacePredicate(keyNs).map(unscoped.filter).getOrElse(unscoped)
+    // the hidden tenant column is a system field: `*` never returns it
+    // (it stays addressable by explicit request)
+    val scoped =
+      if (schema.enableNamespace &&
+          !outputFields.contains(Collection.NamespaceField))
+        scoped0.drop(Collection.NamespaceField)
+      else scoped0
     // an element_filter ROOT expands to per-ELEMENT rows with `offset`
     // (reference: query on element_filter returns one row per matching
     // element, duplicate pks with offsets; MATCH_ANY stays row-level —
@@ -2131,7 +2296,8 @@ final class Collection private (
           .select(expandFields(outputFields, scoped.columns).map(col): _*)
     }
     val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
-    if (limit > 0) sorted.limit(limit) else sorted
+    applyTimeFields(if (limit > 0) sorted.limit(limit) else sorted,
+      timeFields, timezone)
   }
 
   /** Aggregation retrieve (the reference's query-aggregation RPC:
@@ -2153,7 +2319,8 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil,
       ignoreGrowing: Boolean = false,
-      params: Map[String, Any] = Map.empty): DataFrame = {
+      params: Map[String, Any] = Map.empty,
+      namespace: Option[String] = None): DataFrame = {
     requirePriv("Query")
     if (limit != -1) validateResultWindow(0L, limit.toLong)
     // count(*) without GROUP BY is a single-value result — pagination is
@@ -2164,22 +2331,28 @@ final class Collection private (
         .exists { case (op, p) => op == "count" && p == "*" })
     require(!(hasCountStar && limit != -1 && groupByFields.isEmpty),
       "count entities with pagination is not allowed")
-    val scoped = readView(level, partitionNames = partitionNames,
+    val (effParts, keyNs) = namespaceScope(namespace, partitionNames)
+    val scoped0 = readView(level, partitionNames = effParts,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
+    val scoped =
+      namespacePredicate(keyNs).map(scoped0.filter).getOrElse(scoped0)
     val base =
       if (filterExpr.isEmpty) scoped else scoped.filter(compiled(filterExpr, params))
     graft.operators.QueryAgg.run(base, outputFields, groupByFields,
       orderByFields, limit, jsonFields = schema.jsonFields,
-      excluded = Set(schema.tsField))
+      excluded = Set(schema.tsField, Collection.NamespaceField))
   }
 
   def count(filterExpr: String = "", level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       partitionNames: Seq[String] = Nil,
       ignoreGrowing: Boolean = false,
-      params: Map[String, Any] = Map.empty): Long = {
+      params: Map[String, Any] = Map.empty,
+      namespace: Option[String] = None): Long = {
     requirePriv("Query")
-    val v = readView(level, partitionNames = partitionNames,
+    val (effParts, keyNs) = namespaceScope(namespace, partitionNames)
+    val v0 = readView(level, partitionNames = effParts,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
+    val v = namespacePredicate(keyNs).map(v0.filter).getOrElse(v0)
     (if (filterExpr.isEmpty) v
      else v.filter(compiled(filterExpr, params))).count()
   }
@@ -2229,7 +2402,10 @@ final class Collection private (
       level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
       orderBy: Seq[Column] = Nil,
       partitionNames: Seq[String] = Nil,
-      ignoreGrowing: Boolean = false): DataFrame = {
+      ignoreGrowing: Boolean = false,
+      timeFields: Seq[String] = Nil,
+      timezone: Option[String] = None,
+      namespace: Option[String] = None): DataFrame = {
     requirePriv("Search")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
@@ -2238,8 +2414,11 @@ final class Collection private (
     // partition scope prunes BEFORE any distance work — at scale this
     // is the reference's partition-level segment pruning; a pk-anchored
     // filter additionally prunes the sealed FILE list (MEP 20260324)
-    val corpus = readView(level, partitionNames = partitionNames,
+    val (effParts, keyNs) = namespaceScope(namespace, partitionNames)
+    val corpus0 = readView(level, partitionNames = effParts,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
+    val corpus =
+      namespacePredicate(keyNs).map(corpus0.filter).getOrElse(corpus0)
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     val hits = VectorSearch.topK(corpus, schema.pkField, vectorField, queries,
@@ -2247,8 +2426,9 @@ final class Collection private (
     // search order-by (reference MEP 20260129-search-orderby): recall is
     // still similarity top-k; the RETURNED hits re-sort by scalar fields
     // within each query (presentation order, not candidate selection)
-    if (orderBy.isEmpty) hits
-    else hits.orderBy(col("qid") +: orderBy: _*)
+    applyTimeFields(
+      if (orderBy.isEmpty) hits else hits.orderBy(col("qid") +: orderBy: _*),
+      timeFields, timezone)
   }
 
   /** Range search over the MVCC view (radius / range_filter semantics,
@@ -2930,6 +3110,12 @@ object Collection {
   val LargeMaxQueryResultWindow = 1000000L
   val QueryModeKey = "query_mode"
   val QueryModeLargeTopK = "large_topk"
+
+  // multi-tenant namespaces (common.go:62-67)
+  val NamespaceField = "$namespace_id"
+  val NamespaceModeKey = "namespace.mode"
+  val NamespaceModePartitionKey = "partition_key"
+  val NamespaceModePartition = "partition"
 
   /** RunAnalyzer RPC (reference `Proxy.RunAnalyzer` impl.go:6629):
     * tokenize ad-hoc texts under explicit analyzer params — the

@@ -44,7 +44,7 @@ object GraftSession {
     * Long via `nanosAsLong`) or as `timestamp[us]` (read as
     * TIMESTAMP / TIMESTAMP_NTZ): both must land as Long nanos.
     */
-  private val tsDomainCols = Set("ts", "_ts")
+  private[graft] val tsDomainCols = Set("ts", "_ts")
 
   /** Normalize MVCC ts columns (`ts`/`_ts` plus any in `extra`) from
     * Timestamp/TimestampNTZ to epoch-nanos Long, once, at the load

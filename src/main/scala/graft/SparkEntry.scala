@@ -140,6 +140,32 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** `time_fields` result extraction (reference proxy/util.go:3405-3483
+    * via the TimefieldsKey query/search param, pinned by
+    * test_milvus_client_timestamptz.py:536): timestamptz output columns
+    * become array<int64> of the requested wall-clock components in the
+    * request timezone. Asia/Shanghai is a fixed UTC+8 zone, so the
+    * oracle reproduces it with interval arithmetic — no DuckDB session
+    * timezone dependence.
+    */
+  def timeFieldsExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .filter(col("event_id") % 97 === 0)
+    val c = graft.Collection.create(s,
+      graft.CollectionSchema(pkField = "event_id"))
+    c.insert(ev)
+    c.query("event_id % 97 == 0", Seq("event_id", "event_type", "ts"),
+        timeFields = Seq("year", "month", "day", "hour", "minute",
+          "second", "microsecond"),
+        timezone = Some("Asia/Shanghai"))
+      // the oracle gate hashes scalars — join the component array to a
+      // string (the array SHAPE is pinned by TimeFieldsSpec)
+      .select(col("event_id"), col("event_type"),
+        concat_ws(",", col("ts").cast("array<string>")).as("ts_parts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Timestamptz interval arithmetic compare kernel. */
   def exprTsArith(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -223,6 +249,7 @@ object Queries {
     "q_expr_json" -> (exprJson _),
     "q_expr_ts_arith" -> (exprTsArith _),
     "q_tstz_compare" -> (tstzCompare _),
+    "q_time_fields" -> (timeFieldsExtract _),
     "q_expr_compare_cols" -> (exprCompareCols _)
   )
 
@@ -287,6 +314,14 @@ object Queries {
         |FROM lineitem
         |WHERE l_quantity > 10 AND l_quantity <= 20 AND (l_partkey % 10) = 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_time_fields" ->
+      """SELECT event_id, event_type,
+        |  year(ts2) || ',' || month(ts2) || ',' || day(ts2) || ',' ||
+        |  hour(ts2) || ',' || minute(ts2) || ',' || second(ts2) || ',' ||
+        |  (microsecond(ts2) % 1000000) AS ts_parts
+        |FROM (SELECT event_id, event_type, ts + INTERVAL 8 HOUR AS ts2
+        |      FROM events WHERE event_id % 97 = 0)
+        |ORDER BY event_id""".stripMargin,
     "q_expr_in_like" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size
         |FROM part

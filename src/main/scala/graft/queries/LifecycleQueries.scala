@@ -1403,7 +1403,94 @@ object LifecycleQueries {
     p1.unionByName(p2).unionByName(p3).orderBy(col("phase"))
   }
 
+  /** Multi-tenant namespaces (reference 20260610 shard-split
+    * prerequisite: enable_namespace schema flag + `namespace.mode`
+    * property + CheckNamespace — common.go:62-67,689-723,961-971,
+    * proxy/util.go:2826-2890). Both carrier modes are exercised against
+    * the same tenant partitioning of `documents` (tenant = doc_id % 3):
+    * per-tenant counts, filter composition within a tenant, cross-tenant
+    * isolation (zero leakage), and the named rejection contract.
+    */
+  def namespaceTenancy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val docs = t(s, dir, "documents")
+      .withColumn("tenant", concat(lit("t"), col("doc_id") % 3))
+    def tenantRows(n: Int) = docs.filter(col("doc_id") % 3 === n).drop("tenant")
+
+    // key mode (default): hidden $namespace_id column
+    val ck = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      enableNamespace = true))
+    (0 to 2).foreach(n => ck.insert(tenantRows(n), Some(s"t$n")))
+    // partition mode: the namespace IS a named partition
+    val cp = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      enableNamespace = true))
+    cp.alterCollection(Map(Collection.NamespaceModeKey ->
+      Collection.NamespaceModePartition))
+    (0 to 2).foreach(n => cp.insert(tenantRows(n), Some(s"t$n")))
+
+    def err(f: => Any): Long =
+      try { f; Long.MaxValue } // a silent accept mismatches the oracle
+      catch { case _: IllegalArgumentException => -1L }
+
+    val rows: Seq[(String, Long)] = Seq(
+      "k_count_t0" -> ck.count("", namespace = Some("t0")),
+      "k_count_t1" -> ck.count("", namespace = Some("t1")),
+      "k_filter_scoped" ->
+        ck.count("n_chars > 400", namespace = Some("t2")),
+      // isolation: a tenant-anchored predicate never leaks cross-tenant
+      "k_isolation" ->
+        ck.count("doc_id % 3 == 0", namespace = Some("t1")),
+      "k_query_rows" -> ck.query("n_chars > 400", Seq("doc_id"),
+        namespace = Some("t0")).count(),
+      "p_count_t0" -> cp.count("", namespace = Some("t0")),
+      "p_filter_scoped" ->
+        cp.count("n_chars > 400", namespace = Some("t2")),
+      "p_isolation" ->
+        cp.count("doc_id % 3 == 0", namespace = Some("t1")),
+      // CheckNamespace is strict both ways
+      "e_missing_ns" -> err(ck.count("")),
+      "e_ns_on_disabled" -> {
+        val plain = Collection.create(s, CollectionSchema(pkField = "doc_id"))
+        plain.insert(tenantRows(0))
+        err(plain.count("", namespace = Some("t0")))
+      },
+      "e_missing_ns_insert" -> err(ck.insert(tenantRows(0))),
+      // partition mode: caller partition list must match the namespace
+      "e_partition_mismatch" -> err(cp.query("", Seq("doc_id"),
+        partitionNames = Seq("t1"), namespace = Some("t0")).count()),
+      // property contract: bad value, case-variant key
+      "e_bad_mode" ->
+        err(ck.alterCollection(Map("namespace.mode" -> "shard"))),
+      "e_bad_mode_key" ->
+        err(ck.alterCollection(Map("Namespace.Mode" -> "partition"))))
+    rows.toDF("case_id", "cnt").orderBy(col("case_id"))
+  }
+
+  private[graft] lazy val namespaceTenancyOracle: String = {
+    val accept = Seq(
+      "k_count_t0" -> "SELECT count(*) FROM documents WHERE doc_id % 3 = 0",
+      "k_count_t1" -> "SELECT count(*) FROM documents WHERE doc_id % 3 = 1",
+      "k_filter_scoped" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 2 AND n_chars > 400",
+      "k_isolation" -> "SELECT 0",
+      "k_query_rows" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND n_chars > 400",
+      "p_count_t0" -> "SELECT count(*) FROM documents WHERE doc_id % 3 = 0",
+      "p_filter_scoped" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 2 AND n_chars > 400",
+      "p_isolation" -> "SELECT 0")
+    val reject = Seq("e_missing_ns", "e_ns_on_disabled", "e_missing_ns_insert",
+      "e_partition_mismatch", "e_bad_mode", "e_bad_mode_key")
+    (accept.map { case (id, sql) =>
+      s"SELECT '$id' AS case_id, CAST(($sql) AS BIGINT) AS cnt"
+    } ++ reject.map(id =>
+      s"SELECT '$id' AS case_id, CAST(-1 AS BIGINT) AS cnt"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_namespace" -> (namespaceTenancy _),
     "q_load_state" -> (loadStateRead _),
     "q_import_formats" -> (importFormats _),
     "q_stream_union" -> (streamUnion _),
@@ -1451,6 +1538,7 @@ object LifecycleQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_namespace" -> namespaceTenancyOracle,
     "q_load_state" ->
       """WITH n AS (SELECT count(*) AS cnt FROM events WHERE event_id < 2000)
         |SELECT CAST(1 AS BIGINT) AS phase, 'NotLoad' AS state, cnt FROM n

@@ -1377,7 +1377,10 @@ object MatrixQueries {
     * gbool/gfloat/js/arr are unsupported group-by / aggregate targets.
     */
   private[graft] def aggFixture(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
+    // value-bounded subset: the battery pins the aggregation CONTRACT
+    // (35 facade calls), not data scale — capping by key keeps the
+    // 35-job fixture cost flat across scale factors
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
     o.select(
       col("o_orderkey").as("id"),
       when(col("o_orderkey") % 7 === 0, lit(null))
@@ -1401,7 +1404,7 @@ object MatrixQueries {
       |  o_totalprice AS c4,
       |  o_orderstatus AS c5,
       |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey % 3 END AS c6
-      |FROM orders""".stripMargin
+      |FROM orders WHERE o_orderkey <= 3000""".stripMargin
 
   /** Accept side: (case id, engine reduction over queryAgg, oracle SQL
     * scalar over the same fixture). Engine reductions round with

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Multi-tenant namespace contract (reference enable_namespace +
+  * `namespace.mode` — common.go:62-67,689-723,961-971;
+  * proxy/util.go:2826-2890; shard-split design 20260610) — unit pins
+  * the q_namespace oracle battery can't express: hidden-column hygiene,
+  * search scoping, pre-set column validation, delete scoping, and the
+  * key-mode pushdown plan shape.
+  */
+class NamespaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(tenantOf: Long => String) =
+    (1L to 30L).map(i => (i, s"d$i", i % 7)).toDF("id", "name", "grp")
+
+  test("hidden $namespace_id never appears in * output; explicit request works") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.insert(rows(_ => "a").filter(col("id") <= 10), Some("a"))
+    val star = c.query("id >= 1", Seq("*"), namespace = Some("a"))
+    assert(!star.columns.contains(Collection.NamespaceField))
+    val explicit = c.query("id >= 1",
+      Seq("id", Collection.NamespaceField), namespace = Some("a"))
+    assert(explicit.columns.contains(Collection.NamespaceField))
+    assert(explicit.select(Collection.NamespaceField).distinct().count() == 1)
+  }
+
+  test("search scopes to the tenant corpus (key mode)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("id", "vec")
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      vectorFields = Map("vec" -> 2), enableNamespace = true))
+    c.insert(df.filter(col("id") <= 2), Some("ta"))
+    c.insert(df.filter(col("id") > 2), Some("tb"))
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    // top-2 within tb must be tb's ids even though ta's vectors are
+    // strictly closer to the query
+    val hits = c.search("vec", q, k = 2, namespace = Some("tb"))
+      .select("id").as[Long].collect().toSet
+    assert(hits == Set(3L, 4L))
+    // and search without a namespace on an enabled collection rejects
+    val e = intercept[IllegalArgumentException](c.search("vec", q, k = 1))
+    assert(e.getMessage.contains("namespace data is not set but namespace enabled"))
+  }
+
+  test("insert validates a caller-supplied namespace column instead of overwriting") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    val ok = rows(_ => "x").filter(col("id") <= 3)
+      .withColumn(Collection.NamespaceField, lit("x"))
+    c.insert(ok, Some("x"))
+    assert(c.count("", namespace = Some("x")) == 3L)
+    val bad = rows(_ => "x").filter(col("id") > 3 && col("id") <= 6)
+      .withColumn(Collection.NamespaceField, lit("y"))
+    val e = intercept[IllegalArgumentException](c.insert(bad, Some("x")))
+    assert(e.getMessage.contains("mismatches namespace"))
+  }
+
+  test("delete is namespace-scoped: one tenant's delete never touches another") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.insert(rows(_ => "").filter(col("id") <= 10), Some("a"))
+    c.insert(rows(_ => "").filter(col("id") > 10 && col("id") <= 20), Some("b"))
+    // grp == 1 matches rows in BOTH tenants; delete only in a
+    c.delete("grp == 1", namespace = Some("a"))
+    assert(c.count("grp == 1", namespace = Some("a")) == 0L)
+    assert(c.count("grp == 1", namespace = Some("b")) > 0L)
+  }
+
+  test("partition mode: tenants are partitions, auto-created on first write") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.alterCollection(Map(Collection.NamespaceModeKey ->
+      Collection.NamespaceModePartition))
+    c.insert(rows(_ => "").filter(col("id") <= 5), Some("tenant1"))
+    assert(c.hasPartition("tenant1"))
+    assert(c.count("", namespace = Some("tenant1")) == 5L)
+    // a matching explicit partition list is accepted
+    assert(c.query("id >= 1", Seq("id"), partitionNames = Seq("tenant1"),
+      namespace = Some("tenant1")).count() == 5L)
+  }
+
+  test("key-mode scope reaches the scan as a pushable equality") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.insert(rows(_ => "").filter(col("id") <= 10), Some("a"))
+    c.insert(rows(_ => "").filter(col("id") > 10), Some("b"))
+    val plan = c.query("id >= 1", Seq("id"), namespace = Some("a"))
+      .queryExecution.optimizedPlan.toString
+    // the tenant equality must sit in a Filter (pushable), not above a
+    // barrier; no join/aggregate may intervene for a plain scoped read
+    assert(plan.contains("namespace_id"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
