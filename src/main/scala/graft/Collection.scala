@@ -456,6 +456,20 @@ final class Collection private (
   private def namespacePredicate(keyNs: Option[String]): Option[Column] =
     keyNs.map(n => col("`" + Collection.NamespaceField + "`") === lit(n))
 
+  /** Namespace-scoped read view for the read paths that take no
+    * explicit partition list (range search, iterators, get, hybrid
+    * legs) — every read task resolves namespaces the same way
+    * (resolveNamespacePartitionNames runs in search, query, AND delete
+    * preExecute).
+    */
+  private def nsView(namespace: Option[String],
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      pkDomain: Option[graft.operators.PkPruning.Domain] = None): DataFrame = {
+    val (effParts, keyNs) = namespaceScope(namespace, Nil)
+    val v = readView(level, partitionNames = effParts, pkDomain = pkDomain)
+    namespacePredicate(keyNs).map(v.filter).getOrElse(v)
+  }
+
   /** Insert into a NAMED partition (reference Insert with
     * partition_name): rows are tagged and ride the normal write path.
     */
@@ -2361,13 +2375,14 @@ final class Collection private (
     * the prune domain — at scale a point get opens one segment's files,
     * not the collection's.
     */
-  def get(pks: Seq[Any], outputFields: Seq[String]): DataFrame = {
+  def get(pks: Seq[Any], outputFields: Seq[String],
+      namespace: Option[String] = None): DataFrame = {
     requirePriv("Query")
     val dom = graft.operators.PkPruning.points(pks.map {
       case i: Int => i.toLong // the pk literal space is int64/varchar
       case x      => x
     })
-    val v = readView(pkDomain = dom)
+    val v = nsView(namespace, pkDomain = dom)
       .filter(col(schema.pkField).isin(pks: _*))
     v.select(expandFields(outputFields, v.columns).map(col): _*)
   }
@@ -2443,12 +2458,13 @@ final class Collection private (
       metric: Metric.Value = Metric.COSINE,
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      namespace: Option[String] = None): DataFrame = {
     if (k != 0) validateTopK(k, "topk")
     validateNq(nqOf(queries))
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
-    VectorSearch.rangeSearch(readView(), schema.pkField, vectorField,
+    VectorSearch.rangeSearch(nsView(namespace), schema.pkField, vectorField,
       queries, "qid", "qvec", metric, radius, rangeFilter, k, filter, out, roundTo)
   }
 
@@ -2465,10 +2481,11 @@ final class Collection private (
       metric: Metric.Value = Metric.COSINE,
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      namespace: Option[String] = None): DataFrame = {
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
-    VectorSearch.groupBySearch(readView(), schema.pkField, vectorField,
+    VectorSearch.groupBySearch(nsView(namespace), schema.pkField, vectorField,
       queries, "qid", "qvec", metric, k, groupFields, groupSize,
       strictGroupSize, filter, out, roundTo)
   }
@@ -2485,7 +2502,8 @@ final class Collection private (
       metric: Metric.Value = Metric.COSINE,
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      namespace: Option[String] = None): DataFrame = {
     // iterator batchSize takes the same cap, as an ERROR (search_util
     // .go:433); an over-cap plain topk on an iterator request CLAMPS
     // instead (:487-500), which is the iterator driver's concern
@@ -2493,7 +2511,7 @@ final class Collection private (
     validateNq(nqOf(queries))
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
-    VectorSearch.searchIterator(readView(), schema.pkField, vectorField,
+    VectorSearch.searchIterator(nsView(namespace), schema.pkField, vectorField,
       queries, "qid", "qvec", metric, batch, lastBound, filter, out, roundTo)
   }
 
@@ -2594,7 +2612,8 @@ final class Collection private (
       ranker: String = "rrf",
       rrfK: Double = 60.0,
       outputFields: Seq[String] = Nil,
-      level: ConsistencyLevel.Value = ConsistencyLevel.Strong): DataFrame = {
+      level: ConsistencyLevel.Value = ConsistencyLevel.Strong,
+      namespace: Option[String] = None): DataFrame = {
     require(subs.nonEmpty, "hybrid search needs at least one sub-search")
     validateTopK(k, "limit")
     subs.foreach { sub =>
@@ -2613,7 +2632,7 @@ final class Collection private (
       require(outputFields.isEmpty,
         "element-level hybrid output is (pk, element_index); requery is row-level")
     }
-    val corpus = readView(level)
+    val corpus = nsView(namespace, level)
     val fuseKey = if (elementLevel) "_ekey" else schema.pkField
     val results = subs.map { sub =>
       val filter = if (sub.filterExpr.isEmpty) None else Some(compiled(sub.filterExpr))
@@ -3068,7 +3087,8 @@ final class Collection private (
       filterExpr: String,
       outputFields: Seq[String],
       batch: Int,
-      lastPk: Option[Any] = None): DataFrame = {
+      lastPk: Option[Any] = None,
+      namespace: Option[String] = None): DataFrame = {
     validateResultWindow(0L, batch.toLong)
     // the pk cursor IS a pk lower bound: segments whose pk max sits at
     // or under the cursor fall off the file list as the iterator
@@ -3083,7 +3103,7 @@ final class Collection private (
         Some(graft.operators.PkPruning.intersectDomains(a, b).getOrElse(b))
       case (a, b) => b.orElse(a)
     }
-    val base = readView(pkDomain = dom).filter(
+    val base = nsView(namespace, pkDomain = dom).filter(
       if (filterExpr.isEmpty) lit(true) else compiled(filterExpr))
     val cursored = lastPk match {
       case Some(p) => base.filter(col(schema.pkField) > lit(p))

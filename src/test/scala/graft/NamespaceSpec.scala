@@ -84,6 +84,37 @@ class NamespaceSpec extends SparkSpec {
       namespace = Some("tenant1")).count() == 5L)
   }
 
+  test("every read path resolves the namespace: range, iterator, get, hybrid") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("id", "vec")
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      vectorFields = Map("vec" -> 2), enableNamespace = true))
+    c.insert(df.filter(col("id") <= 2), Some("ta"))
+    c.insert(df.filter(col("id") > 2), Some("tb"))
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    // range search in tb: only tb ids even at a radius matching all
+    val range = c.rangeSearch("vec", q, radius = -2.0,
+      metric = graft.functions.Metric.COSINE, namespace = Some("tb"))
+      .select("id").as[Long].collect().toSet
+    assert(range == Set(3L, 4L))
+    // search iterator respects scope
+    val it = c.searchIterator("vec", q, batch = 10, namespace = Some("ta"))
+      .select("id").as[Long].collect().toSet
+    assert(it == Set(1L, 2L))
+    // get only sees the tenant's pk space
+    assert(c.get(Seq(1L, 3L), Seq("id"), namespace = Some("ta"))
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // query iterator scope
+    assert(c.queryIterator("id >= 0", Seq("id"), batch = 10,
+      namespace = Some("tb")).select("id").as[Long].collect().toSet ==
+      Set(3L, 4L))
+    // and each path still rejects a missing namespace
+    intercept[IllegalArgumentException](c.rangeSearch("vec", q, radius = 0.0))
+    intercept[IllegalArgumentException](c.get(Seq(1L), Seq("id")))
+  }
+
   test("key-mode scope reaches the scan as a pushable equality") {
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
       enableNamespace = true))
