@@ -2239,11 +2239,16 @@ final class Collection private (
     }
   }
 
-  private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty): Column =
+  private def compiled(filterExpr: String, params: Map[String, Any] = Map.empty,
+      tzOverride: Option[String] = None): Column =
     ExprCompiler.compile(filterExpr,
       ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
         metaColumn = schema.metaField, params = params,
-        strictColumns = true, timezone = resolvedTimezone))
+        strictColumns = true,
+        // request timezone > collection > database > UTC — the SAME
+        // resolution feeds literal parsing and time_fields extraction
+        // (task_query.go resolvedTimezoneStr serves both)
+        timezone = tzOverride.getOrElse(resolvedTimezone)))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.
@@ -2259,11 +2264,14 @@ final class Collection private (
       params: Map[String, Any] = Map.empty,
       timeFields: Seq[String] = Nil,
       timezone: Option[String] = None,
-      namespace: Option[String] = None): DataFrame = {
+      namespace: Option[String] = None,
+      orderByFields: Seq[String] = Nil): DataFrame = {
     requirePriv("Query")
     // window validation runs only when a limit is requested, matching
     // task_query.go:388-402 (an unlimited query has no window to check)
     if (limit != -1) validateResultWindow(0L, limit.toLong)
+    require(orderBy.isEmpty || orderByFields.isEmpty,
+      "pass either orderBy columns or orderByFields specs, not both")
     val (effParts, keyNs) = namespaceScope(namespace, partitionNames)
     val unscoped = readView(level, partitionNames = effParts,
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
@@ -2290,7 +2298,7 @@ final class Collection private (
     val base = elementRoot match {
       case Some((f, pred)) =>
         // row-level pre-filter keeps the explode to matching rows only
-        val matching = scoped.filter(compiled(filterExpr, params))
+        val matching = scoped.filter(compiled(filterExpr, params, timezone))
         val elemSchema = matching.schema(f).dataType match {
           case ArrayType(st: StructType, _) => Some(st)
           case _                            => None
@@ -2306,10 +2314,18 @@ final class Collection private (
           col("offset")): _*)
       case None =>
         (if (filterExpr.isEmpty) scoped
-         else scoped.filter(compiled(filterExpr, params)))
+         else scoped.filter(compiled(filterExpr, params, timezone)))
           .select(expandFields(outputFields, scoped.columns).map(col): _*)
     }
-    val sorted = if (orderBy.nonEmpty) base.orderBy(orderBy: _*) else base
+    // string specs take the reference's ParseOrderByFields contract
+    // (orderby/types.go:106-180): "field[:asc|desc[:nulls_first|last]]",
+    // PostgreSQL nulls defaults, sortable-type + existence validation
+    val orderCols =
+      if (orderByFields.nonEmpty)
+        graft.operators.QueryAgg.parseOrderBy(orderByFields, exprSchema,
+          groups = Nil, hasAgg = false)
+      else orderBy
+    val sorted = if (orderCols.nonEmpty) base.orderBy(orderCols: _*) else base
     applyTimeFields(if (limit > 0) sorted.limit(limit) else sorted,
       timeFields, timezone)
   }
@@ -2420,8 +2436,11 @@ final class Collection private (
       ignoreGrowing: Boolean = false,
       timeFields: Seq[String] = Nil,
       timezone: Option[String] = None,
-      namespace: Option[String] = None): DataFrame = {
+      namespace: Option[String] = None,
+      orderByFields: Seq[String] = Nil): DataFrame = {
     requirePriv("Search")
+    require(orderBy.isEmpty || orderByFields.isEmpty,
+      "pass either orderBy columns or orderByFields specs, not both")
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field (have: ${schema.vectorFields.keys.mkString(", ")})")
     validateTopK(k, "topk")
@@ -2434,15 +2453,23 @@ final class Collection private (
       ignoreGrowing = ignoreGrowing, pkDomain = pkDomainOf(filterExpr))
     val corpus =
       namespacePredicate(keyNs).map(corpus0.filter).getOrElse(corpus0)
-    val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
+    val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr, tzOverride = timezone))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     val hits = VectorSearch.topK(corpus, schema.pkField, vectorField, queries,
       "qid", "qvec", metric, k, filter = filter, outputCols = out, roundTo = roundTo)
     // search order-by (reference MEP 20260129-search-orderby): recall is
     // still similarity top-k; the RETURNED hits re-sort by scalar fields
     // within each query (presentation order, not candidate selection)
+    // string specs parse per ParseOrderByFields against the RETURNED
+    // columns (presentation re-sort is over the hit set, 20260129)
+    val orderCols =
+      if (orderByFields.nonEmpty)
+        graft.operators.QueryAgg.parseOrderBy(orderByFields, hits.schema,
+          groups = Nil, hasAgg = false)
+      else orderBy
     applyTimeFields(
-      if (orderBy.isEmpty) hits else hits.orderBy(col("qid") +: orderBy: _*),
+      if (orderCols.isEmpty) hits
+      else hits.orderBy(col("qid") +: orderCols: _*),
       timeFields, timezone)
   }
 
@@ -2482,12 +2509,15 @@ final class Collection private (
       filterExpr: String = "",
       outputFields: Seq[String] = Nil,
       roundTo: Option[Int] = None,
-      namespace: Option[String] = None): DataFrame = {
+      namespace: Option[String] = None,
+      groupScorer: String = "max",
+      emitGroupScore: Boolean = false): DataFrame = {
     val filter = if (filterExpr.isEmpty) None else Some(compiled(filterExpr))
     val out = if (outputFields.nonEmpty) outputFields else Seq(schema.pkField)
     VectorSearch.groupBySearch(nsView(namespace), schema.pkField, vectorField,
       queries, "qid", "qvec", metric, k, groupFields, groupSize,
-      strictGroupSize, filter, out, roundTo)
+      strictGroupSize, filter, out, roundTo,
+      groupScorer = groupScorer, emitGroupScore = emitGroupScore)
   }
 
   /** Paged ANN iterator (reference search iterator v2 / last_bound

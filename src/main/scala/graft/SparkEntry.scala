@@ -166,6 +166,24 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** String order-by specs on the plain query path (reference
+    * ParseOrderByFields, orderby/types.go:106-180: "field[:dir[:nulls]]"
+    * with PostgreSQL nulls defaults). The driver compare sorts rows, so
+    * the ORDER is pinned through the LIMIT: nulls-first + tiebreak
+    * selects a row SET only the right ordering produces.
+    */
+  def orderBySpec(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 5).cast("bigint").as("rank5"))
+    val c = graft.Collection.create(s,
+      graft.CollectionSchema(pkField = "o_orderkey"))
+    c.insert(o)
+    c.query("o_orderkey >= 0", Seq("o_orderkey", "rank5"),
+      orderByFields = Seq("rank5:desc:nulls_first", "o_orderkey:asc"),
+      limit = 77)
+  }
+
   /** Timestamptz interval arithmetic compare kernel. */
   def exprTsArith(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -250,6 +268,7 @@ object Queries {
     "q_expr_ts_arith" -> (exprTsArith _),
     "q_tstz_compare" -> (tstzCompare _),
     "q_time_fields" -> (timeFieldsExtract _),
+    "q_orderby_spec" -> (orderBySpec _),
     "q_expr_compare_cols" -> (exprCompareCols _)
   )
 
@@ -314,6 +333,12 @@ object Queries {
         |FROM lineitem
         |WHERE l_quantity > 10 AND l_quantity <= 20 AND (l_partkey % 10) = 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_orderby_spec" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderkey % 5 END AS rank5
+        |FROM orders
+        |ORDER BY rank5 DESC NULLS FIRST, o_orderkey ASC LIMIT 77""".stripMargin,
     "q_time_fields" ->
       """SELECT event_id, event_type,
         |  year(ts2) || ',' || month(ts2) || ',' || day(ts2) || ',' ||

@@ -967,6 +967,18 @@ object ExprCompiler {
       case And => boolish(l, compile(l, ctx), ctx) && boolish(r, compile(r, ctx), ctx)
       case Or  => boolish(l, compile(l, ctx), ctx) || boolish(r, compile(r, ctx), ctx)
       case Lt | Le | Gt | Ge | Eq | Ne =>
+        // A PLAIN iso compare against the int64 TIMESTAMPTZ carry takes
+        // the same epoch-nanos fold as the interval form (TsCompare with
+        // a zero shift): `ts >= iso'...'` stays attribute-vs-literal and
+        // pushes to the scan. Timestamp-typed columns fall through to
+        // the generic compare (IsoLit compiles to a timestamp literal).
+        (l, r) match {
+          case (Ident(f), IsoLit(v)) if ctx.fieldType(f).contains(LongType) =>
+            return compile(TsCompare(f, 1, None, op, v, reversed = false), ctx)
+          case (IsoLit(v), Ident(f)) if ctx.fieldType(f).contains(LongType) =>
+            return compile(TsCompare(f, 1, None, op, v, reversed = true), ctx)
+          case _ => ()
+        }
         // strict typed-field vs literal check (reference planparserv2:
         // "comparisons between Int64 and VarChar are not supported" —
         // a TYPED column against a literal of the wrong kind is a

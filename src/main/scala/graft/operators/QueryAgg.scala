@@ -110,7 +110,7 @@ object QueryAgg {
     * target only group-by columns, and an aggregate expression is
     * rejected by name — the reference defers that to a future release.
     */
-  private def parseOrderBy(specs: Seq[String], schema: StructType,
+  private[graft] def parseOrderBy(specs: Seq[String], schema: StructType,
       groups: Seq[String], hasAgg: Boolean): Seq[Column] = {
     val groupSet = groups.map(_.toLowerCase).toSet
     specs.map(_.trim).filter(_.nonEmpty).map { spec =>

@@ -159,8 +159,16 @@ object VectorSearch {
       strictGroupSize: Boolean = false,
       filter: Option[Column] = None,
       outputCols: Seq[String] = Nil,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      groupScorer: String = "max",
+      emitGroupScore: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "groupBySearch needs at least one group column")
+    // ValidateGroupScorer (function-chain operator_group_by.go:134-141):
+    // the group's rank key is max/sum/avg over its KEPT (top groupSize)
+    // hits — sum/avg let many-decent-hit groups outrank one-great-hit
+    // groups (rank_group_scorer search param, search_pipeline.go:1289)
+    require(groupScorer == "max" || groupScorer == "sum" || groupScorer == "avg",
+      s"""invalid group scorer "$groupScorer", must be max/sum/avg""")
     val out = (if (outputCols.nonEmpty) outputCols else Seq(idCol)).distinct
     val asc = !Metric.higherIsBetter(metric)
     val scored = score(corpus, vecCol, queries, qidCol, qvecCol, metric, filter, roundTo)
@@ -177,18 +185,32 @@ object VectorSearch {
         .as("_hits"))
       .withColumn("_best", col("_hits")(0)("score"))
       .withColumn("_best_tie", col("_hits")(0)("payload")("_tie"))
-    // pass 2: per query keep the k best groups (by best hit)
-    val groupPayload = struct(groupCols.map(col) :+ col("_hits"): _*)
+      // group score over the kept hits (post-trim, operator_group_by.go
+      // Step 3); max ≡ the walk's best-hit key
+      .withColumn("_gscore", groupScorer match {
+        case "max" => col("_best")
+        case "sum" => aggregate(col("_hits"), lit(0.0),
+          (acc, h) => acc + h("score"))
+        case "avg" => aggregate(col("_hits"), lit(0.0),
+          (acc, h) => acc + h("score")) / size(col("_hits"))
+      })
+    // pass 2: per query keep the k best groups (by group score)
+    val groupPayload =
+      struct(groupCols.map(col) ++ Seq(col("_hits"), col("_best")): _*)
     val grouped = perGroup
       .groupBy(col(qidCol))
       .agg(TopKFunctions
-        .top_k(col("_best"), col("_best_tie"), groupPayload, k, asc)
+        .top_k(col("_gscore"), col("_best_tie"), groupPayload, k, asc)
         .as("_groups"))
     // non-strict cutoff: the k-th chosen group's best hit is where the
     // reference walk stopped; with < k groups the walk ran to exhaustion
+    // the walk-stop threshold is defined by the BEST-hit order, i.e. the
+    // max scorer; sum/avg group ranking has no walk to grow, so the
+    // sub-threshold drop is disabled there (strict trim)
     val withThr = grouped
-      .withColumn("_full", size(col("_groups")) === k)
-      .withColumn("_thr_s", element_at(col("_groups"), -1)("score"))
+      .withColumn("_full",
+        size(col("_groups")) === k && lit(groupScorer == "max"))
+      .withColumn("_thr_s", element_at(col("_groups"), -1)("payload")("_best"))
       .withColumn("_thr_t",
         element_at(col("_groups"), -1)("payload")("_hits")(0)("payload")("_tie"))
     val exploded = withThr
@@ -196,7 +218,8 @@ object VectorSearch {
         posexplode(col("_groups")).as(Seq("_gpos", "_g")))
       .select(
         Seq(col(qidCol), col("_full"), col("_thr_s"), col("_thr_t"),
-          (col("_gpos") + 1).cast("long").as("group_rank")) ++
+          (col("_gpos") + 1).cast("long").as("group_rank"),
+          col("_g.score").as("_gscore_out")) ++
           groupCols.map(g => col(s"_g.payload.$g").as(g)) :+
           posexplode(col("_g.payload._hits")).as(Seq("_hpos", "_hit")): _*)
     val surviving =
@@ -213,7 +236,10 @@ object VectorSearch {
     surviving.select(
       Seq(col(qidCol), col("group_rank")) ++ groupCols.map(col) ++
         Seq((col("_hpos") + 1).cast("long").as("rank"), col("_hit.score").as("_score")) ++
-        out.map(c => col(s"_hit.payload.$c").as(c)): _*)
+        out.map(c => col(s"_hit.payload.$c").as(c)) ++
+        // $group_score output (GroupScoreFieldName, operator_group_by
+        // .go:162) — opt-in so pre-scorer result schemas stay stable
+        (if (emitGroupScore) Seq(col("_gscore_out").as("group_score")) else Nil): _*)
   }
 
   /** Requery (reference: CreateRequeryPlan,

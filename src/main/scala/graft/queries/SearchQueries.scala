@@ -98,6 +98,24 @@ object SearchQueries {
       .orderBy(col("qid"), col("group_rank"), col("rank"))
   }
 
+  /** rank_group_scorer=sum (function-chain operator_group_by.go:33-120,
+    * search param search_pipeline.go:1289): groups rank by the SUM of
+    * their kept hits' scores — a group with two decent hits outranks a
+    * single great hit — and every row carries the $group_score output.
+    */
+  def groupScorerSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.groupBySearch(emb, "vec_id", "embedding",
+        queries(s, dir), "qid", "qvec",
+        Metric.COSINE, k = 3, groupCols = Seq("label"), groupSize = 2,
+        strictGroupSize = true, outputCols = Seq("vec_id"),
+        roundTo = Some(4), groupScorer = "sum", emitGroupScore = true)
+      .select(col("qid"), col("group_rank"), col("label"), col("rank"),
+        col("_score").as("score"), col("vec_id"),
+        round(col("group_score"), 4).as("group_score"))
+      .orderBy(col("qid"), col("group_rank"), col("rank"))
+  }
+
   /** Composite (multi-field) grouping search with the reference-default
     * strict_group_size=false: hits ranked after the k-th distinct
     * group's first appearance are excluded even from non-full groups
@@ -307,6 +325,7 @@ object SearchQueries {
     "q_range_search" -> (rangeSearch _),
     "q_search_iterator" -> (searchIterator _),
     "q_groupby_search" -> (groupBySearch _),
+    "q_group_scorer" -> (groupScorerSearch _),
     "q_groupby_composite" -> (groupByComposite _),
     "q_requery" -> (requery _),
     "q_rrf_fusion" -> (rrfFusion _),
@@ -401,6 +420,23 @@ object SearchQueries {
          |      FROM c)
          |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    "q_group_scorer" ->
+      s"""WITH ${scoredSql(cosineExpr)},
+         |h AS (SELECT qid, label, vec_id, score,
+         |        row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS hr
+         |      FROM d),
+         |hh AS (SELECT * FROM h WHERE hr <= 2),
+         |b AS (SELECT qid, label, vec_id AS best_tie FROM h WHERE hr = 1),
+         |gs AS (SELECT qid, label, round(sum(score), 4) AS gsum
+         |       FROM hh GROUP BY qid, label),
+         |g AS (SELECT gs.qid, gs.label, gs.gsum, row_number() OVER
+         |        (PARTITION BY gs.qid ORDER BY gs.gsum DESC, b.best_tie) AS group_rank
+         |      FROM gs JOIN b ON gs.qid = b.qid AND gs.label = b.label)
+         |SELECT g.qid, g.group_rank, g.label, hh.hr AS rank, hh.score,
+         |       hh.vec_id, g.gsum AS group_score
+         |FROM g JOIN hh ON g.qid = hh.qid AND g.label = hh.label
+         |WHERE g.group_rank <= 3
+         |ORDER BY g.qid, g.group_rank, rank""".stripMargin,
     "q_groupby_search" ->
       s"""WITH ${scoredSql(cosineExpr)},
          |h AS (SELECT qid, label, vec_id, score,

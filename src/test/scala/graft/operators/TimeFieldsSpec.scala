@@ -81,6 +81,25 @@ class TimeFieldsSpec extends SparkSpec {
       Seq(2025L, 1L, 2L))
   }
 
+  test("request timezone also drives NAIVE literal parsing in filters") {
+    // ts domain: epoch-nanos long (GraftSession convention)
+    val df = Seq(
+      (1L, java.time.Instant.parse("2025-01-01T06:00:00Z")),
+      (2L, java.time.Instant.parse("2025-01-01T18:00:00Z")))
+      .map { case (id, i) => (id, i.toEpochMilli * 1000000L) }
+      .toDF("id", "ts")
+    val c = Collection.create(spark, CollectionSchema(pkField = "id"))
+    c.insert(df)
+    // naive 2025-01-01T12:00:00 in Asia/Shanghai = 04:00Z -> both rows
+    val sh = c.query("ts >= iso'2025-01-01T12:00:00'", Seq("id"),
+      timezone = Some("Asia/Shanghai")).count()
+    assert(sh == 2L)
+    // the same literal in UTC = 12:00Z -> only the 18:00Z row
+    val utc = c.query("ts >= iso'2025-01-01T12:00:00'", Seq("id"),
+      timezone = Some("UTC")).count()
+    assert(utc == 1L)
+  }
+
   test("collection timezone property is the fallback; request param wins") {
     val c = mkColl()
     c.alterCollection(Map("timezone" -> "Asia/Shanghai"))
