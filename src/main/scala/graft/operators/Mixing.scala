@@ -27,6 +27,45 @@ object Mixing {
   def pctHash(idCol: Column): Column =
     pmod(pmod(pmod(idCol, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)), lit(100))
 
+  /** Membership hash in [0, 1e6): the pctHash scheme at ppm granularity
+    * for rates too fine for whole percentages (temperature mixing).
+    */
+  def ppmHash(idCol: Column): Column =
+    pmod(pmod(pmod(idCol, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)),
+      lit(1000000L))
+
+  /** Temperature-based source mixing (the multilingual-pretraining
+    * sampler — XLM §3.1 / mT5 §3.2 style): source i with n_i rows is
+    * sampled with probability p_i ∝ n_i^alpha, alpha ∈ (0,1] flattening
+    * the source distribution (alpha=1 keeps natural proportions,
+    * alpha→0 approaches uniform over sources), then the expected output
+    * is `targetRows` total. Per-source keep rate
+    * r_i = min(1, targetRows·p_i / n_i), applied as the same
+    * deterministic id-hash membership as [[stratifiedSample]] — no RNG,
+    * reproducible in plain SQL.
+    *
+    * Scale shape: ONE count aggregate over the corpus (source
+    * cardinality is tiny — languages/domains), then a narrow CASE+hash
+    * filter; the rate table rides the driver, never a join.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureMix over an empty corpus")
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val ratePpm: Map[String, Long] = counts.map { case (s, n) =>
+      val p = math.pow(n.toDouble, alpha) / z
+      s -> math.min(1e6, math.floor(targetRows * p / n * 1e6)).toLong
+    }.toMap
+    val rate = ratePpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(ppmHash(col(idCol)) < rate)
+  }
+
   /** Keep each row of stratum s with probability rates(s)/100
     * (default `defaultPct` for unlisted strata), deterministically in
     * the row's id.

@@ -501,6 +501,20 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-based source mixing (XLM/mT5-style sampler,
+    * operators/Mixing.temperatureMix): source proportions flattened by
+    * n_i^alpha with a deterministic ppm hash membership; the oracle
+    * recomputes the rate table and the membership in plain SQL.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.count() / 2
+    graft.operators.Mixing.temperatureMix(docs, "lang", "doc_id",
+        alpha = 0.5, targetRows = target)
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"))
+  }
+
   /** Context-window sequence packing (the pretraining batcher step):
     * docs sharded by id, greedy-filled into 512-token packs in ascending
     * id order; the oracle replicates the same greedy walk with a
@@ -651,6 +665,7 @@ object TextQueries {
     "q_decontaminate" -> (decontaminate _),
     "q_pii_scrub" -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_temperature_mix" -> (temperatureMix _),
     "q_seq_pack" -> (seqPack _),
     "q_bm25" -> (bm25 _),
     "q_bm25_stream" -> (bm25Stream _),
@@ -832,6 +847,22 @@ object TextQueries {
          |    CASE WHEN w.acc + d.n_tok > 512 THEN d.n_tok ELSE w.acc + d.n_tok END
          |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
          |SELECT doc_id, shard, pack_idx FROM walk ORDER BY doc_id""".stripMargin,
+    // rate derivation mirrors Mixing.temperatureMix EXACTLY: p_i =
+    // sqrt(n_i)/Z, ppm_i = min(1e6, floor(target·p_i/n_i·1e6)), target
+    // = corpus//2; membership is the same Knuth hash at ppm granularity
+    "q_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |z AS (SELECT sum(power(n, 0.5)) AS z,
+        |             (SELECT count(*) // 2 FROM documents) AS target FROM n),
+        |r AS (SELECT n.lang, CAST(least(1000000,
+        |        floor(z.target * (power(n.n, 0.5) / z.z) / n.n * 1000000))
+        |        AS BIGINT) AS ppm
+        |      FROM n, z)
+        |SELECT d.lang, count(*) AS cnt
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (((d.doc_id % 1000000007) * 2654435761 % 1000000007)
+        |        % 1000000 + 1000000) % 1000000 < r.ppm
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents

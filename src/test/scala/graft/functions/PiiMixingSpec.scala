@@ -97,4 +97,35 @@ class PiiMixingSpec extends SparkSpec {
       shards = 64).as[(Long, Long, Long)].collect()
     assert(auto.toSet == pinned.toSet && auto.length == 300)
   }
+
+  test("temperature mixing flattens source proportions deterministically") {
+    // skewed corpus: big 9000 rows, small 1000 rows
+    val rows = (0L until 10000L)
+      .map(i => (i, if (i < 9000) "big" else "small")).toDF("id", "src")
+    val mixed = Mixing.temperatureMix(rows, "src", "id",
+      alpha = 0.5, targetRows = 4000L)
+    val bySrc = mixed.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // alpha=0.5: p_big = sqrt(9000)/Z ≈ 0.75, p_small ≈ 0.25 — the
+    // small source's MIX share (~25%) far exceeds its natural 10%
+    val total = bySrc.values.sum.toDouble
+    assert(bySrc("small") / total > 0.18, bySrc.toString)
+    assert(bySrc("big") / total < 0.82)
+    // expected-size: within hash noise of the target
+    assert(math.abs(total - 4000.0) < 400.0, total.toString)
+    // deterministic: identical membership run-to-run
+    val again = Mixing.temperatureMix(rows, "src", "id", 0.5, 4000L)
+      .as[(Long, String)].collect().toSet
+    assert(mixed.as[(Long, String)].collect().toSet == again)
+    // alpha=1 keeps natural proportions (uniform rate across sources)
+    val nat = Mixing.temperatureMix(rows, "src", "id", 1.0, 5000L)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val natTotal = nat.values.sum.toDouble
+    assert(math.abs(nat("big") / natTotal - 0.9) < 0.03, nat.toString)
+    // named validation errors
+    intercept[IllegalArgumentException](
+      Mixing.temperatureMix(rows, "src", "id", 0.0, 100L))
+    intercept[IllegalArgumentException](
+      Mixing.temperatureMix(rows, "src", "id", 0.5, 0L))
+  }
 }
