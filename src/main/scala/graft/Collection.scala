@@ -1450,6 +1450,13 @@ final class Collection private (
     id
   }
 
+  /** optimize with the client's human-readable size string ("1.5GB",
+    * " 2 MB ") — the parse_target_size sugar pinned by
+    * test_milvus_client_optimize.py.
+    */
+  def optimize(path: String, targetSize: String): Long =
+    optimize(path, Collection.parseTargetSizeMb(targetSize))
+
   // ---- row-level security (20250610-rls_design.md) ----
   private var rlsPolicies: Seq[String] = Nil
   private var currentUser: Option[Rls.UserContext] = None
@@ -3160,6 +3167,37 @@ object Collection {
   val LargeMaxQueryResultWindow = 1000000L
   val QueryModeKey = "query_mode"
   val QueryModeLargeTopK = "large_topk"
+
+  /** parse_target_size (the pymilvus optimize() sugar, pinned by
+    * test_milvus_client_optimize.py): "<decimal><unit>" with unit
+    * B/KB/MB/GB/TB/PB, case-insensitive, whitespace-tolerant. Malformed
+    * input is "Invalid target size"; anything resolving under 1MB is
+    * "target size too small"; the MB count stays int64 so the
+    * 9223372036854775807MB boundary parses without overflow.
+    */
+  private val TargetSizePattern =
+    """(?i)^\s*([0-9]+(?:\.[0-9]+)?)\s*(B|KB|MB|GB|TB|PB)\s*$""".r
+
+  def parseTargetSizeMb(s: String): Long = s match {
+    case TargetSizePattern(num, unit) =>
+      val factorMb: BigDecimal = unit.toUpperCase match {
+        case "B"  => BigDecimal(1) / (1024 * 1024)
+        case "KB" => BigDecimal(1) / 1024
+        case "MB" => BigDecimal(1)
+        case "GB" => BigDecimal(1024)
+        case "TB" => BigDecimal(1024L * 1024)
+        case "PB" => BigDecimal(1024L * 1024 * 1024)
+      }
+      val mb = BigDecimal(num) * factorMb
+      if (mb < 1) throw new IllegalArgumentException(
+        s"target size too small: '$s' resolves under 1MB")
+      if (mb > BigDecimal(Long.MaxValue)) throw new IllegalArgumentException(
+        s"Invalid target size '$s': exceeds the int64 MB range")
+      mb.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    case _ => throw new IllegalArgumentException(
+      s"Invalid target size format: '$s' " +
+        "(expected <number><B|KB|MB|GB|TB|PB>)")
+  }
 
   // multi-tenant namespaces (common.go:62-67)
   val NamespaceField = "$namespace_id"

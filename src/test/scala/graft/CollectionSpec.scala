@@ -1926,4 +1926,29 @@ class CollectionSpec extends SparkSpec {
       c.alterCollection(Map("QUERY_MODE" -> "large_topk")))
     assert(ci.getMessage.contains("did you mean"), ci.getMessage)
   }
+
+  test("optimize target-size string parse matches the client contract") {
+    import Collection.parseTargetSizeMb
+    // all units, decimals, mixed case, whitespace
+    assert(parseTargetSizeMb("1048576B") == 1L)
+    assert(parseTargetSizeMb("1024KB") == 1L)
+    assert(parseTargetSizeMb("100MB") == 100L)
+    assert(parseTargetSizeMb("2GB") == 2048L)
+    assert(parseTargetSizeMb("1.5gB") == 1536L)
+    assert(parseTargetSizeMb("  1 TB ") == 1048576L)
+    assert(parseTargetSizeMb("1PB") == 1073741824L)
+    // the int64-MB boundary parses without overflow
+    assert(parseTargetSizeMb("9223372036854775807MB") == Long.MaxValue)
+    // malformed → Invalid
+    Seq("abc", "1XB", "MB100", "1.2.3GB", "--1GB").foreach { bad =>
+      val e = intercept[IllegalArgumentException](parseTargetSizeMb(bad))
+      assert(e.getMessage.contains("Invalid"), s"$bad: ${e.getMessage}")
+    }
+    // under 1MB → too small
+    Seq("0MB", "0GB", "0B", "100B", "500KB").foreach { tiny =>
+      val e = intercept[IllegalArgumentException](parseTargetSizeMb(tiny))
+      assert(e.getMessage.contains("target size too small"),
+        s"$tiny: ${e.getMessage}")
+    }
+  }
 }
