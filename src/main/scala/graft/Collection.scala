@@ -3125,15 +3125,29 @@ final class Collection private (
       outputFields: Seq[String],
       batch: Int,
       lastPk: Option[Any] = None,
-      namespace: Option[String] = None): DataFrame = {
+      namespace: Option[String] = None,
+      lastElementOffset: Option[Long] = None): DataFrame = {
     validateResultWindow(0L, batch.toLong)
+    // the element-offset half of the cursor (QueryIteratorCursor,
+    // plan.proto:377-381; parseQueryIteratorCursor task_query.go:461-503)
+    // resumes an element_filter iteration strictly after (pk, offset) —
+    // one pk's elements can span pages
+    lastElementOffset.foreach { o =>
+      require(lastPk.isDefined,
+        "incomplete query iterator cursor params: query_iter_last_pk and " +
+          "query_iter_last_element_offset must be provided together")
+      require(o >= 0,
+        s"value for query iterator last element offset is invalid: $o")
+    }
     // the pk cursor IS a pk lower bound: segments whose pk max sits at
     // or under the cursor fall off the file list as the iterator
     // advances (MEP 20260324's range shape) — intersected with any
-    // pk domain the filter itself pins
+    // pk domain the filter itself pins. With an element cursor the
+    // boundary pk may still hold unread elements → INCLUSIVE bound.
     val cursorDom = lastPk.map { p =>
       val v: Any = p match { case i: Int => i.toLong; case x => x }
-      graft.operators.PkPruning.Interval(Some((v, false)), None)
+      graft.operators.PkPruning.Interval(
+        Some((v, lastElementOffset.isDefined)), None)
     }
     val dom = (pkDomainOf(filterExpr), cursorDom) match {
       case (Some(a), Some(b)) =>
@@ -3142,12 +3156,51 @@ final class Collection private (
     }
     val base = nsView(namespace, pkDomain = dom).filter(
       if (filterExpr.isEmpty) lit(true) else compiled(filterExpr))
-    val cursored = lastPk match {
-      case Some(p) => base.filter(col(schema.pkField) > lit(p))
-      case None    => base
+    val pkc = col(schema.pkField)
+    val elementRoot: Option[(String, graft.expr.Node)] =
+      if (filterExpr.isEmpty) None
+      else graft.expr.Parser.parse(filterExpr) match {
+        case graft.expr.Call("element_filter",
+            Seq(graft.expr.Ident(f), pred), _) => Some((f, pred))
+        case _ => None
+      }
+    elementRoot match {
+      case Some((f, pred)) =>
+        // per-element page in (pk, offset) order, like query()'s
+        // element-root expansion
+        val elemSchema = base.schema(f).dataType match {
+          case ArrayType(st: StructType, _) => Some(st)
+          case _                            => None
+        }
+        val exploded = base.select(
+          (base.columns.map(col) :+
+            posexplode(col(f)).as(Seq("offset", "_elem"))): _*)
+        val perElem = exploded.filter(ExprCompiler.compile(pred,
+          ExprCompiler.Ctx(exprSchema, jsonColumns = schema.jsonFields,
+            metaColumn = schema.metaField, strictColumns = true,
+            element = Some((col("_elem"), elemSchema)))))
+        val cursored = lastPk match {
+          case Some(p) => lastElementOffset match {
+            case Some(o) => perElem.filter(
+              pkc > lit(p) || (pkc === lit(p) && col("offset") > lit(o)))
+            case None => perElem.filter(pkc > lit(p))
+          }
+          case None => perElem
+        }
+        cursored.select(
+          (schema.pkField +: outputFields.filterNot(_ == schema.pkField))
+            .map(col) :+ col("offset").cast("long").as("offset"): _*)
+          .orderBy(pkc, col("offset")).limit(batch)
+      case None =>
+        val cursored = lastPk match {
+          case Some(p) => base.filter(pkc > lit(p))
+          case None    => base
+        }
+        cursored.select(
+          (schema.pkField +: outputFields.filterNot(_ == schema.pkField))
+            .map(col): _*)
+          .orderBy(pkc).limit(batch)
     }
-    cursored.select((schema.pkField +: outputFields.filterNot(_ == schema.pkField)).map(col): _*)
-      .orderBy(col(schema.pkField)).limit(batch)
   }
 }
 

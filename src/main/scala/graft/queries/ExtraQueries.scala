@@ -226,6 +226,35 @@ object ExtraQueries {
       .orderBy(col("l_orderkey"), col("offset"))
   }
 
+  /** Element-offset iterator cursor (QueryIteratorCursor
+    * plan.proto:377-381 + parseQueryIteratorCursor
+    * task_query.go:461-503): an element_filter iteration resumes
+    * STRICTLY AFTER (last_pk, last_element_offset) — one pk's matching
+    * elements can straddle a page boundary. Two live-facade pages of 7
+    * must reassemble into exactly the first 14 element rows of the
+    * (pk, offset) order.
+    */
+  def elementIterator(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+    val c = Collection.create(s, CollectionSchema(pkField = "l_orderkey"))
+    c.insert(items)
+    val expr = "element_filter(items, $[l_quantity] > 45.0)"
+    val page1 = c.queryIterator(expr, Seq("l_orderkey"), batch = 7)
+      .select(col("l_orderkey"), col("offset").cast("long").as("offset"))
+    val rows1 = page1.collect()
+    val (lastPk, lastOff) =
+      (rows1.last.getLong(0), rows1.last.getLong(1))
+    val page2 = c.queryIterator(expr, Seq("l_orderkey"), batch = 7,
+        lastPk = Some(lastPk), lastElementOffset = Some(lastOff))
+      .select(col("l_orderkey"), col("offset").cast("long").as("offset"))
+    page1.unionByName(page2).orderBy(col("l_orderkey"), col("offset"))
+  }
+
   // ---- §1.2/§2.6 sparse vectors (SPARSE_INVERTED_INDEX / WAND) ----
 
   def sparseTopk(s: SparkSession, dir: String): DataFrame = {
@@ -1206,6 +1235,7 @@ object ExtraQueries {
     "q_element_filter" -> (elementFilter _),
     "q_element_quantifiers" -> (elementQuantifiers _),
     "q_element_offsets" -> (elementOffsets _),
+    "q_element_iterator" -> (elementIterator _),
     "q_sparse_topk" -> (sparseTopk _),
     "q_sparse_wand" -> (sparseWand _),
     "q_maxsim" -> (maxSim _),
@@ -1652,6 +1682,16 @@ object ExtraQueries {
         |SELECT l_orderkey, n_items FROM g
         |WHERE len(list_filter(items, e -> e.qty > 45.0 AND e.ln <= 2)) > 0
         |ORDER BY l_orderkey""".stripMargin,
+    "q_element_iterator" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list(struct_pack(ln := l_linenumber, qty := l_quantity)
+        |         ORDER BY l_linenumber, l_quantity) AS items
+        |  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey),
+        |u AS (SELECT l_orderkey, unnest(items) AS e,
+        |    CAST(generate_subscripts(items, 1) - 1 AS BIGINT) AS off FROM g)
+        |SELECT l_orderkey, off AS offset FROM u
+        |WHERE e.qty > 45.0
+        |ORDER BY l_orderkey, off LIMIT 14""".stripMargin,
     "q_element_offsets" ->
       """WITH g AS (SELECT l_orderkey,
         |    list(struct_pack(ln := l_linenumber, qty := l_quantity)
