@@ -115,6 +115,23 @@ class NamespaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.get(Seq(1L), Seq("id")))
   }
 
+  test("queryAgg aggregates within the tenant scope") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.insert(rows(_ => "").filter(col("id") <= 10), Some("a"))
+    c.insert(rows(_ => "").filter(col("id") > 10 && col("id") <= 30), Some("b"))
+    val a = c.queryAgg(outputFields = Seq("count(*)"), namespace = Some("a"))
+      .head().getLong(0)
+    val b = c.queryAgg(outputFields = Seq("count(*)"), namespace = Some("b"))
+      .head().getLong(0)
+    assert(a == 10L && b == 20L)
+    // the hidden tenant column is not an aggregation target ('$' is not
+    // a word char, so the expression isn't even an agg match)
+    val e = intercept[IllegalArgumentException](c.queryAgg(
+      outputFields = Seq(s"min(${"$"}namespace_id)"), namespace = Some("a")))
+    assert(e.getMessage.contains("not allowed"))
+  }
+
   test("key-mode scope reaches the scan as a pushable equality") {
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
       enableNamespace = true))

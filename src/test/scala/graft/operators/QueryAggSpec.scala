@@ -103,6 +103,27 @@ class QueryAggSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("matchAgg fuzz: only anchored known-op expressions match") {
+    val rnd = new scala.util.Random(42)
+    val real = Seq("sum", "count", "avg", "min", "max")
+    val fake = Seq("median", "stddev", "mode", "xsum")
+    (1 to 2000).foreach { _ =>
+      val isReal = rnd.nextBoolean()
+      val op0 = if (isReal) real(rnd.nextInt(real.length))
+                else fake(rnd.nextInt(fake.length))
+      val op = if (rnd.nextBoolean()) op0.toUpperCase else op0
+      val pre = if (rnd.nextInt(4) == 0) "x" else ""
+      val post = if (rnd.nextInt(4) == 0) " + 1" else ""
+      val ws1 = " " * rnd.nextInt(3); val ws2 = " " * rnd.nextInt(3)
+      val field = Seq("c2", "*", "", "f_1")(rnd.nextInt(4))
+      val s = s"$pre$op$ws1($ws2$field$ws2)$post"
+      val shouldMatch = isReal && pre.isEmpty && post.isEmpty
+      assert(QueryAgg.matchAgg(s).isDefined == shouldMatch, s)
+      if (shouldMatch)
+        assert(QueryAgg.matchAgg(s).contains((op0.toLowerCase, field)), s)
+    }
+  }
+
   test("the agg expression regex is anchored and whitespace-tolerant") {
     assert(QueryAgg.matchAgg("COUNT( * )").contains(("count", "*")))
     assert(QueryAgg.matchAgg("sum ( c2 )").contains(("sum", "c2")))
