@@ -944,6 +944,27 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF_RABITQ (client index family ivf.go:140-178; algorithm from the
+    * public RaBitQ paper): rotated sign-quantized residual estimator +
+    * exact refine. Exhaustive probes + corpus-wide shortlist ⇒ exact
+    * top-k, so the brute-force L2 oracle applies; partial-shortlist
+    * recall and the rbq_bits contract live in RabitqIndexSpec.
+    */
+  def rabitqExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RabitqIndex
+    val emb = t(s, dir, "embeddings")
+    val model = RabitqIndex.train(emb, "embedding", nlist = 8, bits = 1)
+    val encoded = RabitqIndex.layout(emb, "embedding", model)
+    val qs = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    RabitqIndex.search(encoded, "vec_id", "embedding", model, qs,
+        k = 10, nprobe = 8, shortlist = n, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** RunAnalyzer facade under oracle (reference `Proxy.RunAnalyzer`
     * impl.go:6629 — the tokenizer-debugging RPC): two fixed debug texts
     * through two analyzer configs (plain standard; standard + stop +
@@ -1194,6 +1215,7 @@ object ExtraQueries {
     "q_vamana_exhaustive" -> (vamanaExhaustive _),
     "q_scann_exhaustive" -> (scannExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
+    "q_rabitq_exhaustive" -> (rabitqExhaustive _),
     "q_hnsw_exhaustive" -> (hnswExhaustive _),
     "q_trie_prefix" -> (triePrefix _),
     "q_stlsort_range" -> (stlSortRange _),
@@ -1364,6 +1386,16 @@ object ExtraQueries {
     "q_hnsw_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_rabitq_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id >= 3 AND vec_id < 6),
         |d AS (SELECT q.qid, e.vec_id,
         |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
         |      FROM q CROSS JOIN embeddings e),
