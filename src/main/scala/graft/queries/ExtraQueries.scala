@@ -924,6 +924,27 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** HNSW_SQ (client/index/common.go:50): an HNSW graph over SQ8
+    * reconstructions with exact refine. ef ≥ corpus and refineMult·k ≥
+    * corpus make it exact, so the brute-force L2 oracle applies;
+    * PQ/PRQ variants and partial-ef recall live in HnswQuantizedSpec.
+    */
+  def hnswSq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HnswQuantized
+    val emb = t(s, dir, "embeddings")
+    val variant = HnswQuantized.trainSq(emb, "embedding")
+    val index = HnswQuantized.build(emb, "vec_id", "embedding", variant,
+      numParts = 8, m = 8, efConstruction = 32)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    HnswQuantized.searchRefined(index, emb, "vec_id", "embedding", qs,
+        k = 10, ef = n, refineMult = n / 10 + 1, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- §2.6 IVF_SQ8: per-dim 8-bit scalar quantization + refine ----
 
   /** SQ8 with shortlist ≥ corpus: exact refine ⇒ equals brute-force L2
@@ -1216,6 +1237,7 @@ object ExtraQueries {
     "q_scann_exhaustive" -> (scannExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_rabitq_exhaustive" -> (rabitqExhaustive _),
+    "q_hnsw_sq" -> (hnswSq _),
     "q_hnsw_exhaustive" -> (hnswExhaustive _),
     "q_trie_prefix" -> (triePrefix _),
     "q_stlsort_range" -> (stlSortRange _),
@@ -1384,6 +1406,16 @@ object ExtraQueries {
         |  CAST(position AS INT) AS position, token
         |FROM toks ORDER BY cfg, text_idx, position""".stripMargin,
     "q_hnsw_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_hnsw_sq" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
         |d AS (SELECT q.qid, e.vec_id,
