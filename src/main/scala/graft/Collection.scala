@@ -2881,6 +2881,11 @@ final class Collection private (
   def createIndex(vectorField: String, nlist: Int, trainSample: Int = 10000): Unit = {
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field")
+    // index-param hygiene BEFORE any build job is planned
+    // (indexparamcheck's CreateIndex-path validation)
+    graft.operators.IndexParamCheck.check("IVF_FLAT",
+      graft.operators.IndexParamCheck.FloatVector,
+      Map("metric_type" -> "L2", "nlist" -> nlist.toString))
     // effective-row gate (MEP 20260602's null_counts consumer: the
     // index task derives the effective row count for nullable vector
     // fields and skips builds with zero valid vectors — a field missing

@@ -1,0 +1,152 @@
+package graft.operators
+
+/** Index-definition validation (reference internal/util/indexparamcheck:
+  * constraints.go:8-83, vector_index_checker.go StaticCheck,
+  * bitmap_index_checker.go, ngram_index_checker.go; the numeric ranges
+  * that knowhere enforces C++-side are the published constants in
+  * constraints.go). Pure driver-side parameter hygiene: every rejection
+  * is a named error BEFORE any build job is planned.
+  */
+object IndexParamCheck {
+
+  // metric compatibility per vector family (constraints.go:57-61)
+  val FloatVectorMetrics: Seq[String] = Seq("L2", "IP", "COSINE")
+  val SparseFloatVectorMetrics: Seq[String] = Seq("IP", "BM25")
+  val BinaryVectorMetrics: Seq[String] =
+    Seq("HAMMING", "JACCARD", "SUBSTRUCTURE", "SUPERSTRUCTURE", "MHJACCARD")
+  val IntVectorMetrics: Seq[String] = Seq("L2", "IP", "COSINE")
+
+  val SparseInvertedIndexAlgos: Seq[String] = Seq("TAAT_NAIVE", "DAAT_WAND",
+    "DAAT_MAXSCORE", "BLOCK_MAX_MAXSCORE", "BLOCK_MAX_WAND", "SINDI")
+
+  // knowhere ranges (constraints.go:9-22)
+  val MinNList = 1
+  val MaxNList = 65536
+  val MinNBits = 1
+  val MaxNBits = 16
+  val HnswMinEfConstruction = 1
+  val HnswMaxEfConstruction = Int.MaxValue
+  val HnswMinM = 1
+  val HnswMaxM = 2048
+  val MaxBitmapCardinalityLimit = 1000
+
+  /** Field families the checkers dispatch on. */
+  sealed trait FieldKind
+  case object FloatVector extends FieldKind
+  case object SparseVector extends FieldKind
+  case object BinaryVector extends FieldKind
+  case object IntVector extends FieldKind
+  case object VarCharField extends FieldKind
+  case object JsonField extends FieldKind
+  case object BoolField extends FieldKind
+  case object IntField extends FieldKind
+  case object FloatField extends FieldKind
+  final case class ArrayField(element: FieldKind) extends FieldKind
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def intParam(params: Map[String, String], key: String): Option[Int] =
+    params.get(key).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        fail(s"$key for index must be an integer, got: $v")
+      }
+    }
+
+  private def checkRange(params: Map[String, String], key: String,
+      lo: Int, hi: Int): Unit =
+    intParam(params, key).foreach { v =>
+      if (v < lo || v > hi) fail(s"$key $v out of range: [$lo, $hi]")
+    }
+
+  /** StaticCheck's metric gate (vector_index_checker.go:53-86). */
+  def checkVectorMetric(kind: FieldKind, params: Map[String, String]): Unit = {
+    def gate(supported: Seq[String]): Unit = {
+      val m = params.getOrElse("metric_type", "")
+      if (!supported.contains(m)) fail(
+        s"metric type $m not found or not supported, supported: " +
+          supported.mkString("[", " ", "]"))
+    }
+    kind match {
+      case FloatVector  => gate(FloatVectorMetrics)
+      case SparseVector =>
+        gate(SparseFloatVectorMetrics)
+        params.get("inverted_index_algo").foreach { algo =>
+          if (!SparseInvertedIndexAlgos.contains(algo)) fail(
+            s"sparse inverted index algo $algo not found or not supported, " +
+              s"supported: ${SparseInvertedIndexAlgos.mkString("[", " ", "]")}")
+        }
+        params.get("drop_ratio_build").foreach { v =>
+          val d = try v.trim.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"drop_ratio_build must be a number, got: $v")
+          }
+          if (d < 0.0 || d >= 1.0) fail(
+            s"drop_ratio_build $d out of range: [0, 1)")
+        }
+      case BinaryVector => gate(BinaryVectorMetrics)
+      case IntVector    => gate(IntVectorMetrics)
+      case _            => fail("vector index on a non-vector field")
+    }
+  }
+
+  /** Unified entry: index type + field family + params (+ is-pk for the
+    * bitmap rule). Accepts silently, raises the checker's named error.
+    */
+  def check(indexType: String, kind: FieldKind, params: Map[String, String],
+      isPrimaryKey: Boolean = false): Unit = indexType match {
+    case "FLAT" | "IVF_FLAT" | "IVF_PQ" | "IVF_SQ8" | "IVF_RABITQ" |
+         "SCANN" | "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" |
+         "IVF_HNSW" | "DISKANN" | "AUTOINDEX" =>
+      checkVectorMetric(kind, params)
+      checkRange(params, "nlist", MinNList, MaxNList)
+      checkRange(params, "nbits", MinNBits, MaxNBits)
+      checkRange(params, "efConstruction", HnswMinEfConstruction, HnswMaxEfConstruction)
+      checkRange(params, "M", HnswMinM, HnswMaxM)
+      intParam(params, "rbq_bits").foreach(b => RabitqIndex.validateBits(b))
+    case "BIN_FLAT" | "BIN_IVF_FLAT" | "MINHASH_LSH" =>
+      checkVectorMetric(BinaryVector, params)
+      checkRange(params, "nlist", MinNList, MaxNList)
+    case "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" =>
+      checkVectorMetric(SparseVector, params)
+    case "BITMAP" =>
+      // bitmap_index_checker.go: never on pk; bool/int/string/array of
+      // those; JSON needs json_cast_type ∈ {BOOL, VARCHAR} + json_path
+      if (isPrimaryKey) fail("create bitmap index on primary key not supported")
+      kind match {
+        case JsonField =>
+          val cast = params.getOrElse("json_cast_type",
+            fail("json index must specify cast type"))
+          if (cast != "BOOL" && cast != "VARCHAR") fail(
+            s"json_cast_type $cast is not supported for BITMAP index")
+          if (!params.contains("json_path"))
+            fail("json index must specify json path")
+        case BoolField | IntField | VarCharField => ()
+        case ArrayField(BoolField | IntField | VarCharField) => ()
+        case ArrayField(_) => fail(
+          "bitmap index are only supported on bool, int, string for array field")
+        case _ => fail(
+          "bitmap index are only supported on bool, int, string and array field")
+      }
+      checkRange(params, "bitmap_cardinality_limit", 1, MaxBitmapCardinalityLimit)
+    case "NGRAM" =>
+      // ngram_index_checker.go CheckTrain
+      kind match {
+        case VarCharField => ()
+        case JsonField =>
+          val cast = params.getOrElse("json_cast_type",
+            fail("JSON field with ngram index must specify json_cast_type"))
+          if (cast.trim.toUpperCase != "VARCHAR") fail(
+            s"JSON field with ngram index only supports VARCHAR cast type, got: $cast")
+        case _ => fail("Ngram index can only be created on VARCHAR or JSON field")
+      }
+      val mn = intParam(params, "min_gram").getOrElse(
+        fail("Ngram index must specify both min_gram and max_gram"))
+      val mx = intParam(params, "max_gram").getOrElse(
+        fail("Ngram index must specify both min_gram and max_gram"))
+      if (mn <= 0 || mx <= 0 || mn > mx) fail(
+        s"invalid min_gram or max_gram value for Ngram index, min_gram: $mn, max_gram: $mx")
+    case "INVERTED" | "Trie" | "STL_SORT" | "FMINDEX" | "RTREE" | "HYBRID" => ()
+    case other => fail(s"invalid index type: $other")
+  }
+}
