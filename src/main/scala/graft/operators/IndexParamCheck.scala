@@ -100,10 +100,34 @@ object IndexParamCheck {
          "IVF_HNSW" | "DISKANN" | "AUTOINDEX" =>
       checkVectorMetric(kind, params)
       checkRange(params, "nlist", MinNList, MaxNList)
-      checkRange(params, "nbits", MinNBits, MaxNBits)
       checkRange(params, "efConstruction", HnswMinEfConstruction, HnswMaxEfConstruction)
-      checkRange(params, "M", HnswMinM, HnswMaxM)
+      if (indexType.startsWith("HNSW")) {
+        // the engine enforces M >= 2 for HNSW graphs (idx_hnsw*.py:
+        // "param 'M' (-1) should be in range [2, 2048]")
+        checkRange(params, "M", 2, HnswMaxM)
+        // graph-PQ nbits takes the wider [1, 24] (idx_hnsw_prq.py:165)
+        checkRange(params, "nbits", 1, 24)
+        // residual-stage count (idx_hnsw_prq.py:193-212)
+        checkRange(params, "nrq", 1, 16)
+        // scalar-quantizer enum (idx_hnsw_sq.py:93-106 — FP32 invalid
+        // here, unlike RaBitQ's refine list)
+        params.get("sq_type").foreach { t =>
+          val valid = Seq("SQ6", "SQ8", "BF16", "FP16")
+          if (!valid.contains(t.toUpperCase)) fail(
+            "invalid scalar quantizer type: invalid parameter")
+        }
+      } else {
+        checkRange(params, "nbits", MinNBits, MaxNBits)
+        checkRange(params, "M", HnswMinM, HnswMaxM)
+      }
       intParam(params, "rbq_bits").foreach(b => RabitqIndex.validateBits(b))
+      // refine_type enum (idx_ivf_rabitq.py: case-insensitive, named error)
+      params.get("refine_type").foreach { rt =>
+        val valid = Seq("sq6", "sq8", "fp16", "bf16", "fp32", "flat")
+        if (!valid.contains(rt.toLowerCase)) fail(
+          s"invalid refine type : $rt, optional types are " +
+            valid.mkString("[", ", ", "]"))
+      }
     case "BIN_FLAT" | "BIN_IVF_FLAT" | "MINHASH_LSH" =>
       checkVectorMetric(BinaryVector, params)
       checkRange(params, "nlist", MinNList, MaxNList)

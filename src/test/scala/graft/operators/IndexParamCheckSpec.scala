@@ -40,12 +40,28 @@ class IndexParamCheckSpec extends AnyFunSuite {
     rejects("out of range: [1, 16]")(
       check("IVF_PQ", FloatVector, m + ("nbits" -> "17")))
     check("HNSW", FloatVector, m + ("M" -> "2048", "efConstruction" -> "360"))
-    rejects("out of range: [1, 2048]")(
+    rejects("out of range: [2, 2048]")(
       check("HNSW", FloatVector, m + ("M" -> "2049")))
+    rejects("out of range: [2, 2048]")(
+      check("HNSW", FloatVector, m + ("M" -> "1")))
     rejects("out of range")(
       check("HNSW", FloatVector, m + ("efConstruction" -> "0")))
+    // graph-family quantizer params (idx_hnsw_{sq,pq,prq}.py)
+    check("HNSW_SQ", FloatVector, m + ("sq_type" -> "bf16"))
+    rejects("invalid scalar quantizer type")(
+      check("HNSW_SQ", FloatVector, m + ("sq_type" -> "FP32")))
+    check("HNSW_PQ", FloatVector, m + ("nbits" -> "24"))
+    rejects("out of range: [1, 24]")(
+      check("HNSW_PQ", FloatVector, m + ("nbits" -> "25")))
+    check("HNSW_PRQ", FloatVector, m + ("nrq" -> "16"))
+    rejects("out of range: [1, 16]")(
+      check("HNSW_PRQ", FloatVector, m + ("nrq" -> "17")))
     rejects("should be in range [1, 9]")(
       check("IVF_RABITQ", FloatVector, m + ("rbq_bits" -> "10")))
+    // refine_type enum, case-insensitive (idx_ivf_rabitq.py)
+    check("IVF_RABITQ", FloatVector, m + ("refine_type" -> "SQ6"))
+    rejects("invalid refine type : PQ")(
+      check("IVF_RABITQ", FloatVector, m + ("refine_type" -> "PQ")))
     rejects("must be an integer")(
       check("IVF_FLAT", FloatVector, m + ("nlist" -> "lots")))
   }
