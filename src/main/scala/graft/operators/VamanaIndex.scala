@@ -215,6 +215,11 @@ object VamanaIndex {
     */
   def search(index: DataFrame, queries: Seq[(Long, Array[Float])], k: Int,
       l: Int, roundTo: Option[Int] = None): DataFrame = {
+    // DiskANN's search_list_size contract (idx_diskann.py:110-119): the
+    // beam must cover k, and the size itself must be a positive int32
+    require(l >= 1 && l <= Int.MaxValue,
+      s"param 'search_list_size' ($l) should be in range [1, ${Int.MaxValue}]")
+    require(l >= k, s"search_list_size($l) should be larger than k($k)")
     val spark = index.sparkSession
     import spark.implicits._
     val qs = queries.toArray

@@ -121,4 +121,13 @@ class VamanaIndexSpec extends SparkSpec {
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.6, s"recall@10 at l=24 = $recall")
   }
+
+  test("search_list_size contract: must cover k and be positive (idx_diskann.py)") {
+    val e1 = intercept[IllegalArgumentException](
+      VamanaIndex.search(index, queries, k = 10, l = 1))
+    assert(e1.getMessage.contains("search_list_size(1) should be larger than k(10)"))
+    val e2 = intercept[IllegalArgumentException](
+      VamanaIndex.search(index, queries, k = 10, l = -1))
+    assert(e2.getMessage.contains("should be in range [1, "))
+  }
 }
