@@ -170,7 +170,26 @@ object IndexParamCheck {
         fail("Ngram index must specify both min_gram and max_gram"))
       if (mn <= 0 || mx <= 0 || mn > mx) fail(
         s"invalid min_gram or max_gram value for Ngram index, min_gram: $mn, max_gram: $mx")
-    case "INVERTED" | "Trie" | "STL_SORT" | "FMINDEX" | "RTREE" | "HYBRID" => ()
+    case "FMINDEX" =>
+      // fm_index_checker.go:13-60: sample rate in [4, 256]; block bytes
+      // a power-of-two in [8, 128]
+      params.get("fm_sa_sample_rate").foreach { v =>
+        val r = try v.trim.toInt catch {
+          case _: NumberFormatException =>
+            fail(s"fm_sa_sample_rate for FM-index must be an integer, got: $v")
+        }
+        if (r < 4 || r > 256) fail(
+          s"fm_sa_sample_rate for FM-index must be in [4, 256], got: $r")
+      }
+      params.get("fm_block_bytes").foreach { v =>
+        val b = try v.trim.toInt catch {
+          case _: NumberFormatException =>
+            fail(s"fm_block_bytes for FM-index must be an integer, got: $v")
+        }
+        if (b < 8 || b > 128 || (b & (b - 1)) != 0) fail(
+          s"fm_block_bytes for FM-index must be a power-of-two in [8, 128], got: $b")
+      }
+    case "INVERTED" | "Trie" | "STL_SORT" | "RTREE" | "HYBRID" => ()
     case other => fail(s"invalid index type: $other")
   }
 }

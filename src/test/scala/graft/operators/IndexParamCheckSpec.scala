@@ -112,6 +112,22 @@ class IndexParamCheckSpec extends AnyFunSuite {
         "min_gram" -> "2", "max_gram" -> "3")))
   }
 
+  test("fmindex rules: sample rate [4,256], block bytes power-of-two [8,128]") {
+    check("FMINDEX", VarCharField, Map.empty)
+    check("FMINDEX", VarCharField,
+      Map("fm_sa_sample_rate" -> "256", "fm_block_bytes" -> "64"))
+    rejects("must be in [4, 256]")(
+      check("FMINDEX", VarCharField, Map("fm_sa_sample_rate" -> "3")))
+    rejects("must be in [4, 256]")(
+      check("FMINDEX", VarCharField, Map("fm_sa_sample_rate" -> "257")))
+    rejects("must be an integer")(
+      check("FMINDEX", VarCharField, Map("fm_sa_sample_rate" -> "abc")))
+    rejects("power-of-two")(
+      check("FMINDEX", VarCharField, Map("fm_block_bytes" -> "48")))
+    rejects("power-of-two")(
+      check("FMINDEX", VarCharField, Map("fm_block_bytes" -> "256")))
+  }
+
   test("unknown index type is a named rejection") {
     rejects("invalid index type")(check("BTREE", IntField, Map.empty))
   }
