@@ -208,14 +208,26 @@ case class RabitqEncode(vec: Expression, cluster: Expression,
     InternalRow(codes, rnorm, corr)
   }
 
+  // content equality — Model holds nested Array fields, which compare
+  // by reference under case-class equality (see Sq8Codec/SrpBands):
+  // without this, sameResult/CacheManager reuse breaks
   override def equals(o: Any): Boolean = o match {
     case t: RabitqEncode => t.vec == vec && t.cluster == cluster &&
       t.model.bits == model.bits &&
-      (t.model.centroids eq model.centroids) && (t.model.rotation eq model.rotation)
+      java.util.Arrays.deepEquals(
+        t.model.centroids.asInstanceOf[Array[AnyRef]],
+        model.centroids.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(
+        t.model.rotation.asInstanceOf[Array[AnyRef]],
+        model.rotation.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(vec, cluster, Integer.valueOf(model.bits))
+    java.util.Objects.hash(vec, cluster, Integer.valueOf(model.bits),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        model.centroids.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        model.rotation.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(vec = l, cluster = r)
