@@ -202,6 +202,8 @@ object HnswIndex {
     */
   def search(index: DataFrame, queries: Seq[(Long, Array[Float])], k: Int,
       ef: Int, roundTo: Option[Int] = None): DataFrame = {
+    // knowhere's search contract (idx_hnsw.py:108): the beam must cover k
+    require(ef >= k, s"ef($ef) should be larger than k($k)")
     val spark = index.sparkSession
     import spark.implicits._
     val qs = queries.toArray

@@ -93,7 +93,10 @@ object HnswQuantized {
       refineMult: Int = 3, roundTo: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cands = HnswIndex.search(index, queries, k = k * refineMult, ef = ef)
+    // the beam pool bounds the candidate count: never ask past ef
+    // (knowhere's ef >= k search contract)
+    val want = math.max(k, math.min(k * refineMult, ef))
+    val cands = HnswIndex.search(index, queries, k = want, ef = ef)
       .select(col("qid"), col("id").as(idCol))
     val qDf = broadcast(
       queries.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "_qvec"))
