@@ -141,4 +141,10 @@ class HnswIndexSpec extends SparkSpec {
     val want = bruteTopK(5).keySet
     assert(got == want)
   }
+
+  test("ef narrower than k is the named knowhere rejection") {
+    val e = intercept[IllegalArgumentException](
+      HnswIndex.search(index, queries, k = 10, ef = 1))
+    assert(e.getMessage.contains("ef(1) should be larger than k(10)"))
+  }
 }
