@@ -475,7 +475,11 @@ object ExtraQueries {
         t(s, dir, "part").withColumnRenamed("p_partkey", "vec_id"),
         sideCols = Seq("p_retailprice"), leftOuter = true)
       .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"),
-        round(col("p_retailprice"), 2).as("price"))
+        // a missing metadata row survives the join (the semantic pin);
+        // the -1 sentinel keeps the oracle compare sortable at scale
+        // factors where misses occur (NaN and floats don't mix in the
+        // driver's row sort)
+        coalesce(round(col("p_retailprice"), 2), lit(-1.0)).as("price"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1633,7 +1637,8 @@ object ExtraQueries {
         |r AS (SELECT qid, vec_id, score,
         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
         |      FROM d)
-        |SELECT r.qid, r.rank, r.score, r.vec_id, round(p.p_retailprice, 2) AS price
+        |SELECT r.qid, r.rank, r.score, r.vec_id,
+        |       coalesce(round(p.p_retailprice, 2), -1.0) AS price
         |FROM r LEFT JOIN part p ON p.p_partkey = r.vec_id
         |WHERE r.rank <= 8 ORDER BY r.qid, r.rank""".stripMargin,
     "q_vjoin_prefilter" ->
