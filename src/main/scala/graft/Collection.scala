@@ -99,12 +99,30 @@ final class Collection private (
     val schema: CollectionSchema,
     sealedPath: Option[String]) {
 
+  /** Read an engine-written layout with the partition tag re-asserted
+    * as a STRING: partition directory values are NAMES, never numbers —
+    * an all-digit tenant id ("123", legal per the reference's
+    * validatePartitionTag, proxy/util.go:353-358) written as
+    * `_partition=123` would otherwise be type-inferred back as int and
+    * break the sealed∪growing union. (A layout mixing alpha and numeric
+    * names already infers string; the cast only fires for the
+    * all-numeric-tenants case.)
+    */
+  private def readLayout(path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains(Collection.PartitionCol) &&
+        df.schema(Collection.PartitionCol).dataType != org.apache.spark.sql.types.StringType)
+      df.withColumn(Collection.PartitionCol,
+        col(Collection.PartitionCol).cast("string"))
+    else df
+  }
+
   // Sealed reads go through the ts normalization boundary: the MVCC
   // machinery below (visibility, TTL, truncate horizons) works in
   // epoch-nanos Long, while driver parquet may carry the ts field as
   // timestamp[us] (see GraftSession.normalizeTs).
   @volatile private var sealedDf: Option[DataFrame] =
-    sealedPath.map(p => GraftSession.normalizeTs(spark.read.parquet(p), Set(schema.tsField)))
+    sealedPath.map(p => GraftSession.normalizeTs(readLayout(p), Set(schema.tsField)))
   @volatile private var growing: Option[DataFrame] = None
   @volatile private var tombs: Option[DataFrame] = None
 
@@ -377,10 +395,25 @@ final class Collection private (
 
   def createPartition(name: String): Unit = stateLock.synchronized {
     requirePriv("CreatePartition")
-    require(name.nonEmpty, "partition name must be non-empty")
-    // flushed layouts are hive-partitioned on the name; an all-numeric
-    // name would be type-inferred back as int and break the union
-    require(name.exists(!_.isDigit), s"partition name '$name' must not be all digits")
+    createPartitionInternal(name)
+  }
+
+  /** The privilege-free partition registration shared by the DDL RPC
+    * and namespace auto-creation (partition mode creates the tenant's
+    * partition on first WRITE — engine plumbing, not caller DDL, so a
+    * tenant holding only Insert must not need CreatePartition). Name
+    * validation follows the reference's validatePartitionTag
+    * (proxy/util.go:340-367): non-empty, chars from
+    * [letters digits _ -]; a leading digit IS legal (numeric tenant
+    * ids) — the hive read-back stays string via the
+    * partitionColumnTypeInference pin above.
+    */
+  private def createPartitionInternal(name: String): Unit = stateLock.synchronized {
+    require(name.trim.nonEmpty,
+      s"Invalid partition name: $name. Partition name should not be empty.")
+    require(name.forall(c => c == '_' || c == '-' || c.isLetterOrDigit),
+      s"Invalid partition name: $name. Partition name can only contain " +
+        "numbers, letters and underscores.")
     require(!partitionSet.contains(name), s"partition '$name' already exists")
     partitionSet += name
   }
@@ -557,28 +590,37 @@ final class Collection private (
 
   def insert(rows: DataFrame, namespace: Option[String] = None): Long = {
     requirePriv("Insert")
+    insertImpl(stampNamespace(rows, namespace))
+  }
+
+  /** Namespace write plumbing shared by insert AND upsert (the
+    * reference resolves namespaces in both preExecutes — addNamespaceData
+    * proxy/util.go:2872+, task_upsert.go:1400,1583): partition mode tags
+    * the namespace partition (auto-created on first write — tenants
+    * appear dynamically — via the privilege-free internal path); key
+    * mode stamps the hidden `$namespace_id` column. Caller-supplied
+    * namespace values must MATCH, never be silently overwritten.
+    */
+  private def stampNamespace(rows: DataFrame, namespace: Option[String]): DataFrame = {
     checkNamespace(namespace)
     namespace match {
-      case None => insertImpl(rows)
+      case None => rows
       case Some(ns) if namespaceMode == Collection.NamespaceModePartition =>
         // the namespace IS a partition (resolveNamespacePartitionName
-        // util.go:2826-2842); tenants appear dynamically — create on
-        // first write
-        stateLock.synchronized { if (!hasPartition(ns)) createPartition(ns) }
-        insertImpl(rows.withColumn(Collection.PartitionCol, lit(ns)))
+        // util.go:2826-2842)
+        stateLock.synchronized {
+          if (!hasPartition(ns)) createPartitionInternal(ns)
+        }
+        rows.withColumn(Collection.PartitionCol, lit(ns))
       case Some(ns) =>
-        // key mode: stamp the hidden column (addNamespaceData
-        // util.go:2872+); caller-supplied values must MATCH, not be
-        // silently overwritten
         if (rows.columns.contains(Collection.NamespaceField)) {
           val bad = rows.filter(
             namespacePredicate(Some(ns)).get.isNull ||
               !namespacePredicate(Some(ns)).get).limit(1).count()
           require(bad == 0,
             s"""namespace field data mismatches namespace "$ns"""")
-          insertImpl(rows)
-        } else insertImpl(
-          rows.withColumn(Collection.NamespaceField, lit(ns)))
+          rows
+        } else rows.withColumn(Collection.NamespaceField, lit(ns))
     }
   }
 
@@ -710,27 +752,47 @@ final class Collection private (
     ts
   }
 
-  def deletePks(pks: Seq[Any]): Long = stateLock.synchronized {
-    requirePriv("Delete")
-    val ts = nextTs()
-    import scala.jdk.CollectionConverters._
-    val pkType = raw.schema(schema.pkField).dataType
-    val t = spark.createDataFrame(
-      pks.map(p => org.apache.spark.sql.Row(p, ts)).asJava,
-      StructType(Seq(
-        org.apache.spark.sql.types.StructField(schema.pkField, pkType),
-        org.apache.spark.sql.types.StructField(schema.tsField, LongType))))
-    tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
-    logChange("delete", t)
-    lastWriteTs = ts
-    invalidateFilterCache()
-    ts
-  }
+  def deletePks(pks: Seq[Any], namespace: Option[String] = None): Long =
+    stateLock.synchronized {
+      requirePriv("Delete")
+      checkNamespace(namespace)
+      val ts = nextTs()
+      val t = namespace match {
+        case None =>
+          import scala.jdk.CollectionConverters._
+          val pkType = raw.schema(schema.pkField).dataType
+          spark.createDataFrame(
+            pks.map(p => org.apache.spark.sql.Row(p, ts)).asJava,
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField(schema.pkField, pkType),
+              org.apache.spark.sql.types.StructField(schema.tsField, LongType))))
+        case _ =>
+          // tenant-scoped pk delete (task_delete.go resolves namespaces
+          // in preExecute like every read): tombstone only the pks
+          // VISIBLE in the caller's namespace — a raw (pk, ts)
+          // tombstone would delete the pk across every tenant
+          nsView(namespace)
+            .filter(col(schema.pkField).isin(pks: _*))
+            .select(col(schema.pkField), lit(ts).as(schema.tsField))
+            .localCheckpoint(true)
+      }
+      tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
+      logChange("delete", t)
+      lastWriteTs = ts
+      invalidateFilterCache()
+      ts
+    }
 
   /** Upsert (reference task_upsert.go): new versions of existing pks +
-    * inserts, resolved last-writer-wins at read time by ts.
+    * inserts, resolved last-writer-wins at read time by ts. Namespace
+    * plumbing runs exactly as on insert (task_upsert.go:1400,1583) — a
+    * tenant's upsert lands stamped/routed, never with a null hidden
+    * column invisible to every scoped read.
     */
-  def upsert(rows: DataFrame): Long = { requirePriv("Upsert"); insertImpl(rows) }
+  def upsert(rows: DataFrame, namespace: Option[String] = None): Long = {
+    requirePriv("Upsert")
+    insertImpl(stampNamespace(rows, namespace))
+  }
 
   /** Partial upsert (reference task_upsert_partial_op.go + the array
     * field-op client surface): `rows` carry the pk plus ONLY the fields
@@ -742,12 +804,27 @@ final class Collection private (
     * must not silently blank fields of a row they're updating.
     */
   def upsertPartial(rows: DataFrame,
-      fieldOps: Map[String, Mvcc.FieldOp] = Map.empty): Long = {
+      fieldOps: Map[String, Mvcc.FieldOp] = Map.empty,
+      namespace: Option[String] = None): Long = {
+    checkNamespace(namespace)
     val pk = schema.pkField
     require(rows.columns.contains(pk), s"partial upsert rows need the pk column $pk")
     val provided = rows.columns.filterNot(_ == pk).toSet
-    val current = readViewUnscoped()
-    val dataCols = current.columns.filterNot(_ == schema.tsField).toSeq
+    // merge basis: RLS-unscoped (see above) but namespace-SCOPED — a
+    // tenant merges against ITS version of the pk, never another
+    // tenant's fields (the reference runs the namespace resolution on
+    // upsert preExecute too, task_upsert.go:1400)
+    val current0 = readViewUnscoped()
+    val current = namespace match {
+      case None => current0
+      case Some(ns) if namespaceMode == Collection.NamespaceModePartition =>
+        current0.filter(col(Collection.PartitionCol) === ns)
+      case keyNs => current0.filter(namespacePredicate(keyNs).get)
+    }
+    // key mode re-stamps the hidden column on write (a new pk has no
+    // current version to carry it from), so it leaves the merge set
+    val dataCols = current.columns.filterNot(c => c == schema.tsField ||
+      (namespace.isDefined && c == Collection.NamespaceField)).toSeq
     val cur = current.select(dataCols.map(c =>
       if (c == pk) col(c) else col(c).as(s"_cur_$c")): _*)
     val joined = rows.join(cur, Seq(pk), "left")
@@ -764,7 +841,7 @@ final class Collection private (
         case _ => coalesce(col(c), col(s"_cur_$c")).as(c)
       }
     }: _*)
-    insert(full.localCheckpoint(true)) // pin: the merge must not re-resolve later
+    insert(full.localCheckpoint(true), namespace) // pin: the merge must not re-resolve later
   }
 
   /** Attach a Structured Streaming source as this collection's live
@@ -815,7 +892,7 @@ final class Collection private (
         val folded = applyColumnPatches(preFold, lit(lastWriteTs), foldable)
         val foldPath = s"$path/fold-${nextTs()}"
         folded.write.parquet(foldPath)
-        sealedDf = Some(spark.read.parquet(foldPath))
+        sealedDf = Some(readLayout(foldPath))
         sealedSegments = Vector(foldPath)
       }
       colPatches = deferred
@@ -847,7 +924,7 @@ final class Collection private (
         graft.operators.Compaction.writeCompacted(
           sealedData, t, schema.pkField, schema.tsField,
           lit(lastWriteTs), runPath)
-        sealedDf = Some(spark.read.parquet(s"$runPath/data"))
+        sealedDf = Some(readLayout(s"$runPath/data"))
         sealedSegments = Vector(s"$runPath/data") // the single live segment
         tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
     }
@@ -906,7 +983,7 @@ final class Collection private (
       if (g.columns.contains(Collection.PartitionCol))
         g.write.partitionBy(Collection.PartitionCol).parquet(segPath)
       else g.write.parquet(segPath)
-      val seg = spark.read.parquet(segPath)
+      val seg = readLayout(segPath)
       // writer-side publish (MEP 20260602): the summary aggregates are
       // extracted at seal time, never re-derived by a later consumer
       // scan. Aggregated over the READ-BACK files, not the growing
@@ -996,7 +1073,7 @@ final class Collection private (
         case Some(st) => if (st.rows == 0L) None else Some(st.tsFrom)
         case None =>
           val r = GraftSession.normalizeTs(
-            spark.read.parquet(path), Set(schema.tsField))
+            readLayout(path), Set(schema.tsField))
             .agg(min(col(schema.tsField))).head()
           if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
@@ -1011,7 +1088,7 @@ final class Collection private (
       val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
       val bytes = fs.getContentSummary(new Path(path)).getLength
       computeSegStats(GraftSession.normalizeTs(
-        spark.read.parquet(path), Set(schema.tsField)), bytes)
+        readLayout(path), Set(schema.tsField)), bytes)
     })
 
   /** The per-segment summaries, keyed by segment path (GetSegmentsInfo's
@@ -1074,7 +1151,7 @@ final class Collection private (
 
   private def segmentPkRange(p: String): Option[(Any, Any)] =
     segPkStats.computeIfAbsent(p, { path =>
-      val r = spark.read.parquet(path)
+      val r = readLayout(path)
         .agg(min(col(schema.pkField)), max(col(schema.pkField))).head()
       if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
     })
@@ -1092,7 +1169,7 @@ final class Collection private (
 
   private def pkBloomFor(p: String): org.apache.spark.util.sketch.BloomFilter =
     segPkBloom.computeIfAbsent(p, { path =>
-      spark.read.parquet(path).stat.bloomFilter(
+      readLayout(path).stat.bloomFilter(
         schema.pkField, math.max(statsFor(path).rows, 1L), 0.001)
     })
 
@@ -1155,7 +1232,7 @@ final class Collection private (
           else {
             val unioned = keep
               .map(p => GraftSession.normalizeTs(
-                spark.read.parquet(p), Set(schema.tsField)))
+                readLayout(p), Set(schema.tsField)))
               .reduce(_.unionByName(_, allowMissingColumns = true))
             // align to the full sealed schema — a pruned subset may
             // miss columns later segments introduced
@@ -1408,7 +1485,7 @@ final class Collection private (
       sealedSegments = groups.zipWithIndex.map { case (g, i) =>
         if (g.size == 1) g.head._1
         else {
-          val merged = g.map(s => spark.read.parquet(s._1))
+          val merged = g.map(s => readLayout(s._1))
             .reduce(_.unionByName(_, allowMissingColumns = true))
           val dst = s"$path/merge-${nextTs()}-$i"
           merged.write.parquet(dst)
@@ -1416,7 +1493,7 @@ final class Collection private (
         }
       }
       sealedDf.foreach(_.unpersist()) // drop the pre-merge pinned blocks
-      sealedDf = Some(sealedSegments.map(spark.read.parquet(_))
+      sealedDf = Some(sealedSegments.map(readLayout(_))
         .reduce(_.unionByName(_, allowMissingColumns = true)))
       if (loadedFlag) loadedPartitions match {
         // a partial load re-pins its SCOPE over the merged layout —
@@ -2255,7 +2332,10 @@ final class Collection private (
         // request timezone > collection > database > UTC — the SAME
         // resolution feeds literal parsing and time_fields extraction
         // (task_query.go resolvedTimezoneStr serves both)
-        timezone = tzOverride.getOrElse(resolvedTimezone)))
+        timezone = tzOverride.getOrElse(resolvedTimezone),
+        // only the tstz-domain int64 carries take the iso-literal epoch
+        // fold; every other int64 vs iso is a strict type error
+        tstzFields = GraftSession.tsDomainCols + schema.tsField))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.

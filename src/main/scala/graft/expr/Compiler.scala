@@ -46,6 +46,14 @@ object ExprCompiler {
         * are interpreted here; default UTC).
         */
       timezone: String = "UTC",
+      /** Int64 columns that CARRY the timestamptz domain (epoch-nanos —
+        * the engine's MVCC ts columns plus any schema-declared
+        * TIMESTAMPTZ field normalized at the load boundary). Only these
+        * take the iso-literal epoch fold; a plain int64 field compared
+        * against an iso literal is the reference's type-mismatch error,
+        * not a silent epoch compare.
+        */
+      tstzFields: Set[String] = Set("ts", "_ts"),
       /** Set while compiling the operands of an integral arithmetic
         * tree that cannot be proven to fit DECIMAL(38,0): the whole
         * tree must then evaluate in plain int64 (wrap on overflow, the
@@ -972,10 +980,17 @@ object ExprCompiler {
         // a zero shift): `ts >= iso'...'` stays attribute-vs-literal and
         // pushes to the scan. Timestamp-typed columns fall through to
         // the generic compare (IsoLit compiles to a timestamp literal).
+        // The fold fires ONLY for int64 columns in the tstz domain
+        // (ctx.tstzFields); a plain int64 field vs an iso literal is
+        // the reference's strict type error, not a silent epoch compare.
         (l, r) match {
           case (Ident(f), IsoLit(v)) if ctx.fieldType(f).contains(LongType) =>
+            if (!ctx.tstzFields.contains(f)) throw CompileError(
+              "comparisons between Int64 and Timestamptz are not supported")
             return compile(TsCompare(f, 1, None, op, v, reversed = false), ctx)
           case (IsoLit(v), Ident(f)) if ctx.fieldType(f).contains(LongType) =>
+            if (!ctx.tstzFields.contains(f)) throw CompileError(
+              "comparisons between Int64 and Timestamptz are not supported")
             return compile(TsCompare(f, 1, None, op, v, reversed = true), ctx)
           case _ => ()
         }

@@ -303,11 +303,13 @@ object Dedup {
     // orders of magnitude smaller than the data. Below the cap, a
     // driver-local union-find (milliseconds) replaces 2-4 iterative
     // join/agg rounds; above it, the distributed label propagation
-    // runs. Same bounded-artifact dispatch as sampled codebook training.
-    if (p.count() <= localEdgeCap) {
-      val local = ccLocal(p) // collects the edges; p's cache is then dead
+    // runs. ONE bounded action decides the dispatch AND feeds the local
+    // path: collect at most cap+1 edges — the collected array IS the
+    // local input, so the LSH pair lineage materializes exactly once.
+    val head = p.limit(math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= localEdgeCap) {
       p.unpersist()
-      return local
+      return ccLocal(head, p.schema("id_a").dataType, p.sparkSession)
     }
     val edges = p
       .unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -352,15 +354,16 @@ object Dedup {
     labels
   }
 
-  /** Driver-local union-find with path compression over a collected
-    * (bounded) edge list; labels normalized to the min id per component.
-    * Handles both PK domains of the reference (int64 AND varchar —
-    * Types.h:113) by unioning toward the type's natural minimum.
+  /** Driver-local union-find with path compression over an already-
+    * collected (bounded) edge list; labels normalized to the min id per
+    * component. Handles both PK domains of the reference (int64 AND
+    * varchar — Types.h:113) by unioning toward the type's natural
+    * minimum.
     */
-  private def ccLocal(pairs: DataFrame): DataFrame = {
+  private def ccLocal(edges: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
-    val spark = pairs.sparkSession
-    val idType = pairs.schema("id_a").dataType
     val lt: (Any, Any) => Boolean = idType match {
       case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
@@ -368,7 +371,6 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"connectedComponents: unsupported id type $other (int or string PKs)")
     }
-    val edges = pairs.collect()
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x

@@ -52,16 +52,22 @@ object Mixing {
       alpha: Double, targetRows: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(targetRows > 0, "targetRows must be positive")
-    val counts = df.groupBy(col(sourceCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // strata key by STRING VALUE of the source (any input type works);
+    // a NULL source is its own stratum — it gets a rate like any other
+    // instead of silently inheriting the rate-0 CASE default
+    val src = col(sourceCol).cast("string")
+    val counts: Array[(Option[String], Long)] =
+      df.groupBy(src.as("_src")).count()
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
     require(counts.nonEmpty, "temperatureMix over an empty corpus")
     val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
-    val ratePpm: Map[String, Long] = counts.map { case (s, n) =>
+    val ratePpm: Map[Option[String], Long] = counts.map { case (s, n) =>
       val p = math.pow(n.toDouble, alpha) / z
       s -> math.min(1e6, math.floor(targetRows * p / n * 1e6)).toLong
     }.toMap
     val rate = ratePpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
-      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+      val cond = k.map(s => src === lit(s)).getOrElse(src.isNull)
+      when(cond, lit(v)).otherwise(acc)
     }
     df.filter(ppmHash(col(idCol)) < rate)
   }

@@ -1467,6 +1467,144 @@ object LifecycleQueries {
     rows.toDF("case_id", "cnt").orderBy(col("case_id"))
   }
 
+  /** Namespace × lifecycle interactions (reference: EVERY write/read
+    * preExecute runs the namespace resolution — addNamespaceData
+    * util.go:2872+, task_upsert.go:1400,1583, task_delete.go:138): the
+    * machinery most likely to leak across tenants, each pinned
+    * two-sided under both carrier modes — upsert LWW, partial upsert
+    * carry-forward, pk-list delete scoping, TTL expiry inside a tenant,
+    * the compaction tombstone fold, iterator pagination, and numeric
+    * tenant ids surviving a flush (hive partition values stay strings).
+    */
+  def namespaceLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val docs = t(s, dir, "documents")
+    def tenantRows(n: Int) = docs.filter(col("doc_id") % 3 === n)
+    def freshKey(): Collection = {
+      val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+        enableNamespace = true))
+      (0 to 2).foreach(n => c.insert(tenantRows(n), Some(s"t$n")))
+      c
+    }
+    def freshPart(): Collection = {
+      val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+        enableNamespace = true))
+      c.alterCollection(Map(Collection.NamespaceModeKey ->
+        Collection.NamespaceModePartition))
+      (0 to 2).foreach(n => c.insert(tenantRows(n), Some(s"t$n")))
+      c
+    }
+    def err(f: => Any): Long =
+      try { f; Long.MaxValue }
+      catch { case _: IllegalArgumentException => -1L }
+
+    // upsert LWW + pk-delete scoping + iterators, both modes
+    def writePaths(c: Collection, tag: String): Seq[(String, Long)] = {
+      c.upsert(tenantRows(0).filter(col("doc_id") < 30)
+        .withColumn("n_chars", lit(987654L)), Some("t0"))
+      // mixed pk list under t2: only t2's pks (2,5,8) may die; 0 and 3
+      // belong to t0 and must survive the tenant-scoped tombstones
+      c.deletePks(Seq(0L, 2L, 3L, 5L, 8L), Some("t2"))
+      Seq(
+        s"${tag}_upsert_lww" -> c.count("n_chars == 987654", namespace = Some("t0")),
+        s"${tag}_upsert_isolated" -> c.count("n_chars == 987654", namespace = Some("t1")),
+        s"${tag}_deletepks_scoped" -> c.count("", namespace = Some("t2")),
+        s"${tag}_deletepks_isolated" ->
+          c.count("doc_id == 0 or doc_id == 3", namespace = Some("t0")),
+        s"${tag}_iter_rows" -> c.queryIterator("", Seq("doc_id"), batch = 200,
+          namespace = Some("t1")).count())
+    }
+    val ck = freshKey()
+    val cp = freshPart()
+    val shared = writePaths(ck, "k") ++ writePaths(cp, "p")
+
+    // partial upsert: provided field replaces, missing fields carry
+    // forward from the TENANT's version (never blanked by the hidden
+    // column plumbing); runs on the key-mode collection
+    ck.upsertPartial(
+      tenantRows(1).filter(col("doc_id") < 30)
+        .select(col("doc_id"), lit("zz").as("lang")),
+      namespace = Some("t1"))
+    val partial = Seq(
+      "k_partial_upsert" -> ck.count("lang == \"zz\"", namespace = Some("t1")),
+      "k_partial_carry" ->
+        ck.count("lang == \"zz\" and n_chars > 0", namespace = Some("t1")))
+
+    // TTL expires within the tenant read: two tick-stamped batches,
+    // ttl = 1 tick keeps only the second
+    val ct = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      enableNamespace = true))
+    ct.insert(tenantRows(0).filter(col("doc_id") < 150), Some("t0"))
+    ct.insert(tenantRows(0).filter(col("doc_id") >= 150), Some("t0"))
+    ct.alterCollection(Map("collection.ttl" -> "1"))
+    val ttl = Seq("k_ttl" -> ct.count("", namespace = Some("t0")))
+
+    // compaction folds tenant-scoped tombstones without cross-tenant bleed
+    val cc = freshKey()
+    cc.delete("doc_id < 9", namespace = Some("t0"))
+    val ccBase = scratchDir("nslife")
+    cc.flush(s"$ccBase/segs")
+    cc.compact(s"$ccBase/compacted")
+    val fold = Seq(
+      "k_compact_fold" -> cc.count("", namespace = Some("t0")),
+      "k_compact_isolated" -> cc.count("", namespace = Some("t1")))
+
+    // numeric tenant ids (validatePartitionTag accepts a leading digit,
+    // util.go:353-358): usable in partition mode, and the partition
+    // VALUE survives the hive-layout flush as a string
+    val cn = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      enableNamespace = true))
+    cn.alterCollection(Map(Collection.NamespaceModeKey ->
+      Collection.NamespaceModePartition))
+    cn.insert(tenantRows(0), Some("123"))
+    val preFlush = cn.count("", namespace = Some("123"))
+    cn.flush(s"$ccBase/numeric")
+    val numeric = Seq(
+      "p_numeric_tenant" -> preFlush,
+      "p_numeric_tenant_flushed" -> cn.count("", namespace = Some("123")))
+
+    // CheckNamespace is strict on the write verbs too
+    val rejects = Seq(
+      "e_upsert_missing_ns" ->
+        err(ck.upsert(tenantRows(0).filter(col("doc_id") < 3))),
+      "e_deletepks_missing_ns" -> err(ck.deletePks(Seq(1L))))
+
+    (shared ++ partial ++ ttl ++ fold ++ numeric ++ rejects)
+      .toDF("case_id", "cnt").orderBy(col("case_id"))
+  }
+
+  private[graft] lazy val namespaceLifecycleOracle: String = {
+    val t0 = "SELECT count(*) FROM documents WHERE doc_id % 3 = 0"
+    val t1 = "SELECT count(*) FROM documents WHERE doc_id % 3 = 1"
+    val t2 = "SELECT count(*) FROM documents WHERE doc_id % 3 = 2"
+    def shared(tag: String) = Seq(
+      s"${tag}_upsert_lww" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id < 30",
+      s"${tag}_upsert_isolated" -> "SELECT 0",
+      s"${tag}_deletepks_scoped" -> s"($t2) - 3",
+      s"${tag}_deletepks_isolated" -> "SELECT 2",
+      s"${tag}_iter_rows" -> s"($t1)")
+    val accept = shared("k") ++ shared("p") ++ Seq(
+      "k_partial_upsert" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30",
+      "k_partial_carry" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30",
+      "k_ttl" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 150",
+      "k_compact_fold" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 9",
+      "k_compact_isolated" -> s"($t1)",
+      "p_numeric_tenant" -> s"($t0)",
+      "p_numeric_tenant_flushed" -> s"($t0)")
+    val reject = Seq("e_upsert_missing_ns", "e_deletepks_missing_ns")
+    (accept.map { case (id, sql) =>
+      s"SELECT '$id' AS case_id, CAST(($sql) AS BIGINT) AS cnt"
+    } ++ reject.map(id =>
+      s"SELECT '$id' AS case_id, CAST(-1 AS BIGINT) AS cnt"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+  }
+
   private[graft] lazy val namespaceTenancyOracle: String = {
     val accept = Seq(
       "k_count_t0" -> "SELECT count(*) FROM documents WHERE doc_id % 3 = 0",
@@ -1491,6 +1629,7 @@ object LifecycleQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_namespace" -> (namespaceTenancy _),
+    "q_namespace_lifecycle" -> (namespaceLifecycle _),
     "q_load_state" -> (loadStateRead _),
     "q_import_formats" -> (importFormats _),
     "q_stream_union" -> (streamUnion _),
@@ -1539,6 +1678,7 @@ object LifecycleQueries {
 
   def oracles: Map[String, String] = Map(
     "q_namespace" -> namespaceTenancyOracle,
+    "q_namespace_lifecycle" -> namespaceLifecycleOracle,
     "q_load_state" ->
       """WITH n AS (SELECT count(*) AS cnt FROM events WHERE event_id < 2000)
         |SELECT CAST(1 AS BIGINT) AS phase, 'NotLoad' AS state, cnt FROM n

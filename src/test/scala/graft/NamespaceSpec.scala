@@ -132,6 +132,61 @@ class NamespaceSpec extends SparkSpec {
     assert(e.getMessage.contains("not allowed"))
   }
 
+  test("partition mode: Insert-only privilege suffices for namespace auto-create") {
+    val reg = new Rbac.Registry
+    reg.createRole("ingester")
+    reg.addUserToRole("w", "ingester")
+    reg.grant("ingester", "Insert", "docs")
+    reg.grant("ingester", "Query", "docs") // to read the count back
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.alterCollection(Map(Collection.NamespaceModeKey ->
+      Collection.NamespaceModePartition))
+    c.setUser(Rls.UserContext("w"))
+    c.enableRbac(reg, "docs")
+    // first write to a NEW tenant auto-creates its partition — engine
+    // plumbing, not caller DDL: no CreatePartition grant required
+    c.insert(rows(_ => "").filter(col("id") <= 5), Some("newtenant"))
+    assert(c.hasPartition("newtenant"))
+    assert(c.count("", namespace = Some("newtenant")) == 5L)
+    // explicit DDL still requires the privilege
+    val e = intercept[SecurityException](c.createPartition("manual"))
+    assert(e.getMessage.contains("CreatePartition"))
+  }
+
+  test("numeric tenant ids work in partition mode (validatePartitionTag accepts a leading digit)") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.alterCollection(Map(Collection.NamespaceModeKey ->
+      Collection.NamespaceModePartition))
+    c.insert(rows(_ => "").filter(col("id") <= 4), Some("123"))
+    assert(c.hasPartition("123"))
+    assert(c.count("", namespace = Some("123")) == 4L)
+    // illegal characters still reject with the reference's message shape
+    val e = intercept[IllegalArgumentException](
+      c.insert(rows(_ => "").filter(col("id") <= 1), Some("bad name")))
+    assert(e.getMessage.contains("can only contain"))
+  }
+
+  test("upsert and deletePks run the namespace plumbing (key mode)") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    c.insert(rows(_ => "").filter(col("id") <= 10), Some("a"))
+    c.insert(rows(_ => "").filter(col("id") > 10 && col("id") <= 20), Some("b"))
+    // upsert stamps the hidden column: the new version stays visible to a
+    c.upsert(rows(_ => "").filter(col("id") <= 3)
+      .withColumn("name", lit("upserted")), Some("a"))
+    assert(c.count("name == \"upserted\"", namespace = Some("a")) == 3L)
+    assert(c.count("name == \"upserted\"", namespace = Some("b")) == 0L)
+    // pk-list delete only kills pks visible in the caller's namespace
+    c.deletePks(Seq(1L, 11L), Some("b")) // 1 belongs to a — must survive
+    assert(c.count("id == 1", namespace = Some("a")) == 1L)
+    assert(c.count("id == 11", namespace = Some("b")) == 0L)
+    // strict both ways on the write verbs
+    intercept[IllegalArgumentException](c.upsert(rows(_ => "").limit(1)))
+    intercept[IllegalArgumentException](c.deletePks(Seq(2L)))
+  }
+
   test("key-mode scope reaches the scan as a pushable equality") {
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
       enableNamespace = true))
