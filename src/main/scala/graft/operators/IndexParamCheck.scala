@@ -97,13 +97,43 @@ object IndexParamCheck {
       isPrimaryKey: Boolean = false): Unit = indexType match {
     case "FLAT" | "IVF_FLAT" | "IVF_PQ" | "IVF_SQ8" | "IVF_RABITQ" |
          "SCANN" | "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" |
-         "IVF_HNSW" | "DISKANN" | "AUTOINDEX" =>
+         "IVF_HNSW" | "DISKANN" | "AISAQ" | "AUTOINDEX" =>
       checkVectorMetric(kind, params)
+      // AISAQ build params (client/index/disk_ann.go:74-158 — the
+      // DiskANN variant keeping PQ codes inline with the graph; every
+      // key is opt-in and range-checked, an UNSET param stays absent
+      // exactly per the "unset must stay absent" client contract at
+      // disk_ann.go:100-105, so only present keys are validated)
+      if (indexType == "AISAQ") {
+        // inline compressed vectors per node, capped by graph degree
+        // (doc contract: range [0, 2048])
+        checkRange(params, "inline_pq", 0, 2048)
+        intParam(params, "pq_cache_size").foreach(v => if (v < 0)
+          fail(s"pq_cache_size must be non-negative, got: $v"))
+        intParam(params, "pq_read_page_cache_size").foreach(v => if (v < 0)
+          fail(s"pq_read_page_cache_size must be non-negative, got: $v"))
+        intParam(params, "num_entry_points").foreach(v => if (v < 1)
+          fail(s"num_entry_points must be positive, got: $v"))
+        intParam(params, "beamwidth").foreach(v => if (v < 1)
+          fail(s"beamwidth must be positive, got: $v"))
+        intParam(params, "vectors_beamwidth").foreach(v => if (v < 1)
+          fail(s"vectors_beamwidth must be positive, got: $v"))
+        params.get("rearrange").foreach { v =>
+          if (v != "true" && v != "false")
+            fail(s"rearrange must be a boolean, got: $v")
+        }
+        params.get("pq_read_io_engine").foreach { v =>
+          if (v != "aio" && v != "uring")
+            fail(s"pq_read_io_engine must be aio or uring, got: $v")
+        }
+      }
       checkRange(params, "nlist", MinNList, MaxNList)
       checkRange(params, "efConstruction", HnswMinEfConstruction, HnswMaxEfConstruction)
-      if (indexType.startsWith("HNSW")) {
+      if (indexType.startsWith("HNSW") || indexType == "IVF_HNSW") {
         // the engine enforces M >= 2 for HNSW graphs (idx_hnsw*.py:
-        // "param 'M' (-1) should be in range [2, 2048]")
+        // "param 'M' (-1) should be in range [2, 2048]"); IVF_HNSW
+        // builds one graph per cell, so the graph rules apply to it too
+        // (build/search wired in IvfHnswIndex)
         checkRange(params, "M", 2, HnswMaxM)
         // graph-PQ nbits takes the wider [1, 24] (idx_hnsw_prq.py:165)
         checkRange(params, "nbits", 1, 24)

@@ -1013,6 +1013,28 @@ object ExtraQueries {
       .orderBy(col("cfg"), col("text_idx"), col("position"))
   }
 
+  /** IVF_HNSW (client/index/common.go:53): the coarse-quantized
+    * composite — one HNSW graph per IVF cell, nprobe cell pruning in
+    * front of graph traversal. nprobe = nlist and ef ≥ corpus make it
+    * exact, so the brute-force L2 oracle applies; pruned-probe recall
+    * and the param contracts live in IvfHnswIndexSpec.
+    */
+  def ivfHnswExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfHnswIndex
+    val emb = t(s, dir, "embeddings")
+    val model = IvfHnswIndex.train(emb, "embedding", nlist = 8, m = 8,
+      efConstruction = 32)
+    val index = IvfHnswIndex.build(emb, "vec_id", "embedding", model)
+    val qs = emb.filter(col("vec_id") >= 6 && col("vec_id") < 9)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    IvfHnswIndex.search(index, model, qs, k = 10, ef = n, nprobe = 8,
+        roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("id").as("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** DISKANN-analogue Vamana graph at exhaustive beam (reference index
     * type `IndexDISKANN`, tests/integration/util_index.go:32-46): with
     * the connectivity chain, beam l = corpus size makes per-partition
@@ -1034,6 +1056,28 @@ object ExtraQueries {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     VamanaIndex.search(index, qs, k = 10, l = n, roundTo = Some(4))
       .select(col("qid"), col("rank"), col("_score").as("score"), col("id").as("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** AISAQ (client/index/disk_ann.go:74-158): Vamana traversal over
+    * PQ-reconstructed vectors (the inline-PQ beam) + exact refine.
+    * search_list ≥ corpus and refineMult·k ≥ corpus make it exact, so
+    * the brute-force L2 oracle applies; the 8-key param contract lives
+    * in IndexParamCheckSpec and partial-beam recall in AisaqIndexSpec.
+    */
+  def aisaqExhaustive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AisaqIndex
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count().toInt
+    val model = AisaqIndex.train(emb, "embedding", m = 16, k = 32, dim = 64,
+      numParts = math.max(8, n / 2500), r = 16, l = 32)
+    val index = AisaqIndex.build(emb, "vec_id", "embedding", model)
+    val qs = emb.filter(col("vec_id") >= 9 && col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    AisaqIndex.searchRefined(index, emb, "vec_id", "embedding", qs,
+        k = 10, searchList = n, refineMult = n / 10 + 1, roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1238,6 +1282,8 @@ object ExtraQueries {
     "q_struct_hybrid_elements" -> (structHybridElements _),
     "q_run_analyzer" -> (runAnalyzerQ _),
     "q_vamana_exhaustive" -> (vamanaExhaustive _),
+    "q_ivf_hnsw_exhaustive" -> (ivfHnswExhaustive _),
+    "q_aisaq_exhaustive" -> (aisaqExhaustive _),
     "q_scann_exhaustive" -> (scannExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_rabitq_exhaustive" -> (rabitqExhaustive _),
@@ -1422,6 +1468,26 @@ object ExtraQueries {
     "q_hnsw_sq" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_aisaq_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id >= 9 AND vec_id < 12),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ivf_hnsw_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id >= 6 AND vec_id < 9),
         |d AS (SELECT q.qid, e.vec_id,
         |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
         |      FROM q CROSS JOIN embeddings e),
