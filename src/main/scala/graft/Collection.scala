@@ -43,8 +43,13 @@ final case class CollectionSchema(
     jsonFields: Set[String] = Set.empty,
     // is_partition_key / is_clustering_key declarations (schema.proto):
     // field-partial load validates the key fields are in the load list
-    // (test_field_partial_load.py:369,393).
+    // (test_field_partial_load.py:369,393). A declared partition key
+    // routes every write to the hash bucket of ITS key value across
+    // `numPartitions` internal partitions (the reference's
+    // partition-key collections; num_partitions defaults to 16,
+    // rootcoord create_collection_task).
     partitionKeyField: Option[String] = None,
+    numPartitions: Int = 16,
     clusteringKeyField: Option[String] = None,
     // Multi-tenant namespaces (schema.proto enable_namespace +
     // common.go:62-67; shard-split design 20260610): every write/read
@@ -373,6 +378,13 @@ final class Collection private (
   // BEFORE any vector/aggregate work — the SURVEY §1 mapping.
   @volatile private var partitionSet: Set[String] = Set(Collection.DefaultPartition)
 
+  // partition-key buckets are collection-internal partitions present
+  // from creation (the reference pre-creates num_partitions partitions
+  // for is_partition_key collections)
+  schema.partitionKeyField.foreach { _ =>
+    partitionSet ++= (0 until schema.numPartitions).map(i => s"_pk_$i")
+  }
+
   def listPartitions: Seq[String] = partitionSet.toSeq.sorted
 
   /** HasPartition (reference impl.go). */
@@ -626,10 +638,20 @@ final class Collection private (
 
   private[graft] def insertImpl(rows: DataFrame): Long = stateLock.synchronized {
     val ts = nextTs()
-    // untagged rows land in the default partition; insertInto pre-tags
+    // untagged rows land in the default partition; insertInto pre-tags;
+    // a declared partition key routes each row to the hash bucket of
+    // ITS key value (is_partition_key; a map-only stamp that becomes a
+    // directory once flushed — partition-scoped reads then prune files)
     val tagged =
       if (rows.columns.contains(Collection.PartitionCol)) rows
-      else rows.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
+      else schema.partitionKeyField match {
+        case Some(k) if rows.columns.contains(k) =>
+          rows.withColumn(Collection.PartitionCol,
+            concat(lit("_pk_"),
+              pmod(xxhash64(col(k)), lit(schema.numPartitions.toLong))))
+        case _ =>
+          rows.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
+      }
     // a dropped field is gone from the schema — inserts carrying it are
     // rejected at the proxy boundary (drop-collection-field contract)
     droppedFields.keysIterator.find(tagged.columns.contains).foreach { f =>
@@ -791,7 +813,26 @@ final class Collection private (
     */
   def upsert(rows: DataFrame, namespace: Option[String] = None): Long = {
     requirePriv("Upsert")
-    insertImpl(stampNamespace(rows, namespace))
+    val stamped = stampNamespace(rows, namespace)
+    // partition-key re-route (issue #30607): the new version lands in
+    // the bucket of its NEW key value — possibly a different bucket
+    // than the old version's — and a partition-scoped read applies its
+    // scope UNDER the LWW collapse, so the superseded version must be
+    // tombstoned explicitly (the reference's upsert is delete+insert in
+    // the WAL, task_upsert.go); plain collections keep the cheaper
+    // pure-LWW path, where global reads already pick the newest version
+    if (schema.partitionKeyField.isDefined) stateLock.synchronized {
+      require(stamped.columns.contains(schema.pkField),
+        s"upsert rows need the pk column ${schema.pkField}")
+      val ts = nextTs()
+      val t = stamped.select(col(schema.pkField), lit(ts).as(schema.tsField))
+        .distinct().localCheckpoint(true)
+      tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
+      logChange("delete", t)
+      lastWriteTs = ts
+      invalidateFilterCache()
+    }
+    insertImpl(stamped)
   }
 
   /** Partial upsert (reference task_upsert_partial_op.go + the array

@@ -1059,6 +1059,41 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Large-topk end to end (reference quotaAndLimits.limits.topK=16384
+    * vs limits.largeTopK=1M, task_search.go:193 +
+    * tests/python_client/testcases/test_large_topk.py): the SAME
+    * k=20000 search is the proxy's named cap rejection in default mode
+    * and a legal request once the collection property
+    * `query_mode=large_topk` is set — and the accepted ranking is
+    * pinned against brute force (k exceeds the corpus at every sf, so
+    * the oracle is the full ranking). The -1 marker row encodes the
+    * default-mode rejection.
+    */
+  def largeTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    import graft.functions.Metric
+    val emb = t(s, dir, "embeddings")
+    val c = Collection.create(s, CollectionSchema(pkField = "vec_id",
+      vectorFields = Map("embedding" -> 64)))
+    c.insert(emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gate =
+      try { c.search("embedding", q, k = 20000, metric = Metric.L2); Long.MaxValue }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("should be in range [1, 16384]") => -1L
+      }
+    c.alterCollection(Map(Collection.QueryModeKey -> Collection.QueryModeLargeTopK))
+    val hits = c.search("embedding", q, k = 20000, metric = Metric.L2,
+        roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+    hits.unionByName(
+        Seq((-1L, gate, -1.0, -1L)).toDF("qid", "rank", "score", "vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** AISAQ (client/index/disk_ann.go:74-158): Vamana traversal over
     * PQ-reconstructed vectors (the inline-PQ beam) + exact refine.
     * search_list ≥ corpus and refineMult·k ≥ corpus make it exact, so
@@ -1284,6 +1319,7 @@ object ExtraQueries {
     "q_vamana_exhaustive" -> (vamanaExhaustive _),
     "q_ivf_hnsw_exhaustive" -> (ivfHnswExhaustive _),
     "q_aisaq_exhaustive" -> (aisaqExhaustive _),
+    "q_large_topk" -> (largeTopk _),
     "q_scann_exhaustive" -> (scannExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_rabitq_exhaustive" -> (rabitqExhaustive _),
@@ -1475,6 +1511,18 @@ object ExtraQueries {
         |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
         |      FROM d)
         |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_large_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 20000
+        |UNION ALL SELECT -1, -1, -1.0, -1
+        |ORDER BY qid, rank""".stripMargin,
     "q_aisaq_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
         |           FROM embeddings WHERE vec_id >= 9 AND vec_id < 12),

@@ -141,6 +141,47 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Partition-key upsert re-route (reference issue #30607: upsert
+    * into an is_partition_key collection must route the new version by
+    * its — possibly CHANGED — key value and keep the pk uniquely
+    * visible; the engine's upsert is delete+insert on these
+    * collections, task_upsert.go's WAL shape). Pins: global uniqueness,
+    * re-keyed visibility, the new-key bucket holding the rows under a
+    * partition-scoped read (pre and post flush — the flushed case rides
+    * directory PartitionFilters), and zero resurrection of the
+    * superseded version under the old key's bucket scope.
+    */
+  def partitionKeyUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      partitionKeyField = Some("lang"), numPartitions = 8))
+    c.insert(docs)
+    c.upsert(docs.filter(col("doc_id") < 40).withColumn("lang", lit("zz")))
+    def bucketOf(v: String): String = s.range(1)
+      .select(concat(lit("_pk_"), pmod(xxhash64(lit(v)), lit(8L))))
+      .head().getString(0)
+    val zzB = bucketOf("zz")
+    val enB = bucketOf("en")
+    val preFlush = Seq(
+      ("total_unique", c.count("")),
+      ("rekeyed_visible", c.count("lang == \"zz\"")),
+      ("new_bucket_scoped", c.query("lang == \"zz\"", Seq("doc_id"),
+        partitionNames = Seq(zzB)).count()),
+      // collision-robust: even if en and zz share a bucket, a
+      // superseded en-version of a re-keyed pk must be gone
+      ("old_bucket_no_resurrect", c.query("doc_id < 40 and lang == \"en\"",
+        Seq("doc_id"), partitionNames = Seq(enB)).count()),
+      ("en_remaining", c.count("lang == \"en\"")))
+    c.flush(s"${scratchDir("pkupsert")}/segs")
+    val postFlush = Seq(
+      ("new_bucket_scoped_flushed", c.query("lang == \"zz\"", Seq("doc_id"),
+        partitionNames = Seq(zzB)).count()))
+    (preFlush ++ postFlush).toDF("case_id", "cnt").orderBy(col("case_id"))
+  }
+
   /** Partition-key isolation (reference: the partitionkey.isolation
     * collection property — test_milvus_client_partition_key_isolation.py:
     * with isolation ON every filter must pin the partition key with ONE
@@ -1670,6 +1711,7 @@ object LifecycleQueries {
     "q_npy_roundtrip" -> (npyRoundtrip _),
     "q_add_field" -> (addField _),
     "q_partition_key" -> (partitionKey _),
+    "q_partition_key_upsert" -> (partitionKeyUpsert _),
     "q_mv_search" -> (mvSearch _),
     "q_external_map" -> (externalMap _),
     "q_snapshot_read" -> (snapshotRead _),
@@ -1679,6 +1721,20 @@ object LifecycleQueries {
   def oracles: Map[String, String] = Map(
     "q_namespace" -> namespaceTenancyOracle,
     "q_namespace_lifecycle" -> namespaceLifecycleOracle,
+    "q_partition_key_upsert" ->
+      """SELECT * FROM (
+        |SELECT 'total_unique' AS case_id,
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS cnt
+        |UNION ALL SELECT 'rekeyed_visible',
+        |  (SELECT count(*) FROM documents WHERE doc_id < 40)
+        |UNION ALL SELECT 'new_bucket_scoped',
+        |  (SELECT count(*) FROM documents WHERE doc_id < 40)
+        |UNION ALL SELECT 'new_bucket_scoped_flushed',
+        |  (SELECT count(*) FROM documents WHERE doc_id < 40)
+        |UNION ALL SELECT 'old_bucket_no_resurrect', 0
+        |UNION ALL SELECT 'en_remaining',
+        |  (SELECT count(*) FROM documents WHERE lang = 'en' AND doc_id >= 40)
+        |) ORDER BY case_id""".stripMargin,
     "q_load_state" ->
       """WITH n AS (SELECT count(*) AS cnt FROM events WHERE event_id < 2000)
         |SELECT CAST(1 AS BIGINT) AS phase, 'NotLoad' AS state, cnt FROM n

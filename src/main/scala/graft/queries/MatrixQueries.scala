@@ -632,6 +632,35 @@ object MatrixQueries {
           InvertedIndex.lookupExpr(tsIdx, "ts", "ts", pred),
           scan(ev, "event_id", pred))
       }) ++
+      // Unicode through the index paths (reference test_mix_scenes.py:
+      // 2417 test_index_unicode_string_query, :2443 array variant — CJK
+      // equality / LIKE through BITMAP and INVERTED dictionaries, and
+      // array contains over CJK elements, must equal the plain scan)
+      locally {
+        val u1 = typedlit(Seq("国", "中", "江", "鄷", "核", "薞", "麚", "臥"))
+        val u2 = typedlit(Seq("红", "华", "环", "父"))
+        val c1 = element_at(u1, (col("doc_id") % 8 + 1).cast("int"))
+        val c2 = element_at(u2, (col("doc_id") % 4 + 1).cast("int"))
+        val uniDocs = docs.select(col("doc_id"), concat(c1, c2).as("utag"),
+          array(c1, c2).as("utags"))
+        val uniIdx = InvertedIndex.buildValueIndex(uniDocs, "doc_id", "utag")
+        val uniElemIdx = InvertedIndex.buildElementIndex(uniDocs, "doc_id", "utags")
+        Seq(
+          consistencyRow(s, "BITMAP", "unicode_eq",
+            InvertedIndex.lookupValues(uniIdx, "utag", Seq("国红")),
+            scan(uniDocs, "doc_id", """utag == "国红"""")),
+          consistencyRow(s, "INVERTED", "unicode_like_prefix",
+            InvertedIndex.lookupPrefix(uniIdx, "utag", "国"),
+            scan(uniDocs, "doc_id", """utag like "国%"""")),
+          consistencyRow(s, "INVERTED", "unicode_like_postfix",
+            InvertedIndex.lookupExpr(uniIdx, "utag", "utag",
+              """utag like "%华""""),
+            scan(uniDocs, "doc_id", """utag like "%华"""")),
+          consistencyRow(s, "ARRAY", "unicode_contains_any",
+            InvertedIndex.lookupElementsAny(uniElemIdx, Seq("中", "华")),
+            scan(uniDocs, "doc_id",
+              """array_contains_any(utags, ["中", "华"])""")))
+      } ++
       // ARRAY element index (reference test_array_index_consistency,
       // test_milvus_client_scalar_filtering.py:1479): contains /
       // contains_any / contains_all through the element dictionary
@@ -656,7 +685,16 @@ object MatrixQueries {
   }
 
   private val indexConsistencyOracle: String = {
+    val uc1 = "(['国','中','江','鄷','核','薞','麚','臥'])[CAST(doc_id % 8 AS INT) + 1]"
+    val uc2 = "(['红','华','环','父'])[CAST(doc_id % 4 AS INT) + 1]"
     val cases = Seq(
+      ("BITMAP", "unicode_eq", "documents", s"$uc1 || $uc2 = '国红'"),
+      ("INVERTED", "unicode_like_prefix", "documents",
+        s"$uc1 || $uc2 LIKE '国%'"),
+      ("INVERTED", "unicode_like_postfix", "documents",
+        s"$uc1 || $uc2 LIKE '%华'"),
+      ("ARRAY", "unicode_contains_any", "documents",
+        s"list_has_any([$uc1, $uc2], ['中', '华'])"),
       ("INVERTED", "nationkey_in", "customer", "c_nationkey IN (5, 7)"),
       ("INVERTED", "nationkey_arith", "customer",
         "(c_nationkey + 5) >= 10 AND (c_nationkey + 5) <= 15"),
@@ -1484,7 +1522,18 @@ object MatrixQueries {
           .collect().length.toDouble),
       "g_empty_result" -> (() =>
         c.queryAgg("c3 > 100000", outputFields = Seq("c5", "count(*)"),
-          groupByFields = Seq("c5")).collect().length.toDouble))
+          groupByFields = Seq("c5")).collect().length.toDouble),
+      // ONE unbounded accept row: the contract cases above ride the
+      // key-capped fixture (35 flat facade calls), but the data path
+      // itself must scale with sf in the bench — this aggregate reads
+      // the FULL orders table through a second collection
+      "a_unbounded_count_avg" -> (() => {
+        val cu = Collection.create(s, CollectionSchema(pkField = "id"))
+        cu.insert(t(s, dir, "orders").select(
+          col("o_orderkey").as("id"), col("o_totalprice").as("c4")))
+        val r = one(cu.queryAgg(outputFields = Seq("count(*)", "avg(c4)")))
+        r.getLong(0).toDouble + round3(r.getDouble(1))
+      }))
 
     require(accept.map(_._1) == aggMatrixOracleAccept.map(_._1),
       "agg battery accept/oracle case ids out of sync")
@@ -1577,5 +1626,7 @@ object MatrixQueries {
       "SELECT count(*) FROM f WHERE c5 = (SELECT max(c5) FROM f)",
     "g_keys_only" -> "SELECT count(DISTINCT c5) FROM f",
     "g_empty_result" ->
-      "SELECT count(*) FROM (SELECT c5 FROM f WHERE c3 > 100000 GROUP BY c5)")
+      "SELECT count(*) FROM (SELECT c5 FROM f WHERE c3 > 100000 GROUP BY c5)",
+    "a_unbounded_count_avg" ->
+      "SELECT count(*) + round(avg(o_totalprice), 3) FROM orders")
 }
