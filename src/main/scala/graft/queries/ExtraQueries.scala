@@ -1059,6 +1059,33 @@ object ExtraQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Nullable vectors + default-filled scalars through search
+    * (reference test_milvus_client_search_none_default.py
+    * test_search_normal_none_data / test_search_default_value_with_
+    * insert): a row with a NULL vector is never a candidate — the
+    * null score drops out of the top-k aggregate instead of poisoning
+    * or ranking — and a scalar omitted at insert is filter-visible at
+    * its schema default. The oracle is brute force over the non-null
+    * corpus.
+    */
+  def searchNullable(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema}
+    import graft.functions.Metric
+    val emb = t(s, dir, "embeddings")
+    val c = Collection.create(s, CollectionSchema(pkField = "vec_id",
+      vectorFields = Map("embedding" -> 64),
+      fieldDefaults = Map("label" -> 777)))
+    // every 5th vector is NULL; `label` is omitted so the default fills
+    c.insert(emb.drop("label").withColumn("embedding",
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding"))))
+    val q = emb.filter(col("vec_id") === 1 || col("vec_id") === 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    c.search("embedding", q, k = 10, metric = Metric.L2,
+        filterExpr = "label == 777", roundTo = Some(4))
+      .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Large-topk end to end (reference quotaAndLimits.limits.topK=16384
     * vs limits.largeTopK=1M, task_search.go:193 +
     * tests/python_client/testcases/test_large_topk.py): the SAME
@@ -1320,6 +1347,7 @@ object ExtraQueries {
     "q_ivf_hnsw_exhaustive" -> (ivfHnswExhaustive _),
     "q_aisaq_exhaustive" -> (aisaqExhaustive _),
     "q_large_topk" -> (largeTopk _),
+    "q_search_nullable" -> (searchNullable _),
     "q_scann_exhaustive" -> (scannExhaustive _),
     "q_sq8_refine" -> (sq8Refine _),
     "q_rabitq_exhaustive" -> (rabitqExhaustive _),
@@ -1507,6 +1535,16 @@ object ExtraQueries {
         |d AS (SELECT q.qid, e.vec_id,
         |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
         |      FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+        |      FROM d)
+        |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_search_nullable" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id IN (1, 2)),
+        |d AS (SELECT q.qid, e.vec_id,
+        |        round(power(list_distance(q.qvec, CAST(e.embedding AS DOUBLE[])), 2), 4) AS score
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id % 5 <> 0),
         |r AS (SELECT qid, vec_id, score,
         |        row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
         |      FROM d)
