@@ -1823,8 +1823,10 @@ final class Collection private (
   // holds with a zero-width ImportStarted window, same device as
   // manualCompaction's.
   final case class ImportTask(id: Long, format: String, files: Seq[String],
-      state: String, progress: Int)
+      state: String, progress: Int, reason: String = "")
   @volatile private var importTasks: Map[Long, ImportTask] = Map.empty
+  // staged (Uncommitted) 2PC batches: read but NOT visible until commit
+  @volatile private var stagedImports: Map[Long, DataFrame] = Map.empty
 
   private[graft] def recordImport(format: String, files: Seq[String]): Long =
     stateLock.synchronized {
@@ -1832,6 +1834,63 @@ final class Collection private (
       importTasks += id -> ImportTask(id, format, files, "Completed", 100)
       id
     }
+
+  // ---- 2PC imports (reference datacoord/services.go:2981-3040: an
+  // import job lands UNCOMMITTED — read and staged, invisible to every
+  // query — until CommitImport broadcasts the commit fence; AbortImport
+  // rolls an uncommitted job back. This engine's single "vchannel" acks
+  // the fence synchronously, so Committing collapses into Completed —
+  // the zero-width-window device the registry already uses.)
+
+  /** Stage a 2PC import: the files are read and pinned now (a commit
+    * must land exactly the bytes that were staged, not a later state of
+    * the path) but stay invisible until [[commitImport]].
+    */
+  def bulkImportUncommitted(format: String, path: String): Long = {
+    requirePriv("Import")
+    val batch = graft.sources.BulkImport.read(spark, format, path)
+      .localCheckpoint(true)
+    stateLock.synchronized {
+      val id = nextTs()
+      importTasks += id -> ImportTask(id, format, Seq(path), "Uncommitted", 0)
+      stagedImports += id -> batch
+      id
+    }
+  }
+
+  /** CommitImport (services.go:2984-3002): Uncommitted → the staged
+    * batch lands as one insert and the job completes. Idempotent on an
+    * already-committed job; any other state is the named import error.
+    */
+  def commitImport(id: Long): Unit = stateLock.synchronized {
+    val t = getImportProgress(id)
+    t.state match {
+      case "Committing" | "Completed" => () // idempotent success
+      case "Uncommitted" =>
+        insertImpl(stagedImports(id))
+        stagedImports -= id
+        importTasks += id -> t.copy(state = "Completed", progress = 100)
+      case other => throw new IllegalStateException(
+        s"job $id is in state $other, expected Uncommitted")
+    }
+  }
+
+  /** AbortImport (services.go:3004-3042): rolls back a job that has
+    * not been committed. Idempotent on a previously user-aborted job;
+    * Committing/Completed are terminal and rejected.
+    */
+  def abortImport(id: Long): Unit = stateLock.synchronized {
+    val t = getImportProgress(id)
+    t.state match {
+      case "Failed" if t.reason == Collection.ImportAbortedByUser => ()
+      case "Committing" | "Completed" => throw new IllegalStateException(
+        s"job $id is in terminal/committed state ${t.state}, abort not allowed")
+      case _ =>
+        stagedImports -= id
+        importTasks += id -> t.copy(state = "Failed",
+          reason = Collection.ImportAbortedByUser)
+    }
+  }
 
   /** ListImports: recorded bulk-import tasks, newest first. */
   def listImports: Seq[ImportTask] =
@@ -3339,6 +3398,8 @@ object Collection {
 
   // quota defaults (quota_param.go:1445-1494) and the query_mode
   // collection property that switches to the large caps (common.go:353)
+  // importJobReasonAbortedByUser (datacoord import job rollback)
+  val ImportAbortedByUser = "aborted by user"
   val TopKLimit = 16384L                 // quotaAndLimits.limits.topK
   val LargeTopKLimit = 1000000L          // quotaAndLimits.limits.largeTopK
   val NQLimit = 16384L                   // quotaAndLimits.limits.nq

@@ -1395,6 +1395,37 @@ object LifecycleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** 2PC import (reference datacoord/services.go:2981-3042: a staged
+    * import is INVISIBLE until CommitImport; AbortImport rolls the
+    * uncommitted job back): two staged slices of `events`, one
+    * committed and one aborted — the visible aggregate must equal the
+    * committed slice exactly, and the pre-commit count pins the
+    * invisibility window.
+    */
+  def import2pc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val base = scratchDir("imp2pc")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") < 1500).write.parquet(s"$base/commit")
+    ev.filter(col("event_id") >= 1500 && col("event_id") < 3000)
+      .write.parquet(s"$base/abort")
+    val c = Collection.create(s, CollectionSchema(pkField = "event_id"))
+    c.insert(Seq((-1L, "__seed", 0.0)).toDF("event_id", "event_type", "value"))
+    val idA = c.bulkImportUncommitted("parquet", s"$base/commit")
+    val idB = c.bulkImportUncommitted("parquet", s"$base/abort")
+    val staged = c.count() // both jobs staged: only the seed is visible
+    c.commitImport(idA)
+    c.abortImport(idB)
+    c.readView()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .unionByName(Seq(("__staged_visible", staged, -1.0))
+        .toDF("event_type", "cnt", "sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** csv + json bulk import round trip (reference
     * importutilv2/{csv,json} readers): the same event slice exports to
     * both wire formats and re-imports through the distributed readers
@@ -1673,6 +1704,7 @@ object LifecycleQueries {
     "q_namespace_lifecycle" -> (namespaceLifecycle _),
     "q_load_state" -> (loadStateRead _),
     "q_import_formats" -> (importFormats _),
+    "q_import_2pc" -> (import2pc _),
     "q_stream_union" -> (streamUnion _),
     "q_session_state" -> (sessionState _),
     "q_external_refresh" -> (externalRefresh _),
@@ -1741,6 +1773,12 @@ object LifecycleQueries {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'Loaded', cnt FROM n
         |UNION ALL SELECT CAST(3 AS BIGINT), 'NotLoad', cnt FROM n
         |ORDER BY phase""".stripMargin,
+    "q_import_2pc" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id < 1500 GROUP BY event_type
+        |UNION ALL SELECT '__seed', 1, 0.0
+        |UNION ALL SELECT '__staged_visible', 1, -1.0
+        |ORDER BY event_type""".stripMargin,
     "q_import_formats" ->
       """WITH a AS (
         |  SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

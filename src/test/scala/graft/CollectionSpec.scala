@@ -1213,6 +1213,41 @@ class CollectionSpec extends SparkSpec {
     assert(c3.listImports.size == 1 && c3.listImports.head.format == "binlog")
   }
 
+  test("2PC import: uncommitted is invisible; commit lands; abort rolls back") {
+    val c = fresh()
+    val base = c.count()
+    val dir = "/tmp/graft_test_import2pc_" + System.nanoTime()
+    mkRows(300L until 310L).write.parquet(s"$dir/a")
+    mkRows(400L until 405L).write.parquet(s"$dir/b")
+    val idA = c.bulkImportUncommitted("parquet", s"$dir/a")
+    val idB = c.bulkImportUncommitted("parquet", s"$dir/b")
+    // staged batches are invisible (services.go:2981 — visible on commit)
+    assert(c.count() == base)
+    assert(c.getImportProgress(idA).state == "Uncommitted")
+    // commit A: exactly its rows land; idempotent re-commit
+    c.commitImport(idA)
+    assert(c.count() == base + 10)
+    assert(c.getImportProgress(idA).state == "Completed")
+    c.commitImport(idA)
+    // abort B: nothing lands; idempotent re-abort; reason recorded
+    c.abortImport(idB)
+    assert(c.count() == base + 10)
+    val tb = c.getImportProgress(idB)
+    assert(tb.state == "Failed" && tb.reason == Collection.ImportAbortedByUser)
+    c.abortImport(idB)
+    // terminal states reject the OTHER verb with the named error
+    val e1 = intercept[IllegalStateException](c.abortImport(idA))
+    assert(e1.getMessage.contains("terminal/committed state Completed, abort not allowed"))
+    val e2 = intercept[IllegalStateException](c.commitImport(idB))
+    assert(e2.getMessage.contains("is in state Failed, expected Uncommitted"))
+    // a commit lands the STAGED bytes, not the path's later content
+    val idC = c.bulkImportUncommitted("parquet", s"$dir/a")
+    mkRows(500L until 520L).write.mode("overwrite").parquet(s"$dir/a")
+    c.commitImport(idC)
+    assert(c.count() == base + 10) // pks 300-309 again: LWW dedups, no 500s
+    assert(c.count("pk >= 500") == 0)
+  }
+
   test("utility RPCs: alloc ts, flush-all state, alias describe, index state/alter, plans") {
     val c = fresh()
     // AllocTimestamp: strictly increasing, no visibility side effects
