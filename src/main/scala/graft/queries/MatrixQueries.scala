@@ -595,6 +595,22 @@ object MatrixQueries {
       consistencyRow(s, "STL_SORT", "nationkey_range",
         InvertedIndex.lookupRange(natIdx, "c_nationkey", 5, 10),
         scan(cust, "c_custkey", "c_nationkey >= 5 and c_nationkey <= 10")),
+      // bitset word / row-id boundaries (reference coverage matrix
+      // FILTER-BOUNDARY-63-65 / FILTER-BOUNDARY-1023-1025,
+      // test_filtering_index_consistency.py): IN straddling 64 and 1024
+      // through the index equals the scan — the off-by-one class a
+      // word-addressed bitset implementation regresses on
+      consistencyRow(s, "INVERTED", "in_boundary_63_65",
+        InvertedIndex.lookupValues(
+          InvertedIndex.buildValueIndex(cust, "c_custkey", "c_custkey"),
+          "c_custkey", Seq(62L, 63L, 64L, 65L, 66L)),
+        scan(cust, "c_custkey", "c_custkey in [62, 63, 64, 65, 66]")),
+      consistencyRow(s, "INVERTED", "in_boundary_1023_1025",
+        InvertedIndex.lookupValues(
+          InvertedIndex.buildValueIndex(cust, "c_custkey", "c_custkey"),
+          "c_custkey", Seq(1022L, 1023L, 1024L, 1025L, 1026L)),
+        scan(cust, "c_custkey",
+          "c_custkey in [1022, 1023, 1024, 1025, 1026]")),
       consistencyRow(s, "NGRAM", "multi_like",
         NgramIndex.likeSearch(docs, "doc_id", "text", ngramIdx,
           patterns = Seq("ecto", "tream"), n = 3)
@@ -632,6 +648,31 @@ object MatrixQueries {
           InvertedIndex.lookupExpr(tsIdx, "ts", "ts", pred),
           scan(ev, "event_id", pred))
       }) ++
+      // Struct-array SUBFIELD indexes (reference coverage matrix
+      // FILTER-STRUCTARRAY-SUBFIELD-INDEX,
+      // filtering_case_matrix.py:139-176): MATCH_ANY range over an
+      // element dictionary built on one subfield, and a fixed-position
+      // subfield IN through a value index, must equal the plain scan
+      locally {
+        val evs = ev.select(col("event_id"), array(
+          struct((col("user_id") % 20).cast("long").as("rank")),
+          struct(((col("user_id") + 7) % 20).cast("long").as("rank")))
+          .as("evs"))
+        val rankElemIdx = InvertedIndex.buildElementIndex(
+          evs.withColumn("_ranks", transform(col("evs"), e => e.getField("rank"))),
+          "event_id", "_ranks")
+        val rank0Idx = InvertedIndex.buildValueIndex(
+          evs.withColumn("_r0", col("evs")(0).getField("rank")),
+          "event_id", "_r0")
+        Seq(
+          consistencyRow(s, "STRUCT_ARRAY", "subfield_rank_match_any",
+            InvertedIndex.lookupRange(rankElemIdx, "element", 10L, Long.MaxValue)
+              .distinct(),
+            scan(evs, "event_id", "match_any(evs, $[rank] >= 10)")),
+          consistencyRow(s, "STRUCT_ARRAY", "subfield_in_fixed",
+            InvertedIndex.lookupValues(rank0Idx, "_r0", Seq(10L, 11L, 13L)),
+            scan(evs, "event_id", "evs[0][rank] in [10, 11, 13]")))
+      } ++
       // Unicode through the index paths (reference test_mix_scenes.py:
       // 2417 test_index_unicode_string_query, :2443 array variant — CJK
       // equality / LIKE through BITMAP and INVERTED dictionaries, and
@@ -703,6 +744,14 @@ object MatrixQueries {
       ("TRIE", "brand_prefix", "part", "p_brand LIKE 'Brand#1%'"),
       ("STL_SORT", "nationkey_range", "customer",
         "c_nationkey >= 5 AND c_nationkey <= 10"),
+      ("INVERTED", "in_boundary_63_65", "customer",
+        "c_custkey IN (62, 63, 64, 65, 66)"),
+      ("INVERTED", "in_boundary_1023_1025", "customer",
+        "c_custkey IN (1022, 1023, 1024, 1025, 1026)"),
+      ("STRUCT_ARRAY", "subfield_rank_match_any", "events",
+        "(user_id % 20) >= 10 OR ((user_id + 7) % 20) >= 10"),
+      ("STRUCT_ARRAY", "subfield_in_fixed", "events",
+        "(user_id % 20) IN (10, 11, 13)"),
       ("NGRAM", "multi_like", "documents",
         "text LIKE '%ecto%' AND text LIKE '%tream%'"),
       ("JSON_TYPED", "props_k_range", "events",
@@ -1265,7 +1314,131 @@ object MatrixQueries {
         s"FROM ($regressionSql) WHERE ${c.duck}")
       .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
 
+  // =================================================================
+  // Battery 11 — expression-equivalence / order-insensitivity / OR
+  // fanout contract (reference filtering_case_matrix.py:
+  // EQUIVALENT_EXPRESSION_CASES, ORDER_SENSITIVE_EXPRESSIONS,
+  // SAME_FIELD_OR_FANOUT_CASES, BOOLEAN_FANOUT_*_L2,
+  // JSON_MIXED_TYPE_IN_51489 / JSON_BOOL_MIXED_IN_51567): two
+  // expressions the engine PROMISES equivalent must select the exact
+  // same rows — De Morgan, distributivity, OR↔IN (scalar and typed
+  // JSON buckets), conjunct/disjunct reordering, and OR fanout widths.
+  // The engine emits cnt(A) plus the symmetric difference |A Δ B| per
+  // case in ONE pass; the oracle recomputes cnt from an independent
+  // flattened derivation (no JSON) and pins the difference at 0 —
+  // equivalence alone can't hide a shared-path bug from the oracle
+  // count, and the count alone can't hide a membership swap from Δ.
+  // =================================================================
+
+  final case class EqCase(id: String, exprA: String, exprB: String,
+      duck: String)
+
+  private[graft] def equivDf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val id = col("event_id")
+    ev.select(id.as("id"),
+      (id % 25).as("age"),
+      col("value").as("score"),
+      (id % 2 === 0).as("active"),
+      col("event_type").as("tag"),
+      to_json(struct((id % 7).as("p"), (id % 5).as("rank"),
+        when(id % 3 === 0, "qa").otherwise("ops").as("group"),
+        (id % 2 === 0).as("b"))).as("meta"))
+  }
+
+  /** The oracle derives p/rank/grp/b FLAT from events — it never parses
+    * the JSON the engine filters through.
+    */
+  private val equivSql: String =
+    """SELECT event_id AS id, event_id % 25 AS age, value AS score,
+      |  event_id % 2 = 0 AS active, event_type AS tag,
+      |  event_id % 7 AS p, event_id % 5 AS rank,
+      |  CASE WHEN event_id % 3 = 0 THEN 'qa' ELSE 'ops' END AS grp,
+      |  event_id % 2 = 0 AS b
+      |FROM events""".stripMargin
+
+  private[graft] val EquivCases: Seq[EqCase] = Seq(
+    EqCase("eq_or_vs_in_json",
+      """meta["p"] == 1 or meta["p"] == 3 or meta["p"] == 5""",
+      """meta["p"] in [1, 3, 5]""",
+      "p IN (1, 3, 5)"),
+    EqCase("eq_de_morgan",
+      "not (age <= 10 or active == false)",
+      "age > 10 and active == true",
+      "age > 10 AND active = true"),
+    EqCase("eq_distributive",
+      """(age > 10 and active == true) or (age > 10 and tag == "click")""",
+      """age > 10 and (active == true or tag == "click")""",
+      "age > 10 AND (active = true OR tag = 'click')"),
+    EqCase("eq_and_swap",
+      "age > 10 and score <= 90",
+      "score <= 90 and age > 10",
+      "age > 10 AND score <= 90"),
+    EqCase("eq_and_json_swap",
+      """age > 10 and meta["group"] == "qa"""",
+      """meta["group"] == "qa" and age > 10""",
+      "age > 10 AND grp = 'qa'"),
+    EqCase("eq_or_swap",
+      """tag == "click" or active == true""",
+      """active == true or tag == "click"""",
+      "tag = 'click' OR active = true"),
+    EqCase("eq_mixed_depth_swap",
+      """(age > 10 and meta["rank"] in [1, 3]) or active == true""",
+      """active == true or (meta["rank"] in [1, 3] and age > 10)""",
+      "(age > 10 AND rank IN (1, 3)) OR active = true"),
+    EqCase("eq_or5_fanout_vs_in",
+      (1 to 5).map(i => s"""meta["p"] == $i""").mkString(" or "),
+      """meta["p"] in [1, 2, 3, 4, 5]""",
+      "p IN (1, 2, 3, 4, 5)"),
+    EqCase("eq_or10_fanout_vs_in",
+      (1 to 10).map(i => s"""meta["p"] == $i""").mkString(" or "),
+      s"""meta["p"] in [${(1 to 10).mkString(", ")}]""",
+      "p IN (1, 2, 3, 4, 5, 6)"), // p ∈ [0, 6]: branches 7-10 are empty
+    EqCase("eq_and5_cross_field_swap",
+      """age > 10 and score <= 90 and active == false and tag != "click" and meta["rank"] >= 3""",
+      """meta["rank"] >= 3 and tag != "click" and active == false and score <= 90 and age > 10""",
+      "age > 10 AND score <= 90 AND active = false AND tag <> 'click' AND rank >= 3"),
+    EqCase("eq_not_unary",
+      "not (active == true)",
+      "active == false",
+      "active = false"),
+    // #51625 canonicalization: a mixed-kind IN partitions by literal
+    // kind — the string "2" bucket never matches an int-valued path
+    EqCase("eq_mixed_in_51489",
+      """meta["p"] in [1, "2"]""",
+      """(meta["p"] == 1) or (meta["p"] == "2")""",
+      "p = 1"),
+    // bool and int stay disjoint buckets (#51567)
+    EqCase("eq_bool_in_51567",
+      """meta["b"] in [true, 1]""",
+      """(meta["b"] == true) or (meta["b"] == 1)""",
+      "b = true"))
+
+  def equivMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = equivDf(s, dir)
+    val counters = EquivCases.flatMap { c =>
+      val a = coalesce(
+        ExprCompiler.compile(c.exprA, base, jsonColumns = Set("meta")), lit(false))
+      val b = coalesce(
+        ExprCompiler.compile(c.exprB, base, jsonColumns = Set("meta")), lit(false))
+      Seq(sum(when(a, 1L).otherwise(0L)).as(c.id + "_cnt"),
+        sum(when(a =!= b, 1L).otherwise(0L)).as(c.id + "_diff"))
+    }
+    val row = base.agg(counters.head, counters.tail: _*).head()
+    EquivCases.map(c => (c.id, row.getAs[Long](c.id + "_cnt"),
+        row.getAs[Long](c.id + "_diff")))
+      .toDF("case_id", "cnt", "n_diff").orderBy(col("case_id"))
+  }
+
+  private[graft] val equivMatrixOracle: String =
+    EquivCases.map(c =>
+      s"SELECT '${c.id}' AS case_id, count(*) AS cnt, " +
+        s"CAST(0 AS BIGINT) AS n_diff FROM ($equivSql) WHERE ${c.duck}")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_equiv_matrix" -> (equivMatrix _),
     "q_typed_matrix" -> (typedMatrix _),
     "q_array_matrix" -> (arrayMatrix _),
     "q_null_matrix" -> (nullMatrix _),
@@ -1282,6 +1455,7 @@ object MatrixQueries {
   // in the file; a strict map would force them during <clinit> while
   // they are still null (the round-11 harness crash).
   def oracles: Map[String, String] = Map(
+    "q_equiv_matrix" -> equivMatrixOracle,
     "q_typed_matrix" -> typedMatrixOracle,
     "q_array_matrix" -> arrayMatrixOracle,
     "q_null_matrix" -> nullMatrixOracle,
