@@ -821,18 +821,24 @@ final class Collection private (
     // tombstoned explicitly (the reference's upsert is delete+insert in
     // the WAL, task_upsert.go); plain collections keep the cheaper
     // pure-LWW path, where global reads already pick the newest version
-    if (schema.partitionKeyField.isDefined) stateLock.synchronized {
-      require(stamped.columns.contains(schema.pkField),
-        s"upsert rows need the pk column ${schema.pkField}")
-      val ts = nextTs()
-      val t = stamped.select(col(schema.pkField), lit(ts).as(schema.tsField))
-        .distinct().localCheckpoint(true)
-      tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
-      logChange("delete", t)
-      lastWriteTs = ts
-      invalidateFilterCache()
-    }
+    if (schema.partitionKeyField.isDefined) tombstoneForRekey(stamped)
     insertImpl(stamped)
+  }
+
+  /** The partition-key upsert's delete half: tombstone every pk being
+    * rewritten so the superseded version — possibly in a DIFFERENT
+    * bucket — cannot resurface under a partition-scoped read.
+    */
+  private def tombstoneForRekey(rows: DataFrame): Unit = stateLock.synchronized {
+    require(rows.columns.contains(schema.pkField),
+      s"upsert rows need the pk column ${schema.pkField}")
+    val ts = nextTs()
+    val t = rows.select(col(schema.pkField), lit(ts).as(schema.tsField))
+      .distinct().localCheckpoint(true)
+    tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
+    logChange("delete", t)
+    lastWriteTs = ts
+    invalidateFilterCache()
   }
 
   /** Partial upsert (reference task_upsert_partial_op.go + the array
@@ -882,7 +888,14 @@ final class Collection private (
         case _ => coalesce(col(c), col(s"_cur_$c")).as(c)
       }
     }: _*)
-    insert(full.localCheckpoint(true), namespace) // pin: the merge must not re-resolve later
+    val pinned = full.localCheckpoint(true) // pin: the merge must not re-resolve later
+    if (schema.partitionKeyField.isDefined) {
+      // partial upsert can CHANGE the partition key: tombstone the old
+      // version and drop the carried bucket tag so the write re-routes
+      // by the merged key value (the #30607 contract via the partial path)
+      tombstoneForRekey(pinned)
+      insert(pinned.drop(Collection.PartitionCol), namespace)
+    } else insert(pinned, namespace)
   }
 
   /** Attach a Structured Streaming source as this collection's live

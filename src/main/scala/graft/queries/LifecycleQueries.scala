@@ -160,6 +160,10 @@ object LifecycleQueries {
       partitionKeyField = Some("lang"), numPartitions = 8))
     c.insert(docs)
     c.upsert(docs.filter(col("doc_id") < 40).withColumn("lang", lit("zz")))
+    // PARTIAL upsert re-keys too: only (pk, lang) provided — carried
+    // fields survive and the row moves to the new key's bucket
+    c.upsertPartial(docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+      .select(col("doc_id"), lit("zz").as("lang")))
     def bucketOf(v: String): String = s.range(1)
       .select(concat(lit("_pk_"), pmod(xxhash64(lit(v)), lit(8L))))
       .head().getString(0)
@@ -174,7 +178,11 @@ object LifecycleQueries {
       // superseded en-version of a re-keyed pk must be gone
       ("old_bucket_no_resurrect", c.query("doc_id < 40 and lang == \"en\"",
         Seq("doc_id"), partitionNames = Seq(enB)).count()),
-      ("en_remaining", c.count("lang == \"en\"")))
+      ("en_remaining", c.count("lang == \"en\"")),
+      ("partial_rekey_scoped", c.query("doc_id >= 40 and doc_id < 50",
+        Seq("doc_id"), partitionNames = Seq(zzB)).count()),
+      ("partial_rekey_carry",
+        c.count("lang == \"zz\" and doc_id >= 40 and n_chars > 0")))
     c.flush(s"${scratchDir("pkupsert")}/segs")
     val postFlush = Seq(
       ("new_bucket_scoped_flushed", c.query("lang == \"zz\"", Seq("doc_id"),
@@ -1758,14 +1766,19 @@ object LifecycleQueries {
         |SELECT 'total_unique' AS case_id,
         |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS cnt
         |UNION ALL SELECT 'rekeyed_visible',
-        |  (SELECT count(*) FROM documents WHERE doc_id < 40)
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50)
         |UNION ALL SELECT 'new_bucket_scoped',
-        |  (SELECT count(*) FROM documents WHERE doc_id < 40)
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50)
         |UNION ALL SELECT 'new_bucket_scoped_flushed',
-        |  (SELECT count(*) FROM documents WHERE doc_id < 40)
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50)
         |UNION ALL SELECT 'old_bucket_no_resurrect', 0
         |UNION ALL SELECT 'en_remaining',
-        |  (SELECT count(*) FROM documents WHERE lang = 'en' AND doc_id >= 40)
+        |  (SELECT count(*) FROM documents WHERE lang = 'en' AND doc_id >= 50)
+        |UNION ALL SELECT 'partial_rekey_scoped',
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 40 AND doc_id < 50)
+        |UNION ALL SELECT 'partial_rekey_carry',
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id >= 40 AND doc_id < 50 AND n_chars > 0)
         |) ORDER BY case_id""".stripMargin,
     "q_load_state" ->
       """WITH n AS (SELECT count(*) AS cnt FROM events WHERE event_id < 2000)
