@@ -187,6 +187,25 @@ class NamespaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.deletePks(Seq(2L)))
   }
 
+  test("partition-key bucket scope prunes the flushed layout at directory level") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      partitionKeyField = Some("grp"), numPartitions = 8))
+    c.insert(rows(_ => ""))
+    val dir = "/tmp/graft_test_pkbucket_" + System.nanoTime()
+    c.flush(s"$dir/segs")
+    val bucket = spark.range(1)
+      .select(concat(lit("_pk_"), pmod(xxhash64(lit(3L)), lit(8L))))
+      .head().getString(0)
+    val scoped = c.query("grp == 3", Seq("id"), partitionNames = Seq(bucket))
+    // correctness: exactly the grp==3 rows even under the bucket scope
+    assert(scoped.count() == rows(_ => "").filter(col("grp") === 3).count())
+    // scale: the bucket scope is a directory-level PartitionFilter on the
+    // flushed hive layout — other buckets' files are never read
+    val planStr = scoped.queryExecution.sparkPlan.toString
+    assert(planStr.matches(s"(?s).*PartitionFilters: \\[[^\\]]*_partition#\\d+ = $bucket.*"),
+      s"expected a PartitionFilters entry (_partition = $bucket) in:\n$planStr")
+  }
+
   test("key-mode scope reaches the scan as a pushable equality") {
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
       enableNamespace = true))
