@@ -393,8 +393,13 @@ object ExprCompiler {
       // The MVCC ts domain carries TIMESTAMPTZ as epoch-nanos int64
       // (the reference's boundary conversion, Types.h:70-102); calendar
       // business-time columns stay timestamp-typed. Dispatch on the
-      // column's actual type.
+      // column's actual type — and only a tstz-DOMAIN int64 takes the
+      // epoch fold: a plain int64 in a timestamptz compare (reversed
+      // plain form or interval arithmetic) is the reference's strict
+      // type error, never a silent raw-vs-epoch compare.
       if (ctx.fieldType(field).contains(LongType)) {
+        if (!ctx.tstzFields.contains(field)) throw CompileError(
+          "comparisons between Int64 and Timestamptz are not supported")
         val litNs = parseTsMicros(iso, ctx.timezone) * 1000L
         if (months == 0) {
           // fixed-duration interval: fold the shift into the literal so

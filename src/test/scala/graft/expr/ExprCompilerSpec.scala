@@ -366,6 +366,28 @@ class ExprCompilerSpec extends SparkSpec {
       $"ts" === to_timestamp(lit("2025-01-05 00:00:00")))
   }
 
+  test("iso-literal epoch fold only fires for tstz-domain int64 columns") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("f", LongType),
+      StructField("ts", LongType), StructField("evt", LongType)))
+    // plain int64 vs iso: the reference's strict type error, never a
+    // silent raw-int64-vs-epoch-nanos compare
+    val e = intercept[ExprCompiler.CompileError](
+      ExprCompiler.compile("f > iso'2024-01-01T00:00:00Z'",
+        ExprCompiler.Ctx(sch)))
+    assert(e.getMessage ==
+      "comparisons between Int64 and Timestamptz are not supported")
+    intercept[ExprCompiler.CompileError](
+      ExprCompiler.compile("iso'2024-01-01T00:00:00Z' <= f",
+        ExprCompiler.Ctx(sch)))
+    // the default tstz set ('ts'/'_ts') folds to an epoch-nanos literal,
+    // and a declared extra field folds too
+    ExprCompiler.compile("ts >= iso'2024-01-01T00:00:00Z'",
+      ExprCompiler.Ctx(sch))
+    ExprCompiler.compile("evt >= iso'2024-01-01T00:00:00Z'",
+      ExprCompiler.Ctx(sch, tstzFields = Set("ts", "_ts", "evt")))
+  }
+
   test("typed-field vs wrong-kind literal is a compile error, not a runtime cast") {
     // reference planparserv2: "comparisons between Int64 and VarChar
     // are not supported" — typed columns reject kind-mismatched

@@ -128,4 +128,24 @@ class PiiMixingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixing.temperatureMix(rows, "src", "id", 0.5, 0L))
   }
+
+  test("temperature mixing: non-string strata and NULL as its own stratum") {
+    // int source column (any type works — strata key by string VALUE)
+    val intSrc = (0L until 6000L).map(i => (i, (i % 3).toInt)).toDF("id", "src")
+    val m1 = Mixing.temperatureMix(intSrc, "src", "id", 0.5, 3000L)
+    val srcs = m1.select("src").distinct().as[Int].collect().toSet
+    assert(srcs == Set(0, 1, 2), srcs.toString)
+    // NULL source rows are a stratum with a rate like any other — never
+    // silently dropped by a rate-0 CASE default
+    val withNull = (0L until 6000L)
+      .map(i => (i, if (i % 3 == 0) null else s"s${i % 3}"))
+      .toDF("id", "src")
+    val m2 = Mixing.temperatureMix(withNull, "src", "id", 0.5, 3000L)
+    val nullKept = m2.filter(col("src").isNull).count()
+    assert(nullKept > 500, s"null stratum kept $nullKept rows")
+    // determinism holds across the null stratum too
+    val again = Mixing.temperatureMix(withNull, "src", "id", 0.5, 3000L)
+    assert(m2.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
 }
