@@ -91,6 +91,30 @@ object BenchRecall {
         "embedding", model, queryPairs, k = k, shortlist = sl))
       println(f"${"scann"}%-8s ${"shortlist"}%-14s $sl%7d $r%10.3f")
     }
+
+    // IVF_HNSW (round 13): recall vs nprobe at a fixed practical beam
+    import graft.operators.{AisaqIndex, IvfHnswIndex}
+    val ihModel = IvfHnswIndex.train(emb, "embedding", nlist = 16,
+      m = 8, efConstruction = 32)
+    val ihIdx = IvfHnswIndex.build(emb, "vec_id", "embedding", ihModel)
+      .localCheckpoint(true)
+    Seq(2, 4, 8, 16).foreach { np =>
+      val r = recallOf(IvfHnswIndex.search(ihIdx, ihModel, queryPairs,
+        k = k, ef = 64, nprobe = np), "id")
+      println(f"${"ivfhnsw"}%-8s ${"nprobe(ef=64)"}%-14s $np%7d $r%10.3f")
+    }
+
+    // AISAQ (round 13): recall vs search_list (PQ beam + exact refine)
+    val aModel = AisaqIndex.train(emb, "embedding", m = 16, k = 32,
+      dim = 64, numParts = 8, r = 16, l = 32)
+    val aIdx = AisaqIndex.build(emb, "vec_id", "embedding", aModel)
+      .localCheckpoint(true)
+    Seq(32, 64, 128).foreach { sl =>
+      val r = recallOf(AisaqIndex.searchRefined(aIdx, emb, "vec_id",
+        "embedding", queryPairs, k = k, searchList = sl, refineMult = 6),
+        "vec_id")
+      println(f"${"aisaq"}%-8s ${"search_list"}%-14s $sl%7d $r%10.3f")
+    }
     spark.stop()
   }
 }
