@@ -106,20 +106,27 @@ final class Collection private (
 
   /** Read an engine-written layout with the partition tag re-asserted
     * as a STRING: partition directory values are NAMES, never numbers —
-    * an all-digit tenant id ("123", legal per the reference's
+    * an all-digit tenant id ("123" or "0123", legal per the reference's
     * validatePartitionTag, proxy/util.go:353-358) written as
-    * `_partition=123` would otherwise be type-inferred back as int and
-    * break the sealed∪growing union. (A layout mixing alpha and numeric
-    * names already infers string; the cast only fires for the
-    * all-numeric-tenants case.)
+    * `_partition=0123` would otherwise be type-inferred back as int 123
+    * and break the sealed∪growing union. The fix is a RE-READ with an
+    * explicit user schema: Spark then parses each partition value from
+    * the RAW directory string under the declared StringType, so
+    * non-canonical numerics ("0123", "1e5") survive byte-exact — a
+    * post-hoc cast of the inferred int would not. (A layout mixing
+    * alpha and numeric names already infers string; the re-read only
+    * fires for the all-numeric-tenants case.)
     */
   private def readLayout(path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
     val df = spark.read.parquet(path)
     if (df.columns.contains(Collection.PartitionCol) &&
-        df.schema(Collection.PartitionCol).dataType != org.apache.spark.sql.types.StringType)
-      df.withColumn(Collection.PartitionCol,
-        col(Collection.PartitionCol).cast("string"))
-    else df
+        df.schema(Collection.PartitionCol).dataType != StringType) {
+      val fixed = StructType(df.schema.map(f =>
+        if (f.name == Collection.PartitionCol) f.copy(dataType = StringType)
+        else f))
+      spark.read.schema(fixed).parquet(path)
+    } else df
   }
 
   // Sealed reads go through the ts normalization boundary: the MVCC
@@ -821,24 +828,29 @@ final class Collection private (
     // tombstoned explicitly (the reference's upsert is delete+insert in
     // the WAL, task_upsert.go); plain collections keep the cheaper
     // pure-LWW path, where global reads already pick the newest version
-    if (schema.partitionKeyField.isDefined) tombstoneForRekey(stamped)
-    insertImpl(stamped)
+    if (schema.partitionKeyField.isDefined) rekeyWrite(stamped)
+    else insertImpl(stamped)
   }
 
-  /** The partition-key upsert's delete half: tombstone every pk being
-    * rewritten so the superseded version — possibly in a DIFFERENT
-    * bucket — cannot resurface under a partition-scoped read.
+  /** The partition-key upsert's delete+insert pair, committed TOGETHER:
+    * the delete ts is reserved below the insert ts, but the tombstones
+    * append only after the insert half lands — a rejected insert
+    * (privilege, dropped field, null contract) must not leave a bare
+    * delete behind (the reference's WAL writes both halves atomically).
+    * The tombstones make the superseded version — possibly in a
+    * DIFFERENT bucket — invisible under any partition scope.
     */
-  private def tombstoneForRekey(rows: DataFrame): Unit = stateLock.synchronized {
-    require(rows.columns.contains(schema.pkField),
+  private def rekeyWrite(stamped: DataFrame): Long = stateLock.synchronized {
+    require(stamped.columns.contains(schema.pkField),
       s"upsert rows need the pk column ${schema.pkField}")
-    val ts = nextTs()
-    val t = rows.select(col(schema.pkField), lit(ts).as(schema.tsField))
+    val delTs = nextTs()
+    val t = stamped.select(col(schema.pkField), lit(delTs).as(schema.tsField))
       .distinct().localCheckpoint(true)
+    val ts = insertImpl(stamped) // throws ⇒ neither half landed
     tombs = Some(tombs.map(_.unionByName(t)).getOrElse(t))
     logChange("delete", t)
-    lastWriteTs = ts
     invalidateFilterCache()
+    ts
   }
 
   /** Partial upsert (reference task_upsert_partial_op.go + the array
@@ -890,11 +902,13 @@ final class Collection private (
     }: _*)
     val pinned = full.localCheckpoint(true) // pin: the merge must not re-resolve later
     if (schema.partitionKeyField.isDefined) {
-      // partial upsert can CHANGE the partition key: tombstone the old
-      // version and drop the carried bucket tag so the write re-routes
-      // by the merged key value (the #30607 contract via the partial path)
-      tombstoneForRekey(pinned)
-      insert(pinned.drop(Collection.PartitionCol), namespace)
+      // partial upsert can CHANGE the partition key: drop the carried
+      // bucket tag so the write re-routes by the merged key value, with
+      // the tombstone half committed only alongside the insert (the
+      // #30607 contract via the partial path); the write privilege
+      // gates BEFORE any tombstone work
+      requirePriv("Insert")
+      rekeyWrite(stampNamespace(pinned.drop(Collection.PartitionCol), namespace))
     } else insert(pinned, namespace)
   }
 
@@ -1876,6 +1890,7 @@ final class Collection private (
     * already-committed job; any other state is the named import error.
     */
   def commitImport(id: Long): Unit = stateLock.synchronized {
+    requirePriv("Import") // the commit fence is a write verb like the staging one
     val t = getImportProgress(id)
     t.state match {
       case "Committing" | "Completed" => () // idempotent success
@@ -1893,6 +1908,7 @@ final class Collection private (
     * Committing/Completed are terminal and rejected.
     */
   def abortImport(id: Long): Unit = stateLock.synchronized {
+    requirePriv("Import") // rolling back a staged batch is a write verb too
     val t = getImportProgress(id)
     t.state match {
       case "Failed" if t.reason == Collection.ImportAbortedByUser => ()

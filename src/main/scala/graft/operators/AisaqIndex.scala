@@ -58,24 +58,11 @@ object AisaqIndex {
       vecCol: String, queries: Seq[(Long, Array[Float])], k: Int,
       searchList: Int, refineMult: Int = 3,
       roundTo: Option[Int] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // the beam pool bounds the candidate count: never ask past the beam
     val want = math.max(k, math.min(k * refineMult, searchList))
-    val cands0 = VamanaIndex.search(index, queries, k = want, l = searchList)
+    val cands = VamanaIndex.search(index, queries, k = want, l = searchList)
       .select(col("qid"), col("id").as(idCol))
-    // size-guarded broadcast (the RabitqIndex.search rule)
-    val cands =
-      if (queries.size.toLong * want <= 1000000L) broadcast(cands0)
-      else cands0
-    val qDf = broadcast(
-      queries.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "_qvec"))
-    val raw = graft.functions.VectorFunctions.l2(col(vecCol), col("_qvec"))
-    val exact = cands
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(qDf, "qid")
-      .withColumn("_score", roundTo.map(d => round(raw, d)).getOrElse(raw))
-    VectorSearch.reduceTopK(exact, idCol, "qid", graft.functions.Metric.L2,
-      k, Seq(idCol))
+    VectorSearch.refineExactL2(cands, corpus, idCol, vecCol, queries, k,
+      want, roundTo)
   }
 }

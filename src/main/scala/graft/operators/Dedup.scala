@@ -303,13 +303,14 @@ object Dedup {
     // orders of magnitude smaller than the data. Below the cap, a
     // driver-local union-find (milliseconds) replaces 2-4 iterative
     // join/agg rounds; above it, the distributed label propagation
-    // runs. ONE bounded action decides the dispatch AND feeds the local
-    // path: collect at most cap+1 edges — the collected array IS the
-    // local input, so the LSH pair lineage materializes exactly once.
-    val head = p.limit(math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt).collect()
-    if (head.length <= localEdgeCap) {
+    // runs. The count() FILLS p's cache, so the local path's collect is
+    // a cache read — the (expensive, typically LSH) pair lineage
+    // computes exactly once either way; an over-cap graph pays only the
+    // count, never a driver-sized transfer.
+    if (p.count() <= localEdgeCap) {
+      val local = ccLocal(p.collect(), p.schema("id_a").dataType, p.sparkSession)
       p.unpersist()
-      return ccLocal(head, p.schema("id_a").dataType, p.sparkSession)
+      return local
     }
     val edges = p
       .unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

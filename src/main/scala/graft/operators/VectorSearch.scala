@@ -23,6 +23,32 @@ import graft.functions.{Metric, TopKFunctions, VectorFunctions}
   */
 object VectorSearch {
 
+  /** Exact-L2 re-rank of a candidate shortlist against the original
+    * vectors — the shared refine half of the quantized-index
+    * compositions ([[HnswQuantized.searchRefined]],
+    * [[AisaqIndex.searchRefined]]). `cands` carries (qid, idCol) with at
+    * most `want` ids per query; the shortlist broadcast is size-guarded
+    * (nq·want ≤ 1M rows — the RabitqIndex.search rule) so a huge
+    * nq/refine pool falls back to a shuffle join instead of OOMing.
+    */
+  def refineExactL2(cands: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Float])], k: Int,
+      want: Int, roundTo: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val guarded =
+      if (queries.size.toLong * want <= 1000000L) broadcast(cands)
+      else cands
+    val qDf = broadcast(
+      queries.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "_qvec"))
+    val raw = VectorFunctions.l2(col(vecCol), col("_qvec"))
+    val exact = guarded
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(qDf, "qid")
+      .withColumn("_score", roundTo.map(d => round(raw, d)).getOrElse(raw))
+    reduceTopK(exact, idCol, "qid", Metric.L2, k, Seq(idCol))
+  }
+
   /** Score every (query, corpus row) pair. Map-only: broadcasts queries. */
   def score(
       corpus: DataFrame,

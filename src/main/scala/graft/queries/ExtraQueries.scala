@@ -1112,12 +1112,25 @@ object ExtraQueries {
         case e: IllegalArgumentException
             if e.getMessage.contains("should be in range [1, 16384]") => -1L
       }
+    // the QUERY result window takes the same flip (validateMaxQueryResultWindow)
+    val queryGate =
+      try { c.query("", Seq("vec_id"), limit = 20000); Long.MaxValue }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("(offset+limit) should be in range [1, 16384]") => -2L
+      }
     c.alterCollection(Map(Collection.QueryModeKey -> Collection.QueryModeLargeTopK))
     val hits = c.search("embedding", q, k = 20000, metric = Metric.L2,
         roundTo = Some(4))
       .select(col("qid"), col("rank"), col("_score").as("score"), col("vec_id"))
+    // large mode: the same 20000-row query window is legal and returns
+    // the whole corpus (limit exceeds it at every sf)
+    val queryRows = c.query("", Seq("vec_id"), limit = 20000).count()
     hits.unionByName(
-        Seq((-1L, gate, -1.0, -1L)).toDF("qid", "rank", "score", "vec_id"))
+        Seq((-1L, gate, -1.0, -1L),
+            (-2L, queryGate, -1.0, -1L),
+            (-3L, queryRows, -1.0, -1L))
+          .toDF("qid", "rank", "score", "vec_id"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1560,6 +1573,8 @@ object ExtraQueries {
         |      FROM d)
         |SELECT qid, rank, score, vec_id FROM r WHERE rank <= 20000
         |UNION ALL SELECT -1, -1, -1.0, -1
+        |UNION ALL SELECT -2, -2, -1.0, -1
+        |UNION ALL SELECT -3, (SELECT count(*) FROM embeddings), -1.0, -1
         |ORDER BY qid, rank""".stripMargin,
     "q_aisaq_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

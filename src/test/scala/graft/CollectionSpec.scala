@@ -1213,6 +1213,28 @@ class CollectionSpec extends SparkSpec {
     assert(c3.listImports.size == 1 && c3.listImports.head.format == "binlog")
   }
 
+  test("partition-key upsert is atomic: a rejected insert half leaves no tombstones") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk",
+      partitionKeyField = Some("grp"), numPartitions = 4))
+    c.insert(mkRows(0L until 20L))
+    c.dropField("txt") // inserts still carrying txt are rejected
+    val e = intercept[IllegalArgumentException](c.upsert(mkRows(0L until 5L)))
+    assert(e.getMessage.contains("dropped"))
+    // the delete half must NOT have landed without the insert half
+    assert(c.count() == 20)
+    assert(c.count("pk < 5") == 5)
+    // the partial path gates on the write privilege BEFORE any
+    // tombstone work — a read-only caller must not half-delete rows
+    val reg = new Rbac.Registry
+    reg.createRole("reader"); reg.addUserToRole("r", "reader")
+    reg.grant("reader", "CollectionReadOnly", "c13")
+    c.setUser(Rls.UserContext("r")); c.enableRbac(reg, "c13")
+    intercept[SecurityException](
+      c.upsertPartial(mkRows(0L until 3L).select($"pk", $"grp")))
+    c.disableRbac()
+    assert(c.count() == 20)
+  }
+
   test("2PC import: uncommitted is invisible; commit lands; abort rolls back") {
     val c = fresh()
     val base = c.count()
