@@ -162,6 +162,14 @@ class NamespaceSpec extends SparkSpec {
     c.insert(rows(_ => "").filter(col("id") <= 4), Some("123"))
     assert(c.hasPartition("123"))
     assert(c.count("", namespace = Some("123")) == 4L)
+    // NON-CANONICAL numerics survive the hive flush byte-exact: the
+    // layout read re-asserts the partition type from the RAW directory
+    // string ('0123' must not round-trip through int 123)
+    c.insert(rows(_ => "").filter(col("id") > 4 && col("id") <= 7), Some("0123"))
+    val dir = "/tmp/graft_test_zerolead_" + System.nanoTime()
+    c.flush(s"$dir/segs")
+    assert(c.count("", namespace = Some("0123")) == 3L)
+    assert(c.count("", namespace = Some("123")) == 4L)
     // illegal characters still reject with the reference's message shape
     val e = intercept[IllegalArgumentException](
       c.insert(rows(_ => "").filter(col("id") <= 1), Some("bad name")))
