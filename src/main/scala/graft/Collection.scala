@@ -57,7 +57,36 @@ final case class CollectionSchema(
     // `namespace.mode` collection property picks the isolation carrier —
     // "partition_key" (default): a hidden `$namespace_id` VarChar column;
     // "partition": the namespace IS a named partition.
-    enableNamespace: Boolean = false)
+    enableNamespace: Boolean = false,
+    // Declared TEXT fields (reference DataType.TEXT,
+    // test_milvus_client_text_lob.py): string fields whose oversized
+    // values are LOB-externalized at write time (threshold below) and
+    // resolved transparently on every read — text_match / BM25 / hybrid
+    // / iterators / upsert-delete all see the payload as if inline.
+    // The spec carries the field's analyzer/match declarations; the
+    // schema-shape rejections (no default_value, no partition key, no
+    // user scalar index, enable_match gate) validate at create.
+    textFields: Map[String, TextFieldSpec] = Map.empty,
+    // TEXT inline threshold in BYTES (the reference's
+    // MILVUS_TEXT_INLINE_THRESHOLD, default 64 KiB): a payload of
+    // `textInlineThreshold` or more bytes is stored as a LOB ref;
+    // anything below stays inline in the row data.
+    textInlineThreshold: Int = 65536)
+
+/** Per-TEXT-field declarations (reference FieldSchema for
+  * DataType.TEXT: nullable / enable_analyzer / enable_match /
+  * analyzer_params — test_milvus_client_text_lob.py's
+  * build_text_lob_schema). `analyzerParams` take the same map shape as
+  * [[graft.functions.Analyzers.analyzeWith]] and are validated at
+  * collection create (an unknown tokenizer fails there, never at first
+  * query). text_match / phrase_match over a declared TEXT field require
+  * `enableMatch` — the reference's "does not enable match" query error.
+  */
+final case class TextFieldSpec(
+    nullable: Boolean = true,
+    enableAnalyzer: Boolean = false,
+    enableMatch: Boolean = false,
+    analyzerParams: Map[String, String] = Map.empty)
 
 /** Growing-segment seal policies (reference:
   * datacoord/segment_allocation_policy.go — sealL1SegmentByCapacity,
@@ -143,6 +172,69 @@ final class Collection private (
   // alterable per field; honored by load().
   schema.fieldWarmup.foreach { case (f, v) => Collection.requireWarmup(v, f) }
   @volatile private var fieldWarmup: Map[String, String] = schema.fieldWarmup
+
+  // ---- TEXT-LOB schema validation (create-time, the reference's
+  // proxy-side schema checks — test_milvus_client_text_lob.py:2204
+  // partition key, :2233 default_value, :2294 analyzer config).
+  require(schema.textInlineThreshold > 0,
+    s"text inline threshold must be positive, got ${schema.textInlineThreshold}")
+  schema.textFields.keysIterator.foreach { f =>
+    require(!schema.fieldDefaults.contains(f),
+      s"TEXT field '$f' does not support default_value")
+    require(!schema.partitionKeyField.contains(f),
+      "the partition key field must be of DataType.INT64 or DataType.VARCHAR, " +
+        s"got TEXT field '$f'")
+    require(f != schema.pkField,
+      "the primary key field must be of DataType.INT64 or DataType.VARCHAR, " +
+        s"got TEXT field '$f'")
+  }
+  schema.textFields.foreach { case (f, spec) =>
+    require(spec.enableAnalyzer || !spec.enableMatch,
+      s"TEXT field '$f' sets enable_match without enable_analyzer")
+    if (spec.enableAnalyzer)
+      // build the analyzer pipeline once against a dummy column — an
+      // unknown tokenizer/filter raises HERE, at create, with the
+      // param error naming the analyzer problem (the reference
+      // validates analyzer_params in CreateCollection)
+      try graft.functions.Analyzers.analyzeWith(lit(""), spec.analyzerParams)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"invalid analyzer params for TEXT field '$f': ${e.getMessage}")
+      }
+  }
+
+  // ---- TEXT-LOB blob store (reference: storagev2 LobFileInfo +
+  // garbage_collector_lob.go; Spark shape in [[graft.operators.Lob]]).
+  // Content-addressed (`ref` digest, payload) rows: `lobGrowing` is the
+  // un-flushed delta (payloads written since the last flush),
+  // `lobSealed` the parquet-backed store under `<path>/_lobs` — the
+  // underscore prefix keeps Spark's file index from ever surfacing blob
+  // files in a DATA read of the layout. Oversized payloads move exactly
+  // once (externalize at write, seal at flush); compaction streams the
+  // hidden ref columns and never rewrites payloads (the reference's
+  // AddLobFilesToTransaction REUSE_ALL), and [[lobGc]] is the manifest
+  // walk as one ids-only semi join.
+  @volatile private var lobSealed: Option[DataFrame] =
+    sealedPath.flatMap { p =>
+      val dirs = Collection.lobLiveDirs(spark, p)
+      if (dirs.isEmpty) None
+      else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+    }
+  @volatile private var lobGrowing: Option[DataFrame] = None
+
+  // dedup is unconditional: the same payload may seal in several gen
+  // deltas (one flush per batch), and content addressing promises ONE
+  // row per digest to the resolve join and the GC count alike
+  private def lobStore: Option[DataFrame] = ((lobSealed, lobGrowing) match {
+    case (Some(s), Some(g)) => Some(s.unionByName(g))
+    case (s, g)             => s.orElse(g)
+  }).map(_.dropDuplicates("_lob_ref"))
+
+  /** Live blob count (introspection; the q_text_lob gate pins threshold
+    * classification with it — only at/above-threshold payloads land in
+    * the store).
+    */
+  def lobBlobCount: Long = lobStore.map(_.count()).getOrElse(0L)
 
   /** AlterCollectionField (reference: alter_collection_field with
     * field_params={"warmup": ...}): set or change a field's warmup
@@ -692,14 +784,39 @@ final class Collection private (
     // nullable=false without a default: reject nulls up front (the
     // reference validates row-wise in the proxy before the WAL append).
     // The existence check is one bounded limit(1) action per declared
-    // field — opt-in cost, not on the default write path.
-    schema.nonNullable.filterNot(schema.fieldDefaults.contains).foreach { f =>
+    // field — opt-in cost, not on the default write path. TEXT fields
+    // declared nullable=false take the same gate (and it runs BEFORE
+    // externalization, while oversized values are still inline).
+    val nonNullable = schema.nonNullable ++
+      schema.textFields.collect { case (f, s) if !s.nullable => f }
+    nonNullable.filterNot(schema.fieldDefaults.contains).foreach { f =>
       require(defaulted.columns.contains(f),
         s"field '$f' is not nullable and has no default — column missing from insert")
       require(defaulted.filter(col(f).isNull).isEmpty,
         s"field '$f' is not nullable — insert carries null values")
     }
-    val stamped = defaulted.withColumn(schema.tsField, lit(ts))
+    // TEXT-LOB externalization at THIS single write chokepoint, so
+    // insert / upsert / partial-upsert / import / binlog / stream
+    // batches all route oversized payloads into the blob store the
+    // same way. Runs AFTER the ingest functions (a BM25 function's
+    // sparse output is computed from the full inline text) and after
+    // the null gate. The blob delta is pinned eagerly (the WAL-append
+    // analogue — payload bytes land once); the data-side refs
+    // re-derive from the same deterministic input.
+    val externalized =
+      if (schema.textFields.isEmpty) defaulted
+      else schema.textFields.keysIterator
+        .filter(defaulted.columns.contains)
+        .foldLeft(defaulted) { (df, f) =>
+          val (data, delta) = graft.operators.Lob.externalizeText(
+            df, f, Collection.lobRefCol(f), schema.textInlineThreshold)
+          val pinned = delta.localCheckpoint(true)
+          lobGrowing = Some(lobGrowing
+            .map(_.unionByName(pinned).dropDuplicates("_lob_ref"))
+            .getOrElse(pinned))
+          data
+        }
+    val stamped = externalized.withColumn(schema.tsField, lit(ts))
     var countedRows: Option[Long] = None // reused by the seal policy check
     val withPk =
       if (!schema.autoId) stamped
@@ -989,12 +1106,72 @@ final class Collection private (
         // directory the current sealedDf plan reads from is illegal in
         // Spark (and the reference likewise seals into new segment files)
         val runPath = s"$path/run-${nextTs()}"
+        // fold superseded LWW versions along with the tombstones: the
+        // rewrite keeps only the newest version per pk (the reference's
+        // compaction merges segments through the same delete+LWW
+        // collapse). Safe because compactTs = lastWriteTs and reads
+        // below the compaction watermark are already rejected — no
+        // surviving read can distinguish the physical drop. This is
+        // also what lets [[lobGc]] reclaim an upserted-over TEXT
+        // payload: its ref physically leaves the data here.
+        val merged = Mvcc.latestByPk(
+          sealedData, schema.pkField, schema.tsField, schema.pkField)
         graft.operators.Compaction.writeCompacted(
-          sealedData, t, schema.pkField, schema.tsField,
+          merged, t, schema.pkField, schema.tsField,
           lit(lastWriteTs), runPath)
         sealedDf = Some(readLayout(s"$runPath/data"))
         sealedSegments = Vector(s"$runPath/data") // the single live segment
         tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
+    }
+  }
+
+  /** TEXT-LOB garbage collection (reference:
+    * datacoord/garbage_collector_lob.go — walk the live segments'
+    * manifests, delete every LOB file no segment references; runs as
+    * its own batch job, never inline with writes). A blob is LIVE while
+    * ANY physically-present row version still points at it — a
+    * superseded upsert keeps pinning its payload until [[compact]]
+    * rewrites the version away, exactly like the reference's
+    * manifest-walk (deletes/compaction never touch the store
+    * directly).
+    *
+    * Shape: one ids-only union of the hidden ref columns + a left-semi
+    * join — digests shuffle, payloads move once (the survivor rewrite
+    * into a fresh `snap-<ts>` dir; see [[Collection.lobLiveDirs]]).
+    * Earlier gen/snap dirs stop being part of the store immediately;
+    * physical deletion is a retention-window sweep in a real
+    * deployment (in-flight readers may still hold plans over them —
+    * the same fresh-directory discipline [[compact]] uses).
+    *
+    * Returns the number of orphaned payloads collected.
+    */
+  def lobGc(path: String): Long = stateLock.synchronized {
+    requirePriv("Compaction")
+    lobStore match {
+      case None => 0L
+      case Some(store) =>
+        val refCols = schema.textFields.keysIterator
+          .map(Collection.lobRefCol)
+          .filter(c => (sealedDf.toSeq ++ growing.toSeq)
+            .exists(_.columns.contains(c)))
+          .toSeq
+        val live: Option[DataFrame] =
+          (sealedDf.toSeq ++ growing.toSeq).flatMap { df =>
+            refCols.filter(df.columns.contains).map(c =>
+              df.filter(col(c).isNotNull).select(col(c).as("_lob_ref")))
+          }.reduceOption(_ union _)
+        val total = store.count()
+        val kept = live match {
+          case Some(refs) =>
+            store.join(refs.distinct(), Seq("_lob_ref"), "left_semi")
+          case None => store.filter(lit(false)) // no rows at all — all orphans
+        }
+        val snapPath = s"$path/_lobs/snap-${nextTs()}"
+        kept.write.parquet(snapPath)
+        val snap = spark.read.parquet(snapPath)
+        lobSealed = Some(snap)
+        lobGrowing = None // folded into the snapshot
+        total - snap.count()
     }
   }
 
@@ -1076,6 +1253,19 @@ final class Collection private (
       growingRows = 0L
       growingSinceTs = None
       sealedSegments :+= segPath
+    }
+    // seal the blob-store delta alongside the data (LobFileInfo: LOB
+    // files live next to the segment files). Each flush appends a
+    // `gen-<ts>` delta dir under `_lobs` (the underscore prefix keeps
+    // blob files out of every data read of the layout); a lobGc
+    // snapshot (`snap-<ts>`) supersedes all earlier dirs — see
+    // [[Collection.lobLiveDirs]] for how open() reassembles the store.
+    lobGrowing.foreach { g =>
+      val genPath = s"$path/_lobs/gen-${nextTs()}"
+      g.write.parquet(genPath)
+      val seg = spark.read.parquet(genPath)
+      lobSealed = Some(lobSealed.map(_.unionByName(seg)).getOrElse(seg))
+      lobGrowing = None
     }
   }
 
@@ -1888,6 +2078,15 @@ final class Collection private (
   /** CommitImport (services.go:2984-3002): Uncommitted → the staged
     * batch lands as one insert and the job completes. Idempotent on an
     * already-committed job; any other state is the named import error.
+    *
+    * Lock scope, deliberate: the insert below runs a Spark job while
+    * `stateLock` is held — the commit fence must be atomic with the
+    * registry flip (a reader observing "Completed" must already see the
+    * rows; a concurrent second commit must idempotent-no-op, not
+    * double-insert). Single-app this serializes other facade writes for
+    * the insert's duration, which is the same tradeoff every
+    * synchronized write path here takes; the staged batch is already
+    * localCheckpoint-pinned, so the job is one bounded union append.
     */
   def commitImport(id: Long): Unit = stateLock.synchronized {
     requirePriv("Import") // the commit fence is a write verb like the staging one
@@ -2282,9 +2481,34 @@ final class Collection private (
     // for pre-addTs rows (and skip it entirely before any post-DDL batch
     // carries the column). Drop still wins: dropField clears the
     // field's patch log, so ordering cannot resurrect dropped patches.
+    val collapsed =
+      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)
+    // TEXT-LOB resolve: re-attach externalized payloads so every
+    // downstream consumer — filter compile (text_match/phrase over the
+    // column), BM25/function backfill, projections, iterators — sees
+    // the field as if inline. Runs AFTER the MVCC collapse (only
+    // surviving row versions join payloads; the collapse shuffles refs,
+    // never payload bytes) and BEFORE function backfill (a backfilled
+    // BM25 output must read the full text). One digest-keyed left join
+    // per TEXT field; inline rows carry a null ref and fall through.
+    // A field excluded by partial load skips the join — its ref column
+    // leaves with the projection below.
+    val resolvedLob = lobStore match {
+      case Some(store) =>
+        schema.textFields.keysIterator.foldLeft(collapsed) { (df, f) =>
+          val ref = Collection.lobRefCol(f)
+          if (!df.columns.contains(ref)) df
+          else if (loadedFields.exists(fs => !fs.contains(f))) df
+          else graft.operators.Lob.resolveText(df, store, f, ref)
+        }
+      case None =>
+        // no blob store (externally-written layout without `_lobs`):
+        // stray ref columns are still system columns — never user-visible
+        schema.textFields.keysIterator.foldLeft(collapsed)(
+          (df, f) => df.drop(Collection.lobRefCol(f)))
+    }
     val full = applyFunctionBackfill(applyColumnPatches(applyFieldDdl(
-      Mvcc.latestByPk(visible, schema.pkField, schema.tsField, schema.pkField)),
-      lit(readTs)))
+      resolvedLob), lit(readTs)))
     // field-partial load: unloaded columns leave the view HERE, so no
     // derived plan (search payloads, projections, the `*` wildcard) can
     // touch them and — parquet being columnar — their bytes are never
@@ -2464,7 +2688,12 @@ final class Collection private (
         timezone = tzOverride.getOrElse(resolvedTimezone),
         // only the tstz-domain int64 carries take the iso-literal epoch
         // fold; every other int64 vs iso is a strict type error
-        tstzFields = GraftSession.tsDomainCols + schema.tsField))
+        tstzFields = GraftSession.tsDomainCols + schema.tsField,
+        // declared TEXT fields without enable_match raise the proxy's
+        // "does not enable match" error on any token-matching construct
+        noMatchFields = schema.textFields.collect {
+          case (f, spec) if !spec.enableMatch => f
+        }.toSet))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.
@@ -3470,6 +3699,41 @@ object Collection {
 
   // multi-tenant namespaces (common.go:62-67)
   val NamespaceField = "$namespace_id"
+
+  /** Hidden per-field LOB reference column for a TEXT field (the row's
+    * digest pointer into the content-addressed blob store; null when
+    * the value is inline). System column — resolved and dropped by the
+    * read view, so it is never user-visible.
+    */
+  def lobRefCol(field: String): String = s"$$lob_$field"
+
+  /** The blob-store directories an opened layout should read: flushes
+    * append `gen-<ts>` DELTA dirs under `<path>/_lobs`; a [[Collection.lobGc]]
+    * run writes a full `snap-<ts>` SNAPSHOT that supersedes everything
+    * at or below its ts. Live store = latest snapshot (if any) plus
+    * every gen delta written after it. Naming is the manifest — no
+    * side file to keep transactional with the data.
+    */
+  private[graft] def lobLiveDirs(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$path/_lobs")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val entries = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath).flatMap { p =>
+        p.getName.split("-", 2) match {
+          case Array(kind @ ("gen" | "snap"), ts) if ts.forall(_.isDigit) =>
+            Some((kind, ts.toLong, p.toString))
+          case _ => None
+        }
+      }
+    val snapTs = entries.collect { case ("snap", ts, _) => ts }
+      .maxOption.getOrElse(Long.MinValue)
+    entries.collect {
+      case ("snap", ts, p) if ts == snapTs => p
+      case ("gen", ts, p) if ts > snapTs   => p
+    }.sorted
+  }
   val NamespaceModeKey = "namespace.mode"
   val NamespaceModePartitionKey = "partition_key"
   val NamespaceModePartition = "partition"

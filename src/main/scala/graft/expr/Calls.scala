@@ -22,6 +22,18 @@ private[expr] object Calls {
       case other          => throw CompileError(s"$name requires a field, got $other")
     }
 
+    /** fieldArg + the enable_match gate (proxy validation: token
+      * matching over a field DECLARED with enable_match=false is the
+      * reference's named query error, not an empty result —
+      * test_milvus_client_text_lob.py:2260).
+      */
+    def matchFieldArg(i: Int): (String, Column) = {
+      val (f, c) = fieldArg(i)
+      if (ctx.noMatchFields.contains(f))
+        throw CompileError(s"field $f does not enable match")
+      (f, c)
+    }
+
     def stringArg(i: Int): String = args(i) match {
       case StringLit(s) => s
       case TemplateVar(n) => ctx.params.get(n) match {
@@ -40,17 +52,17 @@ private[expr] object Calls {
     name match {
       // ---- text matching (reference: MatchExpr.cpp, TextMatchIndex) ----
       case "text_match" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
         val msm = intOpt("minimum_should_match", 1)
         matchedCount(c, qTokens) >= msm
       case "text_match_fuzzy" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         val q = stringArg(1)
         val d = intOpt("threshold", 2)
         exists(TextFunctions.tokenize(c), t => levenshtein(t, lit(q.toLowerCase)) <= d.toInt)
       case "phrase_match" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         val q = stringArg(1)
         val slop = if (args.length > 2) args(2) match {
           case IntLit(v) => v
@@ -81,22 +93,22 @@ private[expr] object Calls {
         val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
         size(filter(arr, pred)) === intOpt("threshold", 1) // threshold=0 is legal
       case "match_all" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
         matchedCount(c, qTokens) === qTokens.size
       case "match_any" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) >= 1
       case "match_least" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) >=
           intOpt("threshold", 1)
       case "match_most" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) <=
           intOpt("threshold", 1)
       case "match_exact" =>
-        val (_, c) = fieldArg(0)
+        val (_, c) = matchFieldArg(0)
         matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) ===
           intOpt("threshold", 1)
 

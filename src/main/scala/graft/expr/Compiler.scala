@@ -61,7 +61,15 @@ object ExprCompiler {
         * decimal under a non-fitting parent would overflow decimal into
         * non-ANSI nulls and silently drop rows.
         */
-      forcePlainArith: Boolean = false) {
+      forcePlainArith: Boolean = false,
+      /** Fields DECLARED without enable_match: text_match /
+        * phrase_match / token match_* over them raise the reference's
+        * "does not enable match" error at compile (proxy-side
+        * validation — test_milvus_client_text_lob.py:2260). Undeclared
+        * fields stay permissive, so schemaless DataFrame use keeps
+        * working.
+        */
+      noMatchFields: Set[String] = Set.empty) {
 
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)

@@ -37,6 +37,12 @@ object IndexParamCheck {
   case object BinaryVector extends FieldKind
   case object IntVector extends FieldKind
   case object VarCharField extends FieldKind
+  /** DataType.TEXT — LOB-backed long text. Rejects EVERY user-created
+    * scalar index (only text/BM25 FUNCTION indexes apply to TEXT —
+    * test_milvus_client_text_lob.py:1305, all six VARCHAR index kinds
+    * plus AUTOINDEX raise the same named error).
+    */
+  case object TextField extends FieldKind
   case object JsonField extends FieldKind
   case object BoolField extends FieldKind
   case object IntField extends FieldKind
@@ -94,7 +100,17 @@ object IndexParamCheck {
     * bitmap rule). Accepts silently, raises the checker's named error.
     */
   def check(indexType: String, kind: FieldKind, params: Map[String, String],
-      isPrimaryKey: Boolean = false): Unit = indexType match {
+      isPrimaryKey: Boolean = false): Unit = {
+    // the TEXT gate dispatches on the FIELD before any index-type rule:
+    // the reference rejects every user index kind on TEXT with one error
+    // (INVERTED/BITMAP/TRIE/STL_SORT/NGRAM/AUTOINDEX all land here)
+    if (kind == TextField)
+      fail("TEXT field does not support user-created scalar index")
+    checkTyped(indexType, kind, params, isPrimaryKey)
+  }
+
+  private def checkTyped(indexType: String, kind: FieldKind,
+      params: Map[String, String], isPrimaryKey: Boolean): Unit = indexType match {
     case "FLAT" | "IVF_FLAT" | "IVF_PQ" | "IVF_SQ8" | "IVF_RABITQ" |
          "SCANN" | "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" |
          "IVF_HNSW" | "DISKANN" | "AISAQ" | "AUTOINDEX" =>

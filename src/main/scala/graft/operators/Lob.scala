@@ -50,4 +50,57 @@ object Lob {
     */
   def gc(blobs: DataFrame, liveData: DataFrame): DataFrame =
     blobs.join(liveData.select(col("_lob_ref")).distinct(), Seq("_lob_ref"), "left_semi")
+
+  // ---- TEXT-field threshold externalization (reference: the TEXT
+  // datatype is LOB-backed at/above the inline threshold —
+  // MILVUS_TEXT_INLINE_THRESHOLD, default 64 KiB; below it the value
+  // stays inline in the row data. Pinned by
+  // test_milvus_client_text_lob.py:2434 — below ⇒ inline, at/above ⇒
+  // LOB ref.) Unlike [[externalize]] (all-or-nothing binary columns),
+  // only the oversized VALUES move; small/empty/null payloads never
+  // touch the blob store, so the common short-text row pays nothing.
+
+  /** Split a TEXT column at `threshold` bytes: the returned data frame
+    * keeps sub-threshold values inline, nulls out externalized ones and
+    * records their digest in `refCol`; the blob delta holds one
+    * (`refCol`, payload) row per DISTINCT oversized payload (content
+    * addressing — identical payloads store once, and an upsert carrying
+    * an already-stored payload is a no-op append that [[gc]] dedups).
+    * Map-only on the data side; the delta pays one shuffle on the
+    * digest, payloads ride once.
+    */
+  def externalizeText(df: DataFrame, field: String, refCol: String,
+      threshold: Int): (DataFrame, DataFrame) = {
+    val oversized = octet_length(col(field)) >= threshold
+    val data = df
+      .withColumn(refCol, when(oversized, md5(col(field))))
+      .withColumn(field, when(oversized, lit(null).cast("string"))
+        .otherwise(col(field)))
+    // the delta lands under CANONICAL names (`_lob_ref`, `_lob_payload`)
+    // so one content-addressed store serves every TEXT field of the
+    // collection — digests are content hashes, field identity is
+    // irrelevant to storage
+    val delta = df
+      .filter(oversized)
+      .select(md5(col(field)).as("_lob_ref"), col(field).as("_lob_payload"))
+      .groupBy(col("_lob_ref"))
+      .agg(first(col("_lob_payload")).as("_lob_payload"))
+    (data, delta)
+  }
+
+  /** Re-attach externalized TEXT payloads (the read path): a left join
+    * on the digest — inline rows carry a null ref and fall through the
+    * coalesce untouched; only LOB-backed rows pick the store's payload.
+    * The ref column leaves the view here, so a resolved read is
+    * column-identical to an all-inline collection.
+    */
+  def resolveText(data: DataFrame, blobs: DataFrame, field: String,
+      refCol: String): DataFrame = {
+    val store = blobs
+      .withColumnRenamed(blobs.columns(0), refCol)
+      .withColumnRenamed(blobs.columns(1), s"_lob_payload_$field")
+    data.join(store, Seq(refCol), "left")
+      .withColumn(field, coalesce(col(field), col(s"_lob_payload_$field")))
+      .drop(refCol, s"_lob_payload_$field")
+  }
 }

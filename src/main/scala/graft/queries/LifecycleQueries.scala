@@ -640,6 +640,109 @@ object LifecycleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TEXT-LOB as a fully queryable field
+    * (test_milvus_client_text_lob.py:821-1659): a collection declares
+    * `text` as a TEXT field (enable_analyzer + enable_match); every 7th
+    * document grows past the 64 KiB inline threshold — those payloads
+    * externalize into the content-addressed blob store at write and
+    * resolve transparently on every read. The battery pins, in one
+    * result frame:
+    *   - match_growing: text_match over GROWING (un-flushed) LOB rows
+    *     (:1340 growing→sealed visibility — same answers as sealed);
+    *   - match: the same text_match after flush + upsert + delete +
+    *     compaction + GC (byte length and md5 of each resolved payload
+    *     — a wrongly resolved or lost payload breaks the hash);
+    *   - bm25: BM25 top-10 over the LOB-resolved corpus (:1033);
+    *   - boundary: the 64 KiB −1/at/+1 round trip, byte-exact via
+    *     octet_length + md5 (:1609);
+    *   - upsert: the 128 KiB-class re-uploaded payload readback (:1631);
+    *   - gc_live / gc_orphans: threshold classification (below-64 KiB
+    *     payloads never enter the store) and orphan collection (the
+    *     deleted and the upserted-over payloads — exactly 2) after
+    *     compact + lobGc;
+    *   - null_text: no surviving row lost its payload to a bad resolve.
+    * The fixture is value-bounded (doc_id < 260 — the q_import_2pc
+    * device for contract gates); the resolve join itself is the
+    * unbounded path (digest-keyed left join, payloads move once).
+    */
+  def textLob(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, TextFieldSpec}
+    val path = s"${scratchDir("textlob")}/data"
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 260)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // deterministic ASCII filler derived from the doc's own text: one
+    // 67200-byte hex blob pushes the row well past the 64 KiB threshold
+    val grown = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" "), repeat(md5(col("text")), 2100)))
+        .otherwise(col("text")))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      textFields = Map("text" -> TextFieldSpec(
+        enableAnalyzer = true, enableMatch = true))))
+    c.insert(grown)
+    def matchSection(tag: String): DataFrame = c.query(
+        "text_match(text, 'filter window', minimum_should_match = 2)",
+        Seq("doc_id", "text"))
+      .select(lit(tag).as("section"), col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("n"),
+        lit(null).cast("double").as("x"), md5(col("text")).as("s"))
+    // captured NOW (growing only), evaluated lazily with the rest —
+    // the plan closes over the pre-flush growing tail and blob delta
+    val matchGrowing = matchSection("match_growing")
+    // 64 KiB boundary rows: exactly threshold−1 / threshold / threshold+1
+    // bytes of pure ASCII (md5-hex repeat, substring to the byte)
+    val bounds = s.range(1, 4)
+      .select((col("id") + 9000000L).as("doc_id"),
+        repeat(md5((col("id") + 9000000L).cast("string")), 2049)
+          .substr(lit(1), (lit(65534) + col("id")).cast("int")).as("text"),
+        lit("en").as("lang"), lit("bound").as("source"))
+    c.insert(bounds)
+    c.flush(path)
+    // upsert doc 7 with a NEW oversized payload; delete doc 14 (both
+    // were LOB-backed) — the superseded and deleted payloads become
+    // orphans once compaction rewrites their versions away
+    c.upsert(grown.filter(col("doc_id") === 7)
+      .withColumn("text", concat(lit("upserted "),
+        repeat(md5(concat(col("text"), lit("v2"))), 2100))))
+    c.deletePks(Seq(14L))
+    c.flush(path)
+    c.compact(path)
+    val orphans = c.lobGc(path)
+    val live = c.lobBlobCount
+    val readback = c.query("doc_id == 7 or doc_id >= 9000000", Seq("doc_id", "text"))
+      .select(
+        when(col("doc_id") >= 9000000L, lit("boundary"))
+          .otherwise(lit("upsert")).as("section"),
+        col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("n"),
+        lit(null).cast("double").as("x"), md5(col("text")).as("s"))
+    val nullText = c.readView().filter(col("text").isNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("null_text").as("section"), lit(0L).as("id"), col("n"),
+        lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+    val bm25 = {
+      val model = graft.operators.Bm25.build(
+        c.readView().select(col("doc_id"), col("text")), "doc_id", "text")
+      graft.operators.Bm25.search(model, "filter window stream",
+          k = 10, roundTo = Some(4))
+        .select(lit("bm25").as("section"), col("doc_id").as("id"),
+          col("rank").cast("long").as("n"), col("_score").as("x"),
+          lit(null).cast("string").as("s"))
+    }
+    import s.implicits._
+    val gc = Seq(("gc_live", live), ("gc_orphans", orphans))
+      .toDF("section", "n")
+      .select(col("section"), lit(0L).as("id"), col("n"),
+        lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+    matchGrowing
+      .unionByName(matchSection("match"))
+      .unionByName(bm25)
+      .unionByName(readback)
+      .unionByName(nullText)
+      .unionByName(gc)
+      .orderBy(col("section"), col("id"), col("n"))
+  }
+
   /** The full client lifecycle through the [[graft.Collection]] facade
     * (reference integration flow: open → insert → delete-by-expr →
     * upsert → read): replay-insert new pks, delete the clicks, upsert
@@ -1755,8 +1858,80 @@ object LifecycleQueries {
     "q_mv_search" -> (mvSearch _),
     "q_external_map" -> (externalMap _),
     "q_snapshot_read" -> (snapshotRead _),
-    "q_lob_gc" -> (lobGc _)
+    "q_lob_gc" -> (lobGc _),
+    "q_text_lob" -> (textLob _)
   )
+
+  /** DuckDB-side tokenizer identical to TextFunctions.tokenize (the
+    * same expression TextQueries uses for the text oracles).
+    */
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val textLobOracle =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 260),
+       |grown AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
+       |         ELSE text END AS text
+       |  FROM base),
+       |bounds AS (SELECT CAST(9000000 + i AS BIGINT) AS doc_id,
+       |    substr(repeat(md5(CAST(9000000 + i AS VARCHAR)), 2049), 1, 65534 + i) AS text
+       |  FROM (SELECT unnest([1, 2, 3]) AS i)),
+       |ups AS (SELECT doc_id, 'upserted ' || repeat(md5(text || 'v2'), 2100) AS text
+       |  FROM grown WHERE doc_id = 7),
+       |final AS (SELECT doc_id, text FROM grown WHERE doc_id NOT IN (7, 14)
+       |  UNION ALL SELECT doc_id, text FROM ups
+       |  UNION ALL SELECT doc_id, text FROM bounds),
+       |m0 AS (SELECT 'match_growing' AS section, doc_id AS id,
+       |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
+       |  FROM grown
+       |  WHERE len(list_intersect($sqlToks, ['filter', 'window'])) >= 2),
+       |m1 AS (SELECT 'match' AS section, doc_id AS id,
+       |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
+       |  FROM final
+       |  WHERE len(list_intersect($sqlToks, ['filter', 'window'])) >= 2),
+       |toks AS (SELECT doc_id, $sqlToks AS t FROM final),
+       |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
+       |       FROM dt GROUP BY doc_id, term),
+       |stats AS (SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term),
+       |g AS (SELECT count(*) * 1.0 AS n, avg(len(t) * 1.0) AS avgdl FROM toks),
+       |q(term) AS (VALUES ('filter'), ('window'), ('stream')),
+       |sc AS (SELECT tf.doc_id,
+       |        sum(ln(1.0 + (g.n - st.df + 0.5) / (st.df + 0.5)) *
+       |            tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / g.avgdl)))
+       |          AS score
+       |      FROM tf JOIN q USING (term) JOIN stats st USING (term) CROSS JOIN g
+       |      GROUP BY tf.doc_id),
+       |r AS (SELECT doc_id, round(score, 4) AS score,
+       |        row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+       |      FROM sc),
+       |bm AS (SELECT 'bm25' AS section, doc_id AS id, CAST(rank AS BIGINT) AS n,
+       |    score AS x, CAST(NULL AS VARCHAR) AS s
+       |  FROM r WHERE rank <= 10),
+       |rb AS (SELECT CASE WHEN doc_id >= 9000000 THEN 'boundary'
+       |              ELSE 'upsert' END AS section, doc_id AS id,
+       |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
+       |  FROM final WHERE doc_id = 7 OR doc_id >= 9000000),
+       |nt AS (SELECT 'null_text' AS section, CAST(0 AS BIGINT) AS id,
+       |    (SELECT count(*) FROM final WHERE text IS NULL) AS n,
+       |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s),
+       |gc AS (SELECT 'gc_live' AS section, CAST(0 AS BIGINT) AS id,
+       |    (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536) AS n,
+       |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s
+       |  UNION ALL
+       |  SELECT 'gc_orphans', CAST(0 AS BIGINT),
+       |    (SELECT count(DISTINCT text) FROM (
+       |        SELECT text FROM grown WHERE strlen(text) >= 65536
+       |        UNION SELECT text FROM bounds WHERE strlen(text) >= 65536
+       |        UNION SELECT text FROM ups WHERE strlen(text) >= 65536) u)
+       |    - (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536),
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
+       |SELECT * FROM (
+       |  SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL
+       |  SELECT * FROM bm UNION ALL SELECT * FROM rb UNION ALL
+       |  SELECT * FROM nt UNION ALL SELECT * FROM gc)
+       |ORDER BY section, id, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_namespace" -> namespaceTenancyOracle,
@@ -2193,6 +2368,7 @@ object LifecycleQueries {
         |       octet_length(encode(text)) AS lob_bytes,
         |       octet_length(encode(text)) AS bytes
         |FROM documents WHERE lang <> 'zh'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_lob" -> textLobOracle
   )
 }

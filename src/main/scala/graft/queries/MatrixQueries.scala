@@ -793,7 +793,7 @@ object MatrixQueries {
     */
   private[graft] def likeDf(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val m = col("event_id") % 16
+    val m = col("event_id") % 17
     ev.select(col("event_id").as("id"), m.as("m"),
       when(m === 0, "user_1").when(m === 1, "userX1")
         .when(m === 2, "user%1").when(m === 3, "user\\1")
@@ -808,12 +808,18 @@ object MatrixQueries {
         .when(m === 13, "multi\nline")
         // issue 32294's JSON-looking VARCHAR (LIKE over '{', '?', '"')
         .when(m === 14, """{"Header 1": "Foo1?", "type": "passage"}""")
+        // issue 32294's FIRST value verbatim — the multi-line JSON text
+        // (string_values[0], testcases/test_issues.py:102): inner LIKE
+        // must match across the embedded newlines
+        .when(m === 15,
+          "{\n\"Header 1\": \"Foo1?\", \n\"document_category\": \"acme\", " +
+            "\n\"type\": \"passage\"\n}")
         .otherwise(lit(null).cast("string")).as("s"))
   }
 
   private val likeSql: String =
-    """SELECT event_id AS id, event_id % 16 AS m,
-      |  CASE event_id % 16
+    """SELECT event_id AS id, event_id % 17 AS m,
+      |  CASE event_id % 17
       |    WHEN 0 THEN 'user_1' WHEN 1 THEN 'userX1'
       |    WHEN 2 THEN 'user%1' WHEN 3 THEN 'user\1'
       |    WHEN 4 THEN 'user1' WHEN 5 THEN 'a%b'
@@ -823,6 +829,9 @@ object MatrixQueries {
       |    WHEN 11 THEN '国abc' WHEN 12 THEN 'abc中'
       |    WHEN 13 THEN 'multi' || chr(10) || 'line'
       |    WHEN 14 THEN '{"Header 1": "Foo1?", "type": "passage"}'
+      |    WHEN 15 THEN '{' || chr(10) || '"Header 1": "Foo1?", ' || chr(10) ||
+      |      '"document_category": "acme", ' || chr(10) ||
+      |      '"type": "passage"' || chr(10) || '}'
       |    ELSE NULL
       |  END AS s
       |FROM events""".stripMargin
@@ -872,12 +881,23 @@ object MatrixQueries {
     MCase("newline_generic_mix", """s like "m_lti%l_ne"""",
       "s LIKE 'm_lti%l_ne'"),
     // issue #32294's shape: inner LIKE over a JSON-looking VARCHAR —
-    // '{', '"', '?' are plain literals to the LIKE layer
+    // '{', '"', '?' are plain literals to the LIKE layer. Matches BOTH
+    // the single-line (m=14) and the newline-bearing (m=15) JSON values;
+    // a regex-backed LIKE without dot-matches-newline drops m=15.
     MCase("json_varchar_inner", """s like "%passage%"""",
       "s LIKE '%passage%'"),
     MCase("qmark_literal", """s like "%Foo1?%"""", "s LIKE '%Foo1?%'"),
     MCase("brace_prefix", """s like "{\"Header%"""",
-      """s LIKE '{"Header%'"""))
+      """s LIKE '{"Header%'"""),
+    // anchored through an ESCAPED newline in the pattern itself: the
+    // string-literal layer decodes \n, the brace+newline prefix reaches
+    // only the multi-line JSON value
+    MCase("newline_json_prefix", "s like \"{\\n\\\"Header%\"",
+      """s LIKE ('{' || chr(10) || '"Header%')"""),
+    // inner match that must cross TWO embedded newlines (category →
+    // passage spans the \n-separated JSON lines)
+    MCase("newline_json_span", """s like "%category%passage%"""",
+      "s LIKE '%category%passage%'"))
 
   def likeMatrix(s: SparkSession, dir: String): DataFrame =
     battery(s, likeDf(s, dir), LikeCases)

@@ -178,4 +178,37 @@ class EdgeCasesSpec extends SparkSpec {
     val idx = SubstringIndex.build(docs, "doc_id", "text")
     assert(SubstringIndex.matchIds(idx, "much longer than any doc").count() == 0)
   }
+
+  test("issue #32294: inner LIKE over newline-bearing JSON text as a SEARCH filter") {
+    // testcases/test_issues.py:84 — values[0] is multi-line JSON,
+    // values[1] the single-line variant; `metadata like '%passage%'`
+    // as a search filter must hit BOTH, with output_fields readback
+    // returning the payloads byte-exact (a regex LIKE without
+    // dot-matches-newline silently drops values[0])
+    val multiline =
+      "{\n\"Header 1\": \"Foo1?\", \n\"document_category\": \"acme\", " +
+        "\n\"type\": \"passage\"\n}"
+    val singleline = """{"Header 1": "Foo1?", "document_category": "acme", "type": "passage"}"""
+    val rows = Seq(
+      (0L, multiline, Seq(1.0f, 0.0f)),
+      (1L, singleline, Seq(0.9f, 0.1f)),
+      (2L, "plain decoy row", Seq(0.0f, 1.0f)),
+      (3L, "another decoy", Seq(0.1f, 0.9f)))
+      .toDF("pk", "metadata", "vector")
+    val c = Collection.create(spark, CollectionSchema(pkField = "pk",
+      vectorFields = Map("vector" -> 2)))
+    c.insert(rows)
+    val q = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("qid", "qvec")
+    val hits = c.search("vector", q, k = 2, metric = Metric.L2,
+      filterExpr = "metadata like \"%passage%\"",
+      outputFields = Seq("pk", "metadata"))
+      .select($"qid", $"pk", $"metadata").collect()
+    assert(hits.length == 4, "nq=2 × limit=2 over the 2 matching rows")
+    val perQuery = hits.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => (r.getLong(1), r.getString(2))).toSet).toMap
+    val expected = Set(0L -> multiline, 1L -> singleline)
+      .map { case (pk, s) => (pk, s) }
+    assert(perQuery(0L) == expected && perQuery(1L) == expected)
+  }
 }
