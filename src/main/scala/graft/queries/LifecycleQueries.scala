@@ -1723,19 +1723,44 @@ object LifecycleQueries {
     ct.alterCollection(Map("collection.ttl" -> "1"))
     val ttl = Seq("k_ttl" -> ct.count("", namespace = Some("t0")))
 
+    // CheckNamespace is strict on the write verbs too
+    val rejects = Seq(
+      "e_upsert_missing_ns" ->
+        err(ck.upsert(tenantRows(0).filter(col("doc_id") < 3))),
+      "e_deletepks_missing_ns" -> err(ck.deletePks(Seq(1L))))
+
+    (shared ++ partial ++ ttl ++ rejects)
+      .toDF("case_id", "cnt").orderBy(col("case_id"))
+  }
+
+  /** Namespace × flush/compaction interactions — the DISK half of the
+    * namespace lifecycle battery, split out so the in-memory battery
+    * above stays cheap (this one builds two collections and pays two
+    * hive-layout flushes plus a compaction run): the tenant-scoped
+    * tombstone fold must not bleed across tenants, and a NUMERIC tenant
+    * id (validatePartitionTag accepts a leading digit, util.go:353-358)
+    * must survive the hive-layout flush as a STRING partition value.
+    */
+  def namespaceCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.{Collection, CollectionSchema}
+    val docs = t(s, dir, "documents")
+    def tenantRows(n: Int) = docs.filter(col("doc_id") % 3 === n)
+
     // compaction folds tenant-scoped tombstones without cross-tenant bleed
-    val cc = freshKey()
+    val cc = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      enableNamespace = true))
+    (0 to 2).foreach(n => cc.insert(tenantRows(n), Some(s"t$n")))
     cc.delete("doc_id < 9", namespace = Some("t0"))
-    val ccBase = scratchDir("nslife")
+    val ccBase = scratchDir("nscompact")
     cc.flush(s"$ccBase/segs")
     cc.compact(s"$ccBase/compacted")
     val fold = Seq(
       "k_compact_fold" -> cc.count("", namespace = Some("t0")),
       "k_compact_isolated" -> cc.count("", namespace = Some("t1")))
 
-    // numeric tenant ids (validatePartitionTag accepts a leading digit,
-    // util.go:353-358): usable in partition mode, and the partition
-    // VALUE survives the hive-layout flush as a string
+    // numeric tenant ids: usable in partition mode, and the partition
+    // VALUE survives the hive-layout flush byte-exact
     val cn = Collection.create(s, CollectionSchema(pkField = "doc_id",
       enableNamespace = true))
     cn.alterCollection(Map(Collection.NamespaceModeKey ->
@@ -1747,14 +1772,7 @@ object LifecycleQueries {
       "p_numeric_tenant" -> preFlush,
       "p_numeric_tenant_flushed" -> cn.count("", namespace = Some("123")))
 
-    // CheckNamespace is strict on the write verbs too
-    val rejects = Seq(
-      "e_upsert_missing_ns" ->
-        err(ck.upsert(tenantRows(0).filter(col("doc_id") < 3))),
-      "e_deletepks_missing_ns" -> err(ck.deletePks(Seq(1L))))
-
-    (shared ++ partial ++ ttl ++ fold ++ numeric ++ rejects)
-      .toDF("case_id", "cnt").orderBy(col("case_id"))
+    (fold ++ numeric).toDF("case_id", "cnt").orderBy(col("case_id"))
   }
 
   private[graft] lazy val namespaceLifecycleOracle: String = {
@@ -1774,17 +1792,27 @@ object LifecycleQueries {
       "k_partial_carry" ->
         "SELECT count(*) FROM documents WHERE doc_id % 3 = 1 AND doc_id < 30",
       "k_ttl" ->
-        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 150",
-      "k_compact_fold" ->
-        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 9",
-      "k_compact_isolated" -> s"($t1)",
-      "p_numeric_tenant" -> s"($t0)",
-      "p_numeric_tenant_flushed" -> s"($t0)")
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 150")
     val reject = Seq("e_upsert_missing_ns", "e_deletepks_missing_ns")
     (accept.map { case (id, sql) =>
       s"SELECT '$id' AS case_id, CAST(($sql) AS BIGINT) AS cnt"
     } ++ reject.map(id =>
       s"SELECT '$id' AS case_id, CAST(-1 AS BIGINT) AS cnt"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
+  }
+
+  private[graft] lazy val namespaceCompactionOracle: String = {
+    val t0 = "SELECT count(*) FROM documents WHERE doc_id % 3 = 0"
+    val t1 = "SELECT count(*) FROM documents WHERE doc_id % 3 = 1"
+    Seq(
+      "k_compact_fold" ->
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id >= 9",
+      "k_compact_isolated" -> s"($t1)",
+      "p_numeric_tenant" -> s"($t0)",
+      "p_numeric_tenant_flushed" -> s"($t0)")
+      .map { case (id, sql) =>
+        s"SELECT '$id' AS case_id, CAST(($sql) AS BIGINT) AS cnt"
+      }
       .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY case_id")
   }
 
@@ -1813,6 +1841,7 @@ object LifecycleQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_namespace" -> (namespaceTenancy _),
     "q_namespace_lifecycle" -> (namespaceLifecycle _),
+    "q_namespace_compaction" -> (namespaceCompaction _),
     "q_load_state" -> (loadStateRead _),
     "q_import_formats" -> (importFormats _),
     "q_import_2pc" -> (import2pc _),
@@ -1936,6 +1965,7 @@ object LifecycleQueries {
   def oracles: Map[String, String] = Map(
     "q_namespace" -> namespaceTenancyOracle,
     "q_namespace_lifecycle" -> namespaceLifecycleOracle,
+    "q_namespace_compaction" -> namespaceCompactionOracle,
     "q_partition_key_upsert" ->
       """SELECT * FROM (
         |SELECT 'total_unique' AS case_id,

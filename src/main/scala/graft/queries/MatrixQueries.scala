@@ -702,6 +702,50 @@ object MatrixQueries {
             scan(uniDocs, "doc_id",
               """array_contains_any(utags, ["中", "华"])""")))
       } ++
+      // MIXED predicates through INDEX INTERSECTION (reference
+      // test_milvus_client_data_integrity_new.py — the all-expr DQL
+      // battery runs conjunctions like `int64 >= 0 && varchar >= "0"`
+      // over fully-indexed collections; the engine serves each leg from
+      // its own scalar index and ANDs the bitsets). Spark shape: each
+      // leg is a dictionary lookup, the AND is one ids-only left-semi
+      // join — posting lists shuffle, never rows.
+      locally {
+        def and(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b.select(col("id")), Seq("id"), "left_semi")
+        val natIdx2 = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_nationkey")
+        val segIdx = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_mktsegment")
+        val typeIdx = InvertedIndex.buildValueIndex(ev, "event_id", "event_type")
+        val sizeIdx = InvertedIndex.buildValueIndex(part, "p_partkey", "p_size")
+        val brandIdx2 = InvertedIndex.buildValueIndex(part, "p_partkey", "p_brand")
+        Seq(
+          // the battery's own default expr shape: int64 range && varchar compare
+          consistencyRow(s, "MIXED", "int64_and_varchar",
+            and(InvertedIndex.lookupRange(natIdx2, "c_nationkey", 5, 15),
+              InvertedIndex.lookupExpr(segIdx, "c_mktsegment", "c_mktsegment",
+                """c_mktsegment >= "F"""")),
+            scan(cust, "c_custkey",
+              """c_nationkey >= 5 and c_nationkey <= 15 and c_mktsegment >= "F"""")),
+          // json path range && varchar LIKE prefix
+          consistencyRow(s, "MIXED", "jsonpath_and_like",
+            and(InvertedIndex.lookupRange(jsonIdx, "value", 40L, 70L),
+              InvertedIndex.lookupPrefix(typeIdx, "event_type", "c")),
+            scan(ev, "event_id",
+              """props["k"] >= 40 and props["k"] <= 70 and event_type like "c%"""",
+              json = Set("props"))),
+          // arithmetic leg && LIKE-prefix leg, both through dictionaries
+          consistencyRow(s, "MIXED", "arith_and_prefix",
+            and(InvertedIndex.lookupExpr(sizeIdx, "p_size", "p_size",
+                "(p_size + 1) >= 10"),
+              InvertedIndex.lookupPrefix(brandIdx2, "p_brand", "Brand#2")),
+            scan(part, "p_partkey",
+              """(p_size + 1) >= 10 and p_brand like "Brand#2%"""")),
+          // IN leg && range leg on a second table
+          consistencyRow(s, "MIXED", "in_and_range",
+            and(InvertedIndex.lookupValues(langIdx, "lang", Seq("en", "de")),
+              InvertedIndex.lookupRange(ncharsIdx, "n_chars", 100, 300)),
+            scan(docs, "doc_id",
+              """lang in ["en", "de"] and n_chars >= 100 and n_chars <= 300""")))
+      } ++
       // ARRAY element index (reference test_array_index_consistency,
       // test_milvus_client_scalar_filtering.py:1479): contains /
       // contains_any / contains_all through the element dictionary
@@ -763,6 +807,16 @@ object MatrixQueries {
         "value > 10 AND value < 90 AND (user_id % 100) > 10 AND (user_id % 100) < 60"),
       ("TIMESTAMPTZ", "interval_cmp", "events",
         "ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'"),
+      ("MIXED", "int64_and_varchar", "customer",
+        "c_nationkey >= 5 AND c_nationkey <= 15 AND c_mktsegment >= 'F'"),
+      ("MIXED", "jsonpath_and_like", "events",
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
+          "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 70 AND " +
+          "event_type LIKE 'c%'"),
+      ("MIXED", "arith_and_prefix", "part",
+        "(p_size + 1) >= 10 AND p_brand LIKE 'Brand#2%'"),
+      ("MIXED", "in_and_range", "documents",
+        "lang IN ('en', 'de') AND n_chars >= 100 AND n_chars <= 300"),
       ("ARRAY", "contains", "events",
         "list_contains([user_id % 10, (user_id + 3) % 10, user_id % 7], 4)"),
       ("ARRAY", "contains_any", "events",
