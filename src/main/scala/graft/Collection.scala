@@ -175,10 +175,10 @@ final class Collection private (
 
   // ---- TEXT-LOB schema validation (create-time, the reference's
   // proxy-side schema checks — test_milvus_client_text_lob.py:2204
-  // partition key, :2233 default_value, :2294 analyzer config).
-  require(schema.textInlineThreshold > 0,
-    s"text inline threshold must be positive, got ${schema.textInlineThreshold}")
-  schema.textFields.keysIterator.foreach { f =>
+  // partition key, :2233 default_value, :2294 analyzer config). The
+  // per-field half is shared with [[addCollectionTextField]] (the
+  // add-field DDL runs the same proxy validation, :1839).
+  private def validateTextField(f: String, spec: TextFieldSpec): Unit = {
     require(!schema.fieldDefaults.contains(f),
       s"TEXT field '$f' does not support default_value")
     require(!schema.partitionKeyField.contains(f),
@@ -187,14 +187,12 @@ final class Collection private (
     require(f != schema.pkField,
       "the primary key field must be of DataType.INT64 or DataType.VARCHAR, " +
         s"got TEXT field '$f'")
-  }
-  schema.textFields.foreach { case (f, spec) =>
     require(spec.enableAnalyzer || !spec.enableMatch,
       s"TEXT field '$f' sets enable_match without enable_analyzer")
     if (spec.enableAnalyzer)
       // build the analyzer pipeline once against a dummy column — an
-      // unknown tokenizer/filter raises HERE, at create, with the
-      // param error naming the analyzer problem (the reference
+      // unknown tokenizer/filter raises HERE, at create/DDL time, with
+      // the param error naming the analyzer problem (the reference
       // validates analyzer_params in CreateCollection)
       try graft.functions.Analyzers.analyzeWith(lit(""), spec.analyzerParams)
       catch { case e: IllegalArgumentException =>
@@ -202,6 +200,53 @@ final class Collection private (
           s"invalid analyzer params for TEXT field '$f': ${e.getMessage}")
       }
   }
+  require(schema.textInlineThreshold > 0,
+    s"text inline threshold must be positive, got ${schema.textInlineThreshold}")
+  schema.textFields.foreach { case (f, spec) => validateTextField(f, spec) }
+
+  // TEXT fields added by DDL after create (add_collection_field with
+  // DataType.TEXT, test_milvus_client_text_lob.py:1839): value is the
+  // spec plus the DDL ts — rows OLDER than the DDL serve null (and a
+  // re-add after dropField must not resurrect old values, so the read
+  // view masks by ts exactly like the default-fill DDL).
+  @volatile private var dynamicTextFields
+      : Map[String, (TextFieldSpec, Long)] = Map.empty
+
+  /** Effective TEXT-field declarations: create-time ∪ DDL-added, minus
+    * dropped (a dropped field stops externalizing, resolving, and
+    * match-gating; its blobs become [[lobGc]] orphans).
+    */
+  private def textFieldSpecs: Map[String, TextFieldSpec] =
+    (schema.textFields ++ dynamicTextFields.view.mapValues(_._1).toMap) --
+      droppedFields.keySet
+
+  /** Describe the effective TEXT fields (the describe-collection
+    * surface for DataType.TEXT — name → spec).
+    */
+  def describeTextFields: Map[String, TextFieldSpec] = textFieldSpecs
+
+  /** Add a TEXT field to a live collection (reference
+    * MilvusClient.add_collection_field with DataType.TEXT,
+    * test_milvus_client_text_lob.py:1839): validated like a create-time
+    * TEXT field; rows older than the DDL (and rows omitting the column)
+    * read null; newer inserts take the same threshold externalization.
+    */
+  def addCollectionTextField(field: String, spec: TextFieldSpec): Unit =
+    stateLock.synchronized {
+      requirePriv("AlterCollection")
+      require(field != schema.pkField && field != schema.tsField &&
+        field != Collection.PartitionCol, s"cannot redefine system field '$field'")
+      require(!textFieldSpecs.contains(field),
+        s"TEXT field '$field' already exists")
+      require(spec.nullable,
+        s"an added TEXT field must be nullable — existing rows have no value for '$field'")
+      validateTextField(field, spec)
+      val ts = nextTs()
+      droppedFields -= field // re-add: the ts mask below prevents resurrection
+      dynamicTextFields += field -> ((spec, ts))
+      lastWriteTs = ts
+      invalidateFilterCache()
+    }
 
   // ---- TEXT-LOB blob store (reference: storagev2 LobFileInfo +
   // garbage_collector_lob.go; Spark shape in [[graft.operators.Lob]]).
@@ -788,7 +833,7 @@ final class Collection private (
     // declared nullable=false take the same gate (and it runs BEFORE
     // externalization, while oversized values are still inline).
     val nonNullable = schema.nonNullable ++
-      schema.textFields.collect { case (f, s) if !s.nullable => f }
+      textFieldSpecs.collect { case (f, s) if !s.nullable => f }
     nonNullable.filterNot(schema.fieldDefaults.contains).foreach { f =>
       require(defaulted.columns.contains(f),
         s"field '$f' is not nullable and has no default — column missing from insert")
@@ -804,8 +849,8 @@ final class Collection private (
     // analogue — payload bytes land once); the data-side refs
     // re-derive from the same deterministic input.
     val externalized =
-      if (schema.textFields.isEmpty) defaulted
-      else schema.textFields.keysIterator
+      if (textFieldSpecs.isEmpty) defaulted
+      else textFieldSpecs.keysIterator
         .filter(defaulted.columns.contains)
         .foldLeft(defaulted) { (df, f) =>
           val (data, delta) = graft.operators.Lob.externalizeText(
@@ -838,7 +883,7 @@ final class Collection private (
     // Without DDL stay strict so a misspelled column fails loudly
     // instead of null-filling.
     val evolved = droppedFields.nonEmpty || maskedFields.nonEmpty ||
-      functionsEverChanged
+      dynamicTextFields.nonEmpty || functionsEverChanged
     growing = Some(growing
       .map(_.unionByName(withPk, allowMissingColumns = evolved)).getOrElse(withPk))
     logChange("insert", withPk)
@@ -1114,8 +1159,16 @@ final class Collection private (
         // surviving read can distinguish the physical drop. This is
         // also what lets [[lobGc]] reclaim an upserted-over TEXT
         // payload: its ref physically leaves the data here.
+        // the rewrite also materializes lazy field drops (the
+        // reference's compaction drops the dropped fields' binlogs):
+        // the dropped columns — and their hidden LOB refs, which until
+        // now pinned their blobs against lobGc — leave the layout here
+        val droppedCols = droppedFields.keysIterator
+          .flatMap(f => Seq(f, Collection.lobRefCol(f)))
+          .filter(sealedData.columns.contains).toSeq
         val merged = Mvcc.latestByPk(
           sealedData, schema.pkField, schema.tsField, schema.pkField)
+          .drop(droppedCols: _*)
         graft.operators.Compaction.writeCompacted(
           merged, t, schema.pkField, schema.tsField,
           lit(lastWriteTs), runPath)
@@ -1150,8 +1203,12 @@ final class Collection private (
     lobStore match {
       case None => 0L
       case Some(store) =>
-        val refCols = schema.textFields.keysIterator
-          .map(Collection.lobRefCol)
+        // the manifest walk scans EVERY text field's refs that ever
+        // existed — including dropped fields' (their columns are still
+        // physically present, so their refs still pin blobs until a
+        // compaction rewrite; after it they fall out here and GC them)
+        val refCols = (schema.textFields.keySet ++ dynamicTextFields.keySet)
+          .iterator.map(Collection.lobRefCol)
           .filter(c => (sealedDf.toSeq ++ growing.toSeq)
             .exists(_.columns.contains(c)))
           .toSeq
@@ -2281,6 +2338,29 @@ final class Collection private (
       require(fn.outputField != schema.pkField && fn.outputField != schema.tsField &&
         fn.outputField != Collection.PartitionCol,
         s"function output cannot be the system field '${fn.outputField}'")
+      // BM25 function-schema validation (the reference rejects these at
+      // CreateCollection — test_milvus_client_text_lob.py:2088-2171):
+      // a declared TEXT input must enable its analyzer; the output must
+      // be a sparse term map, so a declared DENSE vector field cannot
+      // carry it; and on a collection that already has rows, the input
+      // column must exist ("not found").
+      fn match {
+        case graft.functions.IngestFunctions.Bm25Function(in, out) =>
+          textFieldSpecs.get(in).foreach { spec =>
+            require(spec.enableAnalyzer,
+              s"BM25 function input field '$in' does not enable analyzer")
+          }
+          require(!schema.vectorFields.contains(out),
+            s"BM25 function output field '$out' must be SPARSE_FLOAT_VECTOR, " +
+              "not a dense vector field")
+          if (sealedDf.isDefined || growing.isDefined) {
+            val known = raw.columns.toSet ++ textFieldSpecs.keySet ++
+              maskedFields.keySet
+            require(known.contains(in),
+              s"BM25 function input field '$in' not found")
+          }
+        case _ => ()
+      }
       ingestFunctions :+= fn
       // rows inserted BEFORE the add lack the output column — later
       // batches must union with null fill (the evolution contract).
@@ -2493,20 +2573,41 @@ final class Collection private (
     // per TEXT field; inline rows carry a null ref and fall through.
     // A field excluded by partial load skips the join — its ref column
     // leaves with the projection below.
-    val resolvedLob = lobStore match {
+    // DDL-added TEXT fields: rows older than the add (and an absent
+    // column entirely) serve null; a re-add after dropField must not
+    // resurrect the old column's values — the ts mask covers both
+    // (the typed analogue of applyFieldDdl's default mask)
+    val ddlMasked = dynamicTextFields.foldLeft(collapsed) {
+      case (df, (f, (_, addTs))) =>
+        val ref = Collection.lobRefCol(f)
+        // the REF column masks too: a re-added field's pre-drop rows
+        // would otherwise resurrect their payloads through the resolve
+        val masked =
+          if (!df.columns.contains(f))
+            df.withColumn(f, lit(null).cast("string"))
+          else df.withColumn(f,
+            when(col(schema.tsField) >= lit(addTs), col(f)))
+        if (masked.columns.contains(ref))
+          masked.withColumn(ref,
+            when(col(schema.tsField) >= lit(addTs), col(ref)))
+        else masked
+    }
+    val resolvedLob0 = lobStore match {
       case Some(store) =>
-        schema.textFields.keysIterator.foldLeft(collapsed) { (df, f) =>
+        textFieldSpecs.keysIterator.foldLeft(ddlMasked) { (df, f) =>
           val ref = Collection.lobRefCol(f)
           if (!df.columns.contains(ref)) df
           else if (loadedFields.exists(fs => !fs.contains(f))) df
           else graft.operators.Lob.resolveText(df, store, f, ref)
         }
-      case None =>
-        // no blob store (externally-written layout without `_lobs`):
-        // stray ref columns are still system columns — never user-visible
-        schema.textFields.keysIterator.foldLeft(collapsed)(
-          (df, f) => df.drop(Collection.lobRefCol(f)))
+      case None => ddlMasked
     }
+    // ref-column hygiene sweep: whatever the joins above did not
+    // consume (dropped TEXT fields, partial-load exclusions, an
+    // externally-written layout without `_lobs`) is a system column —
+    // never user-visible
+    val resolvedLob = resolvedLob0.drop(
+      resolvedLob0.columns.filter(_.startsWith("$lob_")).toIndexedSeq: _*)
     val full = applyFunctionBackfill(applyColumnPatches(applyFieldDdl(
       resolvedLob), lit(readTs)))
     // field-partial load: unloaded columns leave the view HERE, so no
@@ -2691,7 +2792,7 @@ final class Collection private (
         tstzFields = GraftSession.tsDomainCols + schema.tsField,
         // declared TEXT fields without enable_match raise the proxy's
         // "does not enable match" error on any token-matching construct
-        noMatchFields = schema.textFields.collect {
+        noMatchFields = textFieldSpecs.collect {
           case (f, spec) if !spec.enableMatch => f
         }.toSet))
 

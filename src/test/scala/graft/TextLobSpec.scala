@@ -194,4 +194,184 @@ class TextLobSpec extends SparkSpec {
     assert(row._2 == "z" * 200, "unspecified TEXT field must carry forward")
     assert(row._3 == "tag1")
   }
+
+  // ---- add_collection_field with DataType.TEXT (:1839) ----
+
+  test("DDL-added TEXT field: old rows null, new payloads LOB-resolve, text_match scoped") {
+    val path = s"${scratch("textlob_ddl")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textInlineThreshold = 64))
+    c.insert(Seq((0L, "pre")).toDF("id", "note"))
+    c.addCollectionTextField("added_text", matchSpec)
+    assert(c.describeTextFields("added_text") == matchSpec)
+    val marker = "addedfieldmarker "
+    val big = marker + ("p" * 70)
+    c.insert(Seq((1L, "mid", null.asInstanceOf[String]),
+      (2L, "post", big)).toDF("id", "note", "added_text"))
+    c.flush(path)
+    val back = c.query("id >= 0", Seq("id", "added_text"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(back.map(_._2).toSeq == Seq(null, null, big))
+    val matched = c.query("text_match(added_text, \"addedfieldmarker\")",
+      Seq("id")).as[Long].collect().toSet
+    assert(matched == Set(2L))
+    // an added non-nullable TEXT field is impossible — old rows have no value
+    val e = intercept[IllegalArgumentException] {
+      c.addCollectionTextField("strict_text",
+        TextFieldSpec(nullable = false, enableAnalyzer = true))
+    }
+    assert(e.getMessage.contains("nullable"))
+  }
+
+  test("dropped TEXT field leaves sibling payloads intact; compaction frees its blobs") {
+    val path = s"${scratch("textlob_drop")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec, "alt" -> matchSpec),
+      textInlineThreshold = 64))
+    c.insert(Seq((1L, "a" * 100, "b" * 100), (2L, "keep me", "small"))
+      .toDF("id", "text", "alt"))
+    c.flush(path)
+    assert(c.lobBlobCount == 2)
+    c.dropField("alt")
+    // reads stop serving the dropped field; the sibling still resolves
+    val cols = c.query("id >= 1", Seq("*")).columns
+    assert(!cols.contains("alt") && !cols.exists(_.startsWith("$lob_")))
+    assert(c.query("id == 1", Seq("text")).as[String].head() == "a" * 100)
+    // the dropped column still physically pins its blob until compaction
+    assert(c.lobGc(path) == 0L)
+    // deletes + compaction: the rewrite materializes the drop, GC frees it
+    c.deletePks(Seq(2L))
+    c.compact(path)
+    assert(c.lobGc(path) == 1L)
+    assert(c.query("id == 1", Seq("text")).as[String].head() == "a" * 100)
+  }
+
+  // ---- BM25 function schema negatives (:2088-2171) ----
+
+  test("BM25 function schema rejections: analyzer-disabled input, dense output, missing input") {
+    import graft.functions.IngestFunctions.Bm25Function
+    val noAnalyzer = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> TextFieldSpec(enableAnalyzer = false))))
+    val e1 = intercept[IllegalArgumentException] {
+      noAnalyzer.addFunction(Bm25Function("text", "sparse"))
+    }
+    assert(e1.getMessage.contains("analyzer"))
+
+    val denseOut = Collection.create(spark, CollectionSchema(pkField = "id",
+      vectorFields = Map("vec" -> 4),
+      textFields = Map("text" -> matchSpec)))
+    val e2 = intercept[IllegalArgumentException] {
+      denseOut.addFunction(Bm25Function("text", "vec"))
+    }
+    assert(e2.getMessage.contains("SPARSE_FLOAT_VECTOR"))
+
+    val hasRows = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec)))
+    hasRows.insert(Seq((1L, "vector database")).toDF("id", "text"))
+    val e3 = intercept[IllegalArgumentException] {
+      hasRows.addFunction(Bm25Function("missing", "sparse"))
+    }
+    assert(e3.getMessage.contains("not found"))
+    // the manual-output rejection (a batch carrying the function's
+    // output field) is the existing ingest contract
+    hasRows.addFunction(Bm25Function("text", "sparse"))
+    val e4 = intercept[IllegalArgumentException] {
+      hasRows.insert(Seq((2L, "x", "y")).toDF("id", "text", "sparse"))
+    }
+    assert(e4.getMessage.contains("output"))
+  }
+
+  // ---- BM25 ingest function composes with LOB (:1033 via the function path) ----
+
+  test("BM25 ingest function computes from the FULL text before externalization") {
+    import graft.functions.IngestFunctions.Bm25Function
+    val big = ("vector " * 20) + ("database " * 10) // 190 bytes > threshold
+    def sparseOf(c: Collection): Map[String, Double] =
+      c.query("id == 1", Seq("sparse")).head().getMap[String, Double](0).toMap
+    val lobbed = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    lobbed.addFunction(Bm25Function("text", "sparse"))
+    lobbed.insert(Seq((1L, big)).toDF("id", "text"))
+    assert(lobbed.lobBlobCount == 1, "the payload itself must externalize")
+    val inline = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec))) // 64 KiB default: stays inline
+    inline.addFunction(Bm25Function("text", "sparse"))
+    inline.insert(Seq((1L, big)).toDF("id", "text"))
+    assert(sparseOf(lobbed) == sparseOf(inline),
+      "term frequencies must be computed from the full payload")
+    assert(sparseOf(lobbed)("vector") == 20.0)
+  }
+
+  // ---- multi-batch repeated flush checksum (:1659) + 10 MiB payload (:1680) ----
+
+  test("repeated insert/flush batches keep every payload checksum; 10 MiB round trip") {
+    val path = s"${scratch("textlob_batches")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec)))
+    val tenMib = "m" * (10 * 1024 * 1024)
+    val payloads = (1 to 9).map(i =>
+      i.toLong -> (s"batchdoc $i " + ("q" * (64 * 1024 + i)))).toMap +
+      (10L -> tenMib)
+    payloads.toSeq.sortBy(_._1).grouped(3).foreach { batch =>
+      c.insert(batch.toDF("id", "text"))
+      c.flush(path)
+    }
+    val back = c.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h"), octet_length($"text").as("b"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(back.size == 10)
+    back.foreach { case (id, h, b) =>
+      val expect = payloads(id)
+      assert(b == expect.length, s"byte length for $id")
+      assert(h == java.security.MessageDigest.getInstance("MD5")
+        .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+        s"checksum for $id")
+    }
+  }
+
+  // ---- partition drop orphans its payloads for GC (:1707) ----
+
+  test("dropping a partition orphans its LOB payloads; the survivor still resolves") {
+    val path = s"${scratch("textlob_part")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.createPartition("keep")
+    c.createPartition("drop_me")
+    c.insertInto("keep", Seq((1L, "k" * 100)).toDF("id", "text"))
+    c.insertInto("drop_me", Seq((2L, "d" * 100)).toDF("id", "text"))
+    c.flush(path)
+    assert(c.lobBlobCount == 2)
+    c.dropPartition("drop_me")
+    // the tombstoned rows still physically pin their payloads (the
+    // manifest walk); compaction materializes the drop, then GC frees
+    assert(c.lobGc(path) == 0L)
+    c.compact(path)
+    assert(c.lobGc(path) == 1L)
+    assert(c.lobBlobCount == 1)
+    assert(c.query("id >= 1", Seq("id", "text")).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "k" * 100)))
+  }
+
+  // ---- query iterator pages payloads (:892) ----
+
+  test("query iterator pages LOB payloads byte-exact") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(10, bigEvery = 2, threshold = 64))
+    // page through with the pk cursor — every page resolves payloads
+    val it = Iterator.iterate(Option.empty[Long] -> Seq.empty[(Long, Long)]) {
+      case (cursor, _) =>
+        val page = c.queryIterator("", Seq("id", "text"), batch = 3,
+            lastPk = cursor.map(x => x: Any))
+          .select($"id", octet_length($"text").cast("long").as("b"))
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+        (page.lastOption.map(_._1), page)
+    }.drop(1).takeWhile(_._2.nonEmpty).flatMap(_._2).toSeq.toMap
+    assert(it.size == 10)
+    (1 to 10).foreach { i =>
+      val base = s"doc $i vector database text lob payload"
+      val expect = if (i % 2 == 0) base.length + 1 + 64 else base.length
+      assert(it(i.toLong) == expect, s"byte length for row $i")
+    }
+  }
 }
