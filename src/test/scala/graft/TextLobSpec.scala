@@ -352,6 +352,71 @@ class TextLobSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "k" * 100)))
   }
 
+  // ---- hybrid dense+BM25 over LOB equals the same data inline (:1152) ----
+
+  test("hybrid dense+BM25 fusion over LOB payloads equals the inline answer") {
+    import graft.functions.Metric
+    import graft.operators.{Bm25, Fusion, VectorSearch}
+    val docs = (1 to 30).map { i =>
+      val filler = if (i % 5 == 0) " " + ("pad " * 30) else "" // 120B > threshold
+      (i.toLong, s"doc $i vector database ranking retrieval" + filler,
+        Seq((i % 7).toFloat, (i % 3).toFloat))
+    }.toDF("id", "text", "vec")
+    def hybridOf(threshold: Int): Seq[(Long, Long)] = {
+      val c = Collection.create(spark, CollectionSchema(pkField = "id",
+        vectorFields = Map("vec" -> 2),
+        textFields = Map("text" -> matchSpec),
+        textInlineThreshold = threshold))
+      c.insert(docs)
+      if (threshold <= 64)
+        assert(c.lobBlobCount == 6, "the padded docs must externalize")
+      val view = c.readView()
+      val model = Bm25.build(view.select($"id", $"text"), "id", "text")
+      val textHits = Bm25.search(model, "vector ranking pad", k = 10, roundTo = Some(4))
+        .select(lit(0L).as("qid"), $"rank", $"id")
+      val qs = Seq((0L, Seq(1.0f, 0.5f))).toDF("qid", "qvec")
+      val denseHits = VectorSearch.topK(view, "id", "vec", qs, "qid", "qvec",
+          Metric.COSINE, k = 10, roundTo = Some(4))
+        .select($"qid", $"rank", $"id")
+      Fusion.rrf(Seq(textHits, denseHits), "qid", "id", topK = 5)
+        .select($"rank".cast("long"), $"id").as[(Long, Long)]
+        .collect().toSeq.sortBy(_._1)
+    }
+    val lobbed = hybridOf(threshold = 64)
+    val inline = hybridOf(threshold = 1 << 20)
+    assert(lobbed == inline,
+      "fusion ranks must be identical whether payloads are inline or LOB")
+  }
+
+  // ---- plan pins: the resolve join stays scale-safe ----
+
+  test("resolve plan: payload bytes are pruned when the TEXT column is not read") {
+    val path = s"${scratch("textlob_plan")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(20, bigEvery = 2, threshold = 64))
+    c.flush(path)
+    // reopen so the blob store is parquet-backed (scan schemas visible)
+    val ro = Collection.open(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64), path)
+    val noText = ro.query("id >= 1", Seq("id")).queryExecution
+    val lobScans = noText.executedPlan.toString.linesIterator
+      .filter(l => l.contains("_lobs") && l.contains("ReadSchema")).toSeq
+    // column pruning must reach the blob-store scan: a projection that
+    // never reads `text` must not move payload BYTES (the refs-only
+    // join is the residual cost; payloads stay on disk)
+    assert(lobScans.forall(!_.contains("_lob_payload")),
+      s"payload column not pruned:\n${lobScans.mkString("\n")}")
+    // and when the text IS read, the store side broadcasts (AQE or
+    // static — the store is small here)
+    val withText = ro.query("id >= 1", Seq("id", "text"))
+    withText.collect() // let AQE finalize
+    val finalPlan = withText.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("BroadcastExchange"),
+      s"small blob store should broadcast:\n${finalPlan.take(2000)}")
+  }
+
   // ---- query iterator pages payloads (:892) ----
 
   test("query iterator pages LOB payloads byte-exact") {
