@@ -1166,9 +1166,30 @@ final class Collection private (
         val droppedCols = droppedFields.keysIterator
           .flatMap(f => Seq(f, Collection.lobRefCol(f)))
           .filter(sealedData.columns.contains).toSeq
-        val merged = Mvcc.latestByPk(
-          sealedData, schema.pkField, schema.tsField, schema.pkField)
-          .drop(droppedCols: _*)
+        // the fold key is (pk, partition, namespace) — the SCOPE key,
+        // not the bare pk: a partition- or tenant-scoped read collapses
+        // within its scope and can still serve a version that loses the
+        // global LWW; a bare-pk fold would silently drop it
+        val scopeCols = Seq(Collection.PartitionCol, Collection.NamespaceField)
+          .filter(sealedData.columns.contains)
+        val keyCols = (schema.pkField +: scopeCols).map(col)
+        val rowStruct = struct(sealedData.columns.map(col).toIndexedSeq: _*)
+        val collapsed = sealedData
+          .groupBy(keyCols: _*)
+          .agg(max_by(rowStruct,
+            struct(col(schema.tsField), col(schema.pkField))).as("_row"))
+          .select(sealedData.columns.map(c => col(s"_row.$c")).toIndexedSeq: _*)
+        // materialize the DDL-added TEXT ts-mask physically too: a
+        // re-added field's pre-drop rows lose their old values AND LOB
+        // refs in the rewrite, so lobGc can reclaim those payloads
+        // (they were unreadable already — the read view masks them)
+        val ddlFolded = dynamicTextFields.foldLeft(collapsed) {
+          case (df, (f, (_, addTs))) =>
+            Seq(f, Collection.lobRefCol(f)).filter(df.columns.contains)
+              .foldLeft(df)((d, c0) => d.withColumn(c0,
+                when(col(schema.tsField) >= lit(addTs), col(c0))))
+        }
+        val merged = ddlFolded.drop(droppedCols: _*)
         graft.operators.Compaction.writeCompacted(
           merged, t, schema.pkField, schema.tsField,
           lit(lastWriteTs), runPath)
@@ -1223,12 +1244,18 @@ final class Collection private (
             store.join(refs.distinct(), Seq("_lob_ref"), "left_semi")
           case None => store.filter(lit(false)) // no rows at all — all orphans
         }
-        val snapPath = s"$path/_lobs/snap-${nextTs()}"
-        kept.write.parquet(snapPath)
-        val snap = spark.read.parquet(snapPath)
-        lobSealed = Some(snap)
-        lobGrowing = None // folded into the snapshot
-        total - snap.count()
+        // ids-only count first: the common defensive/no-orphan call must
+        // not pay a full-store payload rewrite (the semi join above
+        // prunes to the ref column for a count)
+        val keptCount = kept.count()
+        if (keptCount == total) 0L
+        else {
+          val snapPath = s"$path/_lobs/snap-${nextTs()}"
+          kept.write.parquet(snapPath)
+          lobSealed = Some(spark.read.parquet(snapPath))
+          lobGrowing = None // folded into the snapshot
+          total - keptCount
+        }
     }
   }
 
@@ -1275,6 +1302,21 @@ final class Collection private (
     */
   def flush(path: String): Unit = stateLock.synchronized {
     requirePriv("Flush")
+    // seal the blob-store delta BEFORE the data segment (the reference
+    // lands LOB files before sealing the segment that references them):
+    // a crash between the two writes must leave unreferenced blobs (a
+    // lobGc orphan), never sealed rows with dangling refs that would
+    // silently resolve to null. Each flush appends a `gen-<ts>` delta
+    // dir under `_lobs` (the underscore prefix keeps blob files out of
+    // every data read of the layout); a lobGc snapshot (`snap-<ts>`)
+    // supersedes all earlier dirs — see [[Collection.lobLiveDirs]].
+    lobGrowing.foreach { g =>
+      val genPath = s"$path/_lobs/gen-${nextTs()}"
+      g.write.parquet(genPath)
+      val seg = spark.read.parquet(genPath)
+      lobSealed = Some(lobSealed.map(_.unionByName(seg)).getOrElse(seg))
+      lobGrowing = None
+    }
     growing.foreach { g =>
       val segPath = s"$path/seg-${nextTs()}"
       // sealed segments are laid out BY NAMED PARTITION (hive-style
@@ -1310,19 +1352,6 @@ final class Collection private (
       growingRows = 0L
       growingSinceTs = None
       sealedSegments :+= segPath
-    }
-    // seal the blob-store delta alongside the data (LobFileInfo: LOB
-    // files live next to the segment files). Each flush appends a
-    // `gen-<ts>` delta dir under `_lobs` (the underscore prefix keeps
-    // blob files out of every data read of the layout); a lobGc
-    // snapshot (`snap-<ts>`) supersedes all earlier dirs — see
-    // [[Collection.lobLiveDirs]] for how open() reassembles the store.
-    lobGrowing.foreach { g =>
-      val genPath = s"$path/_lobs/gen-${nextTs()}"
-      g.write.parquet(genPath)
-      val seg = spark.read.parquet(genPath)
-      lobSealed = Some(lobSealed.map(_.unionByName(seg)).getOrElse(seg))
-      lobGrowing = None
     }
   }
 
@@ -2219,7 +2248,8 @@ final class Collection private (
       sealedDf.map(_.columns.toSet).getOrElse(Set.empty[String]) ++
         growing.map(_.columns.toSet).getOrElse(Set.empty[String])
     val declared = schema.vectorFields.keySet ++ schema.fieldDefaults.keySet ++
-      schema.nonNullable ++ ingestFunctions.map(_.outputField)
+      schema.nonNullable ++ ingestFunctions.map(_.outputField) ++
+      textFieldSpecs.keySet // a declared TEXT field is droppable pre-insert too
     val effective =
       ((physical ++ declared) -- droppedFields.keySet) ++ maskedFields.keySet
     require(effective.contains(field), s"field '$field' not found")
@@ -2344,8 +2374,8 @@ final class Collection private (
       // be a sparse term map, so a declared DENSE vector field cannot
       // carry it; and on a collection that already has rows, the input
       // column must exist ("not found").
-      fn match {
-        case graft.functions.IngestFunctions.Bm25Function(in, out) =>
+      val wired = fn match {
+        case b @ graft.functions.IngestFunctions.Bm25Function(in, out, params) =>
           textFieldSpecs.get(in).foreach { spec =>
             require(spec.enableAnalyzer,
               s"BM25 function input field '$in' does not enable analyzer")
@@ -2359,9 +2389,17 @@ final class Collection private (
             require(known.contains(in),
               s"BM25 function input field '$in' not found")
           }
-        case _ => ()
+          // auto-wire the input field's DECLARED analyzer (the reference
+          // runs the BM25 function through the field's analyzer_params)
+          if (params.isEmpty)
+            textFieldSpecs.get(in)
+              .filter(s => s.enableAnalyzer && s.analyzerParams.nonEmpty)
+              .map(s => b.copy(analyzerParams = s.analyzerParams))
+              .getOrElse(b)
+          else b
+        case other => other
       }
-      ingestFunctions :+= fn
+      ingestFunctions :+= wired
       // rows inserted BEFORE the add lack the output column — later
       // batches must union with null fill (the evolution contract).
       // With backfill=true (20260715-online-schema-evolution.md: add
@@ -2794,7 +2832,13 @@ final class Collection private (
         // "does not enable match" error on any token-matching construct
         noMatchFields = textFieldSpecs.collect {
           case (f, spec) if !spec.enableMatch => f
-        }.toSet))
+        }.toSet,
+        // declared non-default analyzers drive the match tokenization
+        // (reference: text_match evaluates over the FIELD's analyzer)
+        fieldAnalyzers = textFieldSpecs.collect {
+          case (f, spec) if spec.enableAnalyzer && spec.analyzerParams.nonEmpty =>
+            f -> spec.analyzerParams
+        }.toMap))
 
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.
@@ -3823,8 +3867,10 @@ object Collection {
     val entries = fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath).flatMap { p =>
         p.getName.split("-", 2) match {
-          case Array(kind @ ("gen" | "snap"), ts) if ts.forall(_.isDigit) =>
-            Some((kind, ts.toLong, p.toString))
+          case Array(kind @ ("gen" | "snap"), ts) =>
+            // toLongOption guards the vacuous-forall cases too (an empty
+            // or overlong suffix must SKIP the dir, not crash open())
+            ts.toLongOption.map(n => (kind, n, p.toString))
           case _ => None
         }
       }

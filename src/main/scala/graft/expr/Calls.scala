@@ -34,6 +34,31 @@ private[expr] object Calls {
       (f, c)
     }
 
+    /** Doc-side tokens for a match construct: the field's DECLARED
+      * analyzer when one is in scope (reference TextMatchIndex — the
+      * match evaluates over the field's analyzer output), the default
+      * pipeline otherwise.
+      */
+    def docTokens(f: String, c: Column): Column =
+      ctx.fieldAnalyzers.get(f)
+        .map(p => graft.functions.Analyzers.analyzeWith(c, p))
+        .getOrElse(TextFunctions.tokenize(c))
+
+    /** Query-side tokens under the same analyzer. Analyzer pipelines are
+      * Column programs (filters/HOFs that only evaluate inside a plan),
+      * so the declared-analyzer path runs ONE local row through it at
+      * compile time — bounded, no executor involved for a 1-row range.
+      */
+    def queryTokens(f: String, q: String): Seq[String] =
+      ctx.fieldAnalyzers.get(f) match {
+        case Some(p) =>
+          val s = org.apache.spark.sql.SparkSession.active
+          s.range(1)
+            .select(graft.functions.Analyzers.analyzeWith(lit(q), p).as("t"))
+            .head().getSeq[String](0).toSeq
+        case None => TextFunctions.tokenizeString(q)
+      }
+
     def stringArg(i: Int): String = args(i) match {
       case StringLit(s) => s
       case TemplateVar(n) => ctx.params.get(n) match {
@@ -52,23 +77,23 @@ private[expr] object Calls {
     name match {
       // ---- text matching (reference: MatchExpr.cpp, TextMatchIndex) ----
       case "text_match" =>
-        val (_, c) = matchFieldArg(0)
-        val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
+        val (f, c) = matchFieldArg(0)
+        val qTokens = queryTokens(f, stringArg(1)).distinct
         val msm = intOpt("minimum_should_match", 1)
-        matchedCount(c, qTokens) >= msm
+        matchedCount(docTokens(f, c), qTokens) >= msm
       case "text_match_fuzzy" =>
-        val (_, c) = matchFieldArg(0)
+        val (f, c) = matchFieldArg(0)
         val q = stringArg(1)
         val d = intOpt("threshold", 2)
-        exists(TextFunctions.tokenize(c), t => levenshtein(t, lit(q.toLowerCase)) <= d.toInt)
+        exists(docTokens(f, c), t => levenshtein(t, lit(q.toLowerCase)) <= d.toInt)
       case "phrase_match" =>
-        val (_, c) = matchFieldArg(0)
+        val (f, c) = matchFieldArg(0)
         val q = stringArg(1)
         val slop = if (args.length > 2) args(2) match {
           case IntLit(v) => v
           case other     => throw CompileError(s"phrase_match slop must be int, got $other")
         } else 0L
-        phraseMatch(c, q, slop.toInt)
+        phraseMatch(docTokens(f, c), queryTokens(f, q), slop.toInt)
       // MATCH_ALL/ANY/LEAST are overloaded in the reference grammar: a
       // STRING second arg is token matching (MatchExpr.cpp), an element
       // expression (`$[sub]` predicate) is the struct-array quantifier
@@ -93,23 +118,23 @@ private[expr] object Calls {
         val (arr, pred) = elementPredicate(args(0), args(1), ctx, name)
         size(filter(arr, pred)) === intOpt("threshold", 1) // threshold=0 is legal
       case "match_all" =>
-        val (_, c) = matchFieldArg(0)
-        val qTokens = TextFunctions.tokenizeString(stringArg(1)).distinct
-        matchedCount(c, qTokens) === qTokens.size
+        val (f, c) = matchFieldArg(0)
+        val qTokens = queryTokens(f, stringArg(1)).distinct
+        matchedCount(docTokens(f, c), qTokens) === qTokens.size
       case "match_any" =>
-        val (_, c) = matchFieldArg(0)
-        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) >= 1
+        val (f, c) = matchFieldArg(0)
+        matchedCount(docTokens(f, c), queryTokens(f, stringArg(1)).distinct) >= 1
       case "match_least" =>
-        val (_, c) = matchFieldArg(0)
-        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) >=
+        val (f, c) = matchFieldArg(0)
+        matchedCount(docTokens(f, c), queryTokens(f, stringArg(1)).distinct) >=
           intOpt("threshold", 1)
       case "match_most" =>
-        val (_, c) = matchFieldArg(0)
-        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) <=
+        val (f, c) = matchFieldArg(0)
+        matchedCount(docTokens(f, c), queryTokens(f, stringArg(1)).distinct) <=
           intOpt("threshold", 1)
       case "match_exact" =>
-        val (_, c) = matchFieldArg(0)
-        matchedCount(c, TextFunctions.tokenizeString(stringArg(1)).distinct) ===
+        val (f, c) = matchFieldArg(0)
+        matchedCount(docTokens(f, c), queryTokens(f, stringArg(1)).distinct) ===
           intOpt("threshold", 1)
 
       // ---- json / array containment (reference: JsonContainsExpr.cpp) ----
@@ -236,10 +261,9 @@ private[expr] object Calls {
   }
 
   /** Count of distinct query tokens present in the field's token set. */
-  private def matchedCount(field: Column, qTokens: Seq[String]): Column =
+  private def matchedCount(tokens: Column, qTokens: Seq[String]): Column =
     if (qTokens.isEmpty) lit(0)
-    else size(array_intersect(
-      TextFunctions.tokenize(field), array(qTokens.map(lit): _*)))
+    else size(array_intersect(tokens, array(qTokens.map(lit): _*)))
 
   /** Phrase match with slop (reference: PhraseMatch semantics — query
     * tokens must appear in order within a window allowing `slop` skips).
@@ -251,11 +275,10 @@ private[expr] object Calls {
     * phrases. Divergence from tantivy: out-of-order matches
     * (transpositions, move cost 2 there) are never matched here.
     */
-  private def phraseMatch(field: Column, query: String, slop: Int): Column = {
-    val qTokens = TextFunctions.tokenizeString(query)
+  private def phraseMatch(tokens: Column, qTokens: Seq[String], slop: Int): Column = {
     if (qTokens.isEmpty) lit(true)
     else {
-      val stream = concat(lit(" "), array_join(TextFunctions.tokenize(field), " "), lit(" "))
+      val stream = concat(lit(" "), array_join(tokens, " "), lit(" "))
       if (slop == 0 || qTokens.size == 1) {
         stream.contains(" " + qTokens.mkString(" ") + " ")
       } else {
@@ -277,7 +300,7 @@ private[expr] object Calls {
         val quoted = qTokens.map(java.util.regex.Pattern.quote)
         val alts = compositions(qTokens.size - 1, slop).map { gaps =>
           " " + quoted.head + gaps.zip(quoted.tail).map { case (g, t) =>
-            (if (g == 0) "" else s"( [a-z0-9]+){0,$g}") + " " + t
+            (if (g == 0) "" else s"( [^ ]+){0,$g}") + " " + t
           }.mkString + " "
         }
         stream.rlike(alts.map(a => s"(?:$a)").mkString("|"))

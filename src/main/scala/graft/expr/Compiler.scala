@@ -69,7 +69,15 @@ object ExprCompiler {
         * fields stay permissive, so schemaless DataFrame use keeps
         * working.
         */
-      noMatchFields: Set[String] = Set.empty) {
+      noMatchFields: Set[String] = Set.empty,
+      /** Per-field analyzer params (the FieldSchema analyzer_params of
+        * fields declared with enable_analyzer and a NON-DEFAULT
+        * pipeline): token-matching constructs tokenize the column AND
+        * the query with the field's declared analyzer instead of the
+        * default tokenizer, the reference's TextMatchIndex behavior.
+        * Fields absent here keep the default pipeline.
+        */
+      fieldAnalyzers: Map[String, Map[String, String]] = Map.empty) {
 
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)

@@ -29,9 +29,14 @@ object IngestFunctions {
   /** BM25: text → sparse term-frequency map. The corpus statistics (df,
     * avgdl) live in the index build ([[graft.operators.Bm25.build]]),
     * exactly like the reference where the ingest function emits raw term
-    * frequencies and the IDF oracle aggregates globally.
+    * frequencies and the IDF oracle aggregates globally. When the input
+    * field declares a non-default analyzer, `analyzerParams` carries it
+    * (the collection facade auto-wires the field's declaration) and the
+    * term frequencies come from THAT pipeline — the reference's
+    * per-field analyzer behavior for the BM25 function.
     */
-  final case class Bm25Function(inputField: String, outputField: String)
+  final case class Bm25Function(inputField: String, outputField: String,
+      analyzerParams: Map[String, String] = Map.empty)
       extends FunctionSchema
 
   /** MinHash: text → fixed-length signature (Array[Long]) via the
@@ -167,8 +172,11 @@ object IngestFunctions {
     * scan instead of a row-batch callback).
     */
   def outputColumn(schema: FunctionSchema): Column = schema match {
-    case Bm25Function(in, _) =>
-      SparseFunctions.termFreqs(TextFunctions.tokenize(col(in)))
+    case Bm25Function(in, _, params) =>
+      val toks =
+        if (params.isEmpty) TextFunctions.tokenize(col(in))
+        else Analyzers.analyzeWith(col(in), params)
+      SparseFunctions.termFreqs(toks)
     case MinHashFunction(in, _, n, k) =>
       TextFunctions.minhashSignature(TextFunctions.tokenize(col(in)), n, k)
     case TextEmbeddingFunction(in, _, dim, provider) =>

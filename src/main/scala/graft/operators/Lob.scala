@@ -96,9 +96,11 @@ object Lob {
     */
   def resolveText(data: DataFrame, blobs: DataFrame, field: String,
       refCol: String): DataFrame = {
+    // rename BY NAME (the store's canonical schema), never by position —
+    // a reordered snapshot would otherwise silently join on the payload
     val store = blobs
-      .withColumnRenamed(blobs.columns(0), refCol)
-      .withColumnRenamed(blobs.columns(1), s"_lob_payload_$field")
+      .withColumnRenamed("_lob_ref", refCol)
+      .withColumnRenamed("_lob_payload", s"_lob_payload_$field")
     data.join(store, Seq(refCol), "left")
       .withColumn(field, coalesce(col(field), col(s"_lob_payload_$field")))
       .drop(refCol, s"_lob_payload_$field")

@@ -352,6 +352,101 @@ class TextLobSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "k" * 100)))
   }
 
+  // ---- compaction folds per SCOPE key, never across partitions ----
+
+  test("compaction keeps a pk's per-partition versions (scope-keyed LWW fold)") {
+    val path = s"${scratch("compact_scope")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id"))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", Seq((1L, "in_p1")).toDF("id", "v"))
+    c.insertInto("p2", Seq((1L, "in_p2")).toDF("id", "v")) // newer ts, same pk
+    c.insertInto("p1", Seq((2L, "victim")).toDF("id", "v"))
+    c.deletePks(Seq(2L)) // arm tombstones so compact runs the rewrite
+    c.flush(path)
+    def p1Rows = c.query("id == 1", Seq("id", "v"), partitionNames = Seq("p1"))
+      .as[(Long, String)].collect().toSeq
+    assert(p1Rows == Seq((1L, "in_p1")))
+    c.compact(path)
+    // the p1 version lost the GLOBAL LWW (p2's ts is newer) but must
+    // survive the rewrite — partition-scoped reads still serve it
+    assert(p1Rows == Seq((1L, "in_p1")),
+      "compaction must not collapse a pk across partition scopes")
+    // the unscoped read still answers with the global LWW winner
+    assert(c.query("id == 1", Seq("v")).as[String].collect().toSet == Set("in_p2"))
+  }
+
+  // ---- drop → re-add reclaims the pre-drop payloads ----
+
+  test("re-added TEXT field: old payloads stay hidden and GC-reclaimable") {
+    val path = s"${scratch("textlob_readd")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(Seq((1L, "old " + ("o" * 100))).toDF("id", "text"))
+    c.flush(path)
+    assert(c.lobBlobCount == 1)
+    c.dropField("text")
+    c.addCollectionTextField("text", matchSpec)
+    c.insert(Seq((2L, "new " + ("n" * 100))).toDF("id", "text"))
+    c.flush(path)
+    // pre-drop value never resurrects through the re-added field
+    val back = c.query("id >= 1", Seq("id", "text"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(back.map(_._2).toSeq == Seq(null, "new " + ("n" * 100)))
+    // compaction materializes the ts-mask → the orphaned old payload GCs
+    c.deletePks(Seq(99L)) // no-op delete, arms the tombstone rewrite
+    c.compact(path)
+    assert(c.lobGc(path) == 1L, "the pre-drop payload must be reclaimable")
+    assert(c.query("id == 2", Seq("text")).as[String].head() ==
+      "new " + ("n" * 100))
+  }
+
+  test("a declared TEXT field is droppable before any insert") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec)))
+    c.dropField("text") // must not raise "field not found"
+    assert(!c.describeTextFields.contains("text"))
+  }
+
+  // ---- the declared analyzer drives match tokenization ----
+
+  test("text_match tokenizes with the field's DECLARED analyzer") {
+    // ngram(3,3): 'vec' is a gram of 'vector' — a default-tokenized
+    // match would find nothing (no whole token 'vec'); keyword: the
+    // whole string is ONE token, so a word-level probe must miss
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map(
+        "gram" -> TextFieldSpec(enableAnalyzer = true, enableMatch = true,
+          analyzerParams = Map("tokenizer" -> "ngram",
+            "min_gram" -> "3", "max_gram" -> "3")),
+        "kw" -> TextFieldSpec(enableAnalyzer = true, enableMatch = true,
+          analyzerParams = Map("tokenizer" -> "keyword")),
+        "plain" -> matchSpec)))
+    c.insert(Seq((1L, "vector database", "vector database", "vector database"))
+      .toDF("id", "gram", "kw", "plain"))
+    def ids(expr: String): Set[Long] =
+      c.query(expr, Seq("id")).as[Long].collect().toSet
+    assert(ids("text_match(gram, \"vec\")") == Set(1L),
+      "ngram analyzer must match on a 3-gram")
+    assert(ids("text_match(plain, \"vec\")") == Set.empty,
+      "the default pipeline has no token 'vec'")
+    assert(ids("text_match(kw, \"vector\")") == Set.empty,
+      "keyword analyzer's single token is the whole string")
+    assert(ids("text_match(kw, \"vector database\")") == Set(1L))
+    // the BM25 ingest function auto-wires the declared analyzer
+    import graft.functions.IngestFunctions.Bm25Function
+    c.addFunction(Bm25Function("kw", "sparse"))
+    val wired = c.listFunctions.collectFirst {
+      case b: Bm25Function if b.outputField == "sparse" => b }.get
+    assert(wired.analyzerParams == Map("tokenizer" -> "keyword"))
+    c.insert(Seq((2L, "abc def ghi", "abc def ghi", "abc def ghi"))
+      .toDF("id", "gram", "kw", "plain"))
+    val tf = c.query("id == 2", Seq("sparse")).head()
+      .getMap[String, Double](0).toMap
+    assert(tf == Map("abc def ghi" -> 1.0),
+      "keyword-analyzed BM25 emits ONE whole-string term")
+  }
+
   // ---- hybrid dense+BM25 over LOB equals the same data inline (:1152) ----
 
   test("hybrid dense+BM25 fusion over LOB payloads equals the inline answer") {
