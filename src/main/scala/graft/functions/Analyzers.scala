@@ -23,6 +23,80 @@ import org.apache.spark.sql.functions._
   * an analyzer runs inside whole-stage codegen on the corpus scan, so
   * tokenization at 100 TB is a map-only pass with no UDF boundary.
   */
+/** Single-pass n-gram emitter (the tantivy ngram tokenizer's gram
+  * enumeration as a native Catalyst expression): for each n in
+  * [minGram, maxGram], every code-point gram of that length, in n-major
+  * then position order — identical to the substring formulation it
+  * replaces but LINEAR in output size (one code-point walk; per-gram
+  * `substring` re-seeks UTF-8 from the start and goes quadratic on long
+  * LOB payloads). Code points, not UTF-16 units, so surrogate-pair text
+  * grams exactly like SQL substr on both engine and oracle sides.
+  */
+case class NgramArray(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    minGram: Int, maxGram: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_array"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis
+        .TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName needs a string, got $other")
+    }
+
+  /** Shared kernel — also the interpreted path (public: the generated
+    * code invokes it through a reference object).
+    */
+  def gramsOf(s: String): Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val cps = s.codePoints().toArray
+    val len = cps.length
+    var total = 0
+    var n = minGram
+    while (n <= maxGram) { if (len >= n) total += len - n + 1; n += 1 }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+    var k = 0
+    n = minGram
+    while (n <= maxGram) {
+      var i = 0
+      val last = len - n
+      while (i <= last) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String
+          .fromString(new String(cps, i, n))
+        k += 1
+        i += 1
+      }
+      n += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      gramsOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramArray", this, classOf[NgramArray].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) $self.gramsOf($v.toString()));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
 object Analyzers {
 
   sealed trait Tokenizer
@@ -181,12 +255,14 @@ object Analyzers {
     case Whitespace     => filter(split(c, "\\s+"), t => t =!= "")
     case Keyword        => array(c)
     case Ngram(lo, hi)  =>
-      // per n in [lo,hi]: all grams of that length, concatenated in n order
-      flatten(array((lo to hi).map { n =>
-        when(length(c) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), length(c) - (n - 1)),
-            i => substring(c, i, lit(n))))
-      }: _*))
+      // a NATIVE single-pass expression, not transform(sequence →
+      // substring): per-gram substring re-seeks the UTF-8 char offset
+      // from the string's start, turning gram emission quadratic — a
+      // 64 KiB LOB payload would pay ~4.5e9 char scans per row. The
+      // kernel walks the string once (String.charAt is O(1)), linear in
+      // output bytes whatever the payload size.
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        NgramArray(org.apache.spark.sql.graft.ColumnBridge.expression(c), lo, hi))
     case CharGroup(ds)  => filter(split(c, regexClass(ds)), t => t =!= "")
     case LangIdent      =>
       cjkDispatch(c, run =>

@@ -743,6 +743,74 @@ object LifecycleQueries {
       .orderBy(col("section"), col("id"), col("n"))
   }
 
+  /** Declared-analyzer match semantics through the facade (reference:
+    * text_match evaluates over the FIELD's analyzer_params — the
+    * TextMatchIndex tokenizes docs AND queries with the declared
+    * pipeline): two TEXT fields carry the same corpus under different
+    * analyzers — char_group+lowercase (token equality + phrase) and
+    * ngram(3) (substring-by-gram). Every 11th doc is LOB-externalized,
+    * so a hit on one also pins analyzer-over-LOB resolution; identical
+    * payloads in both columns land ONCE in the content-addressed store.
+    * The oracle recomputes each analyzer's tokenization independently
+    * in SQL. Value-bounded fixture (doc_id < 400, the contract-gate
+    * device); the match itself is a map-side scan.
+    */
+  def textAnalyzerMatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, TextFieldSpec}
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+    val grown = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" tail "), repeat(md5(col("text")), 2100)))
+        .otherwise(col("text")))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      textFields = Map(
+        "text_cg" -> TextFieldSpec(enableAnalyzer = true, enableMatch = true,
+          analyzerParams = Map("tokenizer" -> "char_group",
+            "delims" -> " .,;:!?", "filters" -> "lowercase")),
+        "text_ng" -> TextFieldSpec(enableAnalyzer = true, enableMatch = true,
+          analyzerParams = Map("tokenizer" -> "ngram",
+            "min_gram" -> "3", "max_gram" -> "3")))))
+    c.insert(grown.select(col("doc_id"),
+      col("text").as("text_cg"), col("text").as("text_ng")))
+    val base = scratchDir("textanalyzer")
+    c.flush(s"$base/data")
+    def section(tag: String, expr: String, field: String): DataFrame =
+      c.query(expr, Seq("doc_id", field))
+        .select(lit(tag).as("section"), col("doc_id").as("id"),
+          octet_length(col(field)).cast("long").as("n"))
+    section("cg_match",
+        "text_match(text_cg, 'filter window', minimum_should_match = 2)",
+        "text_cg")
+      .unionByName(section("cg_phrase",
+        "phrase_match(text_cg, 'the fast')", "text_cg"))
+      .unionByName(section("ng_contains",
+        "text_match(text_ng, 'ect')", "text_ng"))
+      .orderBy(col("section"), col("id"))
+  }
+
+  private val textAnalyzerOracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |grown AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN text || ' tail ' || repeat(md5(text), 2100)
+      |         ELSE text END AS text
+      |  FROM base),
+      |cg AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+      |    list_filter(string_split_regex(lower(text), '[ .,;:!?]+'),
+      |      x -> x <> '') AS toks
+      |  FROM grown)
+      |SELECT * FROM (
+      |  SELECT 'cg_match' AS section, doc_id AS id, n FROM cg
+      |  WHERE len(list_intersect(toks, ['filter', 'window'])) >= 2
+      |  UNION ALL
+      |  SELECT 'cg_phrase', doc_id, n FROM cg
+      |  WHERE (' ' || array_to_string(toks, ' ') || ' ') LIKE '% the fast %'
+      |  UNION ALL
+      |  SELECT 'ng_contains', doc_id, CAST(strlen(text) AS BIGINT) FROM grown
+      |  WHERE text LIKE '%ect%')
+      |ORDER BY section, id""".stripMargin
+
   /** The full client lifecycle through the [[graft.Collection]] facade
     * (reference integration flow: open → insert → delete-by-expr →
     * upsert → read): replay-insert new pks, delete the clicks, upsert
@@ -1888,7 +1956,8 @@ object LifecycleQueries {
     "q_external_map" -> (externalMap _),
     "q_snapshot_read" -> (snapshotRead _),
     "q_lob_gc" -> (lobGc _),
-    "q_text_lob" -> (textLob _)
+    "q_text_lob" -> (textLob _),
+    "q_text_analyzer_match" -> (textAnalyzerMatch _)
   )
 
   /** DuckDB-side tokenizer identical to TextFunctions.tokenize (the
@@ -2399,6 +2468,7 @@ object LifecycleQueries {
         |       octet_length(encode(text)) AS bytes
         |FROM documents WHERE lang <> 'zh'
         |ORDER BY doc_id""".stripMargin,
-    "q_text_lob" -> textLobOracle
+    "q_text_lob" -> textLobOracle,
+    "q_text_analyzer_match" -> textAnalyzerOracle
   )
 }
