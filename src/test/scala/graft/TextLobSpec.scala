@@ -512,6 +512,41 @@ class TextLobSpec extends SparkSpec {
       s"small blob store should broadcast:\n${finalPlan.take(2000)}")
   }
 
+  // ---- partition-key collection × TEXT payloads (:1561) ----
+
+  test("TEXT payloads stay exact and key-scoped in a partition-key collection") {
+    import graft.functions.Metric
+    val path = s"${scratch("textlob_pk")}/data"
+    val big = "partition key alpha large " + ("a" * 100)
+    val rows = Seq(
+      (2300L, "pk_a", "partition key alpha vector database", Seq(1.0f, 0.0f)),
+      (2301L, "pk_b", "partition key beta unrelated", Seq(0.9f, 0.1f)),
+      (2302L, "pk_a", big, Seq(0.8f, 0.2f)))
+      .toDF("id", "category", "text", "vec")
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      vectorFields = Map("vec" -> 2),
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64,
+      partitionKeyField = Some("category"), numPartitions = 4))
+    c.insert(rows)
+    c.flush(path) // key buckets become hive dirs; payloads seal to _lobs
+    assert(c.lobBlobCount == 1)
+    // key-scoped query: only pk_a rows, payloads byte-exact (incl. LOB)
+    val scoped = c.query("category == \"pk_a\"", Seq("id", "text"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(scoped == Seq(
+      2300L -> "partition key alpha vector database", 2302L -> big))
+    // key-filtered search returns only pk_a hits with resolved payloads
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val hits = c.search("vec", q, k = 5, metric = Metric.COSINE,
+      filterExpr = "category == \"pk_a\"",
+      outputFields = Seq("id", "text", "category"))
+      .select($"category", $"text").collect()
+    assert(hits.length == 2)
+    assert(hits.forall(_.getString(0) == "pk_a"))
+    assert(hits.map(_.getString(1)).toSet ==
+      Set("partition key alpha vector database", big))
+  }
+
   // ---- query iterator pages payloads (:892) ----
 
   test("query iterator pages LOB payloads byte-exact") {
