@@ -281,6 +281,29 @@ final class Collection private (
     */
   def lobBlobCount: Long = lobStore.map(_.count()).getOrElse(0L)
 
+  /** Threshold-externalize every declared TEXT field present in a write
+    * batch, appending the payload deltas to the growing blob tail. The
+    * one write chokepoint helper: [[insertImpl]] (insert/upsert/import/
+    * binlog/stream) and [[applyChanges]] (a CDC feed — whose payloads
+    * arrive inline) both route through it, so every replica keeps the
+    * same LOB storage contract. The blob delta is pinned eagerly (the
+    * WAL-append analogue — payload bytes land once); the data-side refs
+    * re-derive from the same deterministic input.
+    */
+  private def externalizeTextFields(batch: DataFrame): DataFrame =
+    if (textFieldSpecs.isEmpty) batch
+    else textFieldSpecs.keysIterator
+      .filter(batch.columns.contains)
+      .foldLeft(batch) { (df, f) =>
+        val (data, delta) = graft.operators.Lob.externalizeText(
+          df, f, Collection.lobRefCol(f), schema.textInlineThreshold)
+        val pinned = delta.localCheckpoint(true)
+        lobGrowing = Some(lobGrowing
+          .map(_.unionByName(pinned).dropDuplicates("_lob_ref"))
+          .getOrElse(pinned))
+        data
+      }
+
   /** AlterCollectionField (reference: alter_collection_field with
     * field_params={"warmup": ...}): set or change a field's warmup
     * policy; invalid policies are rejected with the reference's error.
@@ -840,27 +863,12 @@ final class Collection private (
       require(defaulted.filter(col(f).isNull).isEmpty,
         s"field '$f' is not nullable — insert carries null values")
     }
-    // TEXT-LOB externalization at THIS single write chokepoint, so
-    // insert / upsert / partial-upsert / import / binlog / stream
-    // batches all route oversized payloads into the blob store the
-    // same way. Runs AFTER the ingest functions (a BM25 function's
-    // sparse output is computed from the full inline text) and after
-    // the null gate. The blob delta is pinned eagerly (the WAL-append
-    // analogue — payload bytes land once); the data-side refs
-    // re-derive from the same deterministic input.
-    val externalized =
-      if (textFieldSpecs.isEmpty) defaulted
-      else textFieldSpecs.keysIterator
-        .filter(defaulted.columns.contains)
-        .foldLeft(defaulted) { (df, f) =>
-          val (data, delta) = graft.operators.Lob.externalizeText(
-            df, f, Collection.lobRefCol(f), schema.textInlineThreshold)
-          val pinned = delta.localCheckpoint(true)
-          lobGrowing = Some(lobGrowing
-            .map(_.unionByName(pinned).dropDuplicates("_lob_ref"))
-            .getOrElse(pinned))
-          data
-        }
+    // TEXT-LOB externalization at the write chokepoint, so insert /
+    // upsert / partial-upsert / import / binlog / stream batches all
+    // route oversized payloads into the blob store the same way. Runs
+    // AFTER the ingest functions (a BM25 function's sparse output is
+    // computed from the full inline text) and after the null gate.
+    val externalized = externalizeTextFields(defaulted)
     val stamped = externalized.withColumn(schema.tsField, lit(ts))
     var countedRows: Option[Long] = None // reused by the seal policy check
     val withPk =
@@ -3635,7 +3643,25 @@ final class Collection private (
       s"changesSince($sinceTs) predates a truncate at ts=$truncateHorizon — " +
         "re-seed the replica from a snapshot instead of the change feed")
     changeLog match {
-      case Some(log) => log.filter(col(schema.tsField) > sinceTs)
+      case Some(log) =>
+        val out = log.filter(col(schema.tsField) > sinceTs)
+        // TEXT-LOB payloads ship INLINE in the feed (the reference's
+        // CDC carries full row data): a hidden `$lob_` ref is
+        // meaningless outside THIS collection's blob store — a replica
+        // applying raw refs would silently resolve null. The replica's
+        // apply path re-externalizes into its own store; delete
+        // entries carry null refs and fall through the left join.
+        lobStore match {
+          case Some(store) =>
+            (schema.textFields.keySet ++ dynamicTextFields.keySet)
+              .foldLeft(out) { (df, f) =>
+                val ref = Collection.lobRefCol(f)
+                if (df.columns.contains(ref))
+                  graft.operators.Lob.resolveText(df, store, f, ref)
+                else df
+              }
+          case None => out
+        }
       case None => throw new IllegalStateException("no writes logged yet")
     }
   }
@@ -3659,9 +3685,13 @@ final class Collection private (
     val ins0 = pinned.filter(col("_op") === "insert").drop("_op")
     // keep partition tagging consistent with insert(): an untagged feed
     // (pre-partition primary) must not union a null column into growing
-    val ins =
+    val ins1 =
       if (ins0.columns.contains(Collection.PartitionCol)) ins0
       else ins0.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
+    // feed payloads arrive INLINE (changesSince resolves at the source);
+    // re-externalize into THIS replica's blob store so it keeps the same
+    // LOB storage contract as a primary — original timestamps untouched
+    val ins = externalizeTextFields(ins1)
     val del = pinned.filter(col("_op") === "delete")
       .select(col(schema.pkField), col(schema.tsField))
     if (!ins.isEmpty) {

@@ -547,6 +547,28 @@ class TextLobSpec extends SparkSpec {
       Set("partition key alpha vector database", big))
   }
 
+  // ---- CDC feed ships payloads inline; the replica re-externalizes ----
+
+  test("CDC replica converges byte-exact on LOB payloads and keeps the storage contract") {
+    def mk() = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    val primary = mk()
+    primary.insert(rows(6, bigEvery = 2, threshold = 64)) // big: 2, 4, 6
+    primary.deletePks(Seq(4L))
+    val replica = mk()
+    val feed = primary.changesSince(0L)
+    // the feed carries payloads INLINE — no hidden refs ride it
+    assert(!feed.columns.exists(_.startsWith("$lob_")))
+    replica.applyChanges(feed)
+    def state(c: Collection) = c.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(state(replica) == state(primary), "replica must converge byte-exact")
+    // and the replica re-externalized the oversized payloads into ITS store
+    assert(replica.lobBlobCount == 3,
+      "the replica keeps the LOB storage contract (2, 4, 6 externalized)")
+  }
+
   // ---- query iterator pages payloads (:892) ----
 
   test("query iterator pages LOB payloads byte-exact") {
