@@ -281,6 +281,15 @@ final class Collection private (
     */
   def lobBlobCount: Long = lobStore.map(_.count()).getOrElse(0L)
 
+  /** Whether the sealed blob store should be cache-pinned: the
+    * collection is loaded AND some declared TEXT field is in the load
+    * scope (a field-partial load listing no TEXT field never joins the
+    * store). Shared by [[load]], [[flush]], and [[lobGc]] so residency
+    * decisions never diverge across the three reassignment sites.
+    */
+  private def lobResident: Boolean = loadedFlag &&
+    textFieldSpecs.keysIterator.exists(f => loadedFields.forall(_.contains(f)))
+
   /** Threshold-externalize every declared TEXT field present in a write
     * batch, appending the payload deltas to the growing blob tail. The
     * one write chokepoint helper: [[insertImpl]] (insert/upsert/import/
@@ -417,6 +426,12 @@ final class Collection private (
     skipDynamic = skipLoadDynamicField
     sealedDf = sealedDf.map(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the sealed blob store pins alongside the data (reference: load
+    // makes LOB columns resident too) — unless the load is field-partial
+    // and lists NO text field, in which case no read will ever join it
+    if (lobResident)
+      lobSealed = lobSealed.map(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // warmup policies (reference: field warmup sync/async/disable):
     // sync — or no policy at all — blocks until resident (the
     // LoadCollection contract); async kicks the materialization off
@@ -441,6 +456,7 @@ final class Collection private (
   def release(): Unit = stateLock.synchronized {
     requirePriv("Release")
     sealedDf.foreach(_.unpersist())
+    lobSealed.foreach(_.unpersist()) // no-op when it was never pinned
     partialPin.foreach(_.unpersist())
     partialPin = None
     loadedPartitions = None
@@ -1260,7 +1276,13 @@ final class Collection private (
         else {
           val snapPath = s"$path/_lobs/snap-${nextTs()}"
           kept.write.parquet(snapPath)
+          // release the superseded store's cache pin BEFORE replacing it
+          // (a loaded collection would otherwise leak the old store in
+          // the Spark cache), and carry residency onto the snapshot
+          lobSealed.foreach(_.unpersist())
           lobSealed = Some(spark.read.parquet(snapPath))
+          if (lobResident) lobSealed = lobSealed.map(
+            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           lobGrowing = None // folded into the snapshot
           total - keptCount
         }
@@ -1323,6 +1345,10 @@ final class Collection private (
       g.write.parquet(genPath)
       val seg = spark.read.parquet(genPath)
       lobSealed = Some(lobSealed.map(_.unionByName(seg)).getOrElse(seg))
+      // a loaded collection's blob store stays resident across flushes,
+      // same as the data path below (and with load()'s same scope guard)
+      if (lobResident) lobSealed = lobSealed.map(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       lobGrowing = None
     }
     growing.foreach { g =>
@@ -2415,7 +2441,10 @@ final class Collection private (
       // historical rows serve the COMPUTED output instead: the backfill
       // is a lazy coalesce expression on the read view — no segment
       // rewrite, and the next flush/compaction materializes it.
-      if (backfill) backfillFunctions :+= fn
+      // the WIRED schema backfills too — historical rows must tokenize
+      // with the same analyzer as new inserts, or the one corpus would
+      // carry two incompatible term vocabularies
+      if (backfill) backfillFunctions :+= wired
       functionsEverChanged = true
     }
 
@@ -3690,8 +3719,12 @@ final class Collection private (
       else ins0.withColumn(Collection.PartitionCol, lit(Collection.DefaultPartition))
     // feed payloads arrive INLINE (changesSince resolves at the source);
     // re-externalize into THIS replica's blob store so it keeps the same
-    // LOB storage contract as a primary — original timestamps untouched
-    val ins = externalizeTextFields(ins1)
+    // LOB storage contract as a primary — original timestamps untouched.
+    // A delete-only feed skips the split entirely (no empty checkpointed
+    // deltas accumulating on the blob tail).
+    val ins =
+      if (textFieldSpecs.isEmpty || ins1.isEmpty) ins1
+      else externalizeTextFields(ins1)
     val del = pinned.filter(col("_op") === "delete")
       .select(col(schema.pkField), col(schema.tsField))
     if (!ins.isEmpty) {

@@ -85,7 +85,15 @@ private[expr] object Calls {
         val (f, c) = matchFieldArg(0)
         val q = stringArg(1)
         val d = intOpt("threshold", 2)
-        exists(docTokens(f, c), t => levenshtein(t, lit(q.toLowerCase)) <= d.toInt)
+        // a declared analyzer tokenizes the query too (case and
+        // segmentation must match the doc side); the default path keeps
+        // the raw lowercased needle
+        val qs =
+          if (ctx.fieldAnalyzers.contains(f)) queryTokens(f, q)
+          else Seq(q.toLowerCase)
+        if (qs.isEmpty) lit(false)
+        else exists(docTokens(f, c),
+          t => qs.map(n => levenshtein(t, lit(n)) <= d.toInt).reduce(_ || _))
       case "phrase_match" =>
         val (f, c) = matchFieldArg(0)
         val q = stringArg(1)
@@ -278,9 +286,16 @@ private[expr] object Calls {
   private def phraseMatch(tokens: Column, qTokens: Seq[String], slop: Int): Column = {
     if (qTokens.isEmpty) lit(true)
     else {
-      val stream = concat(lit(" "), array_join(tokens, " "), lit(" "))
+      // the joiner must be a char NO analyzer token can contain — a
+      // keyword/char_group token may hold spaces, so a space-joined
+      // stream would cross token boundaries (false positives); NUL
+      // never survives any tokenizer here, making it a safe in-band
+      // separator (identical semantics for the default pipeline, whose
+      // tokens are [a-z0-9]+ only)
+      val J = "\u0000"
+      val stream = concat(lit(J), array_join(tokens, J), lit(J))
       if (slop == 0 || qTokens.size == 1) {
-        stream.contains(" " + qTokens.mkString(" ") + " ")
+        stream.contains(J + qTokens.mkString(J) + J)
       } else {
         // branch count is C(slop+n-2, n-2): fine for real phrases, but
         // user-supplied (phrase length × slop) combinations can explode
@@ -299,9 +314,9 @@ private[expr] object Calls {
         // non-matching rows (measured 20× slower at sf0.1).
         val quoted = qTokens.map(java.util.regex.Pattern.quote)
         val alts = compositions(qTokens.size - 1, slop).map { gaps =>
-          " " + quoted.head + gaps.zip(quoted.tail).map { case (g, t) =>
-            (if (g == 0) "" else s"( [^ ]+){0,$g}") + " " + t
-          }.mkString + " "
+          J + quoted.head + gaps.zip(quoted.tail).map { case (g, t) =>
+            (if (g == 0) "" else s"($J[^$J]+){0,$g}") + J + t
+          }.mkString + J
         }
         stream.rlike(alts.map(a => s"(?:$a)").mkString("|"))
       }
