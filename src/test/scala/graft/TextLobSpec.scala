@@ -547,6 +547,59 @@ class TextLobSpec extends SparkSpec {
       Set("partition key alpha vector database", big))
   }
 
+  // ---- compaction reuses payloads, never rewrites them (:1974 REUSE_ALL) ----
+
+  test("compaction merges LOB references without touching the blob store") {
+    val path = s"${scratch("textlob_reuse")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(10, bigEvery = 2, threshold = 64))
+    c.flush(path)
+    val storeDirs = Collection.lobLiveDirs(spark, path)
+    c.deletePks(Seq(1L)) // low delete ratio: inline row — no blob involved
+    c.compact(path)
+    // the rewrite folded the delete but wrote NO new blob dir and lost
+    // no payload (the reference's AddLobFilesToTransaction REUSE_ALL)
+    assert(Collection.lobLiveDirs(spark, path) == storeDirs,
+      "compaction must not rewrite or snapshot the blob store")
+    assert(c.lobBlobCount == 5)
+    val back = c.query("id == 2", Seq("text")).as[String].head()
+    assert(back.endsWith("x" * 64))
+  }
+
+  // ---- concurrent insert + flush keep payload integrity (:1785) ----
+
+  test("concurrent inserts and flushes lose no payloads") {
+    val path = s"${scratch("textlob_conc")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { b =>
+            val base = t * 100 + b * 10
+            val batch = (base until base + 10).map(i =>
+              (i.toLong, s"doc $i payload " + ("z" * (if (i % 3 == 0) 80 else 5))))
+            c.insert(batch.toDF("id", "text"))
+            if (b == 1) c.flush(path) // interleave flushes with inserts
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      }, s"textlob-conc-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent writes raised: ${errors.peek()}")
+    c.flush(path)
+    val back = c.query("id >= 0", Seq("id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(back.size == 120)
+    back.foreach { case (id, text) =>
+      val expect = s"doc $id payload " + ("z" * (if (id % 3 == 0) 80 else 5))
+      assert(text == expect, s"payload mismatch for $id")
+    }
+  }
+
   // ---- CDC feed ships payloads inline; the replica re-externalizes ----
 
   test("CDC replica converges byte-exact on LOB payloads and keeps the storage contract") {
