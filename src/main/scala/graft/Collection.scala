@@ -270,10 +270,21 @@ final class Collection private (
   // dedup is unconditional: the same payload may seal in several gen
   // deltas (one flush per batch), and content addressing promises ONE
   // row per digest to the resolve join and the GC count alike
-  private def lobStore: Option[DataFrame] = ((lobSealed, lobGrowing) match {
-    case (Some(s), Some(g)) => Some(s.unionByName(g))
-    case (s, g)             => s.orElse(g)
-  }).map(_.dropDuplicates("_lob_ref"))
+  private def lobStore: Option[DataFrame] = {
+    // volatile read ORDER is load-bearing for lock-free readers racing
+    // flush()/lobGc(): both publish the new sealed store FIRST and
+    // clear lobGrowing second. Reading growing BEFORE sealed can only
+    // over-observe (a just-flushed delta through both references —
+    // absorbed by the unconditional dedup below), never under-observe;
+    // the reverse order could pair the OLD sealed store with the
+    // already-cleared growing tail and silently resolve dangling refs.
+    val g = lobGrowing
+    val s = lobSealed
+    ((s, g) match {
+      case (Some(s0), Some(g0)) => Some(s0.unionByName(g0))
+      case (a, b)               => a.orElse(b)
+    }).map(_.dropDuplicates("_lob_ref"))
+  }
 
   /** Live blob count (introspection; the q_text_lob gate pins threshold
     * classification with it — only at/above-threshold payloads land in
@@ -3498,6 +3509,57 @@ final class Collection private (
     * interim index its inserts built on ingest (IVFFLAT_CC — brute force
     * only if no insert landed), and the two hit lists reduce together.
     */
+  /** The indexparamcheck field family for a SCALAR field, derived from
+    * the schema — TEXT declarations (including DDL-added ones) first,
+    * declared JSON fields next, the physical Spark type otherwise. The
+    * derivation lives HERE so the create-time contract ("TEXT field
+    * does not support user-created scalar index",
+    * test_milvus_client_text_lob.py:1305) holds without caller
+    * discipline: no facade path can reach the checker with a kind the
+    * schema contradicts.
+    */
+  private def scalarFieldKind(field: String): graft.operators.IndexParamCheck.FieldKind = {
+    import graft.operators.IndexParamCheck._
+    import org.apache.spark.sql.types._
+    require(!schema.vectorFields.contains(field),
+      s"$field is a vector field — use createIndex")
+    if (textFieldSpecs.contains(field)) TextField
+    else if (schema.jsonFields.contains(field)) JsonField
+    else {
+      def kindOf(dt: DataType): FieldKind = dt match {
+        case StringType                                     => VarCharField
+        case BooleanType                                    => BoolField
+        case ByteType | ShortType | IntegerType | LongType  => IntField
+        case FloatType | DoubleType                         => FloatField
+        case ArrayType(e, _)                                => ArrayField(kindOf(e))
+        case other => throw new IllegalArgumentException(
+          s"field '$field' of type $other does not support a scalar index")
+      }
+      val physical = (sealedDf.toSeq ++ growing.toSeq)
+        .flatMap(df => df.schema.fields.find(_.name == field))
+        .headOption.getOrElse(throw new NoSuchElementException(
+          s"field '$field' not found in any segment"))
+      kindOf(physical.dataType)
+    }
+  }
+
+  /** CreateIndex on a SCALAR field (reference: CreateIndex DDL on
+    * non-vector fields → indexparamcheck → an inverted/bitmap/... term
+    * dictionary): validates `indexType` + `params` against the field's
+    * SCHEMA-derived kind — a declared TEXT field hits the reference's
+    * named rejection here, whatever the caller claims — then builds the
+    * (value → ids) dictionary over the unscoped view. Returns the built
+    * index frame (the same shape [[graft.operators.InvertedIndex]]
+    * serves lookups from).
+    */
+  def createScalarIndex(field: String, indexType: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    graft.operators.IndexParamCheck.check(indexType, scalarFieldKind(field),
+      params, isPrimaryKey = field == schema.pkField)
+    graft.operators.InvertedIndex.buildValueIndex(
+      readViewUnscoped(), schema.pkField, field)
+  }
+
   def createIndex(vectorField: String, nlist: Int, trainSample: Int = 10000): Unit = {
     require(schema.vectorFields.contains(vectorField),
       s"$vectorField is not a vector field")
@@ -3680,16 +3742,36 @@ final class Collection private (
         // applying raw refs would silently resolve null. The replica's
         // apply path re-externalizes into its own store; delete
         // entries carry null refs and fall through the left join.
+        // The resolve is STRICT: after lobGc collects a superseded
+        // payload, a re-seed feed (sinceTs=0) can no longer reproduce
+        // the historical insert — raising here beats handing audit/ETL
+        // consumers silently-nulled payloads (the same loud-failure
+        // contract the truncate-horizon guard above gives row data).
         lobStore match {
           case Some(store) =>
             (schema.textFields.keySet ++ dynamicTextFields.keySet)
               .foldLeft(out) { (df, f) =>
                 val ref = Collection.lobRefCol(f)
                 if (df.columns.contains(ref))
-                  graft.operators.Lob.resolveText(df, store, f, ref)
+                  graft.operators.Lob.resolveTextStrict(df, store, f, ref,
+                    s"changesSince($sinceTs)")
                 else df
               }
-          case None => out
+          case None =>
+            // no store at all: any surviving non-null ref is dangling
+            // by definition — same loud contract, no join needed
+            (schema.textFields.keySet ++ dynamicTextFields.keySet)
+              .foldLeft(out) { (df, f) =>
+                val ref = Collection.lobRefCol(f)
+                if (!df.columns.contains(ref)) df
+                else df.withColumn(f,
+                  when(col(ref).isNotNull, raise_error(concat(
+                    lit(s"changesSince($sinceTs): LOB payload for '$f' ref "),
+                    col(ref),
+                    lit(" no longer exists — re-seed from a snapshot instead"))))
+                    .otherwise(col(f)))
+                  .drop(ref)
+              }
         }
       case None => throw new IllegalStateException("no writes logged yet")
     }

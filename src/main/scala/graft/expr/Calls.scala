@@ -45,18 +45,15 @@ private[expr] object Calls {
         .getOrElse(TextFunctions.tokenize(c))
 
     /** Query-side tokens under the same analyzer. Analyzer pipelines are
-      * Column programs (filters/HOFs that only evaluate inside a plan),
-      * so the declared-analyzer path runs ONE local row through it at
-      * compile time — bounded, no executor involved for a 1-row range.
+      * Column programs (filters/HOFs that only evaluate inside a plan);
+      * the declared-analyzer path evaluates driver-locally through
+      * [[graft.functions.Analyzers.analyzeLocal]] — cached per
+      * (analyzer, query), no Spark job at filter-compile time.
       */
     def queryTokens(f: String, q: String): Seq[String] =
       ctx.fieldAnalyzers.get(f) match {
-        case Some(p) =>
-          val s = org.apache.spark.sql.SparkSession.active
-          s.range(1)
-            .select(graft.functions.Analyzers.analyzeWith(lit(q), p).as("t"))
-            .head().getSeq[String](0).toSeq
-        case None => TextFunctions.tokenizeString(q)
+        case Some(p) => graft.functions.Analyzers.analyzeLocal(p, q)
+        case None    => TextFunctions.tokenizeString(q)
       }
 
     def stringArg(i: Int): String = args(i) match {

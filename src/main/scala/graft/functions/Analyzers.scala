@@ -527,6 +527,33 @@ object Analyzers {
   def analyze(c: Column, tokenizer: Tokenizer, filters: Seq[Filter] = Nil): Column =
     filters.foldLeft(tokensOf(c, tokenizer))(applyFilter)
 
+  // query-side tokenization cache: filter COMPILE must not pay a Spark
+  // job per match construct (some compile paths run under a collection's
+  // state lock). Keyed by the full analyzer param map + the query text;
+  // bounded by a wholesale clear — match queries repeat heavily, a
+  // smarter eviction buys nothing at this size.
+  private val queryTokenCache =
+    new java.util.concurrent.ConcurrentHashMap[(Map[String, String], String), Seq[String]]()
+  private val QueryTokenCacheMax = 4096
+
+  /** Run an analyzer pipeline over ONE driver-local string and return
+    * the tokens — the query side of match/phrase compilation. The plan
+    * is a Project over a LocalRelation, which Catalyst's
+    * ConvertToLocalRelation rule evaluates driver-side at optimization
+    * time, so no Spark job is scheduled and no dependency on which
+    * session is `active` beyond expression resolution. Results cache per
+    * (analyzer_params, query).
+    */
+  def analyzeLocal(params: Map[String, String], text: String): Seq[String] =
+    queryTokenCache.computeIfAbsent((params, text), { _ =>
+      if (queryTokenCache.size >= QueryTokenCacheMax) queryTokenCache.clear()
+      val s = org.apache.spark.sql.SparkSession.active
+      import s.implicits._
+      Seq(Tuple1(text)).toDF("_q")
+        .select(analyzeWith(org.apache.spark.sql.functions.col("_q"), params).as("_t"))
+        .head().getSeq[String](0).toSeq
+    })
+
   /** Param-map dispatch matching the reference's analyzer_params shape:
     * `{"tokenizer": "char_group", "delims": " .,", "filters":
     * "lowercase,stop", "stop_words": "the,and", ...}`. Unknown

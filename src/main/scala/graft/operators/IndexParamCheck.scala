@@ -235,7 +235,31 @@ object IndexParamCheck {
         if (b < 8 || b > 128 || (b & (b - 1)) != 0) fail(
           s"fm_block_bytes for FM-index must be a power-of-two in [8, 128], got: $b")
       }
-    case "INVERTED" | "Trie" | "STL_SORT" | "RTREE" | "HYBRID" => ()
+    case "Trie" =>
+      // trie_checker.go CheckValidDataType: string fields only
+      kind match {
+        case VarCharField => ()
+        case _ => fail("TRIE are only supported on varchar field")
+      }
+    case "STL_SORT" =>
+      // stl_sort_checker.go CheckValidDataType: numeric/varchar (and
+      // arrays of those for struct sub-fields); JSON passes with a
+      // cast-type check in CheckTrain
+      kind match {
+        case IntField | FloatField | VarCharField | JsonField => ()
+        case ArrayField(IntField | FloatField | VarCharField) => ()
+        case other => fail(
+          s"STL_SORT are only supported on numeric, varchar or timestamptz field, got $other")
+      }
+    case "INVERTED" =>
+      // inverted_checker.go CheckValidDataType: bool/arith/string/
+      // array/JSON — never a vector family
+      kind match {
+        case BoolField | IntField | FloatField | VarCharField |
+             JsonField | ArrayField(_) => ()
+        case other => fail(s"INVERTED are not supported on $other field")
+      }
+    case "RTREE" | "HYBRID" => ()
     case other => fail(s"invalid index type: $other")
   }
 }

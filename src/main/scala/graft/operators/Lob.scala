@@ -21,18 +21,27 @@ import org.apache.spark.sql.DataFrame
   */
 object Lob {
 
+  /** Content-addressing digest: SHA-256 (hex). MD5 is NOT acceptable
+    * here — the store dedups first-writer-wins across every field and
+    * tenant of a collection, and chosen-prefix MD5 collisions are
+    * practical, so a crafted payload could poison a digest and a later
+    * colliding payload would silently read back as the first writer's
+    * bytes. SHA-256 has no known collision path.
+    */
+  private def digest(c: org.apache.spark.sql.Column) = sha2(c, 256)
+
   /** Split `df` into (data with `binCol` replaced by `_lob_ref`/`_lob_bytes`,
     * blob store (_lob_ref, payload)). Payloads dedup by digest.
     */
   def externalize(df: DataFrame, binCol: String): (DataFrame, DataFrame) = {
     val data = df
-      .withColumn("_lob_ref", md5(col(binCol)))
+      .withColumn("_lob_ref", digest(col(binCol)))
       .withColumn("_lob_bytes", octet_length(col(binCol)).cast("long"))
       .drop(binCol)
     // one shuffle on the digest; payloads ride once as max-by proxy
     // (any row's payload works — digests are content hashes)
     val blobs = df
-      .select(md5(col(binCol)).as("_lob_ref"), col(binCol).as("payload"))
+      .select(digest(col(binCol)).as("_lob_ref"), col(binCol).as("payload"))
       .groupBy(col("_lob_ref"))
       .agg(first(col("payload")).as("payload"))
     (data, blobs)
@@ -72,17 +81,23 @@ object Lob {
   def externalizeText(df: DataFrame, field: String, refCol: String,
       threshold: Int): (DataFrame, DataFrame) = {
     val oversized = octet_length(col(field)) >= threshold
-    val data = df
-      .withColumn(refCol, when(oversized, md5(col(field))))
+    // stage the digest ONCE: both the data-side ref and the delta's
+    // group key derive from the same `_lob_digest` column, so each
+    // payload is hashed a single time per plan regardless of whether
+    // Catalyst CSEs the two uses
+    val staged = df.withColumn("_lob_digest", when(oversized, digest(col(field))))
+    val data = staged
+      .withColumn(refCol, col("_lob_digest"))
       .withColumn(field, when(oversized, lit(null).cast("string"))
         .otherwise(col(field)))
+      .drop("_lob_digest")
     // the delta lands under CANONICAL names (`_lob_ref`, `_lob_payload`)
     // so one content-addressed store serves every TEXT field of the
     // collection — digests are content hashes, field identity is
     // irrelevant to storage
-    val delta = df
+    val delta = staged
       .filter(oversized)
-      .select(md5(col(field)).as("_lob_ref"), col(field).as("_lob_payload"))
+      .select(col("_lob_digest").as("_lob_ref"), col(field).as("_lob_payload"))
       .groupBy(col("_lob_ref"))
       .agg(first(col("_lob_payload")).as("_lob_payload"))
     (data, delta)
@@ -103,6 +118,32 @@ object Lob {
       .withColumnRenamed("_lob_payload", s"_lob_payload_$field")
     data.join(store, Seq(refCol), "left")
       .withColumn(field, coalesce(col(field), col(s"_lob_payload_$field")))
+      .drop(refCol, s"_lob_payload_$field")
+  }
+
+  /** [[resolveText]] with a LOUD dangling-ref contract: a row whose
+    * non-null ref finds no payload RAISES instead of coalescing to
+    * null. The read path wants the lenient join (a just-GC'd blob
+    * behind an in-flight plan is indistinguishable from inline-null);
+    * feed consumers (CDC re-seed, audit, downstream ETL) must not be
+    * handed silently-nulled historical payloads — after [[gc]] collects
+    * a superseded payload, the raw feed can no longer reproduce it, and
+    * the only safe recovery is a snapshot re-seed.
+    */
+  def resolveTextStrict(data: DataFrame, blobs: DataFrame, field: String,
+      refCol: String, context: String): DataFrame = {
+    val store = blobs
+      .withColumnRenamed("_lob_ref", refCol)
+      .withColumnRenamed("_lob_payload", s"_lob_payload_$field")
+    data.join(store, Seq(refCol), "left")
+      .withColumn(field,
+        when(col(refCol).isNotNull && col(s"_lob_payload_$field").isNull,
+          raise_error(concat(
+            lit(s"$context: LOB payload for '$field' ref "), col(refCol),
+            lit(" no longer exists (superseded or deleted, then garbage-" +
+              "collected) — the raw change feed cannot reproduce it; " +
+              "re-seed from a snapshot instead"))))
+          .otherwise(coalesce(col(field), col(s"_lob_payload_$field"))))
       .drop(refCol, s"_lob_payload_$field")
   }
 }

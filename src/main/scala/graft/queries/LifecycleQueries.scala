@@ -2463,7 +2463,7 @@ object LifecycleQueries {
         |FROM events WHERE event_id < 5000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_lob_gc" ->
-      """SELECT doc_id, md5(text) AS digest,
+      """SELECT doc_id, sha256(text) AS digest,
         |       octet_length(encode(text)) AS lob_bytes,
         |       octet_length(encode(text)) AS bytes
         |FROM documents WHERE lang <> 'zh'

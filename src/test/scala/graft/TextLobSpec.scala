@@ -622,6 +622,83 @@ class TextLobSpec extends SparkSpec {
       "the replica keeps the LOB storage contract (2, 4, 6 externalized)")
   }
 
+  // ---- facade-derived index gate (the checker must not depend on the
+  // caller classifying the field — the schema decides) ----
+
+  test("createScalarIndex derives TEXT from the schema and rejects; VARCHAR builds") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(Seq((1L, "vector database", "en"), (2L, "spark engine", "de"))
+      .toDF("id", "text", "lang"))
+    for (kind <- Seq("INVERTED", "BITMAP", "Trie", "STL_SORT", "AUTOINDEX")) {
+      val e = intercept[IllegalArgumentException] {
+        c.createScalarIndex("text", kind)
+      }
+      assert(e.getMessage ==
+        "TEXT field does not support user-created scalar index", kind)
+    }
+    // the same request on a plain VARCHAR field passes the check and
+    // builds the (value -> ids) dictionary
+    val idx = c.createScalarIndex("lang", "INVERTED")
+    assert(idx.count() == 2)
+    // and a kind/field mismatch still surfaces the typed checker errors
+    intercept[IllegalArgumentException] { c.createScalarIndex("id", "Trie") }
+  }
+
+  // ---- post-GC feed contract: dangling refs raise, never null ----
+
+  test("changesSince raises on GC'd historical payloads instead of nulling them") {
+    val path = s"${scratch("textlob_feed")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(Seq((1L, "v1 " + ("a" * 100)), (2L, "small"), (3L, "bye"))
+      .toDF("id", "text"))
+    c.flush(path)
+    // pre-GC: the full feed resolves (the v1 payload is still stored)
+    assert(c.changesSince(0L).filter($"text".contains("v1")).count() == 1)
+    c.upsert(Seq((1L, "v2 " + ("b" * 100))).toDF("id", "text"))
+    c.deletePks(Seq(3L)) // compaction folds on the tombstone sweep
+    c.flush(path)
+    c.compact(path)
+    assert(c.lobGc(path) == 1L) // v1's payload is orphaned and collected
+    // a re-seed feed (sinceTs=0) now spans an insert whose payload is
+    // gone — materializing it must fail loudly with the re-seed hint
+    val e = intercept[Exception] { c.changesSince(0L).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("re-seed from a snapshot")),
+      s"expected the dangling-ref error, got: $e")
+    // an incremental cursor PAST the dangling entry still serves
+    val tail = c.changesSince(1L).filter($"_op" === "insert")
+    assert(tail.filter($"text".contains("v2")).count() == 1)
+  }
+
+  // ---- query-side tokenization is driver-local and cached ----
+
+  test("analyzeLocal folds to a LocalRelation (no Spark job) and matches the plan side") {
+    import graft.functions.Analyzers
+    val params = Map("tokenizer" -> "char_group", "delims" -> " -",
+      "filters" -> "lowercase")
+    val q = "Vector-Database PAYLOAD"
+    val local = Analyzers.analyzeLocal(params, q)
+    // the plan-side evaluation of the same pipeline must agree exactly
+    val planned = Seq(Tuple1(q)).toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), params).as("toks"))
+      .head().getSeq[String](0).toSeq
+    assert(local == planned)
+    assert(local == Seq("vector", "database", "payload"))
+    // the no-job property: Project-over-LocalRelation constant-folds at
+    // optimization time (ConvertToLocalRelation), so head() never
+    // schedules a job — pinned on the plan, not on listener timing
+    val df = Seq(Tuple1(q)).toDF("t")
+      .select(Analyzers.analyzeWith(col("t"), params).as("toks"))
+    assert(df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      df.queryExecution.optimizedPlan.getClass.toString)
+    // cached: the second call returns the identical memoized sequence
+    assert(Analyzers.analyzeLocal(params, q) eq local)
+  }
+
   // ---- query iterator pages payloads (:892) ----
 
   test("query iterator pages LOB payloads byte-exact") {
