@@ -146,17 +146,8 @@ final class Collection private (
     * alpha and numeric names already infers string; the re-read only
     * fires for the all-numeric-tenants case.)
     */
-  private def readLayout(path: String): DataFrame = {
-    import org.apache.spark.sql.types.{StringType, StructType}
-    val df = spark.read.parquet(path)
-    if (df.columns.contains(Collection.PartitionCol) &&
-        df.schema(Collection.PartitionCol).dataType != StringType) {
-      val fixed = StructType(df.schema.map(f =>
-        if (f.name == Collection.PartitionCol) f.copy(dataType = StringType)
-        else f))
-      spark.read.schema(fixed).parquet(path)
-    } else df
-  }
+  private def readLayout(path: String): DataFrame =
+    Collection.readLayoutAt(spark, path)
 
   // Sealed reads go through the ts normalization boundary: the MVCC
   // machinery below (visibility, TTL, truncate horizons) works in
@@ -1273,8 +1264,18 @@ final class Collection private (
             refCols.filter(df.columns.contains).map(c =>
               df.filter(col(c).isNotNull).select(col(c).as("_lob_ref")))
           }.reduceOption(_ union _)
+        // snapshot-pinned refs join the used set (the reference's
+        // IsSegmentGCBlocked path in garbage_collector_lob.go:214-258:
+        // a dropped segment protected by a snapshot keeps its LOB files
+        // alive) — each snapshot's pins were precomputed ONCE at create
+        // into an ids-only parquet, so this is an O(pinned) read, never
+        // a re-scan of snapshot data files
+        val pinned: Option[DataFrame] = snapshotReg.values
+          .flatMap(_.refsDir).toSeq
+          .map(spark.read.parquet(_)).reduceOption(_ union _)
+        val used = (live.toSeq ++ pinned.toSeq).reduceOption(_ union _)
         val total = store.count()
-        val kept = live match {
+        val kept = used match {
           case Some(refs) =>
             store.join(refs.distinct(), Seq("_lob_ref"), "left_semi")
           case None => store.filter(lit(false)) // no rows at all — all orphans
@@ -1298,6 +1299,130 @@ final class Collection private (
           total - keptCount
         }
     }
+  }
+
+  // ---- collection snapshots × LOB pinning (reference:
+  // internal/datacoord/snapshot.go — a snapshot is METADATA ONLY, a
+  // manifest of the segment files live at snapshot time;
+  // garbage_collector_lob.go:214-258 — the LOB GC's used-set includes
+  // files referenced by snapshot-protected segments, so a snapshot
+  // keeps its LOB payloads alive; the 20260609 export design copies the
+  // manifested files into a self-contained directory).
+  //
+  // Spark shape: the manifest records DIRECTORY units (sealed segment
+  // dirs + live blob dirs). Compaction and lobGc write FRESH
+  // directories and nothing in this engine deletes old ones (physical
+  // removal is a retention sweep honoring snapshot pins, a deployment
+  // concern) — so a directory manifest is as stable as the reference's
+  // file manifest, at any corpus size an O(dirs) metadata write.
+  private final case class SnapState(ts: Long, horizon: Long,
+      dataDirs: Seq[String], lobDirs: Seq[String],
+      tombsDir: Option[String], refsDir: Option[String])
+  @volatile private var snapshotReg: Map[String, SnapState] = Map.empty
+
+  /** CreateSnapshot (reference CreateSnapshot RPC → snapshot.go): seal
+    * the tail, then record under `<path>/_snapshots/<id>` the current
+    * segment + blob directory set, the point-in-time tombstone cut, and
+    * the snapshot's pinned LOB refs (the manifest walk, paid once here
+    * so [[lobGc]] reads an ids-only table instead of re-scanning
+    * snapshot data files). Returns the snapshot read ts.
+    */
+  def createSnapshot(path: String, id: String): Long = stateLock.synchronized {
+    requirePriv("CreateSnapshot")
+    require(id.nonEmpty && !id.contains('/'), s"invalid snapshot id '$id'")
+    require(!snapshotReg.contains(id), s"snapshot '$id' already exists")
+    flush(path) // reentrant on stateLock; the manifest must cover the tail
+    val ts = lastWriteTs
+    val root = s"$path/_snapshots/$id"
+    val dataDirs = sealedSegments
+    require(dataDirs.nonEmpty, "nothing to snapshot — empty collection")
+    val lobDirs = Collection.lobLiveDirs(spark, path)
+    import spark.implicits._
+    (dataDirs.map(("data", _)) ++ lobDirs.map(("lob", _)))
+      .toDF("kind", "dir").coalesce(1)
+      .write.mode("errorifexists") // snapshots are immutable once taken
+      .parquet(s"$root/manifest")
+    val tombsDir = tombs.flatMap { t =>
+      val cut = t.filter(col(schema.tsField) <= ts)
+      if (cut.isEmpty) None
+      else { cut.write.parquet(s"$root/tombs"); Some(s"$root/tombs") }
+    }
+    // pinned refs: every `$lob_` column of the manifested segments,
+    // whatever field it belonged to — file-level protection like the
+    // reference's (superseded LWW versions inside a manifested file pin
+    // their payloads too; the snapshot read may not surface them but
+    // the files reference them)
+    val refsDir = {
+      val refs = sealedDf.toSeq.flatMap { df =>
+        df.columns.filter(_.startsWith("$lob_")).map(c =>
+          df.filter(col(c).isNotNull).select(col(c).as("_lob_ref")))
+      }.reduceOption(_ union _).map(_.distinct())
+      refs.filter(r => !r.isEmpty).map { r =>
+        r.coalesce(1).write.parquet(s"$root/refs"); s"$root/refs"
+      }
+    }
+    snapshotReg += id -> SnapState(ts, truncateHorizon, dataDirs, lobDirs,
+      tombsDir, refsDir)
+    ts
+  }
+
+  /** Read snapshot `id`: exactly the manifested segments collapsed at
+    * the snapshot ts, payloads resolved against the manifested blob
+    * dirs — later writes, compactions, and [[lobGc]] runs on the live
+    * collection are invisible by construction.
+    */
+  def readSnapshot(id: String): DataFrame = {
+    requirePriv("Query")
+    val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+      s"snapshot '$id' not found"))
+    Collection.snapshotView(spark, schema, st.dataDirs, st.lobDirs,
+      st.tombsDir, st.ts, st.horizon)
+  }
+
+  /** ListSnapshots: id → snapshot read ts. */
+  def listSnapshots: Map[String, Long] = snapshotReg.view.mapValues(_.ts).toMap
+
+  /** DropSnapshot: unregister — the next [[lobGc]] stops pinning its
+    * refs. The `_snapshots/<id>` artifacts stay on disk for the
+    * retention sweep, same as superseded segment and blob dirs.
+    */
+  def dropSnapshot(id: String): Unit = stateLock.synchronized {
+    requirePriv("DropSnapshot")
+    require(snapshotReg.contains(id), s"snapshot '$id' not found")
+    snapshotReg -= id
+  }
+
+  /** ExportSnapshot (20260609 design): copy the manifested segment and
+    * blob directories plus the tombstone cut and read ts into `destDir`
+    * — fully self-contained, [[Collection.openSnapshotExport]] serves
+    * it after the source collection (including its `_lobs`) is gone.
+    * Returns the number of directories copied.
+    */
+  def exportSnapshot(id: String, destDir: String): Int = {
+    requirePriv("ExportSnapshot")
+    val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+      s"snapshot '$id' not found"))
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(conf)
+    require(!fs.exists(dest), s"export target $destDir already exists")
+    var n = 0
+    def copyInto(src: String, sub: String): Unit = {
+      val sp = new Path(src)
+      // index-prefixed names: manifested dirs are unique within their
+      // parent, but an export flattens several parents into one
+      FileUtil.copy(sp.getFileSystem(conf), sp, fs,
+        new Path(s"$destDir/$sub/d$n-${sp.getName}"), false, conf)
+      n += 1
+    }
+    st.dataDirs.foreach(copyInto(_, "data"))
+    st.lobDirs.foreach(copyInto(_, "_lobs"))
+    st.tombsDir.foreach(copyInto(_, "_tombs"))
+    import spark.implicits._
+    Seq((st.ts, st.horizon)).toDF("snap_ts", "horizon")
+      .coalesce(1).write.parquet(s"$destDir/_meta")
+    n
   }
 
   /** Truncate (reference: 20260129-truncate_collection.md — clear all
@@ -4051,6 +4176,87 @@ object Collection {
   }
   /** Tag column carrying each row's named partition. */
   val PartitionCol = "_partition"
+
+  /** Read a sealed layout directory, repairing the hive-recovered
+    * partition tag's type (directory values parse as their narrowest
+    * type; the tag column is declared string).
+    */
+  private[graft] def readLayoutAt(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val df = spark.read.parquet(path)
+    if (df.columns.contains(PartitionCol) &&
+        df.schema(PartitionCol).dataType != StringType) {
+      val fixed = StructType(df.schema.map(f =>
+        if (f.name == PartitionCol) f.copy(dataType = StringType)
+        else f))
+      spark.read.schema(fixed).parquet(path)
+    } else df
+  }
+
+  /** Assemble the read view of a MANIFESTED snapshot: union the
+    * manifested segment dirs, apply the point-in-time MVCC collapse
+    * (the snapshot's own tombstone cut, never the live set), and
+    * resolve every `$lob_` ref against the manifested blob dirs — not
+    * the live store, so later compaction/GC of the source collection
+    * cannot reach it. Shared by [[Collection.readSnapshot]] and
+    * [[Collection.openSnapshotExport]] (an export is the same shape
+    * with the dirs relocated).
+    */
+  private[graft] def snapshotView(spark: SparkSession, schema: CollectionSchema,
+      dataDirs: Seq[String], lobDirs: Seq[String], tombsDir: Option[String],
+      ts: Long, horizon: Long = 0L): DataFrame = {
+    require(dataDirs.nonEmpty, "snapshot manifests no data directories")
+    val data = dataDirs
+      .map(d => GraftSession.normalizeTs(readLayoutAt(spark, d), Set(schema.tsField)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // the truncate horizon is driver state, not file state — a snapshot
+    // taken after a truncate must not resurrect the cut rows
+    val inWindow =
+      if (horizon > 0L) data.filter(col(schema.tsField) > horizon) else data
+    val snapTombs = tombsDir.map(spark.read.parquet(_))
+    val visible = Mvcc.visible(inWindow, schema.pkField, schema.tsField,
+      lit(ts), tombstones = snapTombs, ttl = None)
+    val collapsed = Mvcc.latestByPk(
+      visible, schema.pkField, schema.tsField, schema.pkField)
+    val store = lobDirs.map(spark.read.parquet(_))
+      .reduceOption(_ unionByName _).map(_.dropDuplicates("_lob_ref"))
+    // resolve by REF-COLUMN presence, not by the live schema's declared
+    // TEXT fields — the snapshot is a point-in-time artifact and must
+    // keep serving fields dropped (or re-typed) after it was taken
+    val refCols = collapsed.columns.filter(_.startsWith("$lob_")).toSeq
+    val resolved = store match {
+      case Some(s) => refCols.foldLeft(collapsed) { (df, ref) =>
+        val f = ref.stripPrefix("$lob_")
+        if (df.columns.contains(f)) graft.operators.Lob.resolveText(df, s, f, ref)
+        else df
+      }
+      case None => collapsed
+    }
+    resolved.drop(resolved.columns.filter(_.startsWith("$lob_")).toIndexedSeq: _*)
+  }
+
+  /** Open a directory written by [[Collection.exportSnapshot]] — fully
+    * self-contained (20260609 snapshot-export design: restore works in
+    * a different cluster with the source collection gone): the exported
+    * segment dirs, blob dirs, tombstone cut, and read ts all live under
+    * `destDir`; no manifest indirection, no source `_lobs`.
+    */
+  def openSnapshotExport(spark: SparkSession, schema: CollectionSchema,
+      destDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def subdirs(p: String): Seq[String] = {
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) Nil
+      else fs.listStatus(path).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+    }
+    val meta = spark.read.parquet(s"$destDir/_meta").head()
+    snapshotView(spark, schema, subdirs(s"$destDir/data"),
+      subdirs(s"$destDir/_lobs"), subdirs(s"$destDir/_tombs").headOption,
+      meta.getAs[Long]("snap_ts"), meta.getAs[Long]("horizon"))
+  }
 
   /** Create an empty collection (reference `CreateCollection`). */
   /** Case-sensitive warmup policy validation (the reference rejects

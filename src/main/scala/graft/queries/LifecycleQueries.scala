@@ -743,6 +743,69 @@ object LifecycleQueries {
       .orderBy(col("section"), col("id"), col("n"))
   }
 
+  /** Snapshot × TEXT-LOB (reference: datacoord/snapshot.go — a snapshot
+    * manifests the segment files live at snapshot time;
+    * garbage_collector_lob.go:214-258 — LOB GC's used-set includes
+    * snapshot-protected segments' refs, so a snapshot keeps its
+    * payloads alive; the 20260609 export design). The battery pins, in
+    * one frame:
+    *   - snap: the snapshot read AFTER the live side deleted every
+    *     14th doc, upserted doc 21's payload, compacted, and lobGc'd —
+    *     every original payload must still resolve byte-exact (a
+    *     wrongly collected blob surfaces as a broken md5 here);
+    *   - live: the post-churn live read (deletes applied, doc 21 = the
+    *     new payload, the orphan gone);
+    *   - gc_reclaimed: exactly 1 — the post-snapshot orphan payload;
+    *     snapshot-pinned blobs are excluded from the reclaim;
+    *   - gc_live: the store keeps every snapshot payload plus the
+    *     upserted one.
+    * Value-bounded fixture (doc_id < 300, the contract-gate device);
+    * the pin itself is an ids-only union into the GC semi-join.
+    */
+  def lobSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, TextFieldSpec}
+    val path = s"${scratchDir("lobsnap")}/data"
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val grown = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" "), repeat(md5(col("text")), 2100)))
+        .otherwise(col("text")))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      textFields = Map("text" -> TextFieldSpec(
+        enableAnalyzer = true, enableMatch = true))))
+    c.insert(grown)
+    c.createSnapshot(path, "s1")
+    // live-side churn the snapshot must not see: delete every 14th doc
+    // (all LOB-backed), re-upload doc 21's payload, and land a
+    // post-snapshot orphan (insert + delete a fresh oversized payload —
+    // the ONLY blob GC may reclaim, everything else is pinned)
+    c.deletePks((0L until 300L by 14L))
+    c.upsert(grown.filter(col("doc_id") === 21)
+      .withColumn("text", concat(lit("upserted "),
+        repeat(md5(concat(col("text"), lit("v2"))), 2100))))
+    import s.implicits._
+    c.insert(Seq((9000001L, "orphan", "en")).toDF("doc_id", "text", "lang")
+      .withColumn("text", concat(col("text"), lit(" "),
+        repeat(md5(col("text")), 2100))))
+    c.deletePks(Seq(9000001L))
+    c.flush(path)
+    c.compact(path)
+    val reclaimed = c.lobGc(path)
+    val liveBlobs = c.lobBlobCount
+    def shape(df: DataFrame, tag: String) = df
+      .select(lit(tag).as("section"), col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("n"), md5(col("text")).as("s"))
+    val snap = shape(c.readSnapshot("s1"), "snap")
+    val live = shape(c.query("doc_id >= 0", Seq("doc_id", "text")), "live")
+    val gc = Seq(("gc_reclaimed", reclaimed), ("gc_live", liveBlobs))
+      .toDF("section", "n")
+      .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
+        lit(null).cast("string").as("s"))
+    snap.unionByName(live).unionByName(gc)
+      .orderBy(col("section"), col("id"))
+  }
+
   /** Declared-analyzer match semantics through the facade (reference:
     * text_match evaluates over the FIELD's analyzer_params — the
     * TextMatchIndex tokenizes docs AND queries with the declared
@@ -1957,6 +2020,7 @@ object LifecycleQueries {
     "q_snapshot_read" -> (snapshotRead _),
     "q_lob_gc" -> (lobGc _),
     "q_text_lob" -> (textLob _),
+    "q_lob_snapshot" -> (lobSnapshot _),
     "q_text_analyzer_match" -> (textAnalyzerMatch _)
   )
 
@@ -2469,6 +2533,30 @@ object LifecycleQueries {
         |FROM documents WHERE lang <> 'zh'
         |ORDER BY doc_id""".stripMargin,
     "q_text_lob" -> textLobOracle,
+    "q_lob_snapshot" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |grown AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
+        |         ELSE text END AS text
+        |  FROM base),
+        |snap AS (SELECT 'snap' AS section, doc_id AS id,
+        |    CAST(strlen(text) AS BIGINT) AS n, md5(text) AS s FROM grown),
+        |live AS (SELECT 'live' AS section, doc_id AS id,
+        |    CAST(strlen(t) AS BIGINT) AS n, md5(t) AS s
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN doc_id = 21
+        |           THEN 'upserted ' || repeat(md5(text || 'v2'), 2100)
+        |           ELSE text END AS t
+        |    FROM grown WHERE doc_id % 14 <> 0)),
+        |gc AS (
+        |  SELECT 'gc_reclaimed' AS section, CAST(0 AS BIGINT) AS id,
+        |         CAST(1 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS s
+        |  UNION ALL
+        |  SELECT 'gc_live', 0,
+        |         (SELECT count(*) + 1 FROM grown WHERE doc_id % 7 = 0), NULL)
+        |SELECT * FROM snap UNION ALL SELECT * FROM live
+        |UNION ALL SELECT * FROM gc
+        |ORDER BY section, id""".stripMargin,
     "q_text_analyzer_match" -> textAnalyzerOracle
   )
 }

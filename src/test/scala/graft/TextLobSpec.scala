@@ -699,6 +699,72 @@ class TextLobSpec extends SparkSpec {
     assert(Analyzers.analyzeLocal(params, q) eq local)
   }
 
+  // ---- snapshots pin LOB payloads; exports are self-contained ----
+
+  test("snapshot read survives delete+compact+lobGc; dropSnapshot unpins") {
+    val path = s"${scratch("textlob_snap")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(8, bigEvery = 2, threshold = 64)) // LOB: 2, 4, 6, 8
+    val ts = c.createSnapshot(path, "s1")
+    assert(ts > 0L)
+    assert(c.listSnapshots == Map("s1" -> ts))
+    val want = c.readSnapshot("s1")
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(want.size == 8)
+    // churn the live side: the snapshot must not move
+    c.deletePks(Seq(2L, 4L))
+    c.flush(path)
+    c.compact(path)
+    // pinned: the deleted payloads stay — GC reclaims nothing
+    assert(c.lobGc(path) == 0L)
+    assert(c.lobBlobCount == 4)
+    assert(c.readSnapshot("s1")
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == want,
+      "snapshot read must be byte-identical after live-side GC")
+    // the live read DID apply the deletes
+    assert(c.query("id >= 1", Seq("id")).count() == 6)
+    // unpin: now the two orphaned payloads collect
+    c.dropSnapshot("s1")
+    assert(c.lobGc(path) == 2L)
+    assert(c.lobBlobCount == 2)
+    intercept[NoSuchElementException] { c.readSnapshot("s1") }
+  }
+
+  test("exported snapshot serves byte-exact after the source _lobs is deleted") {
+    val base = scratch("textlob_export")
+    val path = s"$base/data"
+    val schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(rows(6, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    // a post-snapshot delete must be invisible to the export
+    c.deletePks(Seq(2L))
+    val want = c.readSnapshot("s1")
+      .select($"id", md5($"text").as("h"), octet_length($"text").as("b"))
+      .orderBy("id").collect().toSeq
+    val n = c.exportSnapshot("s1", s"$base/exported")
+    assert(n >= 2) // at least one data dir + one blob dir
+    intercept[IllegalArgumentException] { // immutable target
+      c.exportSnapshot("s1", s"$base/exported")
+    }
+    // wipe the SOURCE blob store entirely — the export must not need it
+    val lobs = new java.io.File(s"$path/_lobs")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(lobs)
+    assert(!lobs.exists)
+    val restored = Collection.openSnapshotExport(spark, schema, s"$base/exported")
+      .select($"id", md5($"text").as("h"), octet_length($"text").as("b"))
+      .orderBy("id").collect().toSeq
+    assert(restored == want, "export must be self-contained (payloads included)")
+    assert(restored.size == 6, "the post-snapshot delete must not leak into the export")
+  }
+
   // ---- query iterator pages payloads (:892) ----
 
   test("query iterator pages LOB payloads byte-exact") {
