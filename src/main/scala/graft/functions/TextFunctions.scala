@@ -146,6 +146,70 @@ object TextFunctions {
     regexp_replace(c, patt, pre + "$1" + post)
   }
 
+  /** Analyzer-aware lexical highlighter (reference:
+    * internal/proxy/highlighter.go:75-116 — the highlight task resolves
+    * the FIELD's declared analyzer before tokenizing, so a field
+    * declared with e.g. char_group delimiters highlights exactly the
+    * spans its text_match matches): the query text tokenizes through
+    * the field's analyzer pipeline (driver-side, cached), and doc-side
+    * token boundaries come from the TOKENIZER's split class — not the
+    * default `\b` word boundary. Case-insensitive iff the pipeline
+    * lowercases. Filters that rewrite token surface forms (stemmer,
+    * pinyin) highlight occurrences of their OUTPUT forms — synonym
+    * expansion works because [[graft.functions.Analyzers.analyzeLocal]]
+    * expands the query set. Tokenizers without a contiguous-span split
+    * (ngram, CJK segmentation) are rejected — the reference serves
+    * those through its offset-carrying tokenizer, which has no
+    * boundary-class equivalent.
+    */
+  def highlightWith(c: Column, analyzerParams: Map[String, String],
+      queryText: String, pre: String = "<em>", post: String = "</em>"): Column = {
+    val qTokens = Analyzers.analyzeLocal(analyzerParams, queryText)
+      .distinct.filter(_.nonEmpty)
+    if (qTokens.isEmpty) return c
+    // the tokenizer's NON-delimiter class: a token occurrence is a run
+    // bounded by delimiters (or the string edges) on both sides —
+    // expressed as width-1 negative lookarounds, never consuming the
+    // boundary (adjacent matches can share one delimiter)
+    val (nonDelim, lowercases) =
+      analyzerParams.getOrElse("tokenizer", "standard") match {
+        case "standard"   => ("[a-zA-Z0-9]", true) // standard lowercases
+        case "whitespace" => ("\\S", false)
+        case "char_group" =>
+          val ds = analyzerParams.getOrElse("delims", " ").toSeq
+          val cls = ds.map(ch =>
+            if (ch.isLetterOrDigit) ch.toString else "\\" + ch).mkString
+          (s"[^$cls]", false)
+        case other => throw new IllegalArgumentException(
+          s"highlight does not support tokenizer '$other' — no contiguous " +
+            "token spans to wrap")
+      }
+    val filters = analyzerParams.get("filters").toSeq
+      .flatMap(_.split(",")).map(_.trim)
+    val ci = if (lowercases || filters.contains("lowercase")) "(?i)" else ""
+    val alt = qTokens.map(java.util.regex.Pattern.quote).mkString("|")
+    regexp_replace(c,
+      s"$ci(?<!$nonDelim)($alt)(?!$nonDelim)", pre + "$1" + post)
+  }
+
+  /** Multi-analyzer highlight (highlighter.go:97-116 — the field's
+    * multi-analyzer NAME column picks each row's analyzer; rows whose
+    * name has no declared analyzer take `"default"`): a CASE dispatch
+    * over [[highlightWith]] columns, one branch per declared analyzer.
+    */
+  def highlightByAnalyzer(c: Column, nameCol: Column,
+      analyzers: Map[String, Map[String, String]], queryText: String,
+      pre: String = "<em>", post: String = "</em>"): Column = {
+    require(analyzers.contains("default"),
+      "multi-analyzer highlight requires a 'default' analyzer")
+    val fallback = highlightWith(c, analyzers("default"), queryText, pre, post)
+    analyzers.view.filterKeys(_ != "default").foldLeft(fallback) {
+      case (acc, (name, params)) =>
+        when(nameCol === name, highlightWith(c, params, queryText, pre, post))
+          .otherwise(acc)
+    }
+  }
+
   // --- language ID (n-gram/stopword heuristic) -----------------------
 
   /** Tiny per-language stopword marker sets (public common words). */

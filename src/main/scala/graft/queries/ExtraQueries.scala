@@ -65,6 +65,61 @@ object ExtraQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Analyzer-aware highlight spans (reference:
+    * internal/proxy/highlighter.go:75-116 — the highlight task resolves
+    * the FIELD's declared analyzer, including the multi-analyzer name
+    * field, before tokenizing): four analyzer regimes over the same
+    * corpus (every 3rd doc upper-cased so case handling is observable),
+    * each emitting the SPAN SET of the produced markup — `marks` = the
+    * number of wrapped spans (derived from the marked string's byte
+    * growth, 9 bytes per `<em>…</em>` pair) and, where the tokenizer's
+    * delimiters can't split the tags, `possum` = the sum of 1-based
+    * token ordinals of the wrapped spans (derived by re-tokenizing the
+    * MARKED string). The oracle recomputes both from the raw text with
+    * each analyzer's tokenization, independently in SQL.
+    */
+  def highlightAnalyzerQ(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(3)) === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    val markBytes = 9L // "<em>" + "</em>"
+    def marksOf(marked: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((octet_length(marked) - octet_length(col("text"))) / markBytes)
+        .cast("long")
+    // 1-based ordinals of wrapped tokens, read back from the MARKED
+    // string: the tags contain no delimiter chars of these tokenizers,
+    // so marked tokens re-tokenize as single "<em>…" units
+    def possumOf(marked: org.apache.spark.sql.Column, delimRegex: String): org.apache.spark.sql.Column =
+      aggregate(
+        transform(
+          filter(split(marked, delimRegex), t => t =!= ""),
+          (t, i) => when(t.startsWith("<em>"), i + 1).otherwise(lit(0))),
+        lit(0L), (acc, x) => acc + x)
+    def section(tag: String, marked: org.apache.spark.sql.Column,
+        possum: Option[org.apache.spark.sql.Column]): DataFrame =
+      base.select(lit(tag).as("section"), col("doc_id").as("id"),
+          marksOf(marked).as("marks"),
+          possum.getOrElse(lit(0L)).cast("long").as("possum"))
+        .filter(col("marks") > 0)
+    val cgParams = Map("tokenizer" -> "char_group",
+      "delims" -> " .,;:!?", "filters" -> "lowercase")
+    val cgMarked = TextFunctions.highlightWith(col("text"), cgParams, "Filter Window")
+    val wsParams = Map("tokenizer" -> "whitespace")
+    val wsMarked = TextFunctions.highlightWith(col("text"), wsParams, "FILTER window")
+    val stdMarked = TextFunctions.highlightWith(
+      col("text"), Map.empty, "Stream Data")
+    val multiMarked = TextFunctions.highlightByAnalyzer(col("text"), col("lang"),
+      Map("default" -> Map.empty[String, String],
+        "de" -> Map("tokenizer" -> "char_group", "delims" -> " ")),
+      "STREAM data")
+    section("cg", cgMarked, Some(possumOf(cgMarked, "[ .,;:!?]+")))
+      .unionByName(section("ws", wsMarked, Some(possumOf(wsMarked, "\\s+"))))
+      .unionByName(section("std", stdMarked, None))
+      .unionByName(section("multi", multiMarked, None))
+      .orderBy(col("section"), col("id"))
+  }
+
   // ---- §2.1 template variables (reference: fill_expression_value.go) ----
 
   def templateVars(s: SparkSession, dir: String): DataFrame = {
@@ -1397,6 +1452,7 @@ object ExtraQueries {
     "q_match_least" -> (matchLeast _),
     "q_fuzzy_match" -> (fuzzyMatch _),
     "q_highlight" -> (highlightQ _),
+    "q_highlight_analyzer" -> (highlightAnalyzerQ _),
     "q_template_vars" -> (templateVars _),
     "q_geo_dwithin" -> (geoDWithin _),
     "q_geo_within" -> (geoWithin _),
@@ -1883,6 +1939,47 @@ object ExtraQueries {
         |FROM documents
         |WHERE list_contains(string_split(text, ' '), 'vector')
         |ORDER BY doc_id""".stripMargin,
+    "q_highlight_analyzer" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id < 500),
+        |cgt AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ .,;:!?]+'), x -> x <> '') AS toks
+        |  FROM base),
+        |cg AS (SELECT 'cg' AS section, doc_id AS id,
+        |    CAST(len(list_filter(toks, x -> lower(x) IN ('filter','window'))) AS BIGINT) AS marks,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      (x, i) -> CASE WHEN lower(x) IN ('filter','window') THEN i ELSE 0 END)), 0) AS BIGINT) AS possum
+        |  FROM cgt),
+        |wst AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM base),
+        |ws AS (SELECT 'ws' AS section, doc_id AS id,
+        |    CAST(len(list_filter(toks, x -> x IN ('FILTER','window'))) AS BIGINT) AS marks,
+        |    CAST(coalesce(list_sum(list_transform(toks,
+        |      (x, i) -> CASE WHEN x IN ('FILTER','window') THEN i ELSE 0 END)), 0) AS BIGINT) AS possum
+        |  FROM wst),
+        |stdt AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM base),
+        |std AS (SELECT 'std' AS section, doc_id AS id,
+        |    CAST(len(list_filter(toks, x -> x IN ('stream','data'))) AS BIGINT) AS marks,
+        |    CAST(0 AS BIGINT) AS possum
+        |  FROM stdt),
+        |multi AS (SELECT 'multi' AS section, doc_id AS id,
+        |    CAST(CASE WHEN lang = 'de'
+        |      THEN len(list_filter(list_filter(string_split_regex(text, '[ ]+'), x -> x <> ''),
+        |                           x -> x IN ('STREAM','data')))
+        |      ELSE len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |                           x -> x IN ('stream','data')))
+        |      END AS BIGINT) AS marks,
+        |    CAST(0 AS BIGINT) AS possum
+        |  FROM base)
+        |SELECT * FROM (
+        |  SELECT * FROM cg UNION ALL SELECT * FROM ws
+        |  UNION ALL SELECT * FROM std UNION ALL SELECT * FROM multi)
+        |WHERE marks > 0
+        |ORDER BY section, id""".stripMargin,
     "q_template_vars" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity >= 45 AND l_discount <= 0.02 AND l_returnflag = 'A'

@@ -42,6 +42,49 @@ class ExtraSpec extends SparkSpec {
     assert(got == "<em>vector</em> vectors <em>Vector</em>!")
   }
 
+  test("highlightWith tokenizes with the declared analyzer") {
+    def mark(text: String, params: Map[String, String], q: String): String =
+      Seq(text).toDF("t")
+        .select(TextFunctions.highlightWith(col("t"), params, q).as("h"))
+        .as[String].head()
+    // char_group: boundaries are the DECLARED delims — "-" binds,
+    // periods split; lowercase filter makes the match case-insensitive
+    assert(mark("Filter.window filter-x x filter",
+        Map("tokenizer" -> "char_group", "delims" -> " .,",
+          "filters" -> "lowercase"), "FILTER") ==
+      "<em>Filter</em>.window filter-x x <em>filter</em>")
+    // whitespace without lowercase is case-SENSITIVE and binds punctuation
+    assert(mark("Filter filter filter.", Map("tokenizer" -> "whitespace"),
+        "filter") ==
+      "Filter <em>filter</em> filter.")
+    // standard: alphanumeric token runs, case-insensitive; adjacent
+    // matches each wrap (the boundary is never consumed)
+    assert(mark("a,a a", Map.empty, "A") ==
+      "<em>a</em>,<em>a</em> <em>a</em>")
+    // synonym expansion on the query side highlights the expansions too
+    assert(mark("car and automobile", Map("tokenizer" -> "char_group",
+        "delims" -> " ", "filters" -> "synonym",
+        "synonyms" -> "car:automobile"), "car") ==
+      "<em>car</em> and <em>automobile</em>")
+    // span-less tokenizers are rejected by name
+    val e = intercept[IllegalArgumentException] {
+      mark("abc", Map("tokenizer" -> "ngram", "min_gram" -> "2",
+        "max_gram" -> "2"), "ab")
+    }
+    assert(e.getMessage.contains("ngram"))
+    // multi-analyzer: the name column picks the pipeline per row
+    val rows = Seq(("de", "Stream x"), ("en", "Stream x"))
+      .toDF("lang", "t")
+      .select(col("lang"), TextFunctions.highlightByAnalyzer(col("t"),
+        col("lang"),
+        Map("default" -> Map.empty[String, String],
+          "de" -> Map("tokenizer" -> "whitespace")),
+        "stream x").as("h"))
+      .orderBy("lang").as[(String, String)].collect()
+    assert(rows(0) == (("de", "Stream <em>x</em>")), rows(0)) // case-sensitive
+    assert(rows(1) == (("en", "<em>Stream</em> <em>x</em>")), rows(1))
+  }
+
   test("phrase_match slop semantics") {
     val df = Seq("a x b", "a b", "b a", "a x y b").toDF("text")
     def matches(e: String) =
