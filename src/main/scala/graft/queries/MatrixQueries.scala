@@ -547,6 +547,11 @@ object MatrixQueries {
         col("n_indexed"), col("n_scan"), coalesce(col("n_diff"), lit(0L)).as("n_diff"))
   }
 
+  // The index-consistency battery is SPLIT in two (scalar-dictionary
+  // kinds here, MIXED/special types in [[indexConsistencyMixed]]): each
+  // row pays a dictionary build, and one query carrying 17 builds was
+  // the driver bench's tail — two self-contained halves keep every row
+  // while halving the per-query fixture cost.
   def indexConsistency(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{InvertedIndex, NgramIndex}
     val cust = t(s, dir, "customer")
@@ -622,7 +627,61 @@ object MatrixQueries {
           json = Set("props"))),
       consistencyRow(s, "HYBRID", "nchars_range",
         InvertedIndex.lookupRange(ncharsIdx, "n_chars", 100, 200),
-        scan(docs, "doc_id", "n_chars >= 100 and n_chars <= 200")),
+        scan(docs, "doc_id", "n_chars >= 100 and n_chars <= 200"))) ++
+      // Unicode through the index paths (reference test_mix_scenes.py:
+      // 2417 test_index_unicode_string_query, :2443 array variant — CJK
+      // equality / LIKE through BITMAP and INVERTED dictionaries, and
+      // array contains over CJK elements, must equal the plain scan)
+      locally {
+        val u1 = typedlit(Seq("国", "中", "江", "鄷", "核", "薞", "麚", "臥"))
+        val u2 = typedlit(Seq("红", "华", "环", "父"))
+        val c1 = element_at(u1, (col("doc_id") % 8 + 1).cast("int"))
+        val c2 = element_at(u2, (col("doc_id") % 4 + 1).cast("int"))
+        val uniDocs = docs.select(col("doc_id"), concat(c1, c2).as("utag"))
+        val uniIdx = InvertedIndex.buildValueIndex(uniDocs, "doc_id", "utag")
+        Seq(
+          consistencyRow(s, "BITMAP", "unicode_eq",
+            InvertedIndex.lookupValues(uniIdx, "utag", Seq("国红")),
+            scan(uniDocs, "doc_id", """utag == "国红"""")),
+          consistencyRow(s, "INVERTED", "unicode_like_prefix",
+            InvertedIndex.lookupPrefix(uniIdx, "utag", "国"),
+            scan(uniDocs, "doc_id", """utag like "国%"""")),
+          consistencyRow(s, "INVERTED", "unicode_like_postfix",
+            InvertedIndex.lookupExpr(uniIdx, "utag", "utag",
+              """utag like "%华""""),
+            scan(uniDocs, "doc_id", """utag like "%华"""")))
+      }
+    rows.reduce(_ unionAll _).orderBy(col("kind"), col("case_id"))
+  }
+
+  /** The MIXED/special-types half of the index-consistency battery
+    * (reference test_milvus_client_data_integrity_new.py — conjunctions
+    * over fully-indexed collections answer each leg from its own scalar
+    * index and AND the bitsets; test_filtering_special_types for
+    * RTREE/TIMESTAMPTZ; test_array_index_consistency). Spark shape of
+    * the intersection: each leg is a dictionary lookup, the AND is one
+    * ids-only left-semi join — posting lists shuffle, never rows.
+    */
+  def indexConsistencyMixed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val cust = t(s, dir, "customer")
+    val docs = t(s, dir, "documents")
+    val part = t(s, dir, "part")
+    val ev = t(s, dir, "events")
+    def scan(base: DataFrame, idCol: String, filter: String,
+        json: Set[String] = Set.empty): DataFrame =
+      base.filter(ExprCompiler.compile(filter, base, jsonColumns = json))
+        .select(col(idCol).as("id"))
+    def and(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b.select(col("id")), Seq("id"), "left_semi")
+
+    val jsonIdx = InvertedIndex.buildJsonPathIndexTyped(
+      ev, "event_id", "props", "$.k",
+      org.apache.spark.sql.types.LongType, "STL_SORT")._2
+    val langIdx = InvertedIndex.buildValueIndex(docs, "doc_id", "lang")
+    val ncharsIdx = InvertedIndex.buildHybridIndex(docs, "doc_id", "n_chars")._2
+
+    val rows = Seq(
       // RTREE (reference test_filtering_special_types geometry index
       // cases; gis_filter_coarse_refine_split_fusion.md): the
       // bbox-materialized coarse→refine path must equal the
@@ -673,50 +732,30 @@ object MatrixQueries {
             InvertedIndex.lookupValues(rank0Idx, "_r0", Seq(10L, 11L, 13L)),
             scan(evs, "event_id", "evs[0][rank] in [10, 11, 13]")))
       } ++
-      // Unicode through the index paths (reference test_mix_scenes.py:
-      // 2417 test_index_unicode_string_query, :2443 array variant — CJK
-      // equality / LIKE through BITMAP and INVERTED dictionaries, and
-      // array contains over CJK elements, must equal the plain scan)
-      locally {
-        val u1 = typedlit(Seq("国", "中", "江", "鄷", "核", "薞", "麚", "臥"))
-        val u2 = typedlit(Seq("红", "华", "环", "父"))
-        val c1 = element_at(u1, (col("doc_id") % 8 + 1).cast("int"))
-        val c2 = element_at(u2, (col("doc_id") % 4 + 1).cast("int"))
-        val uniDocs = docs.select(col("doc_id"), concat(c1, c2).as("utag"),
-          array(c1, c2).as("utags"))
-        val uniIdx = InvertedIndex.buildValueIndex(uniDocs, "doc_id", "utag")
-        val uniElemIdx = InvertedIndex.buildElementIndex(uniDocs, "doc_id", "utags")
-        Seq(
-          consistencyRow(s, "BITMAP", "unicode_eq",
-            InvertedIndex.lookupValues(uniIdx, "utag", Seq("国红")),
-            scan(uniDocs, "doc_id", """utag == "国红"""")),
-          consistencyRow(s, "INVERTED", "unicode_like_prefix",
-            InvertedIndex.lookupPrefix(uniIdx, "utag", "国"),
-            scan(uniDocs, "doc_id", """utag like "国%"""")),
-          consistencyRow(s, "INVERTED", "unicode_like_postfix",
-            InvertedIndex.lookupExpr(uniIdx, "utag", "utag",
-              """utag like "%华""""),
-            scan(uniDocs, "doc_id", """utag like "%华"""")),
-          consistencyRow(s, "ARRAY", "unicode_contains_any",
-            InvertedIndex.lookupElementsAny(uniElemIdx, Seq("中", "华")),
-            scan(uniDocs, "doc_id",
-              """array_contains_any(utags, ["中", "华"])""")))
-      } ++
       // MIXED predicates through INDEX INTERSECTION (reference
       // test_milvus_client_data_integrity_new.py — the all-expr DQL
       // battery runs conjunctions like `int64 >= 0 && varchar >= "0"`
       // over fully-indexed collections; the engine serves each leg from
-      // its own scalar index and ANDs the bitsets). Spark shape: each
-      // leg is a dictionary lookup, the AND is one ids-only left-semi
-      // join — posting lists shuffle, never rows.
+      // its own scalar index and ANDs the bitsets).
       locally {
-        def and(a: DataFrame, b: DataFrame): DataFrame =
-          a.join(b.select(col("id")), Seq("id"), "left_semi")
         val natIdx2 = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_nationkey")
         val segIdx = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_mktsegment")
         val typeIdx = InvertedIndex.buildValueIndex(ev, "event_id", "event_type")
         val sizeIdx = InvertedIndex.buildValueIndex(part, "p_partkey", "p_size")
         val brandIdx2 = InvertedIndex.buildValueIndex(part, "p_partkey", "p_brand")
+        // the text-match leg's index is the token element dictionary
+        // (the TextMatchIndex shape: token → posting list)
+        val tokIdx = InvertedIndex.buildElementIndex(
+          docs.withColumn("_toks",
+            graft.functions.TextFunctions.tokenize(col("text"))),
+          "doc_id", "_toks")
+        // json_contains leg: the element dictionary over the json
+        // array path's parsed values
+        val jdocs = docs.withColumn("meta", to_json(struct(
+          array(col("lang"), col("source")).as("tags"))))
+        val tagsElemIdx = InvertedIndex.buildElementIndex(
+          jdocs.withColumn("_tags", array(col("lang"), col("source"))),
+          "doc_id", "_tags")
         Seq(
           // the battery's own default expr shape: int64 range && varchar compare
           consistencyRow(s, "MIXED", "int64_and_varchar",
@@ -744,17 +783,43 @@ object MatrixQueries {
             and(InvertedIndex.lookupValues(langIdx, "lang", Seq("en", "de")),
               InvertedIndex.lookupRange(ncharsIdx, "n_chars", 100, 300)),
             scan(docs, "doc_id",
-              """lang in ["en", "de"] and n_chars >= 100 and n_chars <= 300""")))
+              """lang in ["en", "de"] and n_chars >= 100 and n_chars <= 300""")),
+          // text_match leg through the token dictionary && scalar leg —
+          // the TEXT-match-index ∩ scalar-index case the integrity
+          // battery sweeps indexed-vs-unindexed
+          consistencyRow(s, "MIXED", "text_match_and_scalar",
+            and(InvertedIndex.lookupElementsAny(tokIdx, Seq("vector", "stream"))
+                .distinct(),
+              InvertedIndex.lookupValues(langIdx, "lang", Seq("en"))),
+            scan(docs, "doc_id",
+              """text_match(text, "vector stream") and lang == "en"""")),
+          // json_contains_any leg through the element dictionary && a
+          // range leg through the hybrid dictionary
+          consistencyRow(s, "MIXED", "json_contains_and_range",
+            and(InvertedIndex.lookupElementsAny(tagsElemIdx, Seq("en", "de"))
+                .distinct(),
+              InvertedIndex.lookupRange(ncharsIdx, "n_chars", 100, 300)),
+            scan(jdocs, "doc_id",
+              """json_contains_any(meta["tags"], ["en", "de"]) and """ +
+                "n_chars >= 100 and n_chars <= 300",
+              json = Set("meta"))))
       } ++
       // ARRAY element index (reference test_array_index_consistency,
       // test_milvus_client_scalar_filtering.py:1479): contains /
       // contains_any / contains_all through the element dictionary
-      // must equal the plain array scan
+      // must equal the plain array scan — plus the CJK-element variant
+      // (test_mix_scenes.py:2443)
       locally {
         val evArr = ev.select(col("event_id"),
           array(col("user_id") % 10, (col("user_id") + 3) % 10,
             col("user_id") % 7).as("tags"))
         val elemIdx = InvertedIndex.buildElementIndex(evArr, "event_id", "tags")
+        val u1 = typedlit(Seq("国", "中", "江", "鄷", "核", "薞", "麚", "臥"))
+        val u2 = typedlit(Seq("红", "华", "环", "父"))
+        val c1 = element_at(u1, (col("doc_id") % 8 + 1).cast("int"))
+        val c2 = element_at(u2, (col("doc_id") % 4 + 1).cast("int"))
+        val uniDocs = docs.select(col("doc_id"), array(c1, c2).as("utags"))
+        val uniElemIdx = InvertedIndex.buildElementIndex(uniDocs, "doc_id", "utags")
         Seq(
           consistencyRow(s, "ARRAY", "contains",
             InvertedIndex.lookupElementsAny(elemIdx, Seq(4L)),
@@ -764,70 +829,83 @@ object MatrixQueries {
             scan(evArr, "event_id", "array_contains_any(tags, [4, 8])")),
           consistencyRow(s, "ARRAY", "contains_all",
             InvertedIndex.lookupElementsAll(elemIdx, Seq(4L, 8L)),
-            scan(evArr, "event_id", "array_contains_all(tags, [4, 8])")))
+            scan(evArr, "event_id", "array_contains_all(tags, [4, 8])")),
+          consistencyRow(s, "ARRAY", "unicode_contains_any",
+            InvertedIndex.lookupElementsAny(uniElemIdx, Seq("中", "华")),
+            scan(uniDocs, "doc_id",
+              """array_contains_any(utags, ["中", "华"])""")))
       }
     rows.reduce(_ unionAll _).orderBy(col("kind"), col("case_id"))
   }
 
-  private val indexConsistencyOracle: String = {
-    val uc1 = "(['国','中','江','鄷','核','薞','麚','臥'])[CAST(doc_id % 8 AS INT) + 1]"
-    val uc2 = "(['红','华','环','父'])[CAST(doc_id % 4 AS INT) + 1]"
-    val cases = Seq(
-      ("BITMAP", "unicode_eq", "documents", s"$uc1 || $uc2 = '国红'"),
-      ("INVERTED", "unicode_like_prefix", "documents",
-        s"$uc1 || $uc2 LIKE '国%'"),
-      ("INVERTED", "unicode_like_postfix", "documents",
-        s"$uc1 || $uc2 LIKE '%华'"),
-      ("ARRAY", "unicode_contains_any", "documents",
-        s"list_has_any([$uc1, $uc2], ['中', '华'])"),
-      ("INVERTED", "nationkey_in", "customer", "c_nationkey IN (5, 7)"),
-      ("INVERTED", "nationkey_arith", "customer",
-        "(c_nationkey + 5) >= 10 AND (c_nationkey + 5) <= 15"),
-      ("BITMAP", "lang_in", "documents", "lang IN ('en', 'de')"),
-      ("BITMAP", "lang_not_in", "documents", "lang NOT IN ('en', 'zh')"),
-      ("TRIE", "brand_prefix", "part", "p_brand LIKE 'Brand#1%'"),
-      ("STL_SORT", "nationkey_range", "customer",
-        "c_nationkey >= 5 AND c_nationkey <= 10"),
-      ("INVERTED", "in_boundary_63_65", "customer",
-        "c_custkey IN (62, 63, 64, 65, 66)"),
-      ("INVERTED", "in_boundary_1023_1025", "customer",
-        "c_custkey IN (1022, 1023, 1024, 1025, 1026)"),
-      ("STRUCT_ARRAY", "subfield_rank_match_any", "events",
-        "(user_id % 20) >= 10 OR ((user_id + 7) % 20) >= 10"),
-      ("STRUCT_ARRAY", "subfield_in_fixed", "events",
-        "(user_id % 20) IN (10, 11, 13)"),
-      ("NGRAM", "multi_like", "documents",
-        "text LIKE '%ecto%' AND text LIKE '%tream%'"),
-      ("JSON_TYPED", "props_k_range", "events",
-        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
-          "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 50"),
-      ("HYBRID", "nchars_range", "documents",
-        "n_chars >= 100 AND n_chars <= 200"),
-      ("RTREE", "point_within", "events",
-        "value > 10 AND value < 90 AND (user_id % 100) > 10 AND (user_id % 100) < 60"),
-      ("TIMESTAMPTZ", "interval_cmp", "events",
-        "ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'"),
-      ("MIXED", "int64_and_varchar", "customer",
-        "c_nationkey >= 5 AND c_nationkey <= 15 AND c_mktsegment >= 'F'"),
-      ("MIXED", "jsonpath_and_like", "events",
-        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
-          "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 70 AND " +
-          "event_type LIKE 'c%'"),
-      ("MIXED", "arith_and_prefix", "part",
-        "(p_size + 1) >= 10 AND p_brand LIKE 'Brand#2%'"),
-      ("MIXED", "in_and_range", "documents",
-        "lang IN ('en', 'de') AND n_chars >= 100 AND n_chars <= 300"),
-      ("ARRAY", "contains", "events",
-        "list_contains([user_id % 10, (user_id + 3) % 10, user_id % 7], 4)"),
-      ("ARRAY", "contains_any", "events",
-        "list_has_any([user_id % 10, (user_id + 3) % 10, user_id % 7], [4, 8])"),
-      ("ARRAY", "contains_all", "events",
-        "list_has_all([user_id % 10, (user_id + 3) % 10, user_id % 7], [4, 8])"))
+  private def consistencyOracle(cases: Seq[(String, String, String, String)]): String =
     cases.map { case (kind, cid, table, pred) =>
       s"SELECT '$kind' AS kind, '$cid' AS case_id, count(*) AS n_indexed, " +
         s"count(*) AS n_scan, CAST(0 AS BIGINT) AS n_diff FROM $table WHERE $pred"
     }.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY kind, case_id")
-  }
+
+  private val uc1 = "(['国','中','江','鄷','核','薞','麚','臥'])[CAST(doc_id % 8 AS INT) + 1]"
+  private val uc2 = "(['红','华','环','父'])[CAST(doc_id % 4 AS INT) + 1]"
+
+  private val indexConsistencyOracle: String = consistencyOracle(Seq(
+    ("BITMAP", "unicode_eq", "documents", s"$uc1 || $uc2 = '国红'"),
+    ("INVERTED", "unicode_like_prefix", "documents",
+      s"$uc1 || $uc2 LIKE '国%'"),
+    ("INVERTED", "unicode_like_postfix", "documents",
+      s"$uc1 || $uc2 LIKE '%华'"),
+    ("INVERTED", "nationkey_in", "customer", "c_nationkey IN (5, 7)"),
+    ("INVERTED", "nationkey_arith", "customer",
+      "(c_nationkey + 5) >= 10 AND (c_nationkey + 5) <= 15"),
+    ("BITMAP", "lang_in", "documents", "lang IN ('en', 'de')"),
+    ("BITMAP", "lang_not_in", "documents", "lang NOT IN ('en', 'zh')"),
+    ("TRIE", "brand_prefix", "part", "p_brand LIKE 'Brand#1%'"),
+    ("STL_SORT", "nationkey_range", "customer",
+      "c_nationkey >= 5 AND c_nationkey <= 10"),
+    ("INVERTED", "in_boundary_63_65", "customer",
+      "c_custkey IN (62, 63, 64, 65, 66)"),
+    ("INVERTED", "in_boundary_1023_1025", "customer",
+      "c_custkey IN (1022, 1023, 1024, 1025, 1026)"),
+    ("NGRAM", "multi_like", "documents",
+      "text LIKE '%ecto%' AND text LIKE '%tream%'"),
+    ("JSON_TYPED", "props_k_range", "events",
+      "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 50"),
+    ("HYBRID", "nchars_range", "documents",
+      "n_chars >= 100 AND n_chars <= 200")))
+
+  private val indexConsistencyMixedOracle: String = consistencyOracle(Seq(
+    ("ARRAY", "unicode_contains_any", "documents",
+      s"list_has_any([$uc1, $uc2], ['中', '华'])"),
+    ("STRUCT_ARRAY", "subfield_rank_match_any", "events",
+      "(user_id % 20) >= 10 OR ((user_id + 7) % 20) >= 10"),
+    ("STRUCT_ARRAY", "subfield_in_fixed", "events",
+      "(user_id % 20) IN (10, 11, 13)"),
+    ("RTREE", "point_within", "events",
+      "value > 10 AND value < 90 AND (user_id % 100) > 10 AND (user_id % 100) < 60"),
+    ("TIMESTAMPTZ", "interval_cmp", "events",
+      "ts + INTERVAL 3 DAY > TIMESTAMP '2024-01-25 00:00:00'"),
+    ("MIXED", "int64_and_varchar", "customer",
+      "c_nationkey >= 5 AND c_nationkey <= 15 AND c_mktsegment >= 'F'"),
+    ("MIXED", "jsonpath_and_like", "events",
+      "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 AND " +
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) <= 70 AND " +
+        "event_type LIKE 'c%'"),
+    ("MIXED", "arith_and_prefix", "part",
+      "(p_size + 1) >= 10 AND p_brand LIKE 'Brand#2%'"),
+    ("MIXED", "in_and_range", "documents",
+      "lang IN ('en', 'de') AND n_chars >= 100 AND n_chars <= 300"),
+    ("MIXED", "text_match_and_scalar", "documents",
+      "list_has_any(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), " +
+        "['vector', 'stream']) AND lang = 'en'"),
+    ("MIXED", "json_contains_and_range", "documents",
+      "(lang IN ('en', 'de') OR source IN ('en', 'de')) AND " +
+        "n_chars >= 100 AND n_chars <= 300"),
+    ("ARRAY", "contains", "events",
+      "list_contains([user_id % 10, (user_id + 3) % 10, user_id % 7], 4)"),
+    ("ARRAY", "contains_any", "events",
+      "list_has_any([user_id % 10, (user_id + 3) % 10, user_id % 7], [4, 8])"),
+    ("ARRAY", "contains_all", "events",
+      "list_has_all([user_id % 10, (user_id + 3) % 10, user_id % 7], [4, 8])")))
 
   // =================================================================
 
@@ -1523,7 +1601,8 @@ object MatrixQueries {
     "q_regex_matrix" -> (regexMatrix _),
     "q_term_matrix" -> (termMatrix _),
     "q_agg_matrix" -> (aggMatrix _),
-    "q_index_consistency" -> (indexConsistency _))
+    "q_index_consistency" -> (indexConsistency _),
+    "q_index_consistency_mixed" -> (indexConsistencyMixed _))
 
   // def, not val: oracle bodies reference case/sql vals declared later
   // in the file; a strict map would force them during <clinit> while
@@ -1540,7 +1619,8 @@ object MatrixQueries {
     "q_regex_matrix" -> regexMatrixOracle,
     "q_term_matrix" -> termMatrixOracle,
     "q_agg_matrix" -> aggMatrixOracle,
-    "q_index_consistency" -> indexConsistencyOracle)
+    "q_index_consistency" -> indexConsistencyOracle,
+    "q_index_consistency_mixed" -> indexConsistencyMixedOracle)
 
   // =================================================================
   // Battery 9 — TermExpr / containment operand contracts
