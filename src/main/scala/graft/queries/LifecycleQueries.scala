@@ -720,6 +720,34 @@ object LifecycleQueries {
       .agg(count(lit(1)).as("n"))
       .select(lit("null_text").as("section"), lit(0L).as("id"), col("n"),
         lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+    // minimum_should_match over LOB (:947): thresholds climb to the
+    // full token set, and an impossible threshold answers EMPTY
+    val msm3 = c.query(
+        "text_match(text, 'filter window stream', minimum_should_match = 3)",
+        Seq("doc_id", "text"))
+      .select(lit("msm3").as("section"), col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("n"),
+        lit(null).cast("double").as("x"), md5(col("text")).as("s"))
+    val msmNone = c.query(
+        "text_match(text, 'filter window', minimum_should_match = 5)",
+        Seq("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("msm_none").as("section"), lit(0L).as("id"), col("n"),
+        lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+    // template filter over LOB (:981): the templated text_match answers
+    // identically to the literal — encoded as the symmetric difference
+    // (must be 0) plus the match count (so the pin can't pass vacuously)
+    val literalIds = c.query("text_match(text, 'filter window')", Seq("doc_id"))
+    val templatedIds = c.query("text_match(text, {q})", Seq("doc_id"),
+      params = Map("q" -> "filter window"))
+    val tmpl = literalIds.exceptAll(templatedIds)
+      .unionAll(templatedIds.exceptAll(literalIds))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("template_xor").as("section"), lit(0L).as("id"), col("n"),
+        lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+      .unionByName(templatedIds.agg(count(lit(1)).as("n"))
+        .select(lit("template_n").as("section"), lit(0L).as("id"), col("n"),
+          lit(null).cast("double").as("x"), lit(null).cast("string").as("s")))
     val bm25 = {
       val model = graft.operators.Bm25.build(
         c.readView().select(col("doc_id"), col("text")), "doc_id", "text")
@@ -739,6 +767,9 @@ object LifecycleQueries {
       .unionByName(bm25)
       .unionByName(readback)
       .unionByName(nullText)
+      .unionByName(msm3)
+      .unionByName(msmNone)
+      .unionByName(tmpl)
       .unionByName(gc)
       .orderBy(col("section"), col("id"), col("n"))
   }
@@ -2078,6 +2109,19 @@ object LifecycleQueries {
        |nt AS (SELECT 'null_text' AS section, CAST(0 AS BIGINT) AS id,
        |    (SELECT count(*) FROM final WHERE text IS NULL) AS n,
        |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s),
+       |m3 AS (SELECT 'msm3' AS section, doc_id AS id,
+       |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
+       |  FROM final
+       |  WHERE len(list_intersect($sqlToks, ['filter', 'window', 'stream'])) >= 3),
+       |mn AS (SELECT 'msm_none' AS section, CAST(0 AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s),
+       |tp AS (SELECT 'template_xor' AS section, CAST(0 AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s
+       |  UNION ALL
+       |  SELECT 'template_n', CAST(0 AS BIGINT),
+       |    (SELECT count(*) FROM final
+       |     WHERE len(list_intersect($sqlToks, ['filter', 'window'])) >= 1),
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
        |gc AS (SELECT 'gc_live' AS section, CAST(0 AS BIGINT) AS id,
        |    (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536) AS n,
        |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s
@@ -2092,7 +2136,9 @@ object LifecycleQueries {
        |SELECT * FROM (
        |  SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL
        |  SELECT * FROM bm UNION ALL SELECT * FROM rb UNION ALL
-       |  SELECT * FROM nt UNION ALL SELECT * FROM gc)
+       |  SELECT * FROM nt UNION ALL SELECT * FROM m3 UNION ALL
+       |  SELECT * FROM mn UNION ALL SELECT * FROM tp UNION ALL
+       |  SELECT * FROM gc)
        |ORDER BY section, id, n""".stripMargin
 
   def oracles: Map[String, String] = Map(

@@ -699,6 +699,122 @@ class TextLobSpec extends SparkSpec {
     assert(Analyzers.analyzeLocal(params, q) eq local)
   }
 
+  // ---- BM25 depth over LOB: nullable input, SPARSE_WAND, multi-analyzer ----
+
+  test("BM25 function over nullable TEXT: null/empty never match, payloads exact (:1514)") {
+    import graft.functions.IngestFunctions.Bm25Function
+    import graft.operators.Bm25
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> TextFieldSpec(enableAnalyzer = true,
+        enableMatch = true, nullable = true)),
+      textInlineThreshold = 64))
+    c.addFunction(Bm25Function("text", "sparse"))
+    c.insert(Seq(
+      (2250L, null.asInstanceOf[String]),
+      (2251L, ""),
+      (2252L, "nullable bm25 vector database ranking ranking " + ("pad " * 30)),
+      (2253L, "unrelated tokens only")).toDF("id", "text"))
+    // the LOB-backed hit row resolves byte-exact through the view
+    val view = c.query("id >= 0", Seq("id", "text", "sparse"))
+    val back = view.select($"id", $"text").orderBy("id")
+      .as[(Long, String)].collect()
+    assert(back(0)._2 == null && back(1)._2 == "")
+    assert(back(2)._2.startsWith("nullable bm25") && back(2)._2.length > 64)
+    // BM25 over the function-backed corpus: the null and empty rows
+    // never match; the LOB row with doubled 'ranking' wins
+    val model = Bm25.build(view.filter($"text".isNotNull)
+      .select($"id", $"text"), "id", "text")
+    val hits = Bm25.search(model, "nullable bm25 ranking", k = 4)
+      .select($"id").as[Long].collect().toSet
+    assert(hits.contains(2252L))
+    assert(!hits.contains(2250L) && !hits.contains(2251L))
+    // and the function OUTPUT itself is null-safe: null text -> empty map
+    val sparse2250 = view.filter($"id" === 2250L).select($"sparse").head()
+    assert(sparse2250.isNullAt(0) || sparse2250.getMap[String, Double](0).isEmpty)
+  }
+
+  test("BM25 sparse vectors over LOB payloads serve through SPARSE_WAND (:1482)") {
+    import graft.functions.IngestFunctions.Bm25Function
+    import graft.operators.SparseWand
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.addFunction(Bm25Function("text", "sparse"))
+    val docs = (1 to 12).map { i =>
+      val filler = if (i % 3 == 0) " " + ("pad " * 30) else "" // LOB rows
+      val body = if (i == 10) "vector ranking ranking ranking" else s"vector doc $i"
+      (i.toLong, body + filler)
+    }.toDF("id", "text")
+    c.insert(docs)
+    assert(c.lobBlobCount == 4)
+    val view = c.query("id >= 0", Seq("id", "text", "sparse"))
+    val idx = SparseWand.materialize(SparseWand.build(view, "id", col("sparse")))
+    val q = Map("ranking" -> 2.0, "vector" -> 1.0)
+    val wand = SparseWand.search(idx, q, k = 3)
+      .orderBy($"score".desc, $"id").select($"id").as[Long].collect().toSeq
+    // the ranking-heavy row (tf=3, LOB-backed? 10 % 3 != 0 — inline) wins;
+    // exactness: WAND equals the exhaustive path over the same outputs
+    assert(wand.head == 10L)
+    val brute = SparseWand.search(idx, q, k = 3, exhaustive = true)
+      .orderBy($"score".desc, $"id").select($"id").as[Long].collect().toSeq
+    assert(wand == brute, "WAND pruning must be exact over BM25 outputs")
+    // the winning row's payload reads back exactly even when LOB-backed:
+    // re-run with the heavy row oversized
+    val c2 = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c2.addFunction(Bm25Function("text", "sparse"))
+    val heavy = "vector ranking ranking ranking " + ("pad " * 30)
+    c2.insert(Seq((10L, heavy), (11L, "vector doc")).toDF("id", "text"))
+    val view2 = c2.query("id >= 0", Seq("id", "text", "sparse"))
+    val idx2 = SparseWand.build(view2, "id", col("sparse"))
+    val top = SparseWand.search(idx2, q, k = 1)
+      .join(view2, "id").select($"id", $"text").as[(Long, String)].head()
+    assert(top._1 == 10L && top._2 == heavy,
+      "the LOB-backed winner must read back byte-exact through the hit")
+  }
+
+  test("multi-analyzer-by-field BM25 over LOB payloads (:2515)") {
+    import graft.functions.Analyzers
+    import graft.operators.Bm25
+    // the reference declares multi_analyzer_params {by_field: language,
+    // analyzers: {en, zh, default}, alias: {eng->en, chinese->zh}}; the
+    // Spark shape is one shared statistics build over a per-row token
+    // expression dispatched on the (alias-normalized) name column
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> TextFieldSpec(enableAnalyzer = true)),
+      textInlineThreshold = 64))
+    val zhBody = "向量数据库 支持 中文检索 和 稀疏向量 排序"
+    val enBody = "wolves running swiftly across vector database archives" +
+      " " + ("pad " * 30) // the English doc is LOB-backed
+    c.insert(Seq(
+      (3100L, "eng", enBody),
+      (3101L, "chinese", zhBody),
+      (3102L, "fallback", "plain default analyzer row vector")).toDF("id", "language", "text"))
+    assert(c.lobBlobCount == 1)
+    val view = c.query("id >= 0", Seq("id", "language", "text"))
+    // alias normalization (eng -> en, chinese -> zh), then the per-name
+    // analyzer: en stems, zh segments CJK, default is standard
+    val lang = when($"language" === "eng", "en")
+      .when($"language" === "chinese", "zh").otherwise($"language")
+    val toks = when(lang === "en",
+        Analyzers.analyzeWith($"text", Map("filters" -> "lowercase,stemmer")))
+      .when(lang === "zh",
+        Analyzers.analyzeWith($"text", Map("tokenizer" -> "lang_ident")))
+      .otherwise(Analyzers.analyzeWith($"text", Map.empty))
+    val model = Bm25.buildFromTokens(view, "id", toks)
+    // each analyzer's search hits ONLY its row: the stemmed English
+    // query matches the stemmed corpus tokens ("running" -> "run")
+    def top(terms: Seq[String]): Long =
+      Bm25.scoreTerms(model, terms).orderBy($"_score".desc)
+        .select($"id").as[Long].head()
+    assert(top(Analyzers.analyzeLocal(
+      Map("filters" -> "lowercase,stemmer"), "wolves running")) == 3100L)
+    assert(top(Analyzers.analyzeLocal(
+      Map("tokenizer" -> "lang_ident"), "中文检索")) == 3101L)
+    assert(top(Seq("plain")) == 3102L)
+    // and the LOB-backed English payload reads back byte-exact
+    assert(view.filter($"id" === 3100L).select($"text").as[String].head() == enBody)
+  }
+
   // ---- snapshots pin LOB payloads; exports are self-contained ----
 
   test("snapshot read survives delete+compact+lobGc; dropSnapshot unpins") {
