@@ -44,11 +44,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // cumulative JVM GC milliseconds (all collectors): in local mode
+    // every executor thread shares this JVM, so the delta around a query
+    // is the query's total GC bill — the signal that separates "plan got
+    // slower" from "heap pressure got worse" without a worktree A/B
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
+      val g0 = gcMs
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => return (-1.0, -1L) }
+      ((System.nanoTime() - t0) / 1e9, gcMs - g0)
     }
 
     // JVM/session warmup so the first measured query isn't charged for it
@@ -71,7 +82,7 @@ object Bench {
     // interleaved rounds (q1 q2 ... qN, repeated) rather than
     // back-to-back per query: a GC/compaction spike lands in one round's
     // samples, not all of one query's
-    val samples: Seq[Seq[(String, Double)]] =
+    val samples: Seq[Seq[(String, (Double, Long))]] =
       (1 to runs).map(_ => selected.map { case (name, fn) => name -> run(fn) })
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -80,7 +91,12 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val results = selected.map { case (name, _) =>
-      name -> median(samples.map(_.toMap.apply(name)))
+      name -> median(samples.map(_.toMap.apply(name)._1))
+    }
+    val gcTotals: Seq[Long] = samples.map(_.map { case (_, (_, g)) =>
+      math.max(0L, g) }.sum)
+    val gcByQuery = selected.map { case (name, _) =>
+      name -> median(samples.map(_.toMap.apply(name)._2.toDouble))
     }
     // interpolated percentile over the valid samples — with runs=3 this
     // reads as (lo, hi) straddling the median, enough to tell box noise
@@ -98,9 +114,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val spread = selected.map { case (name, _) =>
-      val xs = samples.map(_.toMap.apply(name))
+      val xs = samples.map(_.toMap.apply(name)._1)
       "\"" + name + f"""\":[${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
     }.mkString("{", ",", "}")
+    val gcQs = gcByQuery.map { case (k, v) => "\"" + k + f"\":${v}%.0f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     // Full detail first (may scroll out of the driver's 2000-char stdout
@@ -111,14 +129,16 @@ object Bench {
     // queries (median -1) are excluded from it and surfaced as a count
     // in `failed` instead. Each slowest entry is [median, p25, p75] so
     // the spread discipline survives on the canonical line too.
-    println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$runs}""")
+    println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"gc_ms":$gcQs,"sf":"$sfDir","runs":$runs}""")
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
       .map { case (k, v) =>
-        val xs = samples.map(_.toMap.apply(k))
+        val xs = samples.map(_.toMap.apply(k)._1)
         "\"" + k + f"""\":[$v%.3f,${pct(xs, 0.25)}%.3f,${pct(xs, 0.75)}%.3f]"""
       }.mkString("{", ",", "}")
     val ncpu = Runtime.getRuntime.availableProcessors
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"slowest":$slow,"slowest_note":"[median,p25,p75] for slowest 25 of ${results.size}; full maps on the total_detail line","loadavg":[$loadStart%.2f,$loadAvg%.2f],"ncpu":$ncpu,"sf":"$sfDir","runs":$runs}""")
+    val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    val gcPerRound = gcTotals.map(_.toString).mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"slowest":$slow,"slowest_note":"[median,p25,p75] for slowest 25 of ${results.size}; full maps on the total_detail line","loadavg":[$loadStart%.2f,$loadAvg%.2f],"ncpu":$ncpu,"heap_mb":$heapMb,"gc_ms_per_round":$gcPerRound,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -790,13 +790,13 @@ object LifecycleQueries {
     *     snapshot-pinned blobs are excluded from the reclaim;
     *   - gc_live: the store keeps every snapshot payload plus the
     *     upserted one.
-    * Value-bounded fixture (doc_id < 300, the contract-gate device);
+    * Value-bounded fixture (doc_id < 150, the contract-gate device);
     * the pin itself is an ids-only union into the GC semi-join.
     */
   def lobSnapshot(s: SparkSession, dir: String): DataFrame = {
     import graft.{Collection, CollectionSchema, TextFieldSpec}
     val path = s"${scratchDir("lobsnap")}/data"
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
       .select(col("doc_id"), col("text"), col("lang"))
     val grown = docs.withColumn("text",
       when(pmod(col("doc_id"), lit(7)) === 0,
@@ -811,7 +811,7 @@ object LifecycleQueries {
     // (all LOB-backed), re-upload doc 21's payload, and land a
     // post-snapshot orphan (insert + delete a fresh oversized payload —
     // the ONLY blob GC may reclaim, everything else is pinned)
-    c.deletePks((0L until 300L by 14L))
+    c.deletePks((0L until 150L by 14L))
     c.upsert(grown.filter(col("doc_id") === 21)
       .withColumn("text", concat(lit("upserted "),
         repeat(md5(concat(col("text"), lit("v2"))), 2100))))
@@ -2580,7 +2580,7 @@ object LifecycleQueries {
         |ORDER BY doc_id""".stripMargin,
     "q_text_lob" -> textLobOracle,
     "q_lob_snapshot" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
         |grown AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
         |         ELSE text END AS text
