@@ -1128,31 +1128,47 @@ final class Collection private (
     * deletes. Requires a flushed collection (the reference also
     * compacts sealed segments only).
     */
+  /** Fold pending mutable-column patches into the sealed layout
+    * (20260709-mutable-columns.md: compaction folds the patch overlay
+    * into the column files). Shared by [[compact]] and
+    * [[createSnapshot]] — a snapshot manifest records FILES, so
+    * acknowledged setField writes must be on disk before manifesting or
+    * the snapshot would silently serve pre-patch values. Folds only
+    * patches whose column physically exists; a patch on a DDL-added
+    * (masked) field not yet carried by any batch stays in the log —
+    * clearing it here would erase the acknowledged write permanently
+    * (it keeps applying merge-on-read until a batch materializes the
+    * column).
+    */
+  private def foldPatchesIntoLayout(path: String): Unit =
+    if (colPatches.nonEmpty) {
+      val preFold = sealedDf.getOrElse(
+        throw new IllegalStateException("nothing to compact — empty collection"))
+      val (foldable, deferred) =
+        colPatches.partition { case (f, _) => preFold.columns.contains(f) }
+      if (foldable.nonEmpty) {
+        val folded = applyColumnPatches(preFold, lit(lastWriteTs), foldable)
+        val foldPath = s"$path/fold-${nextTs()}"
+        // keep the hive partition layout (and directory DEPTH) of
+        // flushed segments — a later open() of the whole layout root
+        // lists every historical dir, and mixed depths are a Spark
+        // partition-discovery error
+        if (folded.columns.contains(Collection.PartitionCol))
+          folded.write.partitionBy(Collection.PartitionCol).parquet(foldPath)
+        else folded.write.parquet(foldPath)
+        sealedDf = Some(readLayout(foldPath))
+        sealedSegments = Vector(foldPath)
+      }
+      colPatches = deferred
+    }
+
   def compact(path: String): Unit = stateLock.synchronized {
     requirePriv("Compaction")
     require(growing.isEmpty, "flush the growing tail before compacting")
     // fold mutable-column patches first (20260709-mutable-columns.md:
     // compaction folds the patch overlay into the column files; vectors
     // and untouched columns stream through, row timestamps are kept)
-    if (colPatches.nonEmpty) {
-      val preFold = sealedDf.getOrElse(
-        throw new IllegalStateException("nothing to compact — empty collection"))
-      // fold only patches whose column physically exists in the sealed
-      // layout; a patch on a DDL-added (masked) field not yet carried by
-      // any batch stays in the log — clearing it here would erase the
-      // acknowledged write permanently (it keeps applying merge-on-read
-      // until a batch materializes the column)
-      val (foldable, deferred) =
-        colPatches.partition { case (f, _) => preFold.columns.contains(f) }
-      if (foldable.nonEmpty) {
-        val folded = applyColumnPatches(preFold, lit(lastWriteTs), foldable)
-        val foldPath = s"$path/fold-${nextTs()}"
-        folded.write.parquet(foldPath)
-        sealedDf = Some(readLayout(foldPath))
-        sealedSegments = Vector(foldPath)
-      }
-      colPatches = deferred
-    }
+    foldPatchesIntoLayout(path)
     val sealedData = sealedDf.getOrElse(
       throw new IllegalStateException("nothing to compact — empty collection"))
     tombs match {
@@ -1315,10 +1331,12 @@ final class Collection private (
   // removal is a retention sweep honoring snapshot pins, a deployment
   // concern) — so a directory manifest is as stable as the reference's
   // file manifest, at any corpus size an O(dirs) metadata write.
-  private final case class SnapState(ts: Long, horizon: Long,
-      dataDirs: Seq[String], lobDirs: Seq[String],
-      tombsDir: Option[String], refsDir: Option[String])
-  @volatile private var snapshotReg: Map[String, SnapState] = Map.empty
+  // registry rebuilds from `<path>/_snapshots/*` on open(), so
+  // snapshots survive a driver restart like the reference's
+  // metastore-backed snapshot meta (each entry's meta/manifest parquet
+  // under its own dir is the durable record)
+  @volatile private var snapshotReg: Map[String, Collection.SnapState] =
+    sealedPath.map(Collection.loadSnapshotRegistry(spark, _)).getOrElse(Map.empty)
 
   /** CreateSnapshot (reference CreateSnapshot RPC → snapshot.go): seal
     * the tail, then record under `<path>/_snapshots/<id>` the current
@@ -1332,6 +1350,10 @@ final class Collection private (
     require(id.nonEmpty && !id.contains('/'), s"invalid snapshot id '$id'")
     require(!snapshotReg.contains(id), s"snapshot '$id' already exists")
     flush(path) // reentrant on stateLock; the manifest must cover the tail
+    // acknowledged setField writes live in the in-memory patch log, not
+    // in files — fold them down first or the manifest would silently
+    // serve pre-patch values
+    foldPatchesIntoLayout(path)
     val ts = lastWriteTs
     val root = s"$path/_snapshots/$id"
     val dataDirs = sealedSegments
@@ -1361,8 +1383,19 @@ final class Collection private (
         r.coalesce(1).write.parquet(s"$root/refs"); s"$root/refs"
       }
     }
-    snapshotReg += id -> SnapState(ts, truncateHorizon, dataDirs, lobDirs,
-      tombsDir, refsDir)
+    // read-semantics state a file manifest can't carry: the TTL
+    // property, fields dropped at or before the snapshot, and the
+    // DDL-added TEXT fields' add timestamps — captured HERE so the
+    // snapshot read keeps the exact visibility a live read had at this
+    // ts, whatever DDL happens later
+    val st = Collection.SnapState(ts, truncateHorizon,
+      collectionProperties.get("collection.ttl").map(_.toLong),
+      droppedFields.collect { case (f, dts) if dts <= ts => f }.toSeq.sorted,
+      dynamicTextFields.collect {
+        case (f, (_, addTs)) if addTs <= ts => f -> addTs }.toMap,
+      dataDirs, lobDirs, tombsDir, refsDir)
+    Collection.writeSnapMeta(spark, s"$root/meta", st)
+    snapshotReg += id -> st
     ts
   }
 
@@ -1375,8 +1408,9 @@ final class Collection private (
     requirePriv("Query")
     val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
       s"snapshot '$id' not found"))
-    Collection.snapshotView(spark, schema, st.dataDirs, st.lobDirs,
-      st.tombsDir, st.ts, st.horizon)
+    // row-level security re-applies per caller, exactly like query():
+    // the snapshot artifact is shared and unscoped, the READ is not
+    rlsFilter(Collection.snapshotView(spark, schema, st))
   }
 
   /** ListSnapshots: id → snapshot read ts. */
@@ -1419,9 +1453,7 @@ final class Collection private (
     st.dataDirs.foreach(copyInto(_, "data"))
     st.lobDirs.foreach(copyInto(_, "_lobs"))
     st.tombsDir.foreach(copyInto(_, "_tombs"))
-    import spark.implicits._
-    Seq((st.ts, st.horizon)).toDF("snap_ts", "horizon")
-      .coalesce(1).write.parquet(s"$destDir/_meta")
+    Collection.writeSnapMeta(spark, s"$destDir/_meta", st)
     n
   }
 
@@ -3656,6 +3688,11 @@ final class Collection private (
         case BooleanType                                    => BoolField
         case ByteType | ShortType | IntegerType | LongType  => IntField
         case FloatType | DoubleType                         => FloatField
+        // timestamptz columns (epoch ticks or timestamp type) take the
+        // arithmetic family: STL_SORT/INVERTED accept, Trie still
+        // rejects — matching the checker's "numeric, varchar or
+        // timestamptz" contract
+        case TimestampType | DateType                       => IntField
         case ArrayType(e, _)                                => ArrayField(kindOf(e))
         case other => throw new IllegalArgumentException(
           s"field '$field' of type $other does not support a scalar index")
@@ -3872,32 +3909,21 @@ final class Collection private (
         // the historical insert — raising here beats handing audit/ETL
         // consumers silently-nulled payloads (the same loud-failure
         // contract the truncate-horizon guard above gives row data).
-        lobStore match {
-          case Some(store) =>
-            (schema.textFields.keySet ++ dynamicTextFields.keySet)
-              .foldLeft(out) { (df, f) =>
-                val ref = Collection.lobRefCol(f)
-                if (df.columns.contains(ref))
-                  graft.operators.Lob.resolveTextStrict(df, store, f, ref,
-                    s"changesSince($sinceTs)")
-                else df
-              }
-          case None =>
-            // no store at all: any surviving non-null ref is dangling
-            // by definition — same loud contract, no join needed
-            (schema.textFields.keySet ++ dynamicTextFields.keySet)
-              .foldLeft(out) { (df, f) =>
-                val ref = Collection.lobRefCol(f)
-                if (!df.columns.contains(ref)) df
-                else df.withColumn(f,
-                  when(col(ref).isNotNull, raise_error(concat(
-                    lit(s"changesSince($sinceTs): LOB payload for '$f' ref "),
-                    col(ref),
-                    lit(" no longer exists — re-seed from a snapshot instead"))))
-                    .otherwise(col(f)))
-                  .drop(ref)
-              }
+        // no store at all = resolve against an EMPTY canonical store:
+        // every surviving non-null ref takes the same loud dangling-ref
+        // path through ONE strict-resolve implementation
+        val store = lobStore.getOrElse {
+          import spark.implicits._
+          Seq.empty[(String, String)].toDF("_lob_ref", "_lob_payload")
         }
+        (schema.textFields.keySet ++ dynamicTextFields.keySet)
+          .foldLeft(out) { (df, f) =>
+            val ref = Collection.lobRefCol(f)
+            if (df.columns.contains(ref))
+              graft.operators.Lob.resolveTextStrict(df, store, f, ref,
+                s"changesSince($sinceTs)")
+            else df
+          }
       case None => throw new IllegalStateException("no writes logged yet")
     }
   }
@@ -4180,57 +4206,180 @@ object Collection {
   /** Read a sealed layout directory, repairing the hive-recovered
     * partition tag's type (directory values parse as their narrowest
     * type; the tag column is declared string).
+    *
+    * An ENGINE-WRITTEN layout root (flush `seg-<ts>` dirs, patch-fold
+    * `fold-<ts>` dirs, compaction `run-<ts>` dirs) is read with
+    * supersession honored: a fold/run rewrite REPLACED every earlier
+    * dir when it was written (`sealedSegments = Vector(rewrite)`), so
+    * reopening reads the newest rewrite plus only the segments flushed
+    * after it — reading superseded dirs too would both trip Spark's
+    * mixed-structure partition discovery and resurrect pre-rewrite row
+    * versions that share their timestamps with the rewritten ones.
     */
   private[graft] def readLayoutAt(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types.{StringType, StructType}
-    val df = spark.read.parquet(path)
-    if (df.columns.contains(PartitionCol) &&
-        df.schema(PartitionCol).dataType != StringType) {
-      val fixed = StructType(df.schema.map(f =>
-        if (f.name == PartitionCol) f.copy(dataType = StringType)
-        else f))
-      spark.read.schema(fixed).parquet(path)
-    } else df
+    def readPlain(p: String): DataFrame = {
+      val df = spark.read.parquet(p)
+      if (df.columns.contains(PartitionCol) &&
+          df.schema(PartitionCol).dataType != StringType) {
+        val fixed = StructType(df.schema.map(f =>
+          if (f.name == PartitionCol) f.copy(dataType = StringType)
+          else f))
+        spark.read.schema(fixed).parquet(p)
+      } else df
+    }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val engineDirs: Seq[(String, Long, String)] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap { d =>
+          d.getName.split("-", 2) match {
+            case Array(kind @ ("seg" | "fold" | "run"), ts) =>
+              ts.toLongOption.map(n => (kind, n, d.toString))
+            case _ => None
+          }
+        }
+    if (engineDirs.isEmpty) readPlain(path)
+    else {
+      val rewriteTs = engineDirs.collect {
+        case ("fold" | "run", ts, _) => ts
+      }.maxOption.getOrElse(Long.MinValue)
+      val live = engineDirs.collect {
+        case ("seg", ts, p) if ts > rewriteTs => p
+        case ("fold", ts, p) if ts == rewriteTs => p
+        case ("run", ts, p) if ts == rewriteTs => s"$p/data"
+      }.sorted
+      live.map(readPlain)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** One snapshot's full read state: the manifested directory sets plus
+    * the driver-side visibility state a file manifest can't carry (read
+    * ts, truncate horizon, TTL ticks, dropped-field set, DDL-added TEXT
+    * add timestamps). Persisted verbatim by [[writeSnapMeta]] so the
+    * registry survives a restart.
+    */
+  private[graft] final case class SnapState(ts: Long, horizon: Long,
+      ttlTicks: Option[Long], dropped: Seq[String],
+      textAdds: Map[String, Long],
+      dataDirs: Seq[String], lobDirs: Seq[String],
+      tombsDir: Option[String], refsDir: Option[String])
+
+  private[graft] def writeSnapMeta(spark: SparkSession, dir: String,
+      st: SnapState): Unit = {
+    import spark.implicits._
+    Seq((st.ts, st.horizon, st.ttlTicks, st.dropped, st.textAdds))
+      .toDF("snap_ts", "horizon", "ttl", "dropped", "text_adds")
+      .coalesce(1).write.parquet(dir)
+  }
+
+  private def readSnapMeta(spark: SparkSession, dir: String,
+      dataDirs: Seq[String], lobDirs: Seq[String],
+      tombsDir: Option[String], refsDir: Option[String]): SnapState = {
+    val r = spark.read.parquet(dir).head()
+    SnapState(
+      r.getAs[Long]("snap_ts"), r.getAs[Long]("horizon"),
+      if (r.isNullAt(r.fieldIndex("ttl"))) None else Some(r.getAs[Long]("ttl")),
+      r.getSeq[String](r.fieldIndex("dropped")),
+      r.getMap[String, Long](r.fieldIndex("text_adds")).toMap,
+      dataDirs, lobDirs, tombsDir, refsDir)
+  }
+
+  /** Rebuild the snapshot registry from `<path>/_snapshots/<id>` — each
+    * snapshot dir's meta + manifest parquet is the durable record
+    * (the reference keeps snapshot meta in the metastore; here the
+    * layout IS the store), so an opened collection keeps pinning and
+    * serving snapshots taken before the restart.
+    */
+  private[graft] def loadSnapshotRegistry(spark: SparkSession,
+      path: String): Map[String, SnapState] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$path/_snapshots")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { d =>
+      val id = d.getPath.getName
+      val base = d.getPath.toString
+      // tolerate a half-written snapshot (crash between manifest and
+      // meta): no meta, no registry entry — same as never created
+      if (!fs.exists(new Path(s"$base/meta"))) None
+      else {
+        val man = spark.read.parquet(s"$base/manifest").collect()
+        def dirs(kind: String): Seq[String] = man
+          .filter(_.getAs[String]("kind") == kind)
+          .map(_.getAs[String]("dir")).toSeq.sorted
+        val tombsDir =
+          if (fs.exists(new Path(s"$base/tombs"))) Some(s"$base/tombs") else None
+        val refsDir =
+          if (fs.exists(new Path(s"$base/refs"))) Some(s"$base/refs") else None
+        Some(id -> readSnapMeta(spark, s"$base/meta",
+          dirs("data"), dirs("lob"), tombsDir, refsDir))
+      }
+    }.toMap
   }
 
   /** Assemble the read view of a MANIFESTED snapshot: union the
     * manifested segment dirs, apply the point-in-time MVCC collapse
-    * (the snapshot's own tombstone cut, never the live set), and
-    * resolve every `$lob_` ref against the manifested blob dirs — not
-    * the live store, so later compaction/GC of the source collection
-    * cannot reach it. Shared by [[Collection.readSnapshot]] and
+    * (the snapshot's own tombstone cut and TTL, never the live set's),
+    * re-apply the snapshot-time field DDL (dropped columns leave, a
+    * DDL-added TEXT field's pre-add rows stay null), and resolve every
+    * surviving `$lob_` ref against the manifested blob dirs — not the
+    * live store, so later compaction/GC of the source collection cannot
+    * reach it. Shared by [[Collection.readSnapshot]] and
     * [[Collection.openSnapshotExport]] (an export is the same shape
     * with the dirs relocated).
     */
   private[graft] def snapshotView(spark: SparkSession, schema: CollectionSchema,
-      dataDirs: Seq[String], lobDirs: Seq[String], tombsDir: Option[String],
-      ts: Long, horizon: Long = 0L): DataFrame = {
-    require(dataDirs.nonEmpty, "snapshot manifests no data directories")
-    val data = dataDirs
+      st: SnapState): DataFrame = {
+    require(st.dataDirs.nonEmpty, "snapshot manifests no data directories")
+    val data = st.dataDirs
       .map(d => GraftSession.normalizeTs(readLayoutAt(spark, d), Set(schema.tsField)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // the truncate horizon is driver state, not file state — a snapshot
     // taken after a truncate must not resurrect the cut rows
     val inWindow =
-      if (horizon > 0L) data.filter(col(schema.tsField) > horizon) else data
-    val snapTombs = tombsDir.map(spark.read.parquet(_))
+      if (st.horizon > 0L) data.filter(col(schema.tsField) > st.horizon)
+      else data
+    val snapTombs = st.tombsDir.map(spark.read.parquet(_))
     val visible = Mvcc.visible(inWindow, schema.pkField, schema.tsField,
-      lit(ts), tombstones = snapTombs, ttl = None)
+      lit(st.ts), tombstones = snapTombs, ttl = st.ttlTicks.map(lit(_)))
     val collapsed = Mvcc.latestByPk(
       visible, schema.pkField, schema.tsField, schema.pkField)
-    val store = lobDirs.map(spark.read.parquet(_))
+    // snapshot-time DDL: fields dropped at or before the snapshot leave
+    // the view (with their hidden refs); DDL-added TEXT fields mask
+    // pre-add row versions — the same ts-mask the live read applies
+    val afterDrop = st.dropped.foldLeft(collapsed) { (df, f) =>
+      df.drop(f, lobRefCol(f))
+    }
+    val ddlMasked = st.textAdds.foldLeft(afterDrop) {
+      case (df, (f, addTs)) =>
+        val ref = lobRefCol(f)
+        val masked =
+          if (!df.columns.contains(f))
+            df.withColumn(f, lit(null).cast("string"))
+          else df.withColumn(f,
+            when(col(schema.tsField) >= lit(addTs), col(f)))
+        if (masked.columns.contains(ref))
+          masked.withColumn(ref,
+            when(col(schema.tsField) >= lit(addTs), col(ref)))
+        else masked
+    }
+    val store = st.lobDirs.map(spark.read.parquet(_))
       .reduceOption(_ unionByName _).map(_.dropDuplicates("_lob_ref"))
     // resolve by REF-COLUMN presence, not by the live schema's declared
     // TEXT fields — the snapshot is a point-in-time artifact and must
     // keep serving fields dropped (or re-typed) after it was taken
-    val refCols = collapsed.columns.filter(_.startsWith("$lob_")).toSeq
+    val refCols = ddlMasked.columns.filter(_.startsWith("$lob_")).toSeq
     val resolved = store match {
-      case Some(s) => refCols.foldLeft(collapsed) { (df, ref) =>
+      case Some(s) => refCols.foldLeft(ddlMasked) { (df, ref) =>
         val f = ref.stripPrefix("$lob_")
         if (df.columns.contains(f)) graft.operators.Lob.resolveText(df, s, f, ref)
         else df
       }
-      case None => collapsed
+      case None => ddlMasked
     }
     resolved.drop(resolved.columns.filter(_.startsWith("$lob_")).toIndexedSeq: _*)
   }
@@ -4238,8 +4387,9 @@ object Collection {
   /** Open a directory written by [[Collection.exportSnapshot]] — fully
     * self-contained (20260609 snapshot-export design: restore works in
     * a different cluster with the source collection gone): the exported
-    * segment dirs, blob dirs, tombstone cut, and read ts all live under
-    * `destDir`; no manifest indirection, no source `_lobs`.
+    * segment dirs, blob dirs, tombstone cut, and the full visibility
+    * meta all live under `destDir`; no manifest indirection, no source
+    * `_lobs`.
     */
   def openSnapshotExport(spark: SparkSession, schema: CollectionSchema,
       destDir: String): DataFrame = {
@@ -4252,10 +4402,9 @@ object Collection {
       else fs.listStatus(path).toSeq.filter(_.isDirectory)
         .map(_.getPath.toString).sorted
     }
-    val meta = spark.read.parquet(s"$destDir/_meta").head()
-    snapshotView(spark, schema, subdirs(s"$destDir/data"),
-      subdirs(s"$destDir/_lobs"), subdirs(s"$destDir/_tombs").headOption,
-      meta.getAs[Long]("snap_ts"), meta.getAs[Long]("horizon"))
+    snapshotView(spark, schema, readSnapMeta(spark, s"$destDir/_meta",
+      subdirs(s"$destDir/data"), subdirs(s"$destDir/_lobs"),
+      subdirs(s"$destDir/_tombs").headOption, None))
   }
 
   /** Create an empty collection (reference `CreateCollection`). */

@@ -246,9 +246,15 @@ object Analyzers {
     * and RE2 (oracle side); \Q..\E quoting is Java-only, so escape
     * per-char instead.
     */
+  /** The escaped character-class BODY for a delimiter set — shared with
+    * the analyzer-aware highlighter so highlight boundaries and
+    * char_group token splits can never diverge.
+    */
+  private[graft] def charClass(delims: Seq[Char]): String =
+    delims.map(c => if (c.isLetterOrDigit) c.toString else "\\" + c).mkString
+
   private def regexClass(delims: Seq[Char]): String =
-    delims.map(c => if (c.isLetterOrDigit) c.toString else "\\" + c)
-      .mkString("[", "", "]+")
+    s"[${charClass(delims)}]+"
 
   private def tokensOf(c: Column, tok: Tokenizer): Column = tok match {
     case Standard       => TextFunctions.tokenize(c)
@@ -529,11 +535,13 @@ object Analyzers {
 
   // query-side tokenization cache: filter COMPILE must not pay a Spark
   // job per match construct (some compile paths run under a collection's
-  // state lock). Keyed by the full analyzer param map + the query text;
-  // bounded by a wholesale clear — match queries repeat heavily, a
-  // smarter eviction buys nothing at this size.
-  private val queryTokenCache =
-    new java.util.concurrent.ConcurrentHashMap[(Map[String, String], String), Seq[String]]()
+  // state lock). Keyed by the FileResources epoch + the full analyzer
+  // param map + the query text (the epoch invalidates entries whose
+  // `*_resource` dictionaries were replaced); bounded by a wholesale
+  // clear — match queries repeat heavily, a smarter eviction buys
+  // nothing at this size.
+  private val queryTokenCache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Map[String, String], String), Seq[String]]()
   private val QueryTokenCacheMax = 4096
 
   /** Run an analyzer pipeline over ONE driver-local string and return
@@ -542,17 +550,27 @@ object Analyzers {
     * ConvertToLocalRelation rule evaluates driver-side at optimization
     * time, so no Spark job is scheduled and no dependency on which
     * session is `active` beyond expression resolution. Results cache per
-    * (analyzer_params, query).
+    * (resource epoch, analyzer_params, query).
     */
-  def analyzeLocal(params: Map[String, String], text: String): Seq[String] =
-    queryTokenCache.computeIfAbsent((params, text), { _ =>
+  def analyzeLocal(params: Map[String, String], text: String): Seq[String] = {
+    val key = (FileResources.epoch, params, text)
+    val hit = queryTokenCache.get(key)
+    if (hit != null) hit
+    else {
+      // evict OUTSIDE any map callback: clear() from inside a
+      // computeIfAbsent mapping function can deadlock two threads
+      // holding different bins (the ConcurrentHashMap recursive-update
+      // contract)
       if (queryTokenCache.size >= QueryTokenCacheMax) queryTokenCache.clear()
       val s = org.apache.spark.sql.SparkSession.active
       import s.implicits._
-      Seq(Tuple1(text)).toDF("_q")
+      val toks = Seq(Tuple1(text)).toDF("_q")
         .select(analyzeWith(org.apache.spark.sql.functions.col("_q"), params).as("_t"))
         .head().getSeq[String](0).toSeq
-    })
+      val prev = queryTokenCache.putIfAbsent(key, toks)
+      if (prev != null) prev else toks
+    }
+  }
 
   /** Param-map dispatch matching the reference's analyzer_params shape:
     * `{"tokenizer": "char_group", "delims": " .,", "filters":

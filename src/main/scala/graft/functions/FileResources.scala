@@ -22,16 +22,24 @@ object FileResources {
 
   private val resources = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // monotone registry epoch, bumped by every successful mutation:
+  // analyzer-derived caches (Analyzers.analyzeLocal) key on it so a
+  // remove+re-add with different content invalidates their entries
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def epoch: Long = epochCounter.get()
+
   def add(name: String, content: String): Unit = {
     require(name.nonEmpty, "file resource name must be non-empty")
     val prev = resources.putIfAbsent(name, content)
     require(prev == null || prev == content,
       s"file resource '$name' already exists with different content — remove it first")
+    if (prev == null) epochCounter.incrementAndGet()
   }
 
   def remove(name: String): Unit =
     if (resources.remove(name) == null)
       throw new NoSuchElementException(s"file resource '$name' does not exist")
+    else epochCounter.incrementAndGet()
 
   def get(name: String): String = {
     val c = resources.get(name)

@@ -176,9 +176,8 @@ object TextFunctions {
         case "standard"   => ("[a-zA-Z0-9]", true) // standard lowercases
         case "whitespace" => ("\\S", false)
         case "char_group" =>
-          val ds = analyzerParams.getOrElse("delims", " ").toSeq
-          val cls = ds.map(ch =>
-            if (ch.isLetterOrDigit) ch.toString else "\\" + ch).mkString
+          val cls = Analyzers.charClass(
+            analyzerParams.getOrElse("delims", " ").toSeq)
           (s"[^$cls]", false)
         case other => throw new IllegalArgumentException(
           s"highlight does not support tokenizer '$other' — no contiguous " +

@@ -111,6 +111,13 @@ object IndexParamCheck {
 
   private def checkTyped(indexType: String, kind: FieldKind,
       params: Map[String, String], isPrimaryKey: Boolean): Unit = indexType match {
+    // AUTOINDEX on a SCALAR family (auto_index_checker.go): the engine
+    // picks the concrete index itself — nothing to validate beyond the
+    // TEXT gate check() already applied. Must dispatch BEFORE the
+    // vector branch below, which would misroute a scalar AUTOINDEX into
+    // the metric checker.
+    case "AUTOINDEX" if !Seq(FloatVector, SparseVector, BinaryVector,
+        IntVector).contains(kind) => ()
     case "FLAT" | "IVF_FLAT" | "IVF_PQ" | "IVF_SQ8" | "IVF_RABITQ" |
          "SCANN" | "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" |
          "IVF_HNSW" | "DISKANN" | "AISAQ" | "AUTOINDEX" =>

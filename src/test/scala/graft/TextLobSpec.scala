@@ -849,6 +849,61 @@ class TextLobSpec extends SparkSpec {
     intercept[NoSuchElementException] { c.readSnapshot("s1") }
   }
 
+  test("snapshot folds pending patches; registry and pins survive reopen") {
+    val path = s"${scratch("textlob_snapdur")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(Seq(
+      (1L, "v " + ("a" * 100), 10L),
+      (2L, "small", 20L)).toDF("id", "text", "tag"))
+    c.flush(path)
+    // an acknowledged mutable-column write lives in the patch log, not
+    // in files — the snapshot must carry it anyway
+    c.setField("tag", Seq((1L, 99L)).toDF("id", "tag"))
+    val ts = c.createSnapshot(path, "s1")
+    assert(c.readSnapshot("s1").filter($"id" === 1L)
+      .select($"tag").as[Long].head() == 99L,
+      "snapshot must serve the patched value, not the pre-patch file bytes")
+    // reopen the layout: the registry rebuilds from _snapshots/<id>
+    val re = Collection.open(spark, schema, path)
+    assert(re.listSnapshots == Map("s1" -> ts))
+    val snapBack = re.readSnapshot("s1")
+      .select($"id", md5($"text").as("h"), $"tag").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(snapBack.map(_._1) == Seq(1L, 2L) && snapBack.head._3 == 99L)
+    // and the reopened collection's GC still honors the pin
+    re.deletePks(Seq(1L))
+    re.flush(path)
+    re.compact(path)
+    assert(re.lobGc(path) == 0L, "a reopened registry must keep pinning")
+    re.dropSnapshot("s1")
+    assert(re.lobGc(path) == 1L)
+  }
+
+  test("snapshot keeps point-in-time DDL state; RLS scopes the snapshot read") {
+    val path = s"${scratch("textlob_snapddl")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(Seq(
+      (1L, "doc one " + ("a" * 100), "en"),
+      (2L, "doc two", "de")).toDF("id", "text", "lang"))
+    c.createSnapshot(path, "before_drop")
+    c.dropField("lang")
+    c.createSnapshot(path, "after_drop")
+    // the pre-drop snapshot still serves the column; the post-drop one
+    // must not resurrect it (the live read at that ts hides it too)
+    assert(c.readSnapshot("before_drop").columns.contains("lang"))
+    assert(!c.readSnapshot("after_drop").columns.contains("lang"))
+    // row-level security re-applies per caller on the snapshot read,
+    // exactly like query()
+    c.enableRls(Seq("id == $current_user_tags['only']"))
+    c.setUser(graft.Rls.UserContext("alice", Map("only" -> "1")))
+    val scoped = c.readSnapshot("before_drop").select($"id").as[Long].collect()
+    assert(scoped.toSeq == Seq(1L),
+      s"RLS must scope the snapshot read, got ${scoped.toSeq}")
+  }
+
   test("exported snapshot serves byte-exact after the source _lobs is deleted") {
     val base = scratch("textlob_export")
     val path = s"$base/data"
