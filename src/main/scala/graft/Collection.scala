@@ -746,11 +746,19 @@ final class Collection private (
     * ts=1 would sit below every existing row's timestamp and apply to
     * nothing.
     */
-  private val tso = new AtomicLong(
+  private val tso = new AtomicLong(math.max(
     sealedDf.map(_.agg(max(col(schema.tsField))).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
-    }).getOrElse(0L))
+    }).getOrElse(0L),
+    // ...AND past every persisted layout tick: dir names (seg/fold/run,
+    // blob gen/snap) and snapshot read horizons carry nextTs ticks that
+    // can exceed the max ROW ts (flush names its dirs AFTER stamping the
+    // rows). Reissuing a tick at or below a fold/run dir's would make
+    // the supersession rule in readLayoutAt silently drop a post-restart
+    // segment; reissuing one at or below a snapshot's read ts would leak
+    // post-restart writes into a pre-restart snapshot.
+    sealedPath.map(Collection.maxLayoutTick(spark, _)).getOrElse(0L)))
   private def nextTs(): Long = tso.incrementAndGet()
 
   /** AllocTimestamp (reference impl.go → rootcoord TSO): hand out the
@@ -1354,9 +1362,21 @@ final class Collection private (
     // in files — fold them down first or the manifest would silently
     // serve pre-patch values
     foldPatchesIntoLayout(path)
+    // patches the fold DEFERRED (their column not yet materialized by
+    // any batch) cannot ride a file manifest — refuse loudly rather
+    // than silently diverging from the live merge-on-read
+    require(colPatches.isEmpty,
+      s"snapshot cannot carry patches on not-yet-materialized columns " +
+        s"(${colPatches.keys.mkString(", ")}) — insert a batch carrying " +
+        "the column, then snapshot")
     val ts = lastWriteTs
     val root = s"$path/_snapshots/$id"
+    // manifest CONCRETE directories: an open()ed collection's segment
+    // list may be the layout ROOT, which readLayoutAt re-resolves per
+    // read (supersession) — a later compaction would silently change
+    // what the snapshot serves
     val dataDirs = sealedSegments
+      .flatMap(d => Collection.resolveLayoutDirs(spark, d)).distinct
     require(dataDirs.nonEmpty, "nothing to snapshot — empty collection")
     val lobDirs = Collection.lobLiveDirs(spark, path)
     import spark.implicits._
@@ -1393,6 +1413,10 @@ final class Collection private (
       droppedFields.collect { case (f, dts) if dts <= ts => f }.toSeq.sorted,
       dynamicTextFields.collect {
         case (f, (_, addTs)) if addTs <= ts => f -> addTs }.toMap,
+      maskedFields.collect { case (f, (addTs, dflt)) if addTs <= ts =>
+        val (tag, v) = Collection.encodeDefault(f, dflt)
+        f -> ((addTs, tag, v))
+      }.toMap,
       dataDirs, lobDirs, tombsDir, refsDir)
     Collection.writeSnapMeta(spark, s"$root/meta", st)
     snapshotReg += id -> st
@@ -2820,21 +2844,8 @@ final class Collection private (
     // column entirely) serve null; a re-add after dropField must not
     // resurrect the old column's values — the ts mask covers both
     // (the typed analogue of applyFieldDdl's default mask)
-    val ddlMasked = dynamicTextFields.foldLeft(collapsed) {
-      case (df, (f, (_, addTs))) =>
-        val ref = Collection.lobRefCol(f)
-        // the REF column masks too: a re-added field's pre-drop rows
-        // would otherwise resurrect their payloads through the resolve
-        val masked =
-          if (!df.columns.contains(f))
-            df.withColumn(f, lit(null).cast("string"))
-          else df.withColumn(f,
-            when(col(schema.tsField) >= lit(addTs), col(f)))
-        if (masked.columns.contains(ref))
-          masked.withColumn(ref,
-            when(col(schema.tsField) >= lit(addTs), col(ref)))
-        else masked
-    }
+    val ddlMasked = Collection.maskTextAdds(collapsed, schema.tsField,
+      dynamicTextFields.view.mapValues(_._2).toMap)
     val resolvedLob0 = lobStore match {
       case Some(store) =>
         textFieldSpecs.keysIterator.foldLeft(ddlMasked) { (df, f) =>
@@ -4216,19 +4227,14 @@ object Collection {
     * mixed-structure partition discovery and resurrect pre-rewrite row
     * versions that share their timestamps with the rewritten ones.
     */
-  private[graft] def readLayoutAt(spark: SparkSession, path: String): DataFrame = {
+  /** The CONCRETE live directories a layout root resolves to AT THIS
+    * MOMENT — a plain dir resolves to itself; an engine-written root
+    * resolves to the newest fold/run rewrite plus segments flushed
+    * after it. Snapshot manifests record THIS list (a root reference
+    * would re-resolve per read and see later rewrites).
+    */
+  private[graft] def resolveLayoutDirs(spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.types.{StringType, StructType}
-    def readPlain(p: String): DataFrame = {
-      val df = spark.read.parquet(p)
-      if (df.columns.contains(PartitionCol) &&
-          df.schema(PartitionCol).dataType != StringType) {
-        val fixed = StructType(df.schema.map(f =>
-          if (f.name == PartitionCol) f.copy(dataType = StringType)
-          else f))
-        spark.read.schema(fixed).parquet(p)
-      } else df
-    }
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val engineDirs: Seq[(String, Long, String)] =
@@ -4241,17 +4247,34 @@ object Collection {
             case _ => None
           }
         }
-    if (engineDirs.isEmpty) readPlain(path)
+    if (engineDirs.isEmpty) Seq(path)
     else {
       val rewriteTs = engineDirs.collect {
         case ("fold" | "run", ts, _) => ts
       }.maxOption.getOrElse(Long.MinValue)
-      val live = engineDirs.collect {
+      engineDirs.collect {
         case ("seg", ts, p) if ts > rewriteTs => p
         case ("fold", ts, p) if ts == rewriteTs => p
         case ("run", ts, p) if ts == rewriteTs => s"$p/data"
       }.sorted
-      live.map(readPlain)
+    }
+  }
+
+  private[graft] def readLayoutAt(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    def readPlain(p: String): DataFrame = {
+      val df = spark.read.parquet(p)
+      if (df.columns.contains(PartitionCol) &&
+          df.schema(PartitionCol).dataType != StringType) {
+        val fixed = StructType(df.schema.map(f =>
+          if (f.name == PartitionCol) f.copy(dataType = StringType)
+          else f))
+        spark.read.schema(fixed).parquet(p)
+      } else df
+    }
+    resolveLayoutDirs(spark, path) match {
+      case Seq(single) => readPlain(single)
+      case dirs => dirs.map(readPlain)
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -4265,14 +4288,42 @@ object Collection {
   private[graft] final case class SnapState(ts: Long, horizon: Long,
       ttlTicks: Option[Long], dropped: Seq[String],
       textAdds: Map[String, Long],
+      masks: Map[String, (Long, String, String)], // field -> (addTs, type tag, value)
       dataDirs: Seq[String], lobDirs: Seq[String],
       tombsDir: Option[String], refsDir: Option[String])
+
+  /** Serialize a DDL default for the snapshot meta record. Loud on
+    * exotic types — a silently re-typed default is worse than a refused
+    * snapshot.
+    */
+  private[graft] def encodeDefault(field: String, v: Any): (String, String) = v match {
+    case null       => ("null", "")
+    case b: Boolean => ("boolean", b.toString)
+    case i: Int     => ("int", i.toString)
+    case l: Long    => ("long", l.toString)
+    case f: Float   => ("float", f.toString)
+    case d: Double  => ("double", d.toString)
+    case s: String  => ("string", s)
+    case other => throw new IllegalArgumentException(
+      s"snapshot cannot persist field '$field' default of type ${other.getClass.getName}")
+  }
+
+  private def decodeDefault(tag: String, v: String): Any = tag match {
+    case "null"    => null
+    case "boolean" => v.toBoolean
+    case "int"     => v.toInt
+    case "long"    => v.toLong
+    case "float"   => v.toFloat
+    case "double"  => v.toDouble
+    case "string"  => v
+    case other => throw new IllegalArgumentException(s"unknown default tag '$other'")
+  }
 
   private[graft] def writeSnapMeta(spark: SparkSession, dir: String,
       st: SnapState): Unit = {
     import spark.implicits._
-    Seq((st.ts, st.horizon, st.ttlTicks, st.dropped, st.textAdds))
-      .toDF("snap_ts", "horizon", "ttl", "dropped", "text_adds")
+    Seq((st.ts, st.horizon, st.ttlTicks, st.dropped, st.textAdds, st.masks))
+      .toDF("snap_ts", "horizon", "ttl", "dropped", "text_adds", "masks")
       .coalesce(1).write.parquet(dir)
   }
 
@@ -4280,12 +4331,55 @@ object Collection {
       dataDirs: Seq[String], lobDirs: Seq[String],
       tombsDir: Option[String], refsDir: Option[String]): SnapState = {
     val r = spark.read.parquet(dir).head()
+    // field-guarded reads: an export written by an earlier meta schema
+    // (fewer columns) must stay restorable — absent state reads empty
+    def has(f: String) = r.schema.fieldNames.contains(f)
+    val masks =
+      if (!has("masks")) Map.empty[String, (Long, String, String)]
+      else r.getMap[String, org.apache.spark.sql.Row](r.fieldIndex("masks"))
+        .map { case (k, m) =>
+          k -> ((m.getLong(0), m.getString(1), m.getString(2))) }.toMap
     SnapState(
       r.getAs[Long]("snap_ts"), r.getAs[Long]("horizon"),
-      if (r.isNullAt(r.fieldIndex("ttl"))) None else Some(r.getAs[Long]("ttl")),
-      r.getSeq[String](r.fieldIndex("dropped")),
-      r.getMap[String, Long](r.fieldIndex("text_adds")).toMap,
-      dataDirs, lobDirs, tombsDir, refsDir)
+      if (!has("ttl") || r.isNullAt(r.fieldIndex("ttl"))) None
+      else Some(r.getAs[Long]("ttl")),
+      if (has("dropped")) r.getSeq[String](r.fieldIndex("dropped")) else Nil,
+      if (has("text_adds")) r.getMap[String, Long](r.fieldIndex("text_adds")).toMap
+      else Map.empty,
+      masks, dataDirs, lobDirs, tombsDir, refsDir)
+  }
+
+  /** The maximum nextTs tick any persisted artifact of this layout
+    * carries: dir-name ticks (seg/fold/run, blob gen/snap) and snapshot
+    * read horizons. The TSO must reseed ABOVE all of them on open — see
+    * the seeding comment at the tso declaration.
+    */
+  private[graft] def maxLayoutTick(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def dirTicks(dir: String, kinds: Set[String]): Seq[Long] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .flatMap(_.split("-", 2) match {
+          case Array(k, ts) if kinds.contains(k) => ts.toLongOption
+          case _ => None
+        })
+    }
+    val snapTicks = {
+      val root = new Path(s"$path/_snapshots")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { d =>
+        val m = new Path(s"${d.getPath}/meta")
+        if (!fs.exists(m)) None
+        else scala.util.Try(
+          spark.read.parquet(m.toString).head().getAs[Long]("snap_ts")).toOption
+      }
+    }
+    (dirTicks(path, Set("seg", "fold", "run")) ++
+      dirTicks(s"$path/_lobs", Set("gen", "snap")) ++ snapTicks :+ 0L).max
   }
 
   /** Rebuild the snapshot registry from `<path>/_snapshots/<id>` — each
@@ -4348,25 +4442,12 @@ object Collection {
       lit(st.ts), tombstones = snapTombs, ttl = st.ttlTicks.map(lit(_)))
     val collapsed = Mvcc.latestByPk(
       visible, schema.pkField, schema.tsField, schema.pkField)
-    // snapshot-time DDL: fields dropped at or before the snapshot leave
-    // the view (with their hidden refs); DDL-added TEXT fields mask
-    // pre-add row versions — the same ts-mask the live read applies
-    val afterDrop = st.dropped.foldLeft(collapsed) { (df, f) =>
-      df.drop(f, lobRefCol(f))
-    }
-    val ddlMasked = st.textAdds.foldLeft(afterDrop) {
-      case (df, (f, addTs)) =>
-        val ref = lobRefCol(f)
-        val masked =
-          if (!df.columns.contains(f))
-            df.withColumn(f, lit(null).cast("string"))
-          else df.withColumn(f,
-            when(col(schema.tsField) >= lit(addTs), col(f)))
-        if (masked.columns.contains(ref))
-          masked.withColumn(ref,
-            when(col(schema.tsField) >= lit(addTs), col(ref)))
-        else masked
-    }
+    // snapshot-time DDL in the LIVE read's order — TEXT add-ts masks,
+    // then payload resolve, then dropped columns leave, then DDL-added
+    // defaults fill. A different order diverges: masking after resolve
+    // would resurrect a re-added field's old payloads; dropping before
+    // the textAdds fold would re-add a dropped TEXT field as nulls.
+    val ddlMasked = maskTextAdds(collapsed, schema.tsField, st.textAdds)
     val store = st.lobDirs.map(spark.read.parquet(_))
       .reduceOption(_ unionByName _).map(_.dropDuplicates("_lob_ref"))
     // resolve by REF-COLUMN presence, not by the live schema's declared
@@ -4381,8 +4462,35 @@ object Collection {
       }
       case None => ddlMasked
     }
-    resolved.drop(resolved.columns.filter(_.startsWith("$lob_")).toIndexedSeq: _*)
+    val afterDrop = st.dropped.foldLeft(resolved) { (df, f) =>
+      df.drop(f, lobRefCol(f))
+    }
+    val filled = st.masks.foldLeft(afterDrop) {
+      case (df, (f, (addTs, tag, v))) =>
+        val dflt = decodeDefault(tag, v)
+        if (!df.columns.contains(f)) df.withColumn(f, lit(dflt))
+        else df.withColumn(f,
+          when(col(schema.tsField) >= lit(addTs), col(f)).otherwise(lit(dflt)))
+    }
+    filled.drop(filled.columns.filter(_.startsWith("$lob_")).toIndexedSeq: _*)
   }
+
+  /** The DDL-added-TEXT ts mask (value AND hidden ref): rows older than
+    * the add serve null, and a re-add after dropField cannot resurrect
+    * the old column's payloads through the resolve join. ONE
+    * implementation for the live read and the snapshot read.
+    */
+  private[graft] def maskTextAdds(df: DataFrame, tsField: String,
+      textAdds: Map[String, Long]): DataFrame =
+    textAdds.foldLeft(df) { case (d, (f, addTs)) =>
+      val ref = lobRefCol(f)
+      val masked =
+        if (!d.columns.contains(f)) d.withColumn(f, lit(null).cast("string"))
+        else d.withColumn(f, when(col(tsField) >= lit(addTs), col(f)))
+      if (masked.columns.contains(ref))
+        masked.withColumn(ref, when(col(tsField) >= lit(addTs), col(ref)))
+      else masked
+    }
 
   /** Open a directory written by [[Collection.exportSnapshot]] — fully
     * self-contained (20260609 snapshot-export design: restore works in

@@ -112,12 +112,24 @@ object IndexParamCheck {
   private def checkTyped(indexType: String, kind: FieldKind,
       params: Map[String, String], isPrimaryKey: Boolean): Unit = indexType match {
     // AUTOINDEX on a SCALAR family (auto_index_checker.go): the engine
-    // picks the concrete index itself — nothing to validate beyond the
-    // TEXT gate check() already applied. Must dispatch BEFORE the
-    // vector branch below, which would misroute a scalar AUTOINDEX into
-    // the metric checker.
+    // picks the concrete index itself. Must dispatch BEFORE the vector
+    // branch below, which would misroute a scalar AUTOINDEX into the
+    // metric checker. JSON keeps the cast params every JSON index kind
+    // requires — AUTOINDEX is not an unvalidated bypass.
     case "AUTOINDEX" if !Seq(FloatVector, SparseVector, BinaryVector,
-        IntVector).contains(kind) => ()
+        IntVector).contains(kind) =>
+      kind match {
+        case JsonField =>
+          val cast = params.getOrElse("json_cast_type",
+            fail("json index must specify cast type"))
+          if (!Seq("BOOL", "VARCHAR", "DOUBLE").contains(cast.trim.toUpperCase))
+            fail(s"json_cast_type $cast is not supported for AUTOINDEX index")
+          if (!params.contains("json_path"))
+            fail("json index must specify json path")
+        case BoolField | IntField | FloatField | VarCharField => ()
+        case ArrayField(BoolField | IntField | FloatField | VarCharField) => ()
+        case other => fail(s"AUTOINDEX are not supported on $other field")
+      }
     case "FLAT" | "IVF_FLAT" | "IVF_PQ" | "IVF_SQ8" | "IVF_RABITQ" |
          "SCANN" | "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" |
          "IVF_HNSW" | "DISKANN" | "AISAQ" | "AUTOINDEX" =>

@@ -881,6 +881,73 @@ class TextLobSpec extends SparkSpec {
     assert(re.lobGc(path) == 1L)
   }
 
+  test("reopen after compaction: the TSO reseeds past dir ticks, post-restart flushes survive") {
+    val path = s"${scratch("textlob_reseed")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(Seq((1L, "one"), (2L, "two")).toDF("id", "text"))
+    c.deletePks(Seq(2L))
+    c.flush(path)
+    c.compact(path) // writes run-<tick> with a tick above every row ts
+    // restart: the TSO must reseed past the run dir's tick, or the next
+    // flush lands a seg dir the supersession rule silently drops
+    val re1 = Collection.open(spark, schema, path)
+    re1.insert(Seq((3L, "three " + ("x" * 100))).toDF("id", "text"))
+    re1.flush(path)
+    val re2 = Collection.open(spark, schema, path)
+    assert(re2.query("id >= 0", Seq("id")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L), "a post-restart flush must survive the next reopen")
+  }
+
+  test("a snapshot of an open()ed root stays point-in-time through live compaction") {
+    val path = s"${scratch("textlob_rootsnap")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c0 = Collection.create(spark, schema)
+    c0.insert(Seq((1L, "one " + ("a" * 100)), (2L, "two")).toDF("id", "text"))
+    c0.flush(path)
+    // reopen: sealedSegments is now the layout ROOT
+    val c = Collection.open(spark, schema, path)
+    c.createSnapshot(path, "s1")
+    c.deletePks(Seq(1L))
+    c.flush(path)
+    c.compact(path) // physically drops row 1 from the live layout
+    assert(c.query("id >= 0", Seq("id")).count() == 1)
+    assert(c.readSnapshot("s1").select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L),
+      "the snapshot manifested CONCRETE dirs — later compaction is invisible")
+  }
+
+  test("snapshot carries DDL default masks and rejects unmaterialized patches") {
+    val path = s"${scratch("textlob_snapmask")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(Seq((1L, "doc", 5L)).toDF("id", "text", "x"))
+    c.flush(path)
+    c.dropField("x")
+    c.addCollectionField("x", 0L) // re-add with a default: old values masked
+    c.createSnapshot(path, "s1")
+    // the live read at this ts serves the default, never the pre-drop 5
+    assert(c.readSnapshot("s1").select($"x").as[Long].head() == 0L,
+      "the snapshot must apply the DDL default mask, not resurrect files")
+    // a dropped-then-re-added TEXT field must not reappear as nulls
+    // in a snapshot taken after the drop
+    c.addCollectionTextField("note", TextFieldSpec(enableAnalyzer = true))
+    c.upsert(Seq((1L, "doc", "a note")).toDF("id", "text", "note"))
+    c.flush(path)
+    c.dropField("note")
+    c.createSnapshot(path, "s2")
+    assert(!c.readSnapshot("s2").columns.contains("note"),
+      "a TEXT field dropped before the snapshot must not resurrect as nulls")
+    // acknowledged patches on a column no batch materialized cannot
+    // ride a file manifest — loud refusal, not silent divergence
+    c.addCollectionField("y", 1L)
+    c.setField("y", Seq((1L, 7L)).toDF("id", "y"))
+    val e = intercept[IllegalArgumentException] { c.createSnapshot(path, "s3") }
+    assert(e.getMessage.contains("not-yet-materialized"))
+  }
+
   test("snapshot keeps point-in-time DDL state; RLS scopes the snapshot read") {
     val path = s"${scratch("textlob_snapddl")}/data"
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
