@@ -1450,6 +1450,50 @@ final class Collection private (
     snapshotReg -= id
   }
 
+  /** DescribeSnapshot (snapshot_manager.go:150-161 — detailed snapshot
+    * info read back from the store): the read ts, manifested dir
+    * counts, pinned-blob count, and the captured visibility state.
+    */
+  def describeSnapshot(id: String): Map[String, String] = {
+    requirePriv("DescribeSnapshot")
+    val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+      s"snapshot '$id' not found"))
+    Map(
+      "ts" -> st.ts.toString,
+      "data_dirs" -> st.dataDirs.size.toString,
+      "lob_dirs" -> st.lobDirs.size.toString,
+      "pinned_refs" -> st.refsDir
+        .map(d => spark.read.parquet(d).count().toString).getOrElse("0"),
+      "has_tombstones" -> st.tombsDir.nonEmpty.toString,
+      "ttl" -> st.ttlTicks.map(_.toString).getOrElse(""),
+      "dropped_fields" -> st.dropped.mkString(","))
+  }
+
+  /** RestoreSnapshot (snapshot_manager.go:177-206 — read snapshot data,
+    * create the target collection, restore its rows): materialize
+    * snapshot `id` into a NEW live collection. The restore WRITES the
+    * snapshot view once instead of sharing the source's directories, so
+    * the restored collection owns its layout — TEXT payloads arrive
+    * inline through the view and re-externalize into the target's own
+    * blob store (the CDC re-seed shape), the source's later GC can't
+    * touch it, and the result is immediately writable/indexable like
+    * any other collection. An admin-scope operation (the reference
+    * gates it by privilege and copies whole segments), so the view is
+    * UNSCOPED — RLS re-applies per query on the target.
+    */
+  def restoreSnapshot(id: String): Collection = {
+    requirePriv("RestoreSnapshot")
+    val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+      s"snapshot '$id' not found"))
+    val view = Collection.snapshotView(spark, schema, st)
+    val target = Collection.create(spark, schema)
+    // original write timestamps drop — the target stamps its own (the
+    // reference's restored segments likewise live under the target's
+    // collection id with fresh segment ids); partition tags ride
+    target.insert(view.drop(schema.tsField))
+    target
+  }
+
   /** ExportSnapshot (20260609 design): copy the manifested segment and
     * blob directories plus the tombstone cut and read ts into `destDir`
     * — fully self-contained, [[Collection.openSnapshotExport]] serves

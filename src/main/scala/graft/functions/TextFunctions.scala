@@ -162,15 +162,18 @@ object TextFunctions {
     * those through its offset-carrying tokenizer, which has no
     * boundary-class equivalent.
     */
-  def highlightWith(c: Column, analyzerParams: Map[String, String],
-      queryText: String, pre: String = "<em>", post: String = "</em>"): Column = {
+  /** The analyzer-derived occurrence regex for `queryText` over a field
+    * declared with `analyzerParams` — query tokens from the field's
+    * pipeline, doc-side boundaries from the TOKENIZER's split class as
+    * width-1 negative lookarounds (the boundary is never consumed, so
+    * adjacent matches can share one delimiter), case-insensitive iff
+    * the pipeline lowercases. None when the analyzed query is empty.
+    */
+  private def analyzerOccurrencePattern(analyzerParams: Map[String, String],
+      queryText: String): Option[String] = {
     val qTokens = Analyzers.analyzeLocal(analyzerParams, queryText)
       .distinct.filter(_.nonEmpty)
-    if (qTokens.isEmpty) return c
-    // the tokenizer's NON-delimiter class: a token occurrence is a run
-    // bounded by delimiters (or the string edges) on both sides —
-    // expressed as width-1 negative lookarounds, never consuming the
-    // boundary (adjacent matches can share one delimiter)
+    if (qTokens.isEmpty) return None
     val (nonDelim, lowercases) =
       analyzerParams.getOrElse("tokenizer", "standard") match {
         case "standard"   => ("[a-zA-Z0-9]", true) // standard lowercases
@@ -187,9 +190,34 @@ object TextFunctions {
       .flatMap(_.split(",")).map(_.trim)
     val ci = if (lowercases || filters.contains("lowercase")) "(?i)" else ""
     val alt = qTokens.map(java.util.regex.Pattern.quote).mkString("|")
-    regexp_replace(c,
-      s"$ci(?<!$nonDelim)($alt)(?!$nonDelim)", pre + "$1" + post)
+    Some(s"$ci(?<!$nonDelim)($alt)(?!$nonDelim)")
   }
+
+  def highlightWith(c: Column, analyzerParams: Map[String, String],
+      queryText: String, pre: String = "<em>", post: String = "</em>"): Column =
+    analyzerOccurrencePattern(analyzerParams, queryText) match {
+      case Some(patt) => regexp_replace(c, patt, pre + "$1" + post)
+      case None       => c
+    }
+
+  /** Fragment-mode highlight (the reference highlighter's actual output
+    * shape: `fragments` snippets around the matched spans, not the whole
+    * marked document — see [[graft.functions.HighlightFragments]] for
+    * the pinned option semantics). Returns `array<string>`.
+    */
+  def highlightFragmentsWith(c: Column, analyzerParams: Map[String, String],
+      queryText: String, preTags: Seq[String] = Seq("<em>"),
+      postTags: Seq[String] = Seq("</em>"), fragmentOffset: Int = 0,
+      fragmentSize: Int = 100, numFragments: Int = 5): Column =
+    analyzerOccurrencePattern(analyzerParams, queryText) match {
+      case Some(patt) =>
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          HighlightFragments(
+            org.apache.spark.sql.graft.ColumnBridge.expression(c),
+            patt, preTags, postTags, fragmentOffset, fragmentSize,
+            numFragments))
+      case None => array().cast("array<string>")
+    }
 
   /** Multi-analyzer highlight (highlighter.go:97-116 — the field's
     * multi-analyzer NAME column picks each row's analyzer; rows whose

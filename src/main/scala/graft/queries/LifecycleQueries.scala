@@ -833,7 +833,25 @@ object LifecycleQueries {
       .toDF("section", "n")
       .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
         lit(null).cast("string").as("s"))
-    snap.unionByName(live).unionByName(gc)
+    // RestoreSnapshot parity (snapshot_manager.go:177): the restored
+    // collection re-serves every snapshot row byte-exact from its OWN
+    // layout (payloads re-externalized into its own store) — pinned as
+    // the restored row count plus a zero symmetric difference against
+    // the snapshot read
+    val restoredC = c.restoreSnapshot("s1")
+    val snapKeyed = c.readSnapshot("s1")
+      .select(col("doc_id"), md5(col("text")).as("s"))
+    val restKeyed = restoredC.query("doc_id >= 0", Seq("doc_id", "text"))
+      .select(col("doc_id"), md5(col("text")).as("s"))
+    val restore = restKeyed.agg(count(lit(1)).as("n"))
+      .select(lit("restore").as("section"), lit(0L).as("id"),
+        col("n").cast("long").as("n"), lit(null).cast("string").as("s"))
+      .unionByName(
+        snapKeyed.exceptAll(restKeyed).unionAll(restKeyed.exceptAll(snapKeyed))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("restore_diff").as("section"), lit(0L).as("id"),
+            col("n").cast("long").as("n"), lit(null).cast("string").as("s")))
+    snap.unionByName(live).unionByName(gc).unionByName(restore)
       .orderBy(col("section"), col("id"))
   }
 
@@ -2599,9 +2617,14 @@ object LifecycleQueries {
         |         CAST(1 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS s
         |  UNION ALL
         |  SELECT 'gc_live', 0,
-        |         (SELECT count(*) + 1 FROM grown WHERE doc_id % 7 = 0), NULL)
+        |         (SELECT count(*) + 1 FROM grown WHERE doc_id % 7 = 0), NULL),
+        |re AS (
+        |  SELECT 'restore' AS section, CAST(0 AS BIGINT) AS id,
+        |         (SELECT count(*) FROM grown) AS n, CAST(NULL AS VARCHAR) AS s
+        |  UNION ALL
+        |  SELECT 'restore_diff', 0, 0, NULL)
         |SELECT * FROM snap UNION ALL SELECT * FROM live
-        |UNION ALL SELECT * FROM gc
+        |UNION ALL SELECT * FROM gc UNION ALL SELECT * FROM re
         |ORDER BY section, id""".stripMargin,
     "q_text_analyzer_match" -> textAnalyzerOracle
   )

@@ -971,6 +971,38 @@ class TextLobSpec extends SparkSpec {
       s"RLS must scope the snapshot read, got ${scoped.toSeq}")
   }
 
+  test("restoreSnapshot materializes a writable collection with its own blob store") {
+    val path = s"${scratch("textlob_restore")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(6, bigEvery = 2, threshold = 64)) // LOB: 2, 4, 6
+    c.createSnapshot(path, "s1")
+    val d = c.describeSnapshot("s1")
+    assert(d("pinned_refs") == "3" && d("has_tombstones") == "false" &&
+      d("data_dirs").toInt >= 1, d.toString)
+    def state(cc: Collection) = cc.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    val want = state(c)
+    val r = c.restoreSnapshot("s1")
+    assert(state(r) == want, "the restored collection re-serves every row byte-exact")
+    // ...from its OWN content-addressed store (payloads re-externalized)
+    assert(r.lobBlobCount == 3)
+    // the restored collection is live: a write lands on it, never on
+    // the snapshot or the source
+    r.upsert(Seq((1L, "patched")).toDF("id", "text"))
+    assert(r.query("id == 1", Seq("text")).as[String].head() == "patched")
+    assert(state(c) == want)
+    // and it survives the source's full churn + GC + snapshot drop
+    c.deletePks((1L to 6L))
+    c.flush(path)
+    c.compact(path)
+    c.dropSnapshot("s1")
+    c.lobGc(path)
+    assert(r.query("id >= 2", Seq("id")).count() == 5,
+      "the restore owns its layout — source GC cannot reach it")
+  }
+
   test("exported snapshot serves byte-exact after the source _lobs is deleted") {
     val base = scratch("textlob_export")
     val path = s"$base/data"

@@ -85,6 +85,48 @@ class ExtraSpec extends SparkSpec {
     assert(rows(1) == (("en", "<em>Stream</em> <em>x</em>")), rows(1))
   }
 
+  test("highlight fragments reproduce the reference option matrix") {
+    // the reference fixture's two water docs
+    // (test_milvus_client_highlighter.py:236-420)
+    val d1 = "Must be water."
+    val d2 = "I have the seat full of water! Like, full of water!"
+    def frags(text: String, q: String, pre: Seq[String], post: Seq[String],
+        offset: Int, size: Int, num: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextFunctions.highlightFragmentsWith(col("t"), Map.empty, q,
+          pre, post, offset, size, num).as("f"))
+        .head().getSeq[String](0).toSeq
+    // basic: fragment_size=10, num=1
+    assert(frags(d1, "water", Seq("<<<<<<<"), Seq(">>>>>>"), 0, 10, 1) ==
+      Seq("<<<<<<<water>>>>>>."))
+    assert(frags(d2, "water", Seq("<<<<<<<"), Seq(">>>>>>"), 0, 10, 1) ==
+      Seq("<<<<<<<water>>>>>>! Lik"))
+    // fragment parameter matrix (size x num)
+    assert(frags(d2, "water", Seq("{"), Seq("}"), 0, 1, 0) == Nil)
+    assert(frags(d2, "water", Seq("{"), Seq("}"), 0, 1, 1) == Seq("{water}"))
+    assert(frags(d2, "water", Seq("{"), Seq("}"), 0, 1, 2) ==
+      Seq("{water}", "{water}"))
+    assert(frags(d1, "water", Seq("{"), Seq("}"), 0, 9, 1) == Seq("{water}."))
+    assert(frags(d2, "water", Seq("{"), Seq("}"), 0, 9, 2) ==
+      Seq("{water}! Li", "{water}!"))
+    // size=100 merges every match of the doc into ONE fragment
+    assert(frags(d2, "water", Seq("{"), Seq("}"), 0, 100, 2) ==
+      Seq("{water}! Like, full of {water}!"))
+    // fragment_offset: leading context, clamped to the doc start; an
+    // already-consumed match in a later fragment's context is untagged
+    assert(frags(d2, "water", Seq("="), Seq("="), 5, 5, 2) ==
+      Seq("l of =water=", "l of =water="))
+    assert(frags(d1, "water", Seq("="), Seq("="), 100, 5, 2) ==
+      Seq("Must be =water="))
+    assert(frags(d2, "water", Seq("="), Seq("="), 100, 5, 2) ==
+      Seq("I have the seat full of =water=",
+        "I have the seat full of water! Like, full of =water="))
+    // multiple tag pairs cycle by GLOBAL match ordinal
+    val keys = (1 to 8).map(_ => "key").mkString(" ")
+    assert(frags(keys, "key", Seq("{", "<", "="), Seq("}", ">", "="), 0, 100, 1) ==
+      Seq("{key} <key> =key= {key} <key> =key= {key} <key>"))
+  }
+
   test("phrase_match slop semantics") {
     val df = Seq("a x b", "a b", "b a", "a x y b").toDF("text")
     def matches(e: String) =
