@@ -833,26 +833,49 @@ object LifecycleQueries {
       .toDF("section", "n")
       .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
         lit(null).cast("string").as("s"))
-    // RestoreSnapshot parity (snapshot_manager.go:177): the restored
-    // collection re-serves every snapshot row byte-exact from its OWN
-    // layout (payloads re-externalized into its own store) — pinned as
-    // the restored row count plus a zero symmetric difference against
-    // the snapshot read
-    val restoredC = c.restoreSnapshot("s1")
-    val snapKeyed = c.readSnapshot("s1")
-      .select(col("doc_id"), md5(col("text")).as("s"))
-    val restKeyed = restoredC.query("doc_id >= 0", Seq("doc_id", "text"))
-      .select(col("doc_id"), md5(col("text")).as("s"))
-    val restore = restKeyed.agg(count(lit(1)).as("n"))
-      .select(lit("restore").as("section"), lit(0L).as("id"),
-        col("n").cast("long").as("n"), lit(null).cast("string").as("s"))
-      .unionByName(
-        snapKeyed.exceptAll(restKeyed).unionAll(restKeyed.exceptAll(snapKeyed))
-          .agg(count(lit(1)).as("n"))
-          .select(lit("restore_diff").as("section"), lit(0L).as("id"),
-            col("n").cast("long").as("n"), lit(null).cast("string").as("s")))
-    snap.unionByName(live).unionByName(gc).unionByName(restore)
+    snap.unionByName(live).unionByName(gc)
       .orderBy(col("section"), col("id"))
+  }
+
+  /** RestoreSnapshot (snapshot_manager.go:177-206), its own gate so the
+    * snapshot battery stays under the fixture-cost bar: restore a
+    * LOB-bearing snapshot into a NEW collection, churn + GC the source,
+    * and pin that the restored collection re-serves every payload
+    * byte-exact from its OWN re-externalized store. Value-bounded
+    * fixture (doc_id < 100).
+    */
+  def lobRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, TextFieldSpec}
+    val path = s"${scratchDir("lobrestore")}/data"
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val grown = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" "), repeat(md5(col("text")), 2100)))
+        .otherwise(col("text")))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      textFields = Map("text" -> TextFieldSpec(
+        enableAnalyzer = true, enableMatch = true))))
+    c.insert(grown)
+    c.createSnapshot(path, "s1")
+    val r = c.restoreSnapshot("s1")
+    // source-side churn the restore must be immune to: delete, compact,
+    // UNPIN, and collect — the restored collection owns its layout
+    c.deletePks((0L until 100L by 14L))
+    c.flush(path)
+    c.compact(path)
+    c.dropSnapshot("s1")
+    c.lobGc(path)
+    val restored = r.query("doc_id >= 0", Seq("doc_id", "text"))
+      .select(lit("restored").as("section"), col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("n"), md5(col("text")).as("s"))
+    import s.implicits._
+    val counts = Seq(("restored_blobs", r.lobBlobCount),
+        ("source_live", c.query("doc_id >= 0", Seq("doc_id")).count()))
+      .toDF("section", "n")
+      .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
+        lit(null).cast("string").as("s"))
+    restored.unionByName(counts).orderBy(col("section"), col("id"))
   }
 
   /** Declared-analyzer match semantics through the facade (reference:
@@ -2070,6 +2093,7 @@ object LifecycleQueries {
     "q_lob_gc" -> (lobGc _),
     "q_text_lob" -> (textLob _),
     "q_lob_snapshot" -> (lobSnapshot _),
+    "q_lob_restore" -> (lobRestore _),
     "q_text_analyzer_match" -> (textAnalyzerMatch _)
   )
 
@@ -2617,14 +2641,26 @@ object LifecycleQueries {
         |         CAST(1 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS s
         |  UNION ALL
         |  SELECT 'gc_live', 0,
-        |         (SELECT count(*) + 1 FROM grown WHERE doc_id % 7 = 0), NULL),
-        |re AS (
-        |  SELECT 'restore' AS section, CAST(0 AS BIGINT) AS id,
-        |         (SELECT count(*) FROM grown) AS n, CAST(NULL AS VARCHAR) AS s
-        |  UNION ALL
-        |  SELECT 'restore_diff', 0, 0, NULL)
+        |         (SELECT count(*) + 1 FROM grown WHERE doc_id % 7 = 0), NULL)
         |SELECT * FROM snap UNION ALL SELECT * FROM live
-        |UNION ALL SELECT * FROM gc UNION ALL SELECT * FROM re
+        |UNION ALL SELECT * FROM gc
+        |ORDER BY section, id""".stripMargin,
+    "q_lob_restore" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |grown AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
+        |         ELSE text END AS text
+        |  FROM base),
+        |restored AS (SELECT 'restored' AS section, doc_id AS id,
+        |    CAST(strlen(text) AS BIGINT) AS n, md5(text) AS s FROM grown),
+        |counts AS (
+        |  SELECT 'restored_blobs' AS section, CAST(0 AS BIGINT) AS id,
+        |         (SELECT count(*) FROM grown WHERE doc_id % 7 = 0) AS n,
+        |         CAST(NULL AS VARCHAR) AS s
+        |  UNION ALL
+        |  SELECT 'source_live', 0,
+        |         (SELECT count(*) FROM grown WHERE doc_id % 14 <> 0), NULL)
+        |SELECT * FROM restored UNION ALL SELECT * FROM counts
         |ORDER BY section, id""".stripMargin,
     "q_text_analyzer_match" -> textAnalyzerOracle
   )
