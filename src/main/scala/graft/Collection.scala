@@ -746,19 +746,31 @@ final class Collection private (
     * ts=1 would sit below every existing row's timestamp and apply to
     * nothing.
     */
-  private val tso = new AtomicLong(math.max(
+  // snapshot registry rebuilds from `<path>/_snapshots/<id>` on open(),
+  // so snapshots survive a driver restart like the reference's
+  // metastore-backed snapshot meta (each entry's meta/manifest parquet
+  // under its own dir is the durable record). Declared BEFORE the tso —
+  // its read horizons feed the reseed below, and declaration order is
+  // initialization order.
+  @volatile private var snapshotReg: Map[String, Collection.SnapState] =
+    sealedPath.map(Collection.loadSnapshotRegistry(spark, _)).getOrElse(Map.empty)
+
+  private val tso = new AtomicLong(Seq(
     sealedDf.map(_.agg(max(col(schema.tsField))).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }).getOrElse(0L),
-    // ...AND past every persisted layout tick: dir names (seg/fold/run,
-    // blob gen/snap) and snapshot read horizons carry nextTs ticks that
-    // can exceed the max ROW ts (flush names its dirs AFTER stamping the
-    // rows). Reissuing a tick at or below a fold/run dir's would make
-    // the supersession rule in readLayoutAt silently drop a post-restart
-    // segment; reissuing one at or below a snapshot's read ts would leak
-    // post-restart writes into a pre-restart snapshot.
-    sealedPath.map(Collection.maxLayoutTick(spark, _)).getOrElse(0L)))
+    // ...AND past every persisted layout tick: dir names (seg/fold/run/
+    // merge, blob gen/snap) and snapshot read horizons carry nextTs
+    // ticks that can exceed the max ROW ts (flush names its dirs AFTER
+    // stamping the rows). Reissuing a tick at or below a fold/run dir's
+    // would make the supersession rule in readLayoutAt silently drop a
+    // post-restart segment; reissuing one at or below a snapshot's read
+    // ts would leak post-restart writes into a pre-restart snapshot
+    // (the registry, loaded above, carries the horizons — no second
+    // meta read).
+    sealedPath.map(Collection.maxLayoutTick(spark, _)).getOrElse(0L),
+    snapshotReg.values.map(_.ts).maxOption.getOrElse(0L)).max)
   private def nextTs(): Long = tso.incrementAndGet()
 
   /** AllocTimestamp (reference impl.go → rootcoord TSO): hand out the
@@ -829,7 +841,13 @@ final class Collection private (
     }
   }
 
-  private[graft] def insertImpl(rows: DataFrame): Long = stateLock.synchronized {
+  /** @param preservePks restore path only: rows arriving from a
+    *   snapshot already carry their pks — the autoId allocator must not
+    *   re-assign (the reference restore preserves ids), and appending a
+    *   second pk column would break every later read.
+    */
+  private[graft] def insertImpl(rows: DataFrame,
+      preservePks: Boolean = false): Long = stateLock.synchronized {
     val ts = nextTs()
     // untagged rows land in the default partition; insertInto pre-tags;
     // a declared partition key routes each row to the hash bucket of
@@ -898,7 +916,7 @@ final class Collection private (
     val stamped = externalized.withColumn(schema.tsField, lit(ts))
     var countedRows: Option[Long] = None // reused by the seal policy check
     val withPk =
-      if (!schema.autoId) stamped
+      if (!schema.autoId || preservePks) stamped
       else {
         val n = stamped.count() // the block-allocation RPC analogue
         countedRows = Some(n)
@@ -1339,12 +1357,6 @@ final class Collection private (
   // removal is a retention sweep honoring snapshot pins, a deployment
   // concern) — so a directory manifest is as stable as the reference's
   // file manifest, at any corpus size an O(dirs) metadata write.
-  // registry rebuilds from `<path>/_snapshots/*` on open(), so
-  // snapshots survive a driver restart like the reference's
-  // metastore-backed snapshot meta (each entry's meta/manifest parquet
-  // under its own dir is the durable record)
-  @volatile private var snapshotReg: Map[String, Collection.SnapState] =
-    sealedPath.map(Collection.loadSnapshotRegistry(spark, _)).getOrElse(Map.empty)
 
   /** CreateSnapshot (reference CreateSnapshot RPC → snapshot.go): seal
     * the tail, then record under `<path>/_snapshots/<id>` the current
@@ -1487,10 +1499,22 @@ final class Collection private (
       s"snapshot '$id' not found"))
     val view = Collection.snapshotView(spark, schema, st)
     val target = Collection.create(spark, schema)
+    // DDL-added TEXT declarations replay onto the target (the reference
+    // restores the full schema): without them the insert below would
+    // store multi-MB payloads INLINE and match queries would lose the
+    // field's analyzer. A field dropped after the snapshot has no live
+    // spec anymore — its data restores as a plain column.
+    st.textAdds.keysIterator.foreach { f =>
+      textFieldSpecs.get(f).foreach(target.addCollectionTextField(f, _))
+    }
     // original write timestamps drop — the target stamps its own (the
     // reference's restored segments likewise live under the target's
-    // collection id with fresh segment ids); partition tags ride
-    target.insert(view.drop(schema.tsField))
+    // collection id with fresh segment ids). The write goes through
+    // insertImpl directly: pks are PRESERVED (autoId must not re-assign
+    // restored ids), and pre-stamped namespace/partition tags ride —
+    // the public insert() gates (namespace required, autoId pk ban)
+    // guard USER batches, not a snapshot's own rows.
+    target.insertImpl(view.drop(schema.tsField), preservePks = true)
     target
   }
 
@@ -4291,7 +4315,9 @@ object Collection {
             case _ => None
           }
         }
-    if (engineDirs.isEmpty) Seq(path)
+    // qualified URIs throughout (listStatus returns them): a caller
+    // mixing raw and resolved entries must be able to dedupe by string
+    if (engineDirs.isEmpty) Seq(fs.makeQualified(root).toString)
     else {
       val rewriteTs = engineDirs.collect {
         case ("fold" | "run", ts, _) => ts
@@ -4393,9 +4419,9 @@ object Collection {
       masks, dataDirs, lobDirs, tombsDir, refsDir)
   }
 
-  /** The maximum nextTs tick any persisted artifact of this layout
-    * carries: dir-name ticks (seg/fold/run, blob gen/snap) and snapshot
-    * read horizons. The TSO must reseed ABOVE all of them on open — see
+  /** The maximum DIR-NAME tick of this layout (seg/fold/run/merge, blob
+    * gen/snap). Snapshot read horizons are covered by the registry at
+    * the call site. The TSO must reseed ABOVE all of them on open — see
     * the seeding comment at the tso declaration.
     */
   private[graft] def maxLayoutTick(spark: SparkSession, path: String): Long = {
@@ -4406,24 +4432,18 @@ object Collection {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        .flatMap(_.split("-", 2) match {
+        .flatMap(_.split("-", 3) match {
           case Array(k, ts) if kinds.contains(k) => ts.toLongOption
+          // forceMerge writes `merge-<tick>-<i>` — the tick is the
+          // middle component
+          case Array(k, ts, _) if kinds.contains(k) => ts.toLongOption
           case _ => None
         })
     }
-    val snapTicks = {
-      val root = new Path(s"$path/_snapshots")
-      val fs = root.getFileSystem(conf)
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { d =>
-        val m = new Path(s"${d.getPath}/meta")
-        if (!fs.exists(m)) None
-        else scala.util.Try(
-          spark.read.parquet(m.toString).head().getAs[Long]("snap_ts")).toOption
-      }
-    }
-    (dirTicks(path, Set("seg", "fold", "run")) ++
-      dirTicks(s"$path/_lobs", Set("gen", "snap")) ++ snapTicks :+ 0L).max
+    // snapshot read horizons come from the already-loaded registry at
+    // the (single) call site — no second pass over the meta parquets
+    (dirTicks(path, Set("seg", "fold", "run", "merge")) ++
+      dirTicks(s"$path/_lobs", Set("gen", "snap")) :+ 0L).max
   }
 
   /** Rebuild the snapshot registry from `<path>/_snapshots/<id>` — each

@@ -1003,6 +1003,72 @@ class TextLobSpec extends SparkSpec {
       "the restore owns its layout — source GC cannot reach it")
   }
 
+  test("restoreSnapshot preserves autoId pks and pre-stamped namespaces") {
+    // autoId: restored rows keep their ORIGINAL ids (the reference's
+    // preserve-field-ids restore), never re-allocate
+    val pathA = s"${scratch("textlob_restauto")}/data"
+    val a = Collection.create(spark, CollectionSchema(pkField = "id",
+      autoId = true, textFields = Map("text" -> matchSpec),
+      textInlineThreshold = 64))
+    a.insert(Seq(Tuple1("first " + ("a" * 100)), Tuple1("second")).toDF("text"))
+    a.createSnapshot(pathA, "s1")
+    val wantA = a.query("id >= 0", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    val ra = a.restoreSnapshot("s1")
+    assert(ra.query("id >= 0", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == wantA,
+      "autoId restore must keep the original pks byte-for-byte")
+    // namespace-enabled: the snapshot spans every namespace; restore
+    // re-serves each tenant's rows under its own scope
+    val pathN = s"${scratch("textlob_restns")}/data"
+    val n = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64,
+      enableNamespace = true))
+    n.insert(Seq((1L, "tenant one " + ("b" * 100))).toDF("id", "text"),
+      namespace = Some("t1"))
+    n.insert(Seq((2L, "tenant two")).toDF("id", "text"),
+      namespace = Some("t2"))
+    n.createSnapshot(pathN, "s1")
+    val rn = n.restoreSnapshot("s1")
+    assert(rn.query("id >= 0", Seq("id"), namespace = Some("t1"))
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(rn.query("id >= 0", Seq("id"), namespace = Some("t2"))
+      .as[Long].collect().toSeq == Seq(2L))
+    // DDL-added TEXT declarations replay onto the target: the restored
+    // payload re-externalizes instead of landing inline
+    val pathD = s"${scratch("textlob_restddl")}/data"
+    val d = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    d.insert(Seq((1L, "base")).toDF("id", "text"))
+    d.addCollectionTextField("note",
+      TextFieldSpec(enableAnalyzer = true, enableMatch = true))
+    d.upsert(Seq((1L, "base", "note " + ("c" * 100))).toDF("id", "text", "note"))
+    d.createSnapshot(pathD, "s1")
+    val rd = d.restoreSnapshot("s1")
+    assert(rd.lobBlobCount == 1, "the DDL-added TEXT payload must re-externalize")
+    assert(rd.query("text_match(note, 'note')", Seq("id")).as[Long].head() == 1L,
+      "the replayed declaration keeps the field matchable")
+  }
+
+  test("snapshot of an open()ed root manifests each post-open segment once") {
+    val path = s"${scratch("textlob_dedup")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c0 = Collection.create(spark, schema)
+    c0.insert(Seq((1L, "one")).toDF("id", "text"))
+    c0.flush(path)
+    val c = Collection.open(spark, schema, path) // sealedSegments = [root]
+    c.insert(Seq((2L, "two " + ("d" * 100))).toDF("id", "text"))
+    c.flush(path) // sealedSegments = [root, seg-N]: seg-N resolves from BOTH
+    c.createSnapshot(path, "s1")
+    // raw-vs-qualified path mixing must dedupe: each segment once
+    assert(c.describeSnapshot("s1")("data_dirs").toInt == 2,
+      c.describeSnapshot("s1").toString)
+    assert(c.readSnapshot("s1").count() == 2)
+  }
+
   test("exported snapshot serves byte-exact after the source _lobs is deleted") {
     val base = scratch("textlob_export")
     val path = s"$base/data"
