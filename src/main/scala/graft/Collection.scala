@@ -3127,6 +3127,40 @@ final class Collection private (
   /** Scalar retrieve (reference `Proxy.Query`): filter expression in the
     * collection's expression language, projection, optional sort/limit.
     */
+  /** Query with the highlighter's highlight_query mode (reference:
+    * highlighter.go addTaskWithQuery/initHighlightQueries — the
+    * highlight terms come from the FILTER's own text_match/phrase_match
+    * constructs, tokenized through each field's declared analyzer, and
+    * the response carries `fragments` per highlighted field). Adds one
+    * `<field>_highlight` array<string> column per match-filtered field
+    * present in `outputFields`.
+    */
+  def queryHighlighted(
+      filterExpr: String,
+      outputFields: Seq[String],
+      preTags: Seq[String] = Seq("<em>"),
+      postTags: Seq[String] = Seq("</em>"),
+      fragmentOffset: Int = 0,
+      fragmentSize: Int = 100,
+      numFragments: Int = 5,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val hits = query(filterExpr, outputFields, params = params)
+    val analyzers = textFieldSpecs.collect {
+      case (f, spec) if spec.enableAnalyzer && spec.analyzerParams.nonEmpty =>
+        f -> spec.analyzerParams
+    }.toMap
+    graft.expr.ExprCompiler.matchQueriesOf(filterExpr, params)
+      .filter { case (f, _) => outputFields.contains(f) }
+      .foldLeft(hits) { case (df, (f, qs)) =>
+        // several constructs on one field merge into one term set —
+        // the analyzer splits the concatenation back into tokens
+        df.withColumn(s"${f}_highlight",
+          graft.functions.TextFunctions.highlightFragmentsWith(
+            col(f), analyzers.getOrElse(f, Map.empty), qs.mkString(" "),
+            preTags, postTags, fragmentOffset, fragmentSize, numFragments))
+      }
+  }
+
   def query(
       filterExpr: String,
       outputFields: Seq[String],

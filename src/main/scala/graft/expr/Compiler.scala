@@ -17,6 +17,46 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object ExprCompiler {
 
+  /** The (field → match query texts) of a filter's text-match
+    * constructs (reference: highlighter.go initHighlightQueries — the
+    * highlight_query mode collects the TextMatch/PhraseMatch queries
+    * per field from the request's own filter instead of taking caller
+    * terms). Template variables resolve through `params`; the
+    * element-quantifier overloads of match_* (non-string second arg)
+    * are not text queries and do not collect.
+    */
+  def matchQueriesOf(expr: String,
+      params: Map[String, Any] = Map.empty): Map[String, Seq[String]] = {
+    val textCalls = Set("text_match", "phrase_match", "text_match_fuzzy",
+      "match_all", "match_any", "match_least", "match_most", "match_exact")
+    def str(n: Node): Option[String] = n match {
+      case StringLit(v)   => Some(v)
+      case TemplateVar(t) => params.get(t).collect { case v: String => v }
+      case _              => None
+    }
+    def walk(n: Node): Seq[(String, String)] = n match {
+      case Call(name, args, opts) =>
+        val own = (name, args) match {
+          case (nm, Seq(Ident(f), q, _*)) if textCalls.contains(nm) =>
+            str(q).map(f -> _).toSeq
+          case _ => Nil
+        }
+        own ++ args.flatMap(walk) ++ opts.valuesIterator.flatMap(walk)
+      case Binary(_, l, r)             => walk(l) ++ walk(r)
+      case Unary(_, c)                 => walk(c)
+      case RangeCmp(lo, _, t, _, hi)   => walk(lo) ++ walk(t) ++ walk(hi)
+      case In(t, v, _)                 => walk(t) ++ walk(v)
+      case RegexMatch(t, pt, _)        => walk(t) ++ walk(pt)
+      case IsNull(t, _)                => walk(t)
+      case ExistsPath(t)               => walk(t)
+      case Like(t, _)                  => walk(t)
+      case ArrayLit(items)             => items.flatMap(walk)
+      case _                           => Nil
+    }
+    walk(Parser.parse(expr)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+
   case class Ctx(
       schema: StructType,
       /** StringType columns that hold JSON documents. */

@@ -815,6 +815,38 @@ class TextLobSpec extends SparkSpec {
     assert(view.filter($"id" === 3100L).select($"text").as[String].head() == enBody)
   }
 
+  // ---- highlight_query mode: terms from the filter itself ----
+
+  test("queryHighlighted draws terms from the filter's match constructs per field") {
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map(
+        "text" -> TextFieldSpec(enableAnalyzer = true, enableMatch = true,
+          analyzerParams = Map("tokenizer" -> "char_group", "delims" -> " ",
+            "filters" -> "lowercase")),
+        "title" -> matchSpec),
+      textInlineThreshold = 64))
+    c.insert(Seq(
+      (1L, "Vector search over a vector index " + ("x" * 100), "fast engines"),
+      (2L, "plain document", "slow engines")).toDF("id", "text", "title"))
+    val out = c.queryHighlighted(
+      "text_match(text, {q}) and phrase_match(title, 'fast engines')",
+      Seq("id", "text", "title"),
+      preTags = Seq("["), postTags = Seq("]"),
+      fragmentSize = 13, numFragments = 2,
+      params = Map("q" -> "Vector"))
+    val row = out.orderBy("id").select($"id", $"text_highlight", $"title_highlight")
+      .as[(Long, Seq[String], Seq[String])].head()
+    assert(row._1 == 1L && out.count() == 1)
+    // the text field's declared char_group+lowercase analyzer drives the
+    // match: 'Vector' (template-resolved) wraps both occurrences
+    assert(row._2 == Seq("[Vector] search", "[vector] index "), row._2.toString)
+    // the title field highlights ITS filter's phrase terms only
+    assert(row._3 == Seq("[fast] [engines]"), row._3.toString)
+    // fields without a match construct get no highlight column
+    val noMatch = c.queryHighlighted("id >= 1", Seq("id", "text"))
+    assert(!noMatch.columns.exists(_.endsWith("_highlight")))
+  }
+
   // ---- snapshots pin LOB payloads; exports are self-contained ----
 
   test("snapshot read survives delete+compact+lobGc; dropSnapshot unpins") {
