@@ -755,6 +755,12 @@ final class Collection private (
   @volatile private var snapshotReg: Map[String, Collection.SnapState] =
     sealedPath.map(Collection.loadSnapshotRegistry(spark, _)).getOrElse(Map.empty)
 
+  // active restore pins per snapshot id (reference PR #48143: an
+  // in-flight restore job pins its snapshot; DropSnapshot refuses while
+  // pins exist). Runtime-only by design — a pin is an in-flight job,
+  // and a restarted driver has no in-flight jobs to protect.
+  @volatile private var snapshotPins: Map[String, Int] = Map.empty
+
   private val tso = new AtomicLong(Seq(
     sealedDf.map(_.agg(max(col(schema.tsField))).head() match {
       case r if r.isNullAt(0) => 0L
@@ -1281,8 +1287,8 @@ final class Collection private (
     * join — digests shuffle, payloads move once (the survivor rewrite
     * into a fresh `snap-<ts>` dir; see [[Collection.lobLiveDirs]]).
     * Earlier gen/snap dirs stop being part of the store immediately;
-    * physical deletion is a retention-window sweep in a real
-    * deployment (in-flight readers may still hold plans over them —
+    * physical deletion is [[retentionSweep]], run after a retention
+    * window (in-flight readers may still hold plans over the old dirs —
     * the same fresh-directory discipline [[compact]] uses).
     *
     * Returns the number of orphaned payloads collected.
@@ -1353,10 +1359,10 @@ final class Collection private (
   //
   // Spark shape: the manifest records DIRECTORY units (sealed segment
   // dirs + live blob dirs). Compaction and lobGc write FRESH
-  // directories and nothing in this engine deletes old ones (physical
-  // removal is a retention sweep honoring snapshot pins, a deployment
-  // concern) — so a directory manifest is as stable as the reference's
-  // file manifest, at any corpus size an O(dirs) metadata write.
+  // directories and never delete old ones inline (physical removal is
+  // [[retentionSweep]], which honors these manifests as pins) — so a
+  // directory manifest is as stable as the reference's file manifest,
+  // at any corpus size an O(dirs) metadata write.
 
   /** CreateSnapshot (reference CreateSnapshot RPC → snapshot.go): seal
     * the tail, then record under `<path>/_snapshots/<id>` the current
@@ -1367,7 +1373,7 @@ final class Collection private (
     */
   def createSnapshot(path: String, id: String): Long = stateLock.synchronized {
     requirePriv("CreateSnapshot")
-    require(id.nonEmpty && !id.contains('/'), s"invalid snapshot id '$id'")
+    Collection.requireValidSnapshotName(id)
     require(!snapshotReg.contains(id), s"snapshot '$id' already exists")
     flush(path) // reentrant on stateLock; the manifest must cover the tail
     // acknowledged setField writes live in the in-memory patch log, not
@@ -1453,12 +1459,19 @@ final class Collection private (
   def listSnapshots: Map[String, Long] = snapshotReg.view.mapValues(_.ts).toMap
 
   /** DropSnapshot: unregister — the next [[lobGc]] stops pinning its
-    * refs. The `_snapshots/<id>` artifacts stay on disk for the
-    * retention sweep, same as superseded segment and blob dirs.
+    * refs and [[retentionSweep]] reclaims its `_snapshots/<id>`
+    * artifacts. An in-flight [[restoreSnapshotAs]] job pins the
+    * snapshot (reference PR #48143: restore jobs pin, Drop fails with
+    * "active pins exist" until the job completes —
+    * test_milvus_client_snapshot.py:343).
     */
   def dropSnapshot(id: String): Unit = stateLock.synchronized {
     requirePriv("DropSnapshot")
+    Collection.requireValidSnapshotName(id)
     require(snapshotReg.contains(id), s"snapshot '$id' not found")
+    val pins = snapshotPins.getOrElse(id, 0)
+    require(pins == 0,
+      s"snapshot '$id' has $pins active pins exist, unpin before dropping")
     snapshotReg -= id
   }
 
@@ -1497,6 +1510,13 @@ final class Collection private (
     requirePriv("RestoreSnapshot")
     val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
       s"snapshot '$id' not found"))
+    materializeRestore(st)
+  }
+
+  /** The restore write itself, shared by the anonymous [[restoreSnapshot]]
+    * and the job-registry [[restoreSnapshotAs]].
+    */
+  private def materializeRestore(st: Collection.SnapState): Collection = {
     val view = Collection.snapshotView(spark, schema, st)
     val target = Collection.create(spark, schema)
     // DDL-added TEXT declarations replay onto the target (the reference
@@ -1516,6 +1536,78 @@ final class Collection private (
     // guard USER batches, not a snapshot's own rows.
     target.insertImpl(view.drop(schema.tsField), preservePks = true)
     target
+  }
+
+  /** RestoreSnapshot, the full RPC contract (reference
+    * snapshot_manager.go RestoreSnapshot → a RestoreSnapshotJob in the
+    * job registry; test_milvus_client_snapshot.py:543,628,664,677,1545):
+    * restore snapshot `id` into a NEW collection registered as
+    * `db.targetName`, tracked as a restore job. Returns the job id —
+    * poll [[Collection.getRestoreSnapshotState]]. This engine's restore
+    * is synchronous, so the returned job is already Completed at 100
+    * (the zero-width-window device the import registry uses); the
+    * Pending→InProgress→Completed states, start_time, and time_cost are
+    * still recorded so the polling contract holds. While the job runs
+    * the snapshot is PINNED — [[dropSnapshot]] fails with "active pins
+    * exist" (PR #48143). A pre-existing target name rejects up front
+    * ("duplicate collection", :628).
+    *
+    * `onPinned` is a test seam: invoked after the pin lands and before
+    * the restore write, on the calling thread, outside `stateLock` — a
+    * spec can deterministically observe the mid-restore state without
+    * racing the write.
+    */
+  def restoreSnapshotAs(id: String, targetName: String,
+      db: String = "default",
+      onPinned: () => Unit = () => ()): Long = {
+    val (jobId, st) = stateLock.synchronized {
+      requirePriv("RestoreSnapshot")
+      val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+        s"snapshot '$id' not found"))
+      require(!Collection.hasCollection(targetName, db),
+        s"duplicate collection: '$db.$targetName' already exists")
+      val jobId = Collection.nextRestoreJobId()
+      Collection.restoreJobs.put(jobId, Collection.RestoreJob(jobId, id,
+        targetName, db, "RestoreSnapshotInProgress", 0,
+        System.currentTimeMillis(), 0L))
+      snapshotPins = snapshotPins.updated(id, snapshotPins.getOrElse(id, 0) + 1)
+      (jobId, st)
+    }
+    // the write runs OUTSIDE stateLock: a concurrent dropSnapshot must
+    // be able to reach the pin check and fail loudly, not queue behind
+    // the whole restore
+    try {
+      onPinned()
+      val target = materializeRestore(st)
+      stateLock.synchronized {
+        Collection.registerCollection(targetName, target, db)
+        completeRestoreJob(jobId, "RestoreSnapshotCompleted", 100, "")
+      }
+      jobId
+    } catch {
+      case e: Throwable =>
+        stateLock.synchronized {
+          completeRestoreJob(jobId, "RestoreSnapshotFailed", 0,
+            String.valueOf(e.getMessage))
+        }
+        throw e
+    }
+  }
+
+  // terminal-state bookkeeping shared by the success and failure paths:
+  // stamp time_cost (floored to 1ms — "time_cost > 0 after completion"
+  // is part of the polling contract) and release the pin. Caller holds
+  // stateLock.
+  private def completeRestoreJob(jobId: Long, state: String, progress: Int,
+      reason: String): Unit = {
+    val j = Collection.restoreJobs.get(jobId)
+    Collection.restoreJobs.put(jobId, j.copy(state = state,
+      progress = progress, reason = reason,
+      timeCost = math.max(1L, System.currentTimeMillis() - j.startTime)))
+    val left = snapshotPins.getOrElse(j.snapshot, 0) - 1
+    snapshotPins =
+      if (left <= 0) snapshotPins - j.snapshot
+      else snapshotPins.updated(j.snapshot, left)
   }
 
   /** ExportSnapshot (20260609 design): copy the manifested segment and
@@ -1547,6 +1639,87 @@ final class Collection private (
     st.tombsDir.foreach(copyInto(_, "_tombs"))
     Collection.writeSnapMeta(spark, s"$destDir/_meta", st)
     n
+  }
+
+  /** Physical retention sweep (reference:
+    * datacoord/garbage_collector.go `recycleDroppedSegments` — the GC
+    * that actually DELETES dropped/compacted segment files from object
+    * storage; `garbage_collector_lob.go:214-258` — segments protected
+    * by a snapshot are carved out). Every compact/fold/forceMerge/lobGc
+    * in this engine writes a FRESH directory and leaves the superseded
+    * one on disk (in-flight readers may still hold plans over it);
+    * without a sweep, storage grows by roughly one corpus per
+    * clustering compaction. This deletes, under `path`, every engine
+    * directory that
+    *   (a) neither this instance's current layout nor a REOPEN of the
+    *       root would serve (`seg-`/`fold-`/`run-`/`merge-` dirs out of
+    *       [[Collection.resolveLayoutDirs]]'s union, `_lobs` gen/snap
+    *       dirs out of [[Collection.lobLiveDirs]]), and
+    *   (b) no REGISTERED snapshot manifests (the snapshot carve-out —
+    *       manifested data/blob dirs stay until their snapshot drops),
+    * plus `_snapshots/<id>` artifact dirs whose snapshot was dropped.
+    * Cost rides the DIRECTORY COUNT (two listings + set math on dir
+    * names — no data files are read), never corpus bytes, so the sweep
+    * stays O(dirs) at any scale. Run it like the reference runs its GC:
+    * out of band, after a retention window has passed since the
+    * superseding rewrite, when no external reader still holds plans
+    * over pre-rewrite directories (this instance's own plans only
+    * reference served dirs — every rewrite re-reads its fresh output).
+    *
+    * Returns the per-kind deleted/kept directory counts.
+    */
+  def retentionSweep(path: String): Map[String, Long] = stateLock.synchronized {
+    requirePriv("Compaction")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(p: String): String = {
+      val pp = new Path(p)
+      pp.getFileSystem(conf).makeQualified(pp).toString
+    }
+    // a served/manifested `<run>/data` entry protects its whole run dir
+    // (the rewrite's tombstones/_watermark files live beside `data`)
+    def carrier(p: String): String = {
+      val pp = new Path(p)
+      if (pp.getName == "data" && pp.getParent != null &&
+          pp.getParent.getName.startsWith("run-")) pp.getParent.toString
+      else pp.toString
+    }
+    def list(dir: Path, accept: String => Boolean): Seq[Path] = {
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => accept(p.getName))
+    }
+    // keep = union of BOTH layout views: what this instance serves
+    // (sealedSegments can hold merge-* dirs a reopen would not resolve)
+    // and what reopening the root would resolve (so a sweep never
+    // strands a later open()), plus every registered snapshot manifest
+    val keepData = (sealedSegments.flatMap(Collection.resolveLayoutDirs(spark, _)) ++
+      Collection.resolveLayoutDirs(spark, path) ++
+      snapshotReg.values.flatMap(_.dataDirs))
+      .map(d => qualified(carrier(d))).toSet
+    val dataAll = list(new Path(path), n =>
+      Seq("seg-", "fold-", "run-", "merge-").exists(n.startsWith))
+    val dataDead = dataAll.filterNot(p => keepData.contains(qualified(p.toString)))
+    val keepLob = (Collection.lobLiveDirs(spark, path) ++
+      snapshotReg.values.flatMap(_.lobDirs)).map(qualified).toSet
+    val lobAll = list(new Path(s"$path/_lobs"), n =>
+      n.startsWith("gen-") || n.startsWith("snap-"))
+    val lobDead = lobAll.filterNot(p => keepLob.contains(qualified(p.toString)))
+    val snapAll = list(new Path(s"$path/_snapshots"), _ => true)
+    val snapDead = snapAll.filterNot(p => snapshotReg.contains(p.getName))
+    (dataDead ++ lobDead ++ snapDead).foreach(p =>
+      p.getFileSystem(conf).delete(p, true))
+    // swept segments leave the stats registry too (stale introspection)
+    val deadSet = dataDead.map(p => qualified(p.toString)).toSet
+    segStatsReg.keySet().removeIf(k => deadSet.contains(qualified(carrier(k))))
+    Map(
+      "data_deleted" -> dataDead.size.toLong,
+      "data_kept" -> (dataAll.size - dataDead.size).toLong,
+      "lob_deleted" -> lobDead.size.toLong,
+      "lob_kept" -> (lobAll.size - lobDead.size).toLong,
+      "snapshots_deleted" -> snapDead.size.toLong,
+      "snapshots_kept" -> (snapAll.size - snapDead.size).toLong)
   }
 
   /** Truncate (reference: 20260129-truncate_collection.md — clear all
@@ -4421,6 +4594,62 @@ object Collection {
     case "double"  => v.toDouble
     case "string"  => v
     case other => throw new IllegalArgumentException(s"unknown default tag '$other'")
+  }
+
+  /** Snapshot-name rules (reference PR #47096 — snapshot names validate
+    * under the standard naming rules; test_milvus_client_snapshot.py
+    * :164-196, :1487, :1517): non-empty after trimming, first character
+    * an ASCII letter or underscore, only ASCII letters/digits/
+    * underscores, at most 255 characters. Error texts mirror the
+    * reference's so contract tests match on substrings.
+    */
+  private[graft] def requireValidSnapshotName(id: String): Unit = {
+    require(id != null && id.trim.nonEmpty, "snapshot name should be not empty")
+    require(id.length <= 255,
+      "the length of snapshot name must be not greater than limit (255)")
+    def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    require(id.head == '_' || asciiLetter(id.head),
+      "the first character of snapshot name must be an underscore or letter")
+    require(id.forall(c => c == '_' || asciiLetter(c) || (c >= '0' && c <= '9')),
+      "snapshot name can only contain numbers, letters and underscores")
+  }
+
+  // ---- restore-job registry (reference snapshot_manager.go's
+  // RestoreSnapshotJob store: ListRestoreSnapshotJobs /
+  // GetRestoreSnapshotState poll it; jobs are datacoord-global, not
+  // per-collection, so the registry lives on the companion) ----
+
+  /** One restore job's poll record (states RestoreSnapshotInProgress /
+    * Completed / Failed; Pending never surfaces — this engine's restore
+    * is synchronous, the zero-width-window device).
+    */
+  final case class RestoreJob(jobId: Long, snapshot: String,
+      targetName: String, db: String, state: String, progress: Int,
+      startTime: Long, timeCost: Long, reason: String = "")
+
+  private[graft] val restoreJobs =
+    new java.util.concurrent.ConcurrentHashMap[Long, RestoreJob]()
+  private val restoreJobIds = new AtomicLong(0L)
+  private[graft] def nextRestoreJobId(): Long = restoreJobIds.incrementAndGet()
+
+  /** GetRestoreSnapshotState: the job's poll record; unknown job ids
+    * error (test_milvus_client_snapshot.py:664).
+    */
+  def getRestoreSnapshotState(jobId: Long): RestoreJob = {
+    val j = restoreJobs.get(jobId)
+    if (j == null)
+      throw new NoSuchElementException(s"restore job $jobId not found")
+    j
+  }
+
+  /** ListRestoreSnapshotJobs, newest first; `db` filters to one
+    * database's jobs (test :543 — a job recorded under one db must not
+    * leak into another's listing), `None` lists all.
+    */
+  def listRestoreSnapshotJobs(db: Option[String] = None): Seq[RestoreJob] = {
+    import scala.jdk.CollectionConverters._
+    restoreJobs.values.asScala.toSeq
+      .filter(j => db.forall(_ == j.db)).sortBy(-_.jobId)
   }
 
   private[graft] def writeSnapMeta(spark: SparkSession, dir: String,

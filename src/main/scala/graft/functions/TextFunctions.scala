@@ -157,10 +157,11 @@ object TextFunctions {
     * lowercases. Filters that rewrite token surface forms (stemmer,
     * pinyin) highlight occurrences of their OUTPUT forms — synonym
     * expansion works because [[graft.functions.Analyzers.analyzeLocal]]
-    * expands the query set. Tokenizers without a contiguous-span split
-    * (ngram, CJK segmentation) are rejected — the reference serves
-    * those through its offset-carrying tokenizer, which has no
-    * boundary-class equivalent.
+    * expands the query set. The jieba (CJK uni+bigram) tokenizer takes
+    * its own pattern shape — see [[cjkMergedPattern]]. Tokenizers
+    * without a contiguous-span split (ngram) are rejected — the
+    * reference serves those through its offset-carrying tokenizer,
+    * which has no boundary-class equivalent.
     */
   /** The analyzer-derived occurrence regex for `queryText` over a field
     * declared with `analyzerParams` — query tokens from the field's
@@ -174,8 +175,10 @@ object TextFunctions {
     val qTokens = Analyzers.analyzeLocal(analyzerParams, queryText)
       .distinct.filter(_.nonEmpty)
     if (qTokens.isEmpty) return None
+    val tokenizer = analyzerParams.getOrElse("tokenizer", "standard")
+    if (tokenizer == "jieba") return Some(cjkMergedPattern(qTokens))
     val (nonDelim, lowercases) =
-      analyzerParams.getOrElse("tokenizer", "standard") match {
+      tokenizer match {
         case "standard"   => ("[a-zA-Z0-9]", true) // standard lowercases
         case "whitespace" => ("\\S", false)
         case "char_group" =>
@@ -191,6 +194,46 @@ object TextFunctions {
     val ci = if (lowercases || filters.contains("lowercase")) "(?i)" else ""
     val alt = qTokens.map(java.util.regex.Pattern.quote).mkString("|")
     Some(s"$ci(?<!$nonDelim)($alt)(?!$nonDelim)")
+  }
+
+  /** Occurrence pattern for the jieba (CJK uni+bigram) tokenizer
+    * (reference test_milvus_client_highlighter.py:703,751 — a query's
+    * overlapping unigram/bigram hits on the same doc region merge into
+    * ONE tag pair: searching 如同呼吸般起伏 over a doc containing the
+    * phrase highlights `{如同呼吸般起伏}`, not seven nested marks).
+    * CJK-only query tokens become a `(?:tok|…)+` alternation, longest
+    * token first: the `+` consumes consecutive touching hits, so the
+    * match region is exactly the union of overlapping/adjacent token
+    * spans. The merge is EXACT for the uni+bigram analyzer because the
+    * analyzed query always carries every character of every token as a
+    * unigram token — coverage can always extend one character at a
+    * time, so a maximal match = a maximal covered run. (With a
+    * user-dict analyzer whose multi-char words lack their unigrams the
+    * `+` falls back to leftmost/longest-first — still the reference's
+    * behavior for non-overlapping dict hits.) Latin tokens out of the
+    * mixed-text dispatch match as standard word tokens,
+    * case-insensitively (the latin half of the pipeline lowercases).
+    */
+  private def cjkMergedPattern(qTokens: Seq[String]): String = {
+    import java.lang.Character.UnicodeScript
+    def isCjk(cp: Int): Boolean = UnicodeScript.of(cp) match {
+      case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
+           UnicodeScript.KATAKANA | UnicodeScript.HANGUL => true
+      case _ => false
+    }
+    val (cjk, latin) = qTokens.partition(
+      _.codePoints().allMatch(cp => isCjk(cp)))
+    def quoted(ts: Seq[String]) =
+      ts.map(java.util.regex.Pattern.quote).mkString("|")
+    val parts =
+      // possessive `++`: nothing follows the group, so never giving
+      // back is semantics-neutral and caps the matcher at one forward
+      // pass over a long covered run (LOB-sized CJK payloads)
+      (if (cjk.isEmpty) Nil
+       else Seq(s"(?:${quoted(cjk.sortBy(t => -t.length))})++")) ++
+      (if (latin.isEmpty) Nil
+       else Seq(s"(?i:(?<![a-zA-Z0-9])(?:${quoted(latin)})(?![a-zA-Z0-9]))"))
+    "(" + parts.mkString("|") + ")"
   }
 
   def highlightWith(c: Column, analyzerParams: Map[String, String],

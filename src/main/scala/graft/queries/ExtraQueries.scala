@@ -78,6 +78,14 @@ object ExtraQueries {
     * MARKED string). The oracle recomputes both from the raw text with
     * each analyzer's tokenization, independently in SQL.
     */
+  /** The cjk section's merged-mark charset: the Han rendering of every
+    * distinct letter of "filter window" (a merged jieba mark = a
+    * maximal run of query-charset characters — see the section comment
+    * in [[highlightAnalyzerQ]]). Shared with the DuckDB oracle.
+    */
+  private val HanQueryCharset: String =
+    "filterwindow".distinct.map(c => TextQueries.HanAlphabet(c - 'a')).mkString
+
   def highlightAnalyzerQ(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").filter(col("doc_id") < 500)
       .select(col("doc_id"), col("lang"),
@@ -113,10 +121,32 @@ object ExtraQueries {
       Map("default" -> Map.empty[String, String],
         "de" -> Map("tokenizer" -> "char_group", "delims" -> " ")),
       "STREAM data")
+    // CJK section (highlighter.py:703,751,931): the jieba uni+bigram
+    // highlighter over the Han fixture mapping (a-z → Han, the
+    // q_analyzer_cjk device). Overlapping unigram/bigram hits merge
+    // into ONE tag pair, and — because the analyzed query carries every
+    // character as a unigram — a merged mark is exactly a maximal run
+    // of query-charset characters, which the oracle recomputes as a
+    // regex character-class extraction.
+    val zh = t(s, dir, "documents").filter(col("lang") === "zh")
+      .select(col("doc_id"),
+        translate(regexp_replace(lower(col("text")), "[^a-z ]", ""),
+          "abcdefghijklmnopqrstuvwxyz", TextQueries.HanAlphabet).as("text"))
+    val hanQuery = "filter window".map(ch =>
+      if (ch == ' ') ' ' else TextQueries.HanAlphabet(ch - 'a')).mkString
+    val cjkMarked = TextFunctions.highlightWith(
+      zh("text"), Map("tokenizer" -> "jieba"), hanQuery)
+    val cjkSection = zh.select(lit("cjk").as("section"),
+        col("doc_id").as("id"),
+        ((octet_length(cjkMarked) - octet_length(col("text"))) / markBytes)
+          .cast("long").as("marks"),
+        lit(0L).as("possum"))
+      .filter(col("marks") > 0)
     section("cg", cgMarked, Some(possumOf(cgMarked, "[ .,;:!?]+")))
       .unionByName(section("ws", wsMarked, Some(possumOf(wsMarked, "\\s+"))))
       .unionByName(section("std", stdMarked, None))
       .unionByName(section("multi", multiMarked, None))
+      .unionByName(cjkSection)
       .orderBy(col("section"), col("id"))
   }
 
@@ -1940,7 +1970,7 @@ object ExtraQueries {
         |WHERE list_contains(string_split(text, ' '), 'vector')
         |ORDER BY doc_id""".stripMargin,
     "q_highlight_analyzer" ->
-      """WITH base AS (SELECT doc_id, lang,
+      s"""WITH base AS (SELECT doc_id, lang,
         |    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS text
         |  FROM documents WHERE doc_id < 500),
         |cgt AS (SELECT doc_id,
@@ -1952,7 +1982,7 @@ object ExtraQueries {
         |      (x, i) -> CASE WHEN lower(x) IN ('filter','window') THEN i ELSE 0 END)), 0) AS BIGINT) AS possum
         |  FROM cgt),
         |wst AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
         |  FROM base),
         |ws AS (SELECT 'ws' AS section, doc_id AS id,
         |    CAST(len(list_filter(toks, x -> x IN ('FILTER','window'))) AS BIGINT) AS marks,
@@ -1974,10 +2004,18 @@ object ExtraQueries {
         |                           x -> x IN ('stream','data')))
         |      END AS BIGINT) AS marks,
         |    CAST(0 AS BIGINT) AS possum
-        |  FROM base)
+        |  FROM base),
+        |cjk AS (SELECT 'cjk' AS section, doc_id AS id,
+        |    CAST(len(regexp_extract_all(
+        |      translate(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+        |        'abcdefghijklmnopqrstuvwxyz', '${graft.queries.TextQueries.HanAlphabet}'),
+        |      '[$HanQueryCharset]+')) AS BIGINT) AS marks,
+        |    CAST(0 AS BIGINT) AS possum
+        |  FROM documents WHERE lang = 'zh')
         |SELECT * FROM (
         |  SELECT * FROM cg UNION ALL SELECT * FROM ws
-        |  UNION ALL SELECT * FROM std UNION ALL SELECT * FROM multi)
+        |  UNION ALL SELECT * FROM std UNION ALL SELECT * FROM multi
+        |  UNION ALL SELECT * FROM cjk)
         |WHERE marks > 0
         |ORDER BY section, id""".stripMargin,
     "q_template_vars" ->

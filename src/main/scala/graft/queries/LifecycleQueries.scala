@@ -652,7 +652,6 @@ object LifecycleQueries {
     *   - match: the same text_match after flush + upsert + delete +
     *     compaction + GC (byte length and md5 of each resolved payload
     *     — a wrongly resolved or lost payload breaks the hash);
-    *   - bm25: BM25 top-10 over the LOB-resolved corpus (:1033);
     *   - boundary: the 64 KiB −1/at/+1 round trip, byte-exact via
     *     octet_length + md5 (:1609);
     *   - upsert: the 128 KiB-class re-uploaded payload readback (:1631);
@@ -661,9 +660,12 @@ object LifecycleQueries {
     *     deleted and the upserted-over payloads — exactly 2) after
     *     compact + lobGc;
     *   - null_text: no surviving row lost its payload to a bad resolve.
-    * The fixture is value-bounded (doc_id < 260 — the q_import_2pc
-    * device for contract gates); the resolve join itself is the
-    * unbounded path (digest-keyed left join, payloads move once).
+    * The r15 query-semantics depth sections (msm/template/BM25) live in
+    * [[textLobDepth]] — split before this fixture crossed the ~5 s
+    * orchestration bar. The fixture is value-bounded (doc_id < 260 —
+    * the q_import_2pc device for contract gates); the resolve join
+    * itself is the unbounded path (digest-keyed left join, payloads
+    * move once).
     */
   def textLob(s: SparkSession, dir: String): DataFrame = {
     import graft.{Collection, CollectionSchema, TextFieldSpec}
@@ -720,6 +722,39 @@ object LifecycleQueries {
       .agg(count(lit(1)).as("n"))
       .select(lit("null_text").as("section"), lit(0L).as("id"), col("n"),
         lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+    import s.implicits._
+    val gc = Seq(("gc_live", live), ("gc_orphans", orphans))
+      .toDF("section", "n")
+      .select(col("section"), lit(0L).as("id"), col("n"),
+        lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
+    matchGrowing
+      .unionByName(matchSection("match"))
+      .unionByName(readback)
+      .unionByName(nullText)
+      .unionByName(gc)
+      .orderBy(col("section"), col("id"), col("n"))
+  }
+
+  /** TEXT-LOB query-semantics depth, split out of [[textLob]] before
+    * the combined fixture crossed the ~5 s orchestration bar (the
+    * q_lob_restore / q_namespace_compaction precedent): the r15 depth
+    * sections — minimum_should_match thresholds (:947), template-filter
+    * parity (:981), and BM25 ranking — over a LOB-bearing GROWING tail
+    * (no flush: the sections also pin growing-side blob-delta resolve).
+    * Value-bounded fixture (doc_id < 200).
+    */
+  def textLobDepth(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, TextFieldSpec}
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val grown = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" "), repeat(md5(col("text")), 2100)))
+        .otherwise(col("text")))
+    val c = Collection.create(s, CollectionSchema(pkField = "doc_id",
+      textFields = Map("text" -> TextFieldSpec(
+        enableAnalyzer = true, enableMatch = true))))
+    c.insert(grown)
     // minimum_should_match over LOB (:947): thresholds climb to the
     // full token set, and an impossible threshold answers EMPTY
     val msm3 = c.query(
@@ -757,20 +792,10 @@ object LifecycleQueries {
           col("rank").cast("long").as("n"), col("_score").as("x"),
           lit(null).cast("string").as("s"))
     }
-    import s.implicits._
-    val gc = Seq(("gc_live", live), ("gc_orphans", orphans))
-      .toDF("section", "n")
-      .select(col("section"), lit(0L).as("id"), col("n"),
-        lit(null).cast("double").as("x"), lit(null).cast("string").as("s"))
-    matchGrowing
-      .unionByName(matchSection("match"))
-      .unionByName(bm25)
-      .unionByName(readback)
-      .unionByName(nullText)
+    bm25
       .unionByName(msm3)
       .unionByName(msmNone)
       .unionByName(tmpl)
-      .unionByName(gc)
       .orderBy(col("section"), col("id"), col("n"))
   }
 
@@ -858,7 +883,19 @@ object LifecycleQueries {
         enableAnalyzer = true, enableMatch = true))))
     c.insert(grown)
     c.createSnapshot(path, "s1")
-    val r = c.restoreSnapshot("s1")
+    // restore through the JOB registry (snapshot_manager.go's
+    // RestoreSnapshotJob surface): named target, poll record, and the
+    // duplicate-target rejection (test_milvus_client_snapshot.py:628)
+    val targetName = "restored_" + new java.io.File(path).getParentFile.getName
+    val jobId = c.restoreSnapshotAs("s1", targetName)
+    val r = Collection.getCollection(targetName)
+    val jobState = Collection.getRestoreSnapshotState(jobId)
+    val existsRejected =
+      try { c.restoreSnapshotAs("s1", targetName); -1L }
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("duplicate collection") => 1L
+      }
     // source-side churn the restore must be immune to: delete, compact,
     // UNPIN, and collect — the restored collection owns its layout
     c.deletePks((0L until 100L by 14L))
@@ -871,11 +908,102 @@ object LifecycleQueries {
         octet_length(col("text")).cast("long").as("n"), md5(col("text")).as("s"))
     import s.implicits._
     val counts = Seq(("restored_blobs", r.lobBlobCount),
-        ("source_live", c.query("doc_id >= 0", Seq("doc_id")).count()))
+        ("source_live", c.query("doc_id >= 0", Seq("doc_id")).count()),
+        ("restore_exists_rejected", existsRejected),
+        ("restore_job_state",
+          if (jobState.state == "RestoreSnapshotCompleted") jobState.progress.toLong
+          else -1L))
       .toDF("section", "n")
       .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
         lit(null).cast("string").as("s"))
     restored.unionByName(counts).orderBy(col("section"), col("id"))
+  }
+
+  /** Physical retention sweep honoring snapshot pins (reference:
+    * datacoord/garbage_collector.go recycleDroppedSegments +
+    * garbage_collector_lob.go:214-258 — dropped/compacted files are
+    * DELETED from storage unless a snapshot protects them). The battery
+    * pins, in one frame:
+    *   - sweep1 (snapshot registered): deletes exactly the superseded
+    *     post-snapshot segment dir and LOB delta; the snapshot-pinned
+    *     pre-churn dirs and the live run/snap dirs survive;
+    *   - snap / live: both reads stay byte-exact AFTER the sweep (a
+    *     wrongly deleted dir surfaces as a missing row or broken md5);
+    *   - sweep2 (snapshot dropped): the formerly pinned dirs and the
+    *     `_snapshots` artifacts reclaim;
+    *   - reopen: a fresh open() of the swept root resolves to the same
+    *     live answer (reopen_xor = 0 — the sweep never strands a
+    *     future open).
+    * Value-bounded fixture (doc_id < 120, the contract-gate device);
+    * the sweep itself is O(dirs) listings + set math, no data reads.
+    */
+  def retentionSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.{Collection, CollectionSchema, TextFieldSpec}
+    val path = s"${scratchDir("retention")}/data"
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    val grown = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" "), repeat(md5(col("text")), 2100)))
+        .otherwise(col("text")))
+    val schema = CollectionSchema(pkField = "doc_id",
+      textFields = Map("text" -> TextFieldSpec(
+        enableAnalyzer = true, enableMatch = true)))
+    val c = Collection.create(s, schema)
+    c.insert(grown)
+    c.createSnapshot(path, "keep") // flushes: seg-a + gen-a manifested
+    // post-snapshot churn producing superseded dirs: an unpinned orphan
+    // (insert + delete oversized), an upsert, a flush (seg-b + gen-b),
+    // a compaction (run), and a lobGc (snap; reclaims ONLY the orphan)
+    import s.implicits._
+    c.insert(Seq((9000001L, "orphan")).toDF("doc_id", "text")
+      .withColumn("text", concat(col("text"), lit(" "),
+        repeat(md5(col("text")), 2100))))
+    c.deletePks(Seq(9000001L))
+    c.deletePks((0L until 120L by 14L))
+    c.upsert(grown.filter(col("doc_id") === 21)
+      .withColumn("text", concat(lit("upserted "),
+        repeat(md5(concat(col("text"), lit("v2"))), 2100))))
+    c.flush(path)
+    c.compact(path)
+    val reclaimed = c.lobGc(path)
+    val sweep1 = c.retentionSweep(path)
+    def shape(df: DataFrame, tag: String) = df
+      .select(lit(tag).as("section"), col("doc_id").as("id"),
+        octet_length(col("text")).cast("long").as("n"), md5(col("text")).as("s"))
+    // both reads AFTER the sweep — the pinned dirs must still serve.
+    // Materialized NOW (localCheckpoint): sweep2 below deletes the very
+    // dirs these plans read, so lazy evaluation at dump time would read
+    // past the drop
+    val snap = shape(c.readSnapshot("keep"), "snap").localCheckpoint(true)
+    val liveDf = c.query("doc_id >= 0", Seq("doc_id", "text"))
+      .localCheckpoint(true)
+    val live = shape(liveDf, "live")
+    c.dropSnapshot("keep")
+    val sweep2 = c.retentionSweep(path)
+    val reopened = Collection.open(s, schema, path)
+      .query("doc_id >= 0", Seq("doc_id", "text"))
+    val reopenXor = reopened.exceptAll(liveDf)
+      .unionAll(liveDf.exceptAll(reopened)).count()
+    val marks = Seq(
+      ("gc_reclaimed", reclaimed),
+      ("sweep1_data_deleted", sweep1("data_deleted")),
+      ("sweep1_data_kept", sweep1("data_kept")),
+      ("sweep1_lob_deleted", sweep1("lob_deleted")),
+      ("sweep1_lob_kept", sweep1("lob_kept")),
+      ("sweep1_snap_deleted", sweep1("snapshots_deleted")),
+      ("sweep2_data_deleted", sweep2("data_deleted")),
+      ("sweep2_data_kept", sweep2("data_kept")),
+      ("sweep2_lob_deleted", sweep2("lob_deleted")),
+      ("sweep2_lob_kept", sweep2("lob_kept")),
+      ("sweep2_snap_deleted", sweep2("snapshots_deleted")),
+      ("reopen_xor", reopenXor),
+      ("reopen_n", reopened.count()))
+      .toDF("section", "n")
+      .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
+        lit(null).cast("string").as("s"))
+    snap.unionByName(live).unionByName(marks)
+      .orderBy(col("section"), col("id"))
   }
 
   /** Declared-analyzer match semantics through the facade (reference:
@@ -2092,8 +2220,10 @@ object LifecycleQueries {
     "q_snapshot_read" -> (snapshotRead _),
     "q_lob_gc" -> (lobGc _),
     "q_text_lob" -> (textLob _),
+    "q_text_lob_depth" -> (textLobDepth _),
     "q_lob_snapshot" -> (lobSnapshot _),
     "q_lob_restore" -> (lobRestore _),
+    "q_retention_sweep" -> (retentionSweep _),
     "q_text_analyzer_match" -> (textAnalyzerMatch _)
   )
 
@@ -2125,7 +2255,41 @@ object LifecycleQueries {
        |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
        |  FROM final
        |  WHERE len(list_intersect($sqlToks, ['filter', 'window'])) >= 2),
-       |toks AS (SELECT doc_id, $sqlToks AS t FROM final),
+       |rb AS (SELECT CASE WHEN doc_id >= 9000000 THEN 'boundary'
+       |              ELSE 'upsert' END AS section, doc_id AS id,
+       |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
+       |  FROM final WHERE doc_id = 7 OR doc_id >= 9000000),
+       |nt AS (SELECT 'null_text' AS section, CAST(0 AS BIGINT) AS id,
+       |    (SELECT count(*) FROM final WHERE text IS NULL) AS n,
+       |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s),
+       |gc AS (SELECT 'gc_live' AS section, CAST(0 AS BIGINT) AS id,
+       |    (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536) AS n,
+       |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s
+       |  UNION ALL
+       |  SELECT 'gc_orphans', CAST(0 AS BIGINT),
+       |    (SELECT count(DISTINCT text) FROM (
+       |        SELECT text FROM grown WHERE strlen(text) >= 65536
+       |        UNION SELECT text FROM bounds WHERE strlen(text) >= 65536
+       |        UNION SELECT text FROM ups WHERE strlen(text) >= 65536) u)
+       |    - (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536),
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
+       |SELECT * FROM (
+       |  SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL
+       |  SELECT * FROM rb UNION ALL SELECT * FROM nt UNION ALL
+       |  SELECT * FROM gc)
+       |ORDER BY section, id, n""".stripMargin
+
+  /** Oracle for [[textLobDepth]]: the msm/template/BM25 depth sections
+    * recomputed over the doc_id < 200 grown corpus (no churn — the
+    * corpus is exactly the insert batch).
+    */
+  private val textLobDepthOracle =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |grown AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
+       |         ELSE text END AS text
+       |  FROM base),
+       |toks AS (SELECT doc_id, $sqlToks AS t FROM grown),
        |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
        |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
        |       FROM dt GROUP BY doc_id, term),
@@ -2144,16 +2308,9 @@ object LifecycleQueries {
        |bm AS (SELECT 'bm25' AS section, doc_id AS id, CAST(rank AS BIGINT) AS n,
        |    score AS x, CAST(NULL AS VARCHAR) AS s
        |  FROM r WHERE rank <= 10),
-       |rb AS (SELECT CASE WHEN doc_id >= 9000000 THEN 'boundary'
-       |              ELSE 'upsert' END AS section, doc_id AS id,
-       |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
-       |  FROM final WHERE doc_id = 7 OR doc_id >= 9000000),
-       |nt AS (SELECT 'null_text' AS section, CAST(0 AS BIGINT) AS id,
-       |    (SELECT count(*) FROM final WHERE text IS NULL) AS n,
-       |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s),
        |m3 AS (SELECT 'msm3' AS section, doc_id AS id,
        |    CAST(strlen(text) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, md5(text) AS s
-       |  FROM final
+       |  FROM grown
        |  WHERE len(list_intersect($sqlToks, ['filter', 'window', 'stream'])) >= 3),
        |mn AS (SELECT 'msm_none' AS section, CAST(0 AS BIGINT) AS id,
        |    CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s),
@@ -2161,26 +2318,12 @@ object LifecycleQueries {
        |    CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s
        |  UNION ALL
        |  SELECT 'template_n', CAST(0 AS BIGINT),
-       |    (SELECT count(*) FROM final
+       |    (SELECT count(*) FROM grown
        |     WHERE len(list_intersect($sqlToks, ['filter', 'window'])) >= 1),
-       |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
-       |gc AS (SELECT 'gc_live' AS section, CAST(0 AS BIGINT) AS id,
-       |    (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536) AS n,
-       |    CAST(NULL AS DOUBLE) AS x, CAST(NULL AS VARCHAR) AS s
-       |  UNION ALL
-       |  SELECT 'gc_orphans', CAST(0 AS BIGINT),
-       |    (SELECT count(DISTINCT text) FROM (
-       |        SELECT text FROM grown WHERE strlen(text) >= 65536
-       |        UNION SELECT text FROM bounds WHERE strlen(text) >= 65536
-       |        UNION SELECT text FROM ups WHERE strlen(text) >= 65536) u)
-       |    - (SELECT count(DISTINCT text) FROM final WHERE strlen(text) >= 65536),
        |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
        |SELECT * FROM (
-       |  SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL
-       |  SELECT * FROM bm UNION ALL SELECT * FROM rb UNION ALL
-       |  SELECT * FROM nt UNION ALL SELECT * FROM m3 UNION ALL
-       |  SELECT * FROM mn UNION ALL SELECT * FROM tp UNION ALL
-       |  SELECT * FROM gc)
+       |  SELECT * FROM bm UNION ALL SELECT * FROM m3 UNION ALL
+       |  SELECT * FROM mn UNION ALL SELECT * FROM tp)
        |ORDER BY section, id, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -2621,6 +2764,7 @@ object LifecycleQueries {
         |FROM documents WHERE lang <> 'zh'
         |ORDER BY doc_id""".stripMargin,
     "q_text_lob" -> textLobOracle,
+    "q_text_lob_depth" -> textLobDepthOracle,
     "q_lob_snapshot" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
         |grown AS (SELECT doc_id,
@@ -2659,8 +2803,46 @@ object LifecycleQueries {
         |         CAST(NULL AS VARCHAR) AS s
         |  UNION ALL
         |  SELECT 'source_live', 0,
-        |         (SELECT count(*) FROM grown WHERE doc_id % 14 <> 0), NULL)
+        |         (SELECT count(*) FROM grown WHERE doc_id % 14 <> 0), NULL
+        |  UNION ALL
+        |  SELECT 'restore_exists_rejected', 0, CAST(1 AS BIGINT), NULL
+        |  UNION ALL
+        |  SELECT 'restore_job_state', 0, CAST(100 AS BIGINT), NULL)
         |SELECT * FROM restored UNION ALL SELECT * FROM counts
+        |ORDER BY section, id""".stripMargin,
+    "q_retention_sweep" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |grown AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
+        |         ELSE text END AS text
+        |  FROM base),
+        |snap AS (SELECT 'snap' AS section, doc_id AS id,
+        |    CAST(strlen(text) AS BIGINT) AS n, md5(text) AS s FROM grown),
+        |live0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id = 21
+        |         THEN 'upserted ' || repeat(md5(text || 'v2'), 2100)
+        |         ELSE text END AS text
+        |  FROM grown WHERE doc_id % 14 <> 0),
+        |live AS (SELECT 'live' AS section, doc_id AS id,
+        |    CAST(strlen(text) AS BIGINT) AS n, md5(text) AS s FROM live0),
+        |marks AS (
+        |  SELECT 'gc_reclaimed' AS section, CAST(0 AS BIGINT) AS id,
+        |         CAST(1 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS s
+        |  UNION ALL SELECT 'sweep1_data_deleted', 0, 1, NULL
+        |  UNION ALL SELECT 'sweep1_data_kept', 0, 2, NULL
+        |  UNION ALL SELECT 'sweep1_lob_deleted', 0, 1, NULL
+        |  UNION ALL SELECT 'sweep1_lob_kept', 0, 2, NULL
+        |  UNION ALL SELECT 'sweep1_snap_deleted', 0, 0, NULL
+        |  UNION ALL SELECT 'sweep2_data_deleted', 0, 1, NULL
+        |  UNION ALL SELECT 'sweep2_data_kept', 0, 1, NULL
+        |  UNION ALL SELECT 'sweep2_lob_deleted', 0, 1, NULL
+        |  UNION ALL SELECT 'sweep2_lob_kept', 0, 1, NULL
+        |  UNION ALL SELECT 'sweep2_snap_deleted', 0, 1, NULL
+        |  UNION ALL SELECT 'reopen_xor', 0, 0, NULL
+        |  UNION ALL SELECT 'reopen_n', 0,
+        |    (SELECT count(*) FROM live0), NULL)
+        |SELECT * FROM snap UNION ALL SELECT * FROM live
+        |UNION ALL SELECT * FROM marks
         |ORDER BY section, id""".stripMargin,
     "q_text_analyzer_match" -> textAnalyzerOracle
   )

@@ -696,7 +696,7 @@ object TextQueries {
   /** 26 Han codepoints standing in for a-z in the CJK analyzer fixture
     * (shared between the Spark query and its DuckDB oracle).
     */
-  private val HanAlphabet =
+  private[queries] val HanAlphabet =
     "的一是不了人我在有他" +
     "这中大来上国个到说们" +
     "为子和你地出"

@@ -1155,4 +1155,204 @@ class TextLobSpec extends SparkSpec {
       assert(it(i.toLong) == expect, s"byte length for row $i")
     }
   }
+
+  // ---- snapshot name rules (PR #47096; test_milvus_client_snapshot.py
+  // :164-196, :1487, :1517) ----
+
+  test("snapshot names validate under the reference naming rules") {
+    val path = s"${scratch("textlob_snapname")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(3, bigEvery = 2, threshold = 64))
+    def rejects(name: String, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException] { c.createSnapshot(path, name) }
+      assert(e.getMessage.contains(msg), s"'$name' -> ${e.getMessage}")
+    }
+    rejects("", "snapshot name should be not empty")
+    rejects("  ", "snapshot name should be not empty")
+    rejects("snap-with-dash", "snapshot name can only contain")
+    rejects("snap.with.dot", "snapshot name can only contain")
+    rejects("snap with space", "snapshot name can only contain")
+    rejects("snap/with/slash", "snapshot name can only contain")
+    rejects("快照中文名称",
+      "the first character of snapshot name must be an underscore or letter")
+    rejects("1snap",
+      "the first character of snapshot name must be an underscore or letter")
+    rejects("s" * 256,
+      "the length of snapshot name must be not greater than limit")
+    // valid boundary names create (and drop validates names too)
+    c.createSnapshot(path, "_snapshot_with_underscore")
+    c.createSnapshot(path, "s" * 255)
+    c.dropSnapshot("s" * 255)
+    intercept[IllegalArgumentException] { c.dropSnapshot(" ") }
+  }
+
+  // ---- restore-job registry (snapshot_manager.go RestoreSnapshotJob;
+  // test_milvus_client_snapshot.py:343,543,628,664,677,1545) ----
+
+  test("restoreSnapshotAs: job registry, duplicate target, unknown job id") {
+    val path = s"${scratch("textlob_restjob")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(6, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val target = s"restjob_target_${System.nanoTime()}"
+    Collection.createDatabase(s"restjob_db_$target")
+    val db = s"restjob_db_$target"
+    val jobId = c.restoreSnapshotAs("s1", target, db)
+    // the synchronous job is already terminal, with the full poll record
+    val j = Collection.getRestoreSnapshotState(jobId)
+    assert(j.state == "RestoreSnapshotCompleted" && j.progress == 100)
+    assert(j.startTime > 0L && j.timeCost > 0L, "start_time/time_cost set (:1545)")
+    assert(j.snapshot == "s1" && j.targetName == target && j.db == db)
+    // the restored collection registered under the target name
+    assert(Collection.getCollection(target, db)
+      .query("id >= 1", Seq("id")).count() == 6)
+    // db-scoped listing sees the job; another db's listing does not (:543)
+    assert(Collection.listRestoreSnapshotJobs(Some(db)).exists(_.jobId == jobId))
+    assert(!Collection.listRestoreSnapshotJobs(Some("default"))
+      .exists(_.jobId == jobId))
+    assert(Collection.listRestoreSnapshotJobs().exists(_.jobId == jobId))
+    // duplicate target rejects up front, registering no job (:628)
+    val before = Collection.listRestoreSnapshotJobs().size
+    val e = intercept[IllegalArgumentException] {
+      c.restoreSnapshotAs("s1", target, db)
+    }
+    assert(e.getMessage.contains("duplicate collection"))
+    assert(Collection.listRestoreSnapshotJobs().size == before)
+    // unknown snapshot and unknown job id error by name (:605, :664)
+    intercept[NoSuchElementException] {
+      c.restoreSnapshotAs("nope", target + "_x", db)
+    }
+    val unknown = intercept[NoSuchElementException] {
+      Collection.getRestoreSnapshotState(999999999L)
+    }
+    assert(unknown.getMessage.contains("not found"))
+  }
+
+  test("an in-flight restore pins its snapshot against drop (:343)") {
+    val path = s"${scratch("textlob_restpin")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(5, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val target = s"restpin_target_${System.nanoTime()}"
+    var droppedMidRestore: Option[Throwable] = None
+    // the onPinned seam runs after the pin lands, before the restore
+    // write — the deterministic stand-in for the reference test's
+    // poll-until-InProgress loop
+    c.restoreSnapshotAs("s1", target, onPinned = () => {
+      droppedMidRestore = Some(intercept[IllegalArgumentException] {
+        c.dropSnapshot("s1")
+      })
+      assert(Collection.listRestoreSnapshotJobs()
+        .exists(j => j.snapshot == "s1" &&
+          j.state == "RestoreSnapshotInProgress"))
+    })
+    assert(droppedMidRestore.exists(_.getMessage.contains("active pins exist")))
+    // after the job completes the pin releases and drop succeeds
+    c.dropSnapshot("s1")
+    assert(c.listSnapshots.isEmpty)
+  }
+
+  test("a failed restore unpins and records the failure") {
+    val path = s"${scratch("textlob_restfail")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(4, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val target = s"restfail_target_${System.nanoTime()}"
+    val boom = intercept[RuntimeException] {
+      c.restoreSnapshotAs("s1", target,
+        onPinned = () => throw new RuntimeException("injected restore failure"))
+    }
+    assert(boom.getMessage == "injected restore failure")
+    val j = Collection.listRestoreSnapshotJobs()
+      .find(x => x.snapshot == "s1" && x.targetName == target).get
+    assert(j.state == "RestoreSnapshotFailed" &&
+      j.reason.contains("injected restore failure") && j.timeCost > 0L)
+    // the pin released: drop succeeds
+    c.dropSnapshot("s1")
+  }
+
+  // ---- physical retention sweep (garbage_collector.go
+  // recycleDroppedSegments + the garbage_collector_lob.go:214-258
+  // snapshot carve-out) ----
+
+  test("retentionSweep deletes superseded dirs, honors pins, keeps reads byte-identical") {
+    val path = s"${scratch("textlob_sweep")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(rows(8, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "keep") // flushes: seg + gen manifested
+    def engineDirs(p: String): Set[String] = {
+      val d = new java.io.File(p)
+      Option(d.listFiles()).toSeq.flatten.filter(_.isDirectory).map(_.getName)
+        .filter(n => Seq("seg-", "fold-", "run-", "merge-").exists(n.startsWith))
+        .toSet
+    }
+    // a no-op sweep right after a snapshot deletes nothing
+    val noop = c.retentionSweep(path)
+    assert(noop("data_deleted") == 0L && noop("lob_deleted") == 0L &&
+      noop("snapshots_deleted") == 0L, noop.toString)
+    // churn: an unpinned orphan + deletes + flush + compact + gc
+    c.insert(Seq((99L, "orphan " + ("z" * 80))).toDF("id", "text"))
+    c.deletePks(Seq(99L, 2L))
+    c.flush(path)
+    val preCompact = engineDirs(path)
+    c.compact(path)
+    assert(c.lobGc(path) == 1L) // only the orphan; id=2's blob is pinned
+    val want = c.readSnapshot("keep")
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    val liveWant = c.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    val r1 = c.retentionSweep(path)
+    // exactly the superseded post-snapshot segment dir went; the
+    // pinned pre-churn dirs and the live run dir stayed
+    assert(r1("data_deleted") == 1L && r1("data_kept") == 2L, r1.toString)
+    assert(r1("lob_deleted") == 1L && r1("lob_kept") == 2L, r1.toString)
+    assert(engineDirs(path).size == preCompact.size, // -1 seg +1 run
+      "run dir kept, one seg dir swept")
+    // both reads byte-identical AFTER the sweep
+    assert(c.readSnapshot("keep")
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == want)
+    assert(c.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == liveWant)
+    // drop the snapshot: the formerly pinned dirs and artifacts reclaim
+    c.dropSnapshot("keep")
+    val r2 = c.retentionSweep(path)
+    assert(r2("data_deleted") == 1L && r2("data_kept") == 1L, r2.toString)
+    assert(r2("lob_deleted") == 1L && r2("lob_kept") == 1L, r2.toString)
+    assert(r2("snapshots_deleted") == 1L, r2.toString)
+    assert(!new java.io.File(s"$path/_snapshots/keep").exists())
+    // a reopen of the swept root serves the same live answer
+    val re = Collection.open(spark, schema, path)
+    assert(re.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == liveWant)
+  }
+
+  test("retentionSweep after forceMerge keeps BOTH layout views (reopen safety)") {
+    val path = s"${scratch("textlob_sweepmerge")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(rows(3, bigEvery = 2, threshold = 64)); c.flush(path)
+    c.insert(Seq((50L, "more")).toDF("id", "text")); c.flush(path)
+    c.forceMerge(path, targetSizeMb = 1024L)
+    // the instance serves merge-* dirs; a reopen would resolve the
+    // original seg-* dirs (merge dirs are not part of root resolution) —
+    // the sweep must keep BOTH views, so nothing is deletable here
+    val r = c.retentionSweep(path)
+    assert(r("data_deleted") == 0L,
+      s"forceMerge inputs must survive the sweep (reopen reads them): $r")
+    val want = c.query("id >= 1", Seq("id")).count()
+    assert(Collection.open(spark, schema, path)
+      .query("id >= 1", Seq("id")).count() == want)
+  }
 }

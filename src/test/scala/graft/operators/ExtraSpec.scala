@@ -127,6 +127,39 @@ class ExtraSpec extends SparkSpec {
       Seq("{key} <key> =key= {key} <key> =key= {key} <key>"))
   }
 
+  test("CJK (jieba) highlight merges overlapping uni+bigram spans (:703,:751)") {
+    // the reference's Chinese highlighter fixture docs
+    // (test_milvus_client_highlighter.py:168,:203)
+    def mark(text: String, q: String): String = Seq(text).toDF("t")
+      .select(TextFunctions.highlightWith(col("t"),
+        Map("tokenizer" -> "jieba"), q, "{", "}").as("h"))
+      .as[String].head()
+    // :703 — a single-character query wraps just that character
+    assert(mark("A B C D 一二三四 milvus结巴分词器中文测试", "二") ==
+      "A B C D 一{二}三四 milvus结巴分词器中文测试")
+    // :727-747 — a multi-character query's overlapping unigram/bigram
+    // hits merge into ONE tag pair, not five nested marks
+    assert(mark("A B C D 一二三四 milvus结巴分词器中文测试", "结巴分词器") ==
+      "A B C D 一二三四 milvus{结巴分词器}中文测试")
+    // :751 — long text: the isolated unigram hit (呼 inside 呼应) tags
+    // alone; the full phrase merges; fragment order = match ordinal
+    val long = "黄昏降临在静谧城镇，灯影沿着街道缓缓铺展。青年林舟怀着不安在巷道行走，" +
+      "心跳与脚步相互呼应。他渴望找到方向，却被往昔失落缠绕。" +
+      "残破遗迹映入眼帘，石壁布满岁月痕迹。踏入其内，柔亮光点缓缓旋转，如同呼吸般起伏。"
+    val frags = Seq(long).toDF("t")
+      .select(TextFunctions.highlightFragmentsWith(col("t"),
+        Map("tokenizer" -> "jieba"), "如同呼吸般起伏",
+        Seq("{"), Seq("}"), 0, 1, 10).as("f"))
+      .head().getSeq[String](0).toSeq
+    assert(frags == Seq("{呼}", "{如同呼吸般起伏}"), frags)
+    // mixed latin+CJK query: latin tokens match as standard word tokens,
+    // case-insensitively; classes tag separately (no cross-class merge)
+    assert(mark("milvus结巴分词器 and Milvus again", "milvus结巴") ==
+      "{milvus}{结巴}分词器 and {Milvus} again")
+    // a latin hit inside a longer word does NOT tag (word boundaries)
+    assert(mark("key keyword 键", "key 键") == "{key} keyword {键}")
+  }
+
   test("phrase_match slop semantics") {
     val df = Seq("a x b", "a b", "b a", "a x y b").toDF("text")
     def matches(e: String) =
