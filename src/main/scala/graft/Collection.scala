@@ -755,11 +755,20 @@ final class Collection private (
   @volatile private var snapshotReg: Map[String, Collection.SnapState] =
     sealedPath.map(Collection.loadSnapshotRegistry(spark, _)).getOrElse(Map.empty)
 
-  // active restore pins per snapshot id (reference PR #48143: an
-  // in-flight restore job pins its snapshot; DropSnapshot refuses while
-  // pins exist). Runtime-only by design — a pin is an in-flight job,
-  // and a restarted driver has no in-flight jobs to protect.
+  // active restore/export pins per snapshot id (reference PR #48143: an
+  // in-flight job pins its snapshot; DropSnapshot refuses while pins
+  // exist). Runtime-only by design — a pin is an in-flight job, and a
+  // restarted driver has no in-flight jobs to protect.
   @volatile private var snapshotPins: Map[String, Int] = Map.empty
+
+  // snapshot id -> the layout root its `_snapshots/<id>` artifacts live
+  // under: dropSnapshot writes its durable `_dropped` marker there, so
+  // a drop survives reopen (without it, loadSnapshotRegistry would
+  // resurrect every dropped snapshot) and the sweep can tell "dropped"
+  // from "created by another handle"
+  @volatile private var snapshotRoots: Map[String, String] =
+    sealedPath.map(p => snapshotReg.keysIterator.map(_ -> p).toMap)
+      .getOrElse(Map.empty)
 
   private val tso = new AtomicLong(Seq(
     sealedDf.map(_.agg(max(col(schema.tsField))).head() match {
@@ -1438,6 +1447,7 @@ final class Collection private (
       dataDirs, lobDirs, tombsDir, refsDir)
     Collection.writeSnapMeta(spark, s"$root/meta", st)
     snapshotReg += id -> st
+    snapshotRoots += id -> path
     ts
   }
 
@@ -1460,19 +1470,36 @@ final class Collection private (
 
   /** DropSnapshot: unregister — the next [[lobGc]] stops pinning its
     * refs and [[retentionSweep]] reclaims its `_snapshots/<id>`
-    * artifacts. An in-flight [[restoreSnapshotAs]] job pins the
-    * snapshot (reference PR #48143: restore jobs pin, Drop fails with
-    * "active pins exist" until the job completes —
+    * artifacts. The drop is DURABLE: a zero-byte `_dropped` marker
+    * lands under the artifact dir, so a reopen's registry rebuild skips
+    * it (no resurrection) and the sweep can distinguish "dropped" from
+    * "created through another handle on the same root" — the marker is
+    * a metadata write, so in-flight snapshot readers are unaffected
+    * (physical deletion stays the sweep's job). An in-flight
+    * [[restoreSnapshotAs]]/[[restoreSnapshot]]/[[exportSnapshot]] pins
+    * the snapshot (reference PR #48143: Drop fails with "active pins
+    * exist" until the job completes —
     * test_milvus_client_snapshot.py:343).
     */
   def dropSnapshot(id: String): Unit = stateLock.synchronized {
     requirePriv("DropSnapshot")
-    Collection.requireValidSnapshotName(id)
+    // no name validation here — the rules tightened across versions and
+    // a registry persisted under the older rules must stay droppable
+    // (an undroppable snapshot pins its dirs against the sweep forever);
+    // the membership check below rejects every invalid name anyway
     require(snapshotReg.contains(id), s"snapshot '$id' not found")
     val pins = snapshotPins.getOrElse(id, 0)
     require(pins == 0,
-      s"snapshot '$id' has $pins active pins exist, unpin before dropping")
+      s"cannot drop snapshot '$id': $pins active pins exist — " +
+        "unpin before dropping")
     snapshotReg -= id
+    snapshotRoots.get(id).foreach { root =>
+      import org.apache.hadoop.fs.Path
+      val marker = new Path(s"$root/_snapshots/$id/_dropped")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(marker.getParent)) fs.create(marker, true).close()
+    }
+    snapshotRoots -= id
   }
 
   /** DescribeSnapshot (snapshot_manager.go:150-161 — detailed snapshot
@@ -1507,17 +1534,40 @@ final class Collection private (
     * UNSCOPED — RLS re-applies per query on the target.
     */
   def restoreSnapshot(id: String): Collection = {
-    requirePriv("RestoreSnapshot")
-    val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
-      s"snapshot '$id' not found"))
-    materializeRestore(st)
+    // pinned for the whole write, same as the job path: a concurrent
+    // dropSnapshot + retentionSweep mid-restore would otherwise delete
+    // the manifested dirs under the running Spark job (PR #48143)
+    val st = stateLock.synchronized {
+      requirePriv("RestoreSnapshot")
+      val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+        s"snapshot '$id' not found"))
+      pinSnapshot(id)
+      st
+    }
+    try materializeRestore(st)
+    finally stateLock.synchronized(unpinSnapshot(id))
+  }
+
+  // caller holds stateLock for both
+  private def pinSnapshot(id: String): Unit =
+    snapshotPins = snapshotPins.updated(id, snapshotPins.getOrElse(id, 0) + 1)
+  private def unpinSnapshot(id: String): Unit = {
+    val left = snapshotPins.getOrElse(id, 0) - 1
+    snapshotPins =
+      if (left <= 0) snapshotPins - id else snapshotPins.updated(id, left)
   }
 
   /** The restore write itself, shared by the anonymous [[restoreSnapshot]]
     * and the job-registry [[restoreSnapshotAs]].
     */
   private def materializeRestore(st: Collection.SnapState): Collection = {
-    val view = Collection.snapshotView(spark, schema, st)
+    // materialize the view NOW (localCheckpoint: distributed executor
+    // blocks, never a driver collect) — the restored collection must
+    // hold NO plan over the SOURCE's directories, because the moment
+    // the job completes the pin releases and a dropSnapshot +
+    // [[retentionSweep]] may legally delete them. Payload bytes move
+    // once (the reference's restore likewise copies whole segments).
+    val view = Collection.snapshotView(spark, schema, st).localCheckpoint(true)
     val target = Collection.create(spark, schema)
     // DDL-added TEXT declarations replay onto the target (the reference
     // restores the full schema): without them the insert below would
@@ -1564,13 +1614,17 @@ final class Collection private (
       requirePriv("RestoreSnapshot")
       val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
         s"snapshot '$id' not found"))
+      // every target check up front — an invalid name or missing
+      // database must fail here, not after the whole restore write
+      Collection.requireValidName("collection", targetName)
+      Collection.requireDatabase(db)
       require(!Collection.hasCollection(targetName, db),
         s"duplicate collection: '$db.$targetName' already exists")
       val jobId = Collection.nextRestoreJobId()
       Collection.restoreJobs.put(jobId, Collection.RestoreJob(jobId, id,
         targetName, db, "RestoreSnapshotInProgress", 0,
         System.currentTimeMillis(), 0L))
-      snapshotPins = snapshotPins.updated(id, snapshotPins.getOrElse(id, 0) + 1)
+      pinSnapshot(id)
       (jobId, st)
     }
     // the write runs OUTSIDE stateLock: a concurrent dropSnapshot must
@@ -1604,10 +1658,8 @@ final class Collection private (
     Collection.restoreJobs.put(jobId, j.copy(state = state,
       progress = progress, reason = reason,
       timeCost = math.max(1L, System.currentTimeMillis() - j.startTime)))
-    val left = snapshotPins.getOrElse(j.snapshot, 0) - 1
-    snapshotPins =
-      if (left <= 0) snapshotPins - j.snapshot
-      else snapshotPins.updated(j.snapshot, left)
+    unpinSnapshot(j.snapshot)
+    Collection.reapRestoreJobs()
   }
 
   /** ExportSnapshot (20260609 design): copy the manifested segment and
@@ -1617,28 +1669,38 @@ final class Collection private (
     * Returns the number of directories copied.
     */
   def exportSnapshot(id: String, destDir: String): Int = {
-    requirePriv("ExportSnapshot")
-    val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
-      s"snapshot '$id' not found"))
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dest = new Path(destDir)
-    val fs = dest.getFileSystem(conf)
-    require(!fs.exists(dest), s"export target $destDir already exists")
-    var n = 0
-    def copyInto(src: String, sub: String): Unit = {
-      val sp = new Path(src)
-      // index-prefixed names: manifested dirs are unique within their
-      // parent, but an export flattens several parents into one
-      FileUtil.copy(sp.getFileSystem(conf), sp, fs,
-        new Path(s"$destDir/$sub/d$n-${sp.getName}"), false, conf)
-      n += 1
+    // pinned for the whole copy, same as the restore paths: a
+    // concurrent dropSnapshot + retentionSweep would otherwise delete
+    // manifested dirs mid-copy — a FileNotFound at best, a silently
+    // partial (yet openable) export at worst
+    val st = stateLock.synchronized {
+      requirePriv("ExportSnapshot")
+      val st = snapshotReg.getOrElse(id, throw new NoSuchElementException(
+        s"snapshot '$id' not found"))
+      pinSnapshot(id)
+      st
     }
-    st.dataDirs.foreach(copyInto(_, "data"))
-    st.lobDirs.foreach(copyInto(_, "_lobs"))
-    st.tombsDir.foreach(copyInto(_, "_tombs"))
-    Collection.writeSnapMeta(spark, s"$destDir/_meta", st)
-    n
+    try {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dest = new Path(destDir)
+      val fs = dest.getFileSystem(conf)
+      require(!fs.exists(dest), s"export target $destDir already exists")
+      var n = 0
+      def copyInto(src: String, sub: String): Unit = {
+        val sp = new Path(src)
+        // index-prefixed names: manifested dirs are unique within their
+        // parent, but an export flattens several parents into one
+        FileUtil.copy(sp.getFileSystem(conf), sp, fs,
+          new Path(s"$destDir/$sub/d$n-${sp.getName}"), false, conf)
+        n += 1
+      }
+      st.dataDirs.foreach(copyInto(_, "data"))
+      st.lobDirs.foreach(copyInto(_, "_lobs"))
+      st.tombsDir.foreach(copyInto(_, "_tombs"))
+      Collection.writeSnapMeta(spark, s"$destDir/_meta", st)
+      n
+    } finally stateLock.synchronized(unpinSnapshot(id))
   }
 
   /** Physical retention sweep (reference:
@@ -1655,9 +1717,12 @@ final class Collection private (
     *       root would serve (`seg-`/`fold-`/`run-`/`merge-` dirs out of
     *       [[Collection.resolveLayoutDirs]]'s union, `_lobs` gen/snap
     *       dirs out of [[Collection.lobLiveDirs]]), and
-    *   (b) no REGISTERED snapshot manifests (the snapshot carve-out —
-    *       manifested data/blob dirs stay until their snapshot drops),
-    * plus `_snapshots/<id>` artifact dirs whose snapshot was dropped.
+    *   (b) no snapshot on this root manifests (the snapshot carve-out —
+    *       manifested data/blob dirs stay until their snapshot drops;
+    *       the pin set reconciles with DISK, so another handle's
+    *       snapshots pin too),
+    * plus `_snapshots/<id>` artifact dirs bearing the durable
+    * `_dropped` marker.
     * Cost rides the DIRECTORY COUNT (two listings + set math on dir
     * names — no data files are read), never corpus bytes, so the sweep
     * stays O(dirs) at any scale. Run it like the reference runs its GC:
@@ -1690,24 +1755,36 @@ final class Collection private (
       else fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(p => accept(p.getName))
     }
+    // the pin set reconciles with DISK, not just this instance's
+    // registry: snapshots created through another handle (or another
+    // JVM) on the same root must pin too, and only the durable
+    // `_dropped` marker — never absence from a possibly-stale in-memory
+    // view — marks a snapshot as reclaimable. The disk load is
+    // O(snapshots) small metadata reads (manifest + meta per id).
+    val pinned = (Collection.loadSnapshotRegistry(spark, path) ++
+      snapshotReg).values.toSeq
     // keep = union of BOTH layout views: what this instance serves
     // (sealedSegments can hold merge-* dirs a reopen would not resolve)
     // and what reopening the root would resolve (so a sweep never
-    // strands a later open()), plus every registered snapshot manifest
+    // strands a later open()), plus every pinned snapshot manifest
     val keepData = (sealedSegments.flatMap(Collection.resolveLayoutDirs(spark, _)) ++
       Collection.resolveLayoutDirs(spark, path) ++
-      snapshotReg.values.flatMap(_.dataDirs))
+      pinned.flatMap(_.dataDirs))
       .map(d => qualified(carrier(d))).toSet
     val dataAll = list(new Path(path), n =>
       Seq("seg-", "fold-", "run-", "merge-").exists(n.startsWith))
     val dataDead = dataAll.filterNot(p => keepData.contains(qualified(p.toString)))
     val keepLob = (Collection.lobLiveDirs(spark, path) ++
-      snapshotReg.values.flatMap(_.lobDirs)).map(qualified).toSet
+      pinned.flatMap(_.lobDirs)).map(qualified).toSet
     val lobAll = list(new Path(s"$path/_lobs"), n =>
       n.startsWith("gen-") || n.startsWith("snap-"))
     val lobDead = lobAll.filterNot(p => keepLob.contains(qualified(p.toString)))
+    // artifact dirs reclaim ONLY on the durable drop marker — an
+    // unknown or half-written dir may be another handle's snapshot (or
+    // one mid-create), never sweep fodder
     val snapAll = list(new Path(s"$path/_snapshots"), _ => true)
-    val snapDead = snapAll.filterNot(p => snapshotReg.contains(p.getName))
+    val snapDead = snapAll.filter(p =>
+      p.getFileSystem(conf).exists(new Path(p, "_dropped")))
     (dataDead ++ lobDead ++ snapDead).foreach(p =>
       p.getFileSystem(conf).delete(p, true))
     // swept segments leave the stats registry too (stale introspection)
@@ -4603,15 +4680,22 @@ object Collection {
     * underscores, at most 255 characters. Error texts mirror the
     * reference's so contract tests match on substrings.
     */
-  private[graft] def requireValidSnapshotName(id: String): Unit = {
-    require(id != null && id.trim.nonEmpty, "snapshot name should be not empty")
+  private[graft] def requireValidSnapshotName(id: String): Unit =
+    requireValidName("snapshot", id)
+
+  /** The standard naming rules, parameterized by the object kind (the
+    * reference validates collection, partition, and snapshot names with
+    * the same rule set — util/validators).
+    */
+  private[graft] def requireValidName(kind: String, id: String): Unit = {
+    require(id != null && id.trim.nonEmpty, s"$kind name should be not empty")
     require(id.length <= 255,
-      "the length of snapshot name must be not greater than limit (255)")
+      s"the length of $kind name must be not greater than limit (255)")
     def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     require(id.head == '_' || asciiLetter(id.head),
-      "the first character of snapshot name must be an underscore or letter")
+      s"the first character of $kind name must be an underscore or letter")
     require(id.forall(c => c == '_' || asciiLetter(c) || (c >= '0' && c <= '9')),
-      "snapshot name can only contain numbers, letters and underscores")
+      s"$kind name can only contain numbers, letters and underscores")
   }
 
   // ---- restore-job registry (reference snapshot_manager.go's
@@ -4631,6 +4715,27 @@ object Collection {
     new java.util.concurrent.ConcurrentHashMap[Long, RestoreJob]()
   private val restoreJobIds = new AtomicLong(0L)
   private[graft] def nextRestoreJobId(): Long = restoreJobIds.incrementAndGet()
+
+  /** The registry keeps the newest [[RestoreJobCap]] TERMINAL records
+    * (the reference's job store is reaped; a long-lived driver doing
+    * periodic restores must not grow memory and listing cost without
+    * bound). In-flight jobs are never evicted.
+    */
+  private[graft] val RestoreJobCap = 1024
+  private[graft] def reapRestoreJobs(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (restoreJobs.size > RestoreJobCap) {
+      restoreJobs.values.asScala.toSeq
+        .filter(_.state != "RestoreSnapshotInProgress")
+        .sortBy(_.jobId)
+        .dropRight(RestoreJobCap)
+        .foreach(j => restoreJobs.remove(j.jobId))
+    }
+  }
+
+  private[graft] def requireDatabase(db: String): Unit =
+    if (!databases.containsKey(db))
+      throw new NoSuchElementException(s"database '$db' does not exist")
 
   /** GetRestoreSnapshotState: the job's poll record; unknown job ids
     * error (test_milvus_client_snapshot.py:664).
@@ -4724,9 +4829,12 @@ object Collection {
     fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { d =>
       val id = d.getPath.getName
       val base = d.getPath.toString
+      // a durably dropped snapshot (the `_dropped` marker) never
+      // re-registers — without this, every reopen would resurrect it.
       // tolerate a half-written snapshot (crash between manifest and
       // meta): no meta, no registry entry — same as never created
-      if (!fs.exists(new Path(s"$base/meta"))) None
+      if (fs.exists(new Path(s"$base/_dropped"))) None
+      else if (!fs.exists(new Path(s"$base/meta"))) None
       else {
         val man = spark.read.parquet(s"$base/manifest").collect()
         def dirs(kind: String): Seq[String] = man

@@ -158,10 +158,11 @@ object TextFunctions {
     * pinyin) highlight occurrences of their OUTPUT forms — synonym
     * expansion works because [[graft.functions.Analyzers.analyzeLocal]]
     * expands the query set. The jieba (CJK uni+bigram) tokenizer takes
-    * its own pattern shape — see [[cjkMergedPattern]]. Tokenizers
-    * without a contiguous-span split (ngram) are rejected — the
-    * reference serves those through its offset-carrying tokenizer,
-    * which has no boundary-class equivalent.
+    * its own pattern shape — see [[cjkMergedPattern]]. Every other
+    * tokenizer without a contiguous-span split or a merge path (ngram,
+    * lindera, …) is rejected by name — the reference serves those
+    * through its offset-carrying tokenizer, which has no
+    * boundary-class equivalent.
     */
   /** The analyzer-derived occurrence regex for `queryText` over a field
     * declared with `analyzerParams` — query tokens from the field's

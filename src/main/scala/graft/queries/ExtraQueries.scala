@@ -137,9 +137,7 @@ object ExtraQueries {
     val cjkMarked = TextFunctions.highlightWith(
       zh("text"), Map("tokenizer" -> "jieba"), hanQuery)
     val cjkSection = zh.select(lit("cjk").as("section"),
-        col("doc_id").as("id"),
-        ((octet_length(cjkMarked) - octet_length(col("text"))) / markBytes)
-          .cast("long").as("marks"),
+        col("doc_id").as("id"), marksOf(cjkMarked).as("marks"),
         lit(0L).as("possum"))
       .filter(col("marks") > 0)
     section("cg", cgMarked, Some(possumOf(cgMarked, "[ .,;:!?]+")))

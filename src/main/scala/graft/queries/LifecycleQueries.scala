@@ -739,13 +739,16 @@ object LifecycleQueries {
     * the combined fixture crossed the ~5 s orchestration bar (the
     * q_lob_restore / q_namespace_compaction precedent): the r15 depth
     * sections — minimum_should_match thresholds (:947), template-filter
-    * parity (:981), and BM25 ranking — over a LOB-bearing GROWING tail
-    * (no flush: the sections also pin growing-side blob-delta resolve).
-    * Value-bounded fixture (doc_id < 200).
+    * parity (:981), and BM25 ranking (:1033) — over the same CHURNED
+    * corpus shape the combined gate used (flush + upsert + delete +
+    * compact + lobGc), so a sealed/compacted-resolve regression feeding
+    * stale payload text into these operators still breaks a gate.
+    * Value-bounded fixture (doc_id < 150).
     */
   def textLobDepth(s: SparkSession, dir: String): DataFrame = {
     import graft.{Collection, CollectionSchema, TextFieldSpec}
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val path = s"${scratchDir("textlobdepth")}/data"
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
       .select(col("doc_id"), col("text"))
     val grown = docs.withColumn("text",
       when(pmod(col("doc_id"), lit(7)) === 0,
@@ -755,6 +758,14 @@ object LifecycleQueries {
       textFields = Map("text" -> TextFieldSpec(
         enableAnalyzer = true, enableMatch = true))))
     c.insert(grown)
+    c.flush(path)
+    c.upsert(grown.filter(col("doc_id") === 7)
+      .withColumn("text", concat(lit("upserted "),
+        repeat(md5(concat(col("text"), lit("v2"))), 2100))))
+    c.deletePks(Seq(14L))
+    c.flush(path)
+    c.compact(path)
+    c.lobGc(path)
     // minimum_should_match over LOB (:947): thresholds climb to the
     // full token set, and an impossible threshold answers EMPTY
     val msm3 = c.query(
@@ -903,9 +914,13 @@ object LifecycleQueries {
     c.compact(path)
     c.dropSnapshot("s1")
     c.lobGc(path)
+    // materialize the tiny result frame, then UNREGISTER the target: a
+    // repeated run (bench RUNS>1, verify re-runs in one JVM) must not
+    // accumulate restored corpora in the global collection registry
     val restored = r.query("doc_id >= 0", Seq("doc_id", "text"))
       .select(lit("restored").as("section"), col("doc_id").as("id"),
         octet_length(col("text")).cast("long").as("n"), md5(col("text")).as("s"))
+      .localCheckpoint(true)
     import s.implicits._
     val counts = Seq(("restored_blobs", r.lobBlobCount),
         ("source_live", c.query("doc_id >= 0", Seq("doc_id")).count()),
@@ -916,6 +931,7 @@ object LifecycleQueries {
       .toDF("section", "n")
       .select(col("section"), lit(0L).as("id"), col("n").cast("long").as("n"),
         lit(null).cast("string").as("s"))
+    Collection.dropCollection(targetName)
     restored.unionByName(counts).orderBy(col("section"), col("id"))
   }
 
@@ -2280,15 +2296,19 @@ object LifecycleQueries {
        |ORDER BY section, id, n""".stripMargin
 
   /** Oracle for [[textLobDepth]]: the msm/template/BM25 depth sections
-    * recomputed over the doc_id < 200 grown corpus (no churn — the
-    * corpus is exactly the insert batch).
+    * recomputed over the churned doc_id < 150 corpus (doc 7 upserted,
+    * doc 14 deleted — the combined gate's churn shape).
     */
   private val textLobDepthOracle =
-    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-       |grown AS (SELECT doc_id,
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+       |grown0 AS (SELECT doc_id,
        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
        |         ELSE text END AS text
        |  FROM base),
+       |grown AS (SELECT doc_id,
+       |    CASE WHEN doc_id = 7 THEN 'upserted ' || repeat(md5(text || 'v2'), 2100)
+       |         ELSE text END AS text
+       |  FROM grown0 WHERE doc_id <> 14),
        |toks AS (SELECT doc_id, $sqlToks AS t FROM grown),
        |dt AS (SELECT doc_id, len(t) * 1.0 AS dl, unnest(t) AS term FROM toks),
        |tf AS (SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl

@@ -1180,11 +1180,14 @@ class TextLobSpec extends SparkSpec {
       "the first character of snapshot name must be an underscore or letter")
     rejects("s" * 256,
       "the length of snapshot name must be not greater than limit")
-    // valid boundary names create (and drop validates names too)
+    // valid boundary names create; drop does NOT re-validate names (a
+    // registry persisted under older, looser rules must stay droppable)
+    // — an invalid name simply isn't in the registry
     c.createSnapshot(path, "_snapshot_with_underscore")
     c.createSnapshot(path, "s" * 255)
     c.dropSnapshot("s" * 255)
-    intercept[IllegalArgumentException] { c.dropSnapshot(" ") }
+    val e = intercept[IllegalArgumentException] { c.dropSnapshot(" ") }
+    assert(e.getMessage.contains("not found"))
   }
 
   // ---- restore-job registry (snapshot_manager.go RestoreSnapshotJob;
@@ -1253,6 +1256,50 @@ class TextLobSpec extends SparkSpec {
     // after the job completes the pin releases and drop succeeds
     c.dropSnapshot("s1")
     assert(c.listSnapshots.isEmpty)
+  }
+
+  test("a restored collection survives dropping AND sweeping the source") {
+    val path = s"${scratch("textlob_restsweep")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(6, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val target = s"restsweep_target_${System.nanoTime()}"
+    c.restoreSnapshotAs("s1", target)
+    val r = Collection.getCollection(target)
+    val want = r.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(want.size == 6)
+    // the hard case: churn the source, drop the snapshot, and PHYSICALLY
+    // delete the superseded + formerly-pinned dirs — the restored
+    // collection must hold no plan over any of them
+    c.deletePks(Seq(2L))
+    c.flush(path)
+    c.compact(path)
+    c.lobGc(path)
+    c.dropSnapshot("s1")
+    c.retentionSweep(path)
+    assert(r.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == want,
+      "restored read must be byte-identical after the source sweep")
+  }
+
+  test("restoreSnapshotAs rejects a missing target database up front") {
+    val path = s"${scratch("textlob_restdb")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(3, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val before = Collection.listRestoreSnapshotJobs().size
+    val e = intercept[NoSuchElementException] {
+      c.restoreSnapshotAs("s1", "t", db = "no_such_db_r16")
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // detected before any write: no job registered, pin released
+    assert(Collection.listRestoreSnapshotJobs().size == before)
+    c.dropSnapshot("s1")
   }
 
   test("a failed restore unpins and records the failure") {
@@ -1335,6 +1382,51 @@ class TextLobSpec extends SparkSpec {
     assert(re.query("id >= 1", Seq("id", "text"))
       .select($"id", md5($"text").as("h")).orderBy("id")
       .as[(Long, String)].collect().toSeq == liveWant)
+  }
+
+  test("a dropped snapshot stays dropped after reopen (durable _dropped marker)") {
+    val path = s"${scratch("textlob_dropdur")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(rows(4, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    c.createSnapshot(path, "s2")
+    c.dropSnapshot("s1")
+    // the artifacts stay on disk (the sweep's job), but a reopen's
+    // registry rebuild must NOT resurrect the dropped snapshot
+    assert(new java.io.File(s"$path/_snapshots/s1").exists())
+    val re = Collection.open(spark, schema, path)
+    assert(re.listSnapshots.keySet == Set("s2"))
+    intercept[NoSuchElementException] { re.readSnapshot("s1") }
+  }
+
+  test("retentionSweep pins snapshots created through ANOTHER handle on the root") {
+    val path = s"${scratch("textlob_xhandle")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val a = Collection.create(spark, schema)
+    a.insert(rows(6, bigEvery = 2, threshold = 64))
+    a.flush(path)
+    // handle B opens the same root and snapshots it — A's in-memory
+    // registry never learns about it
+    val b = Collection.open(spark, schema, path)
+    b.createSnapshot(path, "theirs")
+    val want = b.readSnapshot("theirs")
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    // A churns and sweeps: B's snapshot must pin its dirs and artifacts
+    a.deletePks(Seq(2L))
+    a.flush(path)
+    a.compact(path)
+    a.lobGc(path)
+    val r = a.retentionSweep(path)
+    assert(r("snapshots_deleted") == 0L, r.toString)
+    assert(new java.io.File(s"$path/_snapshots/theirs").exists())
+    assert(b.readSnapshot("theirs")
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == want,
+      "another handle's snapshot must survive the sweep byte-identical")
   }
 
   test("retentionSweep after forceMerge keeps BOTH layout views (reopen safety)") {
