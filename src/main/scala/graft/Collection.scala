@@ -1492,13 +1492,17 @@ final class Collection private (
     require(pins == 0,
       s"cannot drop snapshot '$id': $pins active pins exist — " +
         "unpin before dropping")
-    snapshotReg -= id
+    // durable marker FIRST, registry second: if the marker write throws
+    // (transient store error) the drop fails atomically — a registry
+    // mutated first would desync from disk (this handle says dropped,
+    // a reopen resurrects)
     snapshotRoots.get(id).foreach { root =>
       import org.apache.hadoop.fs.Path
       val marker = new Path(s"$root/_snapshots/$id/_dropped")
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(marker.getParent)) fs.create(marker, true).close()
     }
+    snapshotReg -= id
     snapshotRoots -= id
   }
 
@@ -1722,7 +1726,8 @@ final class Collection private (
     *       the pin set reconciles with DISK, so another handle's
     *       snapshots pin too),
     * plus `_snapshots/<id>` artifact dirs bearing the durable
-    * `_dropped` marker.
+    * `_dropped` marker (and half-written create junk older than
+    * `halfWrittenGraceMs`).
     * Cost rides the DIRECTORY COUNT (two listings + set math on dir
     * names — no data files are read), never corpus bytes, so the sweep
     * stays O(dirs) at any scale. Run it like the reference runs its GC:
@@ -1733,7 +1738,9 @@ final class Collection private (
     *
     * Returns the per-kind deleted/kept directory counts.
     */
-  def retentionSweep(path: String): Map[String, Long] = stateLock.synchronized {
+  def retentionSweep(path: String,
+      halfWrittenGraceMs: Long = 3600000L): Map[String, Long] =
+      stateLock.synchronized {
     requirePriv("Compaction")
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
@@ -1755,36 +1762,57 @@ final class Collection private (
       else fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(p => accept(p.getName))
     }
+    val snapAll = list(new Path(s"$path/_snapshots"), _ => true)
+    def hasFile(p: Path, name: String): Boolean =
+      p.getFileSystem(conf).exists(new Path(p, name))
     // the pin set reconciles with DISK, not just this instance's
     // registry: snapshots created through another handle (or another
     // JVM) on the same root must pin too, and only the durable
     // `_dropped` marker — never absence from a possibly-stale in-memory
-    // view — marks a snapshot as reclaimable. The disk load is
-    // O(snapshots) small metadata reads (manifest + meta per id).
-    val pinned = (Collection.loadSnapshotRegistry(spark, path) ++
-      snapshotReg).values.toSeq
+    // view — marks a snapshot as reclaimable. Foreign ids load their
+    // MANIFEST only (the sweep needs just the dir lists; meta state is
+    // irrelevant here) — O(unknown snapshots) small parquet reads.
+    val foreignPins: Seq[(String, String)] = snapAll
+      .filter(p => !snapshotReg.contains(p.getName) &&
+        !hasFile(p, "_dropped") && hasFile(p, "meta"))
+      .flatMap(p => spark.read.parquet(s"$p/manifest").collect()
+        .map(r => r.getAs[String]("kind") -> r.getAs[String]("dir")))
+    val pinnedData = snapshotReg.values.flatMap(_.dataDirs) ++
+      foreignPins.collect { case ("data", d) => d }
+    val pinnedLob = snapshotReg.values.flatMap(_.lobDirs) ++
+      foreignPins.collect { case ("lob", d) => d }
     // keep = union of BOTH layout views: what this instance serves
     // (sealedSegments can hold merge-* dirs a reopen would not resolve)
     // and what reopening the root would resolve (so a sweep never
     // strands a later open()), plus every pinned snapshot manifest
     val keepData = (sealedSegments.flatMap(Collection.resolveLayoutDirs(spark, _)) ++
-      Collection.resolveLayoutDirs(spark, path) ++
-      pinned.flatMap(_.dataDirs))
+      Collection.resolveLayoutDirs(spark, path) ++ pinnedData)
       .map(d => qualified(carrier(d))).toSet
     val dataAll = list(new Path(path), n =>
       Seq("seg-", "fold-", "run-", "merge-").exists(n.startsWith))
     val dataDead = dataAll.filterNot(p => keepData.contains(qualified(p.toString)))
-    val keepLob = (Collection.lobLiveDirs(spark, path) ++
-      pinned.flatMap(_.lobDirs)).map(qualified).toSet
+    val keepLob = (Collection.lobLiveDirs(spark, path) ++ pinnedLob)
+      .map(qualified).toSet
     val lobAll = list(new Path(s"$path/_lobs"), n =>
       n.startsWith("gen-") || n.startsWith("snap-"))
     val lobDead = lobAll.filterNot(p => keepLob.contains(qualified(p.toString)))
-    // artifact dirs reclaim ONLY on the durable drop marker — an
-    // unknown or half-written dir may be another handle's snapshot (or
-    // one mid-create), never sweep fodder
-    val snapAll = list(new Path(s"$path/_snapshots"), _ => true)
-    val snapDead = snapAll.filter(p =>
-      p.getFileSystem(conf).exists(new Path(p, "_dropped")))
+    // artifact dirs reclaim in two cases: (a) durably dropped AND no
+    // longer referenced by THIS instance's registry (a foreign drop
+    // must not destroy tombs/refs a local SnapState still reads — the
+    // local holder reclaims after its own drop or a reopen); (b)
+    // half-written junk (no meta — a crash between manifest and meta;
+    // without this, the crashed id leaks forever and can never be
+    // re-created past the manifest's errorifexists) older than the
+    // grace window, because a FRESH metaless dir may be another
+    // handle's create in progress (the reference GC's isExpire check)
+    val now = System.currentTimeMillis()
+    val snapDead = snapAll.filter { p =>
+      def local = snapshotReg.contains(p.getName)
+      def expiredJunk = !hasFile(p, "meta") && !local &&
+        now - p.getFileSystem(conf).getFileStatus(p).getModificationTime >=
+          halfWrittenGraceMs
+      (hasFile(p, "_dropped") && !local) || expiredJunk
+    }
     (dataDead ++ lobDead ++ snapDead).foreach(p =>
       p.getFileSystem(conf).delete(p, true))
     // swept segments leave the stats registry too (stale introspection)

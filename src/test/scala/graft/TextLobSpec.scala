@@ -1429,6 +1429,37 @@ class TextLobSpec extends SparkSpec {
       "another handle's snapshot must survive the sweep byte-identical")
   }
 
+  test("retentionSweep: half-written junk expires; a foreign drop spares local artifacts") {
+    val path = s"${scratch("textlob_sweepedge")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val a = Collection.create(spark, schema)
+    a.insert(rows(4, bigEvery = 2, threshold = 64))
+    a.createSnapshot(path, "s1")
+    // half-written create junk: a manifest-bearing dir with no meta
+    // (crash between the two writes)
+    val junk = new java.io.File(s"$path/_snapshots/crashed")
+    assert(junk.mkdirs())
+    java.nio.file.Files.writeString(junk.toPath.resolve("partial"), "x")
+    // a FRESH metaless dir may be a create in progress — kept
+    assert(a.retentionSweep(path)("snapshots_deleted") == 0L)
+    assert(junk.exists())
+    // past the grace window it expires
+    assert(a.retentionSweep(path, halfWrittenGraceMs = 0L)("snapshots_deleted") == 1L)
+    assert(!junk.exists())
+    // foreign drop: handle B drops s1 (writes the durable marker); A's
+    // sweep must NOT delete the artifacts A's own registry still reads
+    val b = Collection.open(spark, schema, path)
+    b.dropSnapshot("s1")
+    assert(a.retentionSweep(path)("snapshots_deleted") == 0L)
+    assert(a.readSnapshot("s1").count() == 4,
+      "A's registered snapshot must stay readable after a foreign drop + sweep")
+    // once A drops too (registry no longer references it), it reclaims
+    a.dropSnapshot("s1")
+    assert(a.retentionSweep(path)("snapshots_deleted") == 1L)
+    assert(!new java.io.File(s"$path/_snapshots/s1").exists())
+  }
+
   test("retentionSweep after forceMerge keeps BOTH layout views (reopen safety)") {
     val path = s"${scratch("textlob_sweepmerge")}/data"
     def schema = CollectionSchema(pkField = "id",
