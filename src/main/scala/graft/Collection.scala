@@ -1380,7 +1380,8 @@ final class Collection private (
     * so [[lobGc]] reads an ids-only table instead of re-scanning
     * snapshot data files). Returns the snapshot read ts.
     */
-  def createSnapshot(path: String, id: String): Long = stateLock.synchronized {
+  def createSnapshot(path: String, id: String,
+      description: String = ""): Long = stateLock.synchronized {
     requirePriv("CreateSnapshot")
     Collection.requireValidSnapshotName(id)
     require(!snapshotReg.contains(id), s"snapshot '$id' already exists")
@@ -1444,7 +1445,7 @@ final class Collection private (
         val (tag, v) = Collection.encodeDefault(f, dflt)
         f -> ((addTs, tag, v))
       }.toMap,
-      dataDirs, lobDirs, tombsDir, refsDir)
+      dataDirs, lobDirs, tombsDir, refsDir, description)
     Collection.writeSnapMeta(spark, s"$root/meta", st)
     snapshotReg += id -> st
     snapshotRoots += id -> path
@@ -1522,7 +1523,8 @@ final class Collection private (
         .map(d => spark.read.parquet(d).count().toString).getOrElse("0"),
       "has_tombstones" -> st.tombsDir.nonEmpty.toString,
       "ttl" -> st.ttlTicks.map(_.toString).getOrElse(""),
-      "dropped_fields" -> st.dropped.mkString(","))
+      "dropped_fields" -> st.dropped.mkString(","),
+      "description" -> st.description)
   }
 
   /** RestoreSnapshot (snapshot_manager.go:177-206 — read snapshot data,
@@ -1580,6 +1582,20 @@ final class Collection private (
     // spec anymore — its data restores as a plain column.
     st.textAdds.keysIterator.foreach { f =>
       textFieldSpecs.get(f).foreach(target.addCollectionTextField(f, _))
+    }
+    // named partitions restore as first-class DDL (the reference's
+    // restore recreates them — test_milvus_client_snapshot.py:936,:991):
+    // listPartitions on the target must show them and partition-scoped
+    // reads must accept them. The default partition and partition-key
+    // hash buckets (`_pk_*`) are engine-managed, not DDL names. One
+    // bounded distinct over the checkpointed view — partition count,
+    // never row count.
+    if (view.columns.contains(Collection.PartitionCol)) {
+      view.select(col(Collection.PartitionCol)).distinct().collect()
+        .map(_.getString(0))
+        .filter(p => p != null && p != Collection.DefaultPartition &&
+          !p.startsWith("_pk_"))
+        .sorted.foreach(target.createPartitionInternal)
     }
     // original write timestamps drop — the target stamps its own (the
     // reference's restored segments likewise live under the target's
@@ -4672,7 +4688,8 @@ object Collection {
       textAdds: Map[String, Long],
       masks: Map[String, (Long, String, String)], // field -> (addTs, type tag, value)
       dataDirs: Seq[String], lobDirs: Seq[String],
-      tombsDir: Option[String], refsDir: Option[String])
+      tombsDir: Option[String], refsDir: Option[String],
+      description: String = "") // user text, echoed by DescribeSnapshot (:491)
 
   /** Serialize a DDL default for the snapshot meta record. Loud on
     * exotic types — a silently re-typed default is worse than a refused
@@ -4788,8 +4805,10 @@ object Collection {
   private[graft] def writeSnapMeta(spark: SparkSession, dir: String,
       st: SnapState): Unit = {
     import spark.implicits._
-    Seq((st.ts, st.horizon, st.ttlTicks, st.dropped, st.textAdds, st.masks))
-      .toDF("snap_ts", "horizon", "ttl", "dropped", "text_adds", "masks")
+    Seq((st.ts, st.horizon, st.ttlTicks, st.dropped, st.textAdds, st.masks,
+        st.description))
+      .toDF("snap_ts", "horizon", "ttl", "dropped", "text_adds", "masks",
+        "description")
       .coalesce(1).write.parquet(dir)
   }
 
@@ -4812,7 +4831,8 @@ object Collection {
       if (has("dropped")) r.getSeq[String](r.fieldIndex("dropped")) else Nil,
       if (has("text_adds")) r.getMap[String, Long](r.fieldIndex("text_adds")).toMap
       else Map.empty,
-      masks, dataDirs, lobDirs, tombsDir, refsDir)
+      masks, dataDirs, lobDirs, tombsDir, refsDir,
+      if (has("description")) r.getAs[String]("description") else "")
   }
 
   /** The maximum DIR-NAME tick of this layout (seg/fold/run/merge, blob

@@ -950,13 +950,13 @@ object LifecycleQueries {
     *   - reopen: a fresh open() of the swept root resolves to the same
     *     live answer (reopen_xor = 0 — the sweep never strands a
     *     future open).
-    * Value-bounded fixture (doc_id < 120, the contract-gate device);
+    * Value-bounded fixture (doc_id < 80, the contract-gate device);
     * the sweep itself is O(dirs) listings + set math, no data reads.
     */
   def retentionSweep(s: SparkSession, dir: String): DataFrame = {
     import graft.{Collection, CollectionSchema, TextFieldSpec}
     val path = s"${scratchDir("retention")}/data"
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 80)
       .select(col("doc_id"), col("text"))
     val grown = docs.withColumn("text",
       when(pmod(col("doc_id"), lit(7)) === 0,
@@ -976,7 +976,7 @@ object LifecycleQueries {
       .withColumn("text", concat(col("text"), lit(" "),
         repeat(md5(col("text")), 2100))))
     c.deletePks(Seq(9000001L))
-    c.deletePks((0L until 120L by 14L))
+    c.deletePks((0L until 80L by 14L))
     c.upsert(grown.filter(col("doc_id") === 21)
       .withColumn("text", concat(lit("upserted "),
         repeat(md5(concat(col("text"), lit("v2"))), 2100))))
@@ -2831,7 +2831,7 @@ object LifecycleQueries {
         |SELECT * FROM restored UNION ALL SELECT * FROM counts
         |ORDER BY section, id""".stripMargin,
     "q_retention_sweep" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
         |grown AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || repeat(md5(text), 2100)
         |         ELSE text END AS text

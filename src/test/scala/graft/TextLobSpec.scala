@@ -1302,6 +1302,52 @@ class TextLobSpec extends SparkSpec {
     c.dropSnapshot("s1")
   }
 
+  test("snapshot description round-trips through describe and reopen (:491)") {
+    val path = s"${scratch("textlob_snapdesc")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(rows(3, bigEvery = 2, threshold = 64))
+    val desc = "Test description for snapshot"
+    c.createSnapshot(path, "s1", description = desc)
+    c.createSnapshot(path, "s2") // no description -> empty echo
+    assert(c.describeSnapshot("s1")("description") == desc)
+    assert(c.describeSnapshot("s2")("description") == "")
+    // the description is part of the durable meta — a reopen serves it
+    val re = Collection.open(spark, schema, path)
+    assert(re.describeSnapshot("s1")("description") == desc)
+    val e = intercept[NoSuchElementException] { re.describeSnapshot("nope") }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("restore recreates named partitions, including one dropped after the snapshot (:936,:991)") {
+    val path = s"${scratch("textlob_partrest")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.createPartition("p1")
+    c.createPartition("p2")
+    c.insertInto("p1", rows(4, bigEvery = 2, threshold = 64))
+    c.insertInto("p2", (5 to 8).map(i =>
+      (i.toLong, s"doc $i payload " + ("y" * 70))).toDF("id", "text"))
+    c.createSnapshot(path, "s1")
+    // :991 — the source drops p2 AFTER the snapshot; the restore must
+    // still recreate it with its rows (the drop's tombstones postdate
+    // the snapshot cut)
+    c.dropPartition("p2")
+    val target = s"partrest_target_${System.nanoTime()}"
+    c.restoreSnapshotAs("s1", target)
+    val r = Collection.getCollection(target)
+    assert(r.listPartitions.contains("p1") && r.listPartitions.contains("p2"),
+      r.listPartitions.toString)
+    assert(r.count(partitionNames = Seq("p1")) == 4)
+    assert(r.count(partitionNames = Seq("p2")) == 4)
+    assert(r.count() == 8)
+    // partition-scoped payload resolve stays byte-exact on the target
+    assert(r.query("id >= 1", Seq("id", "text"), partitionNames = Seq("p2"))
+      .filter(octet_length($"text") > 64).count() ==
+      c.readSnapshot("s1").filter($"id" >= 5 && octet_length($"text") > 64).count())
+  }
+
   test("a failed restore unpins and records the failure") {
     val path = s"${scratch("textlob_restfail")}/data"
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
