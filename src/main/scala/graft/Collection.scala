@@ -1304,6 +1304,7 @@ final class Collection private (
     */
   def lobGc(path: String): Long = stateLock.synchronized {
     requirePriv("Compaction")
+    requireGcNotPaused("lobGc")
     lobStore match {
       case None => 0L
       case Some(store) =>
@@ -1405,6 +1406,10 @@ final class Collection private (
     // what the snapshot serves
     val dataDirs = sealedSegments
       .flatMap(d => Collection.resolveLayoutDirs(spark, d)).distinct
+    // documented divergence from test_snapshot_create_empty_collection
+    // (:233, which allows it): this engine's row schema is inferred
+    // from data, so an empty collection has no frame to manifest —
+    // the same reason its live read errors rather than answering empty
     require(dataDirs.nonEmpty, "nothing to snapshot — empty collection")
     val lobDirs = Collection.lobLiveDirs(spark, path)
     import spark.implicits._
@@ -1754,10 +1759,65 @@ final class Collection private (
     *
     * Returns the per-kind deleted/kept directory counts.
     */
+  // ---- GC pause/resume (reference garbage_collector.go:285-360 + the
+  // GcControl RPC): a backup/migration tool pauses physical reclamation
+  // for a window so nothing it is copying disappears underneath it.
+  // Contract pins from the reference: ticket names are NOT unique (the
+  // REST route sends empty tickets), so records are id-keyed and the
+  // effective pause is the MAX pauseUntil over live records; Resume
+  // deletes every record carrying its ticket name; expired records are
+  // simply ignored. (recordId, ticket, untilMs) triples.
+  @volatile private var gcPauses: Vector[(Long, String, Long)] = Vector.empty
+  private val gcPauseIds = new AtomicLong(0L)
+
+  /** Pause physical GC ([[retentionSweep]] and [[lobGc]]) for
+    * `durationMs`. Stacking pauses extends to the latest deadline.
+    */
+  def gcPause(ticket: String, durationMs: Long): Unit = stateLock.synchronized {
+    requirePriv("Compaction")
+    require(durationMs > 0, s"pause duration must be positive, got $durationMs")
+    gcPauses :+= ((gcPauseIds.incrementAndGet(), ticket,
+      System.currentTimeMillis() + durationMs))
+  }
+
+  /** Resume: drop every pause record carrying `ticket` (ticket-scoped,
+    * like the reference's resume — other callers' records stand).
+    */
+  def gcResume(ticket: String): Unit = stateLock.synchronized {
+    requirePriv("Compaction")
+    gcPauses = gcPauses.filterNot(_._2 == ticket)
+  }
+
+  /** GetStatus (GcStatus{IsPaused, TimeRemaining}). */
+  def gcStatus: Map[String, String] = {
+    val now = System.currentTimeMillis()
+    val until = gcPauses.map(_._3).maxOption.getOrElse(0L)
+    if (now < until)
+      Map("is_paused" -> "true", "time_remaining_ms" -> (until - now).toString)
+    else Map("is_paused" -> "false", "time_remaining_ms" -> "0")
+  }
+
+  // loud refusal for this engine's CALLER-invoked GC entry points (the
+  // reference's background loops silently skip; a library caller asking
+  // for work that a pause forbids should hear why). Prunes expired
+  // records as a side effect. Caller holds stateLock.
+  private def requireGcNotPaused(op: String): Unit = {
+    val now = System.currentTimeMillis()
+    gcPauses = gcPauses.filter(_._3 > now)
+    gcPauses.map(_._3).maxOption.foreach { until =>
+      throw new IllegalStateException(
+        s"$op refused: garbage collection is paused for another " +
+          s"${until - now} ms (tickets: " +
+          gcPauses.map(_._2).distinct.mkString("'", "', '", "'") +
+          ") — gcResume first")
+    }
+  }
+
   def retentionSweep(path: String,
       halfWrittenGraceMs: Long = 3600000L): Map[String, Long] =
       stateLock.synchronized {
     requirePriv("Compaction")
+    requireGcNotPaused("retentionSweep")
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     def qualified(p: String): String = {

@@ -1506,6 +1506,40 @@ class TextLobSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/_snapshots/s1").exists())
   }
 
+  test("gcPause blocks sweep and lobGc; tickets stack to MAX and resume by name") {
+    val path = s"${scratch("textlob_gcpause")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(4, bigEvery = 2, threshold = 64))
+    c.flush(path)
+    assert(c.gcStatus("is_paused") == "false")
+    // two tickets, same name is legal (the reference's REST route sends
+    // empty tickets); a third under another name outlasts both
+    c.gcPause("backup", 60000L)
+    c.gcPause("backup", 120000L)
+    c.gcPause("migration", 300000L)
+    assert(c.gcStatus("is_paused") == "true")
+    assert(c.gcStatus("time_remaining_ms").toLong > 120000L)
+    val e = intercept[IllegalStateException] { c.retentionSweep(path) }
+    assert(e.getMessage.contains("paused") && e.getMessage.contains("migration"))
+    intercept[IllegalStateException] { c.lobGc(path) }
+    // ticket-scoped resume: 'backup' drops both its records, 'migration'
+    // still holds the pause
+    c.gcResume("backup")
+    assert(c.gcStatus("is_paused") == "true")
+    intercept[IllegalStateException] { c.retentionSweep(path) }
+    c.gcResume("migration")
+    assert(c.gcStatus("is_paused") == "false")
+    // GC runs again (nothing to reclaim here — the point is no refusal)
+    assert(c.retentionSweep(path)("data_deleted") == 0L)
+    assert(c.lobGc(path) == 0L)
+    // an expired pause never blocks: one-millisecond window, spun past
+    c.gcPause("blip", 1L)
+    Thread.sleep(5L)
+    assert(c.gcStatus("is_paused") == "false")
+    assert(c.retentionSweep(path)("data_deleted") == 0L)
+  }
+
   test("retentionSweep after forceMerge keeps BOTH layout views (reopen safety)") {
     val path = s"${scratch("textlob_sweepmerge")}/data"
     def schema = CollectionSchema(pkField = "id",

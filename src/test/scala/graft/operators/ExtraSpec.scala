@@ -158,6 +158,23 @@ class ExtraSpec extends SparkSpec {
       "{milvus}{结巴}分词器 and {Milvus} again")
     // a latin hit inside a longer word does NOT tag (word boundaries)
     assert(mark("key keyword 键", "key 键") == "{key} keyword {键}")
+    // dict-mode jieba (the reference fixture declares
+    // dict ["结巴分词器"], :62): a multi-char dict token matches
+    // longest-first; its characters still merge with neighboring hits
+    val dictParams = Map("tokenizer" -> "jieba", "dict" -> "结巴分词器")
+    def markDict(text: String, q: String): String = Seq(text).toDF("t")
+      .select(TextFunctions.highlightWith(col("t"), dictParams, q, "{", "}").as("h"))
+      .as[String].head()
+    assert(markDict("milvus结巴分词器中文测试", "结巴分词器") ==
+      "milvus{结巴分词器}中文测试")
+    // tag-pair cycling by match ordinal over repeating CJK text (:931's
+    // 甲乙丙 fixture shape)
+    val cyc = Seq("甲，甲乙，甲乙丙").toDF("t")
+      .select(TextFunctions.highlightFragmentsWith(col("t"),
+        Map("tokenizer" -> "jieba"), "甲乙",
+        Seq("{", "<"), Seq("}", ">"), 0, 100, 1).as("f"))
+      .head().getSeq[String](0).toSeq
+    assert(cyc == Seq("{甲}，<甲乙>，{甲乙}丙"), cyc)
   }
 
   test("phrase_match slop semantics") {
