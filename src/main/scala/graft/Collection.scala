@@ -611,6 +611,12 @@ final class Collection private (
     require(name.forall(c => c == '_' || c == '-' || c.isLetterOrDigit),
       s"Invalid partition name: $name. Partition name can only contain " +
         "numbers, letters and underscores.")
+    // `_pk_<bucket>` is how partition-key routing stamps rows — a user
+    // partition under the prefix would be indistinguishable from a hash
+    // bucket (and a snapshot restore would mis-classify it)
+    require(!name.startsWith("_pk_"),
+      s"Invalid partition name: $name. The '_pk_' prefix is reserved " +
+        "for partition-key buckets.")
     require(!partitionSet.contains(name), s"partition '$name' already exists")
     partitionSet += name
   }
@@ -1304,7 +1310,7 @@ final class Collection private (
     */
   def lobGc(path: String): Long = stateLock.synchronized {
     requirePriv("Compaction")
-    requireGcNotPaused("lobGc")
+    requireGcNotPaused("lobGc", path)
     lobStore match {
       case None => 0L
       case Some(store) =>
@@ -1450,7 +1456,13 @@ final class Collection private (
         val (tag, v) = Collection.encodeDefault(f, dflt)
         f -> ((addTs, tag, v))
       }.toMap,
-      dataDirs, lobDirs, tombsDir, refsDir, description)
+      dataDirs, lobDirs, tombsDir, refsDir, description,
+      // named-partition DDL and collection properties restore as
+      // first-class state (a partition EMPTY at snapshot time must
+      // still exist on the restore target; a TTL'd source must not
+      // restore into a never-expiring collection)
+      partitionSet.toSeq.filterNot(_ == Collection.DefaultPartition).sorted,
+      collectionProperties)
     Collection.writeSnapMeta(spark, s"$root/meta", st)
     snapshotReg += id -> st
     snapshotRoots += id -> path
@@ -1588,18 +1600,27 @@ final class Collection private (
     st.textAdds.keysIterator.foreach { f =>
       textFieldSpecs.get(f).foreach(target.addCollectionTextField(f, _))
     }
+    // collection properties replay first (a TTL'd source must not
+    // restore into a never-expiring collection; a namespace-mode source
+    // keeps enforcing namespaces on the target). Values were validated
+    // when the source accepted them; alterCollection re-validates.
+    if (st.props.nonEmpty) target.alterCollection(st.props)
     // named partitions restore as first-class DDL (the reference's
     // restore recreates them — test_milvus_client_snapshot.py:936,:991):
     // listPartitions on the target must show them and partition-scoped
-    // reads must accept them. The default partition and partition-key
-    // hash buckets (`_pk_*`) are engine-managed, not DDL names. One
-    // bounded distinct over the checkpointed view — partition count,
-    // never row count.
+    // reads must accept them — INCLUDING a partition that was empty at
+    // snapshot time, which only the captured DDL list knows about. The
+    // data-derived pass backstops metas written before the `partitions`
+    // column existed. The default partition and partition-key hash
+    // buckets (`_pk_*`, a reserved prefix) are engine-managed, not DDL
+    // names. One bounded distinct over the checkpointed view —
+    // partition count, never row count.
+    st.partitions.foreach(target.createPartitionInternal)
     if (view.columns.contains(Collection.PartitionCol)) {
       view.select(col(Collection.PartitionCol)).distinct().collect()
         .map(_.getString(0))
         .filter(p => p != null && p != Collection.DefaultPartition &&
-          !p.startsWith("_pk_"))
+          !p.startsWith("_pk_") && !target.hasPartition(p))
         .sorted.foreach(target.createPartitionInternal)
     }
     // original write timestamps drop — the target stamps its own (the
@@ -1763,35 +1784,47 @@ final class Collection private (
   // GcControl RPC): a backup/migration tool pauses physical reclamation
   // for a window so nothing it is copying disappears underneath it.
   // Contract pins from the reference: ticket names are NOT unique (the
-  // REST route sends empty tickets), so records are id-keyed and the
-  // effective pause is the MAX pauseUntil over live records; Resume
-  // deletes every record carrying its ticket name; expired records are
-  // simply ignored. (recordId, ticket, untilMs) triples.
-  @volatile private var gcPauses: Vector[(Long, String, Long)] = Vector.empty
-  private val gcPauseIds = new AtomicLong(0L)
+  // REST route sends empty tickets) — the effective pause is the MAX
+  // pauseUntil over live records; Resume deletes every record carrying
+  // its ticket name; expired records are simply ignored. The registry
+  // is JVM-wide and keyed by the ROOT PATH (the reference's pause
+  // lives in the single GC coordinator, so every caller sees it; a
+  // per-handle pause would let a second open() of the same root sweep
+  // right through a backup's window). Like the reference, it does not
+  // survive a driver restart.
 
-  /** Pause physical GC ([[retentionSweep]] and [[lobGc]]) for
-    * `durationMs`. Stacking pauses extends to the latest deadline.
+  /** Pause physical GC ([[retentionSweep]] and [[lobGc]]) over `path`
+    * for `durationMs`. Stacking pauses extends to the latest deadline.
     */
-  def gcPause(ticket: String, durationMs: Long): Unit = stateLock.synchronized {
+  def gcPause(path: String, ticket: String, durationMs: Long): Unit = {
     requirePriv("Compaction")
     require(durationMs > 0, s"pause duration must be positive, got $durationMs")
-    gcPauses :+= ((gcPauseIds.incrementAndGet(), ticket,
-      System.currentTimeMillis() + durationMs))
-  }
-
-  /** Resume: drop every pause record carrying `ticket` (ticket-scoped,
-    * like the reference's resume — other callers' records stand).
-    */
-  def gcResume(ticket: String): Unit = stateLock.synchronized {
-    requirePriv("Compaction")
-    gcPauses = gcPauses.filterNot(_._2 == ticket)
-  }
-
-  /** GetStatus (GcStatus{IsPaused, TimeRemaining}). */
-  def gcStatus: Map[String, String] = {
     val now = System.currentTimeMillis()
-    val until = gcPauses.map(_._3).maxOption.getOrElse(0L)
+    // saturating add: "pause forever" via Long.MaxValue must not wrap
+    // negative and read as not-paused
+    val until = { val u = now + durationMs; if (u < now) Long.MaxValue else u }
+    Collection.gcPauseReg.compute(Collection.qualifiedRoot(spark, path),
+      (_, v) => Option(v).getOrElse(Vector.empty)
+        .filter(_._2 > now) :+ ((ticket, until)))
+  }
+
+  /** Resume: drop every pause record over `path` carrying `ticket`
+    * (ticket-scoped, like the reference's resume — other callers'
+    * records stand).
+    */
+  def gcResume(path: String, ticket: String): Unit = {
+    requirePriv("Compaction")
+    Collection.gcPauseReg.compute(Collection.qualifiedRoot(spark, path),
+      (_, v) => Option(v).getOrElse(Vector.empty).filterNot(_._1 == ticket)
+        match { case e if e.isEmpty => null; case rest => rest })
+  }
+
+  /** GetStatus (GcStatus{IsPaused, TimeRemaining}) for `path`. */
+  def gcStatus(path: String): Map[String, String] = {
+    val now = System.currentTimeMillis()
+    val until = Option(Collection.gcPauseReg
+        .get(Collection.qualifiedRoot(spark, path)))
+      .getOrElse(Vector.empty).map(_._2).maxOption.getOrElse(0L)
     if (now < until)
       Map("is_paused" -> "true", "time_remaining_ms" -> (until - now).toString)
     else Map("is_paused" -> "false", "time_remaining_ms" -> "0")
@@ -1800,15 +1833,19 @@ final class Collection private (
   // loud refusal for this engine's CALLER-invoked GC entry points (the
   // reference's background loops silently skip; a library caller asking
   // for work that a pause forbids should hear why). Prunes expired
-  // records as a side effect. Caller holds stateLock.
-  private def requireGcNotPaused(op: String): Unit = {
+  // records as a side effect.
+  private def requireGcNotPaused(op: String, path: String): Unit = {
     val now = System.currentTimeMillis()
-    gcPauses = gcPauses.filter(_._3 > now)
-    gcPauses.map(_._3).maxOption.foreach { until =>
+    val live = Option(Collection.gcPauseReg.compute(
+        Collection.qualifiedRoot(spark, path),
+        (_, v) => Option(v).getOrElse(Vector.empty).filter(_._2 > now)
+          match { case e if e.isEmpty => null; case rest => rest }))
+      .getOrElse(Vector.empty)
+    live.map(_._2).maxOption.foreach { until =>
       throw new IllegalStateException(
-        s"$op refused: garbage collection is paused for another " +
-          s"${until - now} ms (tickets: " +
-          gcPauses.map(_._2).distinct.mkString("'", "', '", "'") +
+        s"$op refused: garbage collection over $path is paused for " +
+          s"another ${until - now} ms (tickets: " +
+          live.map(_._1).distinct.mkString("'", "', '", "'") +
           ") — gcResume first")
     }
   }
@@ -1817,7 +1854,7 @@ final class Collection private (
       halfWrittenGraceMs: Long = 3600000L): Map[String, Long] =
       stateLock.synchronized {
     requirePriv("Compaction")
-    requireGcNotPaused("retentionSweep")
+    requireGcNotPaused("retentionSweep", path)
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     def qualified(p: String): String = {
@@ -4749,7 +4786,9 @@ object Collection {
       masks: Map[String, (Long, String, String)], // field -> (addTs, type tag, value)
       dataDirs: Seq[String], lobDirs: Seq[String],
       tombsDir: Option[String], refsDir: Option[String],
-      description: String = "") // user text, echoed by DescribeSnapshot (:491)
+      description: String = "", // user text, echoed by DescribeSnapshot (:491)
+      partitions: Seq[String] = Nil, // named-partition DDL at snapshot time
+      props: Map[String, String] = Map.empty) // collection properties at ts
 
   /** Serialize a DDL default for the snapshot meta record. Loud on
     * exotic types — a silently re-typed default is worse than a refused
@@ -4842,6 +4881,20 @@ object Collection {
     if (!databases.containsKey(db))
       throw new NoSuchElementException(s"database '$db' does not exist")
 
+  // JVM-wide GC pause registry: qualified root path -> (ticket, until)
+  // records (see the instance gcPause/gcResume/gcStatus docs — the
+  // reference's pause lives in its single GC coordinator, so every
+  // handle of a root must see it)
+  private[graft] val gcPauseReg =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Long)]]()
+
+  private[graft] def qualifiedRoot(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
+
   /** GetRestoreSnapshotState: the job's poll record; unknown job ids
     * error (test_milvus_client_snapshot.py:664).
     */
@@ -4866,9 +4919,9 @@ object Collection {
       st: SnapState): Unit = {
     import spark.implicits._
     Seq((st.ts, st.horizon, st.ttlTicks, st.dropped, st.textAdds, st.masks,
-        st.description))
+        st.description, st.partitions, st.props))
       .toDF("snap_ts", "horizon", "ttl", "dropped", "text_adds", "masks",
-        "description")
+        "description", "partitions", "props")
       .coalesce(1).write.parquet(dir)
   }
 
@@ -4892,7 +4945,10 @@ object Collection {
       if (has("text_adds")) r.getMap[String, Long](r.fieldIndex("text_adds")).toMap
       else Map.empty,
       masks, dataDirs, lobDirs, tombsDir, refsDir,
-      if (has("description")) r.getAs[String]("description") else "")
+      if (has("description")) r.getAs[String]("description") else "",
+      if (has("partitions")) r.getSeq[String](r.fieldIndex("partitions")) else Nil,
+      if (has("props")) r.getMap[String, String](r.fieldIndex("props")).toMap
+      else Map.empty)
   }
 
   /** The maximum DIR-NAME tick of this layout (seg/fold/run/merge, blob

@@ -1329,6 +1329,8 @@ class TextLobSpec extends SparkSpec {
     c.insertInto("p1", rows(4, bigEvery = 2, threshold = 64))
     c.insertInto("p2", (5 to 8).map(i =>
       (i.toLong, s"doc $i payload " + ("y" * 70))).toDF("id", "text"))
+    c.createPartition("p_empty") // DDL'd but never written — must restore
+    c.alterCollection(Map("note.owner" -> "team-a"))
     c.createSnapshot(path, "s1")
     // :991 — the source drops p2 AFTER the snapshot; the restore must
     // still recreate it with its rows (the drop's tombstones postdate
@@ -1339,6 +1341,11 @@ class TextLobSpec extends SparkSpec {
     val r = Collection.getCollection(target)
     assert(r.listPartitions.contains("p1") && r.listPartitions.contains("p2"),
       r.listPartitions.toString)
+    // the never-written partition restores from the captured DDL list
+    // (data-derived discovery alone cannot know it), and properties ride
+    assert(r.listPartitions.contains("p_empty"), r.listPartitions.toString)
+    assert(r.count(partitionNames = Seq("p_empty")) == 0)
+    assert(r.describeCollectionProperties.get("note.owner").contains("team-a"))
     assert(r.count(partitionNames = Seq("p1")) == 4)
     assert(r.count(partitionNames = Seq("p2")) == 4)
     assert(r.count() == 8)
@@ -1506,37 +1513,45 @@ class TextLobSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/_snapshots/s1").exists())
   }
 
-  test("gcPause blocks sweep and lobGc; tickets stack to MAX and resume by name") {
+  test("gcPause blocks sweep and lobGc across handles; tickets stack and resume by name") {
     val path = s"${scratch("textlob_gcpause")}/data"
-    val c = Collection.create(spark, CollectionSchema(pkField = "id",
-      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
     c.insert(rows(4, bigEvery = 2, threshold = 64))
     c.flush(path)
-    assert(c.gcStatus("is_paused") == "false")
+    assert(c.gcStatus(path)("is_paused") == "false")
     // two tickets, same name is legal (the reference's REST route sends
-    // empty tickets); a third under another name outlasts both
-    c.gcPause("backup", 60000L)
-    c.gcPause("backup", 120000L)
-    c.gcPause("migration", 300000L)
-    assert(c.gcStatus("is_paused") == "true")
-    assert(c.gcStatus("time_remaining_ms").toLong > 120000L)
+    // empty tickets); a third under another name outlasts both; a huge
+    // duration saturates instead of wrapping negative
+    c.gcPause(path, "backup", 60000L)
+    c.gcPause(path, "backup", 120000L)
+    c.gcPause(path, "migration", Long.MaxValue)
+    assert(c.gcStatus(path)("is_paused") == "true")
+    assert(c.gcStatus(path)("time_remaining_ms").toLong > 120000L)
     val e = intercept[IllegalStateException] { c.retentionSweep(path) }
     assert(e.getMessage.contains("paused") && e.getMessage.contains("migration"))
     intercept[IllegalStateException] { c.lobGc(path) }
+    // the pause is ROOT-scoped, not handle-scoped: a second open() of
+    // the same root must refuse too (the reference's pause lives in the
+    // one GC coordinator)
+    val other = Collection.open(spark, schema, path)
+    assert(other.gcStatus(path)("is_paused") == "true")
+    intercept[IllegalStateException] { other.retentionSweep(path) }
     // ticket-scoped resume: 'backup' drops both its records, 'migration'
     // still holds the pause
-    c.gcResume("backup")
-    assert(c.gcStatus("is_paused") == "true")
+    c.gcResume(path, "backup")
+    assert(c.gcStatus(path)("is_paused") == "true")
     intercept[IllegalStateException] { c.retentionSweep(path) }
-    c.gcResume("migration")
-    assert(c.gcStatus("is_paused") == "false")
+    c.gcResume(path, "migration")
+    assert(c.gcStatus(path)("is_paused") == "false")
     // GC runs again (nothing to reclaim here — the point is no refusal)
     assert(c.retentionSweep(path)("data_deleted") == 0L)
     assert(c.lobGc(path) == 0L)
     // an expired pause never blocks: one-millisecond window, spun past
-    c.gcPause("blip", 1L)
+    c.gcPause(path, "blip", 1L)
     Thread.sleep(5L)
-    assert(c.gcStatus("is_paused") == "false")
+    assert(c.gcStatus(path)("is_paused") == "false")
     assert(c.retentionSweep(path)("data_deleted") == 0L)
   }
 
