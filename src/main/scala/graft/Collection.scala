@@ -592,6 +592,15 @@ final class Collection private (
 
   def createPartition(name: String): Unit = stateLock.synchronized {
     requirePriv("CreatePartition")
+    // `_pk_<bucket>` is how partition-key routing stamps rows — a USER
+    // partition under the prefix would be indistinguishable from a
+    // hash bucket (and a snapshot restore would mis-classify it). The
+    // gate sits on the DDL RPC only: engine plumbing (bucket
+    // pre-seeding, namespace auto-create, restore replay of
+    // legacy-named partitions) goes through createPartitionInternal
+    require(!name.startsWith("_pk_"),
+      s"Invalid partition name: $name. The '_pk_' prefix is reserved " +
+        "for partition-key buckets.")
     createPartitionInternal(name)
   }
 
@@ -611,12 +620,6 @@ final class Collection private (
     require(name.forall(c => c == '_' || c == '-' || c.isLetterOrDigit),
       s"Invalid partition name: $name. Partition name can only contain " +
         "numbers, letters and underscores.")
-    // `_pk_<bucket>` is how partition-key routing stamps rows — a user
-    // partition under the prefix would be indistinguishable from a hash
-    // bucket (and a snapshot restore would mis-classify it)
-    require(!name.startsWith("_pk_"),
-      s"Invalid partition name: $name. The '_pk_' prefix is reserved " +
-        "for partition-key buckets.")
     require(!partitionSet.contains(name), s"partition '$name' already exists")
     partitionSet += name
   }
@@ -1310,7 +1313,15 @@ final class Collection private (
     */
   def lobGc(path: String): Long = stateLock.synchronized {
     requirePriv("Compaction")
-    requireGcNotPaused("lobGc", path)
+    // same root-lock span as retentionSweep: a returned gcPause
+    // guarantees no in-flight reclamation on this root
+    Collection.gcRootLock(Collection.qualifiedRoot(spark, path)).synchronized {
+      requireGcNotPaused("lobGc", path)
+      lobGcLocked(path)
+    }
+  }
+
+  private def lobGcLocked(path: String): Long = {
     lobStore match {
       case None => 0L
       case Some(store) =>
@@ -1460,8 +1471,12 @@ final class Collection private (
       // named-partition DDL and collection properties restore as
       // first-class state (a partition EMPTY at snapshot time must
       // still exist on the restore target; a TTL'd source must not
-      // restore into a never-expiring collection)
-      partitionSet.toSeq.filterNot(_ == Collection.DefaultPartition).sorted,
+      // restore into a never-expiring collection). Engine-managed
+      // `_pk_<bucket>` entries stay out: a partition-key target
+      // pre-seeds its own buckets from the schema, and replaying them
+      // would collide (or trip the reserved-prefix DDL gate)
+      partitionSet.toSeq.filterNot(p =>
+        p == Collection.DefaultPartition || p.startsWith("_pk_")).sorted,
       collectionProperties)
     Collection.writeSnapMeta(spark, s"$root/meta", st)
     snapshotReg += id -> st
@@ -1615,7 +1630,13 @@ final class Collection private (
     // buckets (`_pk_*`, a reserved prefix) are engine-managed, not DDL
     // names. One bounded distinct over the checkpointed view —
     // partition count, never row count.
-    st.partitions.foreach(target.createPartitionInternal)
+    // skip buckets and already-present names defensively: a meta
+    // written by the capture-side bug window (or a legacy user
+    // partition under the now-reserved prefix) must not make its
+    // snapshot unrestorable
+    st.partitions.filterNot(p =>
+        p.startsWith("_pk_") || target.hasPartition(p))
+      .foreach(target.createPartitionInternal)
     if (view.columns.contains(Collection.PartitionCol)) {
       view.select(col(Collection.PartitionCol)).distinct().collect()
         .map(_.getString(0))
@@ -1799,13 +1820,20 @@ final class Collection private (
   def gcPause(path: String, ticket: String, durationMs: Long): Unit = {
     requirePriv("Compaction")
     require(durationMs > 0, s"pause duration must be positive, got $durationMs")
-    val now = System.currentTimeMillis()
-    // saturating add: "pause forever" via Long.MaxValue must not wrap
-    // negative and read as not-paused
-    val until = { val u = now + durationMs; if (u < now) Long.MaxValue else u }
-    Collection.gcPauseReg.compute(Collection.qualifiedRoot(spark, path),
-      (_, v) => Option(v).getOrElse(Vector.empty)
-        .filter(_._2 > now) :+ ((ticket, until)))
+    val key = Collection.qualifiedRoot(spark, path)
+    // acquiring the root lock blocks behind any in-flight sweep/lobGc
+    // on this root (any handle) — when this call RETURNS, reclamation
+    // has stopped, which is the pause-then-copy contract (the
+    // reference's Pause waits for the worker's ack the same way)
+    Collection.gcRootLock(key).synchronized {
+      val now = System.currentTimeMillis()
+      // saturating add: "pause forever" via Long.MaxValue must not wrap
+      // negative and read as not-paused
+      val until = { val u = now + durationMs; if (u < now) Long.MaxValue else u }
+      Collection.gcPauseReg.compute(key,
+        (_, v) => Option(v).getOrElse(Vector.empty)
+          .filter(_._2 > now) :+ ((ticket, until)))
+    }
   }
 
   /** Resume: drop every pause record over `path` carrying `ticket`
@@ -1819,11 +1847,19 @@ final class Collection private (
         match { case e if e.isEmpty => null; case rest => rest })
   }
 
-  /** GetStatus (GcStatus{IsPaused, TimeRemaining}) for `path`. */
+  /** GetStatus (GcStatus{IsPaused, TimeRemaining}) for `path`. Prunes
+    * the root's expired records (and an emptied key) as a side effect,
+    * so a long-lived driver cycling through many roots doesn't
+    * accumulate dead registry entries.
+    */
   def gcStatus(path: String): Map[String, String] = {
     val now = System.currentTimeMillis()
-    val until = Option(Collection.gcPauseReg
-        .get(Collection.qualifiedRoot(spark, path)))
+    val until = Option(Collection.gcPauseReg.computeIfPresent(
+        Collection.qualifiedRoot(spark, path),
+        (_, v) => v.filter(_._2 > now) match {
+          case e if e.isEmpty => null
+          case rest => rest
+        }))
       .getOrElse(Vector.empty).map(_._2).maxOption.getOrElse(0L)
     if (now < until)
       Map("is_paused" -> "true", "time_remaining_ms" -> (until - now).toString)
@@ -1854,7 +1890,16 @@ final class Collection private (
       halfWrittenGraceMs: Long = 3600000L): Map[String, Long] =
       stateLock.synchronized {
     requirePriv("Compaction")
-    requireGcNotPaused("retentionSweep", path)
+    // the root lock spans the whole sweep: a concurrent gcPause blocks
+    // until no reclamation is in flight on this root (see gcRootLock)
+    Collection.gcRootLock(Collection.qualifiedRoot(spark, path)).synchronized {
+      requireGcNotPaused("retentionSweep", path)
+      retentionSweepLocked(path, halfWrittenGraceMs)
+    }
+  }
+
+  private def retentionSweepLocked(path: String,
+      halfWrittenGraceMs: Long): Map[String, Long] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     def qualified(p: String): String = {
@@ -4887,6 +4932,17 @@ object Collection {
   // handle of a root must see it)
   private[graft] val gcPauseReg =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Long)]]()
+
+  // per-root GC mutex: a sweep/lobGc holds it for its whole run and
+  // gcPause acquires it before registering, so a RETURNED pause means
+  // no reclamation is mid-flight on that root through ANY handle (the
+  // reference's Pause blocks until the GC worker acks the command —
+  // garbage_collector.go:309-334). Lock order is always
+  // instance stateLock -> root lock; gcPause takes only the root lock.
+  private val gcRootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def gcRootLock(key: String): Object =
+    gcRootLocks.computeIfAbsent(key, _ => new Object)
 
   private[graft] def qualifiedRoot(spark: SparkSession, path: String): String = {
     import org.apache.hadoop.fs.Path

@@ -1355,6 +1355,27 @@ class TextLobSpec extends SparkSpec {
       c.readSnapshot("s1").filter($"id" >= 5 && octet_length($"text") > 64).count())
   }
 
+  test("snapshot+restore of a partition-key collection never replays buckets as DDL") {
+    val path = s"${scratch("textlob_pkrest")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      partitionKeyField = Some("tenant")))
+    c.insert(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tenant"))
+    c.createSnapshot(path, "s1")
+    // the capture must exclude the pre-seeded _pk_* buckets — with them
+    // in the DDL list the replay would collide with the target's own
+    // pre-seeded buckets and every partition-key restore would fail
+    val target = s"pkrest_target_${System.nanoTime()}"
+    c.restoreSnapshotAs("s1", target)
+    val r = Collection.getCollection(target)
+    assert(r.count() == 3)
+    // bucket routing survives: a key-scoped read prunes to the tenant
+    assert(r.query("tenant == 'a'", Seq("id")).count() == 2)
+    // the reserved prefix rejects USER DDL only — engine plumbing
+    // (bucket pre-seed, restore replay) is unaffected
+    val e = intercept[IllegalArgumentException] { c.createPartition("_pk_custom") }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("a failed restore unpins and records the failure") {
     val path = s"${scratch("textlob_restfail")}/data"
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
