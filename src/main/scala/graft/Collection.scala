@@ -592,15 +592,6 @@ final class Collection private (
 
   def createPartition(name: String): Unit = stateLock.synchronized {
     requirePriv("CreatePartition")
-    // `_pk_<bucket>` is how partition-key routing stamps rows — a USER
-    // partition under the prefix would be indistinguishable from a
-    // hash bucket (and a snapshot restore would mis-classify it). The
-    // gate sits on the DDL RPC only: engine plumbing (bucket
-    // pre-seeding, namespace auto-create, restore replay of
-    // legacy-named partitions) goes through createPartitionInternal
-    require(!name.startsWith("_pk_"),
-      s"Invalid partition name: $name. The '_pk_' prefix is reserved " +
-        "for partition-key buckets.")
     createPartitionInternal(name)
   }
 
@@ -620,6 +611,16 @@ final class Collection private (
     require(name.forall(c => c == '_' || c == '-' || c.isLetterOrDigit),
       s"Invalid partition name: $name. Partition name can only contain " +
         "numbers, letters and underscores.")
+    // `_pk_<bucket>` is how partition-key routing stamps rows — ANY
+    // caller-named partition under the prefix (DDL or a
+    // namespace-partition tenant id) would be indistinguishable from a
+    // hash bucket, and snapshot capture/restore would silently drop its
+    // registration. Engine plumbing that legitimately carries the
+    // prefix never routes through here: bucket pre-seeding writes
+    // partitionSet directly, and the restore replay pre-filters.
+    require(!name.startsWith("_pk_"),
+      s"Invalid partition name: $name. The '_pk_' prefix is reserved " +
+        "for partition-key buckets.")
     require(!partitionSet.contains(name), s"partition '$name' already exists")
     partitionSet += name
   }
@@ -4939,6 +4940,11 @@ object Collection {
   // reference's Pause blocks until the GC worker acks the command —
   // garbage_collector.go:309-334). Lock order is always
   // instance stateLock -> root lock; gcPause takes only the root lock.
+  // deliberately never pruned: evicting a monitor while another thread
+  // may be blocked on (or holding) it would break the pause handshake's
+  // mutual exclusion — and the cost is one bare Object + key String per
+  // DISTINCT root ever GC'd in this JVM, bounded by collection count,
+  // not by call count
   private val gcRootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def gcRootLock(key: String): Object =

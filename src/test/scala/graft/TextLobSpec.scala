@@ -1370,10 +1370,21 @@ class TextLobSpec extends SparkSpec {
     assert(r.count() == 3)
     // bucket routing survives: a key-scoped read prunes to the tenant
     assert(r.query("tenant == 'a'", Seq("id")).count() == 2)
-    // the reserved prefix rejects USER DDL only — engine plumbing
-    // (bucket pre-seed, restore replay) is unaffected
+    // the reserved prefix rejects every caller-named registration —
+    // USER DDL and a namespace-partition tenant id alike (a silent
+    // reserved-prefix tenant would be misclassified as a bucket and
+    // stranded by snapshot capture/restore); engine plumbing (bucket
+    // pre-seed, restore replay) is unaffected
     val e = intercept[IllegalArgumentException] { c.createPartition("_pk_custom") }
     assert(e.getMessage.contains("reserved"))
+    val ns = Collection.create(spark, CollectionSchema(pkField = "id",
+      enableNamespace = true))
+    ns.alterCollection(Map(
+      Collection.NamespaceModeKey -> Collection.NamespaceModePartition))
+    val e2 = intercept[IllegalArgumentException] {
+      ns.insert(Seq((1L, "x")).toDF("id", "v"), namespace = Some("_pk_acme"))
+    }
+    assert(e2.getMessage.contains("reserved"))
   }
 
   test("a failed restore unpins and records the failure") {
