@@ -36,6 +36,10 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE right-sizes cached-plan output partitioning (see
+      // GraftSession.local) — pinned read views otherwise keep the raw
+      // shuffle partition count and every cache scan pays the fan-out
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // small-file splits (see GraftSession.local) — local-mode only
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

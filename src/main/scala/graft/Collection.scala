@@ -146,8 +146,19 @@ final class Collection private (
     * alpha and numeric names already infers string; the re-read only
     * fires for the all-numeric-tenants case.)
     */
+  // Engine-written layout dirs are write-once: within this handle's
+  // lifetime a path's files — and hence its inferred schema — never
+  // change, so repeated segment reads (the pk-pruned dispatch re-unions
+  // the kept segments on EVERY read) reuse one analyzed Dataset instead
+  // of re-running parquet footer inference: one scheduler job per
+  // segment per read saved at fixture scale, pure planning reuse at any
+  // scale. Instance-scoped so a reopened handle re-infers from disk.
+  private val layoutDfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def readLayout(path: String): DataFrame =
-    Collection.readLayoutAt(spark, path)
+    layoutDfCache.computeIfAbsent(path,
+      p => Collection.readLayoutAt(spark, p))
 
   // Sealed reads go through the ts normalization boundary: the MVCC
   // machinery below (visibility, TTL, truncate horizons) works in
@@ -426,6 +437,7 @@ final class Collection private (
       loadedFields = Some(fs)
     } else loadedFields = None
     skipDynamic = skipLoadDynamicField
+    invalidateFilterCache() // the load scope is part of view visibility
     sealedDf = sealedDf.map(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the sealed blob store pins alongside the data (reference: load
@@ -457,6 +469,7 @@ final class Collection private (
 
   def release(): Unit = stateLock.synchronized {
     requirePriv("Release")
+    invalidateFilterCache() // load scope change (see load())
     sealedDf.foreach(_.unpersist())
     lobSealed.foreach(_.unpersist()) // no-op when it was never pinned
     partialPin.foreach(_.unpersist())
@@ -511,6 +524,7 @@ final class Collection private (
       loadedPartitions = Some(set)
       repinPartial(set)
       loadedFlag = true
+      invalidateFilterCache() // load scope change (see load())
     }
   }
 
@@ -538,6 +552,7 @@ final class Collection private (
         loadedPartitions = Some(remaining)
         repinPartial(remaining)
       }
+      invalidateFilterCache() // load scope change (see load())
     }
   }
 
@@ -768,8 +783,18 @@ final class Collection private (
   // active restore/export pins per snapshot id (reference PR #48143: an
   // in-flight job pins its snapshot; DropSnapshot refuses while pins
   // exist). Runtime-only by design — a pin is an in-flight job, and a
-  // restarted driver has no in-flight jobs to protect.
-  @volatile private var snapshotPins: Map[String, Int] = Map.empty
+  // restarted driver has no in-flight jobs to protect. The registry
+  // lives on the COMPANION keyed by qualified root + id (like
+  // gcPauseReg): drop markers and the retention sweep are root-global,
+  // so a pin held through one handle must block dropSnapshot — and
+  // therefore the sweep — through EVERY handle of the same root; an
+  // instance-local map let handle B drop and sweep the dirs out from
+  // under handle A's in-flight restore/export. Snapshots without a
+  // persisted root (never flushed to one) key under a handle-local
+  // sentinel — no other handle can see them anyway.
+  private def snapshotPinKey(id: String): (String, String) =
+    (snapshotRoots.get(id).map(r => Collection.qualifiedRoot(spark, r))
+      .getOrElse(s"mem:${System.identityHashCode(this)}"), id)
 
   // snapshot id -> the layout root its `_snapshots/<id>` artifacts live
   // under: dropSnapshot writes its durable `_dropped` marker there, so
@@ -1197,7 +1222,9 @@ final class Collection private (
         throw new IllegalStateException("nothing to compact — empty collection"))
       val (foldable, deferred) =
         colPatches.partition { case (f, _) => preFold.columns.contains(f) }
-      if (foldable.nonEmpty) {
+      if (foldable.nonEmpty) Collection.gcRootLock(
+          Collection.qualifiedRoot(spark, path)).synchronized {
+        // root-locked write span (see flush); reentrant under compact
         val folded = applyColumnPatches(preFold, lit(lastWriteTs), foldable)
         val foldPath = s"$path/fold-${nextTs()}"
         // keep the hive partition layout (and directory DEPTH) of
@@ -1216,6 +1243,14 @@ final class Collection private (
   def compact(path: String): Unit = stateLock.synchronized {
     requirePriv("Compaction")
     require(growing.isEmpty, "flush the growing tail before compacting")
+    // root-lock the rewrite span (see flush): the sweep through another
+    // handle must never see the run dir half-written
+    Collection.gcRootLock(Collection.qualifiedRoot(spark, path)).synchronized {
+      compactLocked(path)
+    }
+  }
+
+  private def compactLocked(path: String): Unit = {
     // fold mutable-column patches first (20260709-mutable-columns.md:
     // compaction folds the patch overlay into the column files; vectors
     // and untouched columns stream through, row timestamps are kept)
@@ -1522,7 +1557,7 @@ final class Collection private (
     // (an undroppable snapshot pins its dirs against the sweep forever);
     // the membership check below rejects every invalid name anyway
     require(snapshotReg.contains(id), s"snapshot '$id' not found")
-    val pins = snapshotPins.getOrElse(id, 0)
+    val pins = snapshotPinCount(id)
     require(pins == 0,
       s"cannot drop snapshot '$id': $pins active pins exist — " +
         "unpin before dropping")
@@ -1587,14 +1622,21 @@ final class Collection private (
     finally stateLock.synchronized(unpinSnapshot(id))
   }
 
-  // caller holds stateLock for both
-  private def pinSnapshot(id: String): Unit =
-    snapshotPins = snapshotPins.updated(id, snapshotPins.getOrElse(id, 0) + 1)
-  private def unpinSnapshot(id: String): Unit = {
-    val left = snapshotPins.getOrElse(id, 0) - 1
-    snapshotPins =
-      if (left <= 0) snapshotPins - id else snapshotPins.updated(id, left)
+  // caller holds stateLock for both; the registry itself is concurrent
+  // (cross-handle pins arrive under OTHER handles' stateLocks)
+  private def pinSnapshot(id: String): Unit = {
+    Collection.snapshotPinReg.merge(snapshotPinKey(id), Integer.valueOf(1),
+      (a, b) => Integer.valueOf(a.intValue + b.intValue))
+    ()
   }
+  private def unpinSnapshot(id: String): Unit = {
+    Collection.snapshotPinReg.computeIfPresent(snapshotPinKey(id),
+      (_, v) => if (v.intValue <= 1) null else Integer.valueOf(v.intValue - 1))
+    ()
+  }
+  private def snapshotPinCount(id: String): Int =
+    Option(Collection.snapshotPinReg.get(snapshotPinKey(id)))
+      .map(_.intValue).getOrElse(0)
 
   /** The restore write itself, shared by the anonymous [[restoreSnapshot]]
     * and the job-registry [[restoreSnapshotAs]].
@@ -1688,6 +1730,15 @@ final class Collection private (
       Collection.requireDatabase(db)
       require(!Collection.hasCollection(targetName, db),
         s"duplicate collection: '$db.$targetName' already exists")
+      // RESERVE the target name before any write: two concurrent
+      // restores to the same target both pass the check above, and the
+      // loser would otherwise fail only in registerCollection AFTER
+      // materializing the whole corpus (leaking the unregistered
+      // target). The reservation makes the loser fail fast, here.
+      require(Collection.restoreReservations
+          .putIfAbsent((db, targetName), java.lang.Long.valueOf(0L)) == null,
+        s"duplicate collection: '$db.$targetName' already exists " +
+          "(a restore to this target is in progress)")
       val jobId = Collection.nextRestoreJobId()
       Collection.restoreJobs.put(jobId, Collection.RestoreJob(jobId, id,
         targetName, db, "RestoreSnapshotInProgress", 0,
@@ -1727,6 +1778,7 @@ final class Collection private (
       progress = progress, reason = reason,
       timeCost = math.max(1L, System.currentTimeMillis() - j.startTime)))
     unpinSnapshot(j.snapshot)
+    Collection.restoreReservations.remove((j.db, j.targetName))
     Collection.reapRestoreJobs()
   }
 
@@ -2029,6 +2081,16 @@ final class Collection private (
     */
   def flush(path: String): Unit = stateLock.synchronized {
     requirePriv("Flush")
+    // root-lock the write span: a retentionSweep through ANOTHER handle
+    // of this root must not list this flush's half-written seg/gen dir
+    // as unreferenced junk mid-write (the sweep holds the same lock for
+    // its whole run; lock order stateLock -> root lock everywhere)
+    Collection.gcRootLock(Collection.qualifiedRoot(spark, path)).synchronized {
+      flushLocked(path)
+    }
+  }
+
+  private def flushLocked(path: String): Unit = {
     // seal the blob-store delta BEFORE the data segment (the reference
     // lands LOB files before sealing the segment that references them):
     // a crash between the two writes must leave unreferenced blobs (a
@@ -2540,7 +2602,9 @@ final class Collection private (
     require(targetSizeMb >= maxSizeMb,
       s"targetSize ${targetSizeMb}MB must be >= the segment max size ${maxSizeMb}MB")
     val before = sealedSegments.size
-    if (before > 1) {
+    // root-lock the merge-dir write span (see flush)
+    if (before > 1) Collection.gcRootLock(
+        Collection.qualifiedRoot(spark, path)).synchronized {
       import org.apache.hadoop.fs.Path
       val conf = spark.sessionState.newHadoopConf()
       val targetBytes = targetSizeMb * 1024L * 1024L
@@ -3143,6 +3207,7 @@ final class Collection private (
       // carry two incompatible term vocabularies
       if (backfill) backfillFunctions :+= wired
       functionsEverChanged = true
+      invalidateFilterCache() // a backfill changes the read view in place
     }
 
   @volatile private var backfillFunctions
@@ -3166,6 +3231,7 @@ final class Collection private (
     ingestFunctions = ingestFunctions.filterNot(_.outputField == outputField)
     backfillFunctions = backfillFunctions.filterNot(_.outputField == outputField)
     functionsEverChanged = true // later batches lack the output column
+    invalidateFilterCache() // dropping a backfill changes the read view
   }
 
   def listFunctions: Seq[graft.functions.IngestFunctions.FunctionSchema] =
@@ -3301,6 +3367,50 @@ final class Collection private (
       preFilter: Option[Column] = None,
       ignoreGrowing: Boolean = false,
       pkDomain: Option[graft.operators.PkPruning.Domain] = None): DataFrame = {
+    // every state input not named in the key is covered by the
+    // invalidate-on-mutation contract (invalidateFilterCache callers).
+    // The build runs OUTSIDE stateLock — same read/write interleaving
+    // as the uncached path — and is only cached when no mutation
+    // intervened (epoch check), so a torn in-flight build can never
+    // poison the cache for later readers.
+    val epoch0 = viewCacheEpoch.get()
+    val key = Seq(level.id, staleness, sessionTs, lastWriteTs,
+      ttl.map(_.toString).getOrElse("-"),
+      preFilter.map(_.toString).getOrElse("-"),
+      ignoreGrowing, pkDomain.map(_.toString).getOrElse("-")).mkString("|")
+    val cached = stateLock.synchronized {
+      viewCache.get(key).map { case (df, hits) =>
+        viewCache.put(key, (df, hits + 1))
+        if (hits + 1 == viewPinThreshold) // battery pattern — pin it
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      }
+    }
+    cached.getOrElse {
+      val df = buildReadViewUnscoped(level, staleness, sessionTs, ttl,
+        preFilter, ignoreGrowing, pkDomain)
+      stateLock.synchronized {
+        if (viewCacheEpoch.get() == epoch0 && !viewCache.contains(key)) {
+          viewCache.put(key, (df, 1))
+          while (viewCache.size > viewCacheCapacity) { // FIFO eviction
+            val (k, (old, hits)) = viewCache.head
+            if (hits >= viewPinThreshold) old.unpersist()
+            viewCache.remove(k)
+          }
+        }
+      }
+      df
+    }
+  }
+
+  private def buildReadViewUnscoped(
+      level: ConsistencyLevel.Value,
+      staleness: Long,
+      sessionTs: Long,
+      ttl: Option[Column],
+      preFilter: Option[Column],
+      ignoreGrowing: Boolean,
+      pkDomain: Option[graft.operators.PkPruning.Domain]): DataFrame = {
     val readTs = Mvcc.resolveReadTs(level, lastWriteTs, lastWriteTs, staleness, sessionTs)
     // a pk-anchored filter prunes the sealed FILE list before any scan
     // (MEP 20260324), and a time-travel read additionally skips
@@ -3406,7 +3516,38 @@ final class Collection private (
   private def invalidateFilterCache(): Unit = {
     filterCache.valuesIterator.foreach(_.unpersist())
     filterCache.clear()
+    viewCache.valuesIterator.foreach { case (df, hits) =>
+      if (hits >= viewPinThreshold) df.unpersist()
+    }
+    viewCache.clear()
+    viewCacheEpoch.incrementAndGet()
   }
+
+  // ---- read-view plan memo (driver-side): [[readViewUnscoped]]'s plan
+  // is a pure function of the collection's mutable state and its
+  // arguments, yet the facade batteries (queryAgg matrices, repeated
+  // query/search between writes) rebuilt — and Catalyst re-analyzed —
+  // the whole MVCC-collapse tree on EVERY call; at fixture scale that
+  // planning time dominates the work (guide §3.3: very large plans make
+  // planning itself the bottleneck — truncate / reuse). The memo reuses
+  // one analyzed Dataset per distinct argument tuple, and the SECOND
+  // read of the same view pins it (persist) so later calls in the
+  // battery scan an in-memory relation instead of re-collapsing — the
+  // same device as [[filterCache]], one level down, with the same
+  // lifetime: every mutation (and load/release scope change) clears it,
+  // so no result ever outlives the state it was computed from. A view
+  // read ONCE is never persisted (zero overhead on single-read paths).
+  private val viewCache =
+    scala.collection.mutable.LinkedHashMap.empty[String, (DataFrame, Int)]
+  private val viewCacheCapacity = 8
+  // Nth read of the same view pins it (persist). 2 = the battery
+  // pattern pays one materialization and every later call scans memory;
+  // raise (or set huge to disable pinning) via env for A/B measurement.
+  private val viewPinThreshold =
+    sys.env.getOrElse("SPARK_GRAFT_VIEWPIN", "2").toInt
+  // bumped on every invalidation: a view build that raced a mutation
+  // (started before, finished after) must not enter the cache
+  private val viewCacheEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** [[query]] through the filter-result cache: a repeated filter at an
     * unchanged write-ts reuses the persisted filtered view instead of
@@ -4933,6 +5074,21 @@ object Collection {
   // handle of a root must see it)
   private[graft] val gcPauseReg =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Long)]]()
+
+  // JVM-wide snapshot pin registry: (qualified root, snapshot id) ->
+  // active restore/export pin count. Root-global for the same reason as
+  // gcPauseReg: the `_dropped` marker and the retention sweep act on
+  // the ROOT, so a pin taken through one handle must block
+  // dropSnapshot through every handle of that root (PR #48143's race).
+  private[graft] val snapshotPinReg =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  // in-flight restore target reservations: (db, target name). Taken
+  // before the restore write, released by completeRestoreJob — the
+  // loser of two concurrent restores to one target fails fast instead
+  // of materializing a corpus it can never register.
+  private[graft] val restoreReservations =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   // per-root GC mutex: a sweep/lobGc holds it for its whole run and
   // gcPause acquires it before registering, so a RETURNED pause means

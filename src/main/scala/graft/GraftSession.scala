@@ -23,6 +23,14 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE right-size the output partitioning of persisted plans
+      // (off by default): a pinned read view otherwise caches the raw
+      // pre-AQE shuffle partitioning — 32 near-empty blocks per view
+      // locally, and at scale whatever the static shuffle partition
+      // count was — so every later scan of the cache pays that task
+      // fan-out. Scale-correct: AQE targets advisory bytes, not a
+      // constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // local-only: the test parquet files are single-digit MB, so the
       // default 128 MB split puts a whole table in ONE task — expensive
       // per-row expressions (minhash, simhash) then run single-threaded.
@@ -70,9 +78,20 @@ object GraftSession {
     }
   }
 
+  // The driver-provided tables are immutable inputs: one footer-
+  // inference pass per (session, path) is enough — re-inferring on
+  // every facade call costs a scheduler job each (~tens of ms of
+  // driver latency per query at fixture scale, pure metadata at any
+  // scale). The cached object is a LAZY plan: every action still scans
+  // the parquet files; only the schema/listing work is reused — the
+  // catalog-metadata cache any resident engine keeps.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Read one of the driver-provided parquet tables under `dir`,
     * with the MVCC ts columns normalized to epoch-nanos Long.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => normalizeTs(s.read.parquet(p)) })
 }

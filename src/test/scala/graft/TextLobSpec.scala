@@ -1258,6 +1258,61 @@ class TextLobSpec extends SparkSpec {
     assert(c.listSnapshots.isEmpty)
   }
 
+  test("a pin taken through one handle blocks dropSnapshot through ANOTHER handle of the same root") {
+    // the PR #48143 race ADVICE r16 flagged: drop markers and the
+    // retention sweep are root-global, so an instance-local pin let a
+    // second handle drop (and then sweep) the dirs out from under an
+    // in-flight restore. The pin registry is root-global now.
+    val path = s"${scratch("textlob_xhandlepin")}/data"
+    def schema = CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64)
+    val c = Collection.create(spark, schema)
+    c.insert(rows(5, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val other = Collection.open(spark, schema, path) // second handle
+    val target = s"xhandle_target_${System.nanoTime()}"
+    var otherDrop: Option[Throwable] = None
+    c.restoreSnapshotAs("s1", target, onPinned = () => {
+      otherDrop = Some(intercept[IllegalArgumentException] {
+        other.dropSnapshot("s1")
+      })
+    })
+    assert(otherDrop.exists(_.getMessage.contains("active pins exist")),
+      s"cross-handle drop must see the pin, got: $otherDrop")
+    // after the job completes the pin releases root-globally
+    other.dropSnapshot("s1")
+    assert(other.listSnapshots.isEmpty)
+  }
+
+  test("a concurrent restore to the same target fails fast on the reservation, not after the write") {
+    val path = s"${scratch("textlob_restres")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(4, bigEvery = 2, threshold = 64))
+    c.createSnapshot(path, "s1")
+    val target = s"restres_target_${System.nanoTime()}"
+    var second: Option[Throwable] = None
+    val jobsBefore = Collection.listRestoreSnapshotJobs().size
+    c.restoreSnapshotAs("s1", target, onPinned = () => {
+      // the first restore holds the reservation but has not registered
+      // the target yet — a second restore to the same name must fail
+      // HERE (fast), not in registerCollection after materializing
+      second = Some(intercept[IllegalArgumentException] {
+        c.restoreSnapshotAs("s1", target)
+      })
+    })
+    assert(second.exists(_.getMessage.contains("duplicate collection")))
+    // the loser registered no job; the winner registered the target
+    assert(Collection.listRestoreSnapshotJobs().size == jobsBefore + 1)
+    assert(Collection.getCollection(target).count() == 4)
+    // the reservation released on completion: a fresh target works
+    c.restoreSnapshotAs("s1", target + "_2")
+    assert(Collection.getCollection(target + "_2").count() == 4)
+    Collection.dropCollection(target)
+    Collection.dropCollection(target + "_2")
+    c.dropSnapshot("s1")
+  }
+
   test("a restored collection survives dropping AND sweeping the source") {
     val path = s"${scratch("textlob_restsweep")}/data"
     val c = Collection.create(spark, CollectionSchema(pkField = "id",
