@@ -40,6 +40,8 @@ object Bench {
       // GraftSession.local) — pinned read views otherwise keep the raw
       // shuffle partition count and every cache scan pays the fan-out
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // hold the suite's full codegen working set (see GraftSession.local)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // small-file splits (see GraftSession.local) — local-mode only
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

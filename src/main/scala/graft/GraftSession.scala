@@ -31,6 +31,13 @@ object GraftSession {
       // fan-out. Scale-correct: AQE targets advisory bytes, not a
       // constant.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // the JVM-wide generated-code cache defaults to 100 entries; a
+      // resident engine running hundreds of distinct plan shapes (this
+      // suite: 214 queries x ~10 codegen stages each) evicts constantly
+      // and pays a fresh Janino compile (~10-40 ms, driver-side) per
+      // stage per run. Size it to hold the working set — memory cost is
+      // a few KB of bytecode per entry.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // local-only: the test parquet files are single-digit MB, so the
       // default 128 MB split puts a whole table in ONE task — expensive
       // per-row expressions (minhash, simhash) then run single-threaded.
