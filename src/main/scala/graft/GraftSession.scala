@@ -101,4 +101,25 @@ object GraftSession {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => normalizeTs(s.read.parquet(p)) })
+
+  /** Spread a small scan across the cluster before EXPENSIVE per-row
+    * projections/aggregations (regex chains, JSON kind dispatch,
+    * hashing): a parquet file is parallelizable only at row-group
+    * granularity, so a small input (often a single row group) otherwise
+    * runs every downstream expression single-threaded no matter the
+    * split size. A no-op when the scan already yields >= default
+    * parallelism (plan-stats estimate, no job) — at real scale files
+    * carry many row groups and this adds nothing. Apply ABOVE pushable
+    * filters only: Catalyst pushes filters through a repartition, so
+    * wrapping a filter query would just re-serialize it (and lose
+    * nothing by not wrapping — scan-time filters belong at the scan).
+    * Same device as the dedup family's round-1 `parallelize`, shared.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
+    if (estParts < target) df.repartition(target) else df
+  }
 }

@@ -32,18 +32,14 @@ object Dedup {
     * no-op at real scale where inputs already have many partitions — the
     * shuffle only triggers when the input is narrower than the cluster.
     */
-  private[operators] def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // estimate the scan's task count from plan statistics (bytes /
-    // max split size) — materializing `df.rdd` just to read its
-    // partition count would force an RDD lineage per call. Inflated
-    // logical estimates only make the (cheap, small-input) repartition
-    // less likely; large inputs estimate far above `target` and skip it.
-    val maxSplit = math.max(1L,
-      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
-    if (estParts < target) df.repartition(target) else df
-  }
+  // estimate the scan's task count from plan statistics (bytes /
+  // max split size) — materializing `df.rdd` just to read its
+  // partition count would force an RDD lineage per call. Inflated
+  // logical estimates only make the (cheap, small-input) repartition
+  // less likely; large inputs estimate far above target and skip it.
+  // Shared engine-wide since r17 as [[graft.GraftSession.spread]].
+  private[operators] def parallelize(df: DataFrame): DataFrame =
+    graft.GraftSession.spread(df)
 
   // ------------------------------------------------------------------
   // exact / fingerprint dedup

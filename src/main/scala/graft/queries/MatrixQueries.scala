@@ -37,12 +37,20 @@ object MatrixQueries {
     * the final 1-row reduce.
     */
   private def battery(s: SparkSession, base: DataFrame, cases: Seq[MCase],
-      jsonCols: Set[String] = Set.empty): DataFrame = {
+      jsonCols: Set[String] = Set.empty, spread: Boolean = false): DataFrame = {
     val counters = cases.map { c =>
       sum(when(ExprCompiler.compile(c.engine, base, jsonColumns = jsonCols),
         1L).otherwise(0L)).as(c.id)
     }
-    val row = base.agg(counters.head, counters.tail: _*).head()
+    // spread (opt-in): heavy case predicates (the JSON kind dispatch
+    // re-parses the document to variant per comparison) live in
+    // AGGREGATE expressions, which do not push below a repartition —
+    // spreading the one-row-group scan runs the partial agg in parallel
+    // (a no-op at real file counts). Cheap batteries skip it: the
+    // round-robin exchange costs more than their predicates
+    // (measured: typed/like/array regress ~0.2 s, json-kind -1.3 s).
+    val spreadBase = if (spread) graft.GraftSession.spread(base) else base
+    val row = spreadBase.agg(counters.head, counters.tail: _*).head()
     import s.implicits._
     cases.map(c => (c.id, row.getAs[Long](c.id)))
       .toDF("case_id", "cnt").orderBy(col("case_id"))
@@ -402,7 +410,7 @@ object MatrixQueries {
       "nullable_varchar LIKE 'nullable_%'"))
 
   def nullMatrix(s: SparkSession, dir: String): DataFrame =
-    battery(s, nullDf(s, dir), NullCases, jsonCols = Set("j"))
+    battery(s, nullDf(s, dir), NullCases, jsonCols = Set("j"), spread = true)
 
   private[graft] val nullMatrixOracle: String = oracleFor(NullCases, nullSql)
 
@@ -519,7 +527,8 @@ object MatrixQueries {
       str("$.p", "SIMILAR TO '1.*'")))
 
   def jsonKindMatrix(s: SparkSession, dir: String): DataFrame =
-    battery(s, jsonKindDf(s, dir), JsonKindCases, jsonCols = Set("j"))
+    battery(s, jsonKindDf(s, dir), JsonKindCases, jsonCols = Set("j"),
+      spread = true)
 
   private[graft] val jsonKindMatrixOracle: String =
     oracleFor(JsonKindCases, jsonKindSql)
@@ -1577,7 +1586,9 @@ object MatrixQueries {
       Seq(sum(when(a, 1L).otherwise(0L)).as(c.id + "_cnt"),
         sum(when(a =!= b, 1L).otherwise(0L)).as(c.id + "_diff"))
     }
-    val row = base.agg(counters.head, counters.tail: _*).head()
+    // 26 json-kind-dispatching predicates — spread like jsonKindMatrix
+    val row = graft.GraftSession.spread(base)
+      .agg(counters.head, counters.tail: _*).head()
     EquivCases.map(c => (c.id, row.getAs[Long](c.id + "_cnt"),
         row.getAs[Long](c.id + "_diff")))
       .toDF("case_id", "cnt", "n_diff").orderBy(col("case_id"))

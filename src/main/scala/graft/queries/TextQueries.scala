@@ -25,7 +25,8 @@ object TextQueries {
     * ratio + fingerprint per document.
     */
   def textStats(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // spread: the per-row stats (BPE count, fingerprint) are the cost
+    val d = graft.GraftSession.spread(t(s, dir, "documents"))
     d.select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("token_cnt"),
@@ -40,7 +41,7 @@ object TextQueries {
     * compare is exact (see [[TextFunctions.winnowFingerprints]]).
     */
   def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    graft.GraftSession.spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         explode(TextFunctions.winnowFingerprints(col("text"))).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
@@ -63,14 +64,14 @@ object TextQueries {
 
   /** Language-ID heuristic (stopword markers). */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    graft.GraftSession.spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
       .orderBy(col("doc_id"))
   }
 
   /** Composite quality score. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    graft.GraftSession.spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
   }
@@ -477,7 +478,8 @@ object TextQueries {
     * kind, all RE2/Java-regex-portable so the oracle recomputes both.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val aug = t(s, dir, "documents")
+    // spread: the regexp_replace scrub chain is the per-row cost
+    val aug = graft.GraftSession.spread(t(s, dir, "documents"))
       .withColumn("aug", concat(col("text"),
         lit(" Contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
         lpad(col("doc_id").cast("string"), 4, "0"),
