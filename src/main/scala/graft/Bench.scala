@@ -136,6 +136,15 @@ object Bench {
     // in `failed` instead. Each slowest entry is [median, p25, p75] so
     // the spread discipline survives on the canonical line too.
     println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"gc_ms":$gcQs,"sf":"$sfDir","runs":$runs}""")
+    // the full per-query map also goes to a stable FILE: only the last
+    // ~2000 stdout chars survive to the driver, so round-over-round
+    // comparisons were limited to the slowest-25 intersection. Purely
+    // additive — the printed canonical line below is unchanged.
+    try {
+      val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"gc_ms":$gcQs,"sf":"$sfDir","runs":$runs}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // best-effort (read-only cwd etc.)
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
       .map { case (k, v) =>
         val xs = samples.map(_.toMap.apply(k)._1)

@@ -1236,6 +1236,10 @@ final class Collection private (
         else folded.write.parquet(foldPath)
         sealedDf = Some(readLayout(foldPath))
         sealedSegments = Vector(foldPath)
+        // the physical layout changed under an UNCHANGED lastWriteTs:
+        // cached view plans still read the superseded dirs, which a
+        // later retentionSweep may delete — drop them
+        invalidateFilterCache()
       }
       colPatches = deferred
     }
@@ -1324,6 +1328,11 @@ final class Collection private (
         sealedDf = Some(readLayout(s"$runPath/data"))
         sealedSegments = Vector(s"$runPath/data") // the single live segment
         tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
+        // layout supersession under an unchanged lastWriteTs (see
+        // foldPatchesIntoLayout): cached plans over the pre-compact
+        // dirs must not survive — a post-sweep re-run would read
+        // deleted files
+        invalidateFilterCache()
     }
   }
 
@@ -1407,6 +1416,10 @@ final class Collection private (
           if (lobResident) lobSealed = lobSealed.map(
             _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           lobGrowing = None // folded into the snapshot
+          // the LOB store moved to a fresh snap- dir under an unchanged
+          // lastWriteTs: cached view plans still join the superseded
+          // gen-/snap- dirs a later retentionSweep deletes — drop them
+          invalidateFilterCache()
           total - keptCount
         }
     }
@@ -1739,12 +1752,23 @@ final class Collection private (
           .putIfAbsent((db, targetName), java.lang.Long.valueOf(0L)) == null,
         s"duplicate collection: '$db.$targetName' already exists " +
           "(a restore to this target is in progress)")
-      val jobId = Collection.nextRestoreJobId()
-      Collection.restoreJobs.put(jobId, Collection.RestoreJob(jobId, id,
-        targetName, db, "RestoreSnapshotInProgress", 0,
-        System.currentTimeMillis(), 0L))
-      pinSnapshot(id)
-      (jobId, st)
+      // anything that throws between the successful reservation and the
+      // job registration below would otherwise leak the reservation and
+      // permanently block this (db, target) name — release it on the
+      // way out (once the job IS registered, completeRestoreJob owns
+      // the release on both the success and failure paths)
+      try {
+        val jobId = Collection.nextRestoreJobId()
+        Collection.restoreJobs.put(jobId, Collection.RestoreJob(jobId, id,
+          targetName, db, "RestoreSnapshotInProgress", 0,
+          System.currentTimeMillis(), 0L))
+        pinSnapshot(id)
+        (jobId, st)
+      } catch {
+        case e: Throwable =>
+          Collection.restoreReservations.remove((db, targetName))
+          throw e
+      }
     }
     // the write runs OUTSIDE stateLock: a concurrent dropSnapshot must
     // be able to reach the pin check and fail loudly, not queue behind
@@ -1753,7 +1777,7 @@ final class Collection private (
       onPinned()
       val target = materializeRestore(st)
       stateLock.synchronized {
-        Collection.registerCollection(targetName, target, db)
+        Collection.registerRestored(targetName, target, db)
         completeRestoreJob(jobId, "RestoreSnapshotCompleted", 100, "")
       }
       jobId
@@ -2641,6 +2665,9 @@ final class Collection private (
         case None => sealedDf = sealedDf.map(
           _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
+      // layout supersession under an unchanged lastWriteTs (see
+      // foldPatchesIntoLayout): drop cached plans over the pre-merge dirs
+      invalidateFilterCache()
     }
     val id = nextTs()
     compactionHistory +=
@@ -3374,6 +3401,19 @@ final class Collection private (
     // intervened (epoch check), so a torn in-flight build can never
     // poison the cache for later readers.
     val epoch0 = viewCacheEpoch.get()
+    // a NONDETERMINISTIC ttl/preFilter (rand()-based sampling, uuid())
+    // must never be memoized: reusing its plan would freeze one draw's
+    // results as "the" view. The engine only passes deterministic
+    // scopes here (partition equality, ttl arithmetic), so the guard is
+    // belt-and-suspenders; it matches on the rendered expression (the
+    // Spark 4 Column API does not expose the expression tree publicly).
+    val cacheable = !(ttl.toSeq ++ preFilter.toSeq).exists { c =>
+      val s = c.toString
+      Collection.nondetFnPattern.matcher(s).find()
+    }
+    if (!cacheable)
+      return buildReadViewUnscoped(level, staleness, sessionTs, ttl,
+        preFilter, ignoreGrowing, pkDomain)
     val key = Seq(level.id, staleness, sessionTs, lastWriteTs,
       ttl.map(_.toString).getOrElse("-"),
       preFilter.map(_.toString).getOrElse("-"),
@@ -3396,6 +3436,10 @@ final class Collection private (
             val (k, (old, hits)) = viewCache.head
             if (hits >= viewPinThreshold) old.unpersist()
             viewCache.remove(k)
+            // capacity-eviction counter: a workload alternating more
+            // than viewCacheCapacity distinct views would thrash
+            // persist/unpersist invisibly — this makes it observable
+            viewEvictions += 1
           }
         }
       }
@@ -3544,7 +3588,12 @@ final class Collection private (
   // pattern pays one materialization and every later call scans memory;
   // raise (or set huge to disable pinning) via env for A/B measurement.
   private val viewPinThreshold =
-    sys.env.getOrElse("SPARK_GRAFT_VIEWPIN", "2").toInt
+    sys.env.get("SPARK_GRAFT_VIEWPIN").flatMap(_.toIntOption).getOrElse(2)
+  // lifetime count of capacity evictions (NOT invalidations) — the
+  // thrash signal for a facade surface outgrowing viewCacheCapacity
+  private var viewEvictions = 0L
+  private[graft] def viewCacheEvictions: Long =
+    stateLock.synchronized(viewEvictions)
   // bumped on every invalidation: a view build that raced a mutation
   // (started before, finished after) must not enter the cache
   private val viewCacheEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -5090,6 +5139,11 @@ object Collection {
   private[graft] val restoreReservations =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
+  // nondeterministic scalar functions as they render in Column.toString
+  // — the view-memo's refuse-to-cache guard (readViewUnscoped)
+  private[graft] val nondetFnPattern = java.util.regex.Pattern.compile(
+    "\\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\\(")
+
   // per-root GC mutex: a sweep/lobGc holds it for its whole run and
   // gcPause acquires it before registering, so a RETURNED pause means
   // no reclamation is mid-flight on that root through ANY handle (the
@@ -5445,6 +5499,31 @@ object Collection {
     // registers at cap-1 must not both pass the size read
     colls.synchronized {
       // database.max.collections (rootcoord quota, enforced at create)
+      databaseProps.getOrDefault(db, Map.empty).get("database.max.collections")
+        .map(_.toLong).foreach(cap => require(colls.size < cap,
+          s"database '$db' is at its max.collections cap ($cap)"))
+      // a name with an in-flight restore is taken: without this check a
+      // plain create during the restore window would win the name and
+      // the restore would fail only AFTER materializing its corpus.
+      // The restore's own registration goes through registerRestored.
+      require(!restoreReservations.containsKey((db, name)),
+        s"duplicate collection: '$db.$name' already exists " +
+          "(a restore to this target is in progress)")
+      val prev = colls.putIfAbsent(name, coll)
+      require(prev == null, s"collection '$db.$name' already exists")
+    }
+  }
+
+  /** [[registerCollection]] for the restore completion path: the caller
+    * HOLDS the (db, name) reservation, which is what makes the name
+    * unavailable to everyone else — the reservation check must not
+    * reject its own holder.
+    */
+  private[graft] def registerRestored(name: String, coll: Collection,
+      db: String): Unit = {
+    val colls = databases.get(db)
+    if (colls == null) throw new NoSuchElementException(s"database '$db' does not exist")
+    colls.synchronized {
       databaseProps.getOrDefault(db, Map.empty).get("database.max.collections")
         .map(_.toLong).foreach(cap => require(colls.size < cap,
           s"database '$db' is at its max.collections cap ($cap)"))

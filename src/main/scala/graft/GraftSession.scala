@@ -98,9 +98,16 @@ object GraftSession {
   /** Read one of the driver-provided parquet tables under `dir`,
     * with the MVCC ts columns normalized to epoch-nanos Long.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // a long-lived process that creates and stops many sessions (test
+    // suites, notebook drivers) must not retain stopped sessions' plans
+    // forever: purge dead-session entries on access — O(live entries),
+    // all driver-side metadata
+    val it = tableCache.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => normalizeTs(s.read.parquet(p)) })
+  }
 
   /** Spread a small scan across the cluster before EXPENSIVE per-row
     * projections/aggregations (regex chains, JSON kind dispatch,

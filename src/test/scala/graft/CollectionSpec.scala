@@ -2008,4 +2008,42 @@ class CollectionSpec extends SparkSpec {
         s"$tiny: ${e.getMessage}")
     }
   }
+
+  test("view-memo capacity evictions are counted (thrash observability)") {
+    val c = fresh()
+    (1 to 10).foreach { i =>
+      c.createPartition(s"vp$i")
+      c.insertInto(s"vp$i", mkRows(Seq(2000L + i)))
+    }
+    assert(c.viewCacheEvictions == 0L)
+    // 10 distinct partition scopes stream through the capacity-8 memo
+    (1 to 10).foreach(i => c.partitionStatistics(s"vp$i"))
+    assert(c.viewCacheEvictions >= 2L,
+      s"expected FIFO evictions past capacity, got ${c.viewCacheEvictions}")
+    // correctness under eviction churn: every scope still counts right
+    (1 to 10).foreach(i =>
+      assert(c.partitionStatistics(s"vp$i")("row_count") == "1"))
+  }
+
+  test("GraftSession.table memoizes the plan per (session, path)") {
+    val t1 = GraftSession.table(spark, sfDir, "customer")
+    val t2 = GraftSession.table(spark, sfDir, "customer")
+    assert(t1 eq t2, "repeated reads must reuse one analyzed plan")
+    assert(GraftSession.table(spark, sfDir, "nation") ne t1)
+  }
+
+  test("a plain create cannot steal a name with an in-flight restore reservation") {
+    val name = s"resv_target_${System.nanoTime()}"
+    Collection.restoreReservations.put(("default", name), java.lang.Long.valueOf(0L))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Collection.registerCollection(name, fresh())
+      }
+      assert(e.getMessage.contains("restore"))
+    } finally Collection.restoreReservations.remove(("default", name))
+    // released: the name is usable again
+    val c = fresh()
+    Collection.registerCollection(name, c)
+    Collection.dropCollection(name)
+  }
 }

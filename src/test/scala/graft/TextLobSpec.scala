@@ -1660,4 +1660,29 @@ class TextLobSpec extends SparkSpec {
     assert(Collection.open(spark, schema, path)
       .query("id >= 1", Seq("id")).count() == want)
   }
+
+  test("query after compact + retentionSweep never serves a stale cached plan") {
+    // compact/fold/lobGc rewrite the physical layout WITHOUT bumping
+    // lastWriteTs — the read-view memo key is unchanged, so without
+    // invalidation the memoized plan still reads the superseded dirs
+    // and the post-sweep re-run throws FileNotFoundException
+    val path = s"${scratch("textlob_stalecache")}/data"
+    val c = Collection.create(spark, CollectionSchema(pkField = "id",
+      textFields = Map("text" -> matchSpec), textInlineThreshold = 64))
+    c.insert(rows(8, bigEvery = 2, threshold = 64))
+    c.deletePks(Seq(2L)) // an externalized (big) payload -> orphan after compact
+    c.flush(path)
+    // ONE read memoizes the lazy plan over the pre-compact seg dirs
+    // (a single read is never pinned, so a re-run re-scans disk)
+    val want = c.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    c.compact(path)        // rewrites into run-*; lastWriteTs unchanged
+    assert(c.lobGc(path) == 1L)  // id=2's payload orphaned by the compact
+    c.retentionSweep(path) // deletes the superseded seg/gen dirs
+    // the SAME query (same memo key) must re-plan over the live layout
+    assert(c.query("id >= 1", Seq("id", "text"))
+      .select($"id", md5($"text").as("h")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == want)
+  }
 }
