@@ -160,6 +160,26 @@ final class Collection private (
     layoutDfCache.computeIfAbsent(path,
       p => Collection.readLayoutAt(spark, p))
 
+  /** [[readLayout]] for a directory THIS handle just wrote: the writer
+    * knows the schema, so parquet footer inference — one scheduler job
+    * per read-back at any scale — is pure waste. The supplied schema
+    * reproduces what inference would return: data fields in write
+    * order, the hive partition column (if any) resolved from the
+    * directory names, last and nullable, always string (the same
+    * all-numeric-tenant fix [[Collection.readLayoutAt]] re-reads for).
+    */
+  private def readLayoutWritten(path: String,
+      written: org.apache.spark.sql.types.StructType): DataFrame =
+    layoutDfCache.computeIfAbsent(path, p => {
+      val (data, part) =
+        written.fields.partition(_.name != Collection.PartitionCol)
+      val ordered = org.apache.spark.sql.types.StructType(
+        (data ++ part.map(_.copy(
+          dataType = org.apache.spark.sql.types.StringType,
+          nullable = true))).toIndexedSeq)
+      spark.read.schema(ordered).parquet(p)
+    })
+
   // Sealed reads go through the ts normalization boundary: the MVCC
   // machinery below (visibility, TTL, truncate horizons) works in
   // epoch-nanos Long, while driver parquet may carry the ts field as
@@ -1234,7 +1254,7 @@ final class Collection private (
         if (folded.columns.contains(Collection.PartitionCol))
           folded.write.partitionBy(Collection.PartitionCol).parquet(foldPath)
         else folded.write.parquet(foldPath)
-        sealedDf = Some(readLayout(foldPath))
+        sealedDf = Some(readLayoutWritten(foldPath, folded.schema))
         sealedSegments = Vector(foldPath)
         // the physical layout changed under an UNCHANGED lastWriteTs:
         // cached view plans still read the superseded dirs, which a
@@ -1325,7 +1345,7 @@ final class Collection private (
         graft.operators.Compaction.writeCompacted(
           merged, t, schema.pkField, schema.tsField,
           lit(lastWriteTs), runPath)
-        sealedDf = Some(readLayout(s"$runPath/data"))
+        sealedDf = Some(readLayoutWritten(s"$runPath/data", merged.schema))
         sealedSegments = Vector(s"$runPath/data") // the single live segment
         tombs = None // all folded (compactTs = lastWriteTs leaves no residual)
         // layout supersession under an unchanged lastWriteTs (see
@@ -1392,7 +1412,8 @@ final class Collection private (
         // a re-scan of snapshot data files
         val pinned: Option[DataFrame] = snapshotReg.values
           .flatMap(_.refsDir).toSeq
-          .map(spark.read.parquet(_)).reduceOption(_ union _)
+          .map(spark.read.schema(Collection.refsSchema).parquet(_))
+          .reduceOption(_ union _)
         val used = (live.toSeq ++ pinned.toSeq).reduceOption(_ union _)
         val total = store.count()
         val kept = used match {
@@ -1412,7 +1433,8 @@ final class Collection private (
           // (a loaded collection would otherwise leak the old store in
           // the Spark cache), and carry residency onto the snapshot
           lobSealed.foreach(_.unpersist())
-          lobSealed = Some(spark.read.parquet(snapPath))
+          // schema-supplied read-back (see readLayoutWritten)
+          lobSealed = Some(spark.read.schema(kept.schema).parquet(snapPath))
           if (lobResident) lobSealed = lobSealed.map(
             _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           lobGrowing = None // folded into the snapshot
@@ -2010,7 +2032,8 @@ final class Collection private (
     val foreignPins: Seq[(String, String)] = snapAll
       .filter(p => !snapshotReg.contains(p.getName) &&
         !hasFile(p, "_dropped") && hasFile(p, "meta"))
-      .flatMap(p => spark.read.parquet(s"$p/manifest").collect()
+      .flatMap(p => spark.read.schema(Collection.manifestSchema)
+        .parquet(s"$p/manifest").collect()
         .map(r => r.getAs[String]("kind") -> r.getAs[String]("dir")))
     val pinnedData = snapshotReg.values.flatMap(_.dataDirs) ++
       foreignPins.collect { case ("data", d) => d }
@@ -2126,7 +2149,9 @@ final class Collection private (
     lobGrowing.foreach { g =>
       val genPath = s"$path/_lobs/gen-${nextTs()}"
       g.write.parquet(genPath)
-      val seg = spark.read.parquet(genPath)
+      // schema-supplied read-back: we just wrote these files (see
+      // readLayoutWritten — skips the footer-inference job)
+      val seg = spark.read.schema(g.schema).parquet(genPath)
       lobSealed = Some(lobSealed.map(_.unionByName(seg)).getOrElse(seg))
       // a loaded collection's blob store stays resident across flushes,
       // same as the data path below (and with load()'s same scope guard)
@@ -2144,7 +2169,7 @@ final class Collection private (
       if (g.columns.contains(Collection.PartitionCol))
         g.write.partitionBy(Collection.PartitionCol).parquet(segPath)
       else g.write.parquet(segPath)
-      val seg = readLayout(segPath)
+      val seg = readLayoutWritten(segPath, g.schema)
       // writer-side publish (MEP 20260602): the summary aggregates are
       // extracted at seal time, never re-derived by a later consumer
       // scan. Aggregated over the READ-BACK files, not the growing
@@ -5144,6 +5169,19 @@ object Collection {
   private[graft] val nondetFnPattern = java.util.regex.Pattern.compile(
     "\\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\\(")
 
+  // fixed schemas of engine-written metadata files: supplying them at
+  // read time skips the parquet footer-inference job (guide: remove
+  // work, then tune) — these files are written by THIS engine, so the
+  // schema can never surprise us
+  private[graft] val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dir",
+      org.apache.spark.sql.types.StringType)))
+  private[graft] val refsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_lob_ref",
+      org.apache.spark.sql.types.StringType)))
+
   // per-root GC mutex: a sweep/lobGc holds it for its whole run and
   // gcPause acquires it before registering, so a RETURNED pause means
   // no reclamation is mid-flight on that root through ANY handle (the
@@ -5272,7 +5310,8 @@ object Collection {
       if (fs.exists(new Path(s"$base/_dropped"))) None
       else if (!fs.exists(new Path(s"$base/meta"))) None
       else {
-        val man = spark.read.parquet(s"$base/manifest").collect()
+        val man = spark.read.schema(manifestSchema)
+          .parquet(s"$base/manifest").collect()
         def dirs(kind: String): Seq[String] = man
           .filter(_.getAs[String]("kind") == kind)
           .map(_.getAs[String]("dir")).toSeq.sorted
