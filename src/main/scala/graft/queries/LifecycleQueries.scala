@@ -66,7 +66,9 @@ object LifecycleQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)]
       .collect().toSeq
-    implicit val sqlCtx = s.sqlContext
+    // stateful stream: run under a state-sized shuffle-partition count
+    // (see Streaming.stateScoped — AQE can't right-size streaming state)
+    implicit val sqlCtx = Streaming.stateScoped(s).sqlContext
     val input = MemoryStream[(Long, Long, Long, String, Double)]
     input.addData(rows ++ rows) // duplicated WAL delivery
     val stream = input.toDF()
@@ -602,7 +604,10 @@ object LifecycleQueries {
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .as[(Long, Long, String, Double)]
       .collect().toSeq
-    implicit val sqlCtx = s.sqlContext
+    // stateful stream: state-sized shuffle partitions (Streaming.stateScoped);
+    // the memory sink registers on the session that runs the query
+    val scoped = Streaming.stateScoped(s)
+    implicit val sqlCtx = scoped.sqlContext
     val input = MemoryStream[(Long, Long, String, Double)]
     input.addData(rows)
     val stream = input.toDF().toDF("event_id", "ts", "event_type", "value")
@@ -614,7 +619,7 @@ object LifecycleQueries {
       .outputMode("complete").start()
     q.processAllAvailable()
     q.stop()
-    s.table(sink)
+    scoped.table(sink)
       .select(col("window.start").cast("long").as("win"), col("event_type"),
         col("cnt"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("win"), col("event_type"))
@@ -1798,7 +1803,10 @@ object LifecycleQueries {
     val rows = t(s, dir, "events").filter(col("event_id") < 3000)
       .select(col("event_id"), col("user_id"), col("ts"))
       .as[(Long, Long, Long)].collect().toSeq
-    implicit val sqlCtx = s.sqlContext
+    // stateful stream: state-sized shuffle partitions (Streaming.stateScoped);
+    // the memory sink registers on the session that runs the query
+    val scoped = Streaming.stateScoped(s)
+    implicit val sqlCtx = scoped.sqlContext
     val input = MemoryStream[(Long, Long)]
     val out = Streaming.sessionCounts(input.toDS())
     val sink = s"sess_${System.nanoTime()}"
@@ -1810,7 +1818,7 @@ object LifecycleQueries {
     input.addData(b2.map(r => (r._2, r._3)))
     q.processAllAvailable()
     q.stop()
-    s.table(sink)
+    scoped.table(sink)
       .groupBy(col("key").as("user_id"))
       .agg(max(col("count")).as("n_events"))
       .select(col("user_id"), col("n_events"))

@@ -612,7 +612,8 @@ object TextQueries {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq
     val (b1, b2) = rows.partition(_._1 % 2 == 0)
-    implicit val sqlCtx = s.sqlContext
+    // stateful stream: state-sized shuffle partitions (Streaming.stateScoped)
+    implicit val sqlCtx = Streaming.stateScoped(s).sqlContext
     val input = MemoryStream[(Long, String)]
     input.addData(b1 ++ b1) // duplicated WAL delivery within the batch
     input.addData(b2 ++ b2 ++ b1) // + full cross-batch replay of b1

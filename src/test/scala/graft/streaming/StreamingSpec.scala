@@ -127,4 +127,29 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(last(7L) == 3L && last(9L) == 1L)
   }
+
+  test("stateScoped sizes state partitions without touching the parent session") {
+    val scoped = Streaming.stateScoped(spark)
+    val expected = math.max(2, spark.sparkContext.defaultParallelism / 4)
+    assert(scoped.conf.get("spark.sql.shuffle.partitions") == expected.toString)
+    // the parent session's batch shuffle width is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") ==
+      spark.sparkContext.defaultParallelism.toString)
+    // same context (no second Spark app), fresh conf only
+    assert(scoped.sparkContext eq spark.sparkContext)
+    // and a stateful query under the scope produces identical answers
+    import spark.implicits._
+    implicit val sqlCtx = scoped.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Streaming.sessionCounts(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sess_scoped")
+      .outputMode("update").start()
+    input.addData((7L, 100L), (7L, 200L), (9L, 50L))
+    q.processAllAvailable()
+    q.stop()
+    val last = scoped.table("sess_scoped")
+      .groupBy("key").agg(max("count").as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(last(7L) == 2L && last(9L) == 1L)
+  }
 }
