@@ -572,7 +572,15 @@ object MatrixQueries {
       base.filter(ExprCompiler.compile(filter, base, jsonColumns = json))
         .select(col(idCol).as("id"))
 
-    // dictionaries are tiny (cardinality-many rows) — reuse per table
+    // dictionaries are tiny (cardinality-many rows) — reuse per table.
+    // NOTE (r18, measured 7-round medians): pre-materializing the
+    // multi-leg dictionaries does NOT pay here — lazy persist serialized
+    // the adaptive union (r17 experiment, 2.35->12.3 s), eager
+    // sequential localCheckpoint regressed _mixed 2.24->2.47 s, and
+    // eager CONCURRENT checkpoints were a wash (1.89 vs 1.83 s) — the
+    // duplicate builds pipeline on idle cores inside the one adaptive
+    // action, so the wall is driver/AQE latency, not the rebuilds.
+    // The builds stay embedded in their legs.
     val natIdx = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_nationkey")
     val langIdx = InvertedIndex.buildValueIndex(docs, "doc_id", "lang")
     val brandIdx = InvertedIndex.buildValueIndex(part, "p_partkey", "p_brand")
@@ -581,6 +589,8 @@ object MatrixQueries {
       ev, "event_id", "props", "$.k",
       org.apache.spark.sql.types.LongType, "STL_SORT")._2
     val ngramIdx = NgramIndex.build(docs, "doc_id", "text", n = 3)
+    // one pk dictionary definition shared by both bitset-boundary legs
+    val custKeyIdx = InvertedIndex.buildValueIndex(cust, "c_custkey", "c_custkey")
 
     val rows = Seq(
       consistencyRow(s, "INVERTED", "nationkey_in",
@@ -615,13 +625,11 @@ object MatrixQueries {
       // through the index equals the scan — the off-by-one class a
       // word-addressed bitset implementation regresses on
       consistencyRow(s, "INVERTED", "in_boundary_63_65",
-        InvertedIndex.lookupValues(
-          InvertedIndex.buildValueIndex(cust, "c_custkey", "c_custkey"),
+        InvertedIndex.lookupValues(custKeyIdx,
           "c_custkey", Seq(62L, 63L, 64L, 65L, 66L)),
         scan(cust, "c_custkey", "c_custkey in [62, 63, 64, 65, 66]")),
       consistencyRow(s, "INVERTED", "in_boundary_1023_1025",
-        InvertedIndex.lookupValues(
-          InvertedIndex.buildValueIndex(cust, "c_custkey", "c_custkey"),
+        InvertedIndex.lookupValues(custKeyIdx,
           "c_custkey", Seq(1022L, 1023L, 1024L, 1025L, 1026L)),
         scan(cust, "c_custkey",
           "c_custkey in [1022, 1023, 1024, 1025, 1026]")),
@@ -687,6 +695,11 @@ object MatrixQueries {
     val jsonIdx = InvertedIndex.buildJsonPathIndexTyped(
       ev, "event_id", "props", "$.k",
       org.apache.spark.sql.types.LongType, "STL_SORT")._2
+    // NOTE (r18, measured): pre-materializing this fixture's multi-leg
+    // dictionaries (eager localCheckpoint, even with overlapped builds)
+    // REGRESSED it 2.24->2.47 s — the duplicate builds here are over
+    // small tables and pipeline fully inside the one adaptive union,
+    // while the checkpoints add driver-blocking jobs. Left embedded.
     val langIdx = InvertedIndex.buildValueIndex(docs, "doc_id", "lang")
     val ncharsIdx = InvertedIndex.buildHybridIndex(docs, "doc_id", "n_chars")._2
 
