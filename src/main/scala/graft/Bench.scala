@@ -42,6 +42,9 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // hold the suite's full codegen working set (see GraftSession.local)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Kryo for broadcasts/task results (see GraftSession.local)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryoserializer.buffer.max", "256m")
       // small-file splits (see GraftSession.local) — local-mode only
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
